@@ -1,0 +1,153 @@
+"""End-to-end Dataset validation: local rules via map_batches and temporal
+rules via the groupby(pk) lag stage, checked against the row oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from nacc_form_validator_ray.datastore import InMemoryDatastore
+from nacc_form_validator_ray.rowval import RecordValidator
+from nacc_form_validator_ray.stages.validate import validate_dataset
+
+
+def test_local_rules_dataset():
+    schema = {
+        "qty": {"type": "float", "required": True, "min": 0, "max": 100},
+        "flag": {"type": "string", "allowed": ["A", "N", "R"]},
+    }
+    df = pd.DataFrame({
+        "qty": [5.0, -2.0, 200.0, 50.0],
+        "flag": ["A", "N", "X", "R"],
+    })
+    ds = rd.from_pandas(df)
+    out = validate_dataset(ds, schema).to_pandas()
+    assert list(out["passed"]) == [True, False, False, True]
+    assert out["n_errors"].tolist() == [0, 1, 2, 0]
+    errs = out["errors"].tolist()
+    assert errs[1][0]["code"] == 0x42
+    codes2 = sorted(e["code"] for e in errs[2])
+    assert codes2 == [0x43, 0x44]
+
+
+def test_temporal_rules_dataset_matches_row_oracle():
+    """Groupby-lag temporal stage vs the reference-style record-at-a-time
+    loop with an InMemoryDatastore holding each row's prior history."""
+    schema = {
+        "patient_id": {"type": "string"},
+        "visit_num": {"type": "integer"},
+        "taxes": {
+            "type": "integer",
+            "nullable": True,
+            "temporalrules": [{
+                "index": 0,
+                "previous": {"taxes": {"allowed": [0]}},
+                "current": {"taxes": {"forbidden": [8]}},
+            }],
+        },
+        "birthyr": {
+            "type": "integer",
+            "nullable": True,
+            "compare_with": {"comparator": "==", "base": "birthyr",
+                             "previous_record": True},
+        },
+    }
+    rows = []
+    rng = np.random.RandomState(42)
+    for pid in range(20):
+        n_visits = rng.randint(1, 6)
+        birthyr = 1940 + int(rng.randint(0, 50))
+        for v in range(1, n_visits + 1):
+            rows.append({
+                "patient_id": f"P{pid}",
+                "visit_num": v,
+                "taxes": int(rng.choice([0, 1, 8])),
+                "birthyr": birthyr if rng.rand() > 0.2
+                else birthyr + int(rng.randint(1, 3)),
+            })
+    df = pd.DataFrame(rows)
+
+    ds = rd.from_pandas(df).repartition(4)
+    out = validate_dataset(ds, schema, pk_field="patient_id",
+                           orderby="visit_num").to_pandas()
+    out = out.sort_values(["patient_id", "visit_num"]).reset_index(drop=True)
+
+    # row oracle: validate each record with history = strictly earlier rows
+    expected = {}
+    for pid, grp in df.groupby("patient_id"):
+        grp = grp.sort_values("visit_num")
+        recs = grp.to_dict("records")
+        for i, rec in enumerate(recs):
+            store = InMemoryDatastore("patient_id", "visit_num",
+                                      {pid: recs[:i]} if i else {pid: []})
+            rv = RecordValidator(schema, allow_unknown=True,
+                                 primary_key="patient_id", datastore=store)
+            passed = rv.validate(rv.cast_record(dict(rec)))
+            expected[(pid, rec["visit_num"])] = (
+                passed, sorted(e.code for e in rv.error_entries))
+
+    for _, row in out.iterrows():
+        key = (row["patient_id"], row["visit_num"])
+        exp_passed, exp_codes = expected[key]
+        got_codes = sorted(e["code"] for e in row["errors"])
+        assert row["passed"] == exp_passed, (key, got_codes, exp_codes)
+        assert got_codes == exp_codes, key
+
+
+def test_temporal_initial_record_dataset():
+    schema = {
+        "patient_id": {"type": "string"},
+        "visit_num": {"type": "integer"},
+        "birthdy": {
+            "type": "integer",
+            "compare_with": {"comparator": "==", "base": "birthdy",
+                             "initial_record": True},
+        },
+    }
+    df = pd.DataFrame([
+        {"patient_id": "A", "visit_num": 1, "birthdy": 27},
+        {"patient_id": "A", "visit_num": 2, "birthdy": 27},
+        {"patient_id": "A", "visit_num": 3, "birthdy": 30},
+        {"patient_id": "B", "visit_num": 1, "birthdy": 5},
+        {"patient_id": "B", "visit_num": 2, "birthdy": 5},
+    ])
+    ds = rd.from_pandas(df)
+    out = validate_dataset(ds, schema, pk_field="patient_id",
+                           orderby="visit_num").to_pandas()
+    out = out.sort_values(["patient_id", "visit_num"])
+    assert out["passed"].tolist() == [True, True, False, True, True]
+
+
+def test_mixed_local_and_temporal():
+    schema = {
+        "patient_id": {"type": "string"},
+        "visit_num": {"type": "integer", "min": 1},
+        "score": {
+            "type": "integer", "nullable": True, "min": 0, "max": 10,
+            "temporalrules": [{
+                "previous": {"score": {"allowed": [0]}},
+                "current": {"score": {"forbidden": [10]}},
+            }],
+        },
+    }
+    df = pd.DataFrame([
+        {"patient_id": "A", "visit_num": 1, "score": 0},
+        {"patient_id": "A", "visit_num": 2, "score": 10},   # temporal fail
+        {"patient_id": "A", "visit_num": 3, "score": 99},   # max fail
+        {"patient_id": "B", "visit_num": 0, "score": 5},    # min fail
+    ])
+    ds = rd.from_pandas(df)
+    out = validate_dataset(ds, schema, pk_field="patient_id",
+                          orderby="visit_num").to_pandas()
+    out = out.sort_values(["patient_id", "visit_num"])
+    # first visits fail with NO_PREV_VISIT (reference semantics: a
+    # temporal rule with no history errors unless ignore_empty is set)
+    assert out["passed"].tolist() == [False, False, False, False]
+    by_key = {(r["patient_id"], r["visit_num"]):
+              sorted(e["code"] for e in r["errors"])
+              for _, r in out.iterrows()}
+    assert by_key[("A", 1)] == [0x2002]
+    assert by_key[("A", 2)] == [0x2000]
+    assert by_key[("A", 3)] == [0x43]
+    assert by_key[("B", 0)] == [0x42, 0x2002]
