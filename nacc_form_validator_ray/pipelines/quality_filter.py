@@ -1,0 +1,207 @@
+"""Flagship pipeline: web-text quality filter (the north rule).
+
+Recasts the reference's declarative rule engine as a keep/drop decision
+stack over Common-Crawl-style pages::
+
+    read_parquet(pages)                       # column-pruned read
+      → map_batches(ExtractText)              # html → text (deterministic)
+      → map_batches(TextStats)                # C4/Gopher heuristics
+      → map_batches(LangId)                   # stopword-bank language ID
+      → validate_dataset(WEB_QUALITY_RULES)   # the rule engine: per-doc
+                                              #   error-code vector + keep bit
+      → map_batches(Scrubber)                 # regex PII/toxicity scrub
+      → write_parquet(out/part=<i>/...)       # partitioned, resumable
+
+The keep/drop thresholds ARE a rule schema (schema-as-data, exactly the
+reference's contract): every heuristic violation lands in the per-document
+``errors`` vector with a stable code, ``passed`` is the keep bit, and the
+scrubbed text is byte-deterministic per url.
+
+Everything streams: no stage materializes the dataset; the only wide
+operation in the whole pipeline is the optional host-level metrics
+groupby, which pre-aggregates per batch before shuffling one row per
+(part, host).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Mapping, Optional
+
+import numpy as np
+import pandas as pd
+
+from nacc_form_validator_ray.pipelines.webgen import extract_text
+from nacc_form_validator_ray.stages.scrub import Scrubber
+from nacc_form_validator_ray.stages.text_signals import (Fingerprint, LangId,
+                                                         TextStats)
+from nacc_form_validator_ray.stages.validate import validate_dataset
+from nacc_form_validator_ray.state import lineage
+from nacc_form_validator_ray.utils import Clock
+
+#: keep/drop thresholds as a rule schema over the signal columns —
+#: schema-as-data, evaluated by the vectorized rule engine. Tune per
+#: corpus; codes in the per-doc error vector identify the failing rule.
+WEB_QUALITY_RULES: Dict[str, Dict[str, Any]] = {
+    "n_words": {"type": "integer", "min": 50, "max": 1000},
+    "mean_word_len": {"type": "float", "min": 2.0, "max": 12.0},
+    "symbol_ratio": {"type": "float", "max": 0.1},
+    "digit_ratio": {"type": "float", "max": 0.2},
+    "rep_3gram_ratio": {"type": "float", "max": 0.5},
+    "stop_ratio": {"type": "float", "min": 0.05},
+    "lang_pred": {"type": "string",
+                  "allowed": ["en", "es", "de", "fr", "zh"]},
+}
+
+
+class ExtractText:
+    """html binary → text column (deterministic synthetic extractor).
+
+    A real boilerplate stripper (trafilatura/bs4) is not available in
+    this container; the envelope extraction preserves the byte-identity
+    invariant the driver checks. Swap ``extract_text`` for the real one —
+    the stage shape (actor-pool map_batches over binary) is unchanged.
+    """
+
+    def __init__(self, html_column: str = "html",
+                 text_column: str = "text"):
+        self.html_column = html_column
+        self.text_column = text_column
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[self.text_column] = [
+            extract_text(h) if isinstance(h, (bytes, bytearray)) else ""
+            for h in batch[self.html_column]]
+        return batch
+
+
+def build_quality_pipeline(ds,
+                           rules: Optional[Mapping[str, Any]] = None,
+                           clock: Optional[Clock] = None,
+                           collect: str = "codes",
+                           scrub: bool = True,
+                           extract: bool = False,
+                           fingerprint: bool = False,
+                           batch_size: int = 4096):
+    """Compose the signal + rule + scrub stages over a page Dataset."""
+    rules = dict(rules if rules is not None else WEB_QUALITY_RULES)
+    kw = dict(batch_format="pandas", batch_size=batch_size)
+    if extract:
+        ds = ds.map_batches(ExtractText(), **kw)
+    ds = ds.map_batches(TextStats(), **kw)
+    ds = ds.map_batches(LangId(), **kw)
+    if fingerprint:
+        ds = ds.map_batches(Fingerprint(), **kw)
+    if scrub:
+        ds = ds.map_batches(Scrubber(), **kw)
+    # validation last: its arrow output (errors: list<struct>) streams
+    # straight to the sink without a pandas round-trip
+    ds = validate_dataset(ds, rules, strict=False, collect=collect,
+                          batch_size=batch_size, clock=clock)
+    return ds
+
+
+def _rule_hits_from_errors(errors_col) -> Dict[str, int]:
+    hits: Dict[str, int] = {}
+    for row in errors_col:
+        if row is None:
+            continue
+        for e in row:
+            key = f"{e['field']}:{int(e['code']):#x}"
+            hits[key] = hits.get(key, 0) + 1
+    return hits
+
+
+OUTPUT_COLUMNS = ["url", "warc_ts", "lang", "lang_pred", "scrubbed_text",
+                  "n_words", "n_redactions", "passed", "n_errors",
+                  "errors"]
+
+
+def run_quality_filter(input_dir: str,
+                       out_dir: str,
+                       rules: Optional[Mapping[str, Any]] = None,
+                       resume: bool = True,
+                       files_per_partition: int = 1,
+                       output_columns: Optional[List[str]] = None,
+                       clock: Optional[Clock] = None) -> Dict[str, Any]:
+    """Resumable partitioned run over a parquet directory of pages.
+
+    Partitions are groups of input FILES (stable across reruns); each
+    completed partition gets a ``_lineage/part-<i>.json`` manifest with
+    row counts and rule-hit counters. ``resume=True`` skips completed
+    partitions and wipes half-written ones.
+    """
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(input_dir, f) for f in os.listdir(input_dir)
+        if f.endswith(".parquet"))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_dir}")
+    parts: List[List[str]] = [
+        files[i:i + files_per_partition]
+        for i in range(0, len(files), files_per_partition)]
+    part_ids = list(range(len(parts)))
+    todo = lineage.clean_incomplete(out_dir, part_ids) if resume \
+        else part_ids
+
+    clock = clock or Clock.frozen_now()
+    for part in todo:
+        frag_files = parts[part]
+        ds = rd.read_parquet(frag_files)
+        ds = build_quality_pipeline(ds, rules=rules, clock=clock,
+                                    extract=True)
+        cols = output_columns or OUTPUT_COLUMNS
+        ds = ds.select_columns([c for c in cols
+                                if c in ds.schema().names])
+        pdir = lineage.partition_dir(out_dir, part)
+        ds.write_parquet(pdir)
+
+        # metrics from the written output (column-pruned read-back)
+        meta = rd.read_parquet(pdir, columns=["passed", "errors"])
+        n_rows = 0
+        n_kept = 0
+        hits: Dict[str, int] = {}
+        for batch in meta.iter_batches(batch_size=8192,
+                                       batch_format="pandas"):
+            n_rows += len(batch)
+            n_kept += int(batch["passed"].sum())
+            for key, cnt in _rule_hits_from_errors(
+                    batch["errors"].tolist()).items():
+                hits[key] = hits.get(key, 0) + cnt
+        lineage.write_manifest(out_dir, part, frag_files, n_rows, n_kept,
+                               hits)
+    return lineage.aggregate_metrics(out_dir)
+
+
+def host_metrics(ds, salt_buckets: int = 16):
+    """Per-host keep/drop counts with a salted pre-aggregation.
+
+    Hot hosts (Zipfian skew) are first reduced per (host, salt) inside
+    map_batches-sized groups, then the small partials are merged — the
+    full shuffle only ever moves one row per (host, salt) per batch,
+    defusing host-level skew (north-rule requirement).
+    """
+    import pyarrow as pa
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        host = batch["url"].str.extract(r"https?://([^/]+)/",
+                                        expand=False).fillna("")
+        salt = np.arange(len(batch)) % salt_buckets
+        g = pd.DataFrame({
+            "host": host,
+            "salt": salt,
+            "n_docs": 1,
+            "n_kept": batch["passed"].astype(int)
+            if "passed" in batch else 0,
+        }).groupby(["host", "salt"], as_index=False).sum()
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    from ray.data.aggregate import Sum
+    merged = partials.groupby("host").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_kept", alias_name="n_kept"))
+    return merged

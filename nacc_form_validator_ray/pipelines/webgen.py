@@ -1,0 +1,148 @@
+"""Deterministic synthetic Common-Crawl-style page table (FIXTURES.md F7).
+
+Schema per BASELINE.json input_hint: ``url:string, warc_ts:timestamp[us],
+html:binary, text:string, lang:string``.
+
+Properties engineered for the pipeline under test:
+
+* every value derives from ``(seed, doc_index)`` only — byte-identical
+  text per url across runs, processes, and parallelism levels (the
+  per-row invariant the driver checks);
+* Zipfian host distribution (host-level skew for the salted groupby);
+* controlled doc-length / symbol-ratio / 3-gram-repetition mixtures with
+  known keep/drop labels for the heuristic rules;
+* seeded PII (emails, phones, SSNs) for the scrubber;
+* a fraction of near-duplicate documents (suffix-mutated copies of an
+  earlier doc) for MinHash/exact dedup.
+
+Generation is itself a Ray pipeline: ``ray.data.range(n)`` →
+``map_batches(PageGenerator)`` — no driver-side loop, scales to any n.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+
+from nacc_form_validator_ray.stages.text_signals import STOPWORDS
+
+#: content-word pools per language (deterministic, disjoint-ish)
+_CONTENT = {
+    "en": ["data", "market", "system", "report", "world", "science",
+           "music", "house", "water", "light", "story", "engine",
+           "model", "garden", "river", "street", "paper", "window"],
+    "es": ["datos", "mercado", "sistema", "informe", "mundo", "ciencia",
+           "musica", "casa", "agua", "luz", "historia", "motor"],
+    "de": ["daten", "markt", "system", "bericht", "welt", "wissenschaft",
+           "musik", "haus", "wasser", "licht", "geschichte", "motor"],
+    "fr": ["donnees", "marche", "systeme", "rapport", "monde", "science",
+           "musique", "maison", "eau", "lumiere", "histoire", "moteur"],
+    "zh": ["shuju", "shichang", "xitong", "baogao", "shijie", "kexue",
+           "yinyue", "fangzi", "shui", "guang", "gushi", "yinqing"],
+}
+_LANGS = list(_CONTENT)
+
+HTML_PREFIX = b"<html><head><title>page</title></head><body><p>"
+HTML_SUFFIX = b"</p></body></html>"
+
+
+def extract_text(html: bytes) -> str:
+    """Deterministic text extraction from the synthetic HTML envelope.
+
+    Byte-identity contract: ``extract_text(html) == text`` for every
+    generated page — the stand-in for a real HTML boilerplate stripper
+    (which this container cannot host)."""
+    body = html[len(HTML_PREFIX):-len(HTML_SUFFIX)]
+    return body.decode("utf-8")
+
+
+class PageGenerator:
+    """map_batches callable over ``ray.data.range``: id -> page row."""
+
+    def __init__(self, seed: int = 42, n_hosts: int = 1000,
+                 dup_fraction: float = 0.1):
+        self.seed = seed
+        self.n_hosts = n_hosts
+        self.dup_fraction = dup_fraction
+        self.base_ts = datetime(2025, 1, 1)
+
+    def _gen_text(self, rng: np.random.RandomState, lang: str,
+                  quality_roll: float) -> str:
+        sw = STOPWORDS[lang]
+        content = _CONTENT[lang]
+        if quality_roll < 0.08:
+            n_words = int(rng.randint(3, 40))        # too short -> drop
+        elif quality_roll < 0.12:
+            n_words = int(rng.randint(2000, 4000))   # too long -> drop
+        else:
+            n_words = int(rng.randint(60, 400))
+        words = []
+        for _ in range(n_words):
+            if rng.rand() < 0.42:
+                words.append(sw[rng.randint(len(sw))])
+            else:
+                words.append(content[rng.randint(len(content))])
+        if 0.12 <= quality_roll < 0.17:
+            # heavy 3-gram repetition -> drop
+            tri = words[:3] if len(words) >= 3 else ["a", "b", "c"]
+            words = tri * max(n_words // 3, 20)
+        text = " ".join(words)
+        if 0.17 <= quality_roll < 0.22:
+            # symbol spam -> drop
+            text = text + " " + ("@#$%^&*" * max(len(text) // 24, 8))
+        if rng.rand() < 0.15:
+            text += f" contact user{rng.randint(10_000)}@example.com"
+        if rng.rand() < 0.08:
+            text += (f" call {rng.randint(100, 999)}-"
+                     f"{rng.randint(100, 999)}-{rng.randint(1000, 9999)}")
+        if rng.rand() < 0.03:
+            text += (f" ssn {rng.randint(100, 999)}-"
+                     f"{rng.randint(10, 99)}-{rng.randint(1000, 9999)}")
+        return text
+
+    def _doc(self, doc_id: int) -> Dict:
+        rng = np.random.RandomState(self.seed * 1_000_003 + doc_id)
+        # Zipf host skew, clipped to the host universe
+        host_rank = min(int(rng.zipf(1.3)), self.n_hosts) - 1
+        host = f"host{host_rank}.example.org"
+        lang = _LANGS[int(rng.randint(len(_LANGS)))] \
+            if rng.rand() > 0.6 else "en"
+        quality_roll = float(rng.rand())
+        if doc_id > 10 and rng.rand() < self.dup_fraction:
+            # near-duplicate of an earlier doc: same text + tiny suffix
+            src = int(rng.randint(max(doc_id - 1000, 0), doc_id))
+            src_rng = np.random.RandomState(self.seed * 1_000_003 + src)
+            _ = src_rng.zipf(1.3)
+            src_lang = _LANGS[int(src_rng.randint(len(_LANGS)))] \
+                if src_rng.rand() > 0.6 else "en"
+            src_roll = float(src_rng.rand())
+            text = self._gen_text(src_rng, src_lang, src_roll)
+            if rng.rand() < 0.5:
+                text = text + " extra"
+            lang = src_lang
+        else:
+            text = self._gen_text(rng, lang, quality_roll)
+        ts = self.base_ts + timedelta(seconds=int(doc_id) % 31_536_000)
+        return {
+            "url": f"https://{host}/doc/{doc_id}",
+            "warc_ts": ts,
+            "html": HTML_PREFIX + text.encode("utf-8") + HTML_SUFFIX,
+            "text": text,
+            "lang": lang,
+        }
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["id"].to_numpy()
+        return pd.DataFrame([self._doc(int(i)) for i in ids])
+
+
+def generate_pages(n_docs: int, seed: int = 42, n_hosts: int = 1000,
+                   parallelism: Optional[int] = None):
+    """Build the page Dataset via distributed generation."""
+    import ray.data as rd
+    ds = rd.range(n_docs, override_num_blocks=parallelism)
+    return ds.map_batches(PageGenerator(seed=seed, n_hosts=n_hosts),
+                          batch_format="pandas", batch_size=2048)

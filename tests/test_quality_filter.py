@@ -1,0 +1,169 @@
+"""End-to-end tests for the flagship web-text quality filter: synthetic
+page generation, signals, keep/drop rules, scrubbing, lineage/resume."""
+
+import json
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from nacc_form_validator_ray.pipelines.quality_filter import (
+    WEB_QUALITY_RULES, build_quality_pipeline, run_quality_filter)
+from nacc_form_validator_ray.pipelines.webgen import (PageGenerator,
+                                                      extract_text,
+                                                      generate_pages)
+from nacc_form_validator_ray.stages.scrub import Scrubber
+from nacc_form_validator_ray.stages.text_signals import (Fingerprint,
+                                                         LangId, TextStats)
+from nacc_form_validator_ray.state import lineage
+from nacc_form_validator_ray.utils import Clock
+
+
+def test_webgen_deterministic():
+    gen = PageGenerator(seed=42)
+    a = gen._doc(123)
+    b = PageGenerator(seed=42)._doc(123)
+    assert a == b
+    assert extract_text(a["html"]) == a["text"]
+    c = PageGenerator(seed=43)._doc(123)
+    assert c["text"] != a["text"]
+
+
+def test_webgen_dataset_and_extraction_identity():
+    df = generate_pages(300, seed=7).to_pandas()
+    assert len(df) == 300
+    assert set(df.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    assert df["url"].is_unique
+    for h, t in zip(df["html"], df["text"]):
+        assert extract_text(h) == t
+
+
+def test_text_stats_signals():
+    df = pd.DataFrame({"text": [
+        "the cat sat on the mat",
+        "a b " * 100,
+        "@#$% @#$% @#$%",
+        "",
+        "one two three one two three one two three one two three",
+    ]})
+    out = TextStats()(df)
+    assert out["n_words"].tolist()[0] == 6
+    assert out["symbol_ratio"].iloc[2] > 0.5
+    assert out["n_chars_sig"].iloc[3] == 0
+    # the repeated "one two three" doc has high 3-gram repetition
+    assert out["rep_3gram_ratio"].iloc[4] > 0.5
+    assert out["rep_3gram_ratio"].iloc[0] == 0.0
+
+
+def test_rep_3gram_exact_value():
+    # 5 tokens a b c a b -> 3-grams: (a,b,c) (b,c,a) (c,a,b) all distinct
+    out = TextStats()(pd.DataFrame({"text": ["a b c a b"]}))
+    assert out["rep_3gram_ratio"].iloc[0] == 0.0
+    # "x y z x y z x y z" -> 7 total, distinct = 3 -> 1 - 3/7
+    out = TextStats()(pd.DataFrame({"text": ["x y z x y z x y z"]}))
+    assert out["rep_3gram_ratio"].iloc[0] == pytest.approx(1 - 3 / 7)
+
+
+def test_langid():
+    df = pd.DataFrame({"text": [
+        "the cat and the dog of the house was in the garden",
+        "la casa de la madre y el perro en el jardin",
+        "der hund und die katze in dem haus von der stadt",
+        "xyzzy plugh qwerty",
+    ]})
+    out = LangId()(TextStats()(df))
+    assert out["lang_pred"].tolist() == ["en", "es", "de", "und"]
+    assert out["stop_ratio"].iloc[0] > 0.3
+
+
+def test_scrubber_deterministic_and_counts():
+    df = pd.DataFrame({"text": [
+        "contact me at john.doe@example.com or 555-123-4567 now",
+        "ssn is 123-45-6789 ip is 10.0.0.1",
+        "clean text with no pii at all",
+        "badword in here",
+    ]})
+    out = Scrubber()(df)
+    assert out["scrubbed_text"].iloc[0] == \
+        "contact me at <EMAIL> or <PHONE> now"
+    assert out["scrubbed_text"].iloc[1] == "ssn is <SSN> ip is <IP>"
+    assert out["n_email"].tolist() == [1, 0, 0, 0]
+    assert out["n_ssn"].tolist() == [0, 1, 0, 0]
+    assert out["n_phone"].tolist() == [1, 0, 0, 0]
+    assert out["n_ipv4"].tolist() == [0, 1, 0, 0]
+    assert out["n_toxic"].tolist() == [0, 0, 0, 1]
+    assert out["n_redactions"].tolist() == [2, 2, 0, 1]
+    again = Scrubber()(df)
+    assert (again["scrubbed_text"] == out["scrubbed_text"]).all()
+
+
+def test_quality_pipeline_end_to_end():
+    ds = generate_pages(500, seed=42)
+    out = build_quality_pipeline(ds, clock=Clock.frozen_now()).to_pandas()
+    assert len(out) == 500
+    # both keeps and drops must occur
+    kept = out["passed"].sum()
+    assert 0 < kept < 500
+    # every dropped doc carries at least one coded error
+    dropped = out[~out["passed"]]
+    assert (dropped["n_errors"] > 0).all()
+    codes = {e["code"] for errs in dropped["errors"] for e in errs}
+    assert codes  # non-empty
+    # scrubbed text exists and emails are gone
+    assert not out["scrubbed_text"].str.contains("@example.com").any()
+
+
+def test_quality_pipeline_parallelism_invariance():
+    """Byte-identical results at different parallelism levels."""
+    clock = Clock.frozen_now()
+    a = build_quality_pipeline(generate_pages(300, seed=1,
+                                              parallelism=2),
+                               clock=clock).to_pandas()
+    b = build_quality_pipeline(generate_pages(300, seed=1,
+                                              parallelism=8),
+                               clock=clock).to_pandas()
+    a = a.sort_values("url").reset_index(drop=True)
+    b = b.sort_values("url").reset_index(drop=True)
+    assert a["scrubbed_text"].tolist() == b["scrubbed_text"].tolist()
+    assert a["passed"].tolist() == b["passed"].tolist()
+    assert a["n_errors"].tolist() == b["n_errors"].tolist()
+
+
+def test_run_quality_filter_resume(tmp_path):
+    src = tmp_path / "pages"
+    out = tmp_path / "out"
+    src.mkdir()
+    df = generate_pages(200, seed=9).to_pandas()
+    # two input fragments -> two partitions
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.Table.from_pandas(df.iloc[:100]),
+                   src / "frag0.parquet")
+    pq.write_table(pa.Table.from_pandas(df.iloc[100:]),
+                   src / "frag1.parquet")
+
+    metrics = run_quality_filter(str(src), str(out),
+                                 clock=Clock.frozen_now())
+    assert metrics["n_parts"] == 2
+    assert metrics["n_rows"] == 200
+    assert 0 < metrics["n_kept"] < 200
+    assert metrics["rule_hits"]
+
+    # manifests exist and record fragments
+    manifests = lineage.read_manifests(str(out))
+    assert len(manifests) == 2
+    assert manifests[0]["input_fragments"] == [str(src / "frag0.parquet")]
+
+    # resume: delete one manifest -> only that partition reruns
+    os.remove(lineage.manifest_path(str(out), 1))
+    metrics2 = run_quality_filter(str(src), str(out),
+                                  clock=Clock.frozen_now())
+    assert metrics2["n_rows"] == 200
+    assert metrics2["n_parts"] == 2
+    # partition 0 untouched (manifest timestamp preserved)
+    assert lineage.read_manifests(str(out))[0]["completed_at"] == \
+        manifests[0]["completed_at"]
