@@ -1,0 +1,384 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, blocked Jaccard.
+
+All operators follow the same scale discipline:
+
+* per-batch signature computation is vectorized numpy (factorize +
+  bit-packing, no Python loop over rows);
+* the only wide operations are hash-keyed ``groupby`` shuffles on
+  signature/bucket keys — one row per (doc, band) leaves the batch, never
+  the documents themselves (signatures ride along, bounded size);
+* verification happens inside the bucket group (map_groups), so
+  candidate pairs never materialize globally.
+
+Dup semantics: the representative of a duplicate set is the row with the
+smallest ``id_column`` value; others are marked ``is_dup`` (pairwise for
+LSH paths — full transitive closure available via
+``propagate_labels(rounds=n)``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _token_lists(text: pd.Series) -> pd.Series:
+    return text.fillna("").str.lower().str.findall(r"[a-z0-9]+")
+
+
+def _shingle_hashes(token_lists: pd.Series, n: int,
+                    num_docs: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Flatten word n-gram shingles to 64-bit hashes.
+
+    Returns (doc_id_per_shingle, hash_per_shingle), vectorized via
+    factorize + polynomial rolling keys."""
+    lens = token_lists.str.len().to_numpy(np.int64)
+    if lens.sum() == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+    flat = np.concatenate(
+        [np.asarray(t, dtype=object) if t else np.empty(0, dtype=object)
+         for t in token_lists])
+    codes, _ = pd.factorize(pd.Series(flat, dtype=object))
+    codes = codes.astype(np.uint64)
+    doc_id = np.repeat(np.arange(num_docs, dtype=np.int64), lens)
+    if len(codes) < n:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+    h = np.zeros(len(codes) - n + 1, dtype=np.uint64)
+    for i in range(n):
+        h = h * np.uint64(1_000_003) + codes[i:len(codes) - n + 1 + i]
+    same = doc_id[:len(h)] == doc_id[n - 1:]
+    return doc_id[:len(h)][same], h[same]
+
+
+class MinHasher:
+    """map_batches callable appending a ``minhash`` signature column.
+
+    k universal-hash permutations ``(a*x + b) mod p`` over word-n-gram
+    shingle hashes; the per-doc minimum is taken with
+    ``np.minimum.at`` — one C pass per permutation."""
+
+    def __init__(self, text_column: str = "text", k: int = 128,
+                 shingle_n: int = 3, seed: int = 13):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, (1 << 61) - 1, size=k).astype(np.uint64)
+        self.b = rng.randint(0, (1 << 61) - 1, size=k).astype(np.uint64)
+        self.k = k
+        self.n = shingle_n
+        self.text_column = text_column
+
+    def signatures(self, text: pd.Series) -> np.ndarray:
+        n_docs = len(text)
+        doc_id, hashes = _shingle_hashes(_token_lists(text), self.n,
+                                         n_docs)
+        sig = np.full((n_docs, self.k), np.iinfo(np.uint64).max,
+                      dtype=np.uint64)
+        if len(hashes):
+            for j in range(self.k):
+                hv = (self.a[j] * hashes + self.b[j]) % _MERSENNE
+                np.minimum.at(sig[:, j], doc_id, hv)
+        return sig
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sig = self.signatures(batch[self.text_column])
+        batch = batch.copy()
+        batch["minhash"] = list(sig)
+        return batch
+
+
+class BandEmitter:
+    """flat-map batches to (band_id, band_key, id, minhash) rows — the LSH
+    bucketing exchange. bands*rows_per_band must equal the signature k."""
+
+    def __init__(self, bands: int = 32, rows_per_band: int = 4,
+                 id_column: str = "doc_id"):
+        self.bands = bands
+        self.r = rows_per_band
+        self.id_column = id_column
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sig = np.stack(batch["minhash"].to_numpy())
+        n = len(batch)
+        ids = batch[self.id_column].to_numpy()
+        out_band, out_key, out_id = [], [], []
+        for b in range(self.bands):
+            chunk = sig[:, b * self.r:(b + 1) * self.r]
+            key = np.zeros(n, dtype=np.uint64)
+            for c in range(self.r):
+                key = key * np.uint64(1_000_003) + chunk[:, c]
+            out_band.append(np.full(n, b, dtype=np.int32))
+            out_key.append(key)
+            out_id.append(ids)
+        df = pd.DataFrame({
+            "band_id": np.concatenate(out_band),
+            "band_key": np.concatenate(out_key),
+            self.id_column: np.concatenate(out_id),
+        })
+        df["minhash"] = list(np.tile(sig, (self.bands, 1)))
+        return df
+
+
+def _bucket_pairs(group: pd.DataFrame, id_column: str,
+                  max_bucket: int) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket, with signature agreement."""
+    g = group.drop_duplicates(subset=[id_column])
+    if len(g) < 2:
+        return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+    if len(g) > max_bucket:
+        # giant bucket: degenerate band (e.g. empty docs). Pair everything
+        # against the single minimum id instead of O(n^2).
+        g = g.sort_values(id_column)
+        anchor = g.iloc[[0]]
+        rest = g.iloc[1:]
+        sig_a = np.stack(anchor["minhash"].to_numpy())
+        sig_b = np.stack(rest["minhash"].to_numpy())
+        est = (sig_b == sig_a).mean(axis=1)
+        return pd.DataFrame({
+            "id_a": np.full(len(rest), anchor[id_column].iloc[0]),
+            "id_b": rest[id_column].to_numpy(),
+            "est_jaccard": est,
+        })
+    ids = g[id_column].to_numpy()
+    sig = np.stack(g["minhash"].to_numpy())
+    ai, bi = np.triu_indices(len(g), k=1)
+    est = (sig[ai] == sig[bi]).mean(axis=1)
+    id_a = np.minimum(ids[ai], ids[bi])
+    id_b = np.maximum(ids[ai], ids[bi])
+    return pd.DataFrame({"id_a": id_a, "id_b": id_b, "est_jaccard": est})
+
+
+def minhash_candidate_pairs(ds, id_column: str = "doc_id",
+                            text_column: str = "text",
+                            k: int = 128, bands: int = 32,
+                            threshold: float = 0.8,
+                            max_bucket: int = 512):
+    """MinHash+LSH near-duplicate candidate pairs with estimated Jaccard.
+
+    Pipeline: signatures (map_batches) → band exchange (ONE groupby on
+    (band_id, band_key)) → in-bucket pairing → global pair dedup.
+    Returns a Dataset of (id_a, id_b, est_jaccard) with id_a < id_b and
+    est_jaccard >= threshold.
+    """
+    r = k // bands
+    sigs = ds.map_batches(MinHasher(text_column=text_column, k=k),
+                          batch_format="pandas")
+    banded = sigs.map_batches(
+        BandEmitter(bands=bands, rows_per_band=r, id_column=id_column),
+        batch_format="pandas")
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return _bucket_pairs(group, id_column, max_bucket)
+
+    pairs = banded.groupby(["band_id", "band_key"]) \
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    pairs = pairs.map_batches(
+        lambda b: b[b["est_jaccard"] >= threshold],
+        batch_format="pandas")
+
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return group.iloc[[0]]
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        dedup_pairs, batch_format="pandas")
+
+
+def exact_dedup(ds, id_column: str = "doc_id", text_column: str = "text",
+                normalize: bool = True):
+    """Exact dedup: content hash (map_batches) → groupby(hash) keep the
+    min-id row. Returns the deduplicated Dataset (original columns)."""
+    import hashlib
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[text_column].fillna("")
+        if normalize:
+            text = text.str.replace(r"\s+", " ", regex=True) \
+                .str.strip().str.lower()
+        batch = batch.copy()
+        batch["__content_hash"] = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in text]
+        return batch
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(id_column).iloc[[0]]
+
+    return ds.map_batches(add_hash, batch_format="pandas") \
+        .groupby("__content_hash") \
+        .map_groups(keep_first, batch_format="pandas") \
+        .drop_columns(["__content_hash"])
+
+
+class SimHasher:
+    """64-bit SimHash per document, vectorized: hash tokens, unpack sign
+    bits, accumulate per doc with np.add.at, re-pack."""
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+        self.bit_masks = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    def simhash(self, text: pd.Series) -> np.ndarray:
+        n = len(text)
+        tokens = _token_lists(text)
+        lens = tokens.str.len().to_numpy(np.int64)
+        out = np.zeros(n, dtype=np.uint64)
+        if lens.sum() == 0:
+            return out
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) if t else
+             np.empty(0, dtype=object) for t in tokens])
+        doc_id = np.repeat(np.arange(n, dtype=np.int64), lens)
+        hashes = pd.util.hash_array(flat.astype("U"))
+        bits = ((hashes[:, None] & self.bit_masks) != 0) \
+            .astype(np.int64) * 2 - 1
+        acc = np.zeros((n, 64), dtype=np.int64)
+        np.add.at(acc, doc_id, bits)
+        packed = (acc > 0).astype(np.uint64) @ self.bit_masks
+        return packed
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["simhash"] = self.simhash(batch[self.text_column])
+        return batch
+
+
+def simhash_candidate_pairs(ds, id_column: str = "doc_id",
+                            text_column: str = "text",
+                            max_hamming: int = 3,
+                            max_bucket: int = 512):
+    """SimHash near-dup: 4×16-bit chunk banding (any chunk equal →
+    candidate) then exact Hamming verification in the bucket."""
+    hashed = ds.map_batches(SimHasher(text_column=text_column),
+                            batch_format="pandas")
+
+    def emit_chunks(batch: pd.DataFrame) -> pd.DataFrame:
+        sims = batch["simhash"].to_numpy(np.uint64)
+        ids = batch[id_column].to_numpy()
+        n = len(batch)
+        frames = []
+        for c in range(4):
+            chunk = (sims >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+            frames.append(pd.DataFrame({
+                "chunk_id": np.full(n, c, dtype=np.int32),
+                "chunk_key": chunk,
+                id_column: ids,
+                "simhash": sims,
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=[id_column])
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(id_column).head(max_bucket)
+        ids = g[id_column].to_numpy()
+        sims = g["simhash"].to_numpy(np.uint64)
+        ai, bi = np.triu_indices(len(g), k=1)
+        x = sims[ai] ^ sims[bi]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        keep = ham <= max_hamming
+        if not keep.any():
+            return empty
+        return pd.DataFrame({
+            "id_a": np.minimum(ids[ai], ids[bi])[keep],
+            "id_b": np.maximum(ids[ai], ids[bi])[keep],
+            "hamming": ham[keep],
+        })
+
+    pairs = hashed.map_batches(emit_chunks, batch_format="pandas") \
+        .groupby(["chunk_id", "chunk_key"]) \
+        .map_groups(verify, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.iloc[[0]], batch_format="pandas")
+
+
+def blocked_jaccard_pairs(ds, block_column: str,
+                          id_column: str = "doc_id",
+                          text_column: str = "text",
+                          shingle_n: int = 3,
+                          threshold: float = 0.5):
+    """Exact word-n-gram Jaccard over all pairs WITHIN a block key
+    (SQL-expressible — the conformance twin of the MinHash estimate).
+    Blocking keeps the pair space linear in block size; choose the block
+    column so near-dups land together (e.g. host, length bucket)."""
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_column)
+        n = len(g)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        if n < 2:
+            return empty
+        doc_id, hashes = _shingle_hashes(
+            _token_lists(g[text_column]), shingle_n, n)
+        sets = [set() for _ in range(n)]
+        for d, h in zip(doc_id, hashes):
+            sets[d].add(int(h))
+        ids = g[id_column].to_numpy()
+        out_a, out_b, out_j = [], [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                si, sj = sets[i], sets[j]
+                union = len(si | sj)
+                jac = (len(si & sj) / union) if union else 0.0
+                if jac >= threshold:
+                    out_a.append(min(ids[i], ids[j]))
+                    out_b.append(max(ids[i], ids[j]))
+                    out_j.append(jac)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                             "jaccard": out_j})
+
+    return ds.groupby(block_column).map_groups(pairs,
+                                               batch_format="pandas")
+
+
+def propagate_labels(pairs_ds, ids_ds, id_column: str = "doc_id",
+                     rounds: int = 3):
+    """Connected components over dup pairs by iterated min-label
+    propagation (each round = one groupby shuffle). Returns a Dataset of
+    (id, cluster) where cluster is the component's minimum id."""
+    labels = ids_ds.map_batches(
+        lambda b: pd.DataFrame({id_column: b[id_column],
+                                "label": b[id_column],
+                                "other": b[id_column]}),
+        batch_format="pandas")
+
+    def edge_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        # each edge endpoint will forward its label to `other`
+        return pd.DataFrame({
+            id_column: np.concatenate([batch["id_a"], batch["id_b"]]),
+            "label": np.concatenate(
+                [np.full(len(batch), -1), np.full(len(batch), -1)]),
+            "other": np.concatenate([batch["id_b"], batch["id_a"]]),
+        })
+
+    edges = pairs_ds.map_batches(edge_rows, batch_format="pandas")
+
+    for _ in range(rounds):
+        def scatter(group: pd.DataFrame) -> pd.DataFrame:
+            # the group's true label is the row where label >= 0
+            own = group.loc[group["label"] >= 0, "label"]
+            lbl = int(own.min()) if len(own) else \
+                int(group[id_column].iloc[0])
+            targets = pd.unique(group["other"])
+            return pd.DataFrame({id_column: targets,
+                                 "proposal": np.full(len(targets), lbl)})
+
+        proposals = labels.union(edges).groupby(id_column) \
+            .map_groups(scatter, batch_format="pandas")
+
+        def gather(group: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                id_column: [group[id_column].iloc[0]],
+                "label": [int(group["proposal"].min())],
+                "other": [group[id_column].iloc[0]],
+            })
+
+        labels = proposals.groupby(id_column).map_groups(
+            gather, batch_format="pandas")
+
+    return labels.map_batches(
+        lambda b: pd.DataFrame({id_column: b[id_column],
+                                "cluster": b["label"]}),
+        batch_format="pandas")

@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns.
+
+* ``knn_bruteforce`` — exact cosine top-k: the query matrix is broadcast
+  once (``ray.put``), every batch computes a float64 matmul and emits only
+  its LOCAL top-k rows per query (k × n_queries rows per batch, never the
+  batch itself), and a final tiny ``groupby(query_id)`` merge produces the
+  global top-k. This is the scale path for "many docs × few queries".
+* ``hyperplane_lsh_pairs`` — embedding near-duplicate candidates via
+  random-hyperplane signatures (cosine LSH): sign-bit bucketing, one
+  groupby on the bucket key, exact cosine verification inside the bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+
+def _matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BatchTopK:
+    """Per-batch local top-k against a broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int, id_column: str,
+                 vector_column: str, query_ids: np.ndarray):
+        import ray
+        queries = ray.get(queries_ref) if not isinstance(
+            queries_ref, np.ndarray) else queries_ref
+        self.queries = _normalize(np.asarray(queries, dtype=np.float64))
+        self.query_ids = np.asarray(query_ids)
+        self.k = k
+        self.id_column = id_column
+        self.vector_column = vector_column
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = _normalize(_matrix(batch[self.vector_column]))
+        ids = batch[self.id_column].to_numpy()
+        sims = self.queries @ vecs.T  # (n_queries, batch)
+        # keep k+1 locally so excluding the query's own row downstream
+        # cannot cut a true neighbor
+        k = min(self.k + 1, sims.shape[1])
+        # local top-k per query (argpartition = O(n))
+        part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        rows = []
+        for qi in range(sims.shape[0]):
+            idx = part[qi]
+            rows.append(pd.DataFrame({
+                "query_id": np.full(k, self.query_ids[qi]),
+                "neighbor_id": ids[idx],
+                "cosine": sims[qi, idx],
+            }))
+        return pd.concat(rows, ignore_index=True)
+
+
+def knn_bruteforce(ds, queries: np.ndarray, query_ids, k: int = 10,
+                   id_column: str = "vec_id",
+                   vector_column: str = "embedding",
+                   exclude_self: bool = True):
+    """Exact cosine top-k neighbors for each query vector.
+
+    Ties break deterministically by (cosine desc, neighbor_id asc).
+    Returns a Dataset of (query_id, neighbor_id, rank, cosine).
+    """
+    import ray
+    queries = np.asarray(queries, dtype=np.float64)
+    query_ids = np.asarray(query_ids)
+    ref = ray.put(queries)
+
+    local = ds.map_batches(
+        BatchTopK,
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k,
+                                   id_column=id_column,
+                                   vector_column=vector_column,
+                                   query_ids=query_ids),
+        batch_format="pandas", batch_size=4096, concurrency=(1, 8))
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group
+        if exclude_self:
+            g = g[g["neighbor_id"] != g["query_id"].iloc[0]]
+        g = g.sort_values(["cosine", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g[["query_id", "neighbor_id", "rank", "cosine"]]
+
+    return local.groupby("query_id").map_groups(merge,
+                                                batch_format="pandas")
+
+
+class HyperplaneHasher:
+    """Random-hyperplane sign signature (cosine LSH) per row."""
+
+    def __init__(self, dim: int, n_planes: int = 16, seed: int = 29,
+                 vector_column: str = "embedding"):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(dim, n_planes))
+        self.vector_column = vector_column
+        self.bit_vals = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = _matrix(batch[self.vector_column])
+        signs = (vecs @ self.planes) > 0
+        batch = batch.copy()
+        batch["lsh_bucket"] = signs @ self.bit_vals
+        return batch
+
+
+def hyperplane_lsh_pairs(ds, dim: int, id_column: str = "vec_id",
+                         vector_column: str = "embedding",
+                         n_planes: int = 12, threshold: float = 0.9,
+                         max_bucket: int = 2048, seed: int = 29):
+    """Embedding near-duplicate pairs: bucket by hyperplane signature,
+    verify exact cosine within the bucket. Recall rises with fewer
+    planes (bigger buckets) — the classic LSH dial."""
+    hashed = ds.map_batches(
+        HyperplaneHasher(dim=dim, n_planes=n_planes, seed=seed,
+                         vector_column=vector_column),
+        batch_format="pandas")
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if len(group) < 2:
+            return empty
+        g = group.sort_values(id_column).head(max_bucket)
+        ids = g[id_column].to_numpy()
+        vecs = _normalize(_matrix(g[vector_column]))
+        sims = vecs @ vecs.T
+        ai, bi = np.triu_indices(len(g), k=1)
+        keep = sims[ai, bi] >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame({
+            "id_a": ids[ai][keep],
+            "id_b": ids[bi][keep],
+            "cosine": sims[ai, bi][keep],
+        })
+
+    pairs = hashed.groupby("lsh_bucket").map_groups(
+        verify, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.iloc[[0]], batch_format="pandas")

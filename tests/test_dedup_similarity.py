@@ -1,0 +1,156 @@
+"""Tests for dedup (exact / MinHash-LSH / SimHash / blocked Jaccard),
+similarity search, and multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from nacc_form_validator_ray.stages.dedup import (MinHasher, SimHasher,
+                                                  blocked_jaccard_pairs,
+                                                  exact_dedup,
+                                                  minhash_candidate_pairs,
+                                                  propagate_labels,
+                                                  simhash_candidate_pairs)
+from nacc_form_validator_ray.stages.similarity import (hyperplane_lsh_pairs,
+                                                       knn_bruteforce)
+
+
+def make_docs():
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight looking for food "
+            "while the moon rises slowly over the quiet hills")
+    docs = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base + " extra"},            # near-dup of 0
+        {"doc_id": 2, "text": base},                       # exact dup of 0
+        {"doc_id": 3, "text": "completely different words about database "
+                              "query engines and vectorized execution "
+                              "plans with columnar storage formats"},
+        {"doc_id": 4, "text": "another unrelated document mentioning "
+                              "mountains rivers valleys glaciers and "
+                              "long hiking trails in the north"},
+    ]
+    return pd.DataFrame(docs)
+
+
+def test_exact_dedup():
+    df = make_docs()
+    out = exact_dedup(rd.from_pandas(df)).to_pandas()
+    kept = sorted(out["doc_id"])
+    assert 2 not in kept           # exact dup of 0 dropped
+    assert {0, 1, 3, 4} <= set(kept)
+
+
+def test_minhash_estimates_jaccard():
+    df = make_docs()
+    sig = MinHasher(k=256).signatures(df["text"])
+    est_01 = (sig[0] == sig[1]).mean()
+    est_02 = (sig[0] == sig[2]).mean()
+    est_03 = (sig[0] == sig[3]).mean()
+    assert est_02 == 1.0
+    assert est_01 > 0.7
+    assert est_03 < 0.2
+
+
+def test_minhash_lsh_pairs_dataset():
+    df = make_docs()
+    pairs = minhash_candidate_pairs(rd.from_pandas(df),
+                                    threshold=0.7).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["id_a"],
+                                              pairs["id_b"])}
+    assert (0, 2) in found
+    assert (0, 1) in found
+    assert (1, 2) in found
+    assert not any(3 in p or 4 in p for p in found)
+
+
+def test_simhash_pairs():
+    df = make_docs()
+    sims = SimHasher().simhash(df["text"])
+    assert sims[0] == sims[2]
+    pairs = simhash_candidate_pairs(rd.from_pandas(df),
+                                    max_hamming=3).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["id_a"],
+                                              pairs["id_b"])}
+    assert (0, 2) in found
+
+
+def test_blocked_jaccard():
+    df = make_docs()
+    df["block"] = 0
+    pairs = blocked_jaccard_pairs(rd.from_pandas(df), "block",
+                                  threshold=0.5).to_pandas()
+    by_pair = {(int(a), int(b)): j for a, b, j in
+               zip(pairs["id_a"], pairs["id_b"], pairs["jaccard"])}
+    assert by_pair[(0, 2)] == 1.0
+    assert by_pair[(0, 1)] > 0.8
+
+
+def test_propagate_labels_transitive():
+    ids = rd.from_pandas(pd.DataFrame({"doc_id": [0, 1, 2, 3, 4, 5]}))
+    # chain 0-1, 1-2, and isolated pair 4-5
+    pairs = rd.from_pandas(pd.DataFrame({
+        "id_a": [0, 1, 4], "id_b": [1, 2, 5]}))
+    labels = propagate_labels(pairs, ids, rounds=3).to_pandas()
+    lab = dict(zip(labels["doc_id"], labels["cluster"]))
+    assert lab[0] == lab[1] == lab[2] == 0
+    assert lab[3] == 3
+    assert lab[4] == lab[5] == 4
+
+
+def test_knn_bruteforce_exact():
+    rng = np.random.RandomState(0)
+    vecs = rng.normal(size=(200, 16))
+    df = pd.DataFrame({"vec_id": np.arange(200),
+                       "embedding": list(vecs)})
+    queries = vecs[:3]
+    out = knn_bruteforce(rd.from_pandas(df).repartition(4), queries,
+                         query_ids=[0, 1, 2], k=5).to_pandas()
+    # exact answer by full matmul
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = nv[:3] @ nv.T
+    for q in range(3):
+        order = np.argsort(-sims[q], kind="stable")
+        expect = [i for i in order if i != q][:5]
+        got = out[out["query_id"] == q].sort_values("rank")
+        assert got["neighbor_id"].tolist() == expect
+        assert np.allclose(got["cosine"].to_numpy(),
+                           sims[q][expect], atol=1e-12)
+
+
+def test_hyperplane_lsh_finds_near_duplicates():
+    rng = np.random.RandomState(1)
+    base = rng.normal(size=(50, 16))
+    near = base[:5] + rng.normal(scale=0.01, size=(5, 16))
+    vecs = np.vstack([base, near])
+    df = pd.DataFrame({"vec_id": np.arange(55), "embedding": list(vecs)})
+    pairs = hyperplane_lsh_pairs(rd.from_pandas(df), dim=16,
+                                 n_planes=8, threshold=0.99).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["id_a"],
+                                              pairs["id_b"])}
+    hits = sum((i, 50 + i) in found for i in range(5))
+    assert hits >= 4  # LSH recall with 8 planes should catch nearly all
+
+
+def test_multimodal_plumbing():
+    from nacc_form_validator_ray.stages.multimodal import (DecodeImage,
+                                                           FrameSampler,
+                                                           ImageFeatures)
+    df = pd.DataFrame({
+        "media_id": [0, 1],
+        "payload": [b"\x01\x02" * 600, b"\x07\x08" * 900],
+    })
+    decoded = DecodeImage(size=(8, 8))(df)
+    assert decoded["image"].iloc[0].shape == (8, 8, 3)
+    # deterministic across calls
+    again = DecodeImage(size=(8, 8))(df)
+    assert (decoded["image"].iloc[0] == again["image"].iloc[0]).all()
+    feats = ImageFeatures()(decoded)
+    assert feats["image_features"].iloc[0].shape == (14,)
+    frames = FrameSampler(frame_bytes=256, every_nth=2)(df)
+    assert set(frames.columns) == {"media_id", "frame_index",
+                                   "frame_payload"}
+    assert (frames["frame_index"] % 2 == 0).all()
+    assert len(frames[frames["media_id"] == 0]) > 0
