@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in the library code it uses) initializes or shuts down
+Ray. ``queries()`` exposes every implemented operator from SURVEY.md §2
+plus the web-scale training-data operators; ``oracle_sql()`` carries the
+DuckDB twin for each SQL-expressible entry (column names and dtypes
+match — verified by scripts/check_oracle.py).
 """
 
 from __future__ import annotations
@@ -18,27 +13,40 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline smoke: web-text quality filter over the sf0.001
+    documents table (signals → langid → rule-schema keep/drop with
+    per-document error-code vectors → PII scrub)."""
+    import ray.data as rd
+
+    from nacc_form_validator_ray.pipelines.quality_filter import \
+        build_quality_pipeline
+    from nacc_form_validator_ray.pipelines.queries import DOC_RULES
+    from nacc_form_validator_ray.utils import Clock
+
+    ds = rd.read_parquet(f"{SF0001}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "source"])
+    out = build_quality_pipeline(ds, rules=DOC_RULES,
+                                 clock=Clock.frozen_now())
+    return out.select_columns(["doc_id", "lang", "lang_pred", "passed",
+                               "n_errors", "n_redactions",
+                               "scrubbed_text"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator/pipeline (SURVEY.md §2 + dedup /
+    similarity / text-analysis / multimodal operators)."""
+    from nacc_form_validator_ray.pipelines.queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each SQL-expressible query; rows-only
+    operators (MinHash/SimHash LSH, hyperplane LSH, winnowing
+    fingerprints, multimodal decode, generated-page pipeline) are
+    intentionally omitted."""
+    from nacc_form_validator_ray.pipelines.queries import ORACLE_SQL
+    return dict(ORACLE_SQL)

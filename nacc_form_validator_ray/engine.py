@@ -1098,6 +1098,7 @@ class BatchValidator:
                 any_viol |= mask
                 if self.collect == "none":
                     result.passed[mask] = False
+                    result.n_errors[mask] += 1
                 elif self.collect == "codes":
                     values = cframe[field].to_numpy(dtype=object)
                     cheap = code in _SIMPLE_MESSAGE_CODES
@@ -1106,9 +1107,6 @@ class BatchValidator:
                                              field, values[i]) if cheap \
                             else ""
                         result.add(int(i), field, code, rule, msg)
-            if self.collect == "none" and any_viol.any():
-                result.passed[any_viol] = False
-                result.n_errors[any_viol] += 1
             field_viol_rows[field] = any_viol
 
         # exact messages: re-validate violating rows per field

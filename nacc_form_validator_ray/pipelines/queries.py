@@ -1,0 +1,894 @@
+"""Named query registry: every operator exposed as (Ray pipeline, SQL oracle).
+
+Each entry runs the Ray-Data-native implementation over the driver's
+``sf_dir`` parquet tables and — where ANSI SQL can express the same
+computation — carries a DuckDB oracle producing identical column names,
+dtypes and values. Outputs prefer integer/string/boolean columns (or
+passthrough/integral doubles) so value hashes are bit-stable; derived
+cents use ``floor(x*100 + 0.5)`` on both sides.
+
+This registry IS the coverage checklist for SURVEY.md §2 plus the
+large-scale training-data operators (dedup, similarity, text analysis).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+import pandas as pd
+
+from nacc_form_validator_ray.stages.scrub import PII_PATTERNS, Scrubber
+from nacc_form_validator_ray.stages.text_signals import (BPE_TOKEN_RE,
+                                                         LANG_ORDER,
+                                                         STOPWORDS,
+                                                         LangId, TextStats,
+                                                         stopword_pattern)
+
+
+def _rd():
+    import ray.data as rd
+    return rd
+
+
+def _docs(sf_dir: str, columns=None):
+    return _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=columns)
+
+
+# --------------------------------------------------------------------------
+# text analysis over `documents`
+# --------------------------------------------------------------------------
+
+_TOKS_CTE = """
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[A-Za-z]+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, text, toks,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              ELSE CAST([] AS VARCHAR[]) END AS ngrams
+  FROM t
+)
+"""
+
+
+def q_text_stats(sf_dir: str):
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(TextStats(), batch_format="pandas",
+                        batch_size=4096)
+    return ds.select_columns(["doc_id", "n_chars_sig", "n_words",
+                              "bpe_token_count", "rep_3gram_total",
+                              "rep_3gram_distinct"])
+
+
+SQL_TEXT_STATS = _TOKS_CTE + f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_sig,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT)
+           AS bpe_token_count,
+       CAST(len(ngrams) AS BIGINT) AS rep_3gram_total,
+       CAST(len(list_distinct(ngrams)) AS BIGINT) AS rep_3gram_distinct
+FROM g
+"""
+
+
+def q_langid(sf_dir: str):
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(LangId(), batch_format="pandas", batch_size=4096)
+    return ds.select_columns(["doc_id", "lang_pred"] +
+                             [f"sw_{lang}" for lang in LANG_ORDER])
+
+
+def _sql_sw(lang: str) -> str:
+    return ("CAST(len(regexp_extract_all(lower(text), '" +
+            stopword_pattern(lang) + "')) AS BIGINT)")
+
+
+SQL_LANGID = f"""
+WITH c AS (
+  SELECT doc_id,
+         {_sql_sw('en')} AS sw_en,
+         {_sql_sw('es')} AS sw_es,
+         {_sql_sw('de')} AS sw_de,
+         {_sql_sw('fr')} AS sw_fr,
+         {_sql_sw('zh')} AS sw_zh
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(sw_en, sw_es, sw_de, sw_fr, sw_zh) = 0
+                THEN 'und'
+            WHEN sw_en >= greatest(sw_es, sw_de, sw_fr, sw_zh) THEN 'en'
+            WHEN sw_es >= greatest(sw_de, sw_fr, sw_zh) THEN 'es'
+            WHEN sw_de >= greatest(sw_fr, sw_zh) THEN 'de'
+            WHEN sw_fr >= sw_zh THEN 'fr'
+            ELSE 'zh' END AS lang_pred,
+       sw_en, sw_es, sw_de, sw_fr, sw_zh
+FROM c
+"""
+
+#: keep/drop rule schema for the documents corpus (schema-as-data)
+DOC_RULES: Dict[str, Dict[str, Any]] = {
+    "n_words": {"type": "integer", "min": 25, "max": 90},
+    "mean_word_len": {"type": "float", "min": 4.0, "max": 5.0},
+    "rep_3gram_ratio": {"type": "float", "max": 0.05},
+    "stop_ratio": {"type": "float", "min": 0.01},
+    "lang_pred": {"type": "string", "allowed": ["en"]},
+}
+
+
+def q_quality_filter(sf_dir: str):
+    from nacc_form_validator_ray.stages.validate import validate_dataset
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(TextStats(), batch_format="pandas",
+                        batch_size=4096)
+    ds = ds.map_batches(LangId(), batch_format="pandas", batch_size=4096)
+    ds = validate_dataset(ds, DOC_RULES, strict=False, collect="none")
+    return ds.select_columns(["doc_id", "passed", "n_errors"])
+
+
+SQL_QUALITY_FILTER = _TOKS_CTE + """
+, sig AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\S+')) AS n_words,
+         CAST(length(text)
+              - len(regexp_extract_all(text, '\\s')) AS DOUBLE)
+             / greatest(len(regexp_extract_all(text, '\\S+')), 1)
+             AS mean_word_len,
+         CASE WHEN len(ngrams) > 0
+              THEN 1.0 - CAST(len(list_distinct(ngrams)) AS DOUBLE)
+                         / len(ngrams)
+              ELSE 0.0 END AS rep_3gram_ratio,
+         g.text AS text
+  FROM g
+), lid AS (
+  SELECT doc_id,
+         {SW_EN} AS sw_en, {SW_ES} AS sw_es, {SW_DE} AS sw_de,
+         {SW_FR} AS sw_fr, {SW_ZH} AS sw_zh
+  FROM documents
+), lp AS (
+  SELECT doc_id,
+         CASE WHEN greatest(sw_en, sw_es, sw_de, sw_fr, sw_zh) = 0
+                  THEN 'und'
+              WHEN sw_en >= greatest(sw_es, sw_de, sw_fr, sw_zh) THEN 'en'
+              WHEN sw_es >= greatest(sw_de, sw_fr, sw_zh) THEN 'es'
+              WHEN sw_de >= greatest(sw_fr, sw_zh) THEN 'de'
+              WHEN sw_fr >= sw_zh THEN 'fr'
+              ELSE 'zh' END AS lang_pred,
+         CAST(greatest(sw_en, sw_es, sw_de, sw_fr, sw_zh) AS DOUBLE)
+             / greatest(n_words, 1) AS stop_ratio
+  FROM lid JOIN sig USING (doc_id)
+), err AS (
+  SELECT sig.doc_id,
+         (CASE WHEN n_words < 25 THEN 1 ELSE 0 END) +
+         (CASE WHEN n_words > 90 THEN 1 ELSE 0 END) +
+         (CASE WHEN mean_word_len < 4.0 THEN 1 ELSE 0 END) +
+         (CASE WHEN mean_word_len > 5.0 THEN 1 ELSE 0 END) +
+         (CASE WHEN rep_3gram_ratio > 0.05 THEN 1 ELSE 0 END) +
+         (CASE WHEN stop_ratio < 0.01 THEN 1 ELSE 0 END) +
+         (CASE WHEN lang_pred != 'en' THEN 1 ELSE 0 END) AS n_errors
+  FROM sig JOIN lp ON sig.doc_id = lp.doc_id
+)
+SELECT doc_id, n_errors = 0 AS passed, CAST(n_errors AS INT) AS n_errors
+FROM err
+""".replace("{SW_EN}", _sql_sw("en")) \
+   .replace("{SW_ES}", _sql_sw("es")) \
+   .replace("{SW_DE}", _sql_sw("de")) \
+   .replace("{SW_FR}", _sql_sw("fr")) \
+   .replace("{SW_ZH}", _sql_sw("zh"))
+
+
+def q_pii_scrub(sf_dir: str):
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(Scrubber(), batch_format="pandas",
+                        batch_size=4096)
+    return ds.select_columns(["doc_id", "scrubbed_text", "n_redactions"])
+
+
+def _sql_scrub() -> str:
+    """Sequential scrub CTE chain mirroring Scrubber's pattern order."""
+    from nacc_form_validator_ray.stages.scrub import (TOXIC_PATTERN,
+                                                      TOXIC_REPLACEMENT)
+    steps = list(PII_PATTERNS) + [("toxic", TOXIC_PATTERN,
+                                   TOXIC_REPLACEMENT)]
+    sql = "WITH s0 AS (SELECT doc_id, text AS t FROM documents)"
+    prev = "s0"
+    names = []
+    for i, (name, pat, repl) in enumerate(steps, start=1):
+        pat_sql = pat.replace("'", "''")
+        sql += f""",
+s{i} AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{pat_sql}')) AS n_{name},
+         regexp_replace(t, '{pat_sql}', '{repl}', 'g') AS t,
+         {', '.join('n_' + n for n in names) if names else '1 AS __one'}
+  FROM {prev}
+)"""
+        names.append(name)
+        prev = f"s{i}"
+    total = " + ".join(f"n_{n}" for n in names)
+    sql += f"""
+SELECT doc_id, t AS scrubbed_text, CAST({total} AS BIGINT) AS n_redactions
+FROM {prev}
+"""
+    return sql
+
+
+def q_token_count_by_source(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    ds = _docs(sf_dir, columns=["doc_id", "text", "source"])
+    ds = ds.map_batches(TextStats(), batch_format="pandas",
+                        batch_size=4096)
+
+    # pre-aggregate inside the batch, then a tiny groupby merge
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("source", as_index=False).agg(
+            n_docs=("doc_id", "size"),
+            total_words=("n_words", "sum"),
+            total_bpe_tokens=("bpe_token_count", "sum"))
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_words", alias_name="total_words"),
+        Sum("total_bpe_tokens", alias_name="total_bpe_tokens"))
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+           AS total_words,
+       CAST(sum(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')))
+           AS BIGINT) AS total_bpe_tokens
+FROM documents GROUP BY source
+"""
+
+
+def q_dedup_exact(sf_dir: str):
+    import hashlib
+    from ray.data.aggregate import Min
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        norm = batch["text"].fillna("") \
+            .str.replace(r"\s+", " ", regex=True).str.strip().str.lower()
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "content_hash": [hashlib.md5(t.encode()).hexdigest()
+                             for t in norm],
+        })
+
+    return ds.map_batches(add_hash, batch_format="pandas") \
+        .groupby("content_hash") \
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_score_recompute(sf_dir: str):
+    ds = _docs(sf_dir, columns=["doc_id", "text", "n_chars"])
+
+    def check(batch: pd.DataFrame) -> pd.DataFrame:
+        recomputed = batch["text"].fillna("").str.len() \
+            .to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_chars": batch["n_chars"],
+            "n_chars_recomputed": recomputed,
+            "match": recomputed == batch["n_chars"].to_numpy(),
+        })
+
+    return ds.map_batches(check, batch_format="pandas")
+
+
+SQL_SCORE_RECOMPUTE = """
+SELECT doc_id, n_chars,
+       CAST(length(text) AS BIGINT) AS n_chars_recomputed,
+       CAST(length(text) AS BIGINT) = n_chars AS match
+FROM documents
+"""
+
+
+def q_jaccard_pairs(sf_dir: str):
+    from nacc_form_validator_ray.stages.dedup import blocked_jaccard_pairs
+    ds = _docs(sf_dir, columns=["doc_id", "text", "source"])
+    return blocked_jaccard_pairs(ds, "source", threshold=0.05)
+
+
+SQL_JACCARD_PAIRS = """
+WITH t AS (
+  SELECT doc_id, source,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), d AS (
+  SELECT doc_id, source,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM t
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS inter,
+         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(inter AS DOUBLE) / uni AS jaccard
+FROM p WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.05
+"""
+
+
+# --------------------------------------------------------------------------
+# temporal / windowed over `events`
+# --------------------------------------------------------------------------
+
+EVENTS_TEMPORAL_RULES = {
+    "pk_user": {"type": "string"},
+    "value": {
+        "type": "float",
+        "compare_with": {"comparator": ">=", "base": "value",
+                         "previous_record": True},
+    },
+}
+
+
+def q_temporal_events(sf_dir: str):
+    from nacc_form_validator_ray.stages.validate import validate_dataset
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts", "value"])
+
+    # string pk: the engine follows the reference in treating a FALSY
+    # primary key as unset (nacc_validator.py:281-284), and user_id 0 is
+    # a legitimate subject here
+    def add_pk(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["pk_user"] = "u" + batch["user_id"].astype(str)
+        return batch
+
+    ds = ds.map_batches(add_pk, batch_format="pandas")
+    ds = validate_dataset(ds, EVENTS_TEMPORAL_RULES, pk_field="pk_user",
+                          orderby="ts", strict=False, collect="none")
+    return ds.select_columns(["event_id", "passed"])
+
+
+SQL_TEMPORAL_EVENTS = """
+SELECT event_id,
+       CASE WHEN prev_value IS NULL THEN false
+            ELSE value >= prev_value END AS passed
+FROM (
+  SELECT event_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev_value
+  FROM events
+)
+"""
+
+
+def q_events_window(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+
+    def windowed(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_us = batch["ts"].astype("datetime64[us]").astype("int64")
+        hour = (ts_us // 3_600_000_000).astype(np.int64)
+        cents = np.floor(batch["value"].to_numpy(np.float64) * 100 + 0.5) \
+            .astype(np.int64)
+        g = pd.DataFrame({"user_id": batch["user_id"],
+                          "window_hour": hour,
+                          "n_events": 1,
+                          "value_cents": cents})
+        return g.groupby(["user_id", "window_hour"], as_index=False).sum()
+
+    partials = ds.map_batches(windowed, batch_format="pandas")
+    return partials.groupby(["user_id", "window_hour"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("value_cents", alias_name="value_cents"))
+
+
+SQL_EVENTS_WINDOW = """
+SELECT user_id,
+       CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window_hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_type_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "user_id", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("event_type", as_index=False).agg(
+            n_events=("value", "size"),
+            min_value=("value", "min"),
+            max_value=("value", "max"))
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    from ray.data.aggregate import Sum
+    return partials.groupby("event_type").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Min("min_value", alias_name="min_value"),
+        Max("max_value", alias_name="max_value"))
+
+
+SQL_EVENTS_TYPE_STATS = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity over `embeddings`
+# --------------------------------------------------------------------------
+
+
+def q_knn(sf_dir: str):
+    import pyarrow.parquet as pq
+    from nacc_form_validator_ray.stages.similarity import knn_bruteforce
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    small = tbl.to_pandas()
+    small = small[small["vec_id"] < 10].sort_values("vec_id")
+    queries = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in small["embedding"]])
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    out = knn_bruteforce(ds, queries, small["vec_id"].to_numpy(), k=10)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+SQL_KNN = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id < 10
+), pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.embedding) AS cos
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# relational classics (joins, aggregates, sort/limit, filters)
+# --------------------------------------------------------------------------
+
+
+def q_q1_lineitem(sf_dir: str):
+    from ray.data.aggregate import Sum
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qty = batch["l_quantity"].to_numpy(np.float64)
+        charge = batch["l_extendedprice"].to_numpy(np.float64) * \
+            (1 - batch["l_discount"].to_numpy(np.float64)) * \
+            (1 + batch["l_tax"].to_numpy(np.float64))
+        g = pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": np.floor(qty + 0.5).astype(np.int64),
+            "charge_cents": np.floor(charge * 100 + 0.5).astype(np.int64),
+            "count_order": 1,
+        })
+        return g.groupby(["l_returnflag", "l_linestatus"],
+                         as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("charge_cents", alias_name="charge_cents"),
+        Sum("count_order", alias_name="count_order"))
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                           * (1 + l_tax) * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS charge_cents,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(sf_dir: str):
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(10)
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_segment_revenue(sf_dir: str):
+    """Broadcast join: the small customer side ships once via ray.put."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class JoinSegment:
+        def __init__(self, ref):
+            self.seg = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            seg = batch["o_custkey"].map(self.seg).fillna("?")
+            cents = np.floor(
+                batch["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
+            ).astype(np.int64)
+            g = pd.DataFrame({"c_mktsegment": seg, "n_orders": 1,
+                              "revenue_cents": cents})
+            return g.groupby("c_mktsegment", as_index=False).sum()
+
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_totalprice"])
+    partials = ds.map_batches(JoinSegment,
+                              fn_constructor_kwargs={"ref": seg_ref},
+                              batch_format="pandas", concurrency=(1, 4))
+    return partials.groupby("c_mktsegment").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("revenue_cents", alias_name="revenue_cents"))
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_ship_delay(sf_dir: str):
+    """Date arithmetic vs a broadcast dimension (compare_age pattern)."""
+    import pyarrow.parquet as pq
+    import ray
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_orderdate"]
+                           ).to_pandas()
+    odate_ref = ray.put(dict(zip(
+        orders["o_orderkey"],
+        orders["o_orderdate"].astype("datetime64[us]").astype("int64")
+        .to_numpy())))
+
+    class Delay:
+        def __init__(self, ref):
+            self.odate = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ship_us = batch["l_shipdate"].astype("datetime64[us]") \
+                .astype("int64").to_numpy()
+            odate = batch["l_orderkey"].map(self.odate).to_numpy(np.int64)
+            delay_days = (ship_us - odate) // 86_400_000_000
+            return pd.DataFrame({
+                "l_orderkey": batch["l_orderkey"],
+                "l_linenumber": batch["l_linenumber"].astype(np.int64),
+                "delay_days": delay_days.astype(np.int64),
+                "late": delay_days > 90,
+            })
+
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber",
+                                     "l_shipdate"])
+    return ds.map_batches(Delay, fn_constructor_kwargs={"ref": odate_ref},
+                          batch_format="pandas", concurrency=(1, 4))
+
+
+SQL_SHIP_DELAY = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT)
+           AS delay_days,
+       datediff('day', o_orderdate, l_shipdate) > 90 AS late
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+def q_part_filter(sf_dir: str):
+    import pyarrow.compute as pc
+    ds = _rd().read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_size", "p_type",
+                                     "p_retailprice"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["p_size"], 40)),
+        batch_format="pyarrow")
+    return ds.select_columns(["p_partkey", "p_type", "p_retailprice"])
+
+
+SQL_PART_FILTER = """
+SELECT p_partkey, p_type, p_retailprice FROM part WHERE p_size > 40
+"""
+
+
+def q_supplier_region(sf_dir: str):
+    """Two-hop broadcast join chain supplier→nation→region."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rname = batch["s_nationkey"].map(n2r).map(r2name)
+        cents = np.floor(
+            batch["s_acctbal"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        g = pd.DataFrame({"r_name": rname, "n_suppliers": 1,
+                          "acctbal_cents": cents})
+        return g.groupby("r_name", as_index=False).sum()
+
+    ds = _rd().read_parquet(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey",
+                                     "s_acctbal"])
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("r_name").aggregate(
+        Sum("n_suppliers", alias_name="n_suppliers"),
+        Sum("acctbal_cents", alias_name="acctbal_cents"))
+
+
+SQL_SUPPLIER_REGION = """
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS acctbal_cents
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# the rule engine over relational tables
+# --------------------------------------------------------------------------
+
+CUSTOMER_RULES = {
+    "c_acctbal": {"type": "float", "min": 0.0, "max": 9000.0},
+    "c_mktsegment": {"type": "string",
+                     "allowed": ["AUTOMOBILE", "BUILDING", "FURNITURE"]},
+    "c_nationkey": {"type": "integer", "min": 0, "max": 24},
+}
+
+
+def q_validator_customer(sf_dir: str):
+    from nacc_form_validator_ray.stages.validate import validate_dataset
+    ds = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_acctbal",
+                                     "c_mktsegment", "c_nationkey"])
+    ds = validate_dataset(ds, CUSTOMER_RULES, strict=False,
+                          collect="none")
+    return ds.select_columns(["c_custkey", "passed", "n_errors"])
+
+
+SQL_VALIDATOR_CUSTOMER = """
+SELECT c_custkey, n_errors = 0 AS passed, CAST(n_errors AS INT) AS n_errors
+FROM (
+  SELECT c_custkey,
+         (CASE WHEN c_acctbal < 0.0 THEN 1 ELSE 0 END) +
+         (CASE WHEN c_acctbal > 9000.0 THEN 1 ELSE 0 END) +
+         (CASE WHEN c_mktsegment NOT IN
+               ('AUTOMOBILE', 'BUILDING', 'FURNITURE') THEN 1 ELSE 0 END) +
+         (CASE WHEN c_nationkey < 0 THEN 1 ELSE 0 END) +
+         (CASE WHEN c_nationkey > 24 THEN 1 ELSE 0 END) AS n_errors
+  FROM customer
+)
+"""
+
+LINEITEM_RULES = {
+    "l_quantity": {"type": "float", "min": 1.0, "max": 45.0},
+    "l_discount": {"type": "float", "min": 0.0, "max": 0.08},
+    "l_returnflag": {"type": "string", "allowed": ["A", "N"]},
+}
+
+
+def q_validator_lineitem(sf_dir: str):
+    from ray.data.aggregate import Sum
+    from nacc_form_validator_ray.stages.validate import validate_dataset
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_quantity", "l_discount",
+                                     "l_returnflag"])
+    ds = validate_dataset(ds, LINEITEM_RULES, strict=False,
+                          collect="none")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"],
+            "n_rows": 1,
+            "n_passed": batch["passed"].astype(np.int64),
+            "total_errors": batch["n_errors"].astype(np.int64),
+        })
+        return g.groupby("l_returnflag", as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("l_returnflag").aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("n_passed", alias_name="n_passed"),
+        Sum("total_errors", alias_name="total_errors"))
+
+
+SQL_VALIDATOR_LINEITEM = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN n_errors = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_passed,
+       CAST(sum(n_errors) AS BIGINT) AS total_errors
+FROM (
+  SELECT l_returnflag,
+         (CASE WHEN l_quantity < 1.0 THEN 1 ELSE 0 END) +
+         (CASE WHEN l_quantity > 45.0 THEN 1 ELSE 0 END) +
+         (CASE WHEN l_discount < 0.0 THEN 1 ELSE 0 END) +
+         (CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) +
+         (CASE WHEN l_returnflag NOT IN ('A', 'N') THEN 1 ELSE 0 END)
+             AS n_errors
+  FROM lineitem
+)
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# rows-only operators (no faithful ANSI-SQL expression)
+# --------------------------------------------------------------------------
+
+
+def q_minhash_pairs(sf_dir: str):
+    from nacc_form_validator_ray.stages.dedup import minhash_candidate_pairs
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return minhash_candidate_pairs(ds, threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from nacc_form_validator_ray.stages.dedup import simhash_candidate_pairs
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return simhash_candidate_pairs(ds, max_hamming=3)
+
+
+def q_embedding_neardup(sf_dir: str):
+    from nacc_form_validator_ray.stages.similarity import \
+        hyperplane_lsh_pairs
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    dim = len(ds.take(1)[0]["embedding"])
+    return hyperplane_lsh_pairs(ds, dim=dim, n_planes=10, threshold=0.95)
+
+
+def q_fingerprint_docs(sf_dir: str):
+    from nacc_form_validator_ray.stages.text_signals import Fingerprint
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(Fingerprint(), batch_format="pandas")
+    return ds.select_columns(["doc_id", "fingerprint_md5",
+                              "fingerprint_winnow"])
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Media plumbing over documents' text bytes as stand-in payloads."""
+    from nacc_form_validator_ray.stages.multimodal import (DecodeImage,
+                                                           ImageFeatures)
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def to_payload(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "media_id": batch["doc_id"],
+            "payload": [t.encode("utf-8") for t in
+                        batch["text"].fillna("")],
+        })
+
+    ds = ds.map_batches(to_payload, batch_format="pandas")
+    ds = ds.map_batches(DecodeImage(size=(8, 8), payload_column="payload"),
+                        batch_format="pandas", batch_size=64)
+    ds = ds.map_batches(ImageFeatures(), batch_format="pandas",
+                        batch_size=64)
+
+    def summarize(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "media_id": batch["media_id"],
+            "feat_dim": [len(f) for f in batch["image_features"]],
+            "feat_sum_int": [int(np.floor(np.asarray(f).sum()))
+                             for f in batch["image_features"]],
+        })
+
+    return ds.map_batches(summarize, batch_format="pandas")
+
+
+def q_quality_filter_pages(sf_dir: str):
+    """Flagship pipeline over generated CC-style pages (scaled to sf)."""
+    from nacc_form_validator_ray.pipelines.quality_filter import \
+        build_quality_pipeline
+    from nacc_form_validator_ray.pipelines.webgen import generate_pages
+    from nacc_form_validator_ray.utils import Clock
+    from datetime import datetime
+    n = 2000 if "0.01" in sf_dir else 500
+    ds = generate_pages(n, seed=42)
+    ds = build_quality_pipeline(ds, clock=Clock(datetime(2026, 1, 1)))
+    return ds.select_columns(["url", "lang_pred", "passed", "n_errors",
+                              "n_redactions"])
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: Dict[str, Callable[[str], Any]] = {
+    "text_stats": q_text_stats,
+    "langid": q_langid,
+    "quality_filter_docs": q_quality_filter,
+    "pii_scrub": q_pii_scrub,
+    "token_count_by_source": q_token_count_by_source,
+    "dedup_exact": q_dedup_exact,
+    "score_recompute": q_score_recompute,
+    "jaccard_pairs": q_jaccard_pairs,
+    "temporal_events": q_temporal_events,
+    "events_window": q_events_window,
+    "events_type_stats": q_events_type_stats,
+    "knn_embeddings": q_knn,
+    "q1_lineitem": q_q1_lineitem,
+    "top_orders": q_top_orders,
+    "segment_revenue": q_segment_revenue,
+    "ship_delay": q_ship_delay,
+    "part_filter": q_part_filter,
+    "supplier_region": q_supplier_region,
+    "validator_customer": q_validator_customer,
+    "validator_lineitem": q_validator_lineitem,
+    # rows-only (non-SQL-expressible)
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_neardup": q_embedding_neardup,
+    "fingerprint_docs": q_fingerprint_docs,
+    "multimodal_decode": q_multimodal_decode,
+    "quality_filter_pages": q_quality_filter_pages,
+}
+
+ORACLE_SQL: Dict[str, str] = {
+    "text_stats": SQL_TEXT_STATS,
+    "langid": SQL_LANGID,
+    "quality_filter_docs": SQL_QUALITY_FILTER,
+    "pii_scrub": _sql_scrub(),
+    "token_count_by_source": SQL_TOKEN_COUNT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "score_recompute": SQL_SCORE_RECOMPUTE,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "temporal_events": SQL_TEMPORAL_EVENTS,
+    "events_window": SQL_EVENTS_WINDOW,
+    "events_type_stats": SQL_EVENTS_TYPE_STATS,
+    "knn_embeddings": SQL_KNN,
+    "q1_lineitem": SQL_Q1,
+    "top_orders": SQL_TOP_ORDERS,
+    "segment_revenue": SQL_SEGMENT_REVENUE,
+    "ship_delay": SQL_SHIP_DELAY,
+    "part_filter": SQL_PART_FILTER,
+    "supplier_region": SQL_SUPPLIER_REGION,
+    "validator_customer": SQL_VALIDATOR_CUSTOMER,
+    "validator_lineitem": SQL_VALIDATOR_LINEITEM,
+}

@@ -126,7 +126,10 @@ def _bucket_pairs(group: pd.DataFrame, id_column: str,
     """Candidate pairs within one LSH bucket, with signature agreement."""
     g = group.drop_duplicates(subset=[id_column])
     if len(g) < 2:
-        return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        return pd.DataFrame({
+            "id_a": pd.Series([], dtype=np.int64),
+            "id_b": pd.Series([], dtype=np.int64),
+            "est_jaccard": pd.Series([], dtype=np.float64)})
     if len(g) > max_bucket:
         # giant bucket: degenerate band (e.g. empty docs). Pair everything
         # against the single minimum id instead of O(n^2).
@@ -269,7 +272,10 @@ def simhash_candidate_pairs(ds, id_column: str = "doc_id",
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(subset=[id_column])
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype=np.int64),
+            "id_b": pd.Series([], dtype=np.int64),
+            "hamming": pd.Series([], dtype=np.int64)})
         if len(g) < 2:
             return empty
         g = g.sort_values(id_column).head(max_bucket)
@@ -307,7 +313,10 @@ def blocked_jaccard_pairs(ds, block_column: str,
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(id_column)
         n = len(g)
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype=np.int64),
+            "id_b": pd.Series([], dtype=np.int64),
+            "jaccard": pd.Series([], dtype=np.float64)})
         if n < 2:
             return empty
         doc_id, hashes = _shingle_hashes(
@@ -326,8 +335,12 @@ def blocked_jaccard_pairs(ds, block_column: str,
                     out_a.append(min(ids[i], ids[j]))
                     out_b.append(max(ids[i], ids[j]))
                     out_j.append(jac)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
-                             "jaccard": out_j})
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "id_a": np.asarray(out_a, dtype=np.int64),
+            "id_b": np.asarray(out_b, dtype=np.int64),
+            "jaccard": np.asarray(out_j, dtype=np.float64)})
 
     return ds.groupby(block_column).map_groups(pairs,
                                                batch_format="pandas")

@@ -129,7 +129,10 @@ def hyperplane_lsh_pairs(ds, dim: int, id_column: str = "vec_id",
         batch_format="pandas")
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype=np.int64),
+            "id_b": pd.Series([], dtype=np.int64),
+            "cosine": pd.Series([], dtype=np.float64)})
         if len(group) < 2:
             return empty
         g = group.sort_values(id_column).head(max_bucket)

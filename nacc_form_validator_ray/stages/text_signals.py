@@ -86,49 +86,47 @@ class TextStats:
             (n_chars - n_alpha - n_digit - n_space) / safe_chars
         batch["bpe_token_count"] = \
             text.str.count(BPE_TOKEN_RE).to_numpy(np.int64)
-        batch["rep_3gram_ratio"] = self._rep_3gram(text)
+        total, distinct = self._rep_3gram_counts(text)
+        has = total > 0
+        ratio = np.zeros(len(text), dtype=np.float64)
+        ratio[has] = 1.0 - distinct[has] / total[has]
+        batch["rep_3gram_total"] = total
+        batch["rep_3gram_distinct"] = distinct
+        batch["rep_3gram_ratio"] = ratio
         return batch
 
-    def _rep_3gram(self, text: pd.Series) -> np.ndarray:
-        """Fraction of duplicated word 3-grams per document, fully
-        vectorized: flatten tokens, factorize, bit-pack each 3-gram into
-        one int64 key, count distinct vs total per doc with bincount."""
+    def _rep_3gram_counts(self, text: pd.Series):
+        """(total 3-grams, distinct 3-grams) per doc — integer-exact, so
+        the SQL oracle can reproduce them bit-for-bit."""
         n = len(text)
+        total = np.zeros(n, dtype=np.int64)
+        distinct = np.zeros(n, dtype=np.int64)
         token_lists = text.str.lower().str.findall(self.word_re)
         lens = token_lists.str.len().to_numpy(np.int64)
-        out = np.zeros(n, dtype=np.float64)
         if lens.sum() == 0:
-            return out
+            return total, distinct
         flat = np.concatenate(
             [np.asarray(t, dtype=object) if t else
              np.empty(0, dtype=object) for t in token_lists])
         codes, uniques = pd.factorize(pd.Series(flat, dtype=object))
-        if len(uniques) >= (1 << 21):
-            # fall back to 64-bit hashing only for absurd vocabularies
-            codes = pd.util.hash_array(flat.astype("U")).astype(np.int64)
-            pack = None
-        else:
-            pack = 21
         doc_id = np.repeat(np.arange(n, dtype=np.int64), lens)
         m = len(codes)
-        if m < 3:
-            return out
-        c0, c1, c2 = codes[:-2], codes[1:-1], codes[2:]
-        same_doc = (doc_id[:-2] == doc_id[2:])
-        if pack is not None:
-            keys = (c0.astype(np.int64) << 42) | \
-                   (c1.astype(np.int64) << 21) | c2.astype(np.int64)
-        else:
-            keys = c0 * np.int64(1000003) + c1 * np.int64(8191) + c2
+        if m < 3 or len(uniques) >= (1 << 21):
+            if len(uniques) >= (1 << 21):
+                raise ValueError("batch vocabulary too large for 3-gram "
+                                 "packing; lower batch_size")
+            return total, distinct
+        c0 = codes[:-2].astype(np.int64)
+        c1 = codes[1:-1].astype(np.int64)
+        c2 = codes[2:].astype(np.int64)
+        same_doc = doc_id[:-2] == doc_id[2:]
+        keys = (c0 << 42) | (c1 << 21) | c2
         g_doc = doc_id[:-2][same_doc]
         g_key = keys[same_doc]
         total = np.bincount(g_doc, minlength=n)
-        # distinct per doc: unique (doc, key) pairs
         uniq_pairs = np.unique(np.stack([g_doc, g_key], axis=1), axis=0)
         distinct = np.bincount(uniq_pairs[:, 0], minlength=n)
-        has = total > 0
-        out[has] = 1.0 - distinct[has] / total[has]
-        return out
+        return total.astype(np.int64), distinct.astype(np.int64)
 
 
 class LangId:
@@ -160,6 +158,8 @@ class LangId:
         n_words = batch["n_words"].to_numpy(np.int64) if "n_words" in batch \
             else text.str.count(r"\S+").to_numpy(np.int64)
         batch = batch.copy()
+        for i, lang in enumerate(LANG_ORDER):
+            batch[f"sw_{lang}"] = counts[i]
         batch["lang_pred"] = pred
         batch["stop_ratio"] = best / np.maximum(n_words, 1)
         return batch
