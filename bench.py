@@ -1,0 +1,220 @@
+"""Benchmark harness.
+
+Default mode: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling``: run the flagship quality-filter pipeline twice in fresh
+processes (num_cpus=8 then 32) on the same cached page corpus and report
+both throughputs plus scaling efficiency (the sandbox stand-in for the
+N-vs-4N-node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+#: flagship corpus: deterministic CC-style pages cached as parquet
+BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "120000"))
+PAGES_SEED = 42
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    ray.init(address="local", num_cpus=num_cpus,
+             include_dashboard=False, ignore_reinit_error=True,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def pages_dir(n_docs: int = BENCH_PAGES, seed: int = PAGES_SEED) -> str:
+    """Generate (once) and cache the page corpus as partitioned parquet."""
+    path = f"/tmp/nfvr_bench/pages_{n_docs}_{seed}"
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        from nacc_form_validator_ray.pipelines.webgen import generate_pages
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        ds = generate_pages(n_docs, seed=seed, parallelism=192)
+        ds.write_parquet(path)
+        open(marker, "w").write("ok")
+    return path
+
+
+def run_quality_filter_pages(sf_dir: str) -> int:
+    """Flagship: read cached pages -> extract -> signals -> rules -> scrub
+    -> count (streamed; no driver materialization)."""
+    import ray.data as rd
+    from nacc_form_validator_ray.pipelines.quality_filter import \
+        build_quality_pipeline
+    from nacc_form_validator_ray.utils import Clock
+    from datetime import datetime
+
+    # ~192 blocks ≈ 625 rows each: tasks big enough to amortize
+    # dispatch, plentiful enough to keep every core fed (via ds.stats())
+    ds = rd.read_parquet(pages_dir(), override_num_blocks=192)
+    ds = build_quality_pipeline(ds, clock=Clock(datetime(2026, 1, 1)),
+                                extract=True, collect="codes")
+    # pull only the decision columns to the driver; payloads stay in
+    # the workers (a real run would write_parquet instead)
+    ds = ds.select_columns(["url", "passed", "n_errors"])
+    total = 0
+    for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow",
+                                 prefetch_batches=2):
+        total += batch.num_rows
+    return total
+
+
+def bench_queries(sf_dir: str):
+    """Headline per-operator benches over the sf tables."""
+    from nacc_form_validator_ray.pipelines import queries as Q
+
+    def consume(ds):
+        if hasattr(ds, "iter_batches"):
+            n = 0
+            for b in ds.iter_batches(batch_size=8192,
+                                     batch_format="pyarrow"):
+                n += b.num_rows
+            return n
+        return len(ds)
+
+    return {
+        "quality_filter_docs": lambda: consume(
+            Q.q_quality_filter(sf_dir)),
+        "pii_scrub": lambda: consume(Q.q_pii_scrub(sf_dir)),
+        "dedup_exact": lambda: consume(Q.q_dedup_exact(sf_dir)),
+        "minhash_pairs": lambda: consume(Q.q_minhash_pairs(sf_dir)),
+        "temporal_events": lambda: consume(Q.q_temporal_events(sf_dir)),
+        "events_window": lambda: consume(Q.q_events_window(sf_dir)),
+        "knn_embeddings": lambda: consume(Q.q_knn(sf_dir)),
+        "q1_lineitem": lambda: consume(Q.q_q1_lineitem(sf_dir)),
+        "segment_revenue": lambda: consume(Q.q_segment_revenue(sf_dir)),
+        "ship_delay": lambda: consume(Q.q_ship_delay(sf_dir)),
+        "validator_lineitem": lambda: consume(
+            Q.q_validator_lineitem(sf_dir)),
+    }
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    timings = {}
+
+    pages_dir()  # materialize the corpus outside the timed section
+    t0 = time.perf_counter()
+    n_pages = run_quality_filter_pages(sf_dir)
+    qf_sec = time.perf_counter() - t0
+    timings["quality_filter_pages"] = round(qf_sec, 3)
+
+    for name, fn in bench_queries(sf_dir).items():
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    import ray
+    ray.shutdown()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "end-to-end seconds for the headline pipeline suite "
+                  "(web-text quality filter + operator benches)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "pages": n_pages,
+        "docs_per_sec": round(n_pages / qf_sec, 1),
+    }
+
+
+def run_scaling(sf_dir: str, low: int, high: int) -> dict:
+    """Same flagship job at two parallelism levels in fresh processes."""
+    pages_dir()  # materialize the corpus before timing anything
+    results = {}
+    for cpus in (low, high):
+        out = subprocess.run(
+            [sys.executable, __file__, "--_flagship-only",
+             "--cpus", str(cpus), "--sf-dir", sf_dir],
+            capture_output=True, text=True, check=True)
+        line = out.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    tp_low = results[low]["docs_per_sec"]
+    tp_high = results[high]["docs_per_sec"]
+    factor = high / low
+    return {
+        "metric": "flagship quality-filter scaling efficiency "
+                  f"({low} -> {high} cpus, fresh processes, same input)",
+        "value": round(tp_high / (factor * tp_low), 3),
+        "unit": "efficiency",
+        "queries": {
+            f"docs_per_sec_{low}": tp_low,
+            f"docs_per_sec_{high}": tp_high,
+            f"sec_{low}": results[low]["value"],
+            f"sec_{high}": results[high]["value"],
+        },
+        "sf": sf_dir,
+        "num_cpus": high,
+        "pages": results[high]["pages"],
+    }
+
+
+def run_flagship_only(sf_dir: str, num_cpus: int) -> dict:
+    _init_ray(num_cpus)
+    pages_dir()
+    t0 = time.perf_counter()
+    n_pages = run_quality_filter_pages(sf_dir)
+    sec = time.perf_counter() - t0
+    import ray
+    ray.shutdown()
+    return {
+        "metric": "flagship quality-filter seconds",
+        "value": round(sec, 3),
+        "unit": "sec",
+        "queries": {"quality_filter_pages": round(sec, 3)},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "pages": n_pages,
+        "docs_per_sec": round(n_pages / sec, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--_flagship-only", action="store_true",
+                    dest="flagship_only")
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    # N and 4N for the two-cluster-size criterion. Kept below the
+    # sandbox's memory-bandwidth saturation point (string workloads stop
+    # scaling past ~8-16 concurrent workers on this microVM; see
+    # BASELINE.md) so the ratio measures the ENGINE, not the box.
+    ap.add_argument("--scaling-low", type=int, default=2)
+    ap.add_argument("--scaling-high", type=int, default=8)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    args = ap.parse_args()
+
+    if args.flagship_only:
+        result = run_flagship_only(args.sf_dir, args.cpus)
+    elif args.scaling:
+        result = run_scaling(args.sf_dir, args.scaling_low,
+                             args.scaling_high)
+    else:
+        result = run_bench(args.sf_dir, args.cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

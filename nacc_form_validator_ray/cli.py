@@ -1,0 +1,145 @@
+"""Command-line entry points.
+
+``validate`` mirrors the reference CLI (docs/validate_csv_records.py:20-57:
+``-i input.csv -r rules.json -o output``) but runs the distributed
+pipeline; ``quality-filter`` runs the flagship resumable web-text filter;
+``bench`` defers to bench.py.
+
+Owns its Ray session (scripts must leave a clean slate; the driver-facing
+entry points in __ray_entry__.py never init Ray).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def cmd_validate(args) -> int:
+    import ray
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.validate import validate_dataset
+
+    _init_ray(args.num_cpus)
+    with open(args.rules) as f:
+        schema = json.load(f)
+
+    if args.input.endswith(".csv"):
+        ds = rd.read_csv(args.input)
+    elif args.input.endswith(".json"):
+        ds = rd.read_json(args.input)
+    else:
+        ds = rd.read_parquet(args.input)
+
+    ds = validate_dataset(ds, schema, pk_field=args.primary_key,
+                          orderby=args.orderby, strict=args.strict,
+                          collect="full")
+
+    if args.output:
+        if args.output.endswith(".csv"):
+            # flatten the error vector for CSV output
+            import pandas as pd
+
+            def flatten(batch: "pd.DataFrame") -> "pd.DataFrame":
+                batch = batch.copy()
+                batch["errors"] = [
+                    "; ".join(f"{e['field']}: {e['message']}"
+                              for e in (errs or []))
+                    for errs in batch["errors"]]
+                return batch
+
+            ds.map_batches(flatten, batch_format="pandas") \
+                .write_csv(args.output)
+        elif args.output.endswith(".json"):
+            ds.write_json(args.output)
+        else:
+            ds.write_parquet(args.output)
+
+    n_total = ds.count()
+    n_failed = ds.filter(lambda r: not r["passed"]).count()
+    print(f"validated {n_total} records; {n_failed} failed")
+    ray.shutdown()
+    return 0 if n_failed == 0 else 1
+
+
+def cmd_quality_filter(args) -> int:
+    import ray
+    from nacc_form_validator_ray.pipelines.quality_filter import \
+        run_quality_filter
+
+    _init_ray(args.num_cpus)
+    rules = None
+    if args.rules:
+        with open(args.rules) as f:
+            rules = json.load(f)
+    metrics = run_quality_filter(args.input, args.output, rules=rules,
+                                 resume=not args.no_resume,
+                                 files_per_partition=args.files_per_part)
+    print(json.dumps(metrics, indent=1))
+    ray.shutdown()
+    return 0
+
+
+def cmd_genpages(args) -> int:
+    import ray
+    from nacc_form_validator_ray.pipelines.webgen import generate_pages
+
+    _init_ray(args.num_cpus)
+    ds = generate_pages(args.n_docs, seed=args.seed)
+    ds.write_parquet(args.output)
+    print(f"wrote {args.n_docs} pages to {args.output}")
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="nacc-form-validator-ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="bulk-validate records")
+    v.add_argument("-i", "--input", required=True,
+                   help="csv/json/parquet input")
+    v.add_argument("-r", "--rules", required=True,
+                   help="rule schema JSON")
+    v.add_argument("-o", "--output", help="output path (csv/json/parquet)")
+    v.add_argument("-k", "--primary-key", default=None)
+    v.add_argument("--orderby", default=None)
+    v.add_argument("--strict", action="store_true")
+    v.add_argument("--num-cpus", type=int, default=None)
+    v.set_defaults(fn=cmd_validate)
+
+    q = sub.add_parser("quality-filter",
+                       help="resumable web-text quality filter")
+    q.add_argument("-i", "--input", required=True,
+                   help="directory of page parquet files")
+    q.add_argument("-o", "--output", required=True)
+    q.add_argument("-r", "--rules", default=None)
+    q.add_argument("--no-resume", action="store_true")
+    q.add_argument("--files-per-part", type=int, default=1)
+    q.add_argument("--num-cpus", type=int, default=None)
+    q.set_defaults(fn=cmd_quality_filter)
+
+    g = sub.add_parser("genpages", help="generate synthetic page corpus")
+    g.add_argument("-n", "--n-docs", type=int, required=True)
+    g.add_argument("-o", "--output", required=True)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--num-cpus", type=int, default=None)
+    g.set_defaults(fn=cmd_genpages)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

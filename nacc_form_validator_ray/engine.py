@@ -77,6 +77,18 @@ def split_schema(
     return local, temporal
 
 
+def _collect_strings(node: Any, out: set) -> None:
+    if isinstance(node, str):
+        out.add(node)
+    elif isinstance(node, Mapping):
+        for k, v in node.items():
+            _collect_strings(k, out)
+            _collect_strings(v, out)
+    elif isinstance(node, (list, tuple)):
+        for v in node:
+            _collect_strings(v, out)
+
+
 def _logic_vectorizable(expr: Any) -> bool:
     if not isinstance(expr, Mapping):
         return True
@@ -186,6 +198,11 @@ class CompiledSchema:
                 raise ValueError(
                     f"formatting definition not supported for non string "
                     f"types (field '{field}')")
+        # every string mentioned anywhere in the rule tree (keys, operand
+        # names, ...) — a superset of the columns rules can touch. Columns
+        # outside this set skip the cast stage entirely.
+        self.referenced: set = set()
+        _collect_strings(self.schema, self.referenced)
 
     @property
     def has_temporal(self) -> bool:
@@ -251,6 +268,10 @@ class BatchCaster:
         out = {}
         cast_ok: Dict[str, np.ndarray] = {}
         for col in df.columns:
+            if col not in self.compiled.referenced:
+                # no rule can see this column — pass through untouched
+                out[col] = df[col].reset_index(drop=True)
+                continue
             dtype = self.compiled.dtypes.get(col)
             src = df[col]
             fast = self._fast_cast(src, dtype)

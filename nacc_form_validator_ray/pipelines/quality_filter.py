@@ -64,15 +64,39 @@ class ExtractText:
     """
 
     def __init__(self, html_column: str = "html",
-                 text_column: str = "text"):
+                 text_column: str = "text", drop_html: bool = True):
         self.html_column = html_column
         self.text_column = text_column
+        self.drop_html = drop_html
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from nacc_form_validator_ray.pipelines.webgen import (HTML_PREFIX,
+                                                              HTML_SUFFIX)
+        if isinstance(batch, pa.Table):
+            col = batch[self.html_column]
+            arr = col.combine_chunks() if isinstance(
+                col, pa.ChunkedArray) else col
+            # envelope strip entirely in C: slice off the fixed prefix /
+            # suffix and reinterpret as utf8
+            body = pc.binary_slice(pc.fill_null(arr, b""),
+                                   start=len(HTML_PREFIX),
+                                   stop=-len(HTML_SUFFIX))
+            text = pc.cast(body, pa.string())
+            if self.drop_html:
+                batch = batch.drop_columns([self.html_column])
+            if self.text_column in batch.column_names:
+                batch = batch.drop_columns([self.text_column])
+            return batch.append_column(self.text_column, text)
         batch = batch.copy()
         batch[self.text_column] = [
             extract_text(h) if isinstance(h, (bytes, bytearray)) else ""
             for h in batch[self.html_column]]
+        if self.drop_html:
+            # the raw payload is dead weight downstream; drop it early so
+            # every later stage moves smaller blocks
+            del batch[self.html_column]
         return batch
 
 
@@ -83,16 +107,18 @@ def build_quality_pipeline(ds,
                            scrub: bool = True,
                            extract: bool = False,
                            fingerprint: bool = False,
-                           batch_size: int = 4096):
+                           batch_size: int = 1024):
     """Compose the signal + rule + scrub stages over a page Dataset."""
     rules = dict(rules if rules is not None else WEB_QUALITY_RULES)
-    kw = dict(batch_format="pandas", batch_size=batch_size)
+    # zero-copy Arrow batches end-to-end; stages use pyarrow.compute
+    kw = dict(batch_format="pyarrow", batch_size=batch_size)
     if extract:
         ds = ds.map_batches(ExtractText(), **kw)
-    ds = ds.map_batches(TextStats(), **kw)
-    ds = ds.map_batches(LangId(), **kw)
+    # one fused signal pass: stats + language ID share tokenization
+    ds = ds.map_batches(TextStats(langid=True), **kw)
     if fingerprint:
-        ds = ds.map_batches(Fingerprint(), **kw)
+        ds = ds.map_batches(Fingerprint(), batch_format="pandas",
+                            batch_size=batch_size)
     if scrub:
         ds = ds.map_batches(Scrubber(), **kw)
     # validation last: its arrow output (errors: list<struct>) streams

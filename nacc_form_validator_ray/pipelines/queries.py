@@ -85,8 +85,11 @@ def q_langid(sf_dir: str):
 
 
 def _sql_sw(lang: str) -> str:
-    return ("CAST(len(regexp_extract_all(lower(text), '" +
-            stopword_pattern(lang) + "')) AS BIGINT)")
+    """Token-membership stopword count (matches LangId's tokenize-once
+    + set-membership counting)."""
+    bank = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return ("CAST(len(list_filter(regexp_extract_all(lower(text), "
+            f"'[A-Za-z]+'), x -> x IN ({bank}))) AS BIGINT)")
 
 
 SQL_LANGID = f"""
@@ -263,9 +266,14 @@ def q_dedup_exact(sf_dir: str):
                              for t in norm],
         })
 
-    return ds.map_batches(add_hash, batch_format="pandas") \
-        .groupby("content_hash") \
-        .aggregate(Min("doc_id", alias_name="doc_id"))
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    def min_per_hash(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("content_hash", as_index=False)[
+            "doc_id"].min()
+
+    return grouped_apply(ds.map_batches(add_hash, batch_format="pandas"),
+                         ["content_hash"], min_per_hash)
 
 
 SQL_DEDUP_EXACT = """
@@ -391,10 +399,12 @@ def q_events_window(sf_dir: str):
                           "value_cents": cents})
         return g.groupby(["user_id", "window_hour"], as_index=False).sum()
 
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
     partials = ds.map_batches(windowed, batch_format="pandas")
-    return partials.groupby(["user_id", "window_hour"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("value_cents", alias_name="value_cents"))
+    # fine-grained keys: one hash exchange + vectorized partition-level
+    # aggregation (per-key map_groups overhead would dominate)
+    return grouped_agg_sum(partials, ["user_id", "window_hour"],
+                           ["n_events", "value_cents"])
 
 
 SQL_EVENTS_WINDOW = """

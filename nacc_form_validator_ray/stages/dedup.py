@@ -90,8 +90,10 @@ class MinHasher:
 
 
 class BandEmitter:
-    """flat-map batches to (band_id, band_key, id, minhash) rows — the LSH
-    bucketing exchange. bands*rows_per_band must equal the signature k."""
+    """flat-map batches to (band_id, band_key, id) rows — the LSH
+    bucketing exchange. bands*rows_per_band must equal the signature k.
+    Signatures do NOT ride along: similarity is estimated downstream from
+    the band-collision count, so the exchange moves ~24 bytes/row."""
 
     def __init__(self, bands: int = 32, rows_per_band: int = 4,
                  id_column: str = "doc_id"):
@@ -110,61 +112,57 @@ class BandEmitter:
             for c in range(self.r):
                 key = key * np.uint64(1_000_003) + chunk[:, c]
             out_band.append(np.full(n, b, dtype=np.int32))
-            out_key.append(key)
+            out_key.append(key.astype(np.int64))
             out_id.append(ids)
-        df = pd.DataFrame({
+        return pd.DataFrame({
             "band_id": np.concatenate(out_band),
             "band_key": np.concatenate(out_key),
             self.id_column: np.concatenate(out_id),
         })
-        df["minhash"] = list(np.tile(sig, (self.bands, 1)))
-        return df
 
 
-def _bucket_pairs(group: pd.DataFrame, id_column: str,
-                  max_bucket: int) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket, with signature agreement."""
-    g = group.drop_duplicates(subset=[id_column])
-    if len(g) < 2:
-        return pd.DataFrame({
-            "id_a": pd.Series([], dtype=np.int64),
-            "id_b": pd.Series([], dtype=np.int64),
-            "est_jaccard": pd.Series([], dtype=np.float64)})
-    if len(g) > max_bucket:
-        # giant bucket: degenerate band (e.g. empty docs). Pair everything
-        # against the single minimum id instead of O(n^2).
-        g = g.sort_values(id_column)
-        anchor = g.iloc[[0]]
-        rest = g.iloc[1:]
-        sig_a = np.stack(anchor["minhash"].to_numpy())
-        sig_b = np.stack(rest["minhash"].to_numpy())
-        est = (sig_b == sig_a).mean(axis=1)
-        return pd.DataFrame({
-            "id_a": np.full(len(rest), anchor[id_column].iloc[0]),
-            "id_b": rest[id_column].to_numpy(),
-            "est_jaccard": est,
-        })
-    ids = g[id_column].to_numpy()
-    sig = np.stack(g["minhash"].to_numpy())
-    ai, bi = np.triu_indices(len(g), k=1)
-    est = (sig[ai] == sig[bi]).mean(axis=1)
-    id_a = np.minimum(ids[ai], ids[bi])
-    id_b = np.maximum(ids[ai], ids[bi])
-    return pd.DataFrame({"id_a": id_a, "id_b": id_b, "est_jaccard": est})
+def _pairs_from_runs(ids, order, starts, ends, max_bucket):
+    """(id_a, id_b) for every bucket run of size >= 2 — one tuple per
+    colliding band (vectorized per run; colliding runs are sparse)."""
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        idx = order[s:e]
+        run_ids = np.unique(ids[idx])
+        if len(run_ids) < 2:
+            continue
+        if len(run_ids) > max_bucket:
+            # degenerate bucket (e.g. empty docs): anchor against min id
+            out_a.append(np.full(len(run_ids) - 1, run_ids[0]))
+            out_b.append(run_ids[1:])
+            continue
+        ai, bi = np.triu_indices(len(run_ids), k=1)
+        out_a.append(run_ids[ai])
+        out_b.append(run_ids[bi])
+    if not out_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return (np.concatenate(out_a).astype(np.int64),
+            np.concatenate(out_b).astype(np.int64))
 
 
 def minhash_candidate_pairs(ds, id_column: str = "doc_id",
                             text_column: str = "text",
                             k: int = 128, bands: int = 32,
                             threshold: float = 0.8,
-                            max_bucket: int = 512):
-    """MinHash+LSH near-duplicate candidate pairs with estimated Jaccard.
+                            max_bucket: int = 512,
+                            num_partitions: int = 32):
+    """MinHash+LSH near-duplicate candidate pairs.
 
-    Pipeline: signatures (map_batches) → band exchange (ONE groupby on
-    (band_id, band_key)) → in-bucket pairing → global pair dedup.
-    Returns a Dataset of (id_a, id_b, est_jaccard) with id_a < id_b and
-    est_jaccard >= threshold.
+    Pipeline: signatures (map_batches) -> lean (band_id, band_key, id)
+    rows -> ONE hash exchange via ``grouped_apply`` with vectorized run
+    detection -> per-pair band-collision counting on a second small
+    exchange. ``est_jaccard = (collisions/bands)^(1/r)`` (the standard
+    LSH collision estimator), filtered at ``threshold``. Returns
+    (id_a, id_b, n_bands, est_jaccard) with id_a < id_b.
     """
+    from nacc_form_validator_ray.stages.partition import (grouped_apply,
+                                                          run_boundaries)
     r = k // bands
     sigs = ds.map_batches(MinHasher(text_column=text_column, k=k),
                           batch_format="pandas")
@@ -172,27 +170,35 @@ def minhash_candidate_pairs(ds, id_column: str = "doc_id",
         BandEmitter(bands=bands, rows_per_band=r, id_column=id_column),
         batch_format="pandas")
 
-    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        return _bucket_pairs(group, id_column, max_bucket)
+    def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        ids = part[id_column].to_numpy()
+        band_id = part["band_id"].to_numpy(np.int64)
+        band_key = part["band_key"].to_numpy(np.int64)
+        order, starts = run_boundaries([band_id, band_key])
+        ends = np.append(starts[1:], len(order))
+        a, b = _pairs_from_runs(ids, order, starts, ends, max_bucket)
+        return pd.DataFrame({"id_a": a, "id_b": b})
 
-    pairs = banded.groupby(["band_id", "band_key"]) \
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-    pairs = pairs.map_batches(
-        lambda b: b[b["est_jaccard"] >= threshold],
-        batch_format="pandas")
+    pairs = grouped_apply(banded, ["band_id", "band_key"],
+                          partition_pairs,
+                          num_partitions=num_partitions)
 
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return group.iloc[[0]]
+    def count_collisions(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["id_a", "id_b"], as_index=False).size()
+        g = g.rename(columns={"size": "n_bands"})
+        g["est_jaccard"] = (g["n_bands"] / bands) ** (1.0 / r)
+        return g[g["est_jaccard"] >= threshold]
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        dedup_pairs, batch_format="pandas")
+    return grouped_apply(pairs, ["id_a", "id_b"], count_collisions,
+                         num_partitions=8)
 
 
 def exact_dedup(ds, id_column: str = "doc_id", text_column: str = "text",
-                normalize: bool = True):
-    """Exact dedup: content hash (map_batches) → groupby(hash) keep the
-    min-id row. Returns the deduplicated Dataset (original columns)."""
+                normalize: bool = True, num_partitions: int = 32):
+    """Exact dedup: content hash (map_batches) -> one hash exchange ->
+    vectorized keep-min-id per hash inside each partition."""
     import hashlib
+    from nacc_form_validator_ray.stages.partition import grouped_apply
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
         text = batch[text_column].fillna("")
@@ -204,13 +210,14 @@ def exact_dedup(ds, id_column: str = "doc_id", text_column: str = "text",
             hashlib.md5(t.encode("utf-8")).hexdigest() for t in text]
         return batch
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(id_column).iloc[[0]]
+    def keep_first(part: pd.DataFrame) -> pd.DataFrame:
+        return part.sort_values(id_column) \
+            .drop_duplicates("__content_hash", keep="first")
 
-    return ds.map_batches(add_hash, batch_format="pandas") \
-        .groupby("__content_hash") \
-        .map_groups(keep_first, batch_format="pandas") \
-        .drop_columns(["__content_hash"])
+    out = grouped_apply(ds.map_batches(add_hash, batch_format="pandas"),
+                        ["__content_hash"], keep_first,
+                        num_partitions=num_partitions)
+    return out.drop_columns(["__content_hash"])
 
 
 class SimHasher:
@@ -249,9 +256,13 @@ class SimHasher:
 def simhash_candidate_pairs(ds, id_column: str = "doc_id",
                             text_column: str = "text",
                             max_hamming: int = 3,
-                            max_bucket: int = 512):
-    """SimHash near-dup: 4×16-bit chunk banding (any chunk equal →
-    candidate) then exact Hamming verification in the bucket."""
+                            max_bucket: int = 512,
+                            num_partitions: int = 32):
+    """SimHash near-dup: 4x16-bit chunk banding (any chunk equal ->
+    candidate), exact Hamming verification — one hash exchange, run
+    detection vectorized inside each partition."""
+    from nacc_form_validator_ray.stages.partition import (grouped_apply,
+                                                          run_boundaries)
     hashed = ds.map_batches(SimHasher(text_column=text_column),
                             batch_format="pandas")
 
@@ -264,40 +275,71 @@ def simhash_candidate_pairs(ds, id_column: str = "doc_id",
             chunk = (sims >> np.uint64(16 * c)) & np.uint64(0xFFFF)
             frames.append(pd.DataFrame({
                 "chunk_id": np.full(n, c, dtype=np.int32),
-                "chunk_key": chunk,
+                "chunk_key": chunk.astype(np.int64),
                 id_column: ids,
                 "simhash": sims,
             }))
         return pd.concat(frames, ignore_index=True)
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=[id_column])
-        empty = pd.DataFrame({
-            "id_a": pd.Series([], dtype=np.int64),
-            "id_b": pd.Series([], dtype=np.int64),
-            "hamming": pd.Series([], dtype=np.int64)})
-        if len(g) < 2:
-            return empty
-        g = g.sort_values(id_column).head(max_bucket)
-        ids = g[id_column].to_numpy()
-        sims = g["simhash"].to_numpy(np.uint64)
-        ai, bi = np.triu_indices(len(g), k=1)
-        x = sims[ai] ^ sims[bi]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        keep = ham <= max_hamming
-        if not keep.any():
-            return empty
+    def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        ids = part[id_column].to_numpy()
+        chunk_id = part["chunk_id"].to_numpy(np.int64)
+        chunk_key = part["chunk_key"].to_numpy(np.int64)
+        sims = part["simhash"].to_numpy(np.uint64)
+        order, starts = run_boundaries([chunk_id, chunk_key])
+        ends = np.append(starts[1:], len(order))
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            idx = order[s:e]
+            uniq, first_pos = np.unique(ids[idx], return_index=True)
+            if len(uniq) < 2:
+                continue
+            idx = idx[np.sort(first_pos)][:max_bucket]
+            run_ids = ids[idx]
+            run_sims = sims[idx]
+            ai, bi = np.triu_indices(len(idx), k=1)
+            x = run_sims[ai] ^ run_sims[bi]
+            ham = _popcount64(x)
+            keep = ham <= max_hamming
+            if keep.any():
+                out_a.append(np.minimum(run_ids[ai], run_ids[bi])[keep])
+                out_b.append(np.maximum(run_ids[ai], run_ids[bi])[keep])
+                out_h.append(ham[keep])
+        if not out_a:
+            return pd.DataFrame({
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+                "hamming": pd.Series([], dtype=np.int64)})
         return pd.DataFrame({
-            "id_a": np.minimum(ids[ai], ids[bi])[keep],
-            "id_b": np.maximum(ids[ai], ids[bi])[keep],
-            "hamming": ham[keep],
-        })
+            "id_a": np.concatenate(out_a).astype(np.int64),
+            "id_b": np.concatenate(out_b).astype(np.int64),
+            "hamming": np.concatenate(out_h).astype(np.int64)})
 
-    pairs = hashed.map_batches(emit_chunks, batch_format="pandas") \
-        .groupby(["chunk_id", "chunk_key"]) \
-        .map_groups(verify, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.iloc[[0]], batch_format="pandas")
+    pairs = grouped_apply(
+        hashed.map_batches(emit_chunks, batch_format="pandas"),
+        ["chunk_id", "chunk_key"], partition_pairs,
+        num_partitions=num_partitions)
+
+    def dedup_part(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(["id_a", "id_b"], keep="first")
+
+    return grouped_apply(pairs, ["id_a", "id_b"], dedup_part,
+                         num_partitions=8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR)."""
+    x = x.astype(np.uint64)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return ((x * h01) >> np.uint64(56)).astype(np.int64)
 
 
 def blocked_jaccard_pairs(ds, block_column: str,

@@ -60,21 +60,46 @@ class Scrubber:
                          for name, pat, repl in specs]
         self.toxic = re.compile(TOXIC_PATTERN) if scrub_toxic else None
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch[self.text_column].fillna("")
-        batch = batch.copy()
-        total = np.zeros(len(batch), dtype=np.int64)
-        for name, pattern, repl in self.compiled:
-            hits = text.str.count(pattern).to_numpy(np.int64)
-            batch[f"n_{name}"] = hits
-            total += hits
-            text = text.str.replace(pattern, repl, regex=True)
+    def _core(self, text):
+        """Arrow-kernel scrub: sequential count + replace entirely in C
+        (RE2), no Python string materialization."""
+        import pyarrow.compute as pc
+        text = pc.fill_null(text, "")
+        n = len(text)
+        counts = {}
+        total = np.zeros(n, dtype=np.int64)
+        steps = [(name, pat.pattern, repl)
+                 for name, pat, repl in self.compiled]
         if self.toxic is not None:
-            hits = text.str.count(self.toxic).to_numpy(np.int64)
-            batch["n_toxic"] = hits
+            steps.append(("toxic", self.toxic.pattern, TOXIC_REPLACEMENT))
+        for name, pattern, repl in steps:
+            hits = pc.count_substring_regex(text, pattern=pattern) \
+                .to_numpy().astype(np.int64)
+            counts[f"n_{name}"] = hits
             total += hits
-            text = text.str.replace(self.toxic, TOXIC_REPLACEMENT,
-                                    regex=True)
-        batch[self.output_column] = text
+            if hits.any():
+                text = pc.replace_substring_regex(text, pattern=pattern,
+                                                  replacement=repl)
+        return text, counts, total
+
+    def __call__(self, batch):
+        import pyarrow as pa
+        if isinstance(batch, pa.Table):
+            col = batch[self.text_column]
+            arr = col.combine_chunks() if isinstance(
+                col, pa.ChunkedArray) else col
+            text, counts, total = self._core(arr)
+            for name, hits in counts.items():
+                batch = batch.append_column(name, pa.array(hits))
+            batch = batch.append_column(self.output_column, text)
+            batch = batch.append_column("n_redactions", pa.array(total))
+            return batch
+        arr = pa.array(batch[self.text_column].fillna(""),
+                       type=pa.string())
+        text, counts, total = self._core(arr)
+        batch = batch.copy()
+        for name, hits in counts.items():
+            batch[name] = hits
+        batch[self.output_column] = text.to_numpy(zero_copy_only=False)
         batch["n_redactions"] = total
         return batch

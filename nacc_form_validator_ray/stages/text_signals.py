@@ -54,86 +54,188 @@ def stopword_pattern(lang: str) -> str:
     return r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
 
 
+def _flatten_tokens(token_lists: pd.Series):
+    """(flat object array of tokens, doc lengths) for a token-list col."""
+    lens = token_lists.str.len().to_numpy(np.int64)
+    if lens.sum() == 0:
+        return np.empty(0, dtype=object), lens
+    flat = np.concatenate(
+        [np.asarray(t, dtype=object) if t else np.empty(0, dtype=object)
+         for t in token_lists])
+    return flat, lens
+
+
 class TextStats:
     """Length / composition / repetition signals (C4 + Gopher style).
 
     Appends: n_chars_sig, n_words, mean_word_len, alpha_ratio,
-    digit_ratio, symbol_ratio, bpe_token_count, rep_3gram_ratio.
+    digit_ratio, symbol_ratio, bpe_token_count, rep_3gram_total/
+    distinct/ratio; with ``langid=True`` also the LangId columns.
+
+    The core runs on **Arrow compute kernels** (utf8_length /
+    count_substring_regex / split_pattern_regex / dictionary_encode):
+    tokens never materialize as Python strings — the flat token array,
+    its lengths and its dictionary codes stay in C buffers, and the
+    per-doc reductions are numpy bincounts. Accepts ``pa.Table`` (the
+    zero-copy hot path) or ``pd.DataFrame`` batches and returns the same
+    container type.
     """
 
-    def __init__(self, text_column: str = "text"):
+    def __init__(self, text_column: str = "text",
+                 emit_tokens: bool = False, langid: bool = False):
         self.text_column = text_column
         self.word_re = re.compile(WORD_RE)
+        self.emit_tokens = emit_tokens
+        self.langid = langid
+        self.banks = {lang: np.array(STOPWORDS[lang], dtype=object)
+                      for lang in LANG_ORDER}
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch[self.text_column].fillna("")
-        n_chars = text.str.len().to_numpy(np.int64)
-        n_words = text.str.count(r"\S+").to_numpy(np.int64)
-        n_alpha = text.str.count(r"[A-Za-z]").to_numpy(np.int64)
-        n_digit = text.str.count(r"[0-9]").to_numpy(np.int64)
-        n_space = text.str.count(r"\s").to_numpy(np.int64)
+    def _core(self, text: "pa.Array") -> Dict[str, np.ndarray]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        text = pc.fill_null(text, "")
+        n = len(text)
+        out: Dict[str, np.ndarray] = {}
+        n_chars = pc.utf8_length(text).to_numpy().astype(np.int64)
+        n_words = pc.count_substring_regex(text, pattern=r"\S+") \
+            .to_numpy().astype(np.int64)
+        n_digit = pc.count_substring_regex(text, pattern=r"[0-9]") \
+            .to_numpy().astype(np.int64)
+        n_space = pc.count_substring_regex(text, pattern=r"\s") \
+            .to_numpy().astype(np.int64)
+
+        # tokenize once: lowercase, split on non-letters, drop empties —
+        # identical to findall('[A-Za-z]+') on the lowercased text
+        toks = pc.split_pattern_regex(pc.utf8_lower(text),
+                                      pattern="[^a-z]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offsets = toks.offsets.to_numpy().astype(np.int64)
+        lens = np.diff(offsets)
+        doc_id_all = np.repeat(np.arange(n, dtype=np.int64), lens)
+        tok_lens_all = pc.utf8_length(flat).to_numpy().astype(np.int64)
+        nonempty = tok_lens_all > 0
+
+        n_tokens = np.bincount(doc_id_all[nonempty], minlength=n) \
+            .astype(np.int64)
+        n_alpha = np.bincount(doc_id_all, weights=tok_lens_all,
+                              minlength=n).astype(np.int64)
+
+        total = np.zeros(n, dtype=np.int64)
+        distinct = np.zeros(n, dtype=np.int64)
+        sw_counts = np.zeros((len(LANG_ORDER), n), dtype=np.int64)
+        if nonempty.any():
+            flat_ne = flat.filter(pa.array(nonempty))
+            doc_id = doc_id_all[nonempty]
+            enc = pc.dictionary_encode(flat_ne)
+            codes = enc.indices.to_numpy().astype(np.int64)
+            dictionary = enc.dictionary
+            total, distinct = _rep_3gram_counts(codes, dictionary,
+                                                doc_id, n)
+            if self.langid:
+                uarr = np.asarray(dictionary.to_pylist(), dtype=object)
+                for i, lang in enumerate(LANG_ORDER):
+                    hits = np.isin(uarr, self.banks[lang])[codes]
+                    sw_counts[i] = np.bincount(
+                        doc_id, weights=hits, minlength=n) \
+                        .astype(np.int64)
+
         n_nonspace = n_chars - n_space
         safe_chars = np.maximum(n_chars, 1)
         safe_words = np.maximum(n_words, 1)
+        n_symbol = n_chars - n_alpha - n_digit - n_space
 
-        batch = batch.copy()
-        batch["n_chars_sig"] = n_chars
-        batch["n_words"] = n_words
-        batch["mean_word_len"] = n_nonspace / safe_words
-        batch["alpha_ratio"] = n_alpha / safe_chars
-        batch["digit_ratio"] = n_digit / safe_chars
-        batch["symbol_ratio"] = \
-            (n_chars - n_alpha - n_digit - n_space) / safe_chars
-        batch["bpe_token_count"] = \
-            text.str.count(BPE_TOKEN_RE).to_numpy(np.int64)
-        total, distinct = self._rep_3gram_counts(text)
+        out["n_chars_sig"] = n_chars
+        out["n_words"] = n_words
+        out["mean_word_len"] = n_nonspace / safe_words
+        out["alpha_ratio"] = n_alpha / safe_chars
+        out["digit_ratio"] = n_digit / safe_chars
+        out["symbol_ratio"] = n_symbol / safe_chars
+        # BPE-ish tokens = letter runs + single digits + single symbols —
+        # arithmetic identity with the alternation regex, no extra scan
+        out["bpe_token_count"] = n_tokens + n_digit + n_symbol
         has = total > 0
-        ratio = np.zeros(len(text), dtype=np.float64)
+        ratio = np.zeros(n, dtype=np.float64)
         ratio[has] = 1.0 - distinct[has] / total[has]
-        batch["rep_3gram_total"] = total
-        batch["rep_3gram_distinct"] = distinct
-        batch["rep_3gram_ratio"] = ratio
+        out["rep_3gram_total"] = total
+        out["rep_3gram_distinct"] = distinct
+        out["rep_3gram_ratio"] = ratio
+        if self.langid:
+            best_idx = sw_counts.argmax(axis=0)
+            best = sw_counts.max(axis=0)
+            pred = np.array(LANG_ORDER, dtype=object)[best_idx]
+            pred[best == 0] = "und"
+            for i, lang in enumerate(LANG_ORDER):
+                out[f"sw_{lang}"] = sw_counts[i]
+            out["lang_pred"] = pred
+            out["stop_ratio"] = best / safe_words
+        return out
+
+    def __call__(self, batch):
+        import pyarrow as pa
+        if isinstance(batch, pa.Table):
+            col = batch[self.text_column]
+            arr = col.combine_chunks() if isinstance(
+                col, pa.ChunkedArray) else col
+            cols = self._core(arr)
+            for name, values in cols.items():
+                batch = batch.append_column(
+                    name, pa.array(values) if values.dtype == object
+                    else pa.array(values))
+            return batch
+        text_arr = pa.array(batch[self.text_column].fillna(""),
+                            type=pa.string())
+        cols = self._core(text_arr)
+        batch = batch.copy()
+        for name, values in cols.items():
+            batch[name] = values
+        if self.emit_tokens:
+            # pandas-only convenience for composing with standalone
+            # LangId; the arrow path never materializes token lists
+            batch["_tokens"] = batch[self.text_column].fillna("") \
+                .str.lower().str.findall(self.word_re) \
+                .to_numpy(dtype=object)
         return batch
 
-    def _rep_3gram_counts(self, text: pd.Series):
-        """(total 3-grams, distinct 3-grams) per doc — integer-exact, so
-        the SQL oracle can reproduce them bit-for-bit."""
-        n = len(text)
-        total = np.zeros(n, dtype=np.int64)
-        distinct = np.zeros(n, dtype=np.int64)
-        token_lists = text.str.lower().str.findall(self.word_re)
-        lens = token_lists.str.len().to_numpy(np.int64)
-        if lens.sum() == 0:
-            return total, distinct
-        flat = np.concatenate(
-            [np.asarray(t, dtype=object) if t else
-             np.empty(0, dtype=object) for t in token_lists])
-        codes, uniques = pd.factorize(pd.Series(flat, dtype=object))
-        doc_id = np.repeat(np.arange(n, dtype=np.int64), lens)
-        m = len(codes)
-        if m < 3 or len(uniques) >= (1 << 21):
-            if len(uniques) >= (1 << 21):
-                raise ValueError("batch vocabulary too large for 3-gram "
-                                 "packing; lower batch_size")
-            return total, distinct
-        c0 = codes[:-2].astype(np.int64)
-        c1 = codes[1:-1].astype(np.int64)
-        c2 = codes[2:].astype(np.int64)
-        same_doc = doc_id[:-2] == doc_id[2:]
-        keys = (c0 << 42) | (c1 << 21) | c2
-        g_doc = doc_id[:-2][same_doc]
-        g_key = keys[same_doc]
-        total = np.bincount(g_doc, minlength=n)
-        uniq_pairs = np.unique(np.stack([g_doc, g_key], axis=1), axis=0)
-        distinct = np.bincount(uniq_pairs[:, 0], minlength=n)
-        return total.astype(np.int64), distinct.astype(np.int64)
+
+def _rep_3gram_counts(codes: np.ndarray, dictionary, doc_id: np.ndarray,
+                      n: int):
+    """(total 3-grams, distinct 3-grams) per doc — integer-exact, so the
+    SQL oracle can reproduce them bit-for-bit."""
+    total = np.zeros(n, dtype=np.int64)
+    distinct = np.zeros(n, dtype=np.int64)
+    m = len(codes)
+    if m < 3:
+        return total, distinct
+    if len(dictionary) >= (1 << 21):
+        raise ValueError("batch vocabulary too large for 3-gram packing; "
+                         "lower batch_size")
+    c0 = codes[:-2]
+    c1 = codes[1:-1]
+    c2 = codes[2:]
+    same_doc = doc_id[:-2] == doc_id[2:]
+    keys = (c0 << 42) | (c1 << 21) | c2
+    g_doc = doc_id[:-2][same_doc]
+    g_key = keys[same_doc]
+    total = np.bincount(g_doc, minlength=n).astype(np.int64)
+    # distinct (doc, key) pairs via lexsort + boundary detection
+    # (np.unique(..., axis=0) is orders of magnitude slower)
+    order = np.lexsort((g_key, g_doc))
+    sd, sk = g_doc[order], g_key[order]
+    new = np.ones(len(sd), dtype=bool)
+    new[1:] = (sd[1:] != sd[:-1]) | (sk[1:] != sk[:-1])
+    distinct = np.bincount(sd[new], minlength=n).astype(np.int64)
+    return total, distinct
 
 
 class LangId:
     """Stopword-bank language identifier.
 
-    Appends: ``lang_pred`` (argmax of per-language stopword hits over the
-    fixed LANG_ORDER; 'und' when no bank scores > 0) and ``stop_ratio``
+    Counts stopword-bank hits over ``[A-Za-z]+`` tokens of the lowercased
+    text (ONE tokenize pass + numpy set membership — no per-language
+    regex scan), then appends ``lang_pred`` (argmax over the fixed
+    LANG_ORDER; 'und' when no bank scores > 0) and ``stop_ratio``
     (winning bank's hits / n_words). The production analog is a fastText
     model in the same actor-pool shape — swap ``__call__``'s scorer, keep
     the plumbing.
@@ -141,16 +243,30 @@ class LangId:
 
     def __init__(self, text_column: str = "text"):
         self.text_column = text_column
-        self.patterns = {lang: stopword_pattern(lang)
-                         for lang in LANG_ORDER}
+        self.word_re = re.compile(WORD_RE)
+        self.banks = {lang: np.array(STOPWORDS[lang], dtype=object)
+                      for lang in LANG_ORDER}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch[self.text_column].fillna("").str.lower()
+        text = batch[self.text_column].fillna("")
         n = len(batch)
+        if "_tokens" in batch.columns:
+            token_lists = pd.Series(batch["_tokens"].to_numpy(object))
+            batch = batch.drop(columns=["_tokens"])
+        else:
+            token_lists = text.str.lower().str.findall(self.word_re)
+        flat, lens = _flatten_tokens(token_lists)
+        doc_id = np.repeat(np.arange(n, dtype=np.int64), lens)
         counts = np.zeros((len(LANG_ORDER), n), dtype=np.int64)
-        for i, lang in enumerate(LANG_ORDER):
-            counts[i] = text.str.count(self.patterns[lang]) \
-                .to_numpy(np.int64)
+        if len(flat):
+            # factorize once; per-language membership on the small vocab
+            codes, uniques = pd.factorize(pd.Series(flat, dtype=object))
+            uarr = uniques.to_numpy(dtype=object)
+            for i, lang in enumerate(LANG_ORDER):
+                hit_codes = np.isin(uarr, self.banks[lang])
+                hits = hit_codes[codes]
+                counts[i] = np.bincount(doc_id, weights=hits,
+                                        minlength=n).astype(np.int64)
         best_idx = counts.argmax(axis=0)  # first max wins = LANG_ORDER
         best = counts.max(axis=0)
         pred = np.array(LANG_ORDER, dtype=object)[best_idx]

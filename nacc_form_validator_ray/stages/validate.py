@@ -57,12 +57,23 @@ class ValidateStage:
         self.collect = collect
         self.keep_input_columns = keep_input_columns
 
-    def __call__(self, batch: pd.DataFrame) -> pa.Table:
-        cframe, result = self.validator.validate_frame(batch)
-        if self.keep_input_columns:
-            table = pa.Table.from_pandas(batch, preserve_index=False)
+    def __call__(self, batch) -> pa.Table:
+        if isinstance(batch, pa.Table):
+            # zero-copy hot path: only the columns the rule program can
+            # reference are converted to pandas; payload columns (text,
+            # html, urls) never leave Arrow
+            referenced = [c for c in batch.column_names
+                          if c in self.validator.compiled.referenced]
+            pdf = batch.select(referenced).to_pandas() if referenced \
+                else pd.DataFrame(index=range(batch.num_rows))
+            _, result = self.validator.validate_frame(pdf)
+            table = batch if self.keep_input_columns else pa.table({})
         else:
-            table = pa.table({})
+            _, result = self.validator.validate_frame(batch)
+            if self.keep_input_columns:
+                table = pa.Table.from_pandas(batch, preserve_index=False)
+            else:
+                table = pa.table({})
         arrays = {
             "passed": pa.array(result.passed),
             "sys_failure": pa.array(result.sys_failure),
@@ -227,7 +238,9 @@ def validate_dataset(ds,
     """
     compiled = CompiledSchema(schema, pk_field=pk_field, orderby=orderby,
                               strict=strict, clock=clock)
-    kwargs: Dict[str, Any] = {"batch_format": "pandas",
+    # arrow in / arrow out: ValidateStage converts only rule-referenced
+    # columns to pandas internally
+    kwargs: Dict[str, Any] = {"batch_format": "pyarrow",
                               "batch_size": batch_size}
     ctor = {
         "compiled": compiled,
