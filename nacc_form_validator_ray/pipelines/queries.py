@@ -552,10 +552,17 @@ def q_segment_revenue(sf_dir: str):
     seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
     class JoinSegment:
+        """Stateless-task broadcast join: the ray.put handle pickles with
+        the instance; each worker process ray.get()s the dict once
+        (zero re-ship per batch), with no actor-pool startup cost."""
+
         def __init__(self, ref):
-            self.seg = ray.get(ref)
+            self.ref = ref
+            self.seg = None
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if self.seg is None:
+                self.seg = ray.get(self.ref)
             seg = batch["o_custkey"].map(self.seg).fillna("?")
             cents = np.floor(
                 batch["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
@@ -566,9 +573,8 @@ def q_segment_revenue(sf_dir: str):
 
     ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
                             columns=["o_custkey", "o_totalprice"])
-    partials = ds.map_batches(JoinSegment,
-                              fn_constructor_kwargs={"ref": seg_ref},
-                              batch_format="pandas", concurrency=(1, 4))
+    partials = ds.map_batches(JoinSegment(seg_ref),
+                              batch_format="pandas")
     return partials.groupby("c_mktsegment").aggregate(
         Sum("n_orders", alias_name="n_orders"),
         Sum("revenue_cents", alias_name="revenue_cents"))
@@ -597,9 +603,12 @@ def q_ship_delay(sf_dir: str):
 
     class Delay:
         def __init__(self, ref):
-            self.odate = ray.get(ref)
+            self.ref = ref
+            self.odate = None
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if self.odate is None:
+                self.odate = ray.get(self.ref)
             ship_us = batch["l_shipdate"].astype("datetime64[us]") \
                 .astype("int64").to_numpy()
             odate = batch["l_orderkey"].map(self.odate).to_numpy(np.int64)
@@ -614,8 +623,7 @@ def q_ship_delay(sf_dir: str):
     ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
                             columns=["l_orderkey", "l_linenumber",
                                      "l_shipdate"])
-    return ds.map_batches(Delay, fn_constructor_kwargs={"ref": odate_ref},
-                          batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(Delay(odate_ref), batch_format="pandas")
 
 
 SQL_SHIP_DELAY = """
