@@ -910,3 +910,174 @@ ORACLE_SQL: Dict[str, str] = {
     "validator_customer": SQL_VALIDATOR_CUSTOMER,
     "validator_lineitem": SQL_VALIDATOR_LINEITEM,
 }
+
+
+# --------------------------------------------------------------------------
+# additional relational operators: windows, distinct, sampling, union
+# --------------------------------------------------------------------------
+
+
+def q_orders_by_month(sf_dir: str):
+    """Calendar rollup (tumbling month window)."""
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["o_orderdate"]
+        month = (d.dt.year * 100 + d.dt.month).to_numpy(np.int64)
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        g = pd.DataFrame({"order_month": month, "n_orders": 1,
+                          "revenue_cents": cents})
+        return g.groupby("order_month", as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return grouped_agg_sum(partials, ["order_month"],
+                           ["n_orders", "revenue_cents"],
+                           num_partitions=16)
+
+
+SQL_ORDERS_BY_MONTH = """
+SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+           AS order_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS revenue_cents
+FROM orders GROUP BY 1
+"""
+
+
+def q_distinct_event_types(sf_dir: str):
+    """Distinct values (ds.unique is a shuffle; result is tiny)."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type"])
+    values = sorted(ds.unique("event_type"))
+    return pd.DataFrame({"event_type": values})
+
+
+SQL_DISTINCT_EVENT_TYPES = """
+SELECT DISTINCT event_type FROM events
+"""
+
+
+def q_topk_lineitems_per_order(sf_dir: str):
+    """Windowed top-k: 2 priciest line items per order (rank within
+    partition). One hash exchange + vectorized sort/head per partition."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber",
+                                     "l_extendedprice"])
+
+    def topk(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(
+            ["l_orderkey", "l_extendedprice", "l_linenumber"],
+            ascending=[True, False, True])
+        g = part.groupby("l_orderkey", sort=False)
+        out = part.copy()
+        out["rank"] = g.cumcount() + 1
+        out = out[out["rank"] <= 2]
+        out["l_linenumber"] = out["l_linenumber"].astype(np.int64)
+        out["rank"] = out["rank"].astype(np.int64)
+        return out[["l_orderkey", "l_linenumber", "l_extendedprice",
+                    "rank"]]
+
+    return grouped_apply(ds, ["l_orderkey"], topk, num_partitions=32)
+
+
+SQL_TOPK_LINEITEMS = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_extendedprice, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC,
+                                     l_linenumber) AS rank
+  FROM lineitem
+)
+WHERE rank <= 2
+"""
+
+
+def q_sample_events(sf_dir: str):
+    """Deterministic systematic sample (reproducible across runs and
+    cluster sizes, unlike random_sample)."""
+    import pyarrow.compute as pc
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.bit_wise_and(t["event_id"], 15), 0)),
+        batch_format="pyarrow")
+
+
+SQL_SAMPLE_EVENTS = """
+SELECT event_id, event_type, value FROM events
+WHERE event_id & 15 = 0
+"""
+
+
+def q_part_type_words(sf_dir: str):
+    """String extraction + grouped count (first word of p_type)."""
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
+    ds = _rd().read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        first = batch["p_type"].str.split(" ").str[0]
+        g = pd.DataFrame({"type_word": first, "n_parts": 1})
+        return g.groupby("type_word", as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return grouped_agg_sum(partials, ["type_word"], ["n_parts"],
+                           num_partitions=4)
+
+
+SQL_PART_TYPE_WORDS = """
+SELECT split_part(p_type, ' ', 1) AS type_word,
+       CAST(count(*) AS BIGINT) AS n_parts
+FROM part GROUP BY 1
+"""
+
+
+def q_all_nation_keys(sf_dir: str):
+    """Union + distinct across two tables."""
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_nationkey"]).map_batches(
+        lambda b: pd.DataFrame(
+            {"nationkey": b["c_nationkey"].astype(np.int64)}),
+        batch_format="pandas")
+    supp = _rd().read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_nationkey"]).map_batches(
+        lambda b: pd.DataFrame(
+            {"nationkey": b["s_nationkey"].astype(np.int64)}),
+        batch_format="pandas")
+    values = sorted(cust.union(supp).unique("nationkey"))
+    return pd.DataFrame({"nationkey": np.asarray(values,
+                                                 dtype=np.int64)})
+
+
+SQL_ALL_NATION_KEYS = """
+SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+UNION
+SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+"""
+
+QUERIES.update({
+    "orders_by_month": q_orders_by_month,
+    "distinct_event_types": q_distinct_event_types,
+    "topk_lineitems_per_order": q_topk_lineitems_per_order,
+    "sample_events": q_sample_events,
+    "part_type_words": q_part_type_words,
+    "all_nation_keys": q_all_nation_keys,
+})
+
+ORACLE_SQL.update({
+    "orders_by_month": SQL_ORDERS_BY_MONTH,
+    "distinct_event_types": SQL_DISTINCT_EVENT_TYPES,
+    "topk_lineitems_per_order": SQL_TOPK_LINEITEMS,
+    "sample_events": SQL_SAMPLE_EVENTS,
+    "part_type_words": SQL_PART_TYPE_WORDS,
+    "all_nation_keys": SQL_ALL_NATION_KEYS,
+})

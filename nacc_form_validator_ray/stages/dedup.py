@@ -389,10 +389,15 @@ def blocked_jaccard_pairs(ds, block_column: str,
 
 
 def propagate_labels(pairs_ds, ids_ds, id_column: str = "doc_id",
-                     rounds: int = 3):
+                     rounds: int = 3, num_partitions: int = 32):
     """Connected components over dup pairs by iterated min-label
-    propagation (each round = one groupby shuffle). Returns a Dataset of
-    (id, cluster) where cluster is the component's minimum id."""
+    propagation. Each round = two hash exchanges (scatter labels along
+    edges, gather min per node), both executed as vectorized pandas
+    merges inside partitions — no per-node Python. Returns (id, cluster)
+    with cluster = the component's minimum id (exact once ``rounds`` >=
+    the component diameter)."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
     labels = ids_ds.map_batches(
         lambda b: pd.DataFrame({id_column: b[id_column],
                                 "label": b[id_column],
@@ -400,38 +405,39 @@ def propagate_labels(pairs_ds, ids_ds, id_column: str = "doc_id",
         batch_format="pandas")
 
     def edge_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        # each edge endpoint will forward its label to `other`
         return pd.DataFrame({
             id_column: np.concatenate([batch["id_a"], batch["id_b"]]),
-            "label": np.concatenate(
-                [np.full(len(batch), -1), np.full(len(batch), -1)]),
+            "label": np.full(2 * len(batch), -1, dtype=np.int64),
             "other": np.concatenate([batch["id_b"], batch["id_a"]]),
         })
 
     edges = pairs_ds.map_batches(edge_rows, batch_format="pandas")
 
+    def scatter(part: pd.DataFrame) -> pd.DataFrame:
+        lbl = part[part["label"] >= 0][[id_column, "label"]]
+        edg = part[part["label"] < 0][[id_column, "other"]]
+        merged = edg.merge(lbl, on=id_column, how="left")
+        merged["label"] = merged["label"].fillna(
+            merged[id_column]).astype(np.int64)
+        proposals = pd.concat([
+            pd.DataFrame({id_column: merged["other"].to_numpy(),
+                          "proposal": merged["label"].to_numpy()}),
+            pd.DataFrame({id_column: lbl[id_column].to_numpy(),
+                          "proposal": lbl["label"].to_numpy()}),
+        ], ignore_index=True)
+        return proposals
+
+    def gather(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(id_column, as_index=False)["proposal"].min()
+        g = g.rename(columns={"proposal": "label"})
+        g["other"] = g[id_column]
+        return g
+
     for _ in range(rounds):
-        def scatter(group: pd.DataFrame) -> pd.DataFrame:
-            # the group's true label is the row where label >= 0
-            own = group.loc[group["label"] >= 0, "label"]
-            lbl = int(own.min()) if len(own) else \
-                int(group[id_column].iloc[0])
-            targets = pd.unique(group["other"])
-            return pd.DataFrame({id_column: targets,
-                                 "proposal": np.full(len(targets), lbl)})
-
-        proposals = labels.union(edges).groupby(id_column) \
-            .map_groups(scatter, batch_format="pandas")
-
-        def gather(group: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                id_column: [group[id_column].iloc[0]],
-                "label": [int(group["proposal"].min())],
-                "other": [group[id_column].iloc[0]],
-            })
-
-        labels = proposals.groupby(id_column).map_groups(
-            gather, batch_format="pandas")
+        proposals = grouped_apply(labels.union(edges), [id_column],
+                                  scatter, num_partitions=num_partitions)
+        labels = grouped_apply(proposals, [id_column], gather,
+                               num_partitions=num_partitions)
 
     return labels.map_batches(
         lambda b: pd.DataFrame({id_column: b[id_column],

@@ -258,11 +258,17 @@ def validate_dataset(ds,
         if not pk_field or not orderby:
             raise ValueError(
                 "temporal rules require pk_field and orderby")
+        from nacc_form_validator_ray.stages.partition import grouped_apply
         tgv = TemporalGroupValidator(compiled, datastore_factory)
 
-        def temporal_validate(group: pd.DataFrame) -> pd.DataFrame:
-            return tgv(group)
+        # ONE hash exchange on the primary key; subjects are grouped
+        # inside each partition with a pandas groupby, so Ray-level
+        # overhead is per partition, not per subject
+        def temporal_partition(part: pd.DataFrame) -> pd.DataFrame:
+            out = [tgv(group) for _, group in
+                   part.groupby(pk_field, sort=False, dropna=False)]
+            return pd.concat(out, ignore_index=True)
 
-        ds = ds.groupby(pk_field).map_groups(temporal_validate,
-                                             batch_format="pandas")
+        ds = grouped_apply(ds, [pk_field], temporal_partition,
+                           num_partitions=64)
     return ds
