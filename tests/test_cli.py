@@ -1,0 +1,65 @@
+"""CLI end-to-end: the bulk CSV validation path (the reference's
+docs/validate_csv_records.py workflow) and page generation."""
+
+import csv
+import glob
+import json
+import subprocess
+import sys
+
+
+def run_cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "nacc_form_validator_ray.cli", *args],
+        capture_output=True, text=True, cwd="/root/repo")
+
+
+def test_cli_validate_csv(tmp_path):
+    rules = {
+        "id": {"type": "integer", "required": True},
+        "age": {"type": "integer", "nullable": True, "min": 0,
+                "max": 120},
+        "zip": {"type": "string", "nullable": True,
+                "regex": "^[0-9]{5}$"},
+    }
+    rules_path = tmp_path / "rules.json"
+    rules_path.write_text(json.dumps(rules))
+
+    input_path = tmp_path / "input.csv"
+    with open(input_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["id", "age", "zip"])
+        w.writerow(["1", "44", "90210"])
+        w.writerow(["2", "150", "90210"])   # age too large
+        w.writerow(["3", "", "abcde"])      # bad zip, empty age ok
+        w.writerow(["4", "12", ""])
+
+    out_dir = tmp_path / "out.csv"
+    proc = run_cli("validate", "-i", str(input_path), "-r",
+                   str(rules_path), "-o", str(out_dir))
+    assert "validated 4 records; 2 failed" in proc.stdout
+    assert proc.returncode == 1  # failures present
+
+    rows = []
+    for part in sorted(glob.glob(str(out_dir) + "/*.csv")):
+        with open(part) as f:
+            rows.extend(csv.DictReader(f))
+    by_id = {r["id"]: r for r in rows}
+    assert by_id["1"]["passed"] == "true"
+    assert by_id["2"]["passed"] == "false"
+    assert "max value is 120" in by_id["2"]["errors"]
+    assert by_id["3"]["passed"] == "false"
+    assert "does not match regex" in by_id["3"]["errors"]
+    assert by_id["4"]["passed"] == "true"
+
+
+def test_cli_genpages_and_quality_filter(tmp_path):
+    pages = tmp_path / "pages"
+    out = tmp_path / "filtered"
+    proc = run_cli("genpages", "-n", "200", "-o", str(pages))
+    assert proc.returncode == 0, proc.stderr
+    proc = run_cli("quality-filter", "-i", str(pages), "-o", str(out))
+    assert proc.returncode == 0, proc.stderr
+    metrics = json.loads(proc.stdout[proc.stdout.index("{"):])
+    assert metrics["n_rows"] == 200
+    assert 0 < metrics["n_kept"] < 200
