@@ -107,6 +107,7 @@ def build_quality_pipeline(ds,
                            scrub: bool = True,
                            extract: bool = False,
                            fingerprint: bool = False,
+                           ppl_model: Optional[Mapping[str, Any]] = None,
                            batch_size: int = 1024):
     """Compose the signal + rule + scrub stages over a page Dataset."""
     rules = dict(rules if rules is not None else WEB_QUALITY_RULES)
@@ -119,6 +120,14 @@ def build_quality_pipeline(ds,
     if fingerprint:
         ds = ds.map_batches(Fingerprint(), batch_format="pandas",
                             batch_size=batch_size)
+    if ppl_model is not None:
+        # model-scorer actor pool: weights load once per actor
+        from nacc_form_validator_ray.stages.perplexity import \
+            PerplexityScorer
+        ds = ds.map_batches(PerplexityScorer,
+                            fn_constructor_kwargs={"model": ppl_model},
+                            batch_format="pandas",
+                            batch_size=batch_size, concurrency=(1, 8))
     if scrub:
         ds = ds.map_batches(Scrubber(), **kw)
     # validation last: its arrow output (errors: list<struct>) streams

