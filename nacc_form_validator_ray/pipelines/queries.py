@@ -1099,3 +1099,23 @@ def q_perplexity_docs(sf_dir: str):
 
 
 QUERIES["perplexity_docs"] = q_perplexity_docs
+
+
+def q_ivf_knn(sf_dir: str):
+    """Approximate ANN (IVF inverted lists) — the scale path beside
+    knn_embeddings' exact brute force. Rows-only (recall < 1)."""
+    import pyarrow.parquet as pq
+    from nacc_form_validator_ray.stages.similarity import ivf_knn
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pandas()
+    small = tbl[tbl["vec_id"] < 10].sort_values("vec_id")
+    queries = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in small["embedding"]])
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    out = ivf_knn(ds, queries, small["vec_id"].to_numpy(), k=10,
+                  n_centroids=16, n_probe=6)
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+QUERIES["ivf_knn_embeddings"] = q_ivf_knn

@@ -137,3 +137,42 @@ def decode_images(ds, batch_size: int = 32, concurrency=(1, 8), **kwargs):
     return ds.map_batches(DecodeImage, fn_constructor_kwargs=kwargs,
                           batch_format="pandas", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+class AudioFeatures:
+    """Audio binary -> fixed-size feature vector (deterministic stand-in
+    for an MFCC/mel extractor; torchaudio/librosa are absent here).
+
+    Interprets the payload as 16-bit PCM frames and emits windowed RMS
+    energies + zero-crossing rate — numpy-vectorized per clip, the same
+    actor-pool batch shape a real extractor would use (small batches:
+    audio payloads are large)."""
+
+    def __init__(self, payload_column: str = "payload",
+                 output_column: str = "audio_features",
+                 n_windows: int = 8):
+        self.payload_column = payload_column
+        self.output_column = output_column
+        self.n_windows = n_windows
+
+    def _features(self, payload: bytes) -> np.ndarray:
+        if len(payload) < 4:
+            return np.zeros(self.n_windows + 1)
+        pcm = np.frombuffer(payload[:len(payload) // 2 * 2],
+                            dtype="<i2").astype(np.float64) / 32768.0
+        win = max(len(pcm) // self.n_windows, 1)
+        rms = np.array([
+            np.sqrt(np.mean(pcm[i * win:(i + 1) * win] ** 2))
+            if len(pcm[i * win:(i + 1) * win]) else 0.0
+            for i in range(self.n_windows)])
+        zcr = float(np.mean(np.abs(np.diff(np.signbit(pcm))))) \
+            if len(pcm) > 1 else 0.0
+        return np.concatenate([rms, [zcr]])
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[self.output_column] = [
+            self._features(p if isinstance(p, (bytes, bytearray))
+                           else b"")
+            for p in batch[self.payload_column]]
+        return batch

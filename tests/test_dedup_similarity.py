@@ -154,3 +154,41 @@ def test_multimodal_plumbing():
                                    "frame_payload"}
     assert (frames["frame_index"] % 2 == 0).all()
     assert len(frames[frames["media_id"] == 0]) > 0
+
+
+def test_ivf_knn_recall_vs_bruteforce():
+    from nacc_form_validator_ray.stages.similarity import ivf_knn
+    rng = np.random.RandomState(2)
+    # clustered vectors so IVF lists are meaningful
+    centers = rng.normal(size=(6, 16)) * 3
+    vecs = np.vstack([c + rng.normal(scale=0.4, size=(60, 16))
+                      for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(len(vecs)),
+                       "embedding": list(vecs)})
+    queries = vecs[:4]
+    exact = knn_bruteforce(rd.from_pandas(df), queries,
+                           query_ids=[0, 1, 2, 3], k=10).to_pandas()
+    approx = ivf_knn(rd.from_pandas(df).repartition(4), queries,
+                     query_ids=[0, 1, 2, 3], k=10, n_centroids=6,
+                     n_probe=3).to_pandas()
+    recalls = []
+    for q in range(4):
+        e = set(exact[exact.query_id == q]["neighbor_id"])
+        a = set(approx[approx.query_id == q]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_audio_features_stub():
+    from nacc_form_validator_ray.stages.multimodal import AudioFeatures
+    rng = np.random.RandomState(0)
+    pcm = (rng.normal(scale=0.2, size=4000) * 32767).astype("<i2")
+    df = pd.DataFrame({"media_id": [0, 1],
+                       "payload": [pcm.tobytes(), b""]})
+    out = AudioFeatures()(df)
+    f0 = out["audio_features"].iloc[0]
+    assert f0.shape == (9,)
+    assert f0[:8].mean() > 0.1          # energy present
+    assert (out["audio_features"].iloc[1] == 0).all()
+    again = AudioFeatures()(df)
+    assert (again["audio_features"].iloc[0] == f0).all()
