@@ -945,6 +945,8 @@ def _vec_compare(cmp: str, a: np.ndarray, a_null: np.ndarray, b: np.ndarray,
                  b_null: np.ndarray) -> np.ndarray:
     """Vectorized utils.compare_values over float arrays + null masks."""
     with np.errstate(invalid="ignore"):
+        # tolerance applies ONLY to ==/!= (utils.compare_values:97-106);
+        # ordered comparisons are exact — unlike jsonLogic's <=/>=
         close = np.abs(a - b) <= 1e-2
         if cmp == "==":
             core = close
@@ -953,11 +955,11 @@ def _vec_compare(cmp: str, a: np.ndarray, a_null: np.ndarray, b: np.ndarray,
         elif cmp == "<":
             core = a < b
         elif cmp == "<=":
-            core = (a < b) | close
+            core = a <= b
         elif cmp == ">":
             core = a > b
         else:
-            core = (a > b) | close
+            core = a >= b
     both = a_null & b_null
     only_a = a_null & ~b_null
     only_b = ~a_null & b_null
