@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import re
 from datetime import date, datetime
-from typing import Any, Callable, Dict, List, Mapping, Optional, Tuple
+from typing import Any, Dict, List, Mapping, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -34,7 +34,7 @@ from nacc_form_validator_ray import utils
 from nacc_form_validator_ray.datastore import Datastore
 from nacc_form_validator_ray.errors import Codes, format_message
 from nacc_form_validator_ray.keys import K
-from nacc_form_validator_ray.rowval import (NULL_DROPPED, RecordValidator,
+from nacc_form_validator_ray.rowval import (RecordValidator,
                                             build_dtype_map)
 
 # rules the vector path can evaluate as masks

@@ -33,7 +33,7 @@ import pandas as pd
 
 from nacc_form_validator_ray.pipelines.webgen import extract_text
 from nacc_form_validator_ray.stages.scrub import Scrubber
-from nacc_form_validator_ray.stages.text_signals import (Fingerprint, LangId,
+from nacc_form_validator_ray.stages.text_signals import (Fingerprint,
                                                          TextStats)
 from nacc_form_validator_ray.stages.validate import validate_dataset
 from nacc_form_validator_ray.state import lineage
@@ -168,7 +168,6 @@ def run_quality_filter(input_dir: str,
     partitions and wipes half-written ones.
     """
     import ray.data as rd
-    import pyarrow.parquet as pq
 
     files = sorted(
         os.path.join(input_dir, f) for f in os.listdir(input_dir)

@@ -13,7 +13,7 @@ large-scale training-data operators (dedup, similarity, text analysis).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import numpy as np
 import pandas as pd
@@ -22,8 +22,7 @@ from nacc_form_validator_ray.stages.scrub import PII_PATTERNS, Scrubber
 from nacc_form_validator_ray.stages.text_signals import (BPE_TOKEN_RE,
                                                          LANG_ORDER,
                                                          STOPWORDS,
-                                                         LangId, TextStats,
-                                                         stopword_pattern)
+                                                         LangId, TextStats)
 
 
 def _rd():
@@ -418,7 +417,7 @@ FROM events GROUP BY 1, 2
 
 
 def q_events_type_stats(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Min
+    from ray.data.aggregate import Max, Min
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
                             columns=["event_type", "user_id", "value"])
 

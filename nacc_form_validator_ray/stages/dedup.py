@@ -18,7 +18,7 @@ LSH paths — full transitive closure available via
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import pandas as pd

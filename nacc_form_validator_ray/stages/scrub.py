@@ -16,10 +16,9 @@ byte-identical output per input text across runs and parallelism levels.
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
-import pandas as pd
 
 #: (name, pattern, replacement) applied IN ORDER — order is part of the
 #: contract (an email scrub must not leave digits for the phone scrub).
