@@ -167,3 +167,51 @@ def test_run_quality_filter_resume(tmp_path):
     # partition 0 untouched (manifest timestamp preserved)
     assert lineage.read_manifests(str(out))[0]["completed_at"] == \
         manifests[0]["completed_at"]
+
+
+def test_host_metrics_salted_preagg():
+    from nacc_form_validator_ray.pipelines.quality_filter import \
+        host_metrics
+    ds = generate_pages(400, seed=3)
+    ds = build_quality_pipeline(ds, clock=Clock.frozen_now())
+    hm = host_metrics(ds).to_pandas()
+    assert {"host", "n_docs", "n_kept"} <= set(hm.columns)
+    assert hm["n_docs"].sum() == 400
+    assert (hm["n_kept"] <= hm["n_docs"]).all()
+    # Zipf skew: the hottest host dominates
+    assert hm["n_docs"].max() > hm["n_docs"].median() * 5
+
+
+def test_pipeline_with_perplexity_stage():
+    from nacc_form_validator_ray.stages.perplexity import train_ngram_model
+    ds = generate_pages(200, seed=5)
+    model = train_ngram_model(ds.map_batches(
+        lambda b: b[["text"]], batch_format="pandas"))
+    out = build_quality_pipeline(generate_pages(200, seed=5),
+                                 clock=Clock.frozen_now(),
+                                 ppl_model=model).to_pandas()
+    assert "log_ppl" in out.columns
+    assert (out["log_ppl"] > 0).all()
+
+
+def test_quality_check_record_api_with_datastore():
+    from nacc_form_validator_ray import InMemoryDatastore, QualityCheck
+    ds = InMemoryDatastore(
+        "pid", "visit",
+        records={"P1": [{"visit": 1, "score": 0}]})
+    schema = {
+        "pid": {"type": "string"},
+        "visit": {"type": "integer"},
+        "score": {"type": "integer",
+                  "temporalrules": [{
+                      "previous": {"score": {"allowed": [0]}},
+                      "current": {"score": {"forbidden": [9]}}}]},
+    }
+    qc = QualityCheck("pid", schema, datastore=ds)
+    passed, sysf, errors, entries = qc.validate_record(
+        {"pid": "P1", "visit": "2", "score": "9"})
+    assert not passed and not sysf
+    assert entries[0].code == 0x2000
+    passed, _, _, _ = qc.validate_record(
+        {"pid": "P1", "visit": "2", "score": "5"})
+    assert passed
