@@ -126,6 +126,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     import ray
     ray.shutdown()
+    micro = validator_micro_bench()
     total = round(sum(timings.values()), 3)
     return {
         "metric": "end-to-end seconds for the headline pipeline suite "
@@ -137,6 +138,62 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "pages": n_pages,
         "docs_per_sec": round(n_pages / qf_sec, 1),
+        **micro,
+    }
+
+
+def validator_micro_bench(n_rows: int = 50_000) -> dict:
+    """Single-core validator comparison: a reference-shaped per-record
+    loop vs the vectorized batch engine on the same rule schema — the
+    honest stand-in for 'reference single-node throughput' (the
+    reference itself cannot run here; see BASELINE.md)."""
+    import numpy as np
+    import pandas as pd
+    from nacc_form_validator_ray.engine import (BatchValidator,
+                                                CompiledSchema)
+    from nacc_form_validator_ray.rowval import RecordValidator
+
+    schema = {
+        "adcid": {"type": "integer", "required": True, "min": 0,
+                  "max": 68},
+        "prevenrl": {"type": "integer", "required": True,
+                     "allowed": [0, 1, 9]},
+        "oldadcid": {
+            "type": "integer", "nullable": True,
+            "anyof": [{"min": 0, "max": 68}, {"allowed": [-1]}],
+            "compatibility": [
+                {"if": {"prevenrl": {"allowed": [1]}},
+                 "then": {"oldadcid": {"nullable": False}}},
+                {"if": {"prevenrl": {"allowed": [0, 9]}},
+                 "then": {"oldadcid": {"nullable": True,
+                                       "filled": False}}}],
+        },
+    }
+    rng = np.random.RandomState(0)
+    df = pd.DataFrame({
+        "adcid": rng.randint(-5, 75, size=n_rows),
+        "prevenrl": rng.choice([0, 1, 9, 5], size=n_rows),
+        "oldadcid": np.where(rng.rand(n_rows) < 0.3, None,
+                             rng.randint(-2, 70, size=n_rows)),
+    }).astype(object)
+
+    n_loop = min(n_rows, 10_000)
+    rv = RecordValidator(schema, allow_unknown=True)
+    records = df.head(n_loop).to_dict("records")
+    t0 = time.perf_counter()
+    for rec in records:
+        rv.validate(rv.cast_record(dict(rec)))
+    loop_rps = n_loop / (time.perf_counter() - t0)
+
+    bv = BatchValidator(CompiledSchema(schema, strict=False),
+                        collect="none")
+    t0 = time.perf_counter()
+    bv.validate_frame(df)
+    batch_rps = n_rows / (time.perf_counter() - t0)
+    return {
+        "validator_rows_per_sec_record_loop": round(loop_rps),
+        "validator_rows_per_sec_batch_engine": round(batch_rps),
+        "validator_batch_speedup": round(batch_rps / loop_rps, 1),
     }
 
 
