@@ -208,17 +208,32 @@ def _rep_3gram_counts(codes: np.ndarray, dictionary, doc_id: np.ndarray,
     m = len(codes)
     if m < 3:
         return total, distinct
-    if len(dictionary) >= (1 << 21):
-        raise ValueError("batch vocabulary too large for 3-gram packing; "
-                         "lower batch_size")
+    vocab = len(dictionary)
     c0 = codes[:-2]
     c1 = codes[1:-1]
     c2 = codes[2:]
     same_doc = doc_id[:-2] == doc_id[2:]
-    keys = (c0 << 42) | (c1 << 21) | c2
     g_doc = doc_id[:-2][same_doc]
-    g_key = keys[same_doc]
     total = np.bincount(g_doc, minlength=n).astype(np.int64)
+
+    bits_v = max(int(vocab - 1).bit_length(), 1)
+    bits_d = max(int(n - 1).bit_length(), 1)
+    if 3 * bits_v + bits_d <= 63:
+        # pack (doc, w0, w1, w2) into ONE int64 — a single-key np.sort is
+        # several times faster than a two-key lexsort
+        key = (((c0 << bits_v) | c1) << bits_v | c2)[same_doc]
+        packed = (g_doc << np.int64(3 * bits_v)) | key
+        sp = np.sort(packed)
+        new = np.ones(len(sp), dtype=bool)
+        new[1:] = sp[1:] != sp[:-1]
+        distinct = np.bincount(sp[new] >> np.int64(3 * bits_v),
+                               minlength=n).astype(np.int64)
+        return total, distinct
+
+    if vocab >= (1 << 21):
+        raise ValueError("batch vocabulary too large for 3-gram packing; "
+                         "lower batch_size")
+    g_key = ((c0 << 42) | (c1 << 21) | c2)[same_doc]
     # distinct (doc, key) pairs via lexsort + boundary detection
     # (np.unique(..., axis=0) is orders of magnitude slower)
     order = np.lexsort((g_key, g_doc))
