@@ -101,12 +101,28 @@ def _logic_vectorizable(expr: Any) -> bool:
     return all(_logic_vectorizable(a) for a in args)
 
 
+def _child_type_consistent(field: str, rules: Mapping[str, Any],
+                           dtypes: Dict[str, str]) -> bool:
+    """A type declared inside an anyof child / condition set is only
+    vector-safe when it matches the field's own dtype — otherwise the
+    vector path (which checks types via the cast mask) would miss the
+    child's independent type failure."""
+    declared = rules.get(K.TYPE)
+    if declared is None:
+        return True
+    from nacc_form_validator_ray.rowval import TYPE_TAGS
+    names = declared if isinstance(declared, list) else [declared]
+    return dtypes.get(field) in {TYPE_TAGS.get(t) for t in names}
+
+
 def _conds_vectorizable(conds: Mapping[str, Any],
                         dtypes: Dict[str, str]) -> bool:
     # nested compare_with inside condition sets goes to the row path —
     # its string/mixed-type comparison semantics aren't worth vectorizing
     return all(
-        K.COMPARE_WITH not in r and _field_vectorizable(f, r, dtypes)
+        K.COMPARE_WITH not in r
+        and _child_type_consistent(f, r, dtypes)
+        and _field_vectorizable(f, r, dtypes)
         for f, r in conds.items())
 
 
@@ -144,7 +160,8 @@ def _field_vectorizable(field: str, rules: Mapping[str, Any],
         if name not in VECTOR_RULES:
             return False
         if name == K.ANYOF:
-            if not all(_field_vectorizable(field, c, dtypes)
+            if not all(_child_type_consistent(field, c, dtypes)
+                       and _field_vectorizable(field, c, dtypes)
                        for c in constraint):
                 return False
         elif name == K.COMPATIBILITY:

@@ -258,3 +258,30 @@ def test_full_collect_messages_match_row_oracle():
                      zip(result.row_idx, result.fields, result.codes,
                          result.messages) if j == i)
         assert got == expected
+
+
+def test_anyof_child_with_divergent_type_goes_row_path():
+    """A type declared inside an anyof child that differs from the
+    field's dtype must still be enforced (row path)."""
+    schema = {
+        "v": {"nullable": True,
+              "anyof": [{"type": "string", "allowed": ["x"]},
+                        {"type": "integer", "min": 100}]},
+    }
+    records = [{"v": "x"}, {"v": 150}, {"v": 5}, {"v": "y"}, {"v": None}]
+    assert_parity(schema, records)
+
+
+def test_compat_cond_with_divergent_type_goes_row_path():
+    schema = {
+        "a": {"type": "integer", "nullable": True},
+        "b": {"type": "integer", "nullable": True,
+              "compatibility": [{
+                  "if": {"a": {"type": "string"}},
+                  "then": {"b": {"nullable": False}}}]},
+    }
+    # `a` is an int, so the if-clause's string type check always fails
+    # -> then never enforced
+    records = [{"a": 1, "b": None}, {"a": None, "b": None},
+               {"a": 2, "b": 3}]
+    assert_parity(schema, records)
