@@ -28,19 +28,14 @@ def _init_ray(num_cpus: int | None):
 
 def cmd_validate(args) -> int:
     import ray
-    import ray.data as rd
     from nacc_form_validator_ray.stages.validate import validate_dataset
 
     _init_ray(args.num_cpus)
     with open(args.rules) as f:
         schema = json.load(f)
 
-    if args.input.endswith(".csv"):
-        ds = rd.read_csv(args.input)
-    elif args.input.endswith(".json"):
-        ds = rd.read_json(args.input)
-    else:
-        ds = rd.read_parquet(args.input)
+    from nacc_form_validator_ray.sources import read_any
+    ds = read_any(args.input)
 
     ds = validate_dataset(ds, schema, pk_field=args.primary_key,
                           orderby=args.orderby, strict=args.strict,

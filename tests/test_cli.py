@@ -63,3 +63,18 @@ def test_cli_genpages_and_quality_filter(tmp_path):
     metrics = json.loads(proc.stdout[proc.stdout.index("{"):])
     assert metrics["n_rows"] == 200
     assert 0 < metrics["n_kept"] < 200
+
+
+def test_read_any_formats(tmp_path):
+    import pandas as pd
+    import ray.data as rd
+    from nacc_form_validator_ray.sources import read_any
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    df.to_csv(tmp_path / "t.csv", index=False)
+    df.to_json(tmp_path / "t.jsonl", orient="records", lines=True)
+    rd.from_pandas(df).write_parquet(str(tmp_path / "pq"))
+    assert read_any(str(tmp_path / "t.csv")).count() == 3
+    assert read_any(str(tmp_path / "t.jsonl"),
+                    columns=["a"]).schema().names == ["a"]
+    assert read_any(str(tmp_path / "pq"), columns=["b"]).take(1)[0] == \
+        {"b": "x"}
