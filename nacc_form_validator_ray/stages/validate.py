@@ -260,11 +260,20 @@ def validate_dataset(ds,
                 "temporal rules require pk_field and orderby")
         from nacc_form_validator_ray.stages.partition import grouped_apply
         tgv = TemporalGroupValidator(compiled, datastore_factory)
+        fast_specs = temporal_fast_specs(compiled)
+        vectorized = VectorTemporalPartition(compiled, fast_specs) \
+            if fast_specs else None
 
         # ONE hash exchange on the primary key; subjects are grouped
-        # inside each partition with a pandas groupby, so Ray-level
-        # overhead is per partition, not per subject
+        # inside each partition, so Ray-level overhead is per partition,
+        # not per subject. Simple compare_with-previous/initial schemas
+        # take the fully vectorized shift/ffill path.
         def temporal_partition(part: pd.DataFrame) -> pd.DataFrame:
+            if vectorized is not None and all(
+                    pd.api.types.is_numeric_dtype(part[c])
+                    for s in fast_specs
+                    for c in (s["field"], s["base"])):
+                return vectorized(part)
             out = [tgv(group) for _, group in
                    part.groupby(pk_field, sort=False, dropna=False)]
             return pd.concat(out, ignore_index=True)
@@ -272,3 +281,180 @@ def validate_dataset(ds,
         ds = grouped_apply(ds, [pk_field], temporal_partition,
                            num_partitions=64)
     return ds
+
+
+# ------------------------------------------------- vectorized temporal
+
+
+def temporal_fast_specs(compiled: CompiledSchema):
+    """Profile the temporal schema for the vectorized fast path.
+
+    Covered: fields whose rules are only {type (numeric), nullable,
+    required, compare_with previous_record/initial_record} with a plain
+    numeric field base (no adjustment/base_decimal). Anything else —
+    temporalrules clauses, ignore_empty-less subtleties aside — keeps the
+    exact row path. Returns a list of specs or None.
+    """
+    from nacc_form_validator_ray.keys import K
+    specs = []
+    for field, rules in compiled.temporal_schema.items():
+        if set(rules) - {K.TYPE, K.NULLABLE, K.REQUIRED, K.COMPARE_WITH}:
+            return None
+        cw = rules.get(K.COMPARE_WITH)
+        if not cw:
+            return None
+        prev = bool(cw.get(K.PREV_RECORD))
+        initial = bool(cw.get(K.INITIAL_RECORD))
+        if prev == initial:  # exactly one mode
+            return None
+        if cw.get(K.ADJUST) is not None or cw.get(K.BASE_DECIMAL):
+            return None
+        base = cw.get(K.BASE)
+        if not isinstance(base, str):
+            return None
+        if compiled.dtypes.get(field) not in ("int", "float") or \
+                compiled.dtypes.get(base) not in ("int", "float"):
+            return None
+        specs.append({
+            "field": field,
+            "base": base,
+            "comparator": cw[K.COMPARATOR],
+            "prev": prev,
+            "ignore_empty": bool(cw.get(K.IGNORE_EMPTY, False)),
+            "nullable": bool(rules.get(K.NULLABLE, False)),
+        })
+    return specs or None
+
+
+class VectorTemporalPartition:
+    """Whole-partition vectorized temporal evaluation: group-wise shifts
+    and forward-fills replace the per-record previous/initial lookups, so
+    a partition of thousands of subjects costs numpy kernels instead of
+    per-row Python. Rows with a falsy primary key (reference: treated as
+    'pk not set') get their exact two-error vector directly."""
+
+    def __init__(self, compiled: CompiledSchema, specs):
+        from nacc_form_validator_ray.errors import Codes, format_message
+        self.compiled = compiled
+        self.specs = specs
+        self.codes = Codes
+        self.fmt = format_message
+
+    def __call__(self, part: pd.DataFrame) -> pd.DataFrame:
+        from nacc_form_validator_ray.engine import _vec_compare
+        from nacc_form_validator_ray.errors import Codes
+
+        compiled = self.compiled
+        pk, orderby = compiled.pk_field, compiled.orderby
+        part = part.sort_values([pk, orderby], kind="stable") \
+            .reset_index(drop=True)
+        n = len(part)
+        grouped = part.groupby(pk, sort=False, dropna=False)
+
+        pk_vals = part[pk]
+        falsy_pk = (pk_vals.isna() |
+                    ~pk_vals.fillna(0).astype(bool)).to_numpy()
+
+        passed = np.ones(n, dtype=bool)
+        n_errors = np.zeros(n, dtype=np.int64)
+        errors: List[List[Dict[str, Any]]] = [[] for _ in range(n)]
+
+        def add_error(idx, field, code, rule, message):
+            passed[idx] = False
+            n_errors[idx] += 1
+            errors[idx].append({"field": field, "code": int(code),
+                                "rule": rule, "message": message})
+
+        for spec in self.specs:
+            field, base = spec["field"], spec["base"]
+            visit_type = "previous" if spec["prev"] else "initial"
+            comparison_str = (f"{field} {spec['comparator']} {base} "
+                             f"({visit_type} record)")
+            msg_fail = self.fmt(Codes.COMPARE_WITH, (comparison_str,))
+            msg_noprev = self.fmt(Codes.COMPARE_WITH_PREV,
+                                  (comparison_str, visit_type))
+
+            value = pd.to_numeric(part[field], errors="coerce") \
+                .to_numpy(np.float64)
+            value_null = part[field].isna().to_numpy()
+
+            if spec["nullable"] is False:
+                for i in np.flatnonzero(value_null):
+                    add_error(i, field, Codes.NOT_NULLABLE, "nullable",
+                              self.fmt(Codes.NOT_NULLABLE))
+
+            base_series = pd.to_numeric(part[base], errors="coerce")
+            if spec["prev"]:
+                if spec["ignore_empty"]:
+                    shifted = base_series.groupby(
+                        part[pk], sort=False, dropna=False).shift(1)
+                    base_vals = shifted.groupby(
+                        part[pk], sort=False, dropna=False).ffill()
+                else:
+                    base_vals = base_series.groupby(
+                        part[pk], sort=False, dropna=False).shift(1)
+            else:
+                # the subject's literal first value, INCLUDING null
+                # (groupby.first/transform('first') skip NaN, which would
+                # silently repair a null initial record)
+                pk_shifted = pk_vals.shift(1)
+                first_mask = (pk_vals != pk_shifted) & ~(
+                    pk_vals.isna() & pk_shifted.isna())
+                if len(first_mask):
+                    first_mask.iloc[0] = True
+                base_vals = base_series.where(first_mask).groupby(
+                    part[pk], sort=False, dropna=False).ffill()
+            base_np = base_vals.to_numpy(np.float64)
+            base_null = np.isnan(base_np)
+
+            ok = _vec_compare(spec["comparator"], value, value_null,
+                              base_np, base_null)
+            if spec["prev"] and spec["ignore_empty"]:
+                # no nonempty history -> pass through validation
+                viol = ~ok & ~base_null
+                missing = np.zeros(n, dtype=bool)
+            else:
+                viol = ~ok & ~base_null
+                missing = base_null
+            viol &= ~falsy_pk
+            missing = missing & ~falsy_pk
+
+            code_missing = Codes.COMPARE_WITH_PREV if spec["prev"] \
+                else Codes.COMPARE_WITH
+            msg_missing = msg_noprev if spec["prev"] else msg_fail
+            for i in np.flatnonzero(missing):
+                add_error(i, field, code_missing, "compare_with",
+                          msg_missing)
+            for i in np.flatnonzero(viol):
+                add_error(i, field, Codes.COMPARE_WITH, "compare_with",
+                          msg_fail)
+
+            # falsy pk: NO_PRIMARY_KEY (attributed to the base field,
+            # reference nacc_validator.py:281-284 via field=base) + the
+            # missing-record compare error
+            msg_nopk = self.fmt(Codes.NO_PRIMARY_KEY, (pk,))
+            for i in np.flatnonzero(falsy_pk):
+                add_error(i, base, Codes.NO_PRIMARY_KEY, "temporalrules",
+                          msg_nopk)
+                if not (spec["prev"] and spec["ignore_empty"]):
+                    # with ignore_empty the reference passes through when
+                    # no record is retrievable (nacc_validator.py:1141)
+                    add_error(i, field, code_missing, "compare_with",
+                              msg_missing)
+
+        out = part
+        if "passed" in out.columns:
+            out["passed"] = out["passed"].to_numpy(dtype=bool) & passed
+            out["n_errors"] = out["n_errors"].to_numpy() + n_errors
+            if "errors" in out.columns:
+                merged = []
+                for prev, new in zip(out["errors"].tolist(), errors):
+                    prev = list(prev) if prev is not None else []
+                    merged.append(prev + new)
+                out["errors"] = merged
+        else:
+            out["passed"] = passed
+            out["sys_failure"] = np.zeros(n, dtype=bool)
+            out["n_errors"] = n_errors.astype(np.int32)
+            out["errors"] = errors
+        return out

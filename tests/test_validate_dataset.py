@@ -151,3 +151,59 @@ def test_mixed_local_and_temporal():
     assert by_key[("A", 2)] == [0x2000]
     assert by_key[("A", 3)] == [0x43]
     assert by_key[("B", 0)] == [0x42, 0x2002]
+
+
+def test_vectorized_temporal_fast_path_matches_row_path(monkeypatch):
+    """The shift/ffill fast path must agree with the row-oracle temporal
+    path on passed/n_errors/error codes, including no-history rows,
+    null values, ignore_empty pass-through and falsy primary keys."""
+    import nacc_form_validator_ray.stages.validate as sv
+
+    schema = {
+        "pk": {"type": "string"},
+        "seq": {"type": "integer"},
+        "v": {"type": "float", "nullable": True,
+              "compare_with": {"comparator": ">=", "base": "v",
+                               "previous_record": True}},
+        "w": {"type": "float", "nullable": True,
+              "compare_with": {"comparator": "==", "base": "w",
+                               "initial_record": True}},
+        "x": {"type": "float", "nullable": True,
+              "compare_with": {"comparator": "<=", "base": "x",
+                               "previous_record": True,
+                               "ignore_empty": True}},
+    }
+    rng = np.random.RandomState(7)
+    rows = []
+    for pid in ["a", "b", "", "c"]:
+        for s in range(1, rng.randint(2, 6)):
+            rows.append({
+                "pk": pid, "seq": s,
+                "v": None if rng.rand() < 0.25
+                else float(rng.randint(0, 5)),
+                "w": None if rng.rand() < 0.25
+                else float(rng.randint(0, 3)),
+                "x": None if rng.rand() < 0.4
+                else float(rng.randint(0, 5)),
+            })
+    df = pd.DataFrame(rows)
+
+    assert sv.temporal_fast_specs(
+        sv.CompiledSchema(schema, pk_field="pk", orderby="seq",
+                          strict=False)) is not None
+
+    fast = validate_dataset(rd.from_pandas(df), schema, pk_field="pk",
+                            orderby="seq", strict=False).to_pandas()
+    monkeypatch.setattr(sv, "temporal_fast_specs", lambda c: None)
+    slow = validate_dataset(rd.from_pandas(df), schema, pk_field="pk",
+                            orderby="seq", strict=False).to_pandas()
+
+    key = ["pk", "seq"]
+    fast = fast.sort_values(key).reset_index(drop=True)
+    slow = slow.sort_values(key).reset_index(drop=True)
+    assert fast["passed"].tolist() == slow["passed"].tolist()
+    assert fast["n_errors"].tolist() == slow["n_errors"].tolist()
+    for i in range(len(fast)):
+        fc = sorted((e["field"], e["code"]) for e in fast["errors"][i])
+        sc = sorted((e["field"], e["code"]) for e in slow["errors"][i])
+        assert fc == sc, (i, fast.loc[i, key].tolist(), fc, sc)
