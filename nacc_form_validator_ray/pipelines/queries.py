@@ -1118,3 +1118,46 @@ def q_ivf_knn(sf_dir: str):
 
 
 QUERIES["ivf_knn_embeddings"] = q_ivf_knn
+
+
+def q_asof_prior_purchase(sf_dir: str):
+    """As-of join: each event picks the user's most recent STRICTLY
+    earlier purchase event (one hash exchange + per-partition
+    merge_asof)."""
+    from nacc_form_validator_ray.stages.joins import asof_join
+    events = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["event_id", "user_id", "ts",
+                                         "event_type"])
+    purchases = events.map_batches(
+        lambda b: b[b["event_type"] == "purchase"]
+        .rename(columns={"event_id": "prior_purchase_id"})
+        [["user_id", "ts", "prior_purchase_id"]],
+        batch_format="pandas")
+    joined = asof_join(events, purchases, by="user_id", on="ts",
+                       direction="backward",
+                       allow_exact_matches=False)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": batch["event_id"].astype(np.int64),
+            # float64 with NaN for "no prior purchase": matches what
+            # DuckDB's nullable BIGINT becomes in pandas
+            "prior_purchase_id":
+                batch["prior_purchase_id"].astype(np.float64),
+        })
+
+    return joined.map_batches(project, batch_format="pandas")
+
+
+SQL_ASOF_PRIOR_PURCHASE = """
+SELECT e.event_id,
+       CAST(p.event_id AS DOUBLE) AS prior_purchase_id
+FROM events e
+ASOF LEFT JOIN (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'purchase'
+) p ON e.user_id = p.user_id AND e.ts > p.ts
+"""
+
+QUERIES["asof_prior_purchase"] = q_asof_prior_purchase
+ORACLE_SQL["asof_prior_purchase"] = SQL_ASOF_PRIOR_PURCHASE

@@ -192,3 +192,50 @@ def test_audio_features_stub():
     assert (out["audio_features"].iloc[1] == 0).all()
     again = AudioFeatures()(df)
     assert (again["audio_features"].iloc[0] == f0).all()
+
+
+def test_asof_join_matches_pandas():
+    from nacc_form_validator_ray.stages.joins import asof_join
+    rng = np.random.RandomState(4)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 5, 60),
+        "t": rng.randint(0, 1000, 60).astype("int64"),
+        "lv": np.arange(60),
+    })
+    right = pd.DataFrame({
+        "k": rng.randint(0, 5, 40),
+        "t": rng.randint(0, 1000, 40).astype("int64"),
+        "rv": np.arange(40) * 10,
+    })
+    out = asof_join(rd.from_pandas(left).repartition(3),
+                    rd.from_pandas(right).repartition(2),
+                    by="k", on="t").to_pandas()
+    expect = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("t"), on="t", by="k",
+        direction="backward", allow_exact_matches=False,
+        suffixes=("", "_right"))
+    out = out.sort_values("lv").reset_index(drop=True)
+    expect = expect.sort_values("lv").reset_index(drop=True)
+    assert out["lv"].tolist() == expect["lv"].tolist()
+    assert out["rv"].fillna(-1).tolist() == \
+        expect["rv"].fillna(-1).tolist()
+
+
+def test_range_join_bucketed():
+    from nacc_form_validator_ray.stages.joins import range_join_bucketed
+    left = pd.DataFrame({"iid": [0, 1, 2],
+                         "lo": [0.0, 10.0, 5.0],
+                         "hi": [5.0, 20.0, 15.0]})
+    right = pd.DataFrame({"pid": np.arange(30),
+                          "val": np.linspace(0, 25, 30)})
+    out = range_join_bucketed(rd.from_pandas(left),
+                              rd.from_pandas(right),
+                              lo="lo", hi="hi", value="val",
+                              bucket_width=4.0).to_pandas()
+    expect = set()
+    for _, l in left.iterrows():
+        for _, r in right.iterrows():
+            if l["lo"] <= r["val"] < l["hi"]:
+                expect.add((int(l["iid"]), int(r["pid"])))
+    got = {(int(a), int(b)) for a, b in zip(out["iid"], out["pid"])}
+    assert got == expect
