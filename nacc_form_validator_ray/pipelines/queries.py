@@ -1161,3 +1161,17 @@ ASOF LEFT JOIN (
 
 QUERIES["asof_prior_purchase"] = q_asof_prior_purchase
 ORACLE_SQL["asof_prior_purchase"] = SQL_ASOF_PRIOR_PURCHASE
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Connected components over MinHash near-dup pairs: each involved
+    doc labeled with its cluster's minimum doc_id. Rows-only."""
+    from nacc_form_validator_ray.stages.dedup import (
+        minhash_candidate_pairs, propagate_labels)
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    pairs = minhash_candidate_pairs(docs, threshold=0.5)
+    ids = _docs(sf_dir, columns=["doc_id"])
+    return propagate_labels(pairs, ids, rounds=3)
+
+
+QUERIES["dedup_clusters"] = q_dedup_clusters

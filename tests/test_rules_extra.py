@@ -157,3 +157,71 @@ def test_compare_with_current_month_day(make_validator):
     assert nv.validate({"mo": 8, "dy": 17})
     assert not nv.validate({"mo": 9, "dy": 17})
     assert not nv.validate({"mo": 8, "dy": 18})
+
+
+def test_ftdsnrat_ratio_guarded_division(make_validator):
+    """The C2F ftdsnrat stack: compatibility guarded by a count_exact
+    formula that prevents divide-by-zero, then a ratio equality check
+    (condensed from the reference's hardest compatibility test)."""
+    schema = {
+        "ftdhaird": {"nullable": True, "type": "integer",
+                     "allowed": [0, 1]},
+        "ftdspit": {"nullable": True, "type": "integer",
+                    "allowed": [0, 1]},
+        "ftdnose": {"nullable": True, "type": "integer",
+                    "allowed": [0, 1]},
+        "ftdsnrat": {
+            "nullable": True, "type": "float",
+            "anyof": [{"min": 0.0, "max": 3.0}, {"allowed": [88.88]}],
+            "compatibility": [
+                {"index": 0, "if_op": "and",
+                 "if": {
+                     "ftdhaird": {"allowed": [0, 1]},
+                     "ftdspit": {"allowed": [0, 1]},
+                     "ftdnose": {"allowed": [0, 1]},
+                     "ftdsnrat": {"logic": {"formula": {"and": [
+                         {"!=": [0, {"count_exact": [
+                             0, {"var": "ftdhaird"}, {"var": "ftdspit"},
+                             {"var": "ftdnose"}]}]},
+                         {"!=": [0, {"count_exact": [
+                             1, {"var": "ftdhaird"}, {"var": "ftdspit"},
+                             {"var": "ftdnose"}]}]},
+                     ]}}},
+                 },
+                 "then": {"ftdsnrat": {"logic": {"formula": {"==": [
+                     {"var": "ftdsnrat"},
+                     {"/": [
+                         {"count_exact": [1, {"var": "ftdhaird"},
+                                          {"var": "ftdspit"},
+                                          {"var": "ftdnose"}]},
+                         {"count_exact": [0, {"var": "ftdhaird"},
+                                          {"var": "ftdspit"},
+                                          {"var": "ftdnose"}]},
+                     ]}]}}}}},
+                {"index": 2, "if_op": "and",
+                 "if": {"ftdhaird": {"allowed": [0]},
+                        "ftdspit": {"allowed": [0]},
+                        "ftdnose": {"allowed": [0]}},
+                 "then": {"ftdsnrat": {"allowed": [88.88]}}},
+            ],
+        },
+    }
+    nv = make_validator(schema)
+    assert nv.validate({"ftdsnrat": 88.88, "ftdhaird": 0, "ftdspit": 0,
+                        "ftdnose": 0})
+    assert nv.validate({"ftdsnrat": 88.88, "ftdhaird": None,
+                        "ftdspit": None, "ftdnose": None})
+    assert nv.validate({"ftdsnrat": 2.0, "ftdhaird": 1, "ftdspit": 1,
+                        "ftdnose": 0})
+    assert nv.validate({"ftdsnrat": 0.5, "ftdhaird": 0, "ftdspit": 1,
+                        "ftdnose": 0})
+    assert not nv.validate({"ftdsnrat": 0.0, "ftdhaird": 0,
+                            "ftdspit": 0, "ftdnose": 0})
+    assert nv.errors == {
+        "ftdsnrat": [
+            "('ftdsnrat', ['unallowed value 0.0']) for if {'ftdhaird': "
+            "{'allowed': [0]}, 'ftdspit': {'allowed': [0]}, 'ftdnose': "
+            "{'allowed': [0]}} then {'ftdsnrat': {'allowed': [88.88]}} "
+            "- compatibility rule no: 2"
+        ]
+    }
