@@ -411,7 +411,11 @@ def propagate_labels(pairs_ds, ids_ds, id_column: str = "doc_id",
             "other": np.concatenate([batch["id_b"], batch["id_a"]]),
         })
 
-    edges = pairs_ds.map_batches(edge_rows, batch_format="pandas")
+    # edges/labels are consumed once per round: pin the SMALL edge list
+    # (and each round's labels) so laziness doesn't re-execute the whole
+    # upstream candidate-pair pipeline every iteration
+    edges = pairs_ds.map_batches(edge_rows,
+                                 batch_format="pandas").materialize()
 
     def scatter(part: pd.DataFrame) -> pd.DataFrame:
         lbl = part[part["label"] >= 0][[id_column, "label"]]
@@ -437,7 +441,8 @@ def propagate_labels(pairs_ds, ids_ds, id_column: str = "doc_id",
         proposals = grouped_apply(labels.union(edges), [id_column],
                                   scatter, num_partitions=num_partitions)
         labels = grouped_apply(proposals, [id_column], gather,
-                               num_partitions=num_partitions)
+                               num_partitions=num_partitions) \
+            .materialize()
 
     return labels.map_batches(
         lambda b: pd.DataFrame({id_column: b[id_column],
