@@ -1175,3 +1175,23 @@ def q_dedup_clusters(sf_dir: str):
 
 
 QUERIES["dedup_clusters"] = q_dedup_clusters
+
+
+def q_fingerprint_md5(sf_dir: str):
+    """Exact-dup fingerprint (md5 of normalized text) — the SQL-checkable
+    half of the fingerprint family (winnowing stays rows-only)."""
+    from nacc_form_validator_ray.stages.text_signals import Fingerprint
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(Fingerprint(), batch_format="pandas")
+    return ds.select_columns(["doc_id", "fingerprint_md5"])
+
+
+SQL_FINGERPRINT_MD5 = """
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           AS fingerprint_md5
+FROM documents
+"""
+
+QUERIES["fingerprint_md5"] = q_fingerprint_md5
+ORACLE_SQL["fingerprint_md5"] = SQL_FINGERPRINT_MD5

@@ -1,0 +1,55 @@
+"""In-suite oracle parity: a fast subset of the SQL-expressible queries
+checked against DuckDB at sf0.001 (the full sweep lives in
+scripts/check_oracle.py, which the driver's correctness gate mirrors)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+FAST_QUERIES = [
+    "text_stats", "langid", "quality_filter_docs", "pii_scrub",
+    "token_count_by_source", "dedup_exact", "score_recompute",
+    "events_window", "knn_embeddings", "q1_lineitem", "top_orders",
+    "segment_revenue", "part_filter", "validator_customer",
+    "orders_by_month", "sample_events", "fingerprint_md5",
+    "asof_prior_purchase",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns), kind="stable") \
+        .reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", FAST_QUERIES)
+def test_query_matches_duckdb(name, duck):
+    from nacc_form_validator_ray.pipelines.queries import (ORACLE_SQL,
+                                                           QUERIES)
+    result = QUERIES[name](SF_DIR)
+    if hasattr(result, "to_pandas"):
+        result = result.to_pandas()
+    ray_df = canon(result)
+    sql_df = canon(duck.sql(ORACLE_SQL[name]).df())
+    assert len(ray_df) == len(sql_df), name
+    assert list(ray_df.columns) == list(sql_df.columns), name
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False)
