@@ -83,7 +83,9 @@ class ValidateStage:
             arrays["errors"] = _errors_array(result.errors_column())
         for name, arr in arrays.items():
             table = table.append_column(name, arr)
-        return table
+        # stray pandas metadata makes downstream schema-dedup hashing
+        # noisy; the schema itself is all that matters
+        return table.replace_schema_metadata(None)
 
 
 class TemporalGroupValidator:

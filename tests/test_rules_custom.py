@@ -702,3 +702,40 @@ def test_score_variables_bad_calc_var_name(make_validator, score_schema):
         nv.validate({"total": 3, "val1": 1, "val2": 2, "val3": 3})
     assert str(e.value) == \
         "total already exists in record, cannot use as calc_var_name"
+
+
+def test_two_failing_compatibility_rules_reverse_order(make_validator):
+    """Two failing clauses of the SAME rule surface in reverse emission
+    order (cerberus's equal-schema-path sort quirk)."""
+    schema = {
+        "a": {"type": "integer", "nullable": True},
+        "v": {"type": "integer", "nullable": True,
+              "compatibility": [
+                  {"index": 0, "if": {"a": {"allowed": [1]}},
+                   "then": {"v": {"allowed": [10]}}},
+                  {"index": 1, "if": {"a": {"allowed": [1]}},
+                   "then": {"v": {"allowed": [20]}}},
+              ]},
+    }
+    nv = make_validator(schema)
+    assert not nv.validate({"a": 1, "v": 5})
+    msgs = nv.errors["v"]
+    assert "rule no: 1" in msgs[0]
+    assert "rule no: 0" in msgs[1]
+
+
+def test_anyof_nested_dict_sits_after_its_message(make_validator):
+    schema = {
+        "v": {"type": "integer", "nullable": True,
+              "allowed": [1, 2, 3, 100],
+              "anyof": [{"min": 0, "max": 10}, {"allowed": [99]}]},
+    }
+    nv = make_validator(schema)
+    assert not nv.validate({"v": 50})
+    msgs = nv.errors["v"]
+    # 'allowed' sorts before 'anyof'; the child-error dict follows the
+    # anyof message immediately
+    assert msgs[0] == "unallowed value 50"
+    assert msgs[1] == "no definitions validate"
+    assert isinstance(msgs[2], dict)
+    assert msgs[2]["anyof definition 0"] == ["max value is 10"]
