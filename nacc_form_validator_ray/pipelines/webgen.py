@@ -140,9 +140,11 @@ class PageGenerator:
 
 
 def generate_pages(n_docs: int, seed: int = 42, n_hosts: int = 1000,
-                   parallelism: Optional[int] = None):
+                   parallelism: Optional[int] = None,
+                   dup_fraction: float = 0.1):
     """Build the page Dataset via distributed generation."""
     import ray.data as rd
     ds = rd.range(n_docs, override_num_blocks=parallelism)
-    return ds.map_batches(PageGenerator(seed=seed, n_hosts=n_hosts),
+    return ds.map_batches(PageGenerator(seed=seed, n_hosts=n_hosts,
+                                        dup_fraction=dup_fraction),
                           batch_format="pandas", batch_size=2048)

@@ -130,3 +130,35 @@ def range_join_bucketed(left_ds, right_ds, lo: str, hi: str, value: str,
 
     return grouped_apply(lt.union(rt), ["__bucket"], join_partition,
                          num_partitions=num_partitions)
+
+
+def anti_join(left_ds, keys_ds, on: str, num_partitions: int = 64):
+    """Distributed anti join: left rows whose ``on`` value does NOT
+    appear in ``keys_ds``. One hash exchange on the key; no broadcast —
+    works when the key set is too large to ship to every worker (the
+    broadcast-Bloom variant in the guide is the small-side shortcut)."""
+    left_cols = list(left_ds.schema().names)
+
+    def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch[_SIDE] = 0
+        return batch
+
+    def tag_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({on: batch[on]})
+        for c in left_cols:
+            if c not in out.columns:
+                out[c] = None
+        out[_SIDE] = 1
+        return out[left_cols + [_SIDE]]
+
+    lt = left_ds.map_batches(tag_left, batch_format="pandas")
+    kt = keys_ds.map_batches(tag_keys, batch_format="pandas")
+
+    def filter_partition(part: pd.DataFrame) -> pd.DataFrame:
+        banned = set(part.loc[part[_SIDE] == 1, on])
+        left = part[part[_SIDE] == 0]
+        return left[~left[on].isin(banned)][left_cols]
+
+    return grouped_apply(lt.union(kt), [on], filter_partition,
+                         num_partitions=num_partitions)

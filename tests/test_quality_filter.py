@@ -215,3 +215,39 @@ def test_quality_check_record_api_with_datastore():
     passed, _, _, _ = qc.validate_record(
         {"pid": "P1", "visit": "2", "score": "5"})
     assert passed
+
+
+def test_pretrain_pipeline_end_to_end(tmp_path):
+    from nacc_form_validator_ray.pipelines.pretrain import (
+        build_pretrain_pipeline, run_pretrain)
+    ds = generate_pages(600, seed=21, dup_fraction=0.25)
+    out = build_pretrain_pipeline(ds, clock=Clock.frozen_now()).to_pandas()
+    # quality filter dropped some, dedup dropped more
+    assert 0 < len(out) < 600
+    assert out["doc_id"].is_unique
+    # no exact duplicate texts survive
+    norm = out["text"].str.replace(r"\s+", " ", regex=True) \
+        .str.strip().str.lower()
+    assert norm.is_unique
+    # near-duplicates (same text + " extra") are gone too
+    texts = set(norm)
+    n_near = sum(1 for t in texts if t + " extra" in texts)
+    assert n_near == 0
+
+    # file-based runner
+    src = tmp_path / "pages"
+    generate_pages(300, seed=22).write_parquet(str(src))
+    metrics = run_pretrain(str(src), str(tmp_path / "clean"),
+                           clock=Clock.frozen_now())
+    assert metrics["n_input"] == 300
+    assert 0 < metrics["n_output"] < 300
+
+
+def test_anti_join():
+    from nacc_form_validator_ray.stages.joins import anti_join
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 5], "v": list("abcde")})
+    keys = pd.DataFrame({"k": [2, 4, 9]})
+    out = anti_join(rd.from_pandas(left).repartition(2),
+                    rd.from_pandas(keys), on="k").to_pandas()
+    assert sorted(out["k"]) == [1, 3, 5]
+    assert set(out.columns) == {"k", "v"}
