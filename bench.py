@@ -106,6 +106,7 @@ def bench_queries(sf_dir: str):
         "ship_delay": lambda: consume(Q.q_ship_delay(sf_dir)),
         "validator_lineitem": lambda: consume(
             Q.q_validator_lineitem(sf_dir)),
+        "pretrain_pages": lambda: consume(Q.q_pretrain_pages(sf_dir)),
     }
 
 

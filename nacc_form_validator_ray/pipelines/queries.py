@@ -1195,3 +1195,20 @@ FROM documents
 
 QUERIES["fingerprint_md5"] = q_fingerprint_md5
 ORACLE_SQL["fingerprint_md5"] = SQL_FINGERPRINT_MD5
+
+
+def q_pretrain_pages(sf_dir: str):
+    """Full pretraining composition over generated pages: quality filter
+    -> scrub -> exact dedup -> MinHash near-dedup (anti-join). Rows-only."""
+    from datetime import datetime
+    from nacc_form_validator_ray.pipelines.pretrain import \
+        build_pretrain_pipeline
+    from nacc_form_validator_ray.pipelines.webgen import generate_pages
+    from nacc_form_validator_ray.utils import Clock
+    n = 2000 if "0.01" in sf_dir else 500
+    ds = generate_pages(n, seed=42)
+    out = build_pretrain_pipeline(ds, clock=Clock(datetime(2026, 1, 1)))
+    return out.select_columns(["doc_id", "url", "lang_pred", "n_words"])
+
+
+QUERIES["pretrain_pages"] = q_pretrain_pages
