@@ -86,6 +86,21 @@ def cmd_quality_filter(args) -> int:
     return 0
 
 
+def cmd_pretrain(args) -> int:
+    import ray
+    from nacc_form_validator_ray.pipelines.pretrain import run_pretrain
+
+    _init_ray(args.num_cpus)
+    rules = None
+    if args.rules:
+        with open(args.rules) as f:
+            rules = json.load(f)
+    metrics = run_pretrain(args.input, args.output, rules=rules)
+    print(json.dumps(metrics, indent=1))
+    ray.shutdown()
+    return 0
+
+
 def cmd_genpages(args) -> int:
     import ray
     from nacc_form_validator_ray.pipelines.webgen import generate_pages
@@ -124,6 +139,15 @@ def main(argv=None) -> int:
     q.add_argument("--files-per-part", type=int, default=1)
     q.add_argument("--num-cpus", type=int, default=None)
     q.set_defaults(fn=cmd_quality_filter)
+
+    p = sub.add_parser("pretrain",
+                       help="quality filter + scrub + exact/near dedup")
+    p.add_argument("-i", "--input", required=True,
+                   help="directory of page parquet files")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-r", "--rules", default=None)
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_pretrain)
 
     g = sub.add_parser("genpages", help="generate synthetic page corpus")
     g.add_argument("-n", "--n-docs", type=int, required=True)
