@@ -261,6 +261,9 @@ def run_flagship_only(sf_dir: str, num_cpus: int) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--stats", action="store_true",
+                    help="print the flagship pipeline's per-stage "
+                         "ds.stats() breakdown and exit")
     ap.add_argument("--_flagship-only", action="store_true",
                     dest="flagship_only")
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
@@ -272,6 +275,25 @@ def main():
     ap.add_argument("--scaling-high", type=int, default=8)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     args = ap.parse_args()
+
+    if args.stats:
+        _init_ray(args.cpus)
+        import ray
+        import ray.data as rd
+        from datetime import datetime
+        from nacc_form_validator_ray.pipelines.quality_filter import \
+            build_quality_pipeline
+        from nacc_form_validator_ray.utils import Clock
+        ds = rd.read_parquet(pages_dir(), override_num_blocks=192)
+        ds = build_quality_pipeline(ds, clock=Clock(datetime(2026, 1, 1)),
+                                    extract=True, collect="codes")
+        ds = ds.select_columns(["url", "passed", "n_errors"])
+        for _ in ds.iter_batches(batch_size=8192,
+                                 batch_format="pyarrow"):
+            pass
+        print(ds.stats())
+        ray.shutdown()
+        return
 
     if args.flagship_only:
         result = run_flagship_only(args.sf_dir, args.cpus)
