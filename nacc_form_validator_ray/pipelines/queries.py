@@ -1212,3 +1212,49 @@ def q_pretrain_pages(sf_dir: str):
 
 
 QUERIES["pretrain_pages"] = q_pretrain_pages
+
+
+def q_sessionize_events(sf_dir: str):
+    """Gap-based sessionization (30-minute inactivity closes a session):
+    classic ordered-log windowing as one hash exchange + vectorized
+    group-wise diff/cumsum per partition."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+    gap_us = 30 * 60 * 1_000_000
+
+    def sessionize(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts"], kind="stable")
+        ts_us = part["ts"].astype("datetime64[us]").astype("int64")
+        new_user = part["user_id"].ne(part["user_id"].shift(1))
+        gap = ts_us.diff().fillna(0) > gap_us
+        new_session = (new_user | gap)
+        session_seq = new_session.groupby(
+            part["user_id"], sort=False).cumsum().astype(np.int64)
+        return pd.DataFrame({
+            "event_id": part["event_id"].to_numpy(),
+            "user_id": part["user_id"].to_numpy(),
+            "session_seq": session_seq.to_numpy(),
+        })
+
+    return grouped_apply(ds, ["user_id"], sessionize, num_partitions=32)
+
+
+SQL_SESSIONIZE = """
+SELECT event_id, user_id,
+       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts)) > 1800000000
+                   THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+)
+"""
+
+QUERIES["sessionize_events"] = q_sessionize_events
+ORACLE_SQL["sessionize_events"] = SQL_SESSIONIZE
