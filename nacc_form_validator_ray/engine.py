@@ -41,7 +41,7 @@ from nacc_form_validator_ray.rowval import (RecordValidator,
 VECTOR_RULES = frozenset({
     "type", "required", "nullable", "allowed", "forbidden", "min", "max",
     "regex", "filled", "anyof", "compatibility", "logic", "compare_with",
-    "compute_gds", "formatting", "meta",
+    "compute_gds", "formatting", "meta", "function",
 })
 
 #: jsonLogic operators the vector compiler supports
@@ -177,7 +177,19 @@ def _field_vectorizable(field: str, rules: Mapping[str, Any],
         elif name == K.COMPARE_WITH:
             if not _compare_with_vectorizable(field, constraint, dtypes):
                 return False
+        elif name == K.FUNCTION:
+            if not _score_variables_vectorizable(constraint):
+                return False
     return True
+
+
+def _score_variables_vectorizable(constraint: Mapping[str, Any]) -> bool:
+    """Of the function plug-ins, score_variables is a pure horizontal
+    count + logic formula — vectorizable when its formula is."""
+    if constraint.get(K.FUNCTION_NAME) != "score_variables":
+        return False
+    args = constraint.get(K.FUNCTION_ARGS, {})
+    return _logic_vectorizable(args.get("logic", {}).get(K.FORMULA))
 
 
 class CompiledSchema:
@@ -787,7 +799,7 @@ class VectorEvaluator:
         bn = pd.to_numeric(pd.Series(b, dtype=object), errors="coerce") \
             .to_numpy(np.float64)
         for i in range(n):
-            av, bv = a[i], b[i]
+            av, bv = _pyval(a[i]), _pyval(b[i])
             if isinstance(av, str) or isinstance(bv, str):
                 out[i] = str(av) == str(bv)
             elif isinstance(av, bool) or isinstance(bv, bool):
@@ -799,7 +811,8 @@ class VectorEvaluator:
         return out
 
     def _hard_eq_vec(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-        return np.array([a[i] == b[i] for i in range(len(a))], dtype=bool)
+        return np.array([_pyval(a[i]) == _pyval(b[i])
+                         for i in range(len(a))], dtype=bool)
 
     def _less_chain(self, op: str, cols: List[np.ndarray]) -> np.ndarray:
         n = len(cols[0])
@@ -807,7 +820,7 @@ class VectorEvaluator:
         for a, b in zip(cols, cols[1:]):
             step = np.zeros(n, dtype=bool)
             for i in range(n):
-                av, bv = a[i], b[i]
+                av, bv = _pyval(a[i]), _pyval(b[i])
                 if op == "<":
                     step[i] = _py_less(av, bv)
                 elif op == "<=":
@@ -892,6 +905,42 @@ class VectorEvaluator:
         #   (nacc_validator.py:1154-1158)
         yield "compare_with", Codes.COMPARE_WITH, viol | base_null
 
+    # ------------------------------------------------- score_variables
+
+    def _v_function(self, field, constraint, rules, df, values, null,
+                    live):
+        """Vectorized score_variables: horizontal correct/incorrect count
+        + logic formula over the computed total (the only function
+        plug-in the profiler admits; nacc_validator.py:1362-1435)."""
+        args = constraint.get(K.FUNCTION_ARGS, {})
+        mode = args.get("mode")
+        scoring_key = args.get("scoring_key", {})
+        logic = args.get("logic", {})
+        calc = args.get("calc_var_name", "__total_sum")
+        n = len(df)
+        if calc in df.columns:
+            raise ValueError(
+                f"{calc} already exists in record, cannot use "
+                "as calc_var_name")
+        total = np.zeros(n, dtype=np.int64)
+        skip = np.zeros(n, dtype=bool)
+        for key, correct_value in scoring_key.items():
+            if key in df.columns:
+                col = df[key]
+                key_null = pd.isna(col).to_numpy()
+                eq = col.eq(correct_value).fillna(False).to_numpy(bool)
+            else:
+                key_null = np.ones(n, dtype=bool)
+                eq = np.zeros(n, dtype=bool)
+            skip |= key_null
+            hit = eq if mode == "correct" else ~eq
+            total += hit.astype(np.int64)
+        df2 = df.copy()
+        df2[calc] = total
+        truthy = self._truthiness(
+            self._eval_logic(logic.get(K.FORMULA), df2), n)
+        yield "function", Codes.SCORING_INVALID, ~truthy & ~skip
+
     # -- compute_gds -------------------------------------------------------
 
     def _v_compute_gds(self, field, constraint, rules, df, values, null,
@@ -933,6 +982,13 @@ class VectorEvaluator:
             not_nogds = np.isnan(nogds) | (nogds == 0)
             yield "compute_gds", Codes.CHECK_GDS_5, \
                 ~nogds1 & not_nogds & (valid_count < 12)
+
+
+def _pyval(v):
+    """numpy scalars (np.bool_, np.int64, ...) -> native python values so
+    the JS-style type dispatch (isinstance bool/str/int) behaves like the
+    row evaluator."""
+    return v.item() if isinstance(v, np.generic) else v
 
 
 def _py_less(a, b) -> bool:

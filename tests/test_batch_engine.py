@@ -285,3 +285,33 @@ def test_compat_cond_with_divergent_type_goes_row_path():
     records = [{"a": 1, "b": None}, {"a": None, "b": None},
                {"a": 2, "b": 3}]
     assert_parity(schema, records)
+
+
+def test_score_variables_vector_parity():
+    schema = {
+        "total": {
+            "type": "integer", "required": True, "nullable": True,
+            "function": {
+                "name": "score_variables",
+                "args": {
+                    "mode": "correct",
+                    "scoring_key": {"val1": 1, "val2": 2, "val3": 3},
+                    "logic": {"formula": {"==": [
+                        {"var": "total"}, {"var": "__total_sum"}]}},
+                },
+            },
+        },
+        "val1": {"type": "integer", "nullable": True},
+        "val2": {"type": "integer", "nullable": True},
+        "val3": {"type": "integer", "nullable": True},
+    }
+    from nacc_form_validator_ray.engine import CompiledSchema
+    assert "total" in CompiledSchema(schema, strict=False).vector_fields
+    rng = random.Random(9)
+    records = [{
+        "total": rng.choice([None, 0, 1, 2, 3, 5]),
+        "val1": rng.choice([None, 1, 5]),
+        "val2": rng.choice([None, 2, 0]),
+        "val3": rng.choice([None, 3, -7]),
+    } for _ in range(300)]
+    assert_parity(schema, records)
