@@ -77,9 +77,17 @@ class MinHasher:
         sig = np.full((n_docs, self.k), np.iinfo(np.uint64).max,
                       dtype=np.uint64)
         if len(hashes):
+            # shingles arrive grouped by doc, so the per-doc minimum is a
+            # contiguous-segment reduction: minimum.reduceat is ~20x
+            # faster than the unbuffered minimum.at scatter
+            counts = np.bincount(doc_id, minlength=n_docs)
+            nonempty = counts > 0
+            starts = np.zeros(n_docs, dtype=np.int64)
+            starts[1:] = np.cumsum(counts)[:-1]
+            starts_ne = starts[nonempty]
             for j in range(self.k):
                 hv = (self.a[j] * hashes + self.b[j]) % _MERSENNE
-                np.minimum.at(sig[:, j], doc_id, hv)
+                sig[nonempty, j] = np.minimum.reduceat(hv, starts_ne)
         return sig
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
