@@ -394,3 +394,42 @@ def test_check_adcid():
     assert nv.errors == {
         "oldadcid": ["Provided ADCID 20 is not in the valid list of ADCIDs"]
     }
+
+
+def test_temporal_with_current_year_in_prev_conditions():
+    """min/max with the current_year sentinel evaluated against the
+    PREVIOUS record (reference test_nacc_validator_datastore.py:706-760)."""
+    from nacc_form_validator_ray.utils import Clock
+    from datetime import datetime
+    schema = {
+        "patient_id": {"type": "string"},
+        "visit_num": {"type": "integer"},
+        "birthyr": {
+            "type": "integer",
+            "temporalrules": [{
+                "index": 0,
+                "previous": {"birthyr": {"min": 0,
+                                         "max": "current_year"}},
+                "current": {"birthyr": {"compare_with": {
+                    "comparator": "==", "base": "birthyr",
+                    "previous_record": True}}},
+            }],
+        },
+    }
+    nv = RecordValidator(schema, allow_unknown=False,
+                         primary_key="patient_id", datastore=make_ds(),
+                         clock=Clock(datetime(2026, 8, 17)))
+    assert nv.validate({"patient_id": "PatientID1", "visit_num": 4,
+                        "birthyr": 1950})
+    assert not nv.validate({"patient_id": "PatientID1", "visit_num": 4,
+                            "birthyr": 1949})
+    assert nv.errors == {
+        "birthyr": [
+            '(\'birthyr\', ["input value doesn\'t satisfy the condition '
+            'birthyr == birthyr (previous record)"]) for if {\'birthyr\': '
+            "{'min': 0, 'max': 'current_year'}} in previous visit then "
+            "{'birthyr': {'compare_with': {'comparator': '==', 'base': "
+            "'birthyr', 'previous_record': True}}} in current visit - "
+            'temporal rule no: 0'
+        ]
+    }
