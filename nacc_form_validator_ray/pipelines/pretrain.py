@@ -2,17 +2,23 @@
 
     pages ──extract──signals──rule-schema keep/drop──PII scrub──┐
         keep only passed docs                                   │
-        exact dedup (content hash, keep min id) ────────────────┤
-        MinHash+LSH near-dup pairs → drop non-representatives ──┤
+        exact dedup decision (LEAN id+hash exchange) ───────────┤
+        MinHash+LSH near-dup decision (LEAN band exchange) ─────┤
+        drop banned ids from the doc stream ────────────────────┤
         write partitioned parquet + stats                       ┘
 
-Every stage is one of the engine's documented operators; the near-dup
-drop uses the distributed ``anti_join`` (hash exchange), never a
-driver-side set, so the dup list can be arbitrarily large.
+Payload discipline: document text NEVER rides a shuffle. Both dedup
+decisions exchange only (id, key) projections; the final drop is either
+a broadcast of the banned-id set (``drop_via="broadcast"``, the
+small-side pattern — dup lists are typically a few percent of the
+corpus) or a distributed ``anti_join`` hash exchange
+(``drop_via="exchange"``) when even the dup list is too large to ship
+to every worker.
 """
 
 from __future__ import annotations
 
+import hashlib
 from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
@@ -20,22 +26,48 @@ import pandas as pd
 
 from nacc_form_validator_ray.pipelines.quality_filter import (
     WEB_QUALITY_RULES, build_quality_pipeline)
-from nacc_form_validator_ray.stages.dedup import (exact_dedup,
-                                                  minhash_candidate_pairs)
+from nacc_form_validator_ray.stages.dedup import minhash_candidate_pairs
 from nacc_form_validator_ray.stages.joins import anti_join
+from nacc_form_validator_ray.stages.partition import grouped_apply
 from nacc_form_validator_ray.utils import Clock
+
+
+def _exact_dup_ids(docs, id_column: str, text_column: str):
+    """Lean exact-dedup decision: (id, content-hash) rows only; returns
+    a Dataset of ids that are NOT their hash's minimum (the drops)."""
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        norm = batch[text_column].fillna("") \
+            .str.replace(r"\s+", " ", regex=True).str.strip().str.lower()
+        return pd.DataFrame({
+            id_column: batch[id_column].to_numpy(),
+            "__h": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                    for t in norm],
+        })
+
+    def drops(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(id_column)
+        dup = part.duplicated("__h", keep="first")
+        return pd.DataFrame({id_column: part.loc[dup, id_column]
+                             .to_numpy()})
+
+    lean = docs.map_batches(project, batch_format="pandas")
+    return grouped_apply(lean, ["__h"], drops, num_partitions=32)
 
 
 def build_pretrain_pipeline(pages_ds,
                             rules: Optional[Mapping[str, Any]] = None,
                             clock: Optional[Clock] = None,
                             near_dup_threshold: float = 0.8,
-                            extract: bool = True):
+                            extract: bool = True,
+                            drop_via: str = "broadcast"):
     """pages Dataset -> cleaned, deduplicated training documents.
 
     Returns a Dataset of (doc_id, url, lang_pred, text=scrubbed text,
     n_words) — quality-passed, exact- and near-deduplicated.
     """
+    import ray
+
     ds = build_quality_pipeline(pages_ds, rules=rules, clock=clock,
                                 extract=extract, collect="none")
 
@@ -44,7 +76,7 @@ def build_pretrain_pipeline(pages_ds,
         # stable numeric doc id derived from the url (deterministic
         # across runs and parallelism)
         doc_id = pd.util.hash_array(
-            kept["url"].to_numpy("U")).astype(np.int64).astype(np.int64)
+            kept["url"].to_numpy("U")).astype(np.int64)
         return pd.DataFrame({
             "doc_id": np.abs(doc_id),
             "url": kept["url"].to_numpy(),
@@ -53,31 +85,60 @@ def build_pretrain_pipeline(pages_ds,
             "n_words": kept["n_words"].to_numpy(np.int64),
         })
 
-    docs = ds.map_batches(keep_and_project, batch_format="pandas")
+    # the cleaned docs feed BOTH dedup decisions and the final filter;
+    # pin them once instead of re-running the quality pipeline per
+    # consumer (spills to disk if they outgrow the object store — for a
+    # 100 TB run, checkpoint to parquet here instead)
+    docs = ds.map_batches(keep_and_project,
+                          batch_format="pandas").materialize()
 
-    # exact dedup on normalized content
-    docs = exact_dedup(docs, id_column="doc_id", text_column="text")
-
-    # near-dup: candidate pairs above threshold; the larger id of each
-    # pair is dropped (min-id representative wins)
+    # dedup DECISIONS on lean projections (ids + hashes/signatures only)
+    exact_drops = _exact_dup_ids(docs, "doc_id", "text")
     pairs = minhash_candidate_pairs(docs, id_column="doc_id",
                                     text_column="text",
                                     threshold=near_dup_threshold)
-    dup_ids = pairs.map_batches(
+    near_drops = pairs.map_batches(
         lambda b: pd.DataFrame({"doc_id": b["id_b"].astype(np.int64)}),
         batch_format="pandas")
-    return anti_join(docs, dup_ids, on="doc_id")
+    banned = exact_drops.union(near_drops)
+
+    if drop_via == "exchange":
+        return anti_join(docs, banned, on="doc_id")
+
+    # broadcast the banned-id set: one filter pass, no payload shuffle
+    banned_ids = np.unique(np.concatenate(
+        [b["doc_id"].to_numpy(np.int64) for b in
+         banned.iter_batches(batch_size=65536, batch_format="pandas")]
+        or [np.empty(0, dtype=np.int64)]))
+    banned_ref = ray.put(banned_ids)
+
+    class DropBanned:
+        def __init__(self, ref):
+            self.ref = ref
+            self.ids = None
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if self.ids is None:
+                self.ids = ray.get(self.ref)
+            keep = ~np.isin(batch["doc_id"].to_numpy(np.int64),
+                            self.ids)
+            return batch[keep]
+
+    return docs.map_batches(DropBanned(banned_ref),
+                            batch_format="pandas")
 
 
 def run_pretrain(input_dir: str, out_dir: str,
                  rules: Optional[Mapping[str, Any]] = None,
-                 clock: Optional[Clock] = None) -> Dict[str, Any]:
+                 clock: Optional[Clock] = None,
+                 drop_via: str = "broadcast") -> Dict[str, Any]:
     """Read pages parquet, clean + dedup, write partitioned parquet."""
     import ray.data as rd
     pages = rd.read_parquet(input_dir)
     n_in = pages.count()
     out = build_pretrain_pipeline(pages, rules=rules,
-                                  clock=clock or Clock.frozen_now())
+                                  clock=clock or Clock.frozen_now(),
+                                  drop_via=drop_via)
     out.write_parquet(out_dir)
     n_out = rd.read_parquet(out_dir, columns=["doc_id"]).count()
     return {"n_input": n_in, "n_output": n_out,
