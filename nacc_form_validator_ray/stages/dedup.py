@@ -4,10 +4,10 @@ All operators follow the same scale discipline:
 
 * per-batch signature computation is vectorized numpy (factorize +
   bit-packing, no Python loop over rows);
-* the only wide operations are hash-keyed ``groupby`` shuffles on
-  signature/bucket keys — one row per (doc, band) leaves the batch, never
-  the documents themselves (signatures ride along, bounded size);
-* verification happens inside the bucket group (map_groups), so
+* the only wide operations are hash exchanges of LEAN projections —
+  (id, content-hash) for exact dedup, ~24-byte (band_id, band_key, id)
+  rows for LSH; document payloads never ride a shuffle;
+* bucket runs are detected vectorized inside each partition, so
   candidate pairs never materialize globally.
 
 Dup semantics: the representative of a duplicate set is the row with the
@@ -58,8 +58,8 @@ class MinHasher:
     """map_batches callable appending a ``minhash`` signature column.
 
     k universal-hash permutations ``(a*x + b) mod p`` over word-n-gram
-    shingle hashes; the per-doc minimum is taken with
-    ``np.minimum.at`` — one C pass per permutation."""
+    shingle hashes; the per-doc minimum is a contiguous-segment
+    ``np.minimum.reduceat`` — one buffered C pass per permutation."""
 
     def __init__(self, text_column: str = "text", k: int = 128,
                  shingle_n: int = 3, seed: int = 13):
@@ -202,30 +202,63 @@ def minhash_candidate_pairs(ds, id_column: str = "doc_id",
 
 
 def exact_dedup(ds, id_column: str = "doc_id", text_column: str = "text",
-                normalize: bool = True, num_partitions: int = 32):
-    """Exact dedup: content hash (map_batches) -> one hash exchange ->
-    vectorized keep-min-id per hash inside each partition."""
+                normalize: bool = True, num_partitions: int = 32,
+                drop_via: str = "broadcast"):
+    """Exact dedup, payload-disciplined: the keep/drop DECISION exchanges
+    only (id, content-hash) rows; the full documents are then filtered in
+    place — via a broadcast banned-id set (default; dup lists are small)
+    or a distributed anti_join (``drop_via="exchange"``) when they are
+    not. Returns the Dataset with non-representative duplicates removed
+    (the min-``id_column`` row of each content hash survives)."""
     import hashlib
+    import ray
     from nacc_form_validator_ray.stages.partition import grouped_apply
 
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
         text = batch[text_column].fillna("")
         if normalize:
             text = text.str.replace(r"\s+", " ", regex=True) \
                 .str.strip().str.lower()
-        batch = batch.copy()
-        batch["__content_hash"] = [
-            hashlib.md5(t.encode("utf-8")).hexdigest() for t in text]
-        return batch
+        return pd.DataFrame({
+            id_column: batch[id_column].to_numpy(),
+            "__h": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                    for t in text],
+        })
 
-    def keep_first(part: pd.DataFrame) -> pd.DataFrame:
-        return part.sort_values(id_column) \
-            .drop_duplicates("__content_hash", keep="first")
+    def drops(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(id_column)
+        dup = part.duplicated("__h", keep="first")
+        return pd.DataFrame({id_column:
+                             part.loc[dup, id_column].to_numpy()})
 
-    out = grouped_apply(ds.map_batches(add_hash, batch_format="pandas"),
-                        ["__content_hash"], keep_first,
-                        num_partitions=num_partitions)
-    return out.drop_columns(["__content_hash"])
+    ds = ds.materialize()
+    banned = grouped_apply(ds.map_batches(project, batch_format="pandas"),
+                           ["__h"], drops,
+                           num_partitions=num_partitions)
+
+    if drop_via == "exchange":
+        from nacc_form_validator_ray.stages.joins import anti_join
+        return anti_join(ds, banned, on=id_column)
+
+    banned_ids = [b[id_column].to_numpy()
+                  for b in banned.iter_batches(batch_size=65536,
+                                               batch_format="pandas")]
+    banned_arr = np.unique(np.concatenate(banned_ids)) if banned_ids \
+        else np.empty(0, dtype=np.int64)
+    ref = ray.put(banned_arr)
+
+    class DropBanned:
+        def __init__(self, ref):
+            self.ref = ref
+            self.ids = None
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if self.ids is None:
+                self.ids = ray.get(self.ref)
+            keep = ~np.isin(batch[id_column].to_numpy(), self.ids)
+            return batch[keep]
+
+    return ds.map_batches(DropBanned(ref), batch_format="pandas")
 
 
 class SimHasher:
