@@ -55,20 +55,40 @@ def pages_dir(n_docs: int = BENCH_PAGES, seed: int = PAGES_SEED) -> str:
     return path
 
 
+def _ppl_model(corpus: str) -> dict:
+    """Train (once, cached beside the corpus) the perplexity model the
+    flagship scores with — the KenLM-analog actor-pool stage."""
+    import json
+    path = os.path.join(corpus, "_ppl_model.json")
+    if not os.path.exists(path):
+        import ray.data as rd
+        from nacc_form_validator_ray.pipelines.quality_filter import \
+            ExtractText
+        from nacc_form_validator_ray.stages.perplexity import (
+            save_model, train_ngram_model)
+        ds = rd.read_parquet(corpus).map_batches(ExtractText(),
+                                                 batch_format="pyarrow")
+        save_model(train_ngram_model(ds), path)
+    return json.load(open(path))
+
+
 def run_quality_filter_pages(sf_dir: str) -> int:
-    """Flagship: read cached pages -> extract -> signals -> rules -> scrub
-    -> count (streamed; no driver materialization)."""
+    """Flagship: read cached pages -> extract -> signals (stats+langid)
+    -> perplexity scoring (actor pool) -> rules -> scrub -> count
+    (streamed; no driver materialization)."""
     import ray.data as rd
     from nacc_form_validator_ray.pipelines.quality_filter import \
         build_quality_pipeline
     from nacc_form_validator_ray.utils import Clock
     from datetime import datetime
 
+    model = _ppl_model(pages_dir())
     # ~192 blocks ≈ 625 rows each: tasks big enough to amortize
     # dispatch, plentiful enough to keep every core fed (via ds.stats())
     ds = rd.read_parquet(pages_dir(), override_num_blocks=192)
     ds = build_quality_pipeline(ds, clock=Clock(datetime(2026, 1, 1)),
-                                extract=True, collect="codes")
+                                extract=True, collect="codes",
+                                ppl_model=model)
     # pull only the decision columns to the driver; payloads stay in
     # the workers (a real run would write_parquet instead)
     ds = ds.select_columns(["url", "passed", "n_errors"])

@@ -121,13 +121,28 @@ def build_quality_pipeline(ds,
         ds = ds.map_batches(Fingerprint(), batch_format="pandas",
                             batch_size=batch_size)
     if ppl_model is not None:
-        # model-scorer actor pool: weights load once per actor
-        from nacc_form_validator_ray.stages.perplexity import \
-            PerplexityScorer
-        ds = ds.map_batches(PerplexityScorer,
-                            fn_constructor_kwargs={"model": ppl_model},
+        # model scorer: the artifact ships via ray.put and loads once per
+        # worker process (stateless tasks keep the stage FUSED with its
+        # neighbors — an actor pool here would force a plasma hop between
+        # stages; switch to map_batches(PerplexityScorer, concurrency=N)
+        # when the model is too large to hold per worker)
+        import ray
+
+        class PplStage:
+            def __init__(self, ref):
+                self.ref = ref
+                self.scorer = None
+
+            def __call__(self, batch):
+                if self.scorer is None:
+                    from nacc_form_validator_ray.stages.perplexity import \
+                        PerplexityScorer
+                    self.scorer = PerplexityScorer(model=ray.get(self.ref))
+                return self.scorer(batch)
+
+        ds = ds.map_batches(PplStage(ray.put(dict(ppl_model))),
                             batch_format="pandas",
-                            batch_size=batch_size, concurrency=(1, 8))
+                            batch_size=batch_size)
     if scrub:
         ds = ds.map_batches(Scrubber(), **kw)
     # validation last: its arrow output (errors: list<struct>) streams
