@@ -27,12 +27,17 @@ def entry() -> Any:
     from nacc_form_validator_ray.pipelines.queries import DOC_RULES
     from nacc_form_validator_ray.utils import Clock
 
+    from nacc_form_validator_ray.stages.perplexity import \
+        train_ngram_model
+
     ds = rd.read_parquet(f"{SF0001}/documents.parquet",
                          columns=["doc_id", "text", "lang", "source"])
+    model = train_ngram_model(ds)
     out = build_quality_pipeline(ds, rules=DOC_RULES,
-                                 clock=Clock.frozen_now())
-    return out.select_columns(["doc_id", "lang", "lang_pred", "passed",
-                               "n_errors", "n_redactions",
+                                 clock=Clock.frozen_now(),
+                                 ppl_model=model)
+    return out.select_columns(["doc_id", "lang", "lang_pred", "log_ppl",
+                               "passed", "n_errors", "n_redactions",
                                "scrubbed_text"])
 
 
