@@ -263,6 +263,11 @@ def validate_dataset(ds,
         from nacc_form_validator_ray.stages.partition import grouped_apply
         tgv = TemporalGroupValidator(compiled, datastore_factory)
         fast_specs = temporal_fast_specs(compiled)
+        if fast_specs and collect == "full" and any(
+                s["kind"] == "temporalrules" for s in fast_specs):
+            # the vectorized temporalrules path defers messages; exact
+            # message collection keeps the row path
+            fast_specs = None
         vectorized = VectorTemporalPartition(compiled, fast_specs) \
             if fast_specs else None
 
@@ -273,7 +278,7 @@ def validate_dataset(ds,
         def temporal_partition(part: pd.DataFrame) -> pd.DataFrame:
             if vectorized is not None and all(
                     pd.api.types.is_numeric_dtype(part[c])
-                    for s in fast_specs
+                    for s in fast_specs if s["kind"] == "compare_with"
                     for c in (s["field"], s["base"])):
                 return vectorized(part)
             out = [tgv(group) for _, group in
@@ -288,22 +293,56 @@ def validate_dataset(ds,
 # ------------------------------------------------- vectorized temporal
 
 
+_COND_RULES = {"allowed", "forbidden", "nullable", "filled"}
+
+
+def _clauses_vectorizable(clauses) -> bool:
+    from nacc_form_validator_ray.keys import K
+    for c in clauses:
+        if c.get(K.IGNORE_EMPTY) or c.get(K.INITIAL_RECORD):
+            return False
+        # curr-side AND guarantees exactly one error item per violation
+        # (the reference short-circuits); OR would emit one per branch
+        side_op = K.PREV_OP if c.get(K.SWAP_ORDER) else K.CURR_OP
+        if c.get(side_op, "AND").upper() != "AND":
+            return False
+        for clause in (K.PREVIOUS, K.CURRENT):
+            conds = c.get(clause, {})
+            for f, r in conds.items():
+                if set(r) - _COND_RULES:
+                    return False
+    return True
+
+
 def temporal_fast_specs(compiled: CompiledSchema):
     """Profile the temporal schema for the vectorized fast path.
 
-    Covered: fields whose rules are only {type (numeric), nullable,
-    required, compare_with previous_record/initial_record} with a plain
-    numeric field base (no adjustment/base_decimal). Anything else —
-    temporalrules clauses, ignore_empty-less subtleties aside — keeps the
-    exact row path. Returns a list of specs or None.
+    Covered: fields whose rules are only {type, nullable, required} plus
+    EITHER a numeric compare_with previous_record/initial_record (no
+    adjustment/base_decimal) OR temporalrules whose clauses use only
+    allowed/forbidden/nullable/filled conditions (no ignore_empty /
+    initial_record, AND on the consequent side). Everything else keeps
+    the exact row path. Returns a list of specs or None.
     """
     from nacc_form_validator_ray.keys import K
     specs = []
     for field, rules in compiled.temporal_schema.items():
-        if set(rules) - {K.TYPE, K.NULLABLE, K.REQUIRED, K.COMPARE_WITH}:
+        if set(rules) - {K.TYPE, K.NULLABLE, K.REQUIRED, K.COMPARE_WITH,
+                         K.TEMPORALRULES}:
             return None
+        tr = rules.get(K.TEMPORALRULES)
         cw = rules.get(K.COMPARE_WITH)
-        if not cw:
+        if tr is not None and cw is None:
+            if not _clauses_vectorizable(tr):
+                return None
+            specs.append({
+                "kind": "temporalrules",
+                "field": field,
+                "clauses": tr,
+                "nullable": bool(rules.get(K.NULLABLE, False)),
+            })
+            continue
+        if not cw or tr is not None:
             return None
         prev = bool(cw.get(K.PREV_RECORD))
         initial = bool(cw.get(K.INITIAL_RECORD))
@@ -318,6 +357,7 @@ def temporal_fast_specs(compiled: CompiledSchema):
                 compiled.dtypes.get(base) not in ("int", "float"):
             return None
         specs.append({
+            "kind": "compare_with",
             "field": field,
             "base": base,
             "comparator": cw[K.COMPARATOR],
@@ -367,7 +407,17 @@ class VectorTemporalPartition:
             errors[idx].append({"field": field, "code": int(code),
                                 "rule": rule, "message": message})
 
+        pk_shifted_vals = pk_vals.shift(1)
+        first_of_group = ((pk_vals != pk_shifted_vals) & ~(
+            pk_vals.isna() & pk_shifted_vals.isna())).to_numpy()
+        if n:
+            first_of_group[0] = True
+
         for spec in self.specs:
+            if spec["kind"] == "temporalrules":
+                self._eval_temporalrules(part, spec, add_error, falsy_pk,
+                                         first_of_group, pk, n)
+                continue
             field, base = spec["field"], spec["base"]
             visit_type = "previous" if spec["prev"] else "initial"
             comparison_str = (f"{field} {spec['comparator']} {base} "
@@ -399,12 +449,8 @@ class VectorTemporalPartition:
                 # the subject's literal first value, INCLUDING null
                 # (groupby.first/transform('first') skip NaN, which would
                 # silently repair a null initial record)
-                pk_shifted = pk_vals.shift(1)
-                first_mask = (pk_vals != pk_shifted) & ~(
-                    pk_vals.isna() & pk_shifted.isna())
-                if len(first_mask):
-                    first_mask.iloc[0] = True
-                base_vals = base_series.where(first_mask).groupby(
+                base_vals = base_series.where(
+                    pd.Series(first_of_group, index=part.index)).groupby(
                     part[pk], sort=False, dropna=False).ffill()
             base_np = base_vals.to_numpy(np.float64)
             base_null = np.isnan(base_np)
@@ -444,6 +490,7 @@ class VectorTemporalPartition:
                     add_error(i, field, code_missing, "compare_with",
                               msg_missing)
 
+
         out = part
         if "passed" in out.columns:
             out["passed"] = out["passed"].to_numpy(dtype=bool) & passed
@@ -460,3 +507,80 @@ class VectorTemporalPartition:
             out["n_errors"] = n_errors.astype(np.int32)
             out["errors"] = errors
         return out
+
+    def _eval_temporalrules(self, part, spec, add_error, falsy_pk,
+                            first_of_group, pk, n):
+        """Vectorized temporalrules: condition masks (reusing the batch
+        engine's evaluators) over group-shifted previous-record columns.
+        Messages are deferred - codes-exact; collect='full' keeps the
+        row path (see validate_dataset)."""
+        from nacc_form_validator_ray.engine import VectorEvaluator
+        from nacc_form_validator_ray.errors import Codes
+        from nacc_form_validator_ray.keys import K
+
+        ev = VectorEvaluator(self.compiled)
+        field = spec["field"]
+
+        def obj_frame(fields, shifted):
+            cols = {}
+            for f in fields:
+                if f in part.columns:
+                    s = part[f]
+                    if shifted:
+                        s = s.groupby(part[pk], sort=False,
+                                      dropna=False).shift(1)
+                else:
+                    s = pd.Series([None] * n, index=part.index)
+                arr = s.to_numpy(dtype=object, copy=True)
+                arr[pd.isna(s).to_numpy()] = None
+                cols[f] = arr
+            return pd.DataFrame(cols, copy=False) if cols else \
+                pd.DataFrame(index=range(n))
+
+        if spec["nullable"] is False and field in part.columns:
+            value_null = part[field].isna().to_numpy()
+            for i in np.flatnonzero(value_null):
+                add_error(i, field, Codes.NOT_NULLABLE, "nullable",
+                          self.fmt(Codes.NOT_NULLABLE))
+
+        has_prev = ~first_of_group & ~falsy_pk
+        # a missing previous record errors once and stops the rule
+        # (nacc_validator.py:862-866); a falsy pk fails the datastore
+        # precondition first (0x2001) and then the same no-record path
+        msg_noprev = self.fmt(Codes.NO_PREV_VISIT, ("previous",))
+        msg_nopk = self.fmt(Codes.NO_PRIMARY_KEY, (pk,))
+        for i in np.flatnonzero(falsy_pk):
+            add_error(i, field, Codes.NO_PRIMARY_KEY, "temporalrules",
+                      msg_nopk)
+            add_error(i, field, Codes.NO_PREV_VISIT, "temporalrules",
+                      msg_noprev)
+        for i in np.flatnonzero(first_of_group & ~falsy_pk):
+            add_error(i, field, Codes.NO_PREV_VISIT, "temporalrules",
+                      msg_noprev)
+
+        for clause in spec["clauses"]:
+            swap = clause.get(K.SWAP_ORDER, False)
+            prev_conds = clause[K.PREVIOUS]
+            curr_conds = clause[K.CURRENT]
+            prev_op = clause.get(K.PREV_OP, "AND").upper()
+            curr_op = clause.get(K.CURR_OP, "AND").upper()
+            prev_df = obj_frame(list(prev_conds), shifted=True)
+            curr_df = obj_frame(list(curr_conds), shifted=False)
+            ones_p = {f: np.ones(n, dtype=bool) for f in prev_df.columns}
+            ones_c = {f: np.ones(n, dtype=bool) for f in curr_df.columns}
+            if not swap:
+                if_pass = ev.conds_pass_mask(prev_conds, prev_op,
+                                             prev_df, ones_p)
+                then_fail = ~ev.conds_pass_mask(curr_conds, curr_op,
+                                                curr_df, ones_c)
+                code = Codes.TEMPORAL
+            else:
+                if_pass = ev.conds_pass_mask(curr_conds, curr_op,
+                                             curr_df, ones_c)
+                then_fail = ~ev.conds_pass_mask(prev_conds, prev_op,
+                                                prev_df, ones_p)
+                code = Codes.TEMPORAL_SWAPPED
+            viol = has_prev & if_pass & then_fail
+            for i in np.flatnonzero(viol):
+                add_error(i, field, code, "temporalrules", "")
+

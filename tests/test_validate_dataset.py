@@ -207,3 +207,52 @@ def test_vectorized_temporal_fast_path_matches_row_path(monkeypatch):
         fc = sorted((e["field"], e["code"]) for e in fast["errors"][i])
         sc = sorted((e["field"], e["code"]) for e in slow["errors"][i])
         assert fc == sc, (i, fast.loc[i, key].tolist(), fc, sc)
+
+
+def test_vectorized_temporalrules_matches_row_path(monkeypatch):
+    """Shift-mask temporalrules fast path vs the row oracle on codes."""
+    import nacc_form_validator_ray.stages.validate as sv
+
+    schema = {
+        "pk": {"type": "string"},
+        "seq": {"type": "integer"},
+        "taxes": {
+            "type": "integer", "nullable": True,
+            "temporalrules": [
+                {"index": 0,
+                 "previous": {"taxes": {"allowed": [0]}},
+                 "current": {"taxes": {"forbidden": [8]}}},
+                {"index": 1, "swap_order": True,
+                 "current": {"taxes": {"allowed": [1]}},
+                 "previous": {"taxes": {"forbidden": [9]}}},
+            ],
+        },
+    }
+    rng = np.random.RandomState(11)
+    rows = []
+    for pid in ["a", "b", "c", ""]:
+        for s in range(1, rng.randint(2, 7)):
+            rows.append({"pk": pid, "seq": s,
+                         "taxes": None if rng.rand() < 0.2
+                         else int(rng.choice([0, 1, 8, 9]))})
+    df = pd.DataFrame(rows)
+
+    specs = sv.temporal_fast_specs(
+        sv.CompiledSchema(schema, pk_field="pk", orderby="seq",
+                          strict=False))
+    assert specs and specs[0]["kind"] == "temporalrules"
+
+    fast = validate_dataset(rd.from_pandas(df), schema, pk_field="pk",
+                            orderby="seq", strict=False).to_pandas()
+    monkeypatch.setattr(sv, "temporal_fast_specs", lambda c: None)
+    slow = validate_dataset(rd.from_pandas(df), schema, pk_field="pk",
+                            orderby="seq", strict=False).to_pandas()
+    key = ["pk", "seq"]
+    fast = fast.sort_values(key).reset_index(drop=True)
+    slow = slow.sort_values(key).reset_index(drop=True)
+    assert fast["passed"].tolist() == slow["passed"].tolist()
+    assert fast["n_errors"].tolist() == slow["n_errors"].tolist()
+    for i in range(len(fast)):
+        fc = sorted((e["field"], e["code"]) for e in fast["errors"][i])
+        sc = sorted((e["field"], e["code"]) for e in slow["errors"][i])
+        assert fc == sc, (i, fast.loc[i, key].tolist(), fc, sc)
