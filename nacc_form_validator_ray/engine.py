@@ -41,7 +41,7 @@ from nacc_form_validator_ray.rowval import (RecordValidator,
 VECTOR_RULES = frozenset({
     "type", "required", "nullable", "allowed", "forbidden", "min", "max",
     "regex", "filled", "anyof", "compatibility", "logic", "compare_with",
-    "compute_gds", "formatting", "meta", "function",
+    "compute_gds", "formatting", "meta", "function", "compare_age",
 })
 
 #: jsonLogic operators the vector compiler supports
@@ -180,6 +180,43 @@ def _field_vectorizable(field: str, rules: Mapping[str, Any],
         elif name == K.FUNCTION:
             if not _score_variables_vectorizable(constraint):
                 return False
+        elif name == K.COMPARE_AGE:
+            if not _compare_age_vectorizable(field, constraint, dtypes):
+                return False
+    return True
+
+
+def _compare_age_vectorizable(field: str, constraint: Mapping[str, Any],
+                              dtypes: Dict[str, str]) -> bool:
+    """Vector compare_age needs a string date field, integer-typed birth
+    components, and numeric compare_to targets."""
+    if dtypes.get(field) != "str":
+        return False
+
+    def birth_ok(key):
+        if isinstance(key, bool):
+            return False
+        if isinstance(key, int):
+            return True
+        return dtypes.get(key) == "int"
+
+    if not birth_ok(constraint.get(K.BIRTH_YEAR)):
+        return False
+    for slot in (K.BIRTH_MONTH, K.BIRTH_DAY):
+        if slot in constraint and not birth_ok(constraint[slot]):
+            return False
+    targets = constraint.get(K.COMPARE_TO)
+    if isinstance(targets, (str, int)):
+        targets = [targets]
+    if not isinstance(targets, list):
+        return False
+    for t in targets:
+        if isinstance(t, bool):
+            return False
+        if isinstance(t, (int, float)):
+            continue
+        if dtypes.get(t) not in ("int", "float"):
+            return False
     return True
 
 
@@ -904,6 +941,85 @@ class VectorEvaluator:
         # base null -> unconditional COMPARE_WITH error
         #   (nacc_validator.py:1154-1158)
         yield "compare_with", Codes.COMPARE_WITH, viol | base_null
+
+    # ------------------------------------------------------ compare_age
+
+    def _v_compare_age(self, field, constraint, rules, df, values, null,
+                       live):
+        """Vectorized compare_age (nacc_validator.py:1229-1335): parse
+        the date column once, assemble birth dates with
+        pd.to_datetime(dict) (NaT == the reference's INVALID_BIRTH_DATES
+        path), compute age in days/365.25, compare against every
+        target. Null values were already dropped by the nullable
+        override (rowval NULL_DROPPED includes compare_age)."""
+        comparator = constraint[K.COMPARATOR]
+        targets = constraint[K.COMPARE_TO]
+        if isinstance(targets, (str, int)):
+            targets = [targets]
+        n = len(df)
+
+        parsed = _parse_date_column(values, False)
+        parse_fail = live & np.array([d is None for d in parsed],
+                                     dtype=bool)
+        if parse_fail.any():
+            yield "compare_age", Codes.AGE_DATE_CONVERSION, parse_fail
+        ok_rows = live & ~parse_fail
+
+        def component(key, default):
+            if key is None:
+                key = default
+            if isinstance(key, int) and not isinstance(key, bool):
+                return (np.full(n, key, dtype=np.float64),
+                        np.zeros(n, dtype=bool))
+            col = df[key] if key in df.columns else \
+                pd.Series([None] * n)
+            isnull = pd.isna(col).to_numpy()
+            vals = pd.to_numeric(col, errors="coerce") \
+                .to_numpy(np.float64)
+            # non-integral components are INVALID in the reference
+            # (formatted with :02d); int-typed columns hold integers
+            bad = ~isnull & (np.isnan(vals) | (vals != np.floor(vals)))
+            return vals, isnull | bad
+
+        by, by_bad = component(constraint.get(K.BIRTH_YEAR), None)
+        bm, bm_bad = component(constraint.get(K.BIRTH_MONTH), 1)
+        bd, bd_bad = component(constraint.get(K.BIRTH_DAY), 1)
+        comp_bad = by_bad | bm_bad | bd_bad
+        birth = pd.to_datetime(
+            pd.DataFrame({"year": np.where(comp_bad, 2000, by),
+                          "month": np.where(comp_bad, 1, bm),
+                          "day": np.where(comp_bad, 1, bd)}),
+            errors="coerce")
+        birth_bad = ok_rows & (comp_bad | birth.isna().to_numpy())
+        if birth_bad.any():
+            yield "compare_age", Codes.INVALID_BIRTH_DATES, birth_bad
+        ok_rows = ok_rows & ~birth_bad
+
+        value_days = np.full(n, np.nan)
+        idx = np.flatnonzero(ok_rows)
+        if len(idx):
+            as_ts = pd.to_datetime(
+                pd.Series([parsed[i] for i in idx]), errors="coerce")
+            value_days[idx] = as_ts.to_numpy("datetime64[D]") \
+                .astype(np.int64)
+        birth_days = birth.to_numpy("datetime64[D]").astype(np.int64) \
+            .astype(np.float64)
+        age = (value_days - birth_days) / 365.25
+
+        for target in targets:
+            if isinstance(target, (int, float)) and \
+                    not isinstance(target, bool):
+                tvals = np.full(n, float(target))
+                tnull = np.zeros(n, dtype=bool)
+            else:
+                col = df[target] if target in df.columns else \
+                    pd.Series([None] * n)
+                tnull = pd.isna(col).to_numpy()
+                tvals = pd.to_numeric(col, errors="coerce") \
+                    .to_numpy(np.float64)
+            cmp_ok = _vec_compare(comparator, age,
+                                  np.zeros(n, dtype=bool), tvals, tnull)
+            yield "compare_age", Codes.COMPARE_AGE, ok_rows & ~cmp_ok
 
     # ------------------------------------------------- score_variables
 

@@ -315,3 +315,30 @@ def test_score_variables_vector_parity():
         "val3": rng.choice([None, 3, -7]),
     } for _ in range(300)]
     assert_parity(schema, records)
+
+
+def test_compare_age_vector_parity(date_constraint):
+    schema = {
+        "frmdate": {
+            "type": "string", "nullable": True, "formatting": "date",
+            "regex": date_constraint,
+            "compare_age": {"comparator": ">=", "birth_year": "birthyr",
+                            "birth_month": "birthmo",
+                            "compare_to": ["behage", 0]},
+        },
+        "birthmo": {"type": "integer", "nullable": True, "min": 1,
+                    "max": 12},
+        "birthyr": {"type": "integer", "nullable": True},
+        "behage": {"type": "integer", "nullable": True},
+    }
+    from nacc_form_validator_ray.engine import CompiledSchema
+    assert "frmdate" in CompiledSchema(schema, strict=False).vector_fields
+    rng = random.Random(17)
+    records = [{
+        "frmdate": rng.choice([None, "2024/02/02", "01/15/2020",
+                               "garbage"]),
+        "birthmo": rng.choice([None, 1, 6, 12]),
+        "birthyr": rng.choice([None, 1950, 2000, 2024]),
+        "behage": rng.choice([None, 0, 24, 50, 90]),
+    } for _ in range(300)]
+    assert_parity(schema, records)
