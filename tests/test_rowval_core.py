@@ -293,3 +293,12 @@ def test_lots_of_rules(make_validator):
             "specified formula"
         ]
     }
+
+
+def test_bool_cast_quirk(nv):
+    """bool('0') is True (reference cast semantics: any non-empty string
+    is truthy; '' -> None)."""
+    assert nv.cast_record({"dummy_boolean": "0"}) ["dummy_boolean"] is True
+    assert nv.cast_record({"dummy_boolean": "false"})["dummy_boolean"] \
+        is True
+    assert nv.cast_record({"dummy_boolean": ""})["dummy_boolean"] is None
