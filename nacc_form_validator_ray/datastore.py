@@ -66,6 +66,18 @@ class Datastore(ABC):
         """Center-ID membership (own center or valid list)."""
         raise NotImplementedError
 
+    # Optional bulk-vocabulary surface: implementations that can hand
+    # their whole vocabulary over enable the batch engine's vectorized
+    # isin() membership path instead of per-record calls. Return None
+    # to decline (e.g. date-qualified vocabularies).
+
+    def rxcui_vocabulary(self) -> Optional[frozenset]:
+        return None
+
+    def adcid_vocabulary(self):
+        """(own_adcid, frozenset(valid_adcids)) or None."""
+        return None
+
 
 class InMemoryDatastore(Datastore):
     """Datastore over an in-memory per-subject history.
@@ -156,3 +168,15 @@ class InMemoryDatastore(Datastore):
         if self._valid_adcids is None:
             raise NotImplementedError("no ADCID list configured")
         return adcid in self._valid_adcids
+
+    def rxcui_vocabulary(self) -> Optional[frozenset]:
+        """Full undated RXCUI set, or None when date windows apply
+        (dated checks stay record-at-a-time)."""
+        if self._valid_rxcui is None or self._rxcui_date_window:
+            return None
+        return frozenset(self._valid_rxcui)
+
+    def adcid_vocabulary(self):
+        if self._own_adcid is None and self._valid_adcids is None:
+            return None
+        return (self._own_adcid, frozenset(self._valid_adcids or ()))

@@ -221,12 +221,19 @@ def _compare_age_vectorizable(field: str, constraint: Mapping[str, Any],
 
 
 def _score_variables_vectorizable(constraint: Mapping[str, Any]) -> bool:
-    """Of the function plug-ins, score_variables is a pure horizontal
-    count + logic formula — vectorizable when its formula is."""
-    if constraint.get(K.FUNCTION_NAME) != "score_variables":
-        return False
+    """Vectorizable function plug-ins: score_variables (horizontal count
+    + formula), undated check_rxcui and check_adcid (broadcast-set
+    membership — the datastore must also expose its vocabulary in bulk,
+    checked at BatchValidator construction)."""
+    name = constraint.get(K.FUNCTION_NAME)
     args = constraint.get(K.FUNCTION_ARGS, {})
-    return _logic_vectorizable(args.get("logic", {}).get(K.FORMULA))
+    if name == "score_variables":
+        return _logic_vectorizable(args.get("logic", {}).get(K.FORMULA))
+    if name == "check_rxcui":
+        return args.get("target_date_field") is None
+    if name == "check_adcid":
+        return True
+    return False
 
 
 class CompiledSchema:
@@ -494,9 +501,11 @@ def _scalar_for_bound(bound: Any) -> Optional[float]:
 class VectorEvaluator:
     """Evaluates vector-profiled fields as boolean violation masks."""
 
-    def __init__(self, compiled: CompiledSchema):
+    def __init__(self, compiled: CompiledSchema,
+                 vocab: Optional[Dict[str, Any]] = None):
         self.compiled = compiled
         self.clock = compiled.clock
+        self.vocab = vocab or {}
         self._regex_cache: Dict[str, Any] = {}
 
     # -- public -----------------------------------------------------------
@@ -1028,6 +1037,11 @@ class VectorEvaluator:
         """Vectorized score_variables: horizontal correct/incorrect count
         + logic formula over the computed total (the only function
         plug-in the profiler admits; nacc_validator.py:1362-1435)."""
+        name = constraint.get(K.FUNCTION_NAME)
+        if name in ("check_rxcui", "check_adcid"):
+            yield from self._v_vocab_check(name, field, constraint, df,
+                                           values, null)
+            return
         args = constraint.get(K.FUNCTION_ARGS, {})
         mode = args.get("mode")
         scoring_key = args.get("scoring_key", {})
@@ -1056,6 +1070,36 @@ class VectorEvaluator:
         truthy = self._truthiness(
             self._eval_logic(logic.get(K.FORMULA), df2), n)
         yield "function", Codes.SCORING_INVALID, ~truthy & ~skip
+
+    def _v_vocab_check(self, name, field, constraint, df, values, null):
+        """Broadcast-set membership: the datastore's bulk vocabulary is
+        loaded once per validator (BatchValidator ships it with the
+        stage) and checked with np.isin (nacc_validator.py:1185-1227,
+        1337-1360)."""
+        n = len(df)
+        num = pd.to_numeric(pd.Series(values, dtype=object),
+                            errors="coerce").to_numpy(np.float64)
+        if name == "check_rxcui":
+            vocab = self.vocab.get("rxcui")
+            # blank / 0 means "no RXCUI code" and is skipped
+            live = ~null & ~np.isnan(num) & (num != 0)
+            member = np.isin(num, np.fromiter(vocab, dtype=np.float64,
+                                              count=len(vocab)))
+            yield "function", Codes.RXCUI, live & ~member
+            return
+        own = constraint.get(K.FUNCTION_ARGS, {}).get("own", True)
+        own_adcid, valid = self.vocab.get("adcid")
+        # unlike rxcui there is NO blank skip: a null ADCID fails the
+        # membership check (nacc_validator.py:1337-1360)
+        if own:
+            ok = ~np.isnan(num) & (num == float(own_adcid)) \
+                if own_adcid is not None else np.zeros(n, dtype=bool)
+            yield "function", Codes.ADCID_NOT_MATCH, ~ok
+        else:
+            member = np.isin(num, np.fromiter(
+                valid, dtype=np.float64, count=len(valid))) \
+                if valid else np.zeros(n, dtype=bool)
+            yield "function", Codes.ADCID_NOT_VALID, ~member
 
     # -- compute_gds -------------------------------------------------------
 
@@ -1231,7 +1275,25 @@ class BatchValidator:
         self.datastore = datastore
         self.collect = collect
         self.caster = BatchCaster(compiled)
-        self.vector = VectorEvaluator(compiled)
+        # vocabulary-backed function rules are vector-capable only when
+        # the datastore hands over its vocabulary in bulk
+        vocab: Dict[str, Any] = {}
+        if datastore is not None:
+            rx = datastore.rxcui_vocabulary()
+            if rx is not None:
+                vocab["rxcui"] = rx
+            ad = datastore.adcid_vocabulary()
+            if ad is not None:
+                vocab["adcid"] = ad
+        self.vector_fields = dict(compiled.vector_fields)
+        self.row_fields = dict(compiled.row_fields)
+        for f, rules in list(self.vector_fields.items()):
+            fn = rules.get(K.FUNCTION, {})
+            name = fn.get(K.FUNCTION_NAME) if fn else None
+            if (name == "check_rxcui" and "rxcui" not in vocab) or \
+                    (name == "check_adcid" and "adcid" not in vocab):
+                self.row_fields[f] = self.vector_fields.pop(f)
+        self.vector = VectorEvaluator(compiled, vocab=vocab)
         self._full_rv: Optional[RecordValidator] = None
         self._rowfields_rv: Optional[RecordValidator] = None
         self._field_rvs: Dict[str, RecordValidator] = {}
@@ -1249,11 +1311,11 @@ class BatchValidator:
         return self._full_rv
 
     def _rowfields_validator(self) -> Optional[RecordValidator]:
-        if not self.compiled.row_fields:
+        if not self.row_fields:
             return None
         if self._rowfields_rv is None:
             self._rowfields_rv = RecordValidator(
-                self.compiled.row_fields,
+                self.row_fields,
                 allow_unknown=True,
                 primary_key=self.compiled.pk_field,
                 datastore=self.datastore,
@@ -1300,7 +1362,7 @@ class BatchValidator:
         # vector fields
         vec_rows = ~needs_row
         field_viol_rows: Dict[str, np.ndarray] = {}
-        for field, rules in self.compiled.vector_fields.items():
+        for field, rules in self.vector_fields.items():
             any_viol = np.zeros(n, dtype=bool)
             for rule, code, mask in self.vector.field_violations(
                     field, rules, cframe, cast_ok):

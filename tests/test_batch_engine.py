@@ -342,3 +342,62 @@ def test_compare_age_vector_parity(date_constraint):
         "behage": rng.choice([None, 0, 24, 50, 90]),
     } for _ in range(300)]
     assert_parity(schema, records)
+
+
+def test_vocab_checks_vectorized_with_bulk_datastore():
+    from nacc_form_validator_ray.datastore import InMemoryDatastore
+    schema = {
+        "drug": {"type": "integer", "nullable": True,
+                 "function": {"name": "check_rxcui"}},
+        "adcid": {"type": "integer", "nullable": True,
+                  "function": {"name": "check_adcid"}},
+        "oldadcid": {"type": "integer", "nullable": True,
+                     "function": {"name": "check_adcid",
+                                  "args": {"own": False}}},
+    }
+    ds = InMemoryDatastore("p", "o", valid_rxcui=set(range(50)),
+                           own_adcid=0, valid_adcids={0, 2, 5, 8, 10})
+    compiled = CompiledSchema(schema, strict=False)
+    assert set(compiled.vector_fields) == {"drug", "adcid", "oldadcid"}
+    bv = BatchValidator(compiled, datastore=ds, collect="codes")
+    assert set(bv.vector_fields) == {"drug", "adcid", "oldadcid"}
+
+    rng = random.Random(23)
+    records = [{
+        "drug": rng.choice([None, 0, 1, 49, 50, -1, 100]),
+        "adcid": rng.choice([None, 0, 1, 5]),
+        "oldadcid": rng.choice([None, 0, 2, 10, 20]),
+    } for _ in range(200)]
+
+    df = pd.DataFrame.from_records(records).astype(object)
+    df = df.where(pd.notna(df), None)
+    _, result = bv.validate_frame(df)
+    rv = RecordValidator(schema, allow_unknown=True, datastore=ds,
+                         clock=compiled.clock)
+    batch_codes = {}
+    for i, f, c in zip(result.row_idx, result.fields, result.codes):
+        batch_codes.setdefault(i, set()).add((f, c))
+    for i, rec in enumerate(records):
+        passed = rv.validate(rv.cast_record(dict(rec)))
+        row_codes = {(e.field, e.code) for e in rv.error_entries}
+        assert bool(result.passed[i]) == passed, (rec,)
+        assert batch_codes.get(i, set()) == row_codes, (rec,)
+
+
+def test_vocab_checks_fall_back_without_bulk_datastore():
+    from nacc_form_validator_ray.datastore import InMemoryDatastore
+    from datetime import date
+    schema = {
+        "drug": {"type": "integer", "nullable": True,
+                 "function": {"name": "check_rxcui"}},
+    }
+    # date windows -> no bulk vocabulary -> row path
+    ds = InMemoryDatastore("p", "o", valid_rxcui={1, 2},
+                           rxcui_date_window={1: (date(2020, 1, 1),
+                                                  None)})
+    bv = BatchValidator(CompiledSchema(schema, strict=False),
+                        datastore=ds)
+    assert "drug" in bv.row_fields and "drug" not in bv.vector_fields
+    df = pd.DataFrame({"drug": [1, 2, 9]}).astype(object)
+    _, result = bv.validate_frame(df)
+    assert list(result.passed) == [True, True, False]
