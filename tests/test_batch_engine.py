@@ -401,3 +401,25 @@ def test_vocab_checks_fall_back_without_bulk_datastore():
     df = pd.DataFrame({"drug": [1, 2, 9]}).astype(object)
     _, result = bv.validate_frame(df)
     assert list(result.passed) == [True, True, False]
+
+
+def test_compare_with_current_sentinels_parity():
+    from datetime import datetime
+    from nacc_form_validator_ray.utils import Clock
+    schema = {
+        "yr": {"type": "integer", "nullable": True,
+               "compare_with": {"comparator": "<=",
+                                "base": "current_year"}},
+        "mo": {"type": "integer", "nullable": True,
+               "compare_with": {"comparator": "<=",
+                                "base": "current_month"}},
+        "dy": {"type": "integer", "nullable": True,
+               "compare_with": {"comparator": "<",
+                                "base": "current_day"}},
+    }
+    records = [{"yr": y, "mo": m, "dy": d}
+               for y in (None, 2020, 2026, 2030)
+               for m in (None, 7, 8, 9)
+               for d in (None, 16, 17, 18)]
+    assert_parity(schema, records,
+                  clock=Clock(datetime(2026, 8, 17)))

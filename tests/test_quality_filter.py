@@ -251,3 +251,19 @@ def test_anti_join():
                     rd.from_pandas(keys), on="k").to_pandas()
     assert sorted(out["k"]) == [1, 3, 5]
     assert set(out.columns) == {"k", "v"}
+
+
+def test_run_quality_filter_files_per_partition(tmp_path):
+    src = tmp_path / "pages"
+    src.mkdir()
+    df = generate_pages(300, seed=31).to_pandas()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    for i in range(3):
+        pq.write_table(pa.Table.from_pandas(df.iloc[i * 100:(i + 1) * 100]),
+                       src / f"frag{i}.parquet")
+    metrics = run_quality_filter(str(src), str(tmp_path / "out"),
+                                 files_per_partition=2,
+                                 clock=Clock.frozen_now())
+    assert metrics["n_parts"] == 2   # ceil(3 files / 2 per part)
+    assert metrics["n_rows"] == 300

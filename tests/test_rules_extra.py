@@ -225,3 +225,28 @@ def test_ftdsnrat_ratio_guarded_division(make_validator):
             "- compatibility rule no: 2"
         ]
     }
+
+
+def test_compare_age_invalid_comparison_type(date_constraint,
+                                             make_validator):
+    """Comparing an age against a non-numeric field raises TypeError in
+    compare_values -> code 0x3004 with the error text."""
+    schema = {
+        "frmdate": {
+            "type": "string", "formatting": "date",
+            "regex": date_constraint,
+            "compare_age": {"comparator": ">=", "birth_year": "birthyr",
+                            "compare_to": "label"},
+        },
+        "birthyr": {"type": "integer"},
+        "label": {"type": "string"},
+    }
+    nv = make_validator(schema)
+    assert not nv.validate({"frmdate": "2024/02/02", "birthyr": 1950,
+                            "label": "hello"})
+    msgs = nv.errors["frmdate"]
+    assert len(msgs) == 1
+    assert msgs[0].startswith("Error in comparing label to age at "
+                              "frmdate (")
+    assert "not supported between instances of 'float' and 'str'" \
+        in msgs[0]
