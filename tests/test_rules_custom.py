@@ -739,3 +739,99 @@ def test_anyof_nested_dict_sits_after_its_message(make_validator):
     assert msgs[1] == "no definitions validate"
     assert isinstance(msgs[2], dict)
     assert msgs[2]["anyof definition 0"] == ["max value is 10"]
+
+
+def test_multiple_compatibility_blank_chain(make_validator):
+    """Reference test_multiple_compatibility: filled-state of one field
+    dictates the other in both directions."""
+    schema = {
+        "enrlgenoth": {"type": "integer", "nullable": True,
+                       "allowed": [1]},
+        "enrlgenothx": {
+            "type": "string", "nullable": True,
+            "compatibility": [
+                {"index": 0, "if": {"enrlgenoth": {"allowed": [1]}},
+                 "then": {"enrlgenothx": {"nullable": False}}},
+                {"index": 1,
+                 "if": {"enrlgenoth": {"nullable": True,
+                                       "filled": False}},
+                 "then": {"enrlgenothx": {"nullable": True,
+                                          "filled": False}}},
+            ],
+        },
+    }
+    nv = make_validator(schema)
+    assert nv.validate({"enrlgenoth": 1, "enrlgenothx": "somevalue"})
+    assert nv.validate({"enrlgenoth": None, "enrlgenothx": None})
+    assert nv.validate({})
+    assert not nv.validate({"enrlgenoth": 1, "enrlgenothx": None})
+    assert nv.errors == {
+        "enrlgenothx": [
+            "('enrlgenothx', ['null value not allowed']) for if "
+            "{'enrlgenoth': {'allowed': [1]}} then {'enrlgenothx': "
+            "{'nullable': False}} - compatibility rule no: 0"
+        ]
+    }
+    assert not nv.validate({"enrlgenoth": None,
+                            "enrlgenothx": "somevalue"})
+    assert nv.errors == {
+        "enrlgenothx": [
+            "('enrlgenothx', ['must be empty']) for if {'enrlgenoth': "
+            "{'nullable': True, 'filled': False}} then {'enrlgenothx': "
+            "{'nullable': True, 'filled': False}} - compatibility "
+            "rule no: 1"
+        ]
+    }
+
+
+def test_compatibility_then_multiple_blank_and(make_validator):
+    """If parentvar is blank then var1..var3 must be blank; the AND walk
+    reports the FIRST failing then-field."""
+    schema = {
+        "parentvar": {"type": "integer", "nullable": True},
+        "var3": {"type": "integer", "nullable": True},
+        "var2": {"type": "integer", "nullable": True},
+        "var1": {
+            "type": "integer", "nullable": True,
+            "compatibility": [{
+                "if": {"parentvar": {"nullable": True,
+                                     "filled": False}},
+                "then": {"var1": {"nullable": True, "filled": False},
+                         "var2": {"nullable": True, "filled": False},
+                         "var3": {"nullable": True, "filled": False}},
+            }],
+        },
+    }
+    nv = make_validator(schema)
+    assert nv.validate({"parentvar": None, "var1": None, "var2": None,
+                        "var3": None})
+    assert nv.validate({"parentvar": 0, "var1": 1, "var2": 2, "var3": 3})
+    assert nv.validate({"parentvar": 0, "var1": None, "var2": 2,
+                        "var3": None})
+    assert not nv.validate({"parentvar": None, "var1": 1, "var2": None,
+                            "var3": None})
+    assert "('var1', ['must be empty'])" in nv.errors["var1"][0]
+    # the failing field named in the message is var3, but the error is
+    # attributed to var1 (the field carrying the rule)
+    assert not nv.validate({"parentvar": None, "var1": None,
+                            "var2": None, "var3": 1})
+    assert "('var3', ['must be empty'])" in nv.errors["var1"][0]
+
+
+def test_compatibility_if_null_condition_fails_cleanly(make_validator):
+    """A null value in a required if-field simply fails the if clause
+    (reference test_compatibility_multiple_resulting_options_or tail)."""
+    schema = {
+        "majdepdx": {"type": "integer", "nullable": True},
+        "depd": {
+            "type": "integer", "required": True,
+            "compatibility": [{
+                "index": 0,
+                "if": {"depd": {"allowed": [1]}},
+                "then": {"majdepdx": {"allowed": [0, 2]}},
+            }],
+        },
+    }
+    nv = make_validator(schema)
+    assert not nv.validate({"depd": None, "majdepdx": 5})
+    assert nv.errors == {"depd": ["null value not allowed"]}

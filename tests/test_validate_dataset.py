@@ -256,3 +256,14 @@ def test_vectorized_temporalrules_matches_row_path(monkeypatch):
         fc = sorted((e["field"], e["code"]) for e in fast["errors"][i])
         sc = sorted((e["field"], e["code"]) for e in slow["errors"][i])
         assert fc == sc, (i, fast.loc[i, key].tolist(), fc, sc)
+
+
+def test_validate_dataset_actor_pool_path():
+    """concurrency switches ValidateStage to an actor pool (schema
+    compiled once per actor)."""
+    schema = {"qty": {"type": "float", "min": 0, "max": 100}}
+    df = pd.DataFrame({"qty": np.linspace(-10, 110, 50)})
+    out = validate_dataset(rd.from_pandas(df).repartition(4), schema,
+                           strict=False, concurrency=2).to_pandas()
+    assert (out["passed"] == ((df["qty"] >= 0) &
+                              (df["qty"] <= 100))).all()
