@@ -476,20 +476,6 @@ def _numeric_view(values: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return arr, ~np.isnan(arr)
 
 
-def _as_ordinal(values: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Map date/datetime objects to int64 ordinals (NaN elsewhere)."""
-    out = np.full(len(values), np.nan)
-    okm = np.zeros(len(values), dtype=bool)
-    for i, v in enumerate(values):
-        if isinstance(v, datetime):
-            out[i] = v.timestamp() if v.tzinfo is None else v.timestamp()
-            okm[i] = True
-        elif isinstance(v, date):
-            out[i] = v.toordinal() * 86400.0
-            okm[i] = True
-    return out, okm
-
-
 def _scalar_for_bound(bound: Any) -> Optional[float]:
     if isinstance(bound, bool):
         return None
