@@ -131,15 +131,87 @@ def build_pretrain_pipeline(pages_ds,
 def run_pretrain(input_dir: str, out_dir: str,
                  rules: Optional[Mapping[str, Any]] = None,
                  clock: Optional[Clock] = None,
-                 drop_via: str = "broadcast") -> Dict[str, Any]:
-    """Read pages parquet, clean + dedup, write partitioned parquet."""
+                 drop_via: str = "broadcast",
+                 resume: bool = True) -> Dict[str, Any]:
+    """Read pages parquet, clean + dedup, write partitioned parquet.
+
+    Stage-level checkpointing: the cleaned corpus and the banned-id list
+    are written under ``out_dir`` (``01_clean/``, ``02_banned/``) with
+    ``_DONE`` markers; a rerun resumes from the last completed stage —
+    the dedup decisions are global, so the composition checkpoints per
+    STAGE while the quality filter itself can additionally resume per
+    input partition (pipelines/quality_filter.run_quality_filter).
+    """
+    import os
+    import ray
     import ray.data as rd
+
+    clock = clock or Clock.frozen_now()
+    clean_dir = os.path.join(out_dir, "01_clean")
+    banned_dir = os.path.join(out_dir, "02_banned")
+    final_dir = os.path.join(out_dir, "03_docs")
+
+    def done(path):
+        return resume and os.path.exists(os.path.join(path, "_DONE"))
+
+    def mark(path):
+        open(os.path.join(path, "_DONE"), "w").write("ok")
+
     pages = rd.read_parquet(input_dir)
     n_in = pages.count()
-    out = build_pretrain_pipeline(pages, rules=rules,
-                                  clock=clock or Clock.frozen_now(),
-                                  drop_via=drop_via)
-    out.write_parquet(out_dir)
-    n_out = rd.read_parquet(out_dir, columns=["doc_id"]).count()
+
+    if not done(clean_dir):
+        ds = build_quality_pipeline(pages, rules=rules, clock=clock,
+                                    extract=True, collect="none")
+
+        def keep_and_project(batch: pd.DataFrame) -> pd.DataFrame:
+            kept = batch[batch["passed"]]
+            doc_id = pd.util.hash_array(
+                kept["url"].to_numpy("U")).astype(np.int64)
+            return pd.DataFrame({
+                "doc_id": np.abs(doc_id),
+                "url": kept["url"].to_numpy(),
+                "lang_pred": kept["lang_pred"].to_numpy(),
+                "text": kept["scrubbed_text"].to_numpy(),
+                "n_words": kept["n_words"].to_numpy(np.int64),
+            })
+
+        ds.map_batches(keep_and_project, batch_format="pandas") \
+            .write_parquet(clean_dir)
+        mark(clean_dir)
+
+    docs = rd.read_parquet(clean_dir)
+
+    if not done(banned_dir):
+        exact_drops = _exact_dup_ids(docs, "doc_id", "text")
+        pairs = minhash_candidate_pairs(docs, id_column="doc_id",
+                                        text_column="text")
+        near_drops = pairs.map_batches(
+            lambda b: pd.DataFrame(
+                {"doc_id": b["id_b"].astype(np.int64)}),
+            batch_format="pandas")
+        exact_drops.union(near_drops).write_parquet(banned_dir)
+        mark(banned_dir)
+
+    banned = rd.read_parquet(banned_dir)
+    if drop_via == "exchange":
+        out = anti_join(docs, banned, on="doc_id")
+    else:
+        ids = [b["doc_id"].to_numpy(np.int64) for b in
+               banned.iter_batches(batch_size=65536,
+                                   batch_format="pandas")]
+        arr = np.unique(np.concatenate(ids)) if ids \
+            else np.empty(0, dtype=np.int64)
+        ref = ray.put(arr)
+
+        def drop(batch: pd.DataFrame) -> pd.DataFrame:
+            keep = ~np.isin(batch["doc_id"].to_numpy(np.int64),
+                            ray.get(ref))
+            return batch[keep]
+
+        out = docs.map_batches(drop, batch_format="pandas")
+
+    out.write_parquet(final_dir)
+    n_out = rd.read_parquet(final_dir, columns=["doc_id"]).count()
     return {"n_input": n_in, "n_output": n_out,
-            "dropped": n_in - n_out}
+            "dropped": n_in - n_out, "output_dir": final_dir}

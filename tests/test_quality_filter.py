@@ -267,3 +267,20 @@ def test_run_quality_filter_files_per_partition(tmp_path):
                                  clock=Clock.frozen_now())
     assert metrics["n_parts"] == 2   # ceil(3 files / 2 per part)
     assert metrics["n_rows"] == 300
+
+
+def test_pretrain_stage_checkpoints_resume(tmp_path):
+    import os
+    from nacc_form_validator_ray.pipelines.pretrain import run_pretrain
+    src = tmp_path / "pages"
+    generate_pages(200, seed=33).write_parquet(str(src))
+    out = tmp_path / "out"
+    m1 = run_pretrain(str(src), str(out), clock=Clock.frozen_now())
+    clean_marker = out / "01_clean" / "_DONE"
+    banned_marker = out / "02_banned" / "_DONE"
+    assert clean_marker.exists() and banned_marker.exists()
+    t_clean = os.path.getmtime(clean_marker)
+    # rerun: stage checkpoints are reused, results identical
+    m2 = run_pretrain(str(src), str(out), clock=Clock.frozen_now())
+    assert os.path.getmtime(clean_marker) == t_clean
+    assert m2["n_output"] == m1["n_output"]
