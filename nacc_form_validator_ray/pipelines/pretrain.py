@@ -154,6 +154,11 @@ def run_pretrain(input_dir: str, out_dir: str,
     def done(path):
         return resume and os.path.exists(os.path.join(path, "_DONE"))
 
+    def fresh(path):
+        # wipe half-written stage output before (re)producing it
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+
     def mark(path):
         open(os.path.join(path, "_DONE"), "w").write("ok")
 
@@ -161,6 +166,7 @@ def run_pretrain(input_dir: str, out_dir: str,
     n_in = pages.count()
 
     if not done(clean_dir):
+        fresh(clean_dir)
         ds = build_quality_pipeline(pages, rules=rules, clock=clock,
                                     extract=True, collect="none")
 
@@ -183,6 +189,7 @@ def run_pretrain(input_dir: str, out_dir: str,
     docs = rd.read_parquet(clean_dir)
 
     if not done(banned_dir):
+        fresh(banned_dir)
         exact_drops = _exact_dup_ids(docs, "doc_id", "text")
         pairs = minhash_candidate_pairs(docs, id_column="doc_id",
                                         text_column="text")
@@ -211,6 +218,7 @@ def run_pretrain(input_dir: str, out_dir: str,
 
         out = docs.map_batches(drop, batch_format="pandas")
 
+    fresh(final_dir)
     out.write_parquet(final_dir)
     n_out = rd.read_parquet(final_dir, columns=["doc_id"]).count()
     return {"n_input": n_in, "n_output": n_out,
