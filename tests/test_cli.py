@@ -78,3 +78,14 @@ def test_read_any_formats(tmp_path):
                     columns=["a"]).schema().names == ["a"]
     assert read_any(str(tmp_path / "pq"), columns=["b"]).take(1)[0] == \
         {"b": "x"}
+
+
+def test_cli_quality_filter_with_rules_file(tmp_path):
+    pages = tmp_path / "pages"
+    out = tmp_path / "filtered"
+    run_cli("genpages", "-n", "150", "-o", str(pages))
+    proc = run_cli("quality-filter", "-i", str(pages), "-o", str(out),
+                   "-r", "examples/web_quality_rules.json")
+    assert proc.returncode == 0, proc.stderr
+    metrics = json.loads(proc.stdout[proc.stdout.index("{"):])
+    assert metrics["n_rows"] == 150
