@@ -254,3 +254,30 @@ def host_metrics(ds, salt_buckets: int = 16):
         Sum("n_docs", alias_name="n_docs"),
         Sum("n_kept", alias_name="n_kept"))
     return merged
+
+
+def rule_hit_metrics(ds, num_partitions: int = 8):
+    """Distributed rule-hit counters from the ``errors`` column: one row
+    per (field, code) with its violation count. Violations are sparse,
+    so the exchange moves per-batch partials only."""
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
+
+    def partial(batch) -> pd.DataFrame:
+        fields, codes = [], []
+        for row in batch["errors"]:
+            if row is None:
+                continue
+            for e in row:
+                fields.append(e["field"])
+                codes.append(int(e["code"]))
+        if not fields:
+            return pd.DataFrame({
+                "field": pd.Series([], dtype=object),
+                "code": pd.Series([], dtype=np.int64),
+                "n_hits": pd.Series([], dtype=np.int64)})
+        g = pd.DataFrame({"field": fields, "code": codes, "n_hits": 1})
+        return g.groupby(["field", "code"], as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return grouped_agg_sum(partials, ["field", "code"], ["n_hits"],
+                           num_partitions=num_partitions)

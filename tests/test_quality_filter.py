@@ -284,3 +284,18 @@ def test_pretrain_stage_checkpoints_resume(tmp_path):
     m2 = run_pretrain(str(src), str(out), clock=Clock.frozen_now())
     assert os.path.getmtime(clean_marker) == t_clean
     assert m2["n_output"] == m1["n_output"]
+
+
+def test_rule_hit_metrics():
+    from nacc_form_validator_ray.pipelines.quality_filter import \
+        rule_hit_metrics
+    ds = build_quality_pipeline(generate_pages(400, seed=41),
+                                clock=Clock.frozen_now())
+    hits = rule_hit_metrics(ds).to_pandas()
+    assert {"field", "code", "n_hits"} == set(hits.columns)
+    assert hits["n_hits"].sum() > 0
+    # totals agree with a driver-side recount
+    df = build_quality_pipeline(generate_pages(400, seed=41),
+                                clock=Clock.frozen_now()).to_pandas()
+    expected = sum(len(e) for e in df["errors"])
+    assert hits["n_hits"].sum() == expected
