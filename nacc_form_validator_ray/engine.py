@@ -47,7 +47,10 @@ VECTOR_RULES = frozenset({
 #: jsonLogic operators the vector compiler supports
 VECTOR_LOGIC_OPS = frozenset({
     "var", "==", "!=", "<", "<=", ">", ">=", "and", "or", "!", "!!",
-    "+", "-", "*", "/", "count", "count_exact", "if", "?:", "min", "max",
+    "+", "-", "*", "count", "count_exact", "if", "?:", "min", "max",
+    # "/" is deliberately row-profiled: the reference raises
+    # ZeroDivisionError (sys_failure) on a zero divisor, which the
+    # float-vector path would silently turn into inf (json_logic.py:/)
 })
 
 
@@ -354,10 +357,18 @@ class BatchCaster:
                 values = src.to_numpy(dtype=object, copy=True)
                 # normalize pandas NaN/NaT and "" to None
                 null = pd.isna(pd.Series(values, dtype=object)).to_numpy()
-                null |= np.array([v == "" for v in values], dtype=bool)
+                null |= np.array([isinstance(v, str) and v == ""
+                                  for v in values], dtype=bool)
                 values[null] = None
                 ok = np.ones(n, dtype=bool)
-                if dtype and dtype != "str":
+                if dtype == "str":
+                    # reference cast_record has no str branch: a non-string
+                    # value stays uncast and fails the 'string' type rule
+                    # (nacc_validator.py:228-251 + Cerberus BAD_TYPE)
+                    ok = np.array(
+                        [v is None or isinstance(v, str) for v in values],
+                        dtype=bool)
+                elif dtype:
                     values, ok = self._cast_column(values, null, dtype)
                 ok = ok | null
             out[col] = values
@@ -405,10 +416,12 @@ class BatchCaster:
                 values = np.array(src.dt.date, dtype=object)
             elif dtype == "datetime":
                 values = np.array(src.dt.to_pydatetime(), dtype=object)
-            else:
+            elif dtype is None:
                 # pd.Timestamp IS a datetime — rules treat it natively,
                 # skip the costly per-value conversion for untyped columns
                 values = src.to_numpy(dtype=object)
+            else:
+                return None  # e.g. str-typed field fed timestamps
             values[null] = None
             return values, ones
         return None
@@ -790,14 +803,13 @@ class VectorEvaluator:
             if len(vals) % 2:
                 acc = np.where(~decided, col(vals[-1]), acc)
             return acc
-        if op in ("+", "-", "*", "/", "min", "max"):
+        if op in ("+", "-", "*", "min", "max"):
             nums = [pd.to_numeric(pd.Series(col(v), dtype=object),
                                   errors="coerce").to_numpy(np.float64)
                     for v in vals]
             with np.errstate(invalid="ignore", divide="ignore"):
                 if op == "+":
-                    return np.nansum(np.vstack(nums), axis=0) \
-                        if False else sum(nums)
+                    return sum(nums)
                 if op == "-":
                     return -nums[0] if len(nums) == 1 else nums[0] - nums[1]
                 if op == "*":
@@ -805,8 +817,6 @@ class VectorEvaluator:
                     for m in nums:
                         out = out * m
                     return out
-                if op == "/":
-                    return nums[0] / nums[1]
                 if op == "min":
                     return np.nanmin(np.vstack(nums), axis=0)
                 return np.nanmax(np.vstack(nums), axis=0)
@@ -910,9 +920,10 @@ class VectorEvaluator:
 
         adjusted = base_val
         eff_value = value_num
+        eff_b_null = base_null
         trouble = np.zeros(n, dtype=bool)
         if adjustment is not None and operator:
-            adj_val, _ = resolve(adjustment)
+            adj_val, adj_null = resolve(adjustment)
             with np.errstate(divide="ignore", invalid="ignore"):
                 if operator == "+":
                     adjusted = base_val + adj_val
@@ -927,11 +938,18 @@ class VectorEvaluator:
                     adjusted = adj_val
                     # `abs(None - base)` raises in the reference -> error
                     trouble |= value_null
-            # a null adjustment operand raises TypeError in the reference
-            trouble |= np.isnan(adjusted)
+            if operator == "abs":
+                # the reference assigns adjusted_value = adjustment with NO
+                # arithmetic (nacc_validator compare_with abs branch), so a
+                # None adjustment flows into compare_values' base-None
+                # semantics instead of raising
+                eff_b_null = adj_null
+            else:
+                # a null adjustment operand raises TypeError in the reference
+                trouble |= np.isnan(adjusted)
 
         ok_mask = _vec_compare(comparator, eff_value, value_null, adjusted,
-                               base_null)
+                               eff_b_null)
         viol = (~ok_mask | trouble) & ~base_null
         # base null -> unconditional COMPARE_WITH error
         #   (nacc_validator.py:1154-1158)

@@ -31,6 +31,35 @@ from nacc_form_validator_ray.stages.joins import anti_join
 from nacc_form_validator_ray.stages.partition import grouped_apply
 from nacc_form_validator_ray.utils import Clock
 
+#: max banned-id count to ship via ray.put (8 B/id -> ~64 MB); beyond
+#: this the drop goes through the distributed anti_join exchange
+BROADCAST_ID_LIMIT = 8_000_000
+
+
+def _keep_and_project(batch: pd.DataFrame) -> pd.DataFrame:
+    """Quality-passed rows projected to the lean doc schema.
+
+    ``doc_id`` hashes (url, warc_ts, text) — NOT url alone: recrawled
+    pages share a url, and a url-only id made the exact-dedup ban list
+    remove every copy of a duplicated url including the intended
+    representative (round-1 ADVICE). Hashing the full identity keeps ids
+    deterministic across runs/parallelism while distinct rows get
+    distinct ids, so "ban non-minimum id per content hash" keeps exactly
+    one representative."""
+    kept = batch[batch["passed"]]
+    key = kept["url"].astype(str)
+    if "warc_ts" in kept.columns:
+        key = key + "\x00" + kept["warc_ts"].astype(str)
+    key = key + "\x00" + kept["scrubbed_text"].fillna("").astype(str)
+    doc_id = pd.util.hash_array(key.to_numpy("U")).astype(np.int64)
+    return pd.DataFrame({
+        "doc_id": np.abs(doc_id),
+        "url": kept["url"].to_numpy(),
+        "lang_pred": kept["lang_pred"].to_numpy(),
+        "text": kept["scrubbed_text"].to_numpy(),
+        "n_words": kept["n_words"].to_numpy(np.int64),
+    })
+
 
 def _exact_dup_ids(docs, id_column: str, text_column: str):
     """Lean exact-dedup decision: (id, content-hash) rows only; returns
@@ -60,7 +89,7 @@ def build_pretrain_pipeline(pages_ds,
                             clock: Optional[Clock] = None,
                             near_dup_threshold: float = 0.8,
                             extract: bool = True,
-                            drop_via: str = "broadcast"):
+                            drop_via: str = "auto"):
     """pages Dataset -> cleaned, deduplicated training documents.
 
     Returns a Dataset of (doc_id, url, lang_pred, text=scrubbed text,
@@ -71,25 +100,11 @@ def build_pretrain_pipeline(pages_ds,
     ds = build_quality_pipeline(pages_ds, rules=rules, clock=clock,
                                 extract=extract, collect="none")
 
-    def keep_and_project(batch: pd.DataFrame) -> pd.DataFrame:
-        kept = batch[batch["passed"]]
-        # stable numeric doc id derived from the url (deterministic
-        # across runs and parallelism)
-        doc_id = pd.util.hash_array(
-            kept["url"].to_numpy("U")).astype(np.int64)
-        return pd.DataFrame({
-            "doc_id": np.abs(doc_id),
-            "url": kept["url"].to_numpy(),
-            "lang_pred": kept["lang_pred"].to_numpy(),
-            "text": kept["scrubbed_text"].to_numpy(),
-            "n_words": kept["n_words"].to_numpy(np.int64),
-        })
-
     # the cleaned docs feed BOTH dedup decisions and the final filter;
     # pin them once instead of re-running the quality pipeline per
     # consumer (spills to disk if they outgrow the object store — for a
     # 100 TB run, checkpoint to parquet here instead)
-    docs = ds.map_batches(keep_and_project,
+    docs = ds.map_batches(_keep_and_project,
                           batch_format="pandas").materialize()
 
     # dedup DECISIONS on lean projections (ids + hashes/signatures only)
@@ -101,6 +116,14 @@ def build_pretrain_pipeline(pages_ds,
         lambda b: pd.DataFrame({"doc_id": b["id_b"].astype(np.int64)}),
         batch_format="pandas")
     banned = exact_drops.union(near_drops)
+
+    if drop_via == "auto":
+        # the banned list is lean (int64 ids) but grows with the corpus;
+        # broadcast only while it fits comfortably in every worker heap,
+        # else fall back to the distributed anti-join exchange
+        banned = banned.materialize()
+        drop_via = "broadcast" if banned.count() <= BROADCAST_ID_LIMIT \
+            else "exchange"
 
     if drop_via == "exchange":
         return anti_join(docs, banned, on="doc_id")
@@ -131,7 +154,7 @@ def build_pretrain_pipeline(pages_ds,
 def run_pretrain(input_dir: str, out_dir: str,
                  rules: Optional[Mapping[str, Any]] = None,
                  clock: Optional[Clock] = None,
-                 drop_via: str = "broadcast",
+                 drop_via: str = "auto",
                  resume: bool = True) -> Dict[str, Any]:
     """Read pages parquet, clean + dedup, write partitioned parquet.
 
@@ -169,20 +192,7 @@ def run_pretrain(input_dir: str, out_dir: str,
         fresh(clean_dir)
         ds = build_quality_pipeline(pages, rules=rules, clock=clock,
                                     extract=True, collect="none")
-
-        def keep_and_project(batch: pd.DataFrame) -> pd.DataFrame:
-            kept = batch[batch["passed"]]
-            doc_id = pd.util.hash_array(
-                kept["url"].to_numpy("U")).astype(np.int64)
-            return pd.DataFrame({
-                "doc_id": np.abs(doc_id),
-                "url": kept["url"].to_numpy(),
-                "lang_pred": kept["lang_pred"].to_numpy(),
-                "text": kept["scrubbed_text"].to_numpy(),
-                "n_words": kept["n_words"].to_numpy(np.int64),
-            })
-
-        ds.map_batches(keep_and_project, batch_format="pandas") \
+        ds.map_batches(_keep_and_project, batch_format="pandas") \
             .write_parquet(clean_dir)
         mark(clean_dir)
 
@@ -201,6 +211,10 @@ def run_pretrain(input_dir: str, out_dir: str,
         mark(banned_dir)
 
     banned = rd.read_parquet(banned_dir)
+    if drop_via == "auto":
+        # parquet row count is metadata-only — no scan
+        drop_via = "broadcast" if banned.count() <= BROADCAST_ID_LIMIT \
+            else "exchange"
     if drop_via == "exchange":
         out = anti_join(docs, banned, on="doc_id")
     else:

@@ -276,10 +276,8 @@ def validate_dataset(ds,
         # not per subject. Simple compare_with-previous/initial schemas
         # take the fully vectorized shift/ffill path.
         def temporal_partition(part: pd.DataFrame) -> pd.DataFrame:
-            if vectorized is not None and all(
-                    pd.api.types.is_numeric_dtype(part[c])
-                    for s in fast_specs if s["kind"] == "compare_with"
-                    for c in (s["field"], s["base"])):
+            if vectorized is not None and _fast_dtypes_ok(
+                    part, fast_specs, compiled):
                 return vectorized(part)
             out = [tgv(group) for _, group in
                    part.groupby(pk_field, sort=False, dropna=False)]
@@ -291,6 +289,42 @@ def validate_dataset(ds,
 
 
 # ------------------------------------------------- vectorized temporal
+
+
+def _fast_dtypes_ok(part: pd.DataFrame, fast_specs, compiled) -> bool:
+    """The vectorized temporal path evaluates RAW column values (it never
+    runs cast_record), so it is only sound when every column a spec
+    touches already arrives in its declared physical dtype — the norm for
+    Parquet, never for CSV/object inputs. Covers compare_with operands
+    AND every field referenced by temporalrules clauses (the round-1
+    guard missed the latter: int-typed fields delivered as strings
+    passed conditions the cast path fails)."""
+    from nacc_form_validator_ray.keys import K
+    cols = set()
+    for s in fast_specs:
+        if s["kind"] == "compare_with":
+            cols.update((s["field"], s["base"]))
+        else:
+            cols.add(s["field"])
+            for c in s["clauses"]:
+                cols.update(c.get(K.PREVIOUS, {}))
+                cols.update(c.get(K.CURRENT, {}))
+    for col in cols:
+        if col not in part.columns:
+            continue  # missing column -> all-None either way
+        dt = compiled.dtypes.get(col)
+        s = part[col]
+        if dt in ("int", "float"):
+            if not pd.api.types.is_numeric_dtype(s):
+                return False
+        elif dt == "bool":
+            if not pd.api.types.is_bool_dtype(s):
+                return False
+        elif dt in ("date", "datetime"):
+            if not pd.api.types.is_datetime64_any_dtype(s):
+                return False
+        # str / undeclared: raw values are already rule-ready
+    return True
 
 
 _COND_RULES = {"allowed", "forbidden", "nullable", "filled"}
