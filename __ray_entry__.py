@@ -51,7 +51,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each SQL-expressible query; rows-only
     operators (MinHash/SimHash LSH, hyperplane LSH, winnowing
-    fingerprints, multimodal decode, generated-page pipeline) are
-    intentionally omitted."""
-    from nacc_form_validator_ray.pipelines.queries import ORACLE_SQL
-    return dict(ORACLE_SQL)
+    fingerprints, multimodal decode, full pretrain composition) are
+    intentionally omitted. The flagship page pipelines get hard oracles
+    over the persisted deterministic page table (materialized here so
+    the SQL runs no matter the query/oracle execution order; the
+    driver's gate runs at sf0.01)."""
+    from nacc_form_validator_ray.pipelines.queries import (ORACLE_SQL,
+                                                           flagship_oracles)
+    out = dict(ORACLE_SQL)
+    out.update(flagship_oracles("/root/testdata/sf0.01"))
+    return out

@@ -152,17 +152,6 @@ def build_quality_pipeline(ds,
     return ds
 
 
-def _rule_hits_from_errors(errors_col) -> Dict[str, int]:
-    hits: Dict[str, int] = {}
-    for row in errors_col:
-        if row is None:
-            continue
-        for e in row:
-            key = f"{e['field']}:{int(e['code']):#x}"
-            hits[key] = hits.get(key, 0) + 1
-    return hits
-
-
 OUTPUT_COLUMNS = ["url", "warc_ts", "lang", "lang_pred", "scrubbed_text",
                   "n_words", "n_redactions", "passed", "n_errors",
                   "errors"]
@@ -208,20 +197,26 @@ def run_quality_filter(input_dir: str,
         pdir = lineage.partition_dir(out_dir, part)
         ds.write_parquet(pdir)
 
-        # metrics from the written output (column-pruned read-back)
+        # metrics from the written output: a column-pruned read-back with
+        # DISTRIBUTED aggregation — per-batch partials + one tiny grouped
+        # merge; the driver only ever sees one row per (field, code)
+        # (round-1 did this with a driver-side row loop)
+        from ray.data.aggregate import Sum
         meta = rd.read_parquet(pdir, columns=["passed", "errors"])
-        n_rows = 0
-        n_kept = 0
-        hits: Dict[str, int] = {}
-        for batch in meta.iter_batches(batch_size=8192,
-                                       batch_format="pandas"):
-            n_rows += len(batch)
-            n_kept += int(batch["passed"].sum())
-            for key, cnt in _rule_hits_from_errors(
-                    batch["errors"].tolist()).items():
-                hits[key] = hits.get(key, 0) + cnt
-        lineage.write_manifest(out_dir, part, frag_files, n_rows, n_kept,
-                               hits)
+        counts = meta.map_batches(
+            lambda b: pd.DataFrame(
+                {"n_rows": [len(b)],
+                 "n_kept": [int(b["passed"].sum())]}),
+            batch_format="pandas").aggregate(
+                Sum("n_rows", alias_name="n_rows"),
+                Sum("n_kept", alias_name="n_kept"))
+        hit_rows = rule_hit_metrics(meta).to_pandas()
+        hits: Dict[str, int] = {
+            f"{r.field}:{int(r.code):#x}": int(r.n_hits)
+            for r in hit_rows.itertuples()}
+        lineage.write_manifest(out_dir, part, frag_files,
+                               int(counts["n_rows"] or 0),
+                               int(counts["n_kept"] or 0), hits)
     return lineage.aggregate_metrics(out_dir)
 
 

@@ -56,8 +56,9 @@ WITH t AS (
 
 
 def q_text_stats(sf_dir: str):
+    # zero-copy Arrow path: tokens/codes stay in C buffers end-to-end
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    ds = ds.map_batches(TextStats(), batch_format="pandas",
+    ds = ds.map_batches(TextStats(), batch_format="pyarrow",
                         batch_size=4096)
     return ds.select_columns(["doc_id", "n_chars_sig", "n_words",
                               "bpe_token_count", "rep_3gram_total",
@@ -77,8 +78,11 @@ FROM g
 
 
 def q_langid(sf_dir: str):
+    # fused Arrow signal pass (TextStats langid) — same tokenize-once +
+    # bank-membership semantics as the standalone pandas LangId stage
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    ds = ds.map_batches(LangId(), batch_format="pandas", batch_size=4096)
+    ds = ds.map_batches(TextStats(langid=True), batch_format="pyarrow",
+                        batch_size=4096)
     return ds.select_columns(["doc_id", "lang_pred"] +
                              [f"sw_{lang}" for lang in LANG_ORDER])
 
@@ -126,9 +130,10 @@ DOC_RULES: Dict[str, Dict[str, Any]] = {
 def q_quality_filter(sf_dir: str):
     from nacc_form_validator_ray.stages.validate import validate_dataset
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    ds = ds.map_batches(TextStats(), batch_format="pandas",
+    # ONE fused Arrow signal pass (stats + langid share tokenization),
+    # exactly like the flagship page pipeline
+    ds = ds.map_batches(TextStats(langid=True), batch_format="pyarrow",
                         batch_size=4096)
-    ds = ds.map_batches(LangId(), batch_format="pandas", batch_size=4096)
     ds = validate_dataset(ds, DOC_RULES, strict=False, collect="none")
     return ds.select_columns(["doc_id", "passed", "n_errors"])
 
@@ -191,33 +196,40 @@ def q_pii_scrub(sf_dir: str):
     return ds.select_columns(["doc_id", "scrubbed_text", "n_redactions"])
 
 
-def _sql_scrub() -> str:
-    """Sequential scrub CTE chain mirroring Scrubber's pattern order."""
+def _scrub_ctes(source: str, id_col: str, prefix: str = "s"):
+    """Sequential scrub CTE chain mirroring Scrubber's pattern order,
+    embeddable in a larger WITH. Returns (cte_defs, last_cte, total_expr);
+    the last CTE carries (id_col, t=scrubbed text, per-pattern counts)."""
     from nacc_form_validator_ray.stages.scrub import (TOXIC_PATTERN,
                                                       TOXIC_REPLACEMENT)
     steps = list(PII_PATTERNS) + [("toxic", TOXIC_PATTERN,
                                    TOXIC_REPLACEMENT)]
-    sql = "WITH s0 AS (SELECT doc_id, text AS t FROM documents)"
-    prev = "s0"
+    defs = [f"{prefix}0 AS (SELECT {id_col}, text AS t FROM {source})"]
+    prev = f"{prefix}0"
     names = []
     for i, (name, pat, repl) in enumerate(steps, start=1):
         pat_sql = pat.replace("'", "''")
-        sql += f""",
-s{i} AS (
-  SELECT doc_id,
+        carried = ", ".join("n_" + n for n in names) if names \
+            else "1 AS __one"
+        defs.append(f"""{prefix}{i} AS (
+  SELECT {id_col},
          len(regexp_extract_all(t, '{pat_sql}')) AS n_{name},
          regexp_replace(t, '{pat_sql}', '{repl}', 'g') AS t,
-         {', '.join('n_' + n for n in names) if names else '1 AS __one'}
+         {carried}
   FROM {prev}
-)"""
+)""")
         names.append(name)
-        prev = f"s{i}"
+        prev = f"{prefix}{i}"
     total = " + ".join(f"n_{n}" for n in names)
-    sql += f"""
+    return ",\n".join(defs), prev, total
+
+
+def _sql_scrub() -> str:
+    defs, last, total = _scrub_ctes("documents", "doc_id")
+    return f"""WITH {defs}
 SELECT doc_id, t AS scrubbed_text, CAST({total} AS BIGINT) AS n_redactions
-FROM {prev}
+FROM {last}
 """
-    return sql
 
 
 def q_token_count_by_source(sf_dir: str):
@@ -318,18 +330,26 @@ WITH t AS (
   SELECT doc_id, source,
          regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
   FROM documents
+), capped AS (
+  -- blocks are (source, length bucket) capped at the 4096 smallest ids,
+  -- mirroring blocked_jaccard_pairs(length_bucket=64, max_block=4096)
+  SELECT doc_id, source, toks, len(toks) // 64 AS bucket,
+         row_number() OVER (PARTITION BY source, len(toks) // 64
+                            ORDER BY doc_id) AS rn
+  FROM t
 ), d AS (
-  SELECT doc_id, source,
+  SELECT doc_id, source, bucket,
          CASE WHEN len(toks) >= 3
               THEN list_distinct(list_transform(range(1, len(toks) - 1),
                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
               ELSE CAST([] AS VARCHAR[]) END AS s
-  FROM t
+  FROM capped WHERE rn <= 4096
 ), p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          len(list_intersect(a.s, b.s)) AS inter,
          len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
-  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+  FROM d a JOIN d b ON a.source = b.source AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id
 )
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        CAST(inter AS DOUBLE) / uni AS jaccard
@@ -450,10 +470,11 @@ FROM events GROUP BY event_type
 def q_knn(sf_dir: str):
     import pyarrow.parquet as pq
     from nacc_form_validator_ray.stages.similarity import knn_bruteforce
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    small = tbl.to_pandas()
-    small = small[small["vec_id"] < 10].sort_values("vec_id")
+    # pushed-down row filter: only the 10 query vectors leave storage
+    small = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "<", 10)]) \
+        .to_pandas().sort_values("vec_id")
     queries = np.stack([np.asarray(v, dtype=np.float64)
                         for v in small["embedding"]])
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -542,38 +563,31 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 
 
 def q_segment_revenue(sf_dir: str):
-    """Broadcast join: the small customer side ships once via ray.put."""
-    import pyarrow.parquet as pq
-    import ray
+    """Fact-to-fact join: orders ⋈ customer via the distributed hash
+    exchange (customer scales with the dataset — broadcasting it as a
+    driver dict was the round-1 scale defect). The join output is
+    pre-aggregated per partition before the tiny final groupby."""
     from ray.data.aggregate import Sum
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    from nacc_form_validator_ray.stages.joins import hash_join
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda b: pd.DataFrame(
+            {"o_custkey": b["c_custkey"],
+             "c_mktsegment": b["c_mktsegment"]}),
+            batch_format="pandas")
+    joined = hash_join(orders, cust, on="o_custkey")
 
-    class JoinSegment:
-        """Stateless-task broadcast join: the ray.put handle pickles with
-        the instance; each worker process ray.get()s the dict once
-        (zero re-ship per batch), with no actor-pool startup cost."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        g = pd.DataFrame({"c_mktsegment": batch["c_mktsegment"],
+                          "n_orders": 1, "revenue_cents": cents})
+        return g.groupby("c_mktsegment", as_index=False).sum()
 
-        def __init__(self, ref):
-            self.ref = ref
-            self.seg = None
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            if self.seg is None:
-                self.seg = ray.get(self.ref)
-            seg = batch["o_custkey"].map(self.seg).fillna("?")
-            cents = np.floor(
-                batch["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
-            ).astype(np.int64)
-            g = pd.DataFrame({"c_mktsegment": seg, "n_orders": 1,
-                              "revenue_cents": cents})
-            return g.groupby("c_mktsegment", as_index=False).sum()
-
-    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
-                            columns=["o_custkey", "o_totalprice"])
-    partials = ds.map_batches(JoinSegment(seg_ref),
-                              batch_format="pandas")
+    partials = joined.map_batches(partial, batch_format="pandas")
     return partials.groupby("c_mktsegment").aggregate(
         Sum("n_orders", alias_name="n_orders"),
         Sum("revenue_cents", alias_name="revenue_cents"))
@@ -589,40 +603,36 @@ GROUP BY c_mktsegment
 
 
 def q_ship_delay(sf_dir: str):
-    """Date arithmetic vs a broadcast dimension (compare_age pattern)."""
-    import pyarrow.parquet as pq
-    import ray
-    orders = pq.read_table(f"{sf_dir}/orders.parquet",
-                           columns=["o_orderkey", "o_orderdate"]
-                           ).to_pandas()
-    odate_ref = ray.put(dict(zip(
-        orders["o_orderkey"],
-        orders["o_orderdate"].astype("datetime64[us]").astype("int64")
-        .to_numpy())))
+    """Date arithmetic across a fact-to-fact equi-join: lineitem ⋈
+    orders on the order key through the distributed hash exchange
+    (orders scales with the dataset; the round-1 version shipped it as a
+    driver-built broadcast dict — compare_age pattern, wrong scaling)."""
+    from nacc_form_validator_ray.stages.joins import hash_join
+    line = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_linenumber",
+                                       "l_shipdate"])
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(lambda b: pd.DataFrame(
+            {"l_orderkey": b["o_orderkey"],
+             "o_orderdate": b["o_orderdate"]}),
+            batch_format="pandas")
+    joined = hash_join(line, orders, on="l_orderkey")
 
-    class Delay:
-        def __init__(self, ref):
-            self.ref = ref
-            self.odate = None
+    def delay(batch: pd.DataFrame) -> pd.DataFrame:
+        ship_us = batch["l_shipdate"].astype("datetime64[us]") \
+            .astype("int64").to_numpy()
+        odate_us = batch["o_orderdate"].astype("datetime64[us]") \
+            .astype("int64").to_numpy()
+        delay_days = (ship_us - odate_us) // 86_400_000_000
+        return pd.DataFrame({
+            "l_orderkey": batch["l_orderkey"],
+            "l_linenumber": batch["l_linenumber"].astype(np.int64),
+            "delay_days": delay_days.astype(np.int64),
+            "late": delay_days > 90,
+        })
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            if self.odate is None:
-                self.odate = ray.get(self.ref)
-            ship_us = batch["l_shipdate"].astype("datetime64[us]") \
-                .astype("int64").to_numpy()
-            odate = batch["l_orderkey"].map(self.odate).to_numpy(np.int64)
-            delay_days = (ship_us - odate) // 86_400_000_000
-            return pd.DataFrame({
-                "l_orderkey": batch["l_orderkey"],
-                "l_linenumber": batch["l_linenumber"].astype(np.int64),
-                "delay_days": delay_days.astype(np.int64),
-                "late": delay_days > 90,
-            })
-
-    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
-                            columns=["l_orderkey", "l_linenumber",
-                                     "l_shipdate"])
-    return ds.map_batches(Delay(odate_ref), batch_format="pandas")
+    return joined.map_batches(delay, batch_format="pandas")
 
 
 SQL_SHIP_DELAY = """
@@ -839,18 +849,174 @@ def q_multimodal_decode(sf_dir: str):
     return ds.map_batches(summarize, batch_format="pandas")
 
 
+def _pages_n(sf_dir: str) -> int:
+    return 2000 if "0.01" in sf_dir else 500
+
+
+def _pages_path(sf_dir: str) -> str:
+    """Materialize the deterministic page table once (shared between the
+    Ray flagship queries and their DuckDB oracles)."""
+    from nacc_form_validator_ray.pipelines.webgen import \
+        ensure_pages_parquet
+    return ensure_pages_parquet(_pages_n(sf_dir))
+
+
 def q_quality_filter_pages(sf_dir: str):
-    """Flagship pipeline over generated CC-style pages (scaled to sf)."""
+    """Flagship pipeline over generated CC-style pages (scaled to sf).
+    Reads the persisted page parquet so the DuckDB twin sees identical
+    rows — this is the hard oracle for the headline pipeline."""
     from nacc_form_validator_ray.pipelines.quality_filter import \
         build_quality_pipeline
-    from nacc_form_validator_ray.pipelines.webgen import generate_pages
     from nacc_form_validator_ray.utils import Clock
     from datetime import datetime
-    n = 2000 if "0.01" in sf_dir else 500
-    ds = generate_pages(n, seed=42)
+    ds = _rd().read_parquet(_pages_path(sf_dir), columns=["url", "text"])
     ds = build_quality_pipeline(ds, clock=Clock(datetime(2026, 1, 1)))
     return ds.select_columns(["url", "lang_pred", "passed", "n_errors",
                               "n_redactions"])
+
+
+def q_pretrain_prefix_pages(sf_dir: str):
+    """SQL-expressible prefix of the pretrain composition: quality
+    filter -> PII scrub -> EXACT dedup (min url per content hash). The
+    full composition (+ MinHash near-dedup) stays rows-only as
+    ``pretrain_pages``."""
+    from datetime import datetime
+    from nacc_form_validator_ray.pipelines.quality_filter import \
+        build_quality_pipeline
+    from nacc_form_validator_ray.stages.dedup import exact_dedup
+    from nacc_form_validator_ray.utils import Clock
+    ds = _rd().read_parquet(_pages_path(sf_dir), columns=["url", "text"])
+    ds = build_quality_pipeline(ds, clock=Clock(datetime(2026, 1, 1)))
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        kept = batch[batch["passed"]]
+        return pd.DataFrame({
+            "url": kept["url"].to_numpy(),
+            "lang_pred": kept["lang_pred"].to_numpy(),
+            "text": kept["scrubbed_text"].to_numpy(),
+            "n_words": kept["n_words"].to_numpy(np.int64),
+        })
+
+    docs = ds.map_batches(keep, batch_format="pandas")
+    out = exact_dedup(docs, id_column="url", text_column="text")
+    return out.select_columns(["url", "lang_pred", "n_words"])
+
+
+def _pages_signal_sql(path: str) -> str:
+    """Shared CTE block: per-page quality signals + langid + scrub over
+    the persisted page parquet — the SQL twin of
+    TextStats(langid=True) -> Scrubber -> WEB_QUALITY_RULES."""
+    scrub_defs, scrub_last, scrub_total = _scrub_ctes(
+        f"read_parquet('{path}')", "url", prefix="sc")
+    banks = {lang: ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+             for lang in LANG_ORDER}
+    return f"""
+WITH pages AS (SELECT url, text FROM read_parquet('{path}')),
+t AS (
+  SELECT url, text, regexp_extract_all(lower(text), '[a-z]+') AS toks
+  FROM pages
+), g AS (
+  SELECT url, text, toks,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              ELSE CAST([] AS VARCHAR[]) END AS ngrams
+  FROM t
+), sig AS (
+  SELECT url,
+         len(regexp_extract_all(text, '\\S+')) AS n_words,
+         CAST(length(text) - len(regexp_extract_all(text, '\\s'))
+              AS DOUBLE)
+             / greatest(len(regexp_extract_all(text, '\\S+')), 1)
+             AS mean_word_len,
+         CAST(length(text) - len(regexp_extract_all(text, '[A-Za-z]'))
+              - len(regexp_extract_all(text, '[0-9]'))
+              - len(regexp_extract_all(text, '\\s')) AS DOUBLE)
+             / greatest(length(text), 1) AS symbol_ratio,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+             / greatest(length(text), 1) AS digit_ratio,
+         CASE WHEN len(ngrams) > 0
+              THEN 1.0 - CAST(len(list_distinct(ngrams)) AS DOUBLE)
+                         / len(ngrams)
+              ELSE 0.0 END AS rep_3gram_ratio,
+         len(list_filter(toks, x -> x IN ({banks['en']}))) AS sw_en,
+         len(list_filter(toks, x -> x IN ({banks['es']}))) AS sw_es,
+         len(list_filter(toks, x -> x IN ({banks['de']}))) AS sw_de,
+         len(list_filter(toks, x -> x IN ({banks['fr']}))) AS sw_fr,
+         len(list_filter(toks, x -> x IN ({banks['zh']}))) AS sw_zh
+  FROM g
+), lp AS (
+  SELECT url, n_words, mean_word_len, symbol_ratio, digit_ratio,
+         rep_3gram_ratio,
+         CASE WHEN greatest(sw_en, sw_es, sw_de, sw_fr, sw_zh) = 0
+                  THEN 'und'
+              WHEN sw_en >= greatest(sw_es, sw_de, sw_fr, sw_zh) THEN 'en'
+              WHEN sw_es >= greatest(sw_de, sw_fr, sw_zh) THEN 'es'
+              WHEN sw_de >= greatest(sw_fr, sw_zh) THEN 'de'
+              WHEN sw_fr >= sw_zh THEN 'fr'
+              ELSE 'zh' END AS lang_pred,
+         CAST(greatest(sw_en, sw_es, sw_de, sw_fr, sw_zh) AS DOUBLE)
+             / greatest(n_words, 1) AS stop_ratio
+  FROM sig
+), {scrub_defs},
+err AS (
+  SELECT url, lang_pred, n_words,
+         (CASE WHEN n_words < 50 THEN 1 ELSE 0 END) +
+         (CASE WHEN n_words > 1000 THEN 1 ELSE 0 END) +
+         (CASE WHEN mean_word_len < 2.0 THEN 1 ELSE 0 END) +
+         (CASE WHEN mean_word_len > 12.0 THEN 1 ELSE 0 END) +
+         (CASE WHEN symbol_ratio > 0.1 THEN 1 ELSE 0 END) +
+         (CASE WHEN digit_ratio > 0.2 THEN 1 ELSE 0 END) +
+         (CASE WHEN rep_3gram_ratio > 0.5 THEN 1 ELSE 0 END) +
+         (CASE WHEN stop_ratio < 0.05 THEN 1 ELSE 0 END) +
+         (CASE WHEN lang_pred NOT IN ('en', 'es', 'de', 'fr', 'zh')
+               THEN 1 ELSE 0 END) AS n_errors
+  FROM lp
+)"""
+
+
+def sql_quality_filter_pages(path: str) -> str:
+    scrub_defs, scrub_last, scrub_total = _scrub_ctes(
+        f"read_parquet('{path}')", "url", prefix="sc")
+    return _pages_signal_sql(path) + f"""
+SELECT err.url AS url, lang_pred, n_errors = 0 AS passed,
+       CAST(n_errors AS INT) AS n_errors,
+       CAST({scrub_total} AS BIGINT) AS n_redactions
+FROM err JOIN {scrub_last} ON err.url = {scrub_last}.url
+"""
+
+
+def sql_pretrain_prefix_pages(path: str) -> str:
+    scrub_defs, scrub_last, scrub_total = _scrub_ctes(
+        f"read_parquet('{path}')", "url", prefix="sc")
+    return _pages_signal_sql(path) + f""",
+kept AS (
+  SELECT err.url AS url, lang_pred, n_words, {scrub_last}.t AS sctext
+  FROM err JOIN {scrub_last} ON err.url = {scrub_last}.url
+  WHERE n_errors = 0
+), hashed AS (
+  SELECT url, lang_pred, n_words,
+         md5(lower(trim(regexp_replace(sctext, '\\s+', ' ', 'g')))) AS h
+  FROM kept
+), ranked AS (
+  SELECT url, lang_pred, n_words,
+         row_number() OVER (PARTITION BY h ORDER BY url) AS rn
+  FROM hashed
+)
+SELECT url, lang_pred, CAST(n_words AS BIGINT) AS n_words
+FROM ranked WHERE rn = 1
+"""
+
+
+def flagship_oracles(sf_dir: str) -> Dict[str, str]:
+    """DuckDB twins for the flagship page pipelines — materializes the
+    deterministic page table first so the SQL can run regardless of
+    whether the Ray query ran before it."""
+    path = _pages_path(sf_dir)
+    return {
+        "quality_filter_pages": sql_quality_filter_pages(path),
+        "pretrain_prefix_pages": sql_pretrain_prefix_pages(path),
+    }
 
 
 # --------------------------------------------------------------------------
@@ -885,6 +1051,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "fingerprint_docs": q_fingerprint_docs,
     "multimodal_decode": q_multimodal_decode,
     "quality_filter_pages": q_quality_filter_pages,
+    "pretrain_prefix_pages": q_pretrain_prefix_pages,
 }
 
 ORACLE_SQL: Dict[str, str] = {
@@ -1105,9 +1272,11 @@ def q_ivf_knn(sf_dir: str):
     knn_embeddings' exact brute force. Rows-only (recall < 1)."""
     import pyarrow.parquet as pq
     from nacc_form_validator_ray.stages.similarity import ivf_knn
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"]).to_pandas()
-    small = tbl[tbl["vec_id"] < 10].sort_values("vec_id")
+    # pushed-down row filter: only the 10 query vectors leave storage
+    small = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "<", 10)]) \
+        .to_pandas().sort_values("vec_id")
     queries = np.stack([np.asarray(v, dtype=np.float64)
                         for v in small["embedding"]])
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -1171,7 +1340,7 @@ def q_dedup_clusters(sf_dir: str):
     docs = _docs(sf_dir, columns=["doc_id", "text"])
     pairs = minhash_candidate_pairs(docs, threshold=0.5)
     ids = _docs(sf_dir, columns=["doc_id"])
-    return propagate_labels(pairs, ids, rounds=3)
+    return propagate_labels(pairs, ids)  # iterates to convergence
 
 
 QUERIES["dedup_clusters"] = q_dedup_clusters

@@ -148,3 +148,31 @@ def generate_pages(n_docs: int, seed: int = 42, n_hosts: int = 1000,
     return ds.map_batches(PageGenerator(seed=seed, n_hosts=n_hosts,
                                         dup_fraction=dup_fraction),
                           batch_format="pandas", batch_size=2048)
+
+
+def ensure_pages_parquet(n_docs: int, seed: int = 42,
+                         cache_dir: str = "/tmp/nacc_pages_cache") -> str:
+    """Write the deterministic page table to a cached parquet file and
+    return its path — WITHOUT Ray (row values derive from (seed, doc_id)
+    only, so this is byte-identical to ``generate_pages`` output).
+
+    This file is the shared ground the flagship pipelines and their
+    DuckDB oracles both read: the driver may run the SQL twin before or
+    after the Ray query, so both ``oracle_sql()`` and the query ensure
+    the file exists. Writes are atomic (tmp + rename) so concurrent
+    ensures are safe."""
+    import os
+    import tempfile
+    path = os.path.join(cache_dir, f"pages_n{n_docs}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(cache_dir, exist_ok=True)
+    gen = PageGenerator(seed=seed)
+    df = pd.DataFrame([gen._doc(i) for i in range(n_docs)])
+    df["warc_ts"] = df["warc_ts"].astype("datetime64[us]")
+    fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".parquet")
+    import os as _os
+    _os.close(fd)
+    df.to_parquet(tmp)
+    _os.replace(tmp, path)
+    return path

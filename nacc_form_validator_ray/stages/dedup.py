@@ -400,14 +400,45 @@ def blocked_jaccard_pairs(ds, block_column: str,
                           id_column: str = "doc_id",
                           text_column: str = "text",
                           shingle_n: int = 3,
-                          threshold: float = 0.5):
-    """Exact word-n-gram Jaccard over all pairs WITHIN a block key
+                          threshold: float = 0.5,
+                          length_bucket: int = 64,
+                          max_block: int = 4096):
+    """Exact word-n-gram Jaccard over all pairs WITHIN a block
     (SQL-expressible — the conformance twin of the MinHash estimate).
-    Blocking keeps the pair space linear in block size; choose the block
-    column so near-dups land together (e.g. host, length bucket)."""
+
+    The O(n²)-per-block pair space is bounded two ways (round-1 VERDICT
+    #6: blocking on a few-valued column alone makes block size scale
+    with the corpus):
+
+    * blocks are (``block_column``, token-count // ``length_bucket``) —
+      near-dups share a length bucket by construction of the metric
+      (Jaccard >= t forces |len_a - len_b| <= (1-t)·max, so a generous
+      bucket width loses only low-similarity pairs);
+    * a block is capped at the ``max_block`` smallest ids (the overflow
+      is logged — never silently dropped).
+
+    The SQL twin must use the same bucket width and cap
+    (pipelines/queries.SQL_JACCARD_PAIRS).
+    """
+    import logging
+    log = logging.getLogger(__name__)
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        n_toks = _token_lists(batch[text_column]).str.len() \
+            .to_numpy(np.int64)
+        batch["__bucket"] = n_toks // np.int64(length_bucket)
+        return batch
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(id_column)
+        if len(g) > max_block:
+            log.warning(
+                "jaccard block %s overflows max_block=%d (%d rows); "
+                "keeping the %d smallest ids",
+                (g[block_column].iloc[0], int(g["__bucket"].iloc[0])),
+                max_block, len(g), max_block)
+            g = g.head(max_block)
         n = len(g)
         empty = pd.DataFrame({
             "id_a": pd.Series([], dtype=np.int64),
@@ -438,8 +469,9 @@ def blocked_jaccard_pairs(ds, block_column: str,
             "id_b": np.asarray(out_b, dtype=np.int64),
             "jaccard": np.asarray(out_j, dtype=np.float64)})
 
-    return ds.groupby(block_column).map_groups(pairs,
-                                               batch_format="pandas")
+    return ds.map_batches(add_bucket, batch_format="pandas") \
+        .groupby([block_column, "__bucket"]) \
+        .map_groups(pairs, batch_format="pandas")
 
 
 def propagate_labels(pairs_ds, ids_ds, id_column: str = "doc_id",

@@ -132,6 +132,57 @@ def range_join_bucketed(left_ds, right_ds, lo: str, hi: str, value: str,
                          num_partitions=num_partitions)
 
 
+def hash_join(left_ds, right_ds, on, how: str = "inner",
+              right_columns: Optional[List[str]] = None,
+              suffix: str = "_right",
+              num_partitions: int = 64):
+    """General distributed hash equi-join for two LARGE tables.
+
+    Both sides are tagged, unioned, and hash-exchanged ONCE on the join
+    key(s); each partition then runs a vectorized ``pd.merge``. Use this
+    for fact-to-fact joins where neither side fits a broadcast dict (the
+    round-1 ship_delay/segment_revenue anti-pattern); keep broadcast
+    lookups for true dimensions (nation/region). ``on`` must name
+    column(s) present in both sides (rename upstream in a lean
+    map_batches if they differ). ``how`` is "inner" or "left".
+
+    Partitioning assumption: all rows of one key value fit in one
+    partition — salt hot keys upstream when a single key's rows exceed
+    worker memory.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type: {how}")
+    keys = [on] if isinstance(on, str) else list(on)
+    left_cols = list(left_ds.schema().names)
+    rcols = right_columns if right_columns is not None else \
+        [c for c in right_ds.schema().names if c not in keys]
+    all_cols = left_cols + [c for c in keys + rcols
+                            if c not in left_cols]
+
+    def tag(side, keep):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch[keep].copy()
+            for c in all_cols:
+                if c not in batch.columns:
+                    batch[c] = None
+            batch[_SIDE] = side
+            return batch[all_cols + [_SIDE]]
+        return fn
+
+    lt = left_ds.map_batches(tag(0, left_cols), batch_format="pandas")
+    rt = right_ds.map_batches(tag(1, keys + rcols),
+                              batch_format="pandas")
+
+    def join_partition(part: pd.DataFrame) -> pd.DataFrame:
+        left = part[part[_SIDE] == 0][left_cols]
+        right = part[part[_SIDE] == 1][keys + rcols]
+        return left.merge(right, on=keys, how=how,
+                          suffixes=("", suffix))
+
+    return grouped_apply(lt.union(rt), keys, join_partition,
+                         num_partitions=num_partitions)
+
+
 def anti_join(left_ds, keys_ds, on: str, num_partitions: int = 64):
     """Distributed anti join: left rows whose ``on`` value does NOT
     appear in ``keys_ds``. One hash exchange on the key; no broadcast —

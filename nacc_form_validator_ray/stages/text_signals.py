@@ -312,27 +312,44 @@ class Fingerprint:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         import hashlib
+        import pyarrow as pa
         text = batch[self.text_column].fillna("")
         norm = text.str.replace(self.norm_re, " ", regex=True) \
             .str.strip().str.lower()
         batch = batch.copy()
         batch["fingerprint_md5"] = [
             hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm]
-        # winnow: min 64-bit hash over character 5-grams
-        winnow = np.zeros(len(batch), dtype=np.uint64)
-        for i, t in enumerate(norm):
-            if len(t) < 5:
-                winnow[i] = np.uint64(
-                    int.from_bytes(
-                        hashlib.md5(t.encode()).digest()[:8], "big"))
-                continue
-            arr = np.frombuffer(t.encode("utf-8", "ignore"),
-                                dtype=np.uint8)
-            h = (arr[:-4].astype(np.uint64) * np.uint64(2654435761) ^
-                 arr[1:-3].astype(np.uint64) * np.uint64(40503) ^
-                 arr[2:-2].astype(np.uint64) * np.uint64(69069) ^
-                 arr[3:-1].astype(np.uint64) * np.uint64(123457) ^
-                 arr[4:].astype(np.uint64))
-            winnow[i] = h.min()
+        # winnow: min 64-bit hash over character 5-grams, computed over
+        # ONE concatenated utf-8 buffer for the whole batch (the Arrow
+        # string array IS that buffer) — windows crossing document
+        # boundaries are masked out, per-doc minima are one reduceat.
+        n = len(batch)
+        winnow = np.zeros(n, dtype=np.uint64)
+        sarr = pa.array(norm, type=pa.string())
+        off = np.frombuffer(sarr.buffers()[1], dtype=np.int32)[
+            sarr.offset:sarr.offset + n + 1].astype(np.int64)
+        char_lens = norm.str.len().to_numpy(np.int64)
+        long_docs = char_lens >= 5
+        total = int(off[-1] - off[0])
+        if long_docs.any() and total >= 5:
+            buf = np.frombuffer(sarr.buffers()[2], dtype=np.uint8)[
+                off[0]:off[-1]]
+            starts = off - off[0]
+            arr = buf.astype(np.uint64)
+            h = (arr[:-4] * np.uint64(2654435761) ^
+                 arr[1:-3] * np.uint64(40503) ^
+                 arr[2:-2] * np.uint64(69069) ^
+                 arr[3:-1] * np.uint64(123457) ^
+                 arr[4:])
+            byte_lens = np.diff(starts)
+            own = np.repeat(np.arange(n, dtype=np.int64), byte_lens)
+            valid = (own[:-4] == own[4:]) & long_docs[own[:-4]]
+            h[~valid] = np.uint64(0xFFFFFFFFFFFFFFFF)
+            red_starts = np.minimum(starts[:-1][long_docs],
+                                    len(h) - 1)
+            winnow[long_docs] = np.minimum.reduceat(h, red_starts)
+        for i in np.flatnonzero(~long_docs):
+            winnow[i] = np.uint64(int.from_bytes(
+                hashlib.md5(norm.iloc[i].encode()).digest()[:8], "big"))
         batch["fingerprint_winnow"] = winnow
         return batch

@@ -51,7 +51,10 @@ def main():
     DataContext.get_current().enable_progress_bars = False
 
     from nacc_form_validator_ray.pipelines.queries import (ORACLE_SQL,
-                                                           QUERIES)
+                                                           QUERIES,
+                                                           flagship_oracles)
+    oracle = dict(ORACLE_SQL)
+    oracle.update(flagship_oracles(sf_dir))
 
     con = duckdb.connect()
     for t in TABLES:
@@ -63,10 +66,10 @@ def main():
         if only and name not in only:
             continue
         ray_df = canon(to_pandas(fn(sf_dir)))
-        if name not in ORACLE_SQL:
+        if name not in oracle:
             print(f"{name:28s} rows-only  n={len(ray_df)}")
             continue
-        sql_df = canon(con.sql(ORACLE_SQL[name]).df())
+        sql_df = canon(con.sql(oracle[name]).df())
         status = "OK"
         detail = ""
         if len(ray_df) != len(sql_df):

@@ -53,3 +53,20 @@ def test_query_matches_duckdb(name, duck):
     assert len(ray_df) == len(sql_df), name
     assert list(ray_df.columns) == list(sql_df.columns), name
     pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False)
+
+
+FLAGSHIP = ["quality_filter_pages", "pretrain_prefix_pages"]
+
+
+@pytest.mark.parametrize("name", FLAGSHIP)
+def test_flagship_matches_duckdb(name, duck):
+    """The headline page pipelines against their DuckDB twins over the
+    persisted deterministic page table (round-2 hard oracle)."""
+    from nacc_form_validator_ray.pipelines.queries import (QUERIES,
+                                                           flagship_oracles)
+    oracles = flagship_oracles(SF_DIR)
+    ray_df = canon(QUERIES[name](SF_DIR).to_pandas())
+    sql_df = canon(duck.sql(oracles[name]).df())
+    assert len(ray_df) == len(sql_df), name
+    assert list(ray_df.columns) == list(sql_df.columns), name
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False)
