@@ -218,18 +218,24 @@ def validator_micro_bench(n_rows: int = 50_000) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, low: int, high: int,
+def run_scaling(sf_dir: str, low: int, high: int, extra: int = 32,
                 repeats: int = 2) -> dict:
-    """Same flagship job at two parallelism levels in fresh processes.
+    """Same flagship job at several parallelism levels in fresh
+    processes. The N->4N criterion pair is (low, high); ``extra`` adds
+    the high->extra pair so the full contention curve is on record (the
+    8->32 number is expected BELOW 0.8 on this single-box microVM —
+    string workloads saturate DRAM bandwidth, see BASELINE.md — and is
+    published anyway so the 2->8 claim can't read as cherry-picked).
 
-    Samples are INTERLEAVED (low, high, low, high, ...) and each level
+    Samples are INTERLEAVED (low, high, extra, low, ...) and each level
     keeps its best: this microVM's absolute speed drifts over minutes
     (noisy neighbors), so back-to-back same-level runs would let a slow
     window bias one side of the ratio."""
     pages_dir()  # materialize the corpus before timing anything
+    levels = [low, high] + ([extra] if extra and extra != high else [])
     results = {}
     for _ in range(repeats):
-        for cpus in (low, high):
+        for cpus in levels:
             out = subprocess.run(
                 [sys.executable, __file__, "--_flagship-only",
                  "--cpus", str(cpus), "--sf-dir", sf_dir],
@@ -238,23 +244,28 @@ def run_scaling(sf_dir: str, low: int, high: int,
             r = json.loads(line)
             if cpus not in results or r["value"] < results[cpus]["value"]:
                 results[cpus] = r
-    tp_low = results[low]["docs_per_sec"]
-    tp_high = results[high]["docs_per_sec"]
-    factor = high / low
+    tp = {c: results[c]["docs_per_sec"] for c in levels}
+
+    def eff(a: int, b: int) -> float:
+        return round(tp[b] / ((b / a) * tp[a]), 3)
+
+    queries = {}
+    for c in levels:
+        queries[f"docs_per_sec_{c}"] = tp[c]
+        queries[f"sec_{c}"] = results[c]["value"]
+    queries[f"efficiency_{low}_{high}"] = eff(low, high)
+    if len(levels) > 2:
+        queries[f"efficiency_{high}_{extra}"] = eff(high, extra)
     return {
         "metric": "flagship quality-filter scaling efficiency "
-                  f"({low} -> {high} cpus, fresh processes, same input)",
-        "value": round(tp_high / (factor * tp_low), 3),
+                  f"({low} -> {high} cpus, fresh processes, same input; "
+                  f"{high} -> {extra} published alongside)",
+        "value": eff(low, high),
         "unit": "efficiency",
-        "queries": {
-            f"docs_per_sec_{low}": tp_low,
-            f"docs_per_sec_{high}": tp_high,
-            f"sec_{low}": results[low]["value"],
-            f"sec_{high}": results[high]["value"],
-        },
+        "queries": queries,
         "sf": sf_dir,
-        "num_cpus": high,
-        "pages": results[high]["pages"],
+        "num_cpus": max(levels),
+        "pages": results[levels[-1]]["pages"],
     }
 
 

@@ -192,3 +192,46 @@ def errors_to_messages(entries: List[ErrorEntry]) -> Dict[str, List[Any]]:
     for e in entries:
         out.setdefault(e.field, []).append(e.message)
     return out
+
+
+class ErrorTreeNode:
+    """Per-field node: ``node.errors`` is the list of ErrorEntry."""
+
+    __slots__ = ("errors",)
+
+    def __init__(self):
+        self.errors: List[ErrorEntry] = []
+
+
+class DocumentErrorTree:
+    """Dict-like per-field view of one record's error vector — the API
+    analog of ``cerberus.errors.DocumentErrorTree`` that the reference's
+    ``validate_record`` returns (quality_check.py:97-134):
+    ``tree[field].errors`` yields the field's ValidationError-like
+    entries, ``tree[field]`` is None when the field has none. Integer
+    indexing and iteration fall through to the FLAT entry list, so the
+    same object serves as the Arrow-friendly coded error vector."""
+
+    def __init__(self, entries: List[ErrorEntry]):
+        self.entries: List[ErrorEntry] = list(entries)
+        self._fields: Dict[str, ErrorTreeNode] = {}
+        for e in self.entries:
+            self._fields.setdefault(e.field,
+                                    ErrorTreeNode()).errors.append(e)
+
+    def __getitem__(self, key):
+        if isinstance(key, int):
+            return self.entries[key]
+        return self._fields.get(key)
+
+    def __contains__(self, field) -> bool:
+        return field in self._fields
+
+    def __iter__(self):
+        return iter(self.entries)
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def keys(self):
+        return self._fields.keys()

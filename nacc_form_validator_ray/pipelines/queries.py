@@ -1427,3 +1427,86 @@ FROM (
 
 QUERIES["sessionize_events"] = q_sessionize_events
 ORACLE_SQL["sessionize_events"] = SQL_SESSIONIZE
+
+
+def q_range_join_events(sf_dir: str):
+    """Inequality (range) join via bucketed replication: nation-derived
+    OVERLAPPING value intervals against the events value column, then a
+    grouped rollup. Exercises stages/joins.range_join_bucketed (interval
+    replication across buckets + in-bucket verification)."""
+    from nacc_form_validator_ray.stages.joins import range_join_bucketed
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
+
+    nation = _rd().read_parquet(f"{sf_dir}/nation.parquet",
+                                columns=["n_nationkey"]) \
+        .map_batches(lambda b: pd.DataFrame({
+            "n_nationkey": b["n_nationkey"].astype(np.int64),
+            "lo": b["n_nationkey"].astype(np.float64) * 12.0,
+            "hi": b["n_nationkey"].astype(np.float64) * 12.0 + 18.0,
+        }), batch_format="pandas")
+    events = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["event_id", "value"])
+    pairs = range_join_bucketed(nation, events, lo="lo", hi="hi",
+                                value="value", bucket_width=18.0)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            batch["value"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        g = pd.DataFrame({"n_nationkey":
+                          batch["n_nationkey"].astype(np.int64),
+                          "n_events": 1, "value_cents": cents})
+        return g.groupby("n_nationkey", as_index=False).sum()
+
+    partials = pairs.map_batches(partial, batch_format="pandas")
+    return grouped_agg_sum(partials, ["n_nationkey"],
+                           ["n_events", "value_cents"],
+                           num_partitions=4)
+
+
+SQL_RANGE_JOIN_EVENTS = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM nation JOIN events
+  ON n_nationkey * 12.0 <= value AND value < n_nationkey * 12.0 + 18.0
+GROUP BY n_nationkey
+"""
+
+QUERIES["range_join_events"] = q_range_join_events
+ORACLE_SQL["range_join_events"] = SQL_RANGE_JOIN_EVENTS
+
+
+def q_jaccard_clusters(sf_dir: str):
+    """Connected components over the EXACT (SQL-expressible) jaccard
+    pair set: every document labeled with its component's minimum
+    doc_id. This is the hard oracle for propagate_labels — the DuckDB
+    twin computes the transitive closure with a recursive CTE."""
+    from nacc_form_validator_ray.stages.dedup import (
+        blocked_jaccard_pairs, propagate_labels)
+    docs = _docs(sf_dir, columns=["doc_id", "text", "source"])
+    pairs = blocked_jaccard_pairs(docs, "source", threshold=0.05)
+    ids = _docs(sf_dir, columns=["doc_id"])
+    return propagate_labels(pairs, ids)
+
+
+SQL_JACCARD_CLUSTERS = f"""
+WITH RECURSIVE und AS (
+  SELECT id_a AS src, id_b AS dst FROM ({SQL_JACCARD_PAIRS})
+  UNION ALL
+  SELECT id_b, id_a FROM ({SQL_JACCARD_PAIRS})
+), reach(src, dst) AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+)
+SELECT d.doc_id AS doc_id,
+       CAST(least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS BIGINT)
+           AS cluster
+FROM documents d LEFT JOIN reach r ON d.doc_id = r.src
+GROUP BY d.doc_id
+"""
+
+QUERIES["jaccard_clusters"] = q_jaccard_clusters
+ORACLE_SQL["jaccard_clusters"] = SQL_JACCARD_CLUSTERS

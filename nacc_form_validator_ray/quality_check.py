@@ -15,7 +15,7 @@ from __future__ import annotations
 from typing import Any, Dict, List, Optional, Tuple
 
 from nacc_form_validator_ray.datastore import Datastore
-from nacc_form_validator_ray.errors import ErrorEntry
+from nacc_form_validator_ray.errors import DocumentErrorTree
 from nacc_form_validator_ray.rowval import RecordValidator, ValidationException
 from nacc_form_validator_ray.utils import Clock
 
@@ -64,13 +64,15 @@ class QualityCheck:
 
     def validate_record(
         self, record: Dict[str, Any]
-    ) -> Tuple[bool, bool, Dict[str, List[Any]], List[ErrorEntry]]:
+    ) -> Tuple[bool, bool, Dict[str, List[Any]],
+               Optional[DocumentErrorTree]]:
         """Cast then validate one record.
 
-        Returns (passed, sys_failure, errors-by-field, error entries). The
-        last element is the flat coded error vector (the reference returns a
-        cerberus error tree here; the coded vector carries the same
-        information in Arrow-friendly form).
+        Returns (passed, sys_failure, errors-by-field, error tree). The
+        last element mirrors the reference's cerberus
+        ``DocumentErrorTree`` (``tree[field].errors``; None on system
+        failure, quality_check.py:125-134) while also behaving as the
+        flat coded error vector (integer indexing / iteration).
         """
         cst_record = self.validator.cast_record(dict(record))
         sys_failure = False
@@ -84,8 +86,8 @@ class QualityCheck:
 
         if sys_failure:
             errors: Dict[str, List[Any]] = dict(self.validator.sys_errors)
-            entries: List[ErrorEntry] = []
+            tree: Optional[DocumentErrorTree] = None
         else:
             errors = self.validator.errors
-            entries = self.validator.error_entries
-        return passed, sys_failure, errors, entries
+            tree = DocumentErrorTree(self.validator.error_entries)
+        return passed, sys_failure, errors, tree

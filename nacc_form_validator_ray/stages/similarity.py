@@ -149,8 +149,17 @@ def hyperplane_lsh_pairs(ds, dim: int, id_column: str = "vec_id",
 
     pairs = hashed.groupby("lsh_bucket").map_groups(
         verify, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.iloc[[0]], batch_format="pandas")
+
+    # a pair can surface from several buckets: dedup with ONE hash
+    # exchange + vectorized drop_duplicates per partition (per-pair
+    # map_groups would pay a Python call per pair)
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    def dedup_part(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(["id_a", "id_b"], keep="first")
+
+    return grouped_apply(pairs, ["id_a", "id_b"], dedup_part,
+                         num_partitions=8)
 
 
 # ---------------------------------------------------------------- IVF ANN

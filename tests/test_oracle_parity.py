@@ -17,7 +17,7 @@ FAST_QUERIES = [
     "events_window", "knn_embeddings", "q1_lineitem", "top_orders",
     "segment_revenue", "part_filter", "validator_customer",
     "orders_by_month", "sample_events", "fingerprint_md5",
-    "asof_prior_purchase",
+    "asof_prior_purchase", "range_join_events", "jaccard_clusters",
 ]
 
 

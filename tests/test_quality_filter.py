@@ -299,3 +299,26 @@ def test_rule_hit_metrics():
                                 clock=Clock.frozen_now()).to_pandas()
     expected = sum(len(e) for e in df["errors"])
     assert hits["n_hits"].sum() == expected
+
+
+def test_quality_check_error_tree_shape():
+    """validate_record's 4th element mirrors cerberus's
+    DocumentErrorTree (tree[field].errors) while staying iterable as
+    the flat coded vector."""
+    from nacc_form_validator_ray import QualityCheck
+    schema = {
+        "pid": {"type": "string"},
+        "score": {"type": "integer", "min": 0, "max": 10},
+        "grade": {"type": "string", "allowed": ["A", "B"]},
+    }
+    qc = QualityCheck("pid", schema, strict=False)
+    passed, sysf, errors, tree = qc.validate_record(
+        {"pid": "P1", "score": "99", "grade": "Z"})
+    assert not passed and not sysf
+    assert set(tree.keys()) == {"score", "grade"}
+    assert tree["score"].errors[0].code == 0x43
+    assert tree["grade"].errors[0].code == 0x44
+    assert tree["pid"] is None
+    assert len(tree) == 2 and {e.field for e in tree} == {"score",
+                                                          "grade"}
+    assert "score" in errors and errors["score"]
