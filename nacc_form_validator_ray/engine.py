@@ -364,10 +364,15 @@ class BatchCaster:
                 if dtype == "str":
                     # reference cast_record has no str branch: a non-string
                     # value stays uncast and fails the 'string' type rule
-                    # (nacc_validator.py:228-251 + Cerberus BAD_TYPE)
-                    ok = np.array(
-                        [v is None or isinstance(v, str) for v in values],
-                        dtype=bool)
+                    # (nacc_validator.py:228-251 + Cerberus BAD_TYPE).
+                    # infer_dtype is one C pass; the per-value loop runs
+                    # only for genuinely mixed columns
+                    from pandas.api.types import infer_dtype
+                    if infer_dtype(values, skipna=True) not in ("string",
+                                                                "empty"):
+                        ok = np.array(
+                            [v is None or isinstance(v, str)
+                             for v in values], dtype=bool)
                 elif dtype:
                     values, ok = self._cast_column(values, null, dtype)
                 ok = ok | null

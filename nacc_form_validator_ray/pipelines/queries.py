@@ -571,21 +571,31 @@ def q_segment_revenue(sf_dir: str):
     from nacc_form_validator_ray.stages.joins import hash_join
     orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
                                 columns=["o_custkey", "o_totalprice"])
+
+    # pre-aggregate per custkey INSIDE each batch before the exchange —
+    # the join then moves one lean partial row per (custkey, batch)
+    # instead of one row per order
+    def pre_agg(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        g = pd.DataFrame({"o_custkey": batch["o_custkey"],
+                          "n_orders": 1, "revenue_cents": cents})
+        return g.groupby("o_custkey", as_index=False).sum()
+
+    order_partials = orders.map_batches(pre_agg, batch_format="pandas")
     cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
                               columns=["c_custkey", "c_mktsegment"]) \
         .map_batches(lambda b: pd.DataFrame(
             {"o_custkey": b["c_custkey"],
              "c_mktsegment": b["c_mktsegment"]}),
             batch_format="pandas")
-    joined = hash_join(orders, cust, on="o_custkey")
+    joined = hash_join(order_partials, cust, on="o_custkey")
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        cents = np.floor(
-            batch["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
-        ).astype(np.int64)
-        g = pd.DataFrame({"c_mktsegment": batch["c_mktsegment"],
-                          "n_orders": 1, "revenue_cents": cents})
-        return g.groupby("c_mktsegment", as_index=False).sum()
+        return batch.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("n_orders", "sum"),
+            revenue_cents=("revenue_cents", "sum"))
 
     partials = joined.map_batches(partial, batch_format="pandas")
     return partials.groupby("c_mktsegment").aggregate(

@@ -54,6 +54,35 @@ def stopword_pattern(lang: str) -> str:
     return r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
 
 
+#: ASCII whitespace bytes — exactly RE2's default (non-unicode) ``\s``
+#: class, which is also what the DuckDB oracle's regexes match
+_WS_LUT = np.zeros(256, dtype=bool)
+_WS_LUT[[9, 10, 11, 12, 13, 32]] = True
+
+
+def _buffer_view(arr):
+    """(utf-8 byte buffer as uint8 ndarray, per-doc offsets rebased to 0)
+    for a pyarrow (Large)StringArray — the zero-copy view the byte-level
+    signal kernels run over."""
+    import pyarrow as pa
+    n = len(arr)
+    odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=odt)[
+        arr.offset:arr.offset + n + 1].astype(np.int64)
+    data = arr.buffers()[2]
+    buf = np.empty(0, dtype=np.uint8) if data is None else \
+        np.frombuffer(data, dtype=np.uint8)[off[0]:off[-1]]
+    return buf, off - off[0]
+
+
+def _seg_counts(mask: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """Per-document True-count of a byte mask: ONE cumsum + an (n+1)-point
+    gather. Beats materializing a per-byte doc-ownership array (np.repeat
+    + boolean-index + bincount) ~3× on memory-bandwidth-bound boxes."""
+    c = np.concatenate(([0], np.cumsum(mask, dtype=np.int64)))
+    return c[off[1:]] - c[off[:-1]]
+
+
 def _flatten_tokens(token_lists: pd.Series):
     """(flat object array of tokens, doc lengths) for a token-list col."""
     lens = token_lists.str.len().to_numpy(np.int64)
@@ -94,52 +123,115 @@ class TextStats:
         import pyarrow as pa
         import pyarrow.compute as pc
         text = pc.fill_null(text, "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
         n = len(text)
         out: Dict[str, np.ndarray] = {}
         n_chars = pc.utf8_length(text).to_numpy().astype(np.int64)
-        n_words = pc.count_substring_regex(text, pattern=r"\S+") \
-            .to_numpy().astype(np.int64)
-        n_digit = pc.count_substring_regex(text, pattern=r"[0-9]") \
-            .to_numpy().astype(np.int64)
-        n_space = pc.count_substring_regex(text, pattern=r"\s") \
-            .to_numpy().astype(np.int64)
 
-        # tokenize once: lowercase, split on non-letters, drop empties —
-        # identical to findall('[A-Za-z]+') on the lowercased text
-        toks = pc.split_pattern_regex(pc.utf8_lower(text),
-                                      pattern="[^a-z]+")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten()
-        offsets = toks.offsets.to_numpy().astype(np.int64)
-        lens = np.diff(offsets)
-        doc_id_all = np.repeat(np.arange(n, dtype=np.int64), lens)
-        tok_lens_all = pc.utf8_length(flat).to_numpy().astype(np.int64)
-        nonempty = tok_lens_all > 0
+        # ---- byte-level counting over the raw utf-8 buffer -----------
+        # \s / \S+ / [0-9] / [A-Za-z] are ASCII classes in RE2's default
+        # mode (and in the DuckDB oracle), so classifying BYTES is exact:
+        # utf-8 continuation bytes are >= 0x80 and never match. One LUT
+        # pass replaces three full regex scans (the round-1 hot spot).
+        obuf, ooff = _buffer_view(text)
+        olens = np.diff(ooff)
+        ws = _WS_LUT[obuf]
+        digit = (obuf >= 48) & (obuf <= 57)
+        alpha = ((obuf >= 65) & (obuf <= 90)) | \
+                ((obuf >= 97) & (obuf <= 122))
+        n_space = _seg_counts(ws, ooff)
+        n_digit = _seg_counts(digit, ooff)
+        n_alpha = _seg_counts(alpha, ooff)
+        total_b = len(obuf)
+        n_words = np.zeros(n, dtype=np.int64)
+        if total_b:
+            # a word (\S+ run) starts at a non-ws byte preceded by ws or
+            # by a document boundary
+            first = np.zeros(total_b, dtype=bool)
+            first[ooff[:-1][olens > 0]] = True
+            prev_ws = np.empty(total_b, dtype=bool)
+            prev_ws[0] = True
+            prev_ws[1:] = ws[:-1]
+            wstart = ~ws & (prev_ws | first)
+            n_words = _seg_counts(wstart, ooff)
 
-        n_tokens = np.bincount(doc_id_all[nonempty], minlength=n) \
-            .astype(np.int64)
-        n_alpha = np.bincount(doc_id_all, weights=tok_lens_all,
-                              minlength=n).astype(np.int64)
-
+        # ---- tokens: maximal [a-z] byte runs of the lowercased text --
+        # (identical to split_pattern_regex(lower, '[^a-z]+') minus the
+        # empty strings, without the regex scan; counts run on the
+        # ORIGINAL buffer above so unicode case folding that changes
+        # byte lengths cannot skew them)
+        lower = pc.utf8_lower(text)
+        if isinstance(lower, pa.ChunkedArray):
+            lower = lower.combine_chunks()
+        lbuf, loff = _buffer_view(lower)
+        llens = np.diff(loff)
+        total_l = len(lbuf)
+        n_tokens = np.zeros(n, dtype=np.int64)
         total = np.zeros(n, dtype=np.int64)
         distinct = np.zeros(n, dtype=np.int64)
         sw_counts = np.zeros((len(LANG_ORDER), n), dtype=np.int64)
-        if nonempty.any():
-            flat_ne = flat.filter(pa.array(nonempty))
-            doc_id = doc_id_all[nonempty]
-            enc = pc.dictionary_encode(flat_ne)
+        s_idx = np.empty(0, dtype=np.int64)
+        if total_l:
+            lalpha = (lbuf >= 97) & (lbuf <= 122)
+            lfirst = np.zeros(total_l, dtype=bool)
+            lfirst[loff[:-1][llens > 0]] = True
+            llast = np.zeros(total_l, dtype=bool)
+            llast[loff[1:][llens > 0] - 1] = True
+            prev_a = np.empty(total_l, dtype=bool)
+            prev_a[0] = False
+            prev_a[1:] = lalpha[:-1]
+            nxt_a = np.empty(total_l, dtype=bool)
+            nxt_a[-1] = False
+            nxt_a[:-1] = lalpha[1:]
+            tstart = lalpha & (~prev_a | lfirst)
+            tend = lalpha & (~nxt_a | llast)
+            s_idx = np.flatnonzero(tstart)
+        if len(s_idx):
+            e_idx = np.flatnonzero(tend)
+            tok_lens = e_idx - s_idx + 1
+            # ownership via binary search over the (n+1) offsets — no
+            # per-byte ownership array
+            tok_doc = np.searchsorted(loff, s_idx, side="right") - 1
+            n_tokens = np.bincount(tok_doc, minlength=n).astype(np.int64)
+            # gather token bytes into ONE packed buffer and wrap it as a
+            # StringArray — dictionary_encode then runs without any
+            # Python string materialization
+            m = int(tok_lens.sum())
+            shift = np.repeat(
+                s_idx - np.concatenate(([0], np.cumsum(tok_lens)[:-1])),
+                tok_lens)
+            packed = np.ascontiguousarray(
+                lbuf[np.arange(m, dtype=np.int64) + shift])
+            toff = np.concatenate(
+                ([0], np.cumsum(tok_lens))).astype(np.int32)
+            flat_tok = pa.Array.from_buffers(
+                pa.utf8(), len(s_idx),
+                [None, pa.py_buffer(toff), pa.py_buffer(packed)])
+            enc = pc.dictionary_encode(flat_tok)
             codes = enc.indices.to_numpy().astype(np.int64)
             dictionary = enc.dictionary
             total, distinct = _rep_3gram_counts(codes, dictionary,
-                                                doc_id, n)
+                                                tok_doc, n)
             if self.langid:
-                uarr = np.asarray(dictionary.to_pylist(), dtype=object)
-                for i, lang in enumerate(LANG_ORDER):
-                    hits = np.isin(uarr, self.banks[lang])[codes]
-                    sw_counts[i] = np.bincount(
-                        doc_id, weights=hits, minlength=n) \
-                        .astype(np.int64)
+                vocab = len(dictionary)
+                bank_hits = np.stack([
+                    pc.is_in(dictionary,
+                             value_set=pa.array(STOPWORDS[lang]))
+                    .to_numpy(zero_copy_only=False)
+                    for lang in LANG_ORDER])  # (n_langs, vocab)
+                if vocab <= 8192:
+                    # one unweighted 2-D histogram + a tiny matmul beats
+                    # n_langs weighted bincounts over every token
+                    hist = np.bincount(tok_doc * vocab + codes,
+                                       minlength=n * vocab) \
+                        .reshape(n, vocab)
+                    sw_counts = (hist @ bank_hits.T).T.astype(np.int64)
+                else:
+                    for i in range(len(LANG_ORDER)):
+                        sw_counts[i] = np.bincount(
+                            tok_doc, weights=bank_hits[i][codes],
+                            minlength=n).astype(np.int64)
 
         n_nonspace = n_chars - n_space
         safe_chars = np.maximum(n_chars, 1)
