@@ -84,8 +84,11 @@ def run_quality_filter_pages(sf_dir: str) -> int:
 
     model = _ppl_model(pages_dir())
     # ~192 blocks ≈ 625 rows each: tasks big enough to amortize
-    # dispatch, plentiful enough to keep every core fed (via ds.stats())
-    ds = rd.read_parquet(pages_dir(), override_num_blocks=192)
+    # dispatch, plentiful enough to keep every core fed (via ds.stats());
+    # column-pruned read — text is re-extracted from html, so the stored
+    # text column (half the payload) never leaves storage
+    ds = rd.read_parquet(pages_dir(), columns=["url", "html"],
+                         override_num_blocks=192)
     ds = build_quality_pipeline(ds, clock=Clock(datetime(2026, 1, 1)),
                                 extract=True, collect="codes",
                                 ppl_model=model)
@@ -315,7 +318,8 @@ def main():
         from nacc_form_validator_ray.pipelines.quality_filter import \
             build_quality_pipeline
         from nacc_form_validator_ray.utils import Clock
-        ds = rd.read_parquet(pages_dir(), override_num_blocks=192)
+        ds = rd.read_parquet(pages_dir(), columns=["url", "html"],
+                             override_num_blocks=192)
         ds = build_quality_pipeline(ds, clock=Clock(datetime(2026, 1, 1)),
                                     extract=True, collect="codes")
         ds = ds.select_columns(["url", "passed", "n_errors"])

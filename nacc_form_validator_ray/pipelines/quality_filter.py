@@ -140,9 +140,7 @@ def build_quality_pipeline(ds,
                     self.scorer = PerplexityScorer(model=ray.get(self.ref))
                 return self.scorer(batch)
 
-        ds = ds.map_batches(PplStage(ray.put(dict(ppl_model))),
-                            batch_format="pandas",
-                            batch_size=batch_size)
+        ds = ds.map_batches(PplStage(ray.put(dict(ppl_model))), **kw)
     if scrub:
         ds = ds.map_batches(Scrubber(), **kw)
     # validation last: its arrow output (errors: list<struct>) streams
@@ -163,6 +161,7 @@ def run_quality_filter(input_dir: str,
                        resume: bool = True,
                        files_per_partition: int = 1,
                        output_columns: Optional[List[str]] = None,
+                       input_columns: Optional[List[str]] = None,
                        clock: Optional[Clock] = None) -> Dict[str, Any]:
     """Resumable partitioned run over a parquet directory of pages.
 
@@ -186,9 +185,17 @@ def run_quality_filter(input_dir: str,
         else part_ids
 
     clock = clock or Clock.frozen_now()
+    if input_columns is None:
+        # prune at the read: the pipeline extracts text FROM html, so the
+        # page table's redundant `text` column (about half the payload)
+        # never needs to leave storage
+        import pyarrow.parquet as pq_mod
+        present = set(pq_mod.read_schema(files[0]).names)
+        input_columns = [c for c in ("url", "warc_ts", "html", "lang")
+                         if c in present]
     for part in todo:
         frag_files = parts[part]
-        ds = rd.read_parquet(frag_files)
+        ds = rd.read_parquet(frag_files, columns=input_columns)
         ds = build_quality_pipeline(ds, rules=rules, clock=clock,
                                     extract=True)
         cols = output_columns or OUTPUT_COLUMNS

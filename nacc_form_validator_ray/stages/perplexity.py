@@ -31,17 +31,17 @@ from nacc_form_validator_ray.stages.text_signals import WORD_RE
 
 def _batch_token_counts(batch: pd.DataFrame,
                         text_column: str) -> pd.DataFrame:
-    text = batch[text_column].fillna("")
-    tokens = text.str.lower().str.findall(WORD_RE)
-    lens = tokens.str.len().to_numpy(np.int64)
-    if lens.sum() == 0:
+    import pyarrow as pa
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+    arr = pa.array(batch[text_column].fillna(""), type=pa.string())
+    codes, dictionary, _, _ = arrow_token_codes(arr)
+    if dictionary is None:
         return pd.DataFrame({"token": pd.Series([], dtype=object),
                              "count": pd.Series([], dtype=np.int64)})
-    flat = np.concatenate([np.asarray(t, dtype=object) if t else
-                           np.empty(0, dtype=object) for t in tokens])
-    codes, uniques = pd.factorize(pd.Series(flat, dtype=object))
-    counts = np.bincount(codes, minlength=len(uniques))
-    return pd.DataFrame({"token": uniques.to_numpy(dtype=object),
+    counts = np.bincount(codes, minlength=len(dictionary))
+    return pd.DataFrame({"token": np.asarray(dictionary.to_pylist(),
+                                             dtype=object),
                          "count": counts.astype(np.int64)})
 
 
@@ -97,23 +97,21 @@ class PerplexityScorer:
         import re
         self.word_re = re.compile(WORD_RE)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch[self.text_column].fillna("")
-        n = len(batch)
-        tokens = text.str.lower().str.findall(self.word_re)
-        lens = tokens.str.len().to_numpy(np.int64)
+    def _score(self, text_arr) -> Dict[str, np.ndarray]:
+        from nacc_form_validator_ray.stages.text_signals import \
+            arrow_token_codes
+        n = len(text_arr)
+        # byte-run tokenizer shared with TextStats: same token stream as
+        # findall('[A-Za-z]+') on the lowered text, no Python strings in
+        # the hot path — only the (small) batch vocabulary is resolved
+        # against the model dict
+        codes, dictionary, doc_id, lens = arrow_token_codes(text_arr)
         log_ppl = np.zeros(n, dtype=np.float64)
         oov = np.zeros(n, dtype=np.int64)
-        if lens.sum():
-            flat = np.concatenate(
-                [np.asarray(t, dtype=object) if t else
-                 np.empty(0, dtype=object) for t in tokens])
-            doc_id = np.repeat(np.arange(n, dtype=np.int64), lens)
-            # factorize once, resolve each unique token against the model
-            codes, uniques = pd.factorize(pd.Series(flat, dtype=object))
+        if len(codes):
             uniq_idx = np.array(
-                [self.token_index.get(t, -1) for t in uniques],
-                dtype=np.int64)
+                [self.token_index.get(t, -1)
+                 for t in dictionary.to_pylist()], dtype=np.int64)
             tok_logp = np.where(uniq_idx >= 0,
                                 self.logp[np.maximum(uniq_idx, 0)],
                                 self.oov_logp)[codes]
@@ -122,8 +120,22 @@ class PerplexityScorer:
             log_ppl = -sum_lp / np.maximum(lens, 1)
             oov = np.bincount(doc_id, weights=tok_oov,
                               minlength=n).astype(np.int64)
+        return {"log_ppl": log_ppl, "ppl_tokens": lens,
+                "oov_count": oov}
+
+    def __call__(self, batch):
+        import pyarrow as pa
+        if isinstance(batch, pa.Table):
+            col = batch[self.text_column]
+            arr = col.combine_chunks() if isinstance(
+                col, pa.ChunkedArray) else col
+            for name, values in self._score(arr).items():
+                batch = batch.append_column(name, pa.array(values))
+            return batch
+        text_arr = pa.array(batch[self.text_column].fillna(""),
+                            type=pa.string())
+        cols = self._score(text_arr)
         batch = batch.copy()
-        batch["log_ppl"] = log_ppl
-        batch["ppl_tokens"] = lens
-        batch["oov_count"] = oov
+        for name, values in cols.items():
+            batch[name] = values
         return batch

@@ -83,6 +83,67 @@ def _seg_counts(mask: np.ndarray, off: np.ndarray) -> np.ndarray:
     return c[off[1:]] - c[off[:-1]]
 
 
+def arrow_token_codes(text):
+    """Tokenize an Arrow string array without regex or Python strings.
+
+    Tokens are maximal [a-z] byte runs of the lowercased text — exactly
+    ``findall('[A-Za-z]+')`` of each lowered document, in order. The run
+    bytes are gathered into one packed buffer, wrapped as a StringArray
+    and dictionary-encoded, so per-token work stays in C.
+
+    Returns ``(codes, dictionary, tok_doc, n_tokens)``: int64 dictionary
+    code per token, the dictionary array, each token's document index
+    (ascending), and the per-document token counts. Shared by TextStats
+    and PerplexityScorer so both see the identical token stream.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    n = len(text)
+    empty = (np.empty(0, dtype=np.int64), None,
+             np.empty(0, dtype=np.int64), np.zeros(n, dtype=np.int64))
+    lower = pc.utf8_lower(pc.fill_null(text, ""))
+    if isinstance(lower, pa.ChunkedArray):
+        lower = lower.combine_chunks()
+    lbuf, loff = _buffer_view(lower)
+    llens = np.diff(loff)
+    total_l = len(lbuf)
+    if not total_l:
+        return empty
+    lalpha = (lbuf >= 97) & (lbuf <= 122)
+    lfirst = np.zeros(total_l, dtype=bool)
+    lfirst[loff[:-1][llens > 0]] = True
+    llast = np.zeros(total_l, dtype=bool)
+    llast[loff[1:][llens > 0] - 1] = True
+    prev_a = np.empty(total_l, dtype=bool)
+    prev_a[0] = False
+    prev_a[1:] = lalpha[:-1]
+    nxt_a = np.empty(total_l, dtype=bool)
+    nxt_a[-1] = False
+    nxt_a[:-1] = lalpha[1:]
+    s_idx = np.flatnonzero(lalpha & (~prev_a | lfirst))
+    if not len(s_idx):
+        return empty
+    e_idx = np.flatnonzero(lalpha & (~nxt_a | llast))
+    tok_lens = e_idx - s_idx + 1
+    # ownership via binary search over the (n+1) offsets — no per-byte
+    # ownership array
+    tok_doc = np.searchsorted(loff, s_idx, side="right") - 1
+    n_tokens = np.bincount(tok_doc, minlength=n).astype(np.int64)
+    m = int(tok_lens.sum())
+    shift = np.repeat(
+        s_idx - np.concatenate(([0], np.cumsum(tok_lens)[:-1])),
+        tok_lens)
+    packed = np.ascontiguousarray(
+        lbuf[np.arange(m, dtype=np.int64) + shift])
+    toff = np.concatenate(([0], np.cumsum(tok_lens))).astype(np.int32)
+    flat_tok = pa.Array.from_buffers(
+        pa.utf8(), len(s_idx),
+        [None, pa.py_buffer(toff), pa.py_buffer(packed)])
+    enc = pc.dictionary_encode(flat_tok)
+    return (enc.indices.to_numpy().astype(np.int64), enc.dictionary,
+            tok_doc, n_tokens)
+
+
 def _flatten_tokens(token_lists: pd.Series):
     """(flat object array of tokens, doc lengths) for a token-list col."""
     lens = token_lists.str.len().to_numpy(np.int64)
@@ -161,56 +222,11 @@ class TextStats:
         # empty strings, without the regex scan; counts run on the
         # ORIGINAL buffer above so unicode case folding that changes
         # byte lengths cannot skew them)
-        lower = pc.utf8_lower(text)
-        if isinstance(lower, pa.ChunkedArray):
-            lower = lower.combine_chunks()
-        lbuf, loff = _buffer_view(lower)
-        llens = np.diff(loff)
-        total_l = len(lbuf)
-        n_tokens = np.zeros(n, dtype=np.int64)
+        codes, dictionary, tok_doc, n_tokens = arrow_token_codes(text)
         total = np.zeros(n, dtype=np.int64)
         distinct = np.zeros(n, dtype=np.int64)
         sw_counts = np.zeros((len(LANG_ORDER), n), dtype=np.int64)
-        s_idx = np.empty(0, dtype=np.int64)
-        if total_l:
-            lalpha = (lbuf >= 97) & (lbuf <= 122)
-            lfirst = np.zeros(total_l, dtype=bool)
-            lfirst[loff[:-1][llens > 0]] = True
-            llast = np.zeros(total_l, dtype=bool)
-            llast[loff[1:][llens > 0] - 1] = True
-            prev_a = np.empty(total_l, dtype=bool)
-            prev_a[0] = False
-            prev_a[1:] = lalpha[:-1]
-            nxt_a = np.empty(total_l, dtype=bool)
-            nxt_a[-1] = False
-            nxt_a[:-1] = lalpha[1:]
-            tstart = lalpha & (~prev_a | lfirst)
-            tend = lalpha & (~nxt_a | llast)
-            s_idx = np.flatnonzero(tstart)
-        if len(s_idx):
-            e_idx = np.flatnonzero(tend)
-            tok_lens = e_idx - s_idx + 1
-            # ownership via binary search over the (n+1) offsets — no
-            # per-byte ownership array
-            tok_doc = np.searchsorted(loff, s_idx, side="right") - 1
-            n_tokens = np.bincount(tok_doc, minlength=n).astype(np.int64)
-            # gather token bytes into ONE packed buffer and wrap it as a
-            # StringArray — dictionary_encode then runs without any
-            # Python string materialization
-            m = int(tok_lens.sum())
-            shift = np.repeat(
-                s_idx - np.concatenate(([0], np.cumsum(tok_lens)[:-1])),
-                tok_lens)
-            packed = np.ascontiguousarray(
-                lbuf[np.arange(m, dtype=np.int64) + shift])
-            toff = np.concatenate(
-                ([0], np.cumsum(tok_lens))).astype(np.int32)
-            flat_tok = pa.Array.from_buffers(
-                pa.utf8(), len(s_idx),
-                [None, pa.py_buffer(toff), pa.py_buffer(packed)])
-            enc = pc.dictionary_encode(flat_tok)
-            codes = enc.indices.to_numpy().astype(np.int64)
-            dictionary = enc.dictionary
+        if len(codes):
             total, distinct = _rep_3gram_counts(codes, dictionary,
                                                 tok_doc, n)
             if self.langid:
