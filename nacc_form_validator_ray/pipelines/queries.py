@@ -1520,3 +1520,47 @@ GROUP BY d.doc_id
 
 QUERIES["jaccard_clusters"] = q_jaccard_clusters
 ORACLE_SQL["jaccard_clusters"] = SQL_JACCARD_CLUSTERS
+
+
+def q_frame_sample(sf_dir: str):
+    """Video-style frame sampling plumbing with a HARD oracle: payloads
+    are document bytes, frames are fixed-size slices, every 4th frame is
+    emitted as its own row (flat-map shape) — byte-identical to the
+    DuckDB blob-slicing twin."""
+    from nacc_form_validator_ray.stages.multimodal import FrameSampler
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def to_payload(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "media_id": batch["doc_id"],
+            "payload": [t.encode("utf-8")
+                        for t in batch["text"].fillna("")],
+        })
+
+    ds = ds.map_batches(to_payload, batch_format="pandas")
+    ds = ds.map_batches(FrameSampler(frame_bytes=256, every_nth=4),
+                        batch_format="pandas", batch_size=256)
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        # this DuckDB build cannot slice BLOBs, so the comparable column
+        # is the frame decoded back to text — documents.text is pure
+        # ASCII (verified both SFs), making char slices == byte slices
+        return pd.DataFrame({
+            "media_id": batch["media_id"].astype(np.int64),
+            "frame_index": batch["frame_index"].astype(np.int64),
+            "frame_text": [b.decode("utf-8")
+                           for b in batch["frame_payload"]],
+        })
+
+    return ds.map_batches(finalize, batch_format="pandas")
+
+
+SQL_FRAME_SAMPLE = """
+SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_index,
+       substring(text, CAST(f * 256 + 1 AS INT), 256) AS frame_text
+FROM documents,
+     unnest(range(0, greatest(length(text) // 256, 1), 4)) AS t(f)
+"""
+
+QUERIES["frame_sample"] = q_frame_sample
+ORACLE_SQL["frame_sample"] = SQL_FRAME_SAMPLE
