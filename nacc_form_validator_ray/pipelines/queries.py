@@ -1564,3 +1564,49 @@ FROM documents,
 
 QUERIES["frame_sample"] = q_frame_sample
 ORACLE_SQL["frame_sample"] = SQL_FRAME_SAMPLE
+
+
+def q_fingerprint_winnow(sf_dir: str):
+    """Winnowing-style min rolling-5-gram fingerprint, oracled: the
+    rolling hash is pure integer arithmetic (terms < 2^40, xor keeps it
+    there) so DuckDB reproduces it bit-for-bit over codepoints —
+    documents are ASCII so codepoints == bytes. Docs shorter than 5
+    normalized chars use an md5 fallback with no exact SQL twin and are
+    excluded here (fingerprint_docs covers them rows-only)."""
+    from nacc_form_validator_ray.stages.text_signals import Fingerprint
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(Fingerprint(), batch_format="pandas")
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        norm = batch["text"].fillna("") \
+            .str.replace(r"\s+", " ", regex=True).str.strip().str.lower()
+        keep = (norm.str.len() >= 5).to_numpy()
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy()[keep],
+            "winnow": batch["fingerprint_winnow"].to_numpy(
+                np.uint64)[keep].astype(np.int64),
+        })
+
+    return ds.map_batches(finalize, batch_format="pandas")
+
+
+SQL_FINGERPRINT_WINNOW = """
+WITH n AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+  FROM documents
+), d AS (
+  SELECT doc_id, t, length(t) AS L FROM n WHERE length(t) >= 5
+)
+SELECT doc_id,
+       (SELECT min(xor(xor(xor(xor(
+            unicode(substring(t, CAST(i AS INT), 1)) * 2654435761,
+            unicode(substring(t, CAST(i + 1 AS INT), 1)) * 40503),
+            unicode(substring(t, CAST(i + 2 AS INT), 1)) * 69069),
+            unicode(substring(t, CAST(i + 3 AS INT), 1)) * 123457),
+            unicode(substring(t, CAST(i + 4 AS INT), 1))))
+        FROM unnest(range(1, L - 3)) AS r(i)) AS winnow
+FROM d
+"""
+
+QUERIES["fingerprint_winnow"] = q_fingerprint_winnow
+ORACLE_SQL["fingerprint_winnow"] = SQL_FINGERPRINT_WINNOW

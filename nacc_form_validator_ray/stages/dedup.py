@@ -34,22 +34,25 @@ def _shingle_hashes(token_lists: pd.Series, n: int,
                     num_docs: int) -> Tuple[np.ndarray, np.ndarray]:
     """Flatten word n-gram shingles to 64-bit hashes.
 
-    Returns (doc_id_per_shingle, hash_per_shingle), vectorized via
-    factorize + polynomial rolling keys."""
+    Returns (doc_id_per_shingle, hash_per_shingle). Token hashes are
+    CONTENT-based (``pd.util.hash_array`` over the token strings) — a
+    batch-local ``factorize`` code would make signatures incomparable
+    across batches, silently missing every near-dup pair that spans a
+    batch boundary (round-2 finding: cross-batch signature agreement for
+    identical docs was ~0.17 under the code-based scheme)."""
     lens = token_lists.str.len().to_numpy(np.int64)
     if lens.sum() == 0:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
     flat = np.concatenate(
         [np.asarray(t, dtype=object) if t else np.empty(0, dtype=object)
          for t in token_lists])
-    codes, _ = pd.factorize(pd.Series(flat, dtype=object))
-    codes = codes.astype(np.uint64)
+    tok_h = pd.util.hash_array(flat, categorize=True).astype(np.uint64)
     doc_id = np.repeat(np.arange(num_docs, dtype=np.int64), lens)
-    if len(codes) < n:
+    if len(tok_h) < n:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
-    h = np.zeros(len(codes) - n + 1, dtype=np.uint64)
+    h = np.zeros(len(tok_h) - n + 1, dtype=np.uint64)
     for i in range(n):
-        h = h * np.uint64(1_000_003) + codes[i:len(codes) - n + 1 + i]
+        h = h * np.uint64(1_000_003) + tok_h[i:len(tok_h) - n + 1 + i]
     same = doc_id[:len(h)] == doc_id[n - 1:]
     return doc_id[:len(h)][same], h[same]
 

@@ -239,3 +239,18 @@ def test_range_join_bucketed():
                 expect.add((int(l["iid"]), int(r["pid"])))
     got = {(int(a), int(b)) for a, b in zip(out["iid"], out["pid"])}
     assert got == expect
+
+
+def test_minhash_signatures_content_deterministic_across_batches():
+    """Signatures must depend on document CONTENT only — batch-local
+    token coding would miss every near-dup pair spanning a batch
+    boundary (round-2 regression)."""
+    from nacc_form_validator_ray.stages.dedup import MinHasher
+    mh = MinHasher()
+    doc = ("the quick brown fox jumps over the lazy dog again and "
+           "again for testing purposes")
+    s1 = mh.signatures(pd.Series(["unrelated filler words", doc]))[1]
+    s2 = mh.signatures(pd.Series([doc, "other content entirely"]))[0]
+    assert (s1 == s2).all()
+    near = mh.signatures(pd.Series([doc + " extra"]))[0]
+    assert (s1 == near).mean() > 0.5  # near-dup still collides
