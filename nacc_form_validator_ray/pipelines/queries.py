@@ -1026,6 +1026,7 @@ def flagship_oracles(sf_dir: str) -> Dict[str, str]:
     return {
         "quality_filter_pages": sql_quality_filter_pages(path),
         "pretrain_prefix_pages": sql_pretrain_prefix_pages(path),
+        "host_doc_counts": sql_host_doc_counts(path),
     }
 
 
@@ -1610,3 +1611,146 @@ FROM d
 
 QUERIES["fingerprint_winnow"] = q_fingerprint_winnow
 ORACLE_SQL["fingerprint_winnow"] = SQL_FINGERPRINT_WINNOW
+
+
+def q_event_value_quantiles(sf_dir: str):
+    """Exact grouped quantiles (p50/p95) of event values per type: one
+    hash exchange, then a vectorized per-partition sort + index pick
+    (value at floor(q·(n-1)) of the sorted cents — the same discrete
+    semantics as the SQL window twin)."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            batch["value"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame({"event_type": batch["event_type"],
+                             "cents": cents})
+
+    def quantiles(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, g in part.groupby("event_type", sort=False):
+            v = np.sort(g["cents"].to_numpy(np.int64))
+            for pct in (50, 95):
+                idx = int(np.floor(pct / 100.0 * (len(v) - 1)))
+                rows.append((etype, pct, int(v[idx])))
+        return pd.DataFrame(rows, columns=["event_type", "q_pct",
+                                           "value_cents"])
+
+    lean = ds.map_batches(to_cents, batch_format="pandas")
+    return grouped_apply(lean, ["event_type"], quantiles,
+                         num_partitions=4)
+
+
+SQL_EVENT_VALUE_QUANTILES = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM c
+)
+SELECT event_type, CAST(q.q_pct AS BIGINT) AS q_pct,
+       cents AS value_cents
+FROM r JOIN (VALUES (50), (95)) AS q(q_pct)
+  ON r.rn - 1 = CAST(floor(q.q_pct / 100.0 * (r.cnt - 1)) AS BIGINT)
+"""
+
+QUERIES["event_value_quantiles"] = q_event_value_quantiles
+ORACLE_SQL["event_value_quantiles"] = SQL_EVENT_VALUE_QUANTILES
+
+
+#: KMV sketch constants: hash = 3 rounds of (A·x + B) mod P. P prime
+#: < 2^31 keeps every 64-bit product exact in both numpy and SQL BIGINT
+#: arithmetic; one round does NOT mix small ids (no wraparound -> the
+#: k-th minimum tracks the k-th smallest id and the estimator is
+#: garbage), three rounds distribute uniformly over [0, P)
+KMV_A, KMV_B, KMV_P, KMV_K, KMV_ROUNDS = 48271, 11, 2_147_483_647, 64, 3
+
+
+def q_distinct_users_kmv(sf_dir: str):
+    """K-minimum-values distinct-count sketch over event users — the
+    mergeable approximate-distinct pattern (per-batch partial = its k
+    smallest hashes; merge = k smallest of the union), with a FULLY
+    EXACT oracle: the hash is integer arithmetic and the estimator
+    floor((k-1)·P / h_k) is integer division, so DuckDB reproduces the
+    sketch bit-for-bit."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch["user_id"].to_numpy(np.int64)
+        for _ in range(KMV_ROUNDS):
+            h = (KMV_A * h + KMV_B) % KMV_P
+        h = np.unique(h)[:KMV_K]
+        return pd.DataFrame({"h": h.astype(np.int64),
+                             "__one": np.zeros(len(h), np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(part["h"].to_numpy(np.int64))[:KMV_K]
+        if len(h) < KMV_K:
+            est = len(h)  # saw fewer than k distinct hashes -> exact
+        else:
+            est = (KMV_K - 1) * KMV_P // int(h[KMV_K - 1])
+        return pd.DataFrame({"k": [KMV_K], "kth_hash": [int(h[-1])],
+                             "estimate": [int(est)]})
+
+    # partials are tiny (≤k rows each): one single-partition merge
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+    return grouped_apply(parts, ["__one"], merge, num_partitions=1)
+
+
+SQL_DISTINCT_USERS_KMV = f"""
+WITH h AS (
+  SELECT DISTINCT
+      ({KMV_A} * (({KMV_A} * (({KMV_A} * user_id + {KMV_B}) % {KMV_P})
+                   + {KMV_B}) % {KMV_P}) + {KMV_B}) % {KMV_P} AS h
+  FROM events
+), k AS (
+  SELECT h FROM h ORDER BY h LIMIT {KMV_K}
+), agg AS (
+  SELECT count(*) AS n, max(h) AS kth FROM k
+)
+SELECT CAST({KMV_K} AS BIGINT) AS k, CAST(kth AS BIGINT) AS kth_hash,
+       CAST(CASE WHEN n < {KMV_K} THEN n
+                 ELSE CAST({KMV_K} - 1 AS BIGINT) * {KMV_P} // kth END
+            AS BIGINT) AS estimate
+FROM agg
+"""
+
+QUERIES["distinct_users_kmv"] = q_distinct_users_kmv
+ORACLE_SQL["distinct_users_kmv"] = SQL_DISTINCT_USERS_KMV
+
+
+def q_host_doc_counts(sf_dir: str):
+    """Per-host page counts over the Zipf-skewed generated page table —
+    the SALTED pre-aggregation pattern (hot hosts reduced per (host,
+    salt) inside batches before the exchange) with a hard oracle."""
+    from nacc_form_validator_ray.pipelines.quality_filter import \
+        host_metrics
+    ds = _rd().read_parquet(_pages_path(sf_dir), columns=["url"])
+    out = host_metrics(ds)
+    return out.map_batches(
+        lambda b: pd.DataFrame({
+            "host": b["host"],
+            "n_docs": b["n_docs"].astype(np.int64)}),
+        batch_format="pandas")
+
+
+def sql_host_doc_counts(path: str) -> str:
+    return f"""
+SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM read_parquet('{path}')
+GROUP BY 1
+"""
+
+
+QUERIES["host_doc_counts"] = q_host_doc_counts
