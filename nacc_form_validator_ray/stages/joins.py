@@ -176,8 +176,10 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
     def join_partition(part: pd.DataFrame) -> pd.DataFrame:
         left = part[part[_SIDE] == 0][left_cols]
         right = part[part[_SIDE] == 1][keys + rcols]
+        # the None-filled tag columns degrade to object dtype through
+        # the union; restore proper dtypes on the joined output
         return left.merge(right, on=keys, how=how,
-                          suffixes=("", suffix))
+                          suffixes=("", suffix)).infer_objects()
 
     return grouped_apply(lt.union(rt), keys, join_partition,
                          num_partitions=num_partitions)

@@ -254,3 +254,34 @@ def test_minhash_signatures_content_deterministic_across_batches():
     assert (s1 == s2).all()
     near = mh.signatures(pd.Series([doc + " extra"]))[0]
     assert (s1 == near).mean() > 0.5  # near-dup still collides
+
+
+def test_hash_join_inner_and_left():
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.joins import hash_join
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "lv": ["a", "b", "c", "d"]})
+    right = pd.DataFrame({"k": [2, 3, 3, 5], "rv": [20, 30, 31, 50]})
+    inner = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                      on="k", num_partitions=4).to_pandas() \
+        .sort_values(["k", "rv"]).reset_index(drop=True)
+    expect = left.merge(right, on="k").sort_values(["k", "rv"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(inner, expect)
+    lj = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                   on="k", how="left", num_partitions=4).to_pandas() \
+        .sort_values(["k", "rv"]).reset_index(drop=True)
+    assert len(lj) == 5 and lj["rv"].isna().sum() == 2
+
+
+def test_hash_join_multi_key():
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.joins import hash_join
+    left = pd.DataFrame({"a": [1, 1, 2], "b": ["x", "y", "x"],
+                         "lv": [10, 11, 12]})
+    right = pd.DataFrame({"a": [1, 2], "b": ["y", "x"],
+                          "rv": [100, 200]})
+    out = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on=["a", "b"], num_partitions=4).to_pandas() \
+        .sort_values("lv").reset_index(drop=True)
+    assert out["lv"].tolist() == [11, 12]
+    assert out["rv"].tolist() == [100, 200]
