@@ -818,7 +818,10 @@ def q_embedding_neardup(sf_dir: str):
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
     dim = len(ds.take(1)[0]["embedding"])
-    return hyperplane_lsh_pairs(ds, dim=dim, n_planes=10, threshold=0.95)
+    # the synthetic embeddings have no engineered near-dups (max pair
+    # cosine ~0.48) — 0.4 with few planes exercises the bucket + verify
+    # path on real candidate volume instead of returning zero rows
+    return hyperplane_lsh_pairs(ds, dim=dim, n_planes=6, threshold=0.4)
 
 
 def q_fingerprint_docs(sf_dir: str):

@@ -89,3 +89,32 @@ def test_cli_quality_filter_with_rules_file(tmp_path):
     assert proc.returncode == 0, proc.stderr
     metrics = json.loads(proc.stdout[proc.stdout.index("{"):])
     assert metrics["n_rows"] == 150
+
+
+def test_cli_validate_json_output(tmp_path):
+    """Error JSON writer path (reference writes the same records as
+    CSV; JSON output keeps the structured error vector)."""
+    import json as jsonlib
+    import subprocess, sys, glob
+    csv = tmp_path / "r.csv"
+    csv.write_text("qty,flag\n5,A\n-2,N\n")
+    rules = tmp_path / "rules.json"
+    rules.write_text(jsonlib.dumps({
+        "qty": {"type": "float", "min": 0.0},
+        "flag": {"type": "string", "allowed": ["A", "N"]}}))
+    out = tmp_path / "out.json"
+    r = subprocess.run(
+        [sys.executable, "-m", "nacc_form_validator_ray", "validate",
+         "-i", str(csv), "-r", str(rules), "-o", str(out),
+         "--num-cpus", "2"],
+        capture_output=True, text=True)
+    assert r.returncode == 1, r.stderr[-500:]  # failures present
+    rows = []
+    for f in glob.glob(str(out) + "/*.json"):
+        for line in open(f):
+            if line.strip():
+                rows.append(jsonlib.loads(line))
+    rows.sort(key=lambda x: x["qty"])
+    assert len(rows) == 2
+    assert rows[0]["passed"] is False and rows[0]["errors"]
+    assert rows[1]["passed"] is True

@@ -433,3 +433,12 @@ def test_temporal_with_current_year_in_prev_conditions():
             'temporal rule no: 0'
         ]
     }
+
+
+def test_uds_ivp_record_default_and_inmemory():
+    """get_uds_ivp_record: base ABC declines (None, reference
+    datastore.py default); InMemoryDatastore surfaces the subject's
+    initial-visit packet when configured."""
+    ds = make_ds()
+    rec = {"patient_id": "PatientID1", "visit_num": 9}
+    assert ds.get_uds_ivp_record(rec) is None
