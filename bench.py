@@ -83,23 +83,22 @@ def run_quality_filter_pages(sf_dir: str) -> int:
     from datetime import datetime
 
     model = _ppl_model(pages_dir())
-    # ~192 blocks ≈ 625 rows each: tasks big enough to amortize
-    # dispatch, plentiful enough to keep every core fed (via ds.stats());
-    # column-pruned read — text is re-extracted from html, so the stored
-    # text column (half the payload) never leaves storage
-    ds = rd.read_parquet(pages_dir(), columns=["url", "html"],
-                         override_num_blocks=192)
+    # NO override_num_blocks: forcing a block split un-fuses the read
+    # from the map chain and pays an object-store round-trip for every
+    # block (measured ~1.5x wall at 8 cpus); the natural 48-file layout
+    # fuses read->extract->signals->scrub->validate into one task chain.
+    # Column-pruned read — text is re-extracted from html, so the stored
+    # text column (half the payload) never leaves storage.
+    ds = rd.read_parquet(pages_dir(), columns=["url", "html"])
     ds = build_quality_pipeline(ds, clock=Clock(datetime(2026, 1, 1)),
                                 extract=True, collect="codes",
                                 ppl_model=model)
-    # pull only the decision columns to the driver; payloads stay in
-    # the workers (a real run would write_parquet instead)
+    # consume in the WORKERS (count sums block row counts as the stream
+    # executes — a real run would write_parquet, also a parallel sink).
+    # A driver-side iter_batches pull is a single-threaded Amdahl term
+    # that caps measured scaling regardless of cluster size.
     ds = ds.select_columns(["url", "passed", "n_errors"])
-    total = 0
-    for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow",
-                                 prefetch_batches=2):
-        total += batch.num_rows
-    return total
+    return ds.count()
 
 
 def bench_queries(sf_dir: str):
@@ -222,7 +221,7 @@ def validator_micro_bench(n_rows: int = 50_000) -> dict:
 
 
 def run_scaling(sf_dir: str, low: int, high: int, extra: int = 32,
-                repeats: int = 2) -> dict:
+                repeats: int = 3) -> dict:
     """Same flagship job at several parallelism levels in fresh
     processes. The N->4N criterion pair is (low, high); ``extra`` adds
     the high->extra pair so the full contention curve is on record (the
@@ -318,8 +317,7 @@ def main():
         from nacc_form_validator_ray.pipelines.quality_filter import \
             build_quality_pipeline
         from nacc_form_validator_ray.utils import Clock
-        ds = rd.read_parquet(pages_dir(), columns=["url", "html"],
-                             override_num_blocks=192)
+        ds = rd.read_parquet(pages_dir(), columns=["url", "html"])
         ds = build_quality_pipeline(ds, clock=Clock(datetime(2026, 1, 1)),
                                     extract=True, collect="codes")
         ds = ds.select_columns(["url", "passed", "n_errors"])

@@ -115,32 +115,17 @@ def build_quality_pipeline(ds,
     kw = dict(batch_format="pyarrow", batch_size=batch_size)
     if extract:
         ds = ds.map_batches(ExtractText(), **kw)
-    # one fused signal pass: stats + language ID share tokenization
-    ds = ds.map_batches(TextStats(langid=True), **kw)
+    # ONE fused signal pass: stats + language ID + (optionally)
+    # perplexity scoring share a single tokenization — the model rides
+    # inside the TextStats callable, which Ray serializes once and each
+    # worker deserializes once (build the lookup index per worker, not
+    # per batch). Results are identical to the standalone
+    # PerplexityScorer stage: same token stream, same summation order.
+    ds = ds.map_batches(TextStats(langid=True, ppl_model=ppl_model),
+                        **kw)
     if fingerprint:
         ds = ds.map_batches(Fingerprint(), batch_format="pandas",
                             batch_size=batch_size)
-    if ppl_model is not None:
-        # model scorer: the artifact ships via ray.put and loads once per
-        # worker process (stateless tasks keep the stage FUSED with its
-        # neighbors — an actor pool here would force a plasma hop between
-        # stages; switch to map_batches(PerplexityScorer, concurrency=N)
-        # when the model is too large to hold per worker)
-        import ray
-
-        class PplStage:
-            def __init__(self, ref):
-                self.ref = ref
-                self.scorer = None
-
-            def __call__(self, batch):
-                if self.scorer is None:
-                    from nacc_form_validator_ray.stages.perplexity import \
-                        PerplexityScorer
-                    self.scorer = PerplexityScorer(model=ray.get(self.ref))
-                return self.scorer(batch)
-
-        ds = ds.map_batches(PplStage(ray.put(dict(ppl_model))), **kw)
     if scrub:
         ds = ds.map_batches(Scrubber(), **kw)
     # validation last: its arrow output (errors: list<struct>) streams

@@ -58,13 +58,18 @@ class Scrubber:
         self.compiled = [(name, re.compile(pat), repl)
                          for name, pat, repl in specs]
         self.toxic = re.compile(TOXIC_PATTERN) if scrub_toxic else None
+        # one-alternation prefilter: rows with zero matches (the vast
+        # majority of web text) pay ONE scan instead of a scan+replace
+        # per pattern. Sound because replacements never create matches a
+        # clean row lacked (replacement tokens contain no digits/@).
+        pats = [p.pattern for _, p, _ in self.compiled]
+        if self.toxic is not None:
+            pats.append(self.toxic.pattern)
+        self.any_pattern = "|".join(f"(?:{p})" for p in pats)
 
-    def _core(self, text):
-        """Arrow-kernel scrub: sequential count + replace entirely in C
-        (RE2), no Python string materialization."""
+    def _chain(self, text, n):
+        """The sequential per-pattern count+replace chain."""
         import pyarrow.compute as pc
-        text = pc.fill_null(text, "")
-        n = len(text)
         counts = {}
         total = np.zeros(n, dtype=np.int64)
         steps = [(name, pat.pattern, repl)
@@ -80,6 +85,36 @@ class Scrubber:
                 text = pc.replace_substring_regex(text, pattern=pattern,
                                                   replacement=repl)
         return text, counts, total
+
+    def _core(self, text):
+        """Arrow-kernel scrub: one alternation prefilter pass, then the
+        sequential count+replace chain only over the rows that hit —
+        entirely in C (RE2), no Python string materialization."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        text = pc.fill_null(text, "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(text)
+        dirty = pc.match_substring_regex(text, pattern=self.any_pattern) \
+            .to_numpy(zero_copy_only=False)
+        names = [f"n_{name}" for name, _, _ in self.compiled]
+        if self.toxic is not None:
+            names.append("n_toxic")
+        counts = {nm: np.zeros(n, dtype=np.int64) for nm in names}
+        total = np.zeros(n, dtype=np.int64)
+        if not dirty.any():
+            return text, counts, total
+        if dirty.all():
+            return self._chain(text, n)
+        mask = pa.array(dirty)
+        sub_text, sub_counts, sub_total = self._chain(
+            text.filter(mask), int(dirty.sum()))
+        for nm in names:
+            counts[nm][dirty] = sub_counts[nm]
+        total[dirty] = sub_total
+        out = pc.replace_with_mask(text, mask, sub_text)
+        return out, counts, total
 
     def __call__(self, batch):
         import pyarrow as pa

@@ -20,7 +20,7 @@ gate relies on this.
 from __future__ import annotations
 
 import re
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 import pandas as pd
@@ -172,13 +172,26 @@ class TextStats:
     """
 
     def __init__(self, text_column: str = "text",
-                 emit_tokens: bool = False, langid: bool = False):
+                 emit_tokens: bool = False, langid: bool = False,
+                 ppl_model: Optional[Dict] = None):
         self.text_column = text_column
         self.word_re = re.compile(WORD_RE)
         self.emit_tokens = emit_tokens
         self.langid = langid
         self.banks = {lang: np.array(STOPWORDS[lang], dtype=object)
                       for lang in LANG_ORDER}
+        # optional FUSED perplexity scoring: reuses this pass's token
+        # codes instead of re-tokenizing the corpus in a separate stage
+        # (identical results to stages/perplexity.PerplexityScorer —
+        # same token stream, same summation order)
+        self.ppl_token_index = None
+        if ppl_model is not None:
+            self.ppl_oov_logp = float(ppl_model["oov_logp"])
+            self.ppl_token_index = {t: i for i, t in
+                                    enumerate(ppl_model["logp"])}
+            self.ppl_logp = np.fromiter(ppl_model["logp"].values(),
+                                        dtype=np.float64,
+                                        count=len(ppl_model["logp"]))
 
     def _core(self, text: "pa.Array") -> Dict[str, np.ndarray]:
         import pyarrow as pa
@@ -278,6 +291,26 @@ class TextStats:
                 out[f"sw_{lang}"] = sw_counts[i]
             out["lang_pred"] = pred
             out["stop_ratio"] = best / safe_words
+        if self.ppl_token_index is not None:
+            log_ppl = np.zeros(n, dtype=np.float64)
+            oov = np.zeros(n, dtype=np.int64)
+            if len(codes):
+                uniq_idx = np.array(
+                    [self.ppl_token_index.get(t, -1)
+                     for t in dictionary.to_pylist()], dtype=np.int64)
+                tok_logp = np.where(
+                    uniq_idx >= 0,
+                    self.ppl_logp[np.maximum(uniq_idx, 0)],
+                    self.ppl_oov_logp)[codes]
+                sum_lp = np.bincount(tok_doc, weights=tok_logp,
+                                     minlength=n)
+                log_ppl = -sum_lp / np.maximum(n_tokens, 1)
+                oov = np.bincount(tok_doc,
+                                  weights=(uniq_idx < 0)[codes],
+                                  minlength=n).astype(np.int64)
+            out["log_ppl"] = log_ppl
+            out["ppl_tokens"] = n_tokens
+            out["oov_count"] = oov
         return out
 
     def __call__(self, batch):
