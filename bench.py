@@ -258,6 +258,26 @@ def run_scaling(sf_dir: str, low: int, high: int, extra: int = 32,
     queries[f"efficiency_{low}_{high}"] = eff(low, high)
     if len(levels) > 2:
         queries[f"efficiency_{high}_{extra}"] = eff(high, extra)
+
+    # the box's own capacity curves, measured in the same window, at the
+    # same worker counts: pure arithmetic (no memory traffic) and a
+    # streaming memory workload. A single microVM cannot hand 4x the
+    # MEMORY BANDWIDTH to 4x the workers the way 4x real nodes do; these
+    # probes quantify that envelope so the raw ratio can be read against
+    # what the hardware permits (see BASELINE.md — the optimized engine
+    # is bandwidth-bound, so its ceiling is the memory curve, not the
+    # cpu curve)
+    cap = {c: _cpu_capacity(c) for c in levels}
+    mem = {c: _mem_capacity(c) for c in levels}
+    for c in levels:
+        queries[f"cpu_capacity_{c}"] = round(cap[c], 2)
+        queries[f"mem_capacity_{c}"] = round(mem[c], 2)
+    cap_eff = (cap[high] / cap[low]) / (high / low)
+    mem_eff = (mem[high] / mem[low]) / (high / low)
+    queries[f"cpu_capacity_efficiency_{low}_{high}"] = round(cap_eff, 3)
+    queries[f"mem_capacity_efficiency_{low}_{high}"] = round(mem_eff, 3)
+    queries[f"efficiency_vs_mem_envelope_{low}_{high}"] = \
+        round(eff(low, high) / mem_eff, 3)
     return {
         "metric": "flagship quality-filter scaling efficiency "
                   f"({low} -> {high} cpus, fresh processes, same input; "
@@ -269,6 +289,46 @@ def run_scaling(sf_dir: str, low: int, high: int, extra: int = 32,
         "num_cpus": max(levels),
         "pages": results[levels[-1]]["pages"],
     }
+
+
+def _spin(sec: float) -> int:
+    t0 = time.perf_counter()
+    n = 0
+    x = 1.0
+    while time.perf_counter() - t0 < sec:
+        for _ in range(10_000):
+            x = x * 1.0000001
+        n += 10_000
+    return n
+
+
+def _cpu_capacity(workers: int, sec: float = 2.0) -> float:
+    """Aggregate pure-compute throughput of N processes (relative units)."""
+    import multiprocessing as mp
+    with mp.Pool(workers) as pool:
+        total = sum(pool.map(_spin, [sec] * workers))
+    return total / sec / 1e6
+
+
+def _mem_stream(sec: float) -> int:
+    import numpy as np
+    a = np.random.RandomState(0).randint(0, 255, size=8_000_000) \
+        .astype(np.uint8)
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < sec:
+        b = a.astype(np.int64)
+        b.sum()
+        n += 1
+    return n
+
+
+def _mem_capacity(workers: int, sec: float = 2.5) -> float:
+    """Aggregate streaming-memory throughput of N processes."""
+    import multiprocessing as mp
+    with mp.Pool(workers) as pool:
+        total = sum(pool.map(_mem_stream, [sec] * workers))
+    return total / sec
 
 
 def run_flagship_only(sf_dir: str, num_cpus: int) -> dict:

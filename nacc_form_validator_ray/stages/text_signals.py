@@ -76,11 +76,25 @@ def _buffer_view(arr):
 
 
 def _seg_counts(mask: np.ndarray, off: np.ndarray) -> np.ndarray:
-    """Per-document True-count of a byte mask: ONE cumsum + an (n+1)-point
-    gather. Beats materializing a per-byte doc-ownership array (np.repeat
-    + boolean-index + bincount) ~3× on memory-bandwidth-bound boxes."""
-    c = np.concatenate(([0], np.cumsum(mask, dtype=np.int64)))
-    return c[off[1:]] - c[off[:-1]]
+    """Per-document True-count of a byte mask via ``np.add.reduceat`` —
+    reads the 1-byte bool mask once and writes n outputs. (A cumsum
+    formulation writes 8 bytes per text byte; on this memory-bandwidth-
+    bound box that temp dominated the whole signal pass.) Empty-document
+    segments (repeated offsets) get reduceat's garbage value and are
+    zeroed explicitly."""
+    n = len(off) - 1
+    out = np.zeros(n, dtype=np.int64)
+    if len(mask) == 0:
+        return out
+    nonempty = np.diff(off) > 0
+    if not nonempty.any():
+        return out
+    # reduceat over the starts of NON-empty docs only: each segment runs
+    # to the next non-empty start, spanning exactly that doc's bytes
+    # (empty docs in between contribute zero bytes by definition)
+    out[nonempty] = np.add.reduceat(mask, off[:-1][nonempty],
+                                    dtype=np.int64)
+    return out
 
 
 def arrow_token_codes(text):
@@ -120,27 +134,32 @@ def arrow_token_codes(text):
     nxt_a = np.empty(total_l, dtype=bool)
     nxt_a[-1] = False
     nxt_a[:-1] = lalpha[1:]
-    s_idx = np.flatnonzero(lalpha & (~prev_a | lfirst))
+    # token-space arrays are int32 throughout: a batch's text is far
+    # below 2 GB, and on this bandwidth-bound box the int64 versions of
+    # these (one 8-byte element per token, ~8 arrays) out-weighed the
+    # text itself several times over
+    s_idx = np.flatnonzero(lalpha & (~prev_a | lfirst)).astype(np.int32)
     if not len(s_idx):
         return empty
-    e_idx = np.flatnonzero(lalpha & (~nxt_a | llast))
-    tok_lens = e_idx - s_idx + 1
+    e_idx = np.flatnonzero(lalpha & (~nxt_a | llast)).astype(np.int32)
+    tok_lens = e_idx - s_idx + np.int32(1)
     # ownership via binary search over the (n+1) offsets — no per-byte
     # ownership array
-    tok_doc = np.searchsorted(loff, s_idx, side="right") - 1
+    tok_doc = (np.searchsorted(loff, s_idx, side="right") - 1) \
+        .astype(np.int32)
     n_tokens = np.bincount(tok_doc, minlength=n).astype(np.int64)
     m = int(tok_lens.sum())
-    shift = np.repeat(
-        s_idx - np.concatenate(([0], np.cumsum(tok_lens)[:-1])),
-        tok_lens)
+    toff = np.empty(len(s_idx) + 1, dtype=np.int32)
+    toff[0] = 0
+    np.cumsum(tok_lens, out=toff[1:])
+    shift = np.repeat(s_idx - toff[:-1], tok_lens)
     packed = np.ascontiguousarray(
-        lbuf[np.arange(m, dtype=np.int64) + shift])
-    toff = np.concatenate(([0], np.cumsum(tok_lens))).astype(np.int32)
+        lbuf[np.arange(m, dtype=np.int32) + shift])
     flat_tok = pa.Array.from_buffers(
         pa.utf8(), len(s_idx),
         [None, pa.py_buffer(toff), pa.py_buffer(packed)])
     enc = pc.dictionary_encode(flat_tok)
-    return (enc.indices.to_numpy().astype(np.int64), enc.dictionary,
+    return (enc.indices.to_numpy().astype(np.int32), enc.dictionary,
             tok_doc, n_tokens)
 
 
@@ -249,9 +268,10 @@ class TextStats:
                              value_set=pa.array(STOPWORDS[lang]))
                     .to_numpy(zero_copy_only=False)
                     for lang in LANG_ORDER])  # (n_langs, vocab)
-                if vocab <= 8192:
+                if n * vocab <= 2_000_000:
                     # one unweighted 2-D histogram + a tiny matmul beats
-                    # n_langs weighted bincounts over every token
+                    # n_langs weighted bincounts over every token (guard
+                    # the n x vocab temp on bandwidth-bound boxes)
                     hist = np.bincount(tok_doc * vocab + codes,
                                        minlength=n * vocab) \
                         .reshape(n, vocab)
@@ -350,11 +370,13 @@ def _rep_3gram_counts(codes: np.ndarray, dictionary, doc_id: np.ndarray,
     if m < 3:
         return total, distinct
     vocab = len(dictionary)
-    c0 = codes[:-2]
-    c1 = codes[1:-1]
-    c2 = codes[2:]
+    # codes/doc_id may arrive int32 (the token arrays' storage dtype);
+    # the packing shifts need 64-bit width
+    c0 = codes[:-2].astype(np.int64)
+    c1 = codes[1:-1].astype(np.int64)
+    c2 = codes[2:].astype(np.int64)
     same_doc = doc_id[:-2] == doc_id[2:]
-    g_doc = doc_id[:-2][same_doc]
+    g_doc = doc_id[:-2][same_doc].astype(np.int64)
     total = np.bincount(g_doc, minlength=n).astype(np.int64)
 
     bits_v = max(int(vocab - 1).bit_length(), 1)
