@@ -7,9 +7,11 @@ num_cpus=$RAY_GRAFT_CPUS or 32)`` and print ONE JSON line::
     {"metric": ..., "value": <total sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
 
-``--scaling``: run the flagship quality-filter pipeline twice in fresh
-processes (num_cpus=8 then 32) on the same cached page corpus and report
-both throughputs plus scaling efficiency (the sandbox stand-in for the
+``--scaling``: run the flagship quality-filter pipeline at 2, 8 and 32
+cpus in fresh interleaved processes on the same cached page corpus and
+report per-level throughput, both pair efficiencies (2->8 criterion pair,
+8->32 alongside) and the box's own pure-CPU / streaming-memory scaling
+envelopes at the same worker counts (the sandbox stand-in for the
 N-vs-4N-node criterion; see BASELINE.md).
 """
 
