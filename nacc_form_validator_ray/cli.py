@@ -26,13 +26,23 @@ def _init_ray(num_cpus: int | None):
         ray.init(**kwargs)
 
 
+def _load_rules(path: str) -> dict:
+    """Rule schemas load from JSON or YAML (the reference's rule
+    definitions are authored in either; docs/data-quality-rule-
+    definition-guidelines.md)."""
+    with open(path) as f:
+        if path.endswith((".yaml", ".yml")):
+            import yaml
+            return yaml.safe_load(f)
+        return json.load(f)
+
+
 def cmd_validate(args) -> int:
     import ray
     from nacc_form_validator_ray.stages.validate import validate_dataset
 
     _init_ray(args.num_cpus)
-    with open(args.rules) as f:
-        schema = json.load(f)
+    schema = _load_rules(args.rules)
 
     from nacc_form_validator_ray.sources import read_any
     ds = read_any(args.input)
@@ -47,10 +57,13 @@ def cmd_validate(args) -> int:
             import pandas as pd
 
             def flatten(batch: "pd.DataFrame") -> "pd.DataFrame":
+                # rows arrive as numpy arrays of error structs — `errs
+                # or []` raises on arrays with more than one element
                 batch = batch.copy()
                 batch["errors"] = [
                     "; ".join(f"{e['field']}: {e['message']}"
-                              for e in (errs or []))
+                              for e in errs)
+                    if errs is not None else ""
                     for errs in batch["errors"]]
                 return batch
 
@@ -74,10 +87,7 @@ def cmd_quality_filter(args) -> int:
         run_quality_filter
 
     _init_ray(args.num_cpus)
-    rules = None
-    if args.rules:
-        with open(args.rules) as f:
-            rules = json.load(f)
+    rules = _load_rules(args.rules) if args.rules else None
     metrics = run_quality_filter(args.input, args.output, rules=rules,
                                  resume=not args.no_resume,
                                  files_per_partition=args.files_per_part)
@@ -91,10 +101,7 @@ def cmd_pretrain(args) -> int:
     from nacc_form_validator_ray.pipelines.pretrain import run_pretrain
 
     _init_ray(args.num_cpus)
-    rules = None
-    if args.rules:
-        with open(args.rules) as f:
-            rules = json.load(f)
+    rules = _load_rules(args.rules) if args.rules else None
     metrics = run_pretrain(args.input, args.output, rules=rules)
     print(json.dumps(metrics, indent=1))
     ray.shutdown()

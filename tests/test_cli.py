@@ -118,3 +118,29 @@ def test_cli_validate_json_output(tmp_path):
     assert len(rows) == 2
     assert rows[0]["passed"] is False and rows[0]["errors"]
     assert rows[1]["passed"] is True
+
+
+def test_cli_yaml_rules_and_multi_error_csv(tmp_path):
+    """YAML rule files load like JSON ones, and the CSV error flattener
+    handles rows with MULTIPLE errors (regression: numpy-array
+    truthiness broke `errs or []` for 2+ errors)."""
+    import subprocess, sys, glob
+    csv = tmp_path / "r.csv"
+    csv.write_text("qty,flag\n5,A\n-2,X\n")
+    rules = tmp_path / "rules.yaml"
+    rules.write_text(
+        "qty:\n  type: float\n  min: 0\n  max: 100\n"
+        "flag:\n  type: string\n  allowed: [A, N, R]\n")
+    out = tmp_path / "out.csv"
+    r = subprocess.run(
+        [sys.executable, "-m", "nacc_form_validator_ray", "validate",
+         "-i", str(csv), "-r", str(rules), "-o", str(out),
+         "--num-cpus", "2"],
+        capture_output=True, text=True)
+    assert r.returncode == 1, r.stderr[-500:]
+    rows = []
+    for f in glob.glob(str(out) + "/*.csv"):
+        rows += open(f).read().splitlines()
+    bad = [l for l in rows if l.startswith("-2")]
+    assert len(bad) == 1
+    assert "min value is 0" in bad[0] and "unallowed value X" in bad[0]
