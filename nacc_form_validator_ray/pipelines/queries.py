@@ -989,7 +989,7 @@ err AS (
 
 
 def sql_quality_filter_pages(path: str) -> str:
-    scrub_defs, scrub_last, scrub_total = _scrub_ctes(
+    _, scrub_last, scrub_total = _scrub_ctes(
         f"read_parquet('{path}')", "url", prefix="sc")
     return _pages_signal_sql(path) + f"""
 SELECT err.url AS url, lang_pred, n_errors = 0 AS passed,
@@ -1000,7 +1000,7 @@ FROM err JOIN {scrub_last} ON err.url = {scrub_last}.url
 
 
 def sql_pretrain_prefix_pages(path: str) -> str:
-    scrub_defs, scrub_last, scrub_total = _scrub_ctes(
+    _, scrub_last, _ = _scrub_ctes(
         f"read_parquet('{path}')", "url", prefix="sc")
     return _pages_signal_sql(path) + f""",
 kept AS (
