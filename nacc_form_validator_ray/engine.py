@@ -583,10 +583,16 @@ class VectorEvaluator:
     def _v_regex(self, field, constraint, rules, df, values, null, live):
         anchored = constraint if constraint.endswith("$") else \
             constraint + "$"
-        ser = pd.Series(values, dtype=object)
-        str_mask = np.array([isinstance(v, str) for v in values], dtype=bool)
-        matched = ser.str.match(anchored, na=True).fillna(True).to_numpy(
-            dtype=bool)
+        str_mask = np.array([isinstance(v, str) for v in values],
+                            dtype=bool)
+        matched = np.ones(len(values), dtype=bool)
+        if str_mask.any():
+            # match only the string subset: pandas' .str accessor raises
+            # on mixed object columns, and the reference's regex rule
+            # ignores non-strings anyway (rowval._rule_regex:343)
+            matched[str_mask] = pd.Series(
+                values[str_mask], dtype=object).str.match(
+                anchored, na=True).to_numpy(dtype=bool)
         yield "regex", Codes.REGEX_MISMATCH, live & str_mask & ~matched
 
     def _v_filled(self, field, constraint, rules, df, values, null, live):

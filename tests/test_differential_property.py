@@ -28,11 +28,24 @@ float_rule = st.fixed_dictionaries(
         "nullable": st.booleans(),
         "min": st.floats(-5, 5, allow_nan=False),
         "max": st.floats(-5, 10, allow_nan=False),
-        "compare_with": st.fixed_dictionaries({
-            "comparator": st.sampled_from(["==", "!=", "<", "<=", ">",
-                                           ">="]),
-            "base": st.one_of(st.integers(-3, 3), st.just("f_int")),
-        }),
+        "compare_with": st.one_of(
+            st.fixed_dictionaries({
+                "comparator": st.sampled_from(["==", "!=", "<", "<=",
+                                               ">", ">="]),
+                "base": st.one_of(st.integers(-3, 3),
+                                  st.just("f_int")),
+            }),
+            # adjusted comparisons incl. the op=abs null-adjustment
+            # semantics (round-1 ADVICE #4)
+            st.fixed_dictionaries({
+                "comparator": st.sampled_from(["==", "!=", "<", "<=",
+                                               ">", ">="]),
+                "base": st.one_of(st.integers(-3, 3),
+                                  st.just("f_int")),
+                "op": st.sampled_from(["+", "-", "abs"]),
+                "adjustment": st.one_of(st.integers(-2, 2),
+                                        st.just("f_int")),
+            })),
     })
 
 str_rule = st.fixed_dictionaries(
@@ -51,11 +64,19 @@ schema_strategy = st.fixed_dictionaries({
     "f_str": str_rule,
 })
 
-value_int = st.one_of(st.none(), st.integers(-6, 12))
-value_float = st.one_of(st.none(),
-                        st.floats(-6, 12, allow_nan=False))
+# CSV-shaped and WRONGLY-TYPED values are first-class: string digits
+# must cast, unparsable strings must fail the type rule identically in
+# both engines, and non-strings under string-typed fields must fail the
+# string type rule (round-1 ADVICE #1/#2 bug classes)
+value_int = st.one_of(st.none(), st.integers(-6, 12),
+                      st.sampled_from(["3", "-1", "x", "2.0", ""]))
+value_float = st.one_of(st.none(), st.floats(-6, 12, allow_nan=False),
+                        st.sampled_from(["1.5", "-2", "abc", ""]))
 value_str = st.one_of(st.none(),
-                      st.sampled_from(["a", "b", "c", "abc", "zz", "42"]))
+                      st.sampled_from(["a", "b", "c", "abc", "zz", "42",
+                                       ""]),
+                      st.integers(-2, 3), st.booleans(),
+                      st.floats(-2, 2, allow_nan=False))
 
 records_strategy = st.lists(
     st.fixed_dictionaries({"f_int": value_int, "f_float": value_float,
