@@ -933,7 +933,10 @@ class VectorEvaluator:
         eff_value = value_num
         eff_b_null = base_null
         trouble = np.zeros(n, dtype=bool)
-        if adjustment is not None and operator:
+        # TRUTHINESS gate, exactly like the reference
+        # (nacc_validator.py:1165): a falsy adjustment (0, "") means NO
+        # adjustment, not an adjustment of zero
+        if adjustment and operator:
             adj_val, adj_null = resolve(adjustment)
             with np.errstate(divide="ignore", invalid="ignore"):
                 if operator == "+":
