@@ -211,3 +211,30 @@ def test_propagate_labels_chain_converges():
                            num_partitions=4).to_pandas() \
         .sort_values("doc_id")
     assert out["cluster"].tolist() == [1, 1, 1, 1, 1, 1, 7, 8]
+
+
+def test_byte_run_tokenizer_matches_arrow_regex_split_on_unicode():
+    """The byte-run tokenizer must be byte-for-byte equivalent to the
+    round-1 formulation (split_pattern_regex(utf8_lower, '[^a-z]+'),
+    empties dropped) including on multibyte/case-folding edge cases
+    (KELVIN K -> k, dotted I, combining marks)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+    texts = ["", "plain ascii words", "Kİ mixed KELVIN K x",
+             "café straße", "日本 ok",
+             "a\tb\nc\x0b\x0c d", "UPPER lower 012 mixed!",
+             "Kaİb"]
+    arr = pa.array(texts, type=pa.string())
+    toks_old = pc.split_pattern_regex(pc.utf8_lower(arr),
+                                      pattern="[^a-z]+")
+    old = [[t for t in toks_old[i].as_py() if t]
+           for i in range(len(texts))]
+    codes, dic, tok_doc, n_tokens = arrow_token_codes(arr)
+    new = [[] for _ in texts]
+    vocab = dic.to_pylist()
+    for c, d in zip(codes, tok_doc):
+        new[d].append(vocab[c])
+    assert old == new
+    assert n_tokens.tolist() == [len(x) for x in old]
