@@ -2,8 +2,8 @@
 
 All operators follow the same scale discipline:
 
-* per-batch signature computation is vectorized numpy (factorize +
-  bit-packing, no Python loop over rows);
+* per-batch signature computation is vectorized numpy (content-based
+  token hashing + bit-packing, no Python loop over rows);
 * the only wide operations are hash exchanges of LEAN projections —
   (id, content-hash) for exact dedup, ~24-byte (band_id, band_key, id)
   rows for LSH; document payloads never ride a shuffle;

@@ -7,8 +7,8 @@ schema once per QualityCheck, quality_check.py:74-95). All hot loops are
 pandas/numpy C kernels:
 
 * counting signals use ``Series.str.count`` with compiled regexes;
-* n-gram repetition uses factorize + bit-packed rolling keys + bincount —
-  no Python loop over rows;
+* n-gram repetition uses Arrow dictionary codes + bit-packed rolling
+  keys + bincount — no Python loop over rows;
 * language ID is stopword-hit counting per language, argmax with a fixed
   deterministic tie order.
 
