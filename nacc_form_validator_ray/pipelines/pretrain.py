@@ -27,7 +27,7 @@ import pandas as pd
 from nacc_form_validator_ray.pipelines.quality_filter import (
     WEB_QUALITY_RULES, build_quality_pipeline)
 from nacc_form_validator_ray.stages.dedup import minhash_candidate_pairs
-from nacc_form_validator_ray.stages.joins import anti_join
+from nacc_form_validator_ray.stages.bloom import anti_join_bloom
 from nacc_form_validator_ray.stages.partition import grouped_apply
 from nacc_form_validator_ray.utils import Clock
 
@@ -126,7 +126,9 @@ def build_pretrain_pipeline(pages_ds,
             else "exchange"
 
     if drop_via == "exchange":
-        return anti_join(docs, banned, on="doc_id")
+        # bloom prefilter: docs is materialized above, banned is lean —
+        # only probable duplicates ride the exact anti-join exchange
+        return anti_join_bloom(docs, banned, on="doc_id")
 
     # broadcast the banned-id set: one filter pass, no payload shuffle
     banned_ids = np.unique(np.concatenate(
@@ -216,7 +218,9 @@ def run_pretrain(input_dir: str, out_dir: str,
         drop_via = "broadcast" if banned.count() <= BROADCAST_ID_LIMIT \
             else "exchange"
     if drop_via == "exchange":
-        out = anti_join(docs, banned, on="doc_id")
+        # docs re-reads from the clean-stage parquet, so the bloom's
+        # two passes stay cheap
+        out = anti_join_bloom(docs, banned, on="doc_id")
     else:
         ids = [b["doc_id"].to_numpy(np.int64) for b in
                banned.iter_batches(batch_size=65536,

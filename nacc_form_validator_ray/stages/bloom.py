@@ -1,0 +1,120 @@
+"""Bloom-filter accelerated key filtering.
+
+At 100-TB scale the distributed ``anti_join`` exchange ships EVERY left
+row to its key partition even though only a small fraction ever matches
+a banned key. A Bloom filter built from the key side and broadcast once
+(``ray.put``) lets each worker keep definite misses locally — only the
+bloom HITS (true matches + the false-positive fraction) ride the exact
+anti-join exchange, so the shuffled volume drops from |left| to roughly
+|matches| + fp_rate·|left|, with zero correctness loss (the exact join
+adjudicates every hit).
+
+Keys of any dtype are first mapped to uint64 with ``pd.util.hash_array``
+(content-based — identical across batches and workers); the k bloom
+probes are derived from that hash with wrapping multiply-shift mixes, so
+building and probing agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+#: odd multipliers for the k multiply-shift probes
+_MIXERS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                    0x165667B19E3779F9, 0xD6E8FEB86659FD93],
+                   dtype=np.uint64)
+
+
+def _key_hash(values: np.ndarray) -> np.ndarray:
+    """Content-based uint64 hash of an arbitrary key column."""
+    if values.dtype == object:
+        return pd.util.hash_array(values.astype("U")).astype(np.uint64)
+    return pd.util.hash_array(values).astype(np.uint64)
+
+
+def _probe_positions(h: np.ndarray, n_bits: int) -> np.ndarray:
+    """(k, len(h)) bit positions for each key hash."""
+    out = np.empty((len(_MIXERS), len(h)), dtype=np.int64)
+    for i, m in enumerate(_MIXERS):
+        out[i] = ((h * m) >> np.uint64(17)).astype(np.int64) % n_bits
+    return out
+
+
+def build_bloom(keys_ds, on: str, n_bits: int = 1 << 23):
+    """Build a packed Bloom bitmap from a Dataset's key column.
+
+    Per-batch work emits the DISTINCT bit positions (lean int32 rows);
+    one ``unique`` exchange bounds the driver transfer at the bitmap
+    size regardless of key count. Returns (bitmap uint8 array of
+    ``n_bits/8`` bytes, n_bits).
+    """
+    def positions(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _key_hash(batch[on].to_numpy())
+        pos = np.unique(_probe_positions(h, n_bits))
+        return pd.DataFrame({"pos": pos.astype(np.int64)})
+
+    pos = keys_ds.map_batches(positions, batch_format="pandas") \
+        .unique("pos")
+    bitmap = np.zeros(n_bits // 8, dtype=np.uint8)
+    pos = np.fromiter(pos, dtype=np.int64)  # unique() may yield a set
+    # unbuffered OR: several positions land in the SAME byte — a fancy
+    # `bitmap[idx] |= bits` keeps only one duplicate per byte
+    np.bitwise_or.at(bitmap, pos >> 3,
+                     np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bitmap, n_bits
+
+
+def _bloom_hits(values: np.ndarray, bitmap: np.ndarray,
+                n_bits: int) -> np.ndarray:
+    """Boolean mask: True where the key MAY be in the filter."""
+    h = _key_hash(values)
+    hits = np.ones(len(values), dtype=bool)
+    for i in range(len(_MIXERS)):
+        pos = ((h * _MIXERS[i]) >> np.uint64(17)).astype(np.int64) % n_bits
+        hits &= (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 > 0
+    return hits
+
+
+def anti_join_bloom(left_ds, keys_ds, on: str,
+                    n_bits: int = 1 << 23,
+                    num_partitions: int = 64):
+    """``anti_join`` with a broadcast Bloom prefilter.
+
+    Definite bloom misses are kept WITHOUT riding the exchange; only
+    hits go through the exact distributed anti-join. Results are
+    identical to ``anti_join`` (the bloom has no false negatives and
+    every false positive is adjudicated exactly).
+
+    ``left_ds`` is consumed twice (miss pass + hit pass): hand it a
+    re-readable source (parquet) or a materialized dataset so laziness
+    does not recompute an expensive upstream twice.
+    """
+    import ray
+    from nacc_form_validator_ray.stages.joins import anti_join
+
+    keys_ds = keys_ds.materialize()
+    bitmap, nb = build_bloom(keys_ds, on, n_bits=n_bits)
+    ref = ray.put(bitmap)
+
+    class Split:
+        def __init__(self, ref, nb, keep_hits):
+            self.ref = ref
+            self.nb = nb
+            self.keep_hits = keep_hits
+            self.bitmap = None
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if self.bitmap is None:
+                self.bitmap = ray.get(self.ref)
+            hits = _bloom_hits(batch[on].to_numpy(), self.bitmap,
+                               self.nb)
+            return batch[hits] if self.keep_hits else batch[~hits]
+
+    misses = left_ds.map_batches(Split(ref, nb, keep_hits=False),
+                                 batch_format="pandas")
+    hits = left_ds.map_batches(Split(ref, nb, keep_hits=True),
+                               batch_format="pandas")
+    verified = anti_join(hits, keys_ds, on=on,
+                         num_partitions=num_partitions)
+    return misses.union(verified)

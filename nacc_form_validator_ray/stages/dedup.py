@@ -253,8 +253,11 @@ def exact_dedup(ds, id_column: str = "doc_id", text_column: str = "text",
             else "exchange"
 
     if drop_via == "exchange":
-        from nacc_form_validator_ray.stages.joins import anti_join
-        return anti_join(ds, banned, on=id_column)
+        # bloom-prefiltered: definite non-duplicates never ride the
+        # exchange; only bloom hits go through the exact anti-join
+        # (ds is materialized above, so the two passes don't recompute)
+        from nacc_form_validator_ray.stages.bloom import anti_join_bloom
+        return anti_join_bloom(ds, banned, on=id_column)
 
     banned_ids = [b[id_column].to_numpy()
                   for b in banned.iter_batches(batch_size=65536,

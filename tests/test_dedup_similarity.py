@@ -285,3 +285,42 @@ def test_hash_join_multi_key():
         .sort_values("lv").reset_index(drop=True)
     assert out["lv"].tolist() == [11, 12]
     assert out["rv"].tolist() == [100, 200]
+
+
+def test_anti_join_bloom_matches_plain_anti_join():
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.joins import anti_join
+    from nacc_form_validator_ray.stages.bloom import anti_join_bloom
+    rng = np.random.RandomState(5)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 5000, size=3000).astype(np.int64),
+        "payload": np.arange(3000),
+    })
+    keys = pd.DataFrame({"k": rng.choice(5000, size=400,
+                                         replace=False).astype(np.int64)})
+    plain = anti_join(rd.from_pandas(left), rd.from_pandas(keys),
+                      on="k", num_partitions=8).to_pandas() \
+        .sort_values("payload").reset_index(drop=True)
+    bloom = anti_join_bloom(rd.from_pandas(left).materialize(),
+                            rd.from_pandas(keys), on="k",
+                            n_bits=1 << 16,
+                            num_partitions=8).to_pandas() \
+        .sort_values("payload").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        bloom[["k", "payload"]], plain[["k", "payload"]],
+        check_dtype=False)
+    expect = left[~left["k"].isin(keys["k"])]
+    assert len(plain) == len(expect)
+
+
+def test_anti_join_bloom_string_keys():
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.bloom import anti_join_bloom
+    left = pd.DataFrame({"u": [f"https://h/{i}" for i in range(200)]})
+    keys = pd.DataFrame({"u": [f"https://h/{i}" for i in range(0, 200,
+                                                              7)]})
+    out = anti_join_bloom(rd.from_pandas(left).materialize(),
+                          rd.from_pandas(keys), on="u",
+                          n_bits=1 << 14, num_partitions=4).to_pandas()
+    expect = left[~left["u"].isin(keys["u"])]
+    assert sorted(out["u"]) == sorted(expect["u"])
