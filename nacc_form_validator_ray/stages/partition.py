@@ -86,3 +86,56 @@ def run_boundaries(sort_keys: List[np.ndarray]):
         change[1:] |= s[1:] != s[:-1]
     starts = np.flatnonzero(change)
     return order, starts
+
+
+def write_bucketed(ds, key_cols: Sequence[str], path: str,
+                   num_buckets: int = 64) -> None:
+    """Write parquet partitioned by ``bucket = hash(keys) % B``.
+
+    This persists CO-LOCATION: every row of a key lives under one
+    ``__bucket=<i>/`` directory, so later stages that need per-key logic
+    on the same key read bucket-by-bucket and pay NO further exchange —
+    the "pick one partitioning key and reuse it across stages" pattern.
+    One bucket directory per hash slice also makes reruns resumable at
+    bucket granularity."""
+    keys = list(key_cols)
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__bucket"] = (_hash_cols(batch, keys)
+                             % np.uint64(num_buckets)).astype(np.int64)
+        return batch
+
+    ds.map_batches(add_bucket, batch_format="pandas") \
+        .write_parquet(path, partition_cols=["__bucket"])
+
+
+def bucketed_grouped_apply(path: str,
+                           fn: Callable[[pd.DataFrame], pd.DataFrame],
+                           num_buckets: int = 64):
+    """``grouped_apply`` over a ``write_bucketed`` directory WITHOUT a
+    shuffle: each bucket is read as one partition (its rows are already
+    co-located on disk) and ``fn`` runs once per bucket. Returns the
+    union Dataset of all bucket results."""
+    import os
+    import ray.data as rd
+
+    datasets = []
+    for i in range(num_buckets):
+        bdir = os.path.join(path, f"__bucket={i}")
+        if not os.path.isdir(bdir):
+            continue
+        # a bucket spans several files (one per writer task): coalesce
+        # to ONE block so fn sees the whole bucket — this concat is
+        # bucket-local, not an all-to-all exchange
+        bds = rd.read_parquet(bdir).repartition(1)
+        datasets.append(bds.map_batches(
+            lambda part: fn(part.drop(columns=["__bucket"],
+                                      errors="ignore")),
+            batch_format="pandas", batch_size=None))
+    if not datasets:
+        raise FileNotFoundError(f"no bucket directories under {path}")
+    out = datasets[0]
+    for d in datasets[1:]:
+        out = out.union(d)
+    return out

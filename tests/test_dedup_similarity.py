@@ -324,3 +324,31 @@ def test_anti_join_bloom_string_keys():
                           n_bits=1 << 14, num_partitions=4).to_pandas()
     expect = left[~left["u"].isin(keys["u"])]
     assert sorted(out["u"]) == sorted(expect["u"])
+
+
+def test_bucketed_write_then_shuffle_free_grouped_apply(tmp_path):
+    """write_bucketed persists key co-location; bucketed_grouped_apply
+    then matches grouped_apply's result with NO further exchange."""
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.partition import (
+        bucketed_grouped_apply, grouped_apply, write_bucketed)
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 40, size=2000).astype(np.int64),
+        "v": rng.randint(0, 100, size=2000).astype(np.int64),
+    })
+
+    def per_key_sum(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("k", as_index=False)["v"].sum()
+
+    path = str(tmp_path / "bucketed")
+    write_bucketed(rd.from_pandas(df).repartition(6), ["k"], path,
+                   num_buckets=8)
+    fast = bucketed_grouped_apply(path, per_key_sum, num_buckets=8) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    ref = grouped_apply(rd.from_pandas(df), ["k"], per_key_sum,
+                        num_partitions=8).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, ref, check_dtype=False)
+    # each key appears in exactly one bucket result
+    assert fast["k"].is_unique
