@@ -11,9 +11,10 @@ Payload discipline: document text NEVER rides a shuffle. Both dedup
 decisions exchange only (id, key) projections; the final drop is either
 a broadcast of the banned-id set (``drop_via="broadcast"``, the
 small-side pattern — dup lists are typically a few percent of the
-corpus) or a distributed ``anti_join`` hash exchange
+corpus) or a Bloom-prefiltered distributed anti-join
 (``drop_via="exchange"``) when even the dup list is too large to ship
-to every worker.
+to every worker — definite non-duplicates never ride that exchange
+(stages/bloom.anti_join_bloom).
 """
 
 from __future__ import annotations
