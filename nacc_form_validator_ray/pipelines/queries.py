@@ -1757,3 +1757,95 @@ GROUP BY 1
 
 
 QUERIES["host_doc_counts"] = q_host_doc_counts
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark decontamination: per-document count of distinct word
+    3-gram shingles shared with a benchmark set (here: docs with
+    doc_id < 20). The benchmark's shingle-hash set is built once from a
+    pushed-down read and broadcast (`ray.put`); the corpus pass is a
+    single map_batches membership count — the classic eval-set
+    contamination screen, with a hard SQL twin."""
+    import pyarrow.parquet as pq
+    import ray
+    from nacc_form_validator_ray.stages.dedup import (_shingle_hashes,
+                                                      _token_lists)
+
+    bench_tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"],
+                              filters=[("doc_id", "<", 20)]).to_pandas()
+    _, bh = _shingle_hashes(_token_lists(bench_tbl["text"]), 3,
+                            len(bench_tbl))
+    bench_ref = ray.put(np.unique(bh))
+
+    class Contamination:
+        def __init__(self, ref):
+            self.ref = ref
+            self.bench = None
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if self.bench is None:
+                self.bench = ray.get(self.ref)
+            doc_id, h = _shingle_hashes(_token_lists(batch["text"]), 3,
+                                        len(batch))
+            n = len(batch)
+            n_shingles = np.zeros(n, dtype=np.int64)
+            n_contam = np.zeros(n, dtype=np.int64)
+            if len(h):
+                # distinct (doc, shingle) pairs via lexsort boundaries
+                order = np.lexsort((h, doc_id))
+                sd, sh = doc_id[order], h[order]
+                new = np.ones(len(sd), dtype=bool)
+                new[1:] = (sd[1:] != sd[:-1]) | (sh[1:] != sh[:-1])
+                ud, uh = sd[new], sh[new]
+                n_shingles = np.bincount(ud, minlength=n) \
+                    .astype(np.int64)
+                hit = np.isin(uh, self.bench)
+                n_contam = np.bincount(ud[hit], minlength=n) \
+                    .astype(np.int64)
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"].to_numpy(),
+                "n_shingles": n_shingles,
+                "n_contaminated": n_contam,
+            })
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(Contamination, fn_constructor_kwargs={
+        "ref": bench_ref}, batch_format="pandas", batch_size=4096,
+        concurrency=(1, 4))
+
+
+SQL_CONTAMINATION = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM t
+), bench AS (
+  SELECT DISTINCT ng FROM (
+    SELECT unnest(s) AS ng FROM g WHERE doc_id < 20)
+), corp AS (
+  SELECT doc_id, unnest(s) AS ng FROM g
+), agg AS (
+  SELECT corp.doc_id,
+         count(*) AS n_shingles,
+         sum(CASE WHEN bench.ng IS NOT NULL THEN 1 ELSE 0 END)
+             AS n_contaminated
+  FROM corp LEFT JOIN bench ON corp.ng = bench.ng
+  GROUP BY corp.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(agg.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(agg.n_contaminated, 0) AS BIGINT)
+           AS n_contaminated
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+QUERIES["contamination"] = q_contamination
+ORACLE_SQL["contamination"] = SQL_CONTAMINATION
