@@ -30,6 +30,17 @@ def _rd():
     return rd
 
 
+def _merge_partials(partials_ds, keys, agg: Dict[str, str]) -> pd.DataFrame:
+    """Driver-side merge of BOUNDED per-batch partials (the combiner
+    pattern's final step). Safe only for LOW-cardinality keys: the pull
+    is O(distinct keys × blocks) rows regardless of dataset size, and a
+    Ray-native groupby/aggregate over a handful of rows costs seconds of
+    all-to-all machinery that dwarfs the work."""
+    df = partials_ds.to_pandas()
+    return df.groupby(keys, as_index=False).agg(
+        **{c: (c, how) for c, how in agg.items()})
+
+
 def _docs(sf_dir: str, columns=None):
     return _rd().read_parquet(f"{sf_dir}/documents.parquet",
                               columns=columns)
@@ -233,7 +244,6 @@ FROM {last}
 
 
 def q_token_count_by_source(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
     ds = _docs(sf_dir, columns=["doc_id", "text", "source"])
     ds = ds.map_batches(TextStats(), batch_format="pandas",
                         batch_size=4096)
@@ -246,10 +256,9 @@ def q_token_count_by_source(sf_dir: str):
             total_bpe_tokens=("bpe_token_count", "sum"))
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby("source").aggregate(
-        Sum("n_docs", alias_name="n_docs"),
-        Sum("total_words", alias_name="total_words"),
-        Sum("total_bpe_tokens", alias_name="total_bpe_tokens"))
+    return _merge_partials(partials, ["source"],
+                           {"n_docs": "sum", "total_words": "sum",
+                            "total_bpe_tokens": "sum"})
 
 
 SQL_TOKEN_COUNT = f"""
@@ -437,7 +446,6 @@ FROM events GROUP BY 1, 2
 
 
 def q_events_type_stats(sf_dir: str):
-    from ray.data.aggregate import Max, Min
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
                             columns=["event_type", "user_id", "value"])
 
@@ -448,11 +456,9 @@ def q_events_type_stats(sf_dir: str):
             max_value=("value", "max"))
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    from ray.data.aggregate import Sum
-    return partials.groupby("event_type").aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Min("min_value", alias_name="min_value"),
-        Max("max_value", alias_name="max_value"))
+    return _merge_partials(partials, ["event_type"],
+                           {"n_events": "sum", "min_value": "min",
+                            "max_value": "max"})
 
 
 SQL_EVENTS_TYPE_STATS = """
@@ -509,7 +515,6 @@ FROM ranked WHERE rank <= 10
 
 
 def q_q1_lineitem(sf_dir: str):
-    from ray.data.aggregate import Sum
     ds = _rd().read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -531,10 +536,9 @@ def q_q1_lineitem(sf_dir: str):
                          as_index=False).sum()
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("charge_cents", alias_name="charge_cents"),
-        Sum("count_order", alias_name="count_order"))
+    return _merge_partials(partials, ["l_returnflag", "l_linestatus"],
+                           {"sum_qty": "sum", "charge_cents": "sum",
+                            "count_order": "sum"})
 
 
 SQL_Q1 = """
@@ -567,7 +571,6 @@ def q_segment_revenue(sf_dir: str):
     exchange (customer scales with the dataset — broadcasting it as a
     driver dict was the round-1 scale defect). The join output is
     pre-aggregated per partition before the tiny final groupby."""
-    from ray.data.aggregate import Sum
     from nacc_form_validator_ray.stages.joins import hash_join
     orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
                                 columns=["o_custkey", "o_totalprice"])
@@ -598,9 +601,8 @@ def q_segment_revenue(sf_dir: str):
             revenue_cents=("revenue_cents", "sum"))
 
     partials = joined.map_batches(partial, batch_format="pandas")
-    return partials.groupby("c_mktsegment").aggregate(
-        Sum("n_orders", alias_name="n_orders"),
-        Sum("revenue_cents", alias_name="revenue_cents"))
+    return _merge_partials(partials, ["c_mktsegment"],
+                           {"n_orders": "sum", "revenue_cents": "sum"})
 
 
 SQL_SEGMENT_REVENUE = """
@@ -673,7 +675,6 @@ SELECT p_partkey, p_type, p_retailprice FROM part WHERE p_size > 40
 def q_supplier_region(sf_dir: str):
     """Two-hop broadcast join chain supplier→nation→region."""
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
     nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
     region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
     n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
@@ -692,9 +693,9 @@ def q_supplier_region(sf_dir: str):
                             columns=["s_suppkey", "s_nationkey",
                                      "s_acctbal"])
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby("r_name").aggregate(
-        Sum("n_suppliers", alias_name="n_suppliers"),
-        Sum("acctbal_cents", alias_name="acctbal_cents"))
+    return _merge_partials(partials, ["r_name"],
+                           {"n_suppliers": "sum",
+                            "acctbal_cents": "sum"})
 
 
 SQL_SUPPLIER_REGION = """
@@ -752,7 +753,6 @@ LINEITEM_RULES = {
 
 
 def q_validator_lineitem(sf_dir: str):
-    from ray.data.aggregate import Sum
     from nacc_form_validator_ray.stages.validate import validate_dataset
     ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
                             columns=["l_quantity", "l_discount",
@@ -770,10 +770,9 @@ def q_validator_lineitem(sf_dir: str):
         return g.groupby("l_returnflag", as_index=False).sum()
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby("l_returnflag").aggregate(
-        Sum("n_rows", alias_name="n_rows"),
-        Sum("n_passed", alias_name="n_passed"),
-        Sum("total_errors", alias_name="total_errors"))
+    return _merge_partials(partials, ["l_returnflag"],
+                           {"n_rows": "sum", "n_passed": "sum",
+                            "total_errors": "sum"})
 
 
 SQL_VALIDATOR_LINEITEM = """
