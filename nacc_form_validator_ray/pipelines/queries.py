@@ -339,30 +339,38 @@ WITH t AS (
   SELECT doc_id, source,
          regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
   FROM documents
-), capped AS (
-  -- blocks are (source, length bucket) capped at the 4096 smallest ids,
-  -- mirroring blocked_jaccard_pairs(length_bucket=64, max_block=4096)
-  SELECT doc_id, source, toks, len(toks) // 64 AS bucket,
-         row_number() OVER (PARTITION BY source, len(toks) // 64
-                            ORDER BY doc_id) AS rn
+), emitted AS (
+  -- every doc lands in its own length bucket AND the next one up
+  -- (boundary-straddling pairs; round-2 ADVICE), mirroring
+  -- blocked_jaccard_pairs(length_bucket=64, max_block=4096)
+  SELECT doc_id, source, toks, len(toks) // 64 AS own,
+         unnest([len(toks) // 64, len(toks) // 64 + 1]) AS p
   FROM t
+), capped AS (
+  -- the cap applies per PARTITION (source, p) over the emitted copies
+  SELECT doc_id, source, toks, own, p,
+         row_number() OVER (PARTITION BY source, p
+                            ORDER BY doc_id) AS rn
+  FROM emitted
 ), d AS (
-  SELECT doc_id, source, bucket,
+  SELECT doc_id, source, own, p,
          CASE WHEN len(toks) >= 3
               THEN list_distinct(list_transform(range(1, len(toks) - 1),
                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
               ELSE CAST([] AS VARCHAR[]) END AS s
   FROM capped WHERE rn <= 4096
-), p AS (
+), pr AS (
+  -- a pair is claimed by exactly one partition: max(own_a, own_b)
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          len(list_intersect(a.s, b.s)) AS inter,
          len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
-  FROM d a JOIN d b ON a.source = b.source AND a.bucket = b.bucket
+  FROM d a JOIN d b ON a.source = b.source AND a.p = b.p
                    AND a.doc_id < b.doc_id
+                   AND greatest(a.own, b.own) = a.p
 )
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
        CAST(inter AS DOUBLE) / uni AS jaccard
-FROM p WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.05
+FROM pr WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.05
 """
 
 

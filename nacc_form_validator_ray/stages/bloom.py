@@ -27,9 +27,15 @@ _MIXERS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
 
 
 def _key_hash(values: np.ndarray) -> np.ndarray:
-    """Content-based uint64 hash of an arbitrary key column."""
+    """Content-based uint64 hash of an arbitrary key column.
+
+    Object (string) arrays are hashed directly — ``astype("U")`` would
+    materialize a fixed-width UTF-32 copy padded to the LONGEST value in
+    the batch (~4x max-len bytes per row), a multi-GB allocation when
+    keys are long documents (round-2 ADVICE)."""
     if values.dtype == object:
-        return pd.util.hash_array(values.astype("U")).astype(np.uint64)
+        return pd.util.hash_array(values, categorize=False) \
+            .astype(np.uint64)
     return pd.util.hash_array(values).astype(np.uint64)
 
 

@@ -299,7 +299,9 @@ class SimHasher:
             [np.asarray(t, dtype=object) if t else
              np.empty(0, dtype=object) for t in tokens])
         doc_id = np.repeat(np.arange(n, dtype=np.int64), lens)
-        hashes = pd.util.hash_array(flat.astype("U"))
+        # hash the object array directly: astype("U") would pad every
+        # token to the batch max length (round-2 ADVICE allocation trap)
+        hashes = pd.util.hash_array(flat, categorize=True)
         bits = ((hashes[:, None] & self.bit_masks) != 0) \
             .astype(np.int64) * 2 - 1
         acc = np.zeros((n, 64), dtype=np.int64)
@@ -416,33 +418,46 @@ def blocked_jaccard_pairs(ds, block_column: str,
     #6: blocking on a few-valued column alone makes block size scale
     with the corpus):
 
-    * blocks are (``block_column``, token-count // ``length_bucket``) —
-      near-dups share a length bucket by construction of the metric
-      (Jaccard >= t forces |len_a - len_b| <= (1-t)·max, so a generous
-      bucket width loses only low-similarity pairs);
-    * a block is capped at the ``max_block`` smallest ids (the overflow
-      is logged — never silently dropped).
+    * blocks are (``block_column``, token-count // ``length_bucket``),
+      and every doc is ALSO emitted into the next bucket up, so a pair
+      whose lengths straddle one bucket boundary (63 vs 64 tokens) is
+      still compared (round-2 ADVICE — same-bucket-only silently lost
+      boundary pairs). A pair is claimed exactly once: by the partition
+      equal to max(own_bucket_a, own_bucket_b) — no dedup pass needed.
+      Recall guarantee: every pair with |tokens_a - tokens_b| <=
+      ``length_bucket`` is compared; Jaccard >= t bounds the diff at
+      (1-t)·max_len, so the guarantee is complete when length_bucket >=
+      (1-t)·max_len — at LOW thresholds wider-straddling pairs can
+      still be missed (MinHash is the general-recall path);
+    * a partition is capped at the ``max_block`` smallest ids (the
+      overflow is logged — never silently dropped).
 
-    The SQL twin must use the same bucket width and cap
+    The SQL twin must use the same bucket width, adjacency rule and cap
     (pipelines/queries.SQL_JACCARD_PAIRS).
     """
     import logging
     log = logging.getLogger(__name__)
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
         n_toks = _token_lists(batch[text_column]).str.len() \
             .to_numpy(np.int64)
-        batch["__bucket"] = n_toks // np.int64(length_bucket)
-        return batch
+        own = n_toks // np.int64(length_bucket)
+        # duplicate every row into (own) and (own + 1) partitions
+        rep = batch.iloc[np.repeat(np.arange(len(batch)), 2)] \
+            .reset_index(drop=True)
+        rep["__own"] = np.repeat(own, 2)
+        rep["__bucket"] = np.repeat(own, 2)
+        rep.loc[1::2, "__bucket"] += 1
+        return rep
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        part_bucket = int(group["__bucket"].iloc[0])
         g = group.sort_values(id_column)
         if len(g) > max_block:
             log.warning(
-                "jaccard block %s overflows max_block=%d (%d rows); "
+                "jaccard partition %s overflows max_block=%d (%d rows); "
                 "keeping the %d smallest ids",
-                (g[block_column].iloc[0], int(g["__bucket"].iloc[0])),
+                (g[block_column].iloc[0], part_bucket),
                 max_block, len(g), max_block)
             g = g.head(max_block)
         n = len(g)
@@ -458,9 +473,13 @@ def blocked_jaccard_pairs(ds, block_column: str,
         for d, h in zip(doc_id, hashes):
             sets[d].add(int(h))
         ids = g[id_column].to_numpy()
+        own = g["__own"].to_numpy(np.int64)
         out_a, out_b, out_j = [], [], []
         for i in range(n):
             for j in range(i + 1, n):
+                # claimed by exactly one partition: the max own-bucket
+                if max(own[i], own[j]) != part_bucket:
+                    continue
                 si, sj = sets[i], sets[j]
                 union = len(si | sj)
                 jac = (len(si & sj) / union) if union else 0.0
@@ -492,17 +511,37 @@ def propagate_labels(pairs_ds, ids_ds, id_column: str = "doc_id",
     labels — exact for any component diameter (a fixed round count
     silently mislabels chains longer than it; round-1 VERDICT #4). The
     per-round changed count is a cheap ``sum`` over the lean label set.
-    Returns (id, cluster) with cluster = the component's minimum id."""
+    Returns (id, cluster) with cluster = the component's minimum id.
+
+    Contract (round-2 ADVICE): ids must be NON-NEGATIVE (-1 is the
+    edge-proposal sentinel in the changed-count bookkeeping; a negative
+    id would read as "always changed" and silently burn ``max_rounds``)
+    and ``ids_ds`` should cover every pair endpoint — an uncovered
+    endpoint is adopted into the label set after its first round (so
+    convergence is still reached) but appears in the OUTPUT, widening it
+    beyond ids_ds. Both are validated vectorized per batch."""
     from nacc_form_validator_ray.stages.partition import grouped_apply
 
-    labels = ids_ds.map_batches(
-        lambda b: pd.DataFrame({id_column: b[id_column],
-                                "label": b[id_column],
-                                "other": b[id_column],
-                                "changed": np.zeros(len(b), np.int64)}),
-        batch_format="pandas")
+    def init_labels(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_column].to_numpy()
+        if len(ids) and ids.min() < 0:
+            raise ValueError(
+                "propagate_labels requires non-negative ids "
+                f"(got {ids.min()}); -1 is the proposal sentinel")
+        return pd.DataFrame({id_column: ids,
+                             "label": ids,
+                             "other": ids,
+                             "changed": np.zeros(len(b), np.int64)})
+
+    labels = ids_ds.map_batches(init_labels, batch_format="pandas")
 
     def edge_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        lo = min(batch["id_a"].min(), batch["id_b"].min()) \
+            if len(batch) else 0
+        if lo < 0:
+            raise ValueError(
+                "propagate_labels requires non-negative pair ids "
+                f"(got {lo}); -1 is the proposal sentinel")
         return pd.DataFrame({
             id_column: np.concatenate([batch["id_a"], batch["id_b"]]),
             "label": np.full(2 * len(batch), -1, dtype=np.int64),
