@@ -1273,7 +1273,12 @@ ORACLE_SQL.update({
 def q_perplexity_docs(sf_dir: str):
     """Train a unigram LM on the corpus (distributed counts), then score
     every doc in an actor pool — the KenLM-perplexity pipeline shape.
-    Rows-only: float log-probs have no bit-stable SQL twin."""
+
+    HARD oracle: model log-probs are quantized to the 2^-20 grid
+    (stages/perplexity.LOGP_SCALE), making per-doc float sums EXACT
+    dyadic arithmetic — bit-identical across summation orders,
+    parallelism levels and the DuckDB twin (which rebuilds the same
+    model from the same corpus counts in SQL)."""
     from nacc_form_validator_ray.stages.perplexity import (
         PerplexityScorer, train_ngram_model)
     ds = _docs(sf_dir, columns=["doc_id", "text"])
@@ -1285,7 +1290,43 @@ def q_perplexity_docs(sf_dir: str):
                                   "oov_count"])
 
 
+# The twin rebuilds train_ngram_model in SQL: [a-z]+ tokens of the
+# lowered text (the arrow_token_codes stream — the same tokenization the
+# text_stats/langid twins already pin), add-0.5 smoothing, log2 probs
+# quantized to the 2^-20 grid with the same floor(x*S + 0.5)/S
+# convention. It assumes the corpus vocabulary fits max_vocab=200k (true
+# at every oracle scale; the engine's head(max_vocab) cut is a no-op
+# there). With no vocab cut the corpus scored against itself has no OOV
+# tokens, so the LEFT JOIN always matches — oov_count stays a live
+# column for models trained elsewhere.
+SQL_PERPLEXITY_DOCS = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT tok, count(*) AS c FROM tok GROUP BY tok
+), consts AS (
+  SELECT sum(c) AS total, count(*) AS v FROM cnt
+), model AS (
+  SELECT tok,
+         floor(log2((c + 0.5) / (total + 0.5 * (v + 1)))
+               * 1048576.0 + 0.5) / 1048576.0 AS lp
+  FROM cnt, consts
+), scored AS (
+  SELECT t.doc_id, count(*) AS n_toks, sum(m.lp) AS slp,
+         sum(CASE WHEN m.tok IS NULL THEN 1 ELSE 0 END) AS oov
+  FROM tok t LEFT JOIN model m ON t.tok = m.tok
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(-slp / n_toks, 0.0) AS log_ppl,
+       CAST(coalesce(n_toks, 0) AS BIGINT) AS ppl_tokens,
+       CAST(coalesce(oov, 0) AS BIGINT) AS oov_count
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
 QUERIES["perplexity_docs"] = q_perplexity_docs
+ORACLE_SQL["perplexity_docs"] = SQL_PERPLEXITY_DOCS
 
 
 def q_ivf_knn(sf_dir: str):

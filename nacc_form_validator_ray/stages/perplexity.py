@@ -45,11 +45,28 @@ def _batch_token_counts(batch: pd.DataFrame,
                          "count": counts.astype(np.int64)})
 
 
+#: fixed-point quantum for model log-probs: 2^-20. Quantized logp values
+#: are dyadic rationals with ~34 significand bits after summing 2^13
+#: tokens, so EVERY float64 sum of them is exact — per-doc scores are
+#: bit-identical regardless of summation order (partitioning,
+#: parallelism level) and a SQL twin can reproduce them
+#: (pipelines/queries.SQL_PERPLEXITY_DOCS).
+LOGP_SCALE = float(1 << 20)
+
+
+def quantize_logp(x: float) -> float:
+    """Round a log-prob to the fixed-point grid (floor(x*S + 0.5)/S —
+    the same half-up convention the SQL twin uses)."""
+    return math.floor(x * LOGP_SCALE + 0.5) / LOGP_SCALE
+
+
 def train_ngram_model(ds, text_column: str = "text",
                       add_k: float = 0.5,
                       max_vocab: int = 200_000) -> Dict[str, Any]:
     """Distributed unigram model: per-batch partial counts → one hash
-    exchange to merge → small artifact on the driver."""
+    exchange to merge → small artifact on the driver. Log-probs are
+    quantized to the 2^-20 grid (see LOGP_SCALE) so downstream sums are
+    order-independent."""
     from nacc_form_validator_ray.stages.partition import grouped_agg_sum
 
     partials = ds.map_batches(
@@ -62,11 +79,11 @@ def train_ngram_model(ds, text_column: str = "text",
     total = float(merged["count"].sum())
     vocab = len(merged)
     denom = total + add_k * (vocab + 1)
-    logp = {t: math.log2((c + add_k) / denom)
+    logp = {t: quantize_logp(math.log2((c + add_k) / denom))
             for t, c in zip(merged["token"], merged["count"])}
     return {
         "logp": logp,
-        "oov_logp": math.log2(add_k / denom),
+        "oov_logp": quantize_logp(math.log2(add_k / denom)),
         "add_k": add_k,
         "total_tokens": total,
     }
@@ -117,7 +134,9 @@ class PerplexityScorer:
                                 self.oov_logp)[codes]
             tok_oov = (uniq_idx < 0)[codes]
             sum_lp = np.bincount(doc_id, weights=tok_logp, minlength=n)
-            log_ppl = -sum_lp / np.maximum(lens, 1)
+            # + 0.0 canonicalizes -0.0 (empty docs) so the bit pattern
+            # matches the SQL twin's literal 0.0
+            log_ppl = -sum_lp / np.maximum(lens, 1) + 0.0
             oov = np.bincount(doc_id, weights=tok_oov,
                               minlength=n).astype(np.int64)
         return {"log_ppl": log_ppl, "ppl_tokens": lens,

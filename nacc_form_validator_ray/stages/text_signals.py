@@ -324,7 +324,9 @@ class TextStats:
                     self.ppl_oov_logp)[codes]
                 sum_lp = np.bincount(tok_doc, weights=tok_logp,
                                      minlength=n)
-                log_ppl = -sum_lp / np.maximum(n_tokens, 1)
+                # + 0.0 canonicalizes -0.0 for empty docs (see
+                # PerplexityScorer._score)
+                log_ppl = -sum_lp / np.maximum(n_tokens, 1) + 0.0
                 oov = np.bincount(tok_doc,
                                   weights=(uniq_idx < 0)[codes],
                                   minlength=n).astype(np.int64)
