@@ -13,7 +13,7 @@ large-scale training-data operators (dedup, similarity, text analysis).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Callable, Dict, Tuple
 
 import numpy as np
 import pandas as pd
@@ -803,14 +803,109 @@ GROUP BY l_returnflag
 
 
 # --------------------------------------------------------------------------
-# rows-only operators (no faithful ANSI-SQL expression)
+# MinHash+LSH (integer-exact SQL twin, generated from the engine's
+# constants — stages/dedup.minhash_params / P31 / fold multipliers)
 # --------------------------------------------------------------------------
+
+
+def _sql_minhash_ctes(source: str, id_col: str,
+                      threshold: float,
+                      text_expr: str = "text",
+                      k: int = 128, bands: int = 32,
+                      seed: int = 13,
+                      prefix: str = "mh") -> Tuple[str, str]:
+    """CTE chain reproducing minhash_candidate_pairs bit-for-bit:
+    char-fold token hashes -> shingle folds -> k affine-permutation
+    minima -> two band-fold keys -> band-collision pair counts filtered
+    at the integer min_bands. Returns (cte_defs, pairs_cte) where
+    pairs_cte has (id_a, id_b, n_bands). ``source`` must expose
+    (id_col, text_expr)."""
+    from nacc_form_validator_ray.stages.dedup import (
+        BAND_FOLD_MULTS, P31, SHINGLE_FOLD_MULT, TOKEN_FOLD_MULT,
+        min_bands_for_threshold, minhash_params)
+    r = k // bands
+    a, b = minhash_params(k, seed)
+    min_bands = min_bands_for_threshold(threshold, bands, r)
+    perm_rows = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})"
+                          for j in range(k))
+    m1, m2 = BAND_FOLD_MULTS
+    p = prefix
+    defs = f"""{p}_tok AS (
+  SELECT {id_col} AS {p}_id,
+         regexp_extract_all(lower({text_expr}), '[a-z0-9]+') AS toks
+  FROM {source}
+), {p}_th AS (
+  SELECT {p}_id,
+         list_transform(toks, t -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(t, '.'),
+                                c -> CAST(unicode(c) AS BIGINT))),
+             (a, b) -> (a * {TOKEN_FOLD_MULT} + b) % {P31})) AS th
+  FROM {p}_tok
+), {p}_sh AS (
+  SELECT {p}_id,
+         CASE WHEN len(th) >= 3
+              THEN list_transform(range(1, len(th) - 1),
+                   i -> ((th[i] * {SHINGLE_FOLD_MULT} + th[i+1]) % {P31}
+                         * {SHINGLE_FOLD_MULT} + th[i+2]) % {P31})
+              ELSE CAST([] AS BIGINT[]) END AS sh
+  FROM {p}_th
+), {p}_s AS (
+  SELECT {p}_id, unnest(sh) AS sh FROM {p}_sh
+), {p}_perm AS (
+  SELECT * FROM (VALUES {perm_rows}) AS t(j, pa, pb)
+), {p}_min AS (
+  SELECT {p}_id, j, min((pa * sh + pb) % {P31}) AS m
+  FROM {p}_s, {p}_perm GROUP BY {p}_id, j
+), {p}_sig AS (
+  -- docs with no shingles carry the EMPTY_SIG sentinel (= P31)
+  SELECT i.{p}_id, pm.j, coalesce(mm.m, {P31}) AS m
+  FROM (SELECT DISTINCT {p}_id FROM {p}_tok) i
+  CROSS JOIN {p}_perm pm
+  LEFT JOIN {p}_min mm ON mm.{p}_id = i.{p}_id AND mm.j = pm.j
+), {p}_bands AS (
+  SELECT {p}_id, j // {r} AS band_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list(m ORDER BY j)),
+             (a, b) -> (a * {m1} + b) % {P31}) AS k1,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list(m ORDER BY j)),
+             (a, b) -> (a * {m2} + b) % {P31}) AS k2
+  FROM {p}_sig GROUP BY {p}_id, j // {r}
+), {p}_pairs AS (
+  SELECT a.{p}_id AS id_a, b.{p}_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_bands
+  FROM {p}_bands a JOIN {p}_bands b
+    ON a.band_id = b.band_id AND a.k1 = b.k1 AND a.k2 = b.k2
+   AND a.{p}_id < b.{p}_id
+  GROUP BY a.{p}_id, b.{p}_id
+  HAVING count(*) >= {min_bands}
+)"""
+    return defs, f"{p}_pairs"
 
 
 def q_minhash_pairs(sf_dir: str):
     from nacc_form_validator_ray.stages.dedup import minhash_candidate_pairs
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    return minhash_candidate_pairs(ds, threshold=0.5)
+    pairs = minhash_candidate_pairs(ds, threshold=0.5)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "id_a": batch["id_a"].astype(np.int64),
+            "id_b": batch["id_b"].astype(np.int64),
+            "n_bands": batch["n_bands"].astype(np.int64),
+        })
+
+    return pairs.map_batches(project, batch_format="pandas")
+
+
+def _sql_minhash_pairs() -> str:
+    defs, pairs = _sql_minhash_ctes("documents", "doc_id", threshold=0.5)
+    return f"""WITH {defs}
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       n_bands
+FROM {pairs}
+"""
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -1097,6 +1192,8 @@ ORACLE_SQL: Dict[str, str] = {
     "validator_customer": SQL_VALIDATOR_CUSTOMER,
     "validator_lineitem": SQL_VALIDATOR_LINEITEM,
 }
+
+ORACLE_SQL["minhash_pairs"] = _sql_minhash_pairs()
 
 
 # --------------------------------------------------------------------------
@@ -1395,8 +1492,10 @@ ORACLE_SQL["asof_prior_purchase"] = SQL_ASOF_PRIOR_PURCHASE
 
 
 def q_dedup_clusters(sf_dir: str):
-    """Connected components over MinHash near-dup pairs: each involved
-    doc labeled with its cluster's minimum doc_id. Rows-only."""
+    """Connected components over MinHash near-dup pairs: every doc
+    labeled with its cluster's minimum doc_id. HARD oracle: the minhash
+    pair set is integer-exact in SQL (sql_minhash_pairs) and the
+    closure is a recursive CTE — the same pattern as jaccard_clusters."""
     from nacc_form_validator_ray.stages.dedup import (
         minhash_candidate_pairs, propagate_labels)
     docs = _docs(sf_dir, columns=["doc_id", "text"])
@@ -1405,7 +1504,28 @@ def q_dedup_clusters(sf_dir: str):
     return propagate_labels(pairs, ids)  # iterates to convergence
 
 
+def _sql_dedup_clusters() -> str:
+    defs, pairs = _sql_minhash_ctes("documents", "doc_id", threshold=0.5)
+    return f"""WITH RECURSIVE {defs},
+und AS (
+  SELECT id_a AS src, id_b AS dst FROM {pairs}
+  UNION ALL
+  SELECT id_b, id_a FROM {pairs}
+), reach(src, dst) AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+)
+SELECT d.doc_id AS doc_id,
+       CAST(least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS BIGINT)
+           AS cluster
+FROM documents d LEFT JOIN reach r ON d.doc_id = r.src
+GROUP BY d.doc_id
+"""
+
+
 QUERIES["dedup_clusters"] = q_dedup_clusters
+ORACLE_SQL["dedup_clusters"] = _sql_dedup_clusters()
 
 
 def q_fingerprint_md5(sf_dir: str):

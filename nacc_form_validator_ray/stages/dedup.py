@@ -23,52 +23,116 @@ from typing import Tuple
 import numpy as np
 import pandas as pd
 
-_MERSENNE = np.uint64((1 << 61) - 1)
+#: all MinHash arithmetic runs mod the Mersenne prime 2^31 - 1 with
+#: int64 intermediates (largest product: permutation a·x < 2^62), so a
+#: DuckDB twin reproduces every hash bit-for-bit in BIGINT — the same
+#: integer-exact-twin pattern as fingerprint_winnow. 31-bit values are
+#: statistically ample for per-doc shingle minima; band-bucket
+#: false-collision risk at 10^12-doc scale is covered by TWO independent
+#: band keys (62 bits combined) plus the downstream n_bands filter.
+P31 = 2_147_483_647
+#: char-fold multiplier for token hashing: h = (h*131 + byte) % P31
+TOKEN_FOLD_MULT = 131
+#: shingle fold multiplier over token hashes
+SHINGLE_FOLD_MULT = 1_000_003
+#: band-key fold multipliers (two independent keys per band)
+BAND_FOLD_MULTS = (8_191, 524_287)
+#: signature value for docs with no shingles (all real minima < P31)
+EMPTY_SIG = P31
+
+
+def minhash_params(k: int = 128,
+                   seed: int = 13) -> Tuple[np.ndarray, np.ndarray]:
+    """The k affine-permutation constants (a, b) with 1 <= a < P31,
+    0 <= b < P31 — shared by the engine and the generated SQL twin."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, P31, size=k).astype(np.int64)
+    b = rng.randint(0, P31, size=k).astype(np.int64)
+    return a, b
 
 
 def _token_lists(text: pd.Series) -> pd.Series:
     return text.fillna("").str.lower().str.findall(r"[a-z0-9]+")
 
 
+def _fold_hash_strings(flat: np.ndarray) -> np.ndarray:
+    """Per-string polynomial hash h = fold((h*131 + byte) % P31) over
+    utf-8 bytes, vectorized: ONE packed Arrow buffer, positional power
+    table, ``np.add.reduceat`` per segment — no Python loop over
+    strings. Equals DuckDB's
+    ``list_reduce(chars, (a,b) -> (a*131 + b) % 2147483647)``."""
+    import pyarrow as pa
+    n = len(flat)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    arr = pa.array(flat, type=pa.string())
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset:arr.offset + n + 1].astype(np.int64)
+    data = arr.buffers()[2]
+    buf = np.frombuffer(data, dtype=np.uint8)[off[0]:off[-1]] \
+        if data is not None else np.empty(0, dtype=np.uint8)
+    starts = off[:-1] - off[0]
+    lens = np.diff(off)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(n, dtype=np.int64)
+    max_len = int(lens.max())
+    # 131^m % P31 for m in [0, max_len)
+    pows = np.empty(max_len, dtype=np.int64)
+    pows[0] = 1
+    for m in range(1, max_len):
+        pows[m] = (pows[m - 1] * TOKEN_FOLD_MULT) % P31
+    # closed form of the fold: sum(byte_i * 131^(L-1-i)) mod P31
+    owner_end = np.repeat(starts + lens, lens)
+    pos_from_end = owner_end - 1 - np.arange(total, dtype=np.int64)
+    terms = (buf.astype(np.int64) * pows[pos_from_end]) % P31
+    out = np.zeros(n, dtype=np.int64)
+    nonempty = lens > 0
+    out[nonempty] = np.add.reduceat(
+        terms, starts[nonempty]) % P31
+    return out
+
+
 def _shingle_hashes(token_lists: pd.Series, n: int,
                     num_docs: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Flatten word n-gram shingles to 64-bit hashes.
+    """Flatten word n-gram shingles to mod-P31 hashes.
 
     Returns (doc_id_per_shingle, hash_per_shingle). Token hashes are
-    CONTENT-based (``pd.util.hash_array`` over the token strings) — a
-    batch-local ``factorize`` code would make signatures incomparable
-    across batches, silently missing every near-dup pair that spans a
-    batch boundary (round-2 finding: cross-batch signature agreement for
-    identical docs was ~0.17 under the code-based scheme)."""
+    CONTENT-based (byte-fold polynomial — a batch-local ``factorize``
+    code would make signatures incomparable across batches, silently
+    missing every near-dup pair that spans a batch boundary; round-2
+    finding) and integer-exact so the SQL twin reproduces them
+    (pipelines/queries.sql_minhash_bands)."""
     lens = token_lists.str.len().to_numpy(np.int64)
     if lens.sum() == 0:
-        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
     flat = np.concatenate(
         [np.asarray(t, dtype=object) if t else np.empty(0, dtype=object)
          for t in token_lists])
-    tok_h = pd.util.hash_array(flat, categorize=True).astype(np.uint64)
+    tok_h = _fold_hash_strings(flat)
     doc_id = np.repeat(np.arange(num_docs, dtype=np.int64), lens)
     if len(tok_h) < n:
-        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
-    h = np.zeros(len(tok_h) - n + 1, dtype=np.uint64)
-    for i in range(n):
-        h = h * np.uint64(1_000_003) + tok_h[i:len(tok_h) - n + 1 + i]
-    same = doc_id[:len(h)] == doc_id[n - 1:]
-    return doc_id[:len(h)][same], h[same]
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    w = len(tok_h) - n + 1
+    h = tok_h[:w].copy()
+    for i in range(1, n):
+        h = (h * SHINGLE_FOLD_MULT + tok_h[i:w + i]) % P31
+    same = doc_id[:w] == doc_id[n - 1:]
+    return doc_id[:w][same], h[same]
 
 
 class MinHasher:
     """map_batches callable appending a ``minhash`` signature column.
 
-    k universal-hash permutations ``(a*x + b) mod p`` over word-n-gram
-    shingle hashes; the per-doc minimum is a contiguous-segment
-    ``np.minimum.reduceat`` — one buffered C pass per permutation."""
+    k affine permutations ``(a*x + b) mod P31`` over word-n-gram shingle
+    hashes; the per-doc minimum is a contiguous-segment
+    ``np.minimum.reduceat`` — one buffered C pass per permutation. All
+    values stay < 2^31 (docs with no shingles carry EMPTY_SIG), so the
+    generated DuckDB twin reproduces signatures bit-for-bit."""
 
     def __init__(self, text_column: str = "text", k: int = 128,
                  shingle_n: int = 3, seed: int = 13):
-        rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, (1 << 61) - 1, size=k).astype(np.uint64)
-        self.b = rng.randint(0, (1 << 61) - 1, size=k).astype(np.uint64)
+        self.a, self.b = minhash_params(k, seed)
         self.k = k
         self.n = shingle_n
         self.text_column = text_column
@@ -77,8 +141,7 @@ class MinHasher:
         n_docs = len(text)
         doc_id, hashes = _shingle_hashes(_token_lists(text), self.n,
                                          n_docs)
-        sig = np.full((n_docs, self.k), np.iinfo(np.uint64).max,
-                      dtype=np.uint64)
+        sig = np.full((n_docs, self.k), EMPTY_SIG, dtype=np.int64)
         if len(hashes):
             # shingles arrive grouped by doc, so the per-doc minimum is a
             # contiguous-segment reduction: minimum.reduceat is ~20x
@@ -89,7 +152,7 @@ class MinHasher:
             starts[1:] = np.cumsum(counts)[:-1]
             starts_ne = starts[nonempty]
             for j in range(self.k):
-                hv = (self.a[j] * hashes + self.b[j]) % _MERSENNE
+                hv = (self.a[j] * hashes + self.b[j]) % P31
                 sig[nonempty, j] = np.minimum.reduceat(hv, starts_ne)
         return sig
 
@@ -101,10 +164,13 @@ class MinHasher:
 
 
 class BandEmitter:
-    """flat-map batches to (band_id, band_key, id) rows — the LSH
+    """flat-map batches to (band_id, k1, k2, id) rows — the LSH
     bucketing exchange. bands*rows_per_band must equal the signature k.
-    Signatures do NOT ride along: similarity is estimated downstream from
-    the band-collision count, so the exchange moves ~24 bytes/row."""
+    Signatures do NOT ride along: similarity is estimated downstream
+    from the band-collision count, so the exchange moves ~28 bytes/row.
+    Each band carries TWO independent mod-P31 fold keys (62 bits
+    combined) so bucket false-collisions stay negligible at 10^12-doc
+    scale despite the SQL-expressible 31-bit hash domain."""
 
     def __init__(self, bands: int = 32, rows_per_band: int = 4,
                  id_column: str = "doc_id"):
@@ -116,20 +182,21 @@ class BandEmitter:
         sig = np.stack(batch["minhash"].to_numpy())
         n = len(batch)
         ids = batch[self.id_column].to_numpy()
-        out_band, out_key, out_id = [], [], []
+        m1, m2 = BAND_FOLD_MULTS
+        out = {"band_id": [], "k1": [], "k2": [], self.id_column: []}
         for b in range(self.bands):
             chunk = sig[:, b * self.r:(b + 1) * self.r]
-            key = np.zeros(n, dtype=np.uint64)
+            k1 = np.zeros(n, dtype=np.int64)
+            k2 = np.zeros(n, dtype=np.int64)
             for c in range(self.r):
-                key = key * np.uint64(1_000_003) + chunk[:, c]
-            out_band.append(np.full(n, b, dtype=np.int32))
-            out_key.append(key.astype(np.int64))
-            out_id.append(ids)
-        return pd.DataFrame({
-            "band_id": np.concatenate(out_band),
-            "band_key": np.concatenate(out_key),
-            self.id_column: np.concatenate(out_id),
-        })
+                k1 = (k1 * m1 + chunk[:, c]) % P31
+                k2 = (k2 * m2 + chunk[:, c]) % P31
+            out["band_id"].append(np.full(n, b, dtype=np.int32))
+            out["k1"].append(k1)
+            out["k2"].append(k2)
+            out[self.id_column].append(ids)
+        return pd.DataFrame({c: np.concatenate(v)
+                             for c, v in out.items()})
 
 
 def _pairs_from_runs(ids, order, starts, ends, max_bucket):
@@ -157,6 +224,15 @@ def _pairs_from_runs(ids, order, starts, ends, max_bucket):
             np.concatenate(out_b).astype(np.int64))
 
 
+def min_bands_for_threshold(threshold: float, bands: int, r: int) -> int:
+    """Smallest band-collision count whose LSH Jaccard estimate
+    ``(nb/bands)^(1/r)`` clears ``threshold`` — the collision filter as
+    an exact INTEGER comparison (nb >= bands·t^r), shared verbatim by
+    the SQL twin so float pow never decides a boundary row."""
+    import math
+    return max(int(math.ceil(bands * threshold ** r)), 1)
+
+
 def minhash_candidate_pairs(ds, id_column: str = "doc_id",
                             text_column: str = "text",
                             k: int = 128, bands: int = 32,
@@ -165,16 +241,23 @@ def minhash_candidate_pairs(ds, id_column: str = "doc_id",
                             num_partitions: int = 32):
     """MinHash+LSH near-duplicate candidate pairs.
 
-    Pipeline: signatures (map_batches) -> lean (band_id, band_key, id)
+    Pipeline: signatures (map_batches) -> lean (band_id, k1, k2, id)
     rows -> ONE hash exchange via ``grouped_apply`` with vectorized run
     detection -> per-pair band-collision counting on a second small
-    exchange. ``est_jaccard = (collisions/bands)^(1/r)`` (the standard
-    LSH collision estimator), filtered at ``threshold``. Returns
+    exchange. The threshold filter is the integer comparison
+    ``n_bands >= min_bands_for_threshold(...)``; ``est_jaccard =
+    (n_bands/bands)^(1/r)`` rides along for reporting. Returns
     (id_a, id_b, n_bands, est_jaccard) with id_a < id_b.
+
+    The whole hash chain is mod-P31 integer arithmetic, so
+    ``pipelines/queries.sql_minhash_pairs`` generates a bit-exact DuckDB
+    twin (the hard oracle for this operator and for the pretrain
+    composition's near-dedup stage).
     """
     from nacc_form_validator_ray.stages.partition import (grouped_apply,
                                                           run_boundaries)
     r = k // bands
+    min_bands = min_bands_for_threshold(threshold, bands, r)
     sigs = ds.map_batches(MinHasher(text_column=text_column, k=k),
                           batch_format="pandas")
     banded = sigs.map_batches(
@@ -184,21 +267,23 @@ def minhash_candidate_pairs(ds, id_column: str = "doc_id",
     def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
         ids = part[id_column].to_numpy()
         band_id = part["band_id"].to_numpy(np.int64)
-        band_key = part["band_key"].to_numpy(np.int64)
-        order, starts = run_boundaries([band_id, band_key])
+        key1 = part["k1"].to_numpy(np.int64)
+        key2 = part["k2"].to_numpy(np.int64)
+        order, starts = run_boundaries([band_id, key1, key2])
         ends = np.append(starts[1:], len(order))
         a, b = _pairs_from_runs(ids, order, starts, ends, max_bucket)
         return pd.DataFrame({"id_a": a, "id_b": b})
 
-    pairs = grouped_apply(banded, ["band_id", "band_key"],
+    pairs = grouped_apply(banded, ["band_id", "k1", "k2"],
                           partition_pairs,
                           num_partitions=num_partitions)
 
     def count_collisions(part: pd.DataFrame) -> pd.DataFrame:
         g = part.groupby(["id_a", "id_b"], as_index=False).size()
         g = g.rename(columns={"size": "n_bands"})
+        g = g[g["n_bands"] >= min_bands]
         g["est_jaccard"] = (g["n_bands"] / bands) ** (1.0 / r)
-        return g[g["est_jaccard"] >= threshold]
+        return g
 
     return grouped_apply(pairs, ["id_a", "id_b"], count_collisions,
                          num_partitions=8)
