@@ -1123,6 +1123,54 @@ FROM ranked WHERE rn = 1
 """
 
 
+def sql_pretrain_pages(path: str) -> str:
+    """DuckDB twin of the FULL pretrain composition: signals + scrub
+    (shared CTEs) -> keep -> md5-hex-fold doc ids -> exact-dup ban
+    (min id per normalized-content md5) -> MinHash near-dup ban (id_b of
+    every pair at threshold 0.8) -> anti-join. Bit-exact against
+    build_pretrain_pipeline over the persisted page table."""
+    _, scrub_last, _ = _scrub_ctes(
+        f"read_parquet('{path}')", "url", prefix="sc")
+    mh_defs, mh_pairs = _sql_minhash_ctes(
+        "ids", "doc_id", threshold=0.8, text_expr="sctext", prefix="nh")
+    # first 60 bits of md5 over the \x1f-joined (url, warc_ts, text)
+    # identity — chr(31) because DuckDB cannot concat a NUL byte
+    hexfold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(regexp_extract_all(substring(md5("
+        "url || chr(31) || CAST(warc_ts AS VARCHAR) || chr(31) || sctext"
+        "), 1, 15), '.'), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+        "(a, b) -> a * 16 + b)")
+    return _pages_signal_sql(path) + f""",
+kept AS (
+  SELECT err.url AS url, lang_pred, n_words, {scrub_last}.t AS sctext,
+         p.warc_ts AS warc_ts
+  FROM err JOIN {scrub_last} ON err.url = {scrub_last}.url
+  JOIN read_parquet('{path}') p ON err.url = p.url
+  WHERE n_errors = 0
+), ids AS (
+  SELECT url, lang_pred, n_words, sctext, {hexfold} AS doc_id
+  FROM kept
+), exact_ban AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (
+        PARTITION BY
+            md5(lower(trim(regexp_replace(sctext, '\\s+', ' ', 'g'))))
+        ORDER BY doc_id) AS rn
+    FROM ids) WHERE rn > 1
+), {mh_defs},
+banned AS (
+  SELECT doc_id FROM exact_ban
+  UNION
+  SELECT id_b FROM {mh_pairs}
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, url, lang_pred,
+       CAST(n_words AS BIGINT) AS n_words
+FROM ids WHERE doc_id NOT IN (SELECT doc_id FROM banned)
+"""
+
+
 def flagship_oracles(sf_dir: str) -> Dict[str, str]:
     """DuckDB twins for the flagship page pipelines — materializes the
     deterministic page table first so the SQL can run regardless of
@@ -1131,6 +1179,7 @@ def flagship_oracles(sf_dir: str) -> Dict[str, str]:
     return {
         "quality_filter_pages": sql_quality_filter_pages(path),
         "pretrain_prefix_pages": sql_pretrain_prefix_pages(path),
+        "pretrain_pages": sql_pretrain_pages(path),
         "host_doc_counts": sql_host_doc_counts(path),
     }
 
@@ -1549,16 +1598,23 @@ ORACLE_SQL["fingerprint_md5"] = SQL_FINGERPRINT_MD5
 
 
 def q_pretrain_pages(sf_dir: str):
-    """Full pretraining composition over generated pages: quality filter
-    -> scrub -> exact dedup -> MinHash near-dedup (anti-join). Rows-only."""
+    """Full pretraining composition over the persisted page table:
+    quality filter -> scrub -> exact dedup -> MinHash near-dedup
+    (anti-join).
+
+    HARD oracle (the last headline pipeline to get one): doc ids are
+    md5-derived 60-bit ints, the exact-dup key is md5 of the normalized
+    scrub output, and the near-dedup stage is the integer-exact mod-P31
+    MinHash — sql_pretrain_pages reproduces every keep/drop decision in
+    DuckDB."""
     from datetime import datetime
     from nacc_form_validator_ray.pipelines.pretrain import \
         build_pretrain_pipeline
-    from nacc_form_validator_ray.pipelines.webgen import generate_pages
     from nacc_form_validator_ray.utils import Clock
-    n = 2000 if "0.01" in sf_dir else 500
-    ds = generate_pages(n, seed=42)
-    out = build_pretrain_pipeline(ds, clock=Clock(datetime(2026, 1, 1)))
+    ds = _rd().read_parquet(_pages_path(sf_dir),
+                            columns=["url", "warc_ts", "text"])
+    out = build_pretrain_pipeline(ds, clock=Clock(datetime(2026, 1, 1)),
+                                  extract=False)
     return out.select_columns(["doc_id", "url", "lang_pred", "n_words"])
 
 

@@ -296,7 +296,8 @@ BROADCAST_ID_LIMIT = 8_000_000
 
 def exact_dedup(ds, id_column: str = "doc_id", text_column: str = "text",
                 normalize: bool = True, num_partitions: int = 32,
-                drop_via: str = "auto"):
+                drop_via: str = "auto", pin: str = "parquet",
+                pin_dir: str | None = None):
     """Exact dedup, payload-disciplined: the keep/drop DECISION exchanges
     only (id, content-hash) rows; the full documents are then filtered in
     place — via a broadcast banned-id set (small dup lists) or a
@@ -305,10 +306,35 @@ def exact_dedup(ds, id_column: str = "doc_id", text_column: str = "text",
     banned set and picks: broadcast under ``BROADCAST_ID_LIMIT``,
     exchange above. Returns the Dataset with non-representative
     duplicates removed (the min-``id_column`` row of each content hash
-    survives)."""
+    survives).
+
+    ``pin`` controls how the text-bearing input (consumed by BOTH the
+    decision pass and the final drop pass) is kept re-readable:
+
+    * ``"parquet"`` (default) — spill once to parquet under ``pin_dir``
+      (or a fresh /tmp dir) and stream every pass from disk. At 100-TB
+      scale this is the only shape that cannot destabilize the object
+      store (round-2 VERDICT: the old ``materialize()`` default pinned
+      the full corpus in memory/spill).
+    * ``"memory"`` — explicit opt-in to ``materialize()`` (fastest for
+      corpora that comfortably fit the aggregate object store).
+    * ``"none"`` — use ``ds`` as-is; caller guarantees it is cheap to
+      re-execute (e.g. already a bare ``read_parquet``).
+    """
     import hashlib
     import ray
     from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    if pin == "parquet":
+        import tempfile
+        import ray.data as rd
+        d = pin_dir or tempfile.mkdtemp(prefix="dedup_pin_")
+        ds.write_parquet(d)
+        ds = rd.read_parquet(d)
+    elif pin == "memory":
+        ds = ds.materialize()
+    elif pin != "none":
+        raise ValueError(f"unknown pin mode: {pin!r}")
 
     def project(batch: pd.DataFrame) -> pd.DataFrame:
         text = batch[text_column].fillna("")
@@ -327,12 +353,13 @@ def exact_dedup(ds, id_column: str = "doc_id", text_column: str = "text",
         return pd.DataFrame({id_column:
                              part.loc[dup, id_column].to_numpy()})
 
-    ds = ds.materialize()
     banned = grouped_apply(ds.map_batches(project, batch_format="pandas"),
                            ["__h"], drops,
                            num_partitions=num_partitions)
 
     if drop_via == "auto":
+        # the banned list is LEAN (ids only) — materializing it is
+        # bounded by the dup count, not the corpus
         banned = banned.materialize()
         drop_via = "broadcast" if banned.count() <= BROADCAST_ID_LIMIT \
             else "exchange"
@@ -340,7 +367,8 @@ def exact_dedup(ds, id_column: str = "doc_id", text_column: str = "text",
     if drop_via == "exchange":
         # bloom-prefiltered: definite non-duplicates never ride the
         # exchange; only bloom hits go through the exact anti-join
-        # (ds is materialized above, so the two passes don't recompute)
+        # (ds is pinned/re-readable above, so the two passes don't
+        # recompute an expensive upstream)
         from nacc_form_validator_ray.stages.bloom import anti_join_bloom
         return anti_join_bloom(ds, banned, on=id_column)
 

@@ -352,3 +352,67 @@ def test_bucketed_write_then_shuffle_free_grouped_apply(tmp_path):
     pd.testing.assert_frame_equal(fast, ref, check_dtype=False)
     # each key appears in exactly one bucket result
     assert fast["k"].is_unique
+
+
+def test_exact_dedup_default_pin_never_materializes(tmp_path, monkeypatch):
+    """Round-2 VERDICT: the composable dedup API must not pin the full
+    text-bearing corpus in the object store by default — the default
+    pin="parquet" spills to disk and streams, so Dataset.materialize is
+    never called on the broadcast drop path."""
+    calls = []
+    orig = rd.Dataset.materialize
+
+    def spy(self, *a, **k):
+        calls.append(self)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(rd.Dataset, "materialize", spy)
+    df = make_docs()
+    out = exact_dedup(rd.from_pandas(df), drop_via="broadcast",
+                      pin_dir=str(tmp_path / "pin")).to_pandas()
+    # write_parquet materializes its own Write plan internally (tiny
+    # write-result metadata, streamed to disk) — what must NEVER happen
+    # is a materialize of a non-write (block-pinning) dataset
+    pinning = [c for c in calls if not str(c).startswith("Write")]
+    assert not pinning
+    assert 2 not in set(out["doc_id"])
+
+
+def test_exact_dedup_pin_modes_agree(tmp_path):
+    df = make_docs()
+    out_parquet = exact_dedup(rd.from_pandas(df),
+                              pin_dir=str(tmp_path / "p1")).to_pandas()
+    out_memory = exact_dedup(rd.from_pandas(df),
+                             pin="memory").to_pandas()
+    a = out_parquet.sort_values("doc_id").reset_index(drop=True)
+    b = out_memory.sort_values("doc_id").reset_index(drop=True)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+
+
+def test_pretrain_default_pin_materializes_only_lean_sets(tmp_path,
+                                                          monkeypatch):
+    """build_pretrain_pipeline's default path may materialize only LEAN
+    id-only datasets (the banned list under drop_via='auto'), never the
+    text-bearing corpus."""
+    from nacc_form_validator_ray.pipelines.pretrain import \
+        build_pretrain_pipeline
+    from nacc_form_validator_ray.pipelines.webgen import generate_pages
+
+    calls = []
+    orig = rd.Dataset.materialize
+
+    def spy(self, *a, **k):
+        out = orig(self, *a, **k)
+        if not str(self).startswith("Write"):  # see test above
+            calls.append(set(out.schema().names))
+        return out
+
+    monkeypatch.setattr(rd.Dataset, "materialize", spy)
+    pages = generate_pages(120, seed=11)
+    out = build_pretrain_pipeline(pages,
+                                  pin_dir=str(tmp_path / "pin"))
+    n = out.count()
+    assert n > 0
+    for cols in calls:
+        assert "text" not in cols and "scrubbed_text" not in cols, \
+            f"full corpus materialized: {cols}"
