@@ -909,9 +909,65 @@ FROM {pairs}
 
 
 def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs — HARD oracle: the 62-bit hash is two
+    mod-P31 char folds, sign accumulation and bit packing, all exact
+    BIGINT arithmetic the DuckDB twin reproduces (including the 4-chunk
+    candidate banding and bit_count Hamming verify)."""
     from nacc_form_validator_ray.stages.dedup import simhash_candidate_pairs
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     return simhash_candidate_pairs(ds, max_hamming=3)
+
+
+def _sql_charfold(expr: str, mult: int) -> str:
+    """DuckDB char-fold polynomial hash of ``expr`` mod P31 — the twin
+    of stages/dedup._fold_hash_strings."""
+    from nacc_form_validator_ray.stages.dedup import P31
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(regexp_extract_all({expr}, '.'), "
+            f"c -> CAST(unicode(c) AS BIGINT))), "
+            f"(a, b) -> (a * {mult} + b) % {P31})")
+
+
+def _sql_simhash_pairs() -> str:
+    from nacc_form_validator_ray.stages.dedup import (TOKEN_FOLD_MULT,
+                                                      TOKEN_FOLD_MULT2)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         {_sql_charfold('t', TOKEN_FOLD_MULT)} AS h1,
+         {_sql_charfold('t', TOKEN_FOLD_MULT2)} AS h2
+  FROM tok
+), bits AS (
+  -- bit j of the 62-bit token hash (h1 << 31) | h2, sign-accumulated
+  SELECT doc_id, j,
+         sum(CASE WHEN ((CASE WHEN j < 31 THEN h2 ELSE h1 END)
+                        >> CAST(CASE WHEN j < 31 THEN j ELSE j - 31 END
+                                AS INT)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM th, range(62) r(j) GROUP BY doc_id, j
+), packed AS (
+  SELECT d.doc_id,
+         coalesce(sum(CASE WHEN b.s > 0
+                           THEN (CAST(1 AS BIGINT) << CAST(b.j AS INT))
+                           ELSE 0 END), 0) AS sh
+  FROM documents d LEFT JOIN bits b ON d.doc_id = b.doc_id
+  GROUP BY d.doc_id
+), ch AS (
+  SELECT doc_id, sh, c, (sh >> CAST(16 * c AS INT)) & 65535 AS ck
+  FROM packed, range(4) t(c)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sh AS sa, b.sh AS sb
+  FROM ch a JOIN ch b ON a.c = b.c AND a.ck = b.ck
+                     AND a.doc_id < b.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
 
 
 def q_embedding_neardup(sf_dir: str):
@@ -1243,6 +1299,7 @@ ORACLE_SQL: Dict[str, str] = {
 }
 
 ORACLE_SQL["minhash_pairs"] = _sql_minhash_pairs()
+ORACLE_SQL["simhash_pairs"] = _sql_simhash_pairs()
 
 
 # --------------------------------------------------------------------------
@@ -1595,6 +1652,46 @@ FROM documents
 
 QUERIES["fingerprint_md5"] = q_fingerprint_md5
 ORACLE_SQL["fingerprint_md5"] = SQL_FINGERPRINT_MD5
+
+
+# fingerprint_docs (md5 + winnow INCLUDING the short-doc md5 fallback):
+# the fallback is int.from_bytes(md5(t).digest()[:8]) — reproduced as a
+# HUGEINT hex fold over the first 16 md5 hex chars with an explicit
+# two's-complement conversion to BIGINT (the engine's uint64 column is
+# canonicalized to int64 by the driver's compare, which wraps the same
+# way). Rolling-hash windows index CODEPOINTS in SQL and BYTES in the
+# engine — equal because documents are pure ASCII (verified both SFs;
+# same contract as fingerprint_winnow).
+SQL_FINGERPRINT_DOCS = """
+WITH n AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+  FROM documents
+), fb AS (
+  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS HUGEINT),
+           list_transform(regexp_extract_all(substring(md5(t), 1, 16),
+                                             '.'),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT))),
+           (a, b) -> a * 16 + b) AS v
+  FROM n
+)
+SELECT n.doc_id, md5(t) AS fingerprint_md5,
+       CASE WHEN length(t) >= 5 THEN
+         (SELECT min(xor(xor(xor(xor(
+              unicode(substring(t, CAST(i AS INT), 1)) * 2654435761,
+              unicode(substring(t, CAST(i + 1 AS INT), 1)) * 40503),
+              unicode(substring(t, CAST(i + 2 AS INT), 1)) * 69069),
+              unicode(substring(t, CAST(i + 3 AS INT), 1)) * 123457),
+              unicode(substring(t, CAST(i + 4 AS INT), 1))))
+          FROM unnest(range(1, length(t) - 3)) AS r(i))
+       ELSE
+         CAST(CASE WHEN fb.v >= 9223372036854775808
+                   THEN fb.v - 18446744073709551616
+                   ELSE fb.v END AS BIGINT)
+       END AS fingerprint_winnow
+FROM n JOIN fb USING (doc_id)
+"""
+
+ORACLE_SQL["fingerprint_docs"] = SQL_FINGERPRINT_DOCS
 
 
 def q_pretrain_pages(sf_dir: str):

@@ -33,6 +33,8 @@ import pandas as pd
 P31 = 2_147_483_647
 #: char-fold multiplier for token hashing: h = (h*131 + byte) % P31
 TOKEN_FOLD_MULT = 131
+#: second independent char-fold multiplier (SimHash needs 62 bits)
+TOKEN_FOLD_MULT2 = 137
 #: shingle fold multiplier over token hashes
 SHINGLE_FOLD_MULT = 1_000_003
 #: band-key fold multipliers (two independent keys per band)
@@ -55,12 +57,13 @@ def _token_lists(text: pd.Series) -> pd.Series:
     return text.fillna("").str.lower().str.findall(r"[a-z0-9]+")
 
 
-def _fold_hash_strings(flat: np.ndarray) -> np.ndarray:
-    """Per-string polynomial hash h = fold((h*131 + byte) % P31) over
+def _fold_hash_strings(flat: np.ndarray,
+                       mult: int = TOKEN_FOLD_MULT) -> np.ndarray:
+    """Per-string polynomial hash h = fold((h*mult + byte) % P31) over
     utf-8 bytes, vectorized: ONE packed Arrow buffer, positional power
     table, ``np.add.reduceat`` per segment — no Python loop over
     strings. Equals DuckDB's
-    ``list_reduce(chars, (a,b) -> (a*131 + b) % 2147483647)``."""
+    ``list_reduce(chars, (a,b) -> (a*mult + b) % 2147483647)``."""
     import pyarrow as pa
     n = len(flat)
     if n == 0:
@@ -77,12 +80,12 @@ def _fold_hash_strings(flat: np.ndarray) -> np.ndarray:
     if total == 0:
         return np.zeros(n, dtype=np.int64)
     max_len = int(lens.max())
-    # 131^m % P31 for m in [0, max_len)
+    # mult^m % P31 for m in [0, max_len)
     pows = np.empty(max_len, dtype=np.int64)
     pows[0] = 1
     for m in range(1, max_len):
-        pows[m] = (pows[m - 1] * TOKEN_FOLD_MULT) % P31
-    # closed form of the fold: sum(byte_i * 131^(L-1-i)) mod P31
+        pows[m] = (pows[m - 1] * mult) % P31
+    # closed form of the fold: sum(byte_i * mult^(L-1-i)) mod P31
     owner_end = np.repeat(starts + lens, lens)
     pos_from_end = owner_end - 1 - np.arange(total, dtype=np.int64)
     terms = (buf.astype(np.int64) * pows[pos_from_end]) % P31
@@ -394,32 +397,41 @@ def exact_dedup(ds, id_column: str = "doc_id", text_column: str = "text",
 
 
 class SimHasher:
-    """64-bit SimHash per document, vectorized: hash tokens, unpack sign
-    bits, accumulate per doc with np.add.at, re-pack."""
+    """62-bit SimHash per document, vectorized: hash tokens, unpack sign
+    bits, accumulate per doc with np.add.at, re-pack.
+
+    Token bits come from TWO independent mod-P31 char folds (multipliers
+    131 and 137; bits 0-30 = fold2, bits 31-61 = fold1), so every value
+    stays in exact BIGINT range and the DuckDB twin
+    (pipelines/queries.SQL_SIMHASH_PAIRS) reproduces hashes, chunk
+    buckets and Hamming distances bit-for-bit."""
+
+    BITS = 62
 
     def __init__(self, text_column: str = "text"):
         self.text_column = text_column
-        self.bit_masks = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        self.bit_masks = np.int64(1) << np.arange(self.BITS,
+                                                  dtype=np.int64)
 
     def simhash(self, text: pd.Series) -> np.ndarray:
         n = len(text)
         tokens = _token_lists(text)
         lens = tokens.str.len().to_numpy(np.int64)
-        out = np.zeros(n, dtype=np.uint64)
+        out = np.zeros(n, dtype=np.int64)
         if lens.sum() == 0:
             return out
         flat = np.concatenate(
             [np.asarray(t, dtype=object) if t else
              np.empty(0, dtype=object) for t in tokens])
         doc_id = np.repeat(np.arange(n, dtype=np.int64), lens)
-        # hash the object array directly: astype("U") would pad every
-        # token to the batch max length (round-2 ADVICE allocation trap)
-        hashes = pd.util.hash_array(flat, categorize=True)
+        h1 = _fold_hash_strings(flat, TOKEN_FOLD_MULT)
+        h2 = _fold_hash_strings(flat, TOKEN_FOLD_MULT2)
+        hashes = (h1 << np.int64(31)) | h2
         bits = ((hashes[:, None] & self.bit_masks) != 0) \
             .astype(np.int64) * 2 - 1
-        acc = np.zeros((n, 64), dtype=np.int64)
+        acc = np.zeros((n, self.BITS), dtype=np.int64)
         np.add.at(acc, doc_id, bits)
-        packed = (acc > 0).astype(np.uint64) @ self.bit_masks
+        packed = (acc > 0).astype(np.int64) @ self.bit_masks
         return packed
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -433,24 +445,27 @@ def simhash_candidate_pairs(ds, id_column: str = "doc_id",
                             max_hamming: int = 3,
                             max_bucket: int = 512,
                             num_partitions: int = 32):
-    """SimHash near-dup: 4x16-bit chunk banding (any chunk equal ->
-    candidate), exact Hamming verification — one hash exchange, run
-    detection vectorized inside each partition."""
+    """SimHash near-dup: 4-chunk banding over the 62-bit hash (any chunk
+    equal -> candidate; Hamming <= 3 over 4 chunks guarantees one equal
+    chunk by pigeonhole), exact Hamming verification — one hash
+    exchange, run detection vectorized inside each partition. The whole
+    chain is exact BIGINT arithmetic with a DuckDB twin
+    (pipelines/queries.SQL_SIMHASH_PAIRS)."""
     from nacc_form_validator_ray.stages.partition import (grouped_apply,
                                                           run_boundaries)
     hashed = ds.map_batches(SimHasher(text_column=text_column),
                             batch_format="pandas")
 
     def emit_chunks(batch: pd.DataFrame) -> pd.DataFrame:
-        sims = batch["simhash"].to_numpy(np.uint64)
+        sims = batch["simhash"].to_numpy(np.int64)
         ids = batch[id_column].to_numpy()
         n = len(batch)
         frames = []
         for c in range(4):
-            chunk = (sims >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+            chunk = (sims >> np.int64(16 * c)) & np.int64(0xFFFF)
             frames.append(pd.DataFrame({
                 "chunk_id": np.full(n, c, dtype=np.int32),
-                "chunk_key": chunk.astype(np.int64),
+                "chunk_key": chunk,
                 id_column: ids,
                 "simhash": sims,
             }))
@@ -460,7 +475,7 @@ def simhash_candidate_pairs(ds, id_column: str = "doc_id",
         ids = part[id_column].to_numpy()
         chunk_id = part["chunk_id"].to_numpy(np.int64)
         chunk_key = part["chunk_key"].to_numpy(np.int64)
-        sims = part["simhash"].to_numpy(np.uint64)
+        sims = part["simhash"].to_numpy(np.int64)
         order, starts = run_boundaries([chunk_id, chunk_key])
         ends = np.append(starts[1:], len(order))
         out_a, out_b, out_h = [], [], []
@@ -468,10 +483,12 @@ def simhash_candidate_pairs(ds, id_column: str = "doc_id",
             if e - s < 2:
                 continue
             idx = order[s:e]
+            # cap at the max_bucket SMALLEST ids (np.unique sorts) —
+            # first-seen order would depend on block arrival order
             uniq, first_pos = np.unique(ids[idx], return_index=True)
             if len(uniq) < 2:
                 continue
-            idx = idx[np.sort(first_pos)][:max_bucket]
+            idx = idx[first_pos][:max_bucket]
             run_ids = ids[idx]
             run_sims = sims[idx]
             ai, bi = np.triu_indices(len(idx), k=1)
