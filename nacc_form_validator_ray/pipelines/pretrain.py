@@ -77,26 +77,40 @@ def _keep_and_project(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def _exact_dup_ids(docs, id_column: str, text_column: str):
-    """Lean exact-dedup decision: (id, content-hash) rows only; returns
-    a Dataset of ids that are NOT their hash's minimum (the drops)."""
+    """Lean exact-dedup decision: (id, digest-as-two-int64) rows only —
+    the exchange is fixed-width Arrow buffers, no hex strings; returns a
+    Dataset of ids that are NOT their digest's minimum (the drops)."""
+    from nacc_form_validator_ray.stages.partition import run_boundaries
 
-    def project(batch: pd.DataFrame) -> pd.DataFrame:
+    def project(batch: pd.DataFrame):
         norm = batch[text_column].fillna("") \
             .str.replace(r"\s+", " ", regex=True).str.strip().str.lower()
-        return pd.DataFrame({
+        digests = b"".join(hashlib.md5(t.encode("utf-8")).digest()
+                           for t in norm)
+        h = np.frombuffer(digests, dtype=np.uint64).view(np.int64) \
+            .reshape(-1, 2) if len(batch) else \
+            np.empty((0, 2), dtype=np.int64)
+        return {
             id_column: batch[id_column].to_numpy(),
-            "__h": [hashlib.md5(t.encode("utf-8")).hexdigest()
-                    for t in norm],
-        })
+            "__h1": np.ascontiguousarray(h[:, 0]),
+            "__h2": np.ascontiguousarray(h[:, 1]),
+        }
 
-    def drops(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.sort_values(id_column)
-        dup = part.duplicated("__h", keep="first")
-        return pd.DataFrame({id_column: part.loc[dup, id_column]
-                             .to_numpy()})
+    def drops(part):
+        ids = part[id_column].to_numpy(zero_copy_only=False)
+        h1 = part["__h1"].to_numpy(zero_copy_only=False)
+        h2 = part["__h2"].to_numpy(zero_copy_only=False)
+        order, starts = run_boundaries([h1, h2])
+        if not len(order):
+            return {id_column: np.empty(0, dtype=ids.dtype)}
+        sids = ids[order]
+        counts = np.diff(np.append(starts, len(order)))
+        run_min = np.minimum.reduceat(sids, starts)
+        return {id_column: sids[sids != np.repeat(run_min, counts)]}
 
     lean = docs.map_batches(project, batch_format="pandas")
-    return grouped_apply(lean, ["__h"], drops, num_partitions=32)
+    return grouped_apply(lean, ["__h1", "__h2"], drops,
+                         num_partitions=32, fn_format="pyarrow")
 
 
 def build_pretrain_pipeline(pages_ds,
@@ -144,7 +158,7 @@ def build_pretrain_pipeline(pages_ds,
                                     text_column="text",
                                     threshold=near_dup_threshold)
     near_drops = pairs.map_batches(
-        lambda b: pd.DataFrame({"doc_id": b["id_b"].astype(np.int64)}),
+        lambda b: {"doc_id": b["id_b"].to_numpy(np.int64)},
         batch_format="pandas")
     banned = exact_drops.union(near_drops)
 
@@ -237,8 +251,7 @@ def run_pretrain(input_dir: str, out_dir: str,
         pairs = minhash_candidate_pairs(docs, id_column="doc_id",
                                         text_column="text")
         near_drops = pairs.map_batches(
-            lambda b: pd.DataFrame(
-                {"doc_id": b["id_b"].astype(np.int64)}),
+            lambda b: {"doc_id": b["id_b"].to_numpy(np.int64)},
             batch_format="pandas")
         exact_drops.union(near_drops).write_parquet(banned_dir)
         mark(banned_dir)

@@ -201,8 +201,10 @@ FROM err
 
 
 def q_pii_scrub(sf_dir: str):
+    # Arrow path: RE2 kernels run over the raw string buffers (same
+    # stage the flagship uses; round-1 finding #9 closed)
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    ds = ds.map_batches(Scrubber(), batch_format="pandas",
+    ds = ds.map_batches(Scrubber(), batch_format="pyarrow",
                         batch_size=4096)
     return ds.select_columns(["doc_id", "scrubbed_text", "n_redactions"])
 
@@ -244,18 +246,27 @@ FROM {last}
 
 
 def q_token_count_by_source(sf_dir: str):
+    import pyarrow as pa
     ds = _docs(sf_dir, columns=["doc_id", "text", "source"])
-    ds = ds.map_batches(TextStats(), batch_format="pandas",
+    ds = ds.map_batches(TextStats(), batch_format="pyarrow",
                         batch_size=4096)
 
-    # pre-aggregate inside the batch, then a tiny groupby merge
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("source", as_index=False).agg(
-            n_docs=("doc_id", "size"),
-            total_words=("n_words", "sum"),
-            total_bpe_tokens=("bpe_token_count", "sum"))
+    # pre-aggregate inside the batch (Arrow C kernels), then a tiny
+    # groupby merge
+    def partial(t: "pa.Table") -> "pa.Table":
+        g = pa.table({
+            "source": t["source"].combine_chunks(),
+            "n_docs": np.ones(t.num_rows, dtype=np.int64),
+            "total_words": t["n_words"].combine_chunks(),
+            "total_bpe_tokens": t["bpe_token_count"].combine_chunks(),
+        })
+        return pa.TableGroupBy(g, ["source"]).aggregate(
+            [("n_docs", "sum"), ("total_words", "sum"),
+             ("total_bpe_tokens", "sum")]) \
+            .rename_columns(["source", "n_docs", "total_words",
+                             "total_bpe_tokens"])
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
     return _merge_partials(partials, ["source"],
                            {"n_docs": "sum", "total_words": "sum",
                             "total_bpe_tokens": "sum"})
@@ -579,36 +590,41 @@ def q_segment_revenue(sf_dir: str):
     exchange (customer scales with the dataset — broadcasting it as a
     driver dict was the round-1 scale defect). The join output is
     pre-aggregated per partition before the tiny final groupby."""
+    import pyarrow as pa
     from nacc_form_validator_ray.stages.joins import hash_join
     orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
                                 columns=["o_custkey", "o_totalprice"])
 
     # pre-aggregate per custkey INSIDE each batch before the exchange —
     # the join then moves one lean partial row per (custkey, batch)
-    # instead of one row per order
-    def pre_agg(batch: pd.DataFrame) -> pd.DataFrame:
+    # instead of one row per order (Arrow blocks end-to-end)
+    def pre_agg(t: "pa.Table") -> "pa.Table":
         cents = np.floor(
-            batch["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
         ).astype(np.int64)
-        g = pd.DataFrame({"o_custkey": batch["o_custkey"],
-                          "n_orders": 1, "revenue_cents": cents})
-        return g.groupby("o_custkey", as_index=False).sum()
+        g = pa.table({"o_custkey": t["o_custkey"].combine_chunks(),
+                      "n_orders": np.ones(t.num_rows, dtype=np.int64),
+                      "revenue_cents": cents})
+        return pa.TableGroupBy(g, ["o_custkey"]).aggregate(
+            [("n_orders", "sum"), ("revenue_cents", "sum")]) \
+            .rename_columns(["o_custkey", "n_orders", "revenue_cents"])
 
-    order_partials = orders.map_batches(pre_agg, batch_format="pandas")
+    order_partials = orders.map_batches(pre_agg, batch_format="pyarrow")
     cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
                               columns=["c_custkey", "c_mktsegment"]) \
-        .map_batches(lambda b: pd.DataFrame(
-            {"o_custkey": b["c_custkey"],
-             "c_mktsegment": b["c_mktsegment"]}),
-            batch_format="pandas")
+        .map_batches(lambda t: t.rename_columns(
+            ["o_custkey", "c_mktsegment"]), batch_format="pyarrow")
     joined = hash_join(order_partials, cust, on="o_custkey")
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("c_mktsegment", as_index=False).agg(
-            n_orders=("n_orders", "sum"),
-            revenue_cents=("revenue_cents", "sum"))
+    def partial(t: "pa.Table") -> "pa.Table":
+        return pa.TableGroupBy(
+            t.select(["c_mktsegment", "n_orders", "revenue_cents"]),
+            ["c_mktsegment"]).aggregate(
+                [("n_orders", "sum"), ("revenue_cents", "sum")]) \
+            .rename_columns(["c_mktsegment", "n_orders",
+                             "revenue_cents"])
 
-    partials = joined.map_batches(partial, batch_format="pandas")
+    partials = joined.map_batches(partial, batch_format="pyarrow")
     return _merge_partials(partials, ["c_mktsegment"],
                            {"n_orders": "sum", "revenue_cents": "sum"})
 
@@ -633,26 +649,30 @@ def q_ship_delay(sf_dir: str):
                                        "l_shipdate"])
     orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
                                 columns=["o_orderkey", "o_orderdate"]) \
-        .map_batches(lambda b: pd.DataFrame(
-            {"l_orderkey": b["o_orderkey"],
-             "o_orderdate": b["o_orderdate"]}),
-            batch_format="pandas")
+        .map_batches(lambda t: t.rename_columns(
+            ["l_orderkey", "o_orderdate"]), batch_format="pyarrow")
     joined = hash_join(line, orders, on="l_orderkey")
 
-    def delay(batch: pd.DataFrame) -> pd.DataFrame:
-        ship_us = batch["l_shipdate"].astype("datetime64[us]") \
-            .astype("int64").to_numpy()
-        odate_us = batch["o_orderdate"].astype("datetime64[us]") \
-            .astype("int64").to_numpy()
-        delay_days = (ship_us - odate_us) // 86_400_000_000
-        return pd.DataFrame({
-            "l_orderkey": batch["l_orderkey"],
-            "l_linenumber": batch["l_linenumber"].astype(np.int64),
+    # date math straight off the Arrow buffers (dict-of-numpy output
+    # becomes an Arrow block without a pandas hop)
+    def delay(t):
+        ship = t["l_shipdate"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        odate = t["o_orderdate"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        delay_days = (ship.astype("datetime64[us]").view("i8") -
+                      odate.astype("datetime64[us]").view("i8")) \
+            // 86_400_000_000
+        return {
+            "l_orderkey": t["l_orderkey"].combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            "l_linenumber": t["l_linenumber"].combine_chunks()
+            .to_numpy(zero_copy_only=False).astype(np.int64),
             "delay_days": delay_days.astype(np.int64),
             "late": delay_days > 90,
-        })
+        }
 
-    return joined.map_batches(delay, batch_format="pandas")
+    return joined.map_batches(delay, batch_format="pyarrow")
 
 
 SQL_SHIP_DELAY = """

@@ -261,35 +261,63 @@ def minhash_candidate_pairs(ds, id_column: str = "doc_id",
                                                           run_boundaries)
     r = k // bands
     min_bands = min_bands_for_threshold(threshold, bands, r)
-    sigs = ds.map_batches(MinHasher(text_column=text_column, k=k),
-                          batch_format="pandas")
-    banded = sigs.map_batches(
-        BandEmitter(bands=bands, rows_per_band=r, id_column=id_column),
-        batch_format="pandas")
+    hasher = MinHasher(text_column=text_column, k=k)
+    m1, m2 = BAND_FOLD_MULTS
 
-    def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
-        ids = part[id_column].to_numpy()
-        band_id = part["band_id"].to_numpy(np.int64)
-        key1 = part["k1"].to_numpy(np.int64)
-        key2 = part["k2"].to_numpy(np.int64)
-        order, starts = run_boundaries([band_id, key1, key2])
-        ends = np.append(starts[1:], len(order))
+    # FUSED signature + band emission: the (n, k) signature matrix never
+    # crosses a stage boundary (no per-row object column), and the
+    # dict-of-numpy output becomes an Arrow block directly — the
+    # exchange downstream is Arrow-native end-to-end
+    def sig_bands(batch: pd.DataFrame):
+        sig = hasher.signatures(batch[text_column])
+        ids = batch[id_column].to_numpy()
+        n = len(batch)
+        k1 = np.zeros((bands, n), dtype=np.int64)
+        k2 = np.zeros((bands, n), dtype=np.int64)
+        for b in range(bands):
+            chunk = sig[:, b * r:(b + 1) * r]
+            for c in range(r):
+                k1[b] = (k1[b] * m1 + chunk[:, c]) % P31
+                k2[b] = (k2[b] * m2 + chunk[:, c]) % P31
+        return {
+            "band_id": np.repeat(np.arange(bands, dtype=np.int32), n),
+            "k1": k1.ravel(),
+            "k2": k2.ravel(),
+            id_column: np.tile(ids, bands),
+        }
+
+    banded = ds.map_batches(sig_bands, batch_format="pandas")
+
+    def _col(part, name):
+        return part[name].to_numpy(zero_copy_only=False)
+
+    def partition_pairs(part):
+        ids = _col(part, id_column)
+        order, starts = run_boundaries([
+            _col(part, "band_id").astype(np.int64),
+            _col(part, "k1"), _col(part, "k2")])
+        ends = np.append(starts[1:], part.num_rows)
         a, b = _pairs_from_runs(ids, order, starts, ends, max_bucket)
-        return pd.DataFrame({"id_a": a, "id_b": b})
+        return {"id_a": a, "id_b": b}
 
     pairs = grouped_apply(banded, ["band_id", "k1", "k2"],
                           partition_pairs,
-                          num_partitions=num_partitions)
+                          num_partitions=num_partitions,
+                          fn_format="pyarrow")
 
-    def count_collisions(part: pd.DataFrame) -> pd.DataFrame:
-        g = part.groupby(["id_a", "id_b"], as_index=False).size()
-        g = g.rename(columns={"size": "n_bands"})
-        g = g[g["n_bands"] >= min_bands]
-        g["est_jaccard"] = (g["n_bands"] / bands) ** (1.0 / r)
-        return g
+    def count_collisions(part):
+        a, b = _col(part, "id_a"), _col(part, "id_b")
+        order, starts = run_boundaries([a, b])
+        counts = np.diff(np.append(starts, len(order)))
+        ka, kb = a[order][starts], b[order][starts]
+        keep = counts >= min_bands
+        n_bands = counts[keep].astype(np.int64)
+        return {"id_a": ka[keep], "id_b": kb[keep],
+                "n_bands": n_bands,
+                "est_jaccard": (n_bands / bands) ** (1.0 / r)}
 
     return grouped_apply(pairs, ["id_a", "id_b"], count_collisions,
-                         num_partitions=8)
+                         num_partitions=8, fn_format="pyarrow")
 
 
 #: max banned-id count to ship via ray.put under drop_via="auto"
@@ -339,26 +367,44 @@ def exact_dedup(ds, id_column: str = "doc_id", text_column: str = "text",
     elif pin != "none":
         raise ValueError(f"unknown pin mode: {pin!r}")
 
-    def project(batch: pd.DataFrame) -> pd.DataFrame:
+    # the decision projection carries the 128-bit md5 as TWO int64
+    # columns: the exchange moves 24 B/row of fixed-width buffers instead
+    # of 32-char hex strings (no object boxing on any hop); grouping by
+    # (h1, h2) is grouping by the digest
+    def project(batch: pd.DataFrame):
         text = batch[text_column].fillna("")
         if normalize:
             text = text.str.replace(r"\s+", " ", regex=True) \
                 .str.strip().str.lower()
-        return pd.DataFrame({
+        digests = b"".join(hashlib.md5(t.encode("utf-8")).digest()
+                           for t in text)
+        h = np.frombuffer(digests, dtype=np.uint64).view(np.int64) \
+            .reshape(-1, 2) if len(batch) else \
+            np.empty((0, 2), dtype=np.int64)
+        return {
             id_column: batch[id_column].to_numpy(),
-            "__h": [hashlib.md5(t.encode("utf-8")).hexdigest()
-                    for t in text],
-        })
+            "__h1": np.ascontiguousarray(h[:, 0]),
+            "__h2": np.ascontiguousarray(h[:, 1]),
+        }
 
-    def drops(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.sort_values(id_column)
-        dup = part.duplicated("__h", keep="first")
-        return pd.DataFrame({id_column:
-                             part.loc[dup, id_column].to_numpy()})
+    def drops(part):
+        from nacc_form_validator_ray.stages.partition import \
+            run_boundaries
+        ids = part[id_column].to_numpy(zero_copy_only=False)
+        h1 = part["__h1"].to_numpy(zero_copy_only=False)
+        h2 = part["__h2"].to_numpy(zero_copy_only=False)
+        order, starts = run_boundaries([h1, h2])
+        if not len(order):
+            return {id_column: np.empty(0, dtype=ids.dtype)}
+        sids = ids[order]
+        counts = np.diff(np.append(starts, len(order)))
+        run_min = np.minimum.reduceat(sids, starts)
+        return {id_column: sids[sids != np.repeat(run_min, counts)]}
 
     banned = grouped_apply(ds.map_batches(project, batch_format="pandas"),
-                           ["__h"], drops,
-                           num_partitions=num_partitions)
+                           ["__h1", "__h2"], drops,
+                           num_partitions=num_partitions,
+                           fn_format="pyarrow")
 
     if drop_via == "auto":
         # the banned list is LEAN (ids only) — materializing it is

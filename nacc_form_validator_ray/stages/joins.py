@@ -132,6 +132,47 @@ def range_join_bucketed(left_ds, right_ds, lo: str, hi: str, value: str,
                          num_partitions=num_partitions)
 
 
+def _arrow_types(schema) -> dict:
+    """name -> pyarrow DataType from a Ray schema, normalizing numpy
+    dtypes (pandas-block upstreams) to Arrow; numpy ``object`` columns
+    are assumed to hold strings (the only object payload this engine
+    ships)."""
+    import pyarrow as pa
+    out = {}
+    for name, t in zip(schema.names, schema.types):
+        if isinstance(t, pa.DataType):
+            out[name] = t
+        else:
+            dt = np.dtype(t)
+            out[name] = pa.string() if dt.kind == "O" \
+                else pa.from_numpy_dtype(dt)
+    return out
+
+
+def _tag_arrow(all_cols, types, keep, side):
+    """Arrow tag fn: project to the shared union schema with TYPED null
+    columns for the absent side (a pandas None column degrades to object
+    dtype and boxes every value; typed Arrow nulls cost a bitmap)."""
+    import pyarrow as pa
+
+    keep_set = set(keep)
+
+    def fn(batch: "pa.Table") -> "pa.Table":
+        n = batch.num_rows
+        arrays = []
+        for c in all_cols:
+            if c in keep_set and c in batch.column_names:
+                col = batch[c]
+                arrays.append(col.combine_chunks()
+                              if isinstance(col, pa.ChunkedArray)
+                              else col)
+            else:
+                arrays.append(pa.nulls(n, type=types[c]))
+        arrays.append(pa.array(np.full(n, side, dtype=np.int8)))
+        return pa.Table.from_arrays(arrays, names=all_cols + [_SIDE])
+    return fn
+
+
 def hash_join(left_ds, right_ds, on, how: str = "inner",
               right_columns: Optional[List[str]] = None,
               suffix: str = "_right",
@@ -139,12 +180,15 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
     """General distributed hash equi-join for two LARGE tables.
 
     Both sides are tagged, unioned, and hash-exchanged ONCE on the join
-    key(s); each partition then runs a vectorized ``pd.merge``. Use this
-    for fact-to-fact joins where neither side fits a broadcast dict (the
-    round-1 ship_delay/segment_revenue anti-pattern); keep broadcast
-    lookups for true dimensions (nation/region). ``on`` must name
-    column(s) present in both sides (rename upstream in a lean
-    map_batches if they differ). ``how`` is "inner" or "left".
+    key(s) — Arrow-native end-to-end: the partition tag hashes Arrow
+    buffers zero-copy and each partition runs ``pyarrow.Table.join``
+    (Acero's C++ hash join), so string payloads never pay
+    Arrow→pandas→Arrow object boxing on the exchange (round-2 VERDICT
+    perf finding). Use this for fact-to-fact joins where neither side
+    fits a broadcast dict; keep broadcast lookups for true dimensions
+    (nation/region). ``on`` must name column(s) present in both sides
+    (rename upstream in a lean map_batches if they differ). ``how`` is
+    "inner" or "left".
 
     Partitioning assumption: all rows of one key value fit in one
     partition — salt hot keys upstream when a single key's rows exceed
@@ -153,65 +197,61 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type: {how}")
     keys = [on] if isinstance(on, str) else list(on)
-    left_cols = list(left_ds.schema().names)
+    lschema, rschema = left_ds.schema(), right_ds.schema()
+    left_cols = list(lschema.names)
     rcols = right_columns if right_columns is not None else \
-        [c for c in right_ds.schema().names if c not in keys]
+        [c for c in rschema.names if c not in keys]
     all_cols = left_cols + [c for c in keys + rcols
                             if c not in left_cols]
+    types = _arrow_types(rschema)
+    types.update(_arrow_types(lschema))
 
-    def tag(side, keep):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch[keep].copy()
-            for c in all_cols:
-                if c not in batch.columns:
-                    batch[c] = None
-            batch[_SIDE] = side
-            return batch[all_cols + [_SIDE]]
-        return fn
+    lt = left_ds.map_batches(
+        _tag_arrow(all_cols, types, left_cols, 0),
+        batch_format="pyarrow")
+    rt = right_ds.map_batches(
+        _tag_arrow(all_cols, types, keys + rcols, 1),
+        batch_format="pyarrow")
 
-    lt = left_ds.map_batches(tag(0, left_cols), batch_format="pandas")
-    rt = right_ds.map_batches(tag(1, keys + rcols),
-                              batch_format="pandas")
-
-    def join_partition(part: pd.DataFrame) -> pd.DataFrame:
-        left = part[part[_SIDE] == 0][left_cols]
-        right = part[part[_SIDE] == 1][keys + rcols]
-        # the None-filled tag columns degrade to object dtype through
-        # the union; restore proper dtypes on the joined output
-        return left.merge(right, on=keys, how=how,
-                          suffixes=("", suffix)).infer_objects()
+    def join_partition(part):
+        import pyarrow.compute as pc
+        side = part[_SIDE]
+        left = part.filter(pc.equal(side, 0)).select(left_cols)
+        right = part.filter(pc.equal(side, 1)).select(keys + rcols)
+        join_type = "inner" if how == "inner" else "left outer"
+        return left.join(right, keys=keys, join_type=join_type,
+                         right_suffix=suffix)
 
     return grouped_apply(lt.union(rt), keys, join_partition,
-                         num_partitions=num_partitions)
+                         num_partitions=num_partitions,
+                         fn_format="pyarrow")
 
 
 def anti_join(left_ds, keys_ds, on: str, num_partitions: int = 64):
     """Distributed anti join: left rows whose ``on`` value does NOT
-    appear in ``keys_ds``. One hash exchange on the key; no broadcast —
-    works when the key set is too large to ship to every worker (the
-    broadcast-Bloom variant in the guide is the small-side shortcut)."""
-    left_cols = list(left_ds.schema().names)
+    appear in ``keys_ds``. One Arrow-native hash exchange on the key; no
+    broadcast — works when the key set is too large to ship to every
+    worker (the broadcast-Bloom variant in the guide is the small-side
+    shortcut)."""
+    lschema = left_ds.schema()
+    left_cols = list(lschema.names)
+    types = _arrow_types(lschema)
 
-    def tag_left(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch[_SIDE] = 0
-        return batch
+    lt = left_ds.map_batches(
+        _tag_arrow(left_cols, types, left_cols, 0),
+        batch_format="pyarrow")
+    kt = keys_ds.map_batches(
+        _tag_arrow(left_cols, types, [on], 1),
+        batch_format="pyarrow")
 
-    def tag_keys(batch: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({on: batch[on]})
-        for c in left_cols:
-            if c not in out.columns:
-                out[c] = None
-        out[_SIDE] = 1
-        return out[left_cols + [_SIDE]]
-
-    lt = left_ds.map_batches(tag_left, batch_format="pandas")
-    kt = keys_ds.map_batches(tag_keys, batch_format="pandas")
-
-    def filter_partition(part: pd.DataFrame) -> pd.DataFrame:
-        banned = set(part.loc[part[_SIDE] == 1, on])
-        left = part[part[_SIDE] == 0]
-        return left[~left[on].isin(banned)][left_cols]
+    def filter_partition(part):
+        import pyarrow.compute as pc
+        side = part[_SIDE]
+        banned = part.filter(pc.equal(side, 1))[on].combine_chunks()
+        left = part.filter(pc.equal(side, 0))
+        keep = pc.invert(pc.is_in(left[on], value_set=banned))
+        return left.filter(keep).select(left_cols)
 
     return grouped_apply(lt.union(kt), [on], filter_partition,
-                         num_partitions=num_partitions)
+                         num_partitions=num_partitions,
+                         fn_format="pyarrow")
