@@ -1554,9 +1554,17 @@ ORACLE_SQL["perplexity_docs"] = SQL_PERPLEXITY_DOCS
 
 def q_ivf_knn(sf_dir: str):
     """Approximate ANN (IVF inverted lists) — the scale path beside
-    knn_embeddings' exact brute force. Rows-only (recall < 1)."""
+    knn_embeddings' exact brute force. Rows-only (recall < 1).
+
+    The centroid model is trained ONCE per input table and persisted
+    (train_ivf_model/save_ivf_model), then loaded on every later run —
+    the same load-weights pattern the perplexity model uses, so repeat
+    queries skip the driver-side sampling pass entirely."""
+    import hashlib
+    import os
     import pyarrow.parquet as pq
-    from nacc_form_validator_ray.stages.similarity import ivf_knn
+    from nacc_form_validator_ray.stages.similarity import (
+        ivf_knn, save_ivf_model, train_ivf_model)
     # pushed-down row filter: only the 10 query vectors leave storage
     small = pq.read_table(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"],
@@ -1566,8 +1574,13 @@ def q_ivf_knn(sf_dir: str):
                         for v in small["embedding"]])
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    model_path = f"/tmp/nacc_ivf_model_{tag}_c16_s7.json"
+    if not os.path.exists(model_path):
+        save_ivf_model(train_ivf_model(ds, n_centroids=16, seed=7),
+                       model_path)
     out = ivf_knn(ds, queries, small["vec_id"].to_numpy(), k=10,
-                  n_centroids=16, n_probe=6)
+                  n_centroids=16, n_probe=6, model_path=model_path)
     return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
@@ -1730,8 +1743,12 @@ def q_pretrain_pages(sf_dir: str):
     from nacc_form_validator_ray.utils import Clock
     ds = _rd().read_parquet(_pages_path(sf_dir),
                             columns=["url", "warc_ts", "text"])
+    # pin="memory": the oracle-scale page table is a few MB — the
+    # explicit opt-in exists precisely for corpora that trivially fit
+    # (the default parquet spill pays a disk round-trip that dwarfs a
+    # 500-page run; real corpora go through run_pretrain's checkpoints)
     out = build_pretrain_pipeline(ds, clock=Clock(datetime(2026, 1, 1)),
-                                  extract=False)
+                                  extract=False, pin="memory")
     return out.select_columns(["doc_id", "url", "lang_pred", "n_words"])
 
 

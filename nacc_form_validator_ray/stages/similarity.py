@@ -184,13 +184,39 @@ def _kmeans_fit(sample: np.ndarray, n_centroids: int, n_iter: int = 8,
     return centroids
 
 
+def train_ivf_model(ds, n_centroids: int = 16,
+                    vector_column: str = "embedding",
+                    sample_size: int = 4096, seed: int = 7) -> dict:
+    """Fit the IVF centroid model on a bounded driver-side sample and
+    return a small JSON-serializable artifact — train ONCE, then pass
+    (or ``save_ivf_model``/``model_path``) into every ``ivf_knn`` run,
+    exactly the load-weights-per-run pattern the perplexity model uses
+    (round-2 VERDICT #10: re-sampling per invocation paid an extra
+    ``take_all`` in every query path)."""
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = np.stack([np.asarray(r[vector_column], dtype=np.float64)
+                       for r in sample_rows])
+    centroids = _kmeans_fit(sample, n_centroids, seed=seed)
+    return {"centroids": centroids.tolist(),
+            "n_centroids": int(n_centroids), "seed": int(seed)}
+
+
+def save_ivf_model(model: dict, path: str) -> None:
+    import json
+    with open(path, "w") as f:
+        json.dump(model, f)
+
+
 def ivf_knn(ds, queries: np.ndarray, query_ids, k: int = 10,
             n_centroids: int = 16, n_probe: int = 4,
             id_column: str = "vec_id", vector_column: str = "embedding",
-            sample_size: int = 4096, seed: int = 7):
+            sample_size: int = 4096, seed: int = 7,
+            model: dict | None = None,
+            model_path: str | None = None):
     """IVF-style approximate top-k: the scale path for ANN.
 
-    1. fit centroids on a driver-side sample (tiny, deterministic);
+    1. load the centroid model (``model``/``model_path``), or fit it on
+       a driver-side sample when neither is given (tiny, deterministic);
     2. map_batches assigns every vector to its nearest centroid (the
        inverted list id) — an embarrassingly parallel pass;
     3. each query probes its ``n_probe`` closest centroids only; batches
@@ -202,10 +228,16 @@ def ivf_knn(ds, queries: np.ndarray, query_ids, k: int = 10,
     """
     import ray
 
-    sample_rows = ds.limit(sample_size).take_all()
-    sample = np.stack([np.asarray(r[vector_column], dtype=np.float64)
-                       for r in sample_rows])
-    centroids = _kmeans_fit(sample, n_centroids, seed=seed)
+    if model is None and model_path is not None:
+        import json
+        with open(model_path) as f:
+            model = json.load(f)
+    if model is None:
+        model = train_ivf_model(ds, n_centroids=n_centroids,
+                                vector_column=vector_column,
+                                sample_size=sample_size, seed=seed)
+    centroids = _normalize(np.asarray(model["centroids"],
+                                      dtype=np.float64))
 
     queries = _normalize(np.asarray(queries, dtype=np.float64))
     query_ids = np.asarray(query_ids)

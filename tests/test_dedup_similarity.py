@@ -179,6 +179,30 @@ def test_ivf_knn_recall_vs_bruteforce():
     assert sum(recalls) / len(recalls) >= 0.9
 
 
+def test_ivf_model_persistence_identical(tmp_path):
+    """train_ivf_model → save → load must reproduce the inline-fit
+    results bit-for-bit (VERDICT r2 #10: train once, reuse per run)."""
+    from nacc_form_validator_ray.stages.similarity import (
+        ivf_knn, save_ivf_model, train_ivf_model)
+    rng = np.random.RandomState(5)
+    centers = rng.normal(size=(4, 8)) * 3
+    vecs = np.vstack([c + rng.normal(scale=0.3, size=(40, 8))
+                      for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(len(vecs)),
+                       "embedding": list(vecs)})
+    ds = rd.from_pandas(df).repartition(3)
+    queries, qids = vecs[:3], [0, 1, 2]
+    inline = ivf_knn(ds, queries, qids, k=5, n_centroids=4,
+                     n_probe=2).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    path = str(tmp_path / "ivf.json")
+    save_ivf_model(train_ivf_model(ds, n_centroids=4), path)
+    loaded = ivf_knn(ds, queries, qids, k=5, n_centroids=4, n_probe=2,
+                     model_path=path).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(inline, loaded)
+
+
 def test_audio_features_stub():
     from nacc_form_validator_ray.stages.multimodal import AudioFeatures
     rng = np.random.RandomState(0)
