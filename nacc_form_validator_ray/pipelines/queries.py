@@ -991,15 +991,76 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 
 
 def q_embedding_neardup(sf_dir: str):
+    """Integer-exact cosine LSH: quantized components, LCG hyperplanes,
+    int64 threshold test — every decision reproducible in DuckDB
+    (SQL_EMBEDDING_NEARDUP), so this carries a hard oracle."""
     from nacc_form_validator_ray.stages.similarity import \
-        hyperplane_lsh_pairs
+        quantized_lsh_pairs
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
     dim = len(ds.take(1)[0]["embedding"])
     # the synthetic embeddings have no engineered near-dups (max pair
     # cosine ~0.48) — 0.4 with few planes exercises the bucket + verify
     # path on real candidate volume instead of returning zero rows
-    return hyperplane_lsh_pairs(ds, dim=dim, n_planes=6, threshold=0.4)
+    return quantized_lsh_pairs(ds, dim=dim, n_planes=6,
+                               threshold_num=2, threshold_den=5)
+
+
+def _sql_embedding_neardup(dim: int = 64, n_planes: int = 6,
+                           tn: int = 2, td: int = 5,
+                           max_bucket: int = 2048) -> str:
+    """DuckDB twin of quantized_lsh_pairs: same quantization
+    (floor(v*1024 + 0.5)), same LCG planes, same int threshold test,
+    same two-IEEE-op cosine."""
+    return f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings
+),
+plane AS (
+  SELECT (i // {n_planes}) AS d, (i % {n_planes}) AS j,
+         ((1103515245 * (i + 1) + 12345) % 2147483647) % 512 - 256 AS p
+  FROM range({dim * n_planes}) t(i)
+),
+sig AS (
+  SELECT c.vec_id, p.j,
+         CASE WHEN sum(c.q * p.p) > 0 THEN 1 ELSE 0 END AS s
+  FROM comp c JOIN plane p ON c.d = p.d GROUP BY c.vec_id, p.j
+),
+bucket AS (
+  SELECT vec_id, CAST(sum(s * (1::BIGINT << j)) AS BIGINT) AS b
+  FROM sig GROUP BY vec_id
+),
+capped AS (
+  SELECT vec_id, b FROM (
+    SELECT vec_id, b,
+           row_number() OVER (PARTITION BY b ORDER BY vec_id) AS rn
+    FROM bucket) WHERE rn <= {max_bucket}
+),
+norms AS (
+  SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2
+  FROM comp GROUP BY vec_id
+),
+prs AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM capped a JOIN capped b2 ON a.b = b2.b AND a.vec_id < b2.vec_id
+),
+dots AS (
+  SELECT p.id_a, p.id_b, CAST(sum(ca.q * cb.q) AS BIGINT) AS dot
+  FROM prs p JOIN comp ca ON ca.vec_id = p.id_a
+             JOIN comp cb ON cb.vec_id = p.id_b AND cb.d = ca.d
+  GROUP BY p.id_a, p.id_b
+)
+SELECT d.id_a, d.id_b,
+       CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE))
+           AS cosine
+FROM dots d JOIN norms na ON na.vec_id = d.id_a
+            JOIN norms nb ON nb.vec_id = d.id_b
+WHERE d.dot > 0
+  AND {td * td} * d.dot * d.dot >= {tn * tn} * na.n2 * nb.n2
+"""
 
 
 def q_fingerprint_docs(sf_dir: str):
@@ -1285,7 +1346,6 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "supplier_region": q_supplier_region,
     "validator_customer": q_validator_customer,
     "validator_lineitem": q_validator_lineitem,
-    # rows-only (non-SQL-expressible)
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
@@ -1320,6 +1380,7 @@ ORACLE_SQL: Dict[str, str] = {
 
 ORACLE_SQL["minhash_pairs"] = _sql_minhash_pairs()
 ORACLE_SQL["simhash_pairs"] = _sql_simhash_pairs()
+ORACLE_SQL["embedding_neardup"] = _sql_embedding_neardup()
 
 
 # --------------------------------------------------------------------------

@@ -162,6 +162,96 @@ def hyperplane_lsh_pairs(ds, dim: int, id_column: str = "vec_id",
                          num_partitions=8)
 
 
+# ------------------------------------------------- integer-exact LSH path
+
+#: quantization scale for the integer-exact LSH path: components become
+#: round(v * 2^10) — on unit-norm embeddings the induced cosine error is
+#: O(dim / 2^10), far below any near-dup threshold granularity
+LSH_SCALE = 1024
+#: plane coefficients land in [-256, 255] via the LCG family below
+LSH_PLANE_MOD = 512
+#: public LCG constants (same multiplicative family as the minhash
+#: mod-P31 chain) — both the engine and the DuckDB twin generate the
+#: hyperplanes from these, so no side-channel plane table is needed
+LSH_A, LSH_B = 1103515245, 12345
+LSH_P31 = 2 ** 31 - 1
+
+
+def _int_planes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic integer hyperplanes p[d, j] from the LCG family —
+    reproducible in SQL as ((A*(i+1)+B) % P31) % 512 - 256 over
+    i = d*n_planes + j."""
+    idx = np.arange(dim * n_planes, dtype=np.int64) + 1
+    vals = (LSH_A * idx + LSH_B) % LSH_P31 % LSH_PLANE_MOD \
+        - LSH_PLANE_MOD // 2
+    return vals.reshape(dim, n_planes).astype(np.float64)
+
+
+def quantized_lsh_pairs(ds, dim: int, id_column: str = "vec_id",
+                        vector_column: str = "embedding",
+                        n_planes: int = 12,
+                        threshold_num: int = 9, threshold_den: int = 10,
+                        max_bucket: int = 2048):
+    """Embedding near-duplicate pairs, integer-exact end-to-end — the
+    oracle-able twin of ``hyperplane_lsh_pairs``.
+
+    Every decision is integer arithmetic over quantized components
+    q = floor(v * 2^10 + 0.5): hyperplane signs (LCG planes), the bucket
+    key, and the threshold test ``den^2*dot^2 >= num^2*|a|^2*|b|^2``
+    (all bounded well inside int64 for unit-norm vectors up to ~2^13
+    dims). The reported cosine is ``dot / sqrt(|a|^2 * |b|^2)`` — two
+    correctly-rounded IEEE ops over exact integers, so DuckDB reproduces
+    it bit-for-bit (pipelines/queries.sql_embedding_neardup).
+
+    Semantics note: the metric is the QUANTIZED cosine; on unit-norm
+    inputs it differs from the float cosine by O(dim/2^10), which is the
+    documented contract (near-dup thresholds are never that sharp).
+    """
+    planes = _int_planes(dim, n_planes)
+    bit_vals = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(_matrix(batch[vector_column]) * LSH_SCALE + 0.5)
+        signs = (q @ planes) > 0  # products <= 2^18, sums exact in f64
+        batch = batch.copy()
+        batch["lsh_bucket"] = signs.astype(np.int64) @ bit_vals
+        return batch
+
+    hashed = ds.map_batches(hash_batch, batch_format="pandas")
+
+    tn2 = threshold_num * threshold_num
+    td2 = threshold_den * threshold_den
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype=np.int64),
+            "id_b": pd.Series([], dtype=np.int64),
+            "cosine": pd.Series([], dtype=np.float64)})
+        if len(group) < 2:
+            return empty
+        g = group.sort_values(id_column).head(max_bucket)
+        ids = g[id_column].to_numpy()
+        Q = np.floor(_matrix(g[vector_column]) * LSH_SCALE + 0.5)
+        G = Q @ Q.T  # exact: integer products <= 2^20, sums <= 2^26
+        n2 = np.diag(G).astype(np.int64)
+        ai, bi = np.triu_indices(len(g), k=1)
+        dot = G[ai, bi].astype(np.int64)
+        nn = n2[ai] * n2[bi]
+        keep = (dot > 0) & (td2 * dot * dot >= tn2 * nn)
+        if not keep.any():
+            return empty
+        return pd.DataFrame({
+            "id_a": ids[ai][keep],
+            "id_b": ids[bi][keep],
+            "cosine": dot[keep] / np.sqrt(nn[keep].astype(np.float64)),
+        })
+
+    # one signature per vector -> each pair surfaces from exactly one
+    # bucket: no cross-bucket dedup pass is needed
+    return hashed.groupby("lsh_bucket").map_groups(
+        verify, batch_format="pandas")
+
+
 # ---------------------------------------------------------------- IVF ANN
 
 
