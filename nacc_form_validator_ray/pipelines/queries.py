@@ -1091,14 +1091,66 @@ def q_multimodal_decode(sf_dir: str):
                         batch_size=64)
 
     def summarize(batch: pd.DataFrame) -> pd.DataFrame:
+        # quantize each feature to a 2^-20 grid BEFORE summing (the
+        # perplexity-oracle trick): integer sums are order-independent
+        # and exact, so the DuckDB twin reproduces feat_sum_int exactly
+        dims, sums = [], []
+        for f in batch["image_features"]:
+            q = np.floor(np.asarray(f, dtype=np.float64) * (1 << 20)
+                         + 0.5).astype(np.int64)
+            dims.append(len(f))
+            sums.append(int(q.sum() >> 20))
         return pd.DataFrame({
             "media_id": batch["media_id"],
-            "feat_dim": [len(f) for f in batch["image_features"]],
-            "feat_sum_int": [int(np.floor(np.asarray(f).sum()))
-                             for f in batch["image_features"]],
+            "feat_dim": np.asarray(dims, dtype=np.int64),
+            "feat_sum_int": np.asarray(sums, dtype=np.int64),
         })
 
     return ds.map_batches(summarize, batch_format="pandas")
+
+
+#: DuckDB twin of q_multimodal_decode: regenerates the counter-hash
+#: pixels (stages/multimodal.fake_decode_image) in SQL, recomputes
+#: channel means/stds + the floor(lum/32) luminance histogram — every
+#: intermediate is exact arithmetic over integer pixels — and folds the
+#: 2^-20-grid quantized feature sum exactly like the engine.
+SQL_MULTIMODAL_DECODE = """
+WITH payload AS (
+  SELECT doc_id AS media_id,
+         ('0x' || substr(sha256(coalesce(text, '')), 1, 15))::BIGINT
+             % 2147483647 AS seed
+  FROM documents
+),
+pix AS (
+  SELECT media_id, i // 3 AS p, i % 3 AS c,
+         (1103515245 * ((seed + i + 1) % 2147483647) + 12345)
+             % 2147483647 % 256 AS v
+  FROM payload, range(192) t(i)
+),
+cm AS (SELECT media_id, c, sum(v) / 64.0 AS m
+       FROM pix GROUP BY media_id, c),
+cs AS (SELECT p.media_id, p.c,
+              sqrt(sum((p.v - cm.m) * (p.v - cm.m)) / 64.0) AS s
+       FROM pix p JOIN cm ON cm.media_id = p.media_id AND cm.c = p.c
+       GROUP BY p.media_id, p.c),
+lum AS (SELECT media_id, p, sum(v) / 3.0 AS l
+        FROM pix GROUP BY media_id, p),
+hist AS (SELECT media_id, CAST(floor(l / 32) AS BIGINT) AS bin,
+                count(*) AS n
+         FROM lum GROUP BY 1, 2),
+qparts AS (
+  SELECT media_id, CAST(floor(m * 1048576 + 0.5) AS BIGINT) AS q FROM cm
+  UNION ALL
+  SELECT media_id, CAST(floor(s * 1048576 + 0.5) AS BIGINT) FROM cs
+  UNION ALL
+  SELECT media_id, CAST(floor(n / 64.0 * 1048576 + 0.5) AS BIGINT)
+  FROM hist
+)
+SELECT pl.media_id, 14 AS feat_dim,
+       CAST(floor(sum(q.q) / 1048576.0) AS BIGINT) AS feat_sum_int
+FROM payload pl JOIN qparts q ON q.media_id = pl.media_id
+GROUP BY pl.media_id
+"""
 
 
 def _pages_n(sf_dir: str) -> int:
@@ -1381,6 +1433,7 @@ ORACLE_SQL: Dict[str, str] = {
 ORACLE_SQL["minhash_pairs"] = _sql_minhash_pairs()
 ORACLE_SQL["simhash_pairs"] = _sql_simhash_pairs()
 ORACLE_SQL["embedding_neardup"] = _sql_embedding_neardup()
+ORACLE_SQL["multimodal_decode"] = SQL_MULTIMODAL_DECODE
 
 
 # --------------------------------------------------------------------------

@@ -31,17 +31,28 @@ except ImportError:
     _HAS_PIL = False
 
 
+#: counter-based pixel generator constants (public LCG family over the
+#: Mersenne prime 2^31-1 — the same mod-P31 arithmetic the minhash and
+#: quantized-LSH twins use, so DuckDB reproduces every pixel exactly)
+_PIX_A, _PIX_B = 1103515245, 12345
+_P31 = 2 ** 31 - 1
+
+
 def fake_decode_image(payload: bytes, size: Tuple[int, int]) -> np.ndarray:
     """Deterministic stand-in decoder: payload bytes -> pseudo-pixels.
 
-    Derived purely from the payload hash so results are stable across
-    runs/workers. Swap for a real decoder by constructing the stage with
-    ``use_fake=False`` in an environment that has PIL."""
-    h = hashlib.sha256(payload).digest()
-    seed = int.from_bytes(h[:8], "big") % (2**32)
-    rng = np.random.RandomState(seed)
-    return rng.randint(0, 256, size=(size[1], size[0], 3)) \
-        .astype(np.uint8)
+    seed = first 60 bits of sha256(payload) mod P31; pixel i (row-major,
+    channel-last) is ((A*((seed+i+1) mod P31) + B) mod P31) mod 256 — a
+    CLOSED-FORM counter hash rather than a sequential RNG, so the DuckDB
+    twin (pipelines/queries.sql_multimodal_decode) regenerates the exact
+    pixel array in SQL. Stable across runs/workers; swap for a real
+    decoder by constructing the stage with ``use_fake=False`` in an
+    environment that has PIL."""
+    h = hashlib.sha256(payload).hexdigest()
+    seed = int(h[:15], 16) % _P31
+    i = np.arange(size[0] * size[1] * 3, dtype=np.int64)
+    vals = (_PIX_A * ((seed + i + 1) % _P31) + _PIX_B) % _P31 % 256
+    return vals.astype(np.uint8).reshape(size[1], size[0], 3)
 
 
 class DecodeImage:
@@ -91,7 +102,13 @@ class ImageFeatures:
             mean = arr.mean(axis=(0, 1))
             std = arr.std(axis=(0, 1))
             lum = arr.mean(axis=2)
-            hist, _ = np.histogram(lum, bins=8, range=(0, 256))
+            # explicit floor-division histogram (== np.histogram with
+            # bins=8, range=(0,256) for values in [0,256)): the binning
+            # rule floor(lum/32) is what the DuckDB twin states, and
+            # every intermediate here is exact float arithmetic over
+            # integer pixels, so SQL reproduces it bit-for-bit
+            bins = np.floor(lum / 32).astype(np.intp).ravel()
+            hist = np.bincount(bins, minlength=8)[:8]
             hist = hist / max(lum.size, 1)
             feats.append(np.concatenate([mean, std, hist]))
         batch = batch.copy()

@@ -18,7 +18,7 @@ FAST_QUERIES = [
     "segment_revenue", "part_filter", "validator_customer",
     "orders_by_month", "sample_events", "fingerprint_md5",
     "asof_prior_purchase", "range_join_events", "jaccard_clusters",
-    "contamination", "embedding_neardup",
+    "contamination", "embedding_neardup", "multimodal_decode",
 ]
 
 
