@@ -88,6 +88,85 @@ FROM g
 """
 
 
+def q_repetition_docs(sf_dir: str):
+    """Gopher-style repetition signals (line dup fractions + top-bigram
+    coverage) — the classic web-scale repetitive-boilerplate cut."""
+    from nacc_form_validator_ray.stages.text_signals import \
+        RepetitionSignals
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(RepetitionSignals(), batch_format="pyarrow",
+                        batch_size=4096)
+    return ds.select_columns(["doc_id", "n_lines", "dup_line_frac",
+                              "dup_line_char_frac",
+                              "top_2gram_char_frac", "repetitive"])
+
+
+#: DuckDB twin of RepetitionSignals: identical line trim/split rule,
+#: identical tokenizer contract as the text_stats twin, and the bigram
+#: coverage folds from the joined bigram string (length(bg) - 1 ==
+#: len(w0) + len(w1)). Every fraction is one division of exact ints.
+SQL_REPETITION_DOCS = """
+WITH lines AS (
+  SELECT doc_id,
+         trim(unnest(string_split(coalesce(text, ''), chr(10))),
+              ' ' || chr(9) || chr(13)) AS line
+  FROM documents
+),
+nz AS (SELECT doc_id, line, length(line) AS l FROM lines
+       WHERE length(line) > 0),
+lg AS (SELECT doc_id, line, max(l) AS l, count(*) AS c
+       FROM nz GROUP BY doc_id, line),
+lstat AS (
+  SELECT doc_id, sum(c) AS n_lines, count(*) AS distinct_lines,
+         sum((c - 1) * l) AS extra_chars, sum(c * l) AS tot_chars
+  FROM lg GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS ws
+  FROM documents
+),
+tchars AS (
+  SELECT doc_id, list_sum(list_transform(ws, x -> length(x)))
+             AS tok_chars
+  FROM toks
+),
+big AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         i -> ws[i] || ' ' || ws[i + 1])) AS bg
+  FROM toks WHERE len(ws) >= 2
+),
+bgc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg),
+cov AS (SELECT doc_id, max(c * (length(bg) - 1)) AS max_cov
+        FROM bgc GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(ls.n_lines, 0) AS BIGINT) AS n_lines,
+       CASE WHEN coalesce(ls.n_lines, 0) > 0
+            THEN 1.0 - CAST(ls.distinct_lines AS DOUBLE) / ls.n_lines
+            ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN coalesce(ls.tot_chars, 0) > 0
+            THEN CAST(ls.extra_chars AS DOUBLE) / ls.tot_chars
+            ELSE 0.0 END AS dup_line_char_frac,
+       CASE WHEN coalesce(tc.tok_chars, 0) > 0
+            THEN CAST(coalesce(cv.max_cov, 0) AS DOUBLE) / tc.tok_chars
+            ELSE 0.0 END AS top_2gram_char_frac,
+       (CASE WHEN coalesce(ls.n_lines, 0) > 0
+             THEN 1.0 - CAST(ls.distinct_lines AS DOUBLE) / ls.n_lines
+             ELSE 0.0 END > CAST(0.30 AS DOUBLE)
+        OR CASE WHEN coalesce(ls.tot_chars, 0) > 0
+                THEN CAST(ls.extra_chars AS DOUBLE) / ls.tot_chars
+                ELSE 0.0 END > CAST(0.30 AS DOUBLE)
+        OR CASE WHEN coalesce(tc.tok_chars, 0) > 0
+                THEN CAST(coalesce(cv.max_cov, 0) AS DOUBLE)
+                     / tc.tok_chars
+                ELSE 0.0 END > CAST(0.18 AS DOUBLE)) AS repetitive
+FROM documents d
+LEFT JOIN lstat ls ON ls.doc_id = d.doc_id
+LEFT JOIN tchars tc ON tc.doc_id = d.doc_id
+LEFT JOIN cov cv ON cv.doc_id = d.doc_id
+"""
+
+
 def q_langid(sf_dir: str):
     # fused Arrow signal pass (TextStats langid) — same tokenize-once +
     # bank-membership semantics as the standalone pandas LangId stage
@@ -1379,6 +1458,7 @@ def flagship_oracles(sf_dir: str) -> Dict[str, str]:
 
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "text_stats": q_text_stats,
+    "repetition_docs": q_repetition_docs,
     "langid": q_langid,
     "quality_filter_docs": q_quality_filter,
     "pii_scrub": q_pii_scrub,
@@ -1434,6 +1514,7 @@ ORACLE_SQL["minhash_pairs"] = _sql_minhash_pairs()
 ORACLE_SQL["simhash_pairs"] = _sql_simhash_pairs()
 ORACLE_SQL["embedding_neardup"] = _sql_embedding_neardup()
 ORACLE_SQL["multimodal_decode"] = SQL_MULTIMODAL_DECODE
+ORACLE_SQL["repetition_docs"] = SQL_REPETITION_DOCS
 
 
 # --------------------------------------------------------------------------

@@ -409,6 +409,150 @@ def _rep_3gram_counts(codes: np.ndarray, dictionary, doc_id: np.ndarray,
     return total, distinct
 
 
+class RepetitionSignals:
+    """Gopher-style intra-document repetition signals (line-level +
+    top-bigram coverage; the 3-gram duplication ratio lives in
+    TextStats' ``rep_3gram_*``).
+
+    Appends per document:
+
+    * ``n_lines`` — nonempty lines after trimming " \\t\\r";
+    * ``dup_line_frac`` — ``1 - distinct_lines / n_lines`` (fraction of
+      line OCCURRENCES that repeat an earlier identical line);
+    * ``dup_line_char_frac`` — characters inside repeated occurrences
+      (beyond each line's first) over all nonempty-line characters;
+    * ``top_2gram_char_frac`` — max over word bigrams of
+      ``count * (len(w0) + len(w1))`` divided by total token characters.
+      Defined as the MAX COVERAGE (not "chars of the most frequent
+      bigram") so count ties need no tie-break — deterministic, and
+      exactly reproducible in SQL;
+    * ``repetitive`` — any of the Gopher-flavored cuts trips:
+      dup_line_frac > 0.30, dup_line_char_frac > 0.30, or
+      top_2gram_char_frac > 0.18.
+
+    Every numerator/denominator is an exact integer and each fraction is
+    ONE correctly-rounded float division, so the DuckDB twin
+    (pipelines/queries.SQL_REPETITION_DOCS) matches bit-for-bit. Fully
+    vectorized: Arrow split/trim/dictionary_encode for lines, the shared
+    packed-run tokenizer for bigrams — no Python loop over rows.
+    """
+
+    def __init__(self, text_column: str = "text"):
+        self.text_column = text_column
+
+    def _core(self, text) -> Dict[str, np.ndarray]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        n = len(text)
+        filled = pc.fill_null(text, "")
+
+        # ---------------- lines
+        n_lines = np.zeros(n, dtype=np.int64)
+        distinct_lines = np.zeros(n, dtype=np.int64)
+        extra_chars = np.zeros(n, dtype=np.int64)
+        tot_chars = np.zeros(n, dtype=np.int64)
+        lst = pc.split_pattern(filled, "\n")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        counts = pc.list_value_length(lst).to_numpy() \
+            .astype(np.int64, copy=False)
+        line_doc = np.repeat(np.arange(n, dtype=np.int64), counts)
+        flat = pc.list_flatten(lst)
+        trimmed = pc.utf8_trim(flat, " \t\r")
+        llen = pc.utf8_length(trimmed).to_numpy().astype(np.int64,
+                                                         copy=False)
+        keep = llen > 0
+        if keep.any():
+            line_doc = line_doc[keep]
+            llen = llen[keep]
+            enc = pc.dictionary_encode(pc.filter(trimmed,
+                                                 pa.array(keep)))
+            codes = enc.indices.to_numpy().astype(np.int64, copy=False)
+            n_lines = np.bincount(line_doc, minlength=n)
+            tot_chars = np.bincount(line_doc, weights=llen,
+                                    minlength=n).astype(np.int64)
+            # distinct (doc, line) via single-key sort on packed int64
+            bits = max(int(len(enc.dictionary) - 1).bit_length(), 1)
+            order = np.argsort((line_doc << bits) | codes)
+            packed = ((line_doc << bits) | codes)[order]
+            new = np.ones(len(packed), dtype=bool)
+            new[1:] = packed[1:] != packed[:-1]
+            uniq = packed[new]
+            distinct_lines = np.bincount(uniq >> bits, minlength=n)
+            # chars beyond each distinct line's first occurrence
+            dist_chars = np.bincount(
+                uniq >> bits, weights=llen[order][new],
+                minlength=n).astype(np.int64)
+            extra_chars = tot_chars - dist_chars
+
+        # ---------------- top-bigram coverage
+        max_cov = np.zeros(n, dtype=np.int64)
+        tok_chars = np.zeros(n, dtype=np.int64)
+        codes_t, dictionary, tok_doc, _ = arrow_token_codes(text)
+        if dictionary is not None and len(codes_t):
+            wlen = pc.utf8_length(dictionary).to_numpy() \
+                .astype(np.int64, copy=False)
+            tok_chars = np.bincount(tok_doc, weights=wlen[codes_t],
+                                    minlength=n).astype(np.int64)
+            if len(codes_t) >= 2:
+                same = tok_doc[:-1] == tok_doc[1:]
+                if same.any():
+                    c0 = codes_t[:-1][same].astype(np.int64)
+                    c1 = codes_t[1:][same].astype(np.int64)
+                    d = tok_doc[:-1][same].astype(np.int64)
+                    bits_v = max(int(len(dictionary) - 1).bit_length(),
+                                 1)
+                    packed = np.sort(
+                        ((d << bits_v) | c0) << bits_v | c1)
+                    new = np.ones(len(packed), dtype=bool)
+                    new[1:] = packed[1:] != packed[:-1]
+                    starts = np.flatnonzero(new)
+                    rc = np.diff(np.append(starts, len(packed)))
+                    rb = packed[starts]
+                    mask = np.int64((1 << bits_v) - 1)
+                    cov = rc * (wlen[rb & mask]
+                                + wlen[(rb >> bits_v) & mask])
+                    rd = rb >> np.int64(2 * bits_v)
+                    doc_new = np.ones(len(rd), dtype=bool)
+                    doc_new[1:] = rd[1:] != rd[:-1]
+                    doc_starts = np.flatnonzero(doc_new)
+                    max_cov[rd[doc_starts]] = np.maximum.reduceat(
+                        cov, doc_starts)
+
+        dlf = np.zeros(n, dtype=np.float64)
+        has = n_lines > 0
+        dlf[has] = 1.0 - distinct_lines[has] / n_lines[has]
+        dlcf = np.zeros(n, dtype=np.float64)
+        hc = tot_chars > 0
+        dlcf[hc] = extra_chars[hc] / tot_chars[hc]
+        t2g = np.zeros(n, dtype=np.float64)
+        ht = tok_chars > 0
+        t2g[ht] = max_cov[ht] / tok_chars[ht]
+        return {
+            "n_lines": n_lines,
+            "dup_line_frac": dlf,
+            "dup_line_char_frac": dlcf,
+            "top_2gram_char_frac": t2g,
+            "repetitive": (dlf > 0.30) | (dlcf > 0.30) | (t2g > 0.18),
+        }
+
+    def __call__(self, batch):
+        import pyarrow as pa
+        if isinstance(batch, pa.Table):
+            col = batch[self.text_column]
+            arr = col.combine_chunks() if isinstance(
+                col, pa.ChunkedArray) else col
+            for name, values in self._core(arr).items():
+                batch = batch.append_column(name, pa.array(values))
+            return batch
+        text_arr = pa.array(batch[self.text_column].fillna(""),
+                            type=pa.string())
+        batch = batch.copy()
+        for name, values in self._core(text_arr).items():
+            batch[name] = values
+        return batch
+
+
 class LangId:
     """Stopword-bank language identifier.
 

@@ -68,6 +68,66 @@ def test_rep_3gram_exact_value():
     assert out["rep_3gram_ratio"].iloc[0] == pytest.approx(1 - 3 / 7)
 
 
+def test_repetition_signals_exact_values():
+    from nacc_form_validator_ray.stages.text_signals import \
+        RepetitionSignals
+    df = pd.DataFrame({"text": [
+        # 4 nonempty lines, "spam ham" twice -> 2 distinct of 4... no:
+        # lines are {"spam ham" x3, "eggs"}: distinct 2, dup occurrences
+        # 2 of 4; chars: total 3*8+4=28, extra 2*8=16
+        "spam ham\nspam ham\n  spam ham \n\neggs",
+        "aaa bbb ccc ddd eee fff ggg hhh iii jjj kkk lll\n"
+        "mmm nnn ooo ppp qqq rrr sss ttt uuu vvv www xxx",
+        "",
+        None,
+        # bigram "data data" dominates: tokens d d d d x -> bigrams
+        # (d,d)x3 (d,x)x1 -> max_cov 3*8=24, tok_chars 17
+        "data data data data x",
+    ]})
+    out = RepetitionSignals()(df)
+    assert out["n_lines"].tolist() == [4, 2, 0, 0, 1]
+    assert out["dup_line_frac"].iloc[0] == 1 - 2 / 4
+    assert out["dup_line_char_frac"].iloc[0] == 16 / 28
+    assert out["dup_line_frac"].iloc[1] == 0.0
+    assert out["dup_line_frac"].iloc[2] == 0.0
+    assert out["top_2gram_char_frac"].iloc[4] == 24 / 17
+    assert bool(out["repetitive"].iloc[0]) is True
+    assert bool(out["repetitive"].iloc[1]) is False
+
+
+def test_repetition_signals_duckdb_parity_structured():
+    """Engine vs the SQL twin on docs WITH real line structure (the
+    synthetic corpus has no newlines, so the driver's gate never
+    exercises the line path — this locks it)."""
+    import duckdb
+    from nacc_form_validator_ray.pipelines.queries import \
+        SQL_REPETITION_DOCS
+    from nacc_form_validator_ray.stages.text_signals import \
+        RepetitionSignals
+    rng = np.random.RandomState(11)
+    words = ["alpha", "beta", "gamma", "delta", "data", "x"]
+    docs = []
+    for i in range(40):
+        lines = []
+        for _ in range(rng.randint(1, 8)):
+            lines.append(" ".join(rng.choice(words,
+                                             size=rng.randint(0, 6))))
+        if i % 3 == 0 and lines:
+            lines.append(lines[0])  # engineered duplicate line
+        docs.append("\n".join(lines))
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                       "text": docs})
+    eng = RepetitionSignals()(df.copy())[
+        ["doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+         "top_2gram_char_frac", "repetitive"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = con.sql(SQL_REPETITION_DOCS).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(eng, sql, check_dtype=False)
+
+
 def test_langid():
     df = pd.DataFrame({"text": [
         "the cat and the dog of the house was in the garden",
