@@ -394,6 +394,45 @@ FROM documents GROUP BY 1
 """
 
 
+def q_line_dedup(sf_dir: str):
+    """Cross-document line dedup (CCNet-style boilerplate removal):
+    lines in >= 2 distinct docs vanish from every doc."""
+    from nacc_form_validator_ray.stages.dedup import line_dedup
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return line_dedup(ds, min_docs=2)
+
+
+#: DuckDB twin of line_dedup: groups the line STRINGS directly
+#: (the engine's 62-bit fold-hash pair stands in for string identity;
+#: semantics differ only on a hash collision).
+SQL_LINE_DEDUP_DOCS = """
+WITH lns AS (
+  SELECT doc_id, generate_subscripts(ls, 1) AS idx, unnest(ls) AS ln
+  FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+        FROM documents)
+),
+banned AS (
+  SELECT ln FROM lns GROUP BY ln HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT doc_id, idx, ln FROM lns
+  WHERE ln NOT IN (SELECT ln FROM banned)
+),
+agg AS (
+  SELECT doc_id, string_agg(ln, chr(10) ORDER BY idx) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM lns GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.text, '') AS text,
+       CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT)
+           AS n_lines_dropped
+FROM documents d
+JOIN tot t ON t.doc_id = d.doc_id
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
 def q_score_recompute(sf_dir: str):
     ds = _docs(sf_dir, columns=["doc_id", "text", "n_chars"])
 
@@ -1464,6 +1503,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "pii_scrub": q_pii_scrub,
     "token_count_by_source": q_token_count_by_source,
     "dedup_exact": q_dedup_exact,
+    "line_dedup_docs": q_line_dedup,
     "score_recompute": q_score_recompute,
     "jaccard_pairs": q_jaccard_pairs,
     "temporal_events": q_temporal_events,
@@ -1515,6 +1555,7 @@ ORACLE_SQL["simhash_pairs"] = _sql_simhash_pairs()
 ORACLE_SQL["embedding_neardup"] = _sql_embedding_neardup()
 ORACLE_SQL["multimodal_decode"] = SQL_MULTIMODAL_DECODE
 ORACLE_SQL["repetition_docs"] = SQL_REPETITION_DOCS
+ORACLE_SQL["line_dedup_docs"] = SQL_LINE_DEDUP_DOCS
 
 
 # --------------------------------------------------------------------------

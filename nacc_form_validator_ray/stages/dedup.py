@@ -63,12 +63,14 @@ def _fold_hash_strings(flat: np.ndarray,
     utf-8 bytes, vectorized: ONE packed Arrow buffer, positional power
     table, ``np.add.reduceat`` per segment — no Python loop over
     strings. Equals DuckDB's
-    ``list_reduce(chars, (a,b) -> (a*mult + b) % 2147483647)``."""
+    ``list_reduce(chars, (a,b) -> (a*mult + b) % 2147483647)``.
+    Accepts a numpy object array or a ``pa.StringArray`` (zero-copy)."""
     import pyarrow as pa
     n = len(flat)
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    arr = pa.array(flat, type=pa.string())
+    arr = flat if isinstance(flat, pa.Array) \
+        else pa.array(flat, type=pa.string())
     off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
         arr.offset:arr.offset + n + 1].astype(np.int64)
     data = arr.buffers()[2]
@@ -772,3 +774,149 @@ def propagate_labels(pairs_ds, ids_ds, id_column: str = "doc_id",
         lambda b: pd.DataFrame({id_column: b[id_column],
                                 "cluster": b["label"]}),
         batch_format="pandas")
+
+
+# ------------------------------------------------- cross-doc line dedup
+
+
+def _split_lines_arrow(text):
+    """(flat pa.StringArray of lines, per-doc line counts, line->doc
+    index) for an Arrow string column — split on '\\n', no trim."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    lst = pc.split_pattern(pc.fill_null(text, ""), "\n")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    counts = pc.list_value_length(lst).to_numpy() \
+        .astype(np.int64, copy=False)
+    flat = pc.list_flatten(lst)
+    line_doc = np.repeat(np.arange(len(text), dtype=np.int64), counts)
+    return flat, counts, line_doc
+
+
+def line_dedup(ds, id_column: str = "doc_id", text_column: str = "text",
+               min_docs: int = 2, num_partitions: int = 32):
+    """Cross-document line deduplication (CCNet-style boilerplate
+    removal): any line occurring in >= ``min_docs`` DISTINCT documents
+    is removed from EVERY document; remaining lines are rejoined with
+    '\\n' in their original order.
+
+    Scale shape: the counting exchange carries only (h1, h2, partial
+    distinct-doc count) per distinct line hash — two 31-bit polynomial
+    fold hashes (62 bits combined; a collision wrongly drops one extra
+    line, acceptable for a lossy boilerplate cut and documented here) —
+    never line text. Per-batch partials are exact because a document's
+    lines live in one batch, so per-batch distinct (line, doc) pairs
+    are globally distinct. The banned set (boilerplate lines) is tiny
+    relative to the corpus and is broadcast once via ``ray.put``; the
+    drop pass re-splits, tests membership against the broadcast set,
+    and reassembles each document with packed-buffer gathers — no
+    Python loop over lines anywhere.
+
+    DuckDB twin: pipelines/queries.SQL_LINE_DEDUP_DOCS groups the line
+    STRINGS directly (HAVING count(DISTINCT doc_id) >= k) — identical
+    semantics absent a 62-bit hash collision.
+    """
+    import pyarrow as pa
+    import ray
+    from nacc_form_validator_ray.stages.partition import (grouped_agg_sum,
+                                                          run_boundaries)
+
+    def count_project(batch: pa.Table) -> dict:
+        flat, _, line_doc = _split_lines_arrow(batch[text_column])
+        h1 = _fold_hash_strings(flat, TOKEN_FOLD_MULT)
+        h2 = _fold_hash_strings(flat, TOKEN_FOLD_MULT2)
+        # distinct (line, doc) within the batch via single-key runs
+        order, starts = run_boundaries([h1, h2, line_doc])
+        if not len(order):
+            return {"__h1": np.empty(0, dtype=np.int64),
+                    "__h2": np.empty(0, dtype=np.int64),
+                    "__cnt": np.empty(0, dtype=np.int64)}
+        sh1, sh2 = h1[order][starts], h2[order][starts]
+        # collapse equal (h1, h2) runs: count = number of distinct docs
+        new = np.ones(len(starts), dtype=bool)
+        new[1:] = (sh1[1:] != sh1[:-1]) | (sh2[1:] != sh2[:-1])
+        grp_starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(grp_starts, len(starts)))
+        return {"__h1": sh1[grp_starts], "__h2": sh2[grp_starts],
+                "__cnt": cnt.astype(np.int64)}
+
+    totals = grouped_agg_sum(
+        ds.map_batches(count_project, batch_format="pyarrow"),
+        ["__h1", "__h2"], ["__cnt"], num_partitions=num_partitions)
+
+    def over_threshold(part: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return part.filter(
+            pc.greater_equal(part["__cnt"], min_docs)) \
+            .select(["__h1", "__h2"])
+
+    banned_tbl = totals.map_batches(
+        over_threshold, batch_format="pyarrow").to_pandas()
+    if "__h1" in banned_tbl.columns and len(banned_tbl):
+        banned = (banned_tbl["__h1"].to_numpy().astype(np.int64)
+                  + 1j * banned_tbl["__h2"].to_numpy().astype(np.int64)
+                  ).astype(np.complex128)
+    else:  # an all-unique corpus yields a schema-less empty pull
+        banned = np.empty(0, dtype=np.complex128)
+    banned_ref = ray.put(banned)
+
+    class DropLines:
+        def __init__(self, ref):
+            self.banned = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            flat, counts, line_doc = _split_lines_arrow(
+                batch[text_column])
+            n = batch.num_rows
+            h1 = _fold_hash_strings(flat, TOKEN_FOLD_MULT)
+            h2 = _fold_hash_strings(flat, TOKEN_FOLD_MULT2)
+            key = (h1 + 1j * h2).astype(np.complex128)
+            drop = np.isin(key, self.banned)
+            kept = ~drop
+            # reassemble: packed-buffer gather, '\n' between kept lines
+            off = np.frombuffer(flat.buffers()[1], dtype=np.int32)[
+                flat.offset:flat.offset + len(flat) + 1] \
+                .astype(np.int64)
+            lbuf = np.frombuffer(flat.buffers()[2], dtype=np.uint8) \
+                if flat.buffers()[2] is not None \
+                else np.empty(0, dtype=np.uint8)
+            starts = off[:-1][kept]
+            lens = np.diff(off)[kept]
+            kdoc = line_doc[kept]
+            first = np.ones(len(kdoc), dtype=bool)
+            first[1:] = kdoc[1:] != kdoc[:-1]
+            slot = lens + (~first).astype(np.int64)
+            slot_off = np.zeros(len(slot) + 1, dtype=np.int64)
+            np.cumsum(slot, out=slot_off[1:])
+            out = np.empty(int(slot_off[-1]), dtype=np.uint8)
+            out[slot_off[:-1][~first]] = 10  # b'\n'
+            dst0 = slot_off[:-1] + (~first).astype(np.int64)
+            m = int(lens.sum())
+            if m:
+                dst = np.arange(m, dtype=np.int64) + np.repeat(
+                    dst0 - np.concatenate(
+                        ([0], np.cumsum(lens)[:-1])), lens)
+                src = np.arange(m, dtype=np.int64) + np.repeat(
+                    starts - np.concatenate(
+                        ([0], np.cumsum(lens)[:-1])), lens)
+                out[dst] = lbuf[src]
+            doc_bytes = np.bincount(kdoc, weights=slot,
+                                    minlength=n).astype(np.int64)
+            doc_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(doc_bytes, out=doc_off[1:])
+            new_text = pa.Array.from_buffers(
+                pa.utf8(), n,
+                [None, pa.py_buffer(doc_off.astype(np.int32)),
+                 pa.py_buffer(out)])
+            dropped = (np.bincount(line_doc, minlength=n)
+                       - np.bincount(kdoc, minlength=n)) \
+                .astype(np.int64)
+            return pa.table({
+                id_column: batch[id_column],
+                text_column: new_text,
+                "n_lines_dropped": pa.array(dropped),
+            })
+
+    return ds.map_batches(DropLines, fn_constructor_kwargs=dict(
+        ref=banned_ref), batch_format="pyarrow", concurrency=(1, 8))

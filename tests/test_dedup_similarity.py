@@ -179,6 +179,42 @@ def test_ivf_knn_recall_vs_bruteforce():
     assert sum(recalls) / len(recalls) >= 0.9
 
 
+def test_line_dedup_crafted_and_duckdb_parity():
+    """line_dedup on docs WITH real line structure (the synthetic
+    corpus has no newlines, so the driver's gate only exercises the
+    degenerate whole-text-as-one-line path)."""
+    import duckdb
+    from nacc_form_validator_ray.pipelines.queries import \
+        SQL_LINE_DEDUP_DOCS
+    from nacc_form_validator_ray.stages.dedup import line_dedup
+    rng = np.random.RandomState(3)
+    boiler = ["all rights reserved", "click here to subscribe", ""]
+    docs = []
+    for i in range(60):
+        lines = [f"unique line {i}-{j}"
+                 for j in range(rng.randint(1, 5))]
+        for b in boiler:
+            if rng.rand() < 0.5:
+                lines.insert(rng.randint(0, len(lines) + 1), b)
+        docs.append("\n".join(lines))
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64),
+                       "text": docs})
+    out = line_dedup(rd.from_pandas(df).repartition(4),
+                     min_docs=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = con.sql(SQL_LINE_DEDUP_DOCS).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["doc_id", "text", "n_lines_dropped"]], sql,
+        check_dtype=False)
+    assert out["n_lines_dropped"].sum() > 0
+    joined = "\n".join(out["text"])
+    assert "all rights reserved" not in joined
+    assert "unique line 0-0" in joined
+
+
 def test_ivf_model_persistence_identical(tmp_path):
     """train_ivf_model → save → load must reproduce the inline-fit
     results bit-for-bit (VERDICT r2 #10: train once, reuse per run)."""
