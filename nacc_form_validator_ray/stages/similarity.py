@@ -20,6 +20,33 @@ def _matrix(col) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col])
 
 
+def _matrix_from_arrow(col) -> np.ndarray:
+    """(n, d) float64 matrix from an Arrow list<float> column without a
+    per-row Python loop: the flat values buffer converts in ONE
+    astype/reshape (zero-copy up to the dtype widening)."""
+    import pyarrow as pa
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+        else col
+    if isinstance(arr, pa.FixedSizeListArray):
+        vals = arr.values.to_numpy(zero_copy_only=False)
+        return vals.astype(np.float64, copy=False) \
+            .reshape(len(arr), -1)
+    if not isinstance(arr, (pa.ListArray, pa.LargeListArray)):
+        # e.g. Ray's ArrowTensorArray extension: already a dense tensor
+        dense = np.asarray(arr.to_numpy(zero_copy_only=False))
+        return dense.astype(np.float64, copy=False) \
+            .reshape(len(arr), -1)
+    offs = arr.offsets.to_numpy().astype(np.int64, copy=False)
+    lens = np.diff(offs)
+    if len(lens) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if not (lens == lens[0]).all():
+        raise ValueError("ragged embedding column")
+    vals = arr.values.to_numpy(zero_copy_only=False)[offs[0]:offs[-1]]
+    return vals.astype(np.float64, copy=False) \
+        .reshape(len(arr), int(lens[0]))
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -40,24 +67,27 @@ class BatchTopK:
         self.id_column = id_column
         self.vector_column = vector_column
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        vecs = _normalize(_matrix(batch[self.vector_column]))
-        ids = batch[self.id_column].to_numpy()
+    def __call__(self, batch):
+        import pyarrow as pa
+        if isinstance(batch, pa.Table):
+            vecs = _normalize(_matrix_from_arrow(
+                batch[self.vector_column]))
+            ids = batch[self.id_column].to_numpy()
+        else:
+            vecs = _normalize(_matrix(batch[self.vector_column]))
+            ids = batch[self.id_column].to_numpy()
         sims = self.queries @ vecs.T  # (n_queries, batch)
         # keep k+1 locally so excluding the query's own row downstream
         # cannot cut a true neighbor
         k = min(self.k + 1, sims.shape[1])
-        # local top-k per query (argpartition = O(n))
+        # local top-k per query (argpartition = O(n)), emitted as flat
+        # arrays — no per-query DataFrame assembly
         part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
-        rows = []
-        for qi in range(sims.shape[0]):
-            idx = part[qi]
-            rows.append(pd.DataFrame({
-                "query_id": np.full(k, self.query_ids[qi]),
-                "neighbor_id": ids[idx],
-                "cosine": sims[qi, idx],
-            }))
-        return pd.concat(rows, ignore_index=True)
+        return {
+            "query_id": np.repeat(self.query_ids, k),
+            "neighbor_id": ids[part].ravel(),
+            "cosine": np.take_along_axis(sims, part, axis=1).ravel(),
+        }
 
 
 def knn_bruteforce(ds, queries: np.ndarray, query_ids, k: int = 10,
@@ -80,7 +110,7 @@ def knn_bruteforce(ds, queries: np.ndarray, query_ids, k: int = 10,
                                    id_column=id_column,
                                    vector_column=vector_column,
                                    query_ids=query_ids),
-        batch_format="pandas", batch_size=4096, concurrency=(1, 8))
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         g = group
@@ -210,14 +240,15 @@ def quantized_lsh_pairs(ds, dim: int, id_column: str = "vec_id",
     planes = _int_planes(dim, n_planes)
     bit_vals = (1 << np.arange(n_planes)).astype(np.int64)
 
-    def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        q = np.floor(_matrix(batch[vector_column]) * LSH_SCALE + 0.5)
+    def hash_batch(batch):
+        import pyarrow as pa
+        q = np.floor(_matrix_from_arrow(batch[vector_column])
+                     * LSH_SCALE + 0.5)
         signs = (q @ planes) > 0  # products <= 2^18, sums exact in f64
-        batch = batch.copy()
-        batch["lsh_bucket"] = signs.astype(np.int64) @ bit_vals
-        return batch
+        return batch.append_column(
+            "lsh_bucket", pa.array(signs.astype(np.int64) @ bit_vals))
 
-    hashed = ds.map_batches(hash_batch, batch_format="pandas")
+    hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
 
     tn2 = threshold_num * threshold_num
     td2 = threshold_den * threshold_den
@@ -349,11 +380,12 @@ def ivf_knn(ds, queries: np.ndarray, query_ids, k: int = 10,
             self.id_column = id_column
             self.vector_column = vector_column
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            vecs = _normalize(_matrix(batch[self.vector_column]))
+        def __call__(self, batch):
+            vecs = _normalize(_matrix_from_arrow(
+                batch[self.vector_column]))
             ids = batch[self.id_column].to_numpy()
             assign = (vecs @ self.cents.T).argmax(axis=1)
-            frames = []
+            qout, nout, cout = [], [], []
             for c in np.unique(assign):
                 qidx = self.probers.get(int(c))
                 if qidx is None or not len(qidx):
@@ -363,26 +395,23 @@ def ivf_knn(ds, queries: np.ndarray, query_ids, k: int = 10,
                 kk = min(self.k + 1, sims.shape[1])
                 part = np.argpartition(-sims, kth=kk - 1,
                                        axis=1)[:, :kk]
-                for j, qi in enumerate(qidx):
-                    sel = rows[part[j]]
-                    frames.append(pd.DataFrame({
-                        "query_id": np.full(len(sel),
-                                            self.query_ids[qi]),
-                        "neighbor_id": ids[sel],
-                        "cosine": sims[j, part[j]],
-                    }))
-            if not frames:
-                return pd.DataFrame({
-                    "query_id": pd.Series([], dtype=np.int64),
-                    "neighbor_id": pd.Series([], dtype=np.int64),
-                    "cosine": pd.Series([], dtype=np.float64)})
-            return pd.concat(frames, ignore_index=True)
+                qout.append(np.repeat(self.query_ids[qidx], kk))
+                nout.append(ids[rows[part]].ravel())
+                cout.append(np.take_along_axis(sims, part,
+                                               axis=1).ravel())
+            if not qout:
+                return {"query_id": np.empty(0, dtype=np.int64),
+                        "neighbor_id": np.empty(0, dtype=np.int64),
+                        "cosine": np.empty(0, dtype=np.float64)}
+            return {"query_id": np.concatenate(qout),
+                    "neighbor_id": np.concatenate(nout),
+                    "cosine": np.concatenate(cout)}
 
     local = ds.map_batches(
         IVFTopK, fn_constructor_kwargs=dict(
             ref=state_ref, k=k, id_column=id_column,
             vector_column=vector_column),
-        batch_format="pandas", batch_size=4096, concurrency=(1, 8))
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         g = group[group["neighbor_id"] != group["query_id"].iloc[0]]
