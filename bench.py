@@ -130,6 +130,8 @@ def bench_queries(sf_dir: str):
         "ship_delay": lambda: consume(Q.q_ship_delay(sf_dir)),
         "validator_lineitem": lambda: consume(
             Q.q_validator_lineitem(sf_dir)),
+        "repetition_docs": lambda: consume(Q.q_repetition_docs(sf_dir)),
+        "line_dedup_docs": lambda: consume(Q.q_line_dedup(sf_dir)),
         "pretrain_pages": lambda: consume(Q.q_pretrain_pages(sf_dir)),
     }
 
