@@ -83,8 +83,10 @@ def _exact_dup_ids(docs, id_column: str, text_column: str):
     from nacc_form_validator_ray.stages.partition import run_boundaries
 
     def project(batch: pd.DataFrame):
-        norm = batch[text_column].fillna("") \
-            .str.replace(r"\s+", " ", regex=True).str.strip().str.lower()
+        from nacc_form_validator_ray.stages.dedup import \
+            normalize_ws_arrow
+        norm = normalize_ws_arrow(batch[text_column]) \
+            .to_numpy(zero_copy_only=False)
         digests = b"".join(hashlib.md5(t.encode("utf-8")).digest()
                            for t in norm)
         h = np.frombuffer(digests, dtype=np.uint64).view(np.int64) \

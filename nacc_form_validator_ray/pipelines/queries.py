@@ -368,8 +368,10 @@ def q_dedup_exact(sf_dir: str):
     ds = _docs(sf_dir, columns=["doc_id", "text"])
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        norm = batch["text"].fillna("") \
-            .str.replace(r"\s+", " ", regex=True).str.strip().str.lower()
+        from nacc_form_validator_ray.stages.dedup import \
+            normalize_ws_arrow
+        norm = normalize_ws_arrow(batch["text"]) \
+            .to_numpy(zero_copy_only=False)
         return pd.DataFrame({
             "doc_id": batch["doc_id"],
             "content_hash": [hashlib.md5(t.encode()).hexdigest()
@@ -2176,9 +2178,12 @@ def q_fingerprint_winnow(sf_dir: str):
     ds = ds.map_batches(Fingerprint(), batch_format="pandas")
 
     def finalize(batch: pd.DataFrame) -> pd.DataFrame:
-        norm = batch["text"].fillna("") \
-            .str.replace(r"\s+", " ", regex=True).str.strip().str.lower()
-        keep = (norm.str.len() >= 5).to_numpy()
+        import pyarrow.compute as pc
+        from nacc_form_validator_ray.stages.dedup import \
+            normalize_ws_arrow
+        keep = pc.greater_equal(
+            pc.utf8_length(normalize_ws_arrow(batch["text"])),
+            5).to_numpy(zero_copy_only=False)
         return pd.DataFrame({
             "doc_id": batch["doc_id"].to_numpy()[keep],
             "winnow": batch["fingerprint_winnow"].to_numpy(

@@ -57,6 +57,22 @@ def _token_lists(text: pd.Series) -> pd.Series:
     return text.fillna("").str.lower().str.findall(r"[a-z0-9]+")
 
 
+def normalize_ws_arrow(text):
+    """``lower(trim(regexp_replace(text, '\\s+', ' ')))`` via Arrow RE2
+    kernels — the SAME regex engine the DuckDB twins run, where Python
+    re's unicode-aware ``\\s`` is a latent divergence (e.g. \\xa0), and
+    ~10× faster than the pandas ``.str`` chain on web text. Accepts a
+    pandas Series or an Arrow string array; returns a ``pa.Array``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    arr = text if isinstance(text, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(text.fillna(""), type=pa.string())
+    arr = pc.fill_null(arr, "")
+    arr = pc.replace_substring_regex(arr, r"\s+", " ")
+    arr = pc.utf8_trim(arr, " ")
+    return pc.utf8_lower(arr)
+
+
 def _fold_hash_strings(flat: np.ndarray,
                        mult: int = TOKEN_FOLD_MULT) -> np.ndarray:
     """Per-string polynomial hash h = fold((h*mult + byte) % P31) over
@@ -376,8 +392,8 @@ def exact_dedup(ds, id_column: str = "doc_id", text_column: str = "text",
     def project(batch: pd.DataFrame):
         text = batch[text_column].fillna("")
         if normalize:
-            text = text.str.replace(r"\s+", " ", regex=True) \
-                .str.strip().str.lower()
+            text = normalize_ws_arrow(text) \
+                .to_numpy(zero_copy_only=False)
         digests = b"".join(hashlib.md5(t.encode("utf-8")).digest()
                            for t in text)
         h = np.frombuffer(digests, dtype=np.uint64).view(np.int64) \

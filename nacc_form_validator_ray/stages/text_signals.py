@@ -622,9 +622,10 @@ class Fingerprint:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         import hashlib
         import pyarrow as pa
-        text = batch[self.text_column].fillna("")
-        norm = text.str.replace(self.norm_re, " ", regex=True) \
-            .str.strip().str.lower()
+        from nacc_form_validator_ray.stages.dedup import \
+            normalize_ws_arrow
+        norm_arr = normalize_ws_arrow(batch[self.text_column])
+        norm = norm_arr.to_pandas()
         batch = batch.copy()
         batch["fingerprint_md5"] = [
             hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm]
