@@ -435,6 +435,47 @@ LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
 
 
+def q_pack_sequences(sf_dir: str):
+    """Training-sequence packing manifest: documents concatenated on a
+    global token axis in doc_id order, split into 512-token sequences —
+    one row per (document, sequence) span."""
+    from nacc_form_validator_ray.stages.pack import pack_sequences
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return pack_sequences(ds, seq_len=512)
+
+
+#: DuckDB twin of pack_sequences: window cumsum over doc_id order for
+#: the global offsets, unnest(range(...)) for the span explosion —
+#: exact integer arithmetic end-to-end.
+SQL_PACK_SEQUENCES = """
+WITH toks AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'))
+             AS n
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, n,
+         CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS o
+  FROM toks
+),
+spans AS (
+  SELECT doc_id, n, o,
+         unnest(range(o // 512, (o + n - 1) // 512 + 1)) AS seq_id
+  FROM offs WHERE n > 0
+)
+SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(o, seq_id * 512) - o AS BIGINT) AS doc_start,
+       CAST(greatest(o, seq_id * 512) - seq_id * 512 AS BIGINT)
+           AS seq_start,
+       CAST(least(o + n, (seq_id + 1) * 512)
+            - greatest(o, seq_id * 512) AS BIGINT) AS n_tokens_span
+FROM spans
+"""
+
+
 def q_score_recompute(sf_dir: str):
     ds = _docs(sf_dir, columns=["doc_id", "text", "n_chars"])
 
@@ -1506,6 +1547,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "token_count_by_source": q_token_count_by_source,
     "dedup_exact": q_dedup_exact,
     "line_dedup_docs": q_line_dedup,
+    "pack_sequences": q_pack_sequences,
     "score_recompute": q_score_recompute,
     "jaccard_pairs": q_jaccard_pairs,
     "temporal_events": q_temporal_events,
@@ -1558,6 +1600,7 @@ ORACLE_SQL["embedding_neardup"] = _sql_embedding_neardup()
 ORACLE_SQL["multimodal_decode"] = SQL_MULTIMODAL_DECODE
 ORACLE_SQL["repetition_docs"] = SQL_REPETITION_DOCS
 ORACLE_SQL["line_dedup_docs"] = SQL_LINE_DEDUP_DOCS
+ORACLE_SQL["pack_sequences"] = SQL_PACK_SEQUENCES
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,131 @@
+"""Training-sequence packing: the manifest a pretraining dataloader
+consumes.
+
+``pack_sequences`` assigns every document's token stream a contiguous
+range in a single global token axis (documents concatenated in
+``doc_id`` order) and splits that axis into fixed-length sequences.
+The output is the PACK MANIFEST — one row per (document, sequence)
+span — not the token arrays themselves: at 100-TB scale the manifest is
+what ships to the loader, which gathers token ids lazily per sequence.
+
+Distributed prefix-sum shape (no driver-side scan of the corpus):
+
+1. lean pass: (doc_id, n_tokens) per document via the shared packed-run
+   tokenizer — the text column never leaves the first map;
+2. bucket pass: one ``grouped_agg_sum`` over ``doc_id // bucket_size``
+   produces per-bucket token totals — a table with #buckets rows (the
+   only thing the driver ever holds; pick ``bucket_size`` so
+   max(doc_id)/bucket_size stays ~1e6 at full scale. Dense sequential
+   ids are assumed; for hashed 60-bit ids, rank them first);
+3. the driver computes the exclusive cumsum of bucket totals (tiny) and
+   broadcasts it; each bucket's documents are co-located by ONE hash
+   exchange (``grouped_apply``), sorted by doc_id, and their global
+   offsets are bucket_base + local exclusive cumsum;
+4. span explosion is fully vectorized: a document starting at global
+   offset ``o`` with ``n`` tokens covers sequences ``o//L ..
+   (o+n-1)//L``; each span row carries (doc_start, seq_start, length).
+
+Every quantity is exact integer arithmetic, so the DuckDB twin
+(pipelines/queries.SQL_PACK_SEQUENCES) reproduces the manifest
+bit-for-bit with a window cumsum + ``unnest(range(...))``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def pack_sequences(ds, seq_len: int = 2048, id_column: str = "doc_id",
+                   text_column: str = "text",
+                   bucket_size: int = 1 << 14,
+                   num_partitions: int = 32):
+    """Build the (doc_id, seq_id, doc_start, seq_start, n_tokens_span)
+    packing manifest. See module docstring for the distributed shape."""
+    import pyarrow as pa
+    import ray
+    from nacc_form_validator_ray.stages.partition import (grouped_agg_sum,
+                                                          grouped_apply)
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    def count_tokens(batch: pa.Table) -> dict:
+        col = batch[text_column]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        _, _, _, n_tokens = arrow_token_codes(arr)
+        ids = batch[id_column].to_numpy().astype(np.int64, copy=False)
+        return {id_column: ids,
+                "n_tokens": n_tokens.astype(np.int64),
+                "__bucket": ids // bucket_size}
+
+    counts = ds.map_batches(count_tokens, batch_format="pyarrow")
+
+    bucket_tot = grouped_agg_sum(counts, ["__bucket"], ["n_tokens"],
+                                 num_partitions=num_partitions) \
+        .to_pandas()
+    if len(bucket_tot):
+        b_ids = bucket_tot["__bucket"].to_numpy().astype(np.int64)
+        b_sum = bucket_tot["n_tokens"].to_numpy().astype(np.int64)
+        order = np.argsort(b_ids)
+        b_ids, b_sum = b_ids[order], b_sum[order]
+        base = np.zeros(len(b_ids), dtype=np.int64)
+        base[1:] = np.cumsum(b_sum)[:-1]
+    else:
+        b_ids = base = np.empty(0, dtype=np.int64)
+    base_ref = ray.put((b_ids, base))
+
+    L = int(seq_len)
+
+    def explode(part) -> dict:
+        bb_ids, bb_base = ray.get(base_ref)
+        ids = part[id_column].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = part["n_tokens"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bk = part["__bucket"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        empty = {id_column: np.empty(0, dtype=np.int64),
+                 "seq_id": np.empty(0, dtype=np.int64),
+                 "doc_start": np.empty(0, dtype=np.int64),
+                 "seq_start": np.empty(0, dtype=np.int64),
+                 "n_tokens_span": np.empty(0, dtype=np.int64)}
+        if not len(ids):
+            return empty
+        # the partition holds whole buckets; offsets are bucket base +
+        # within-bucket exclusive cumsum in doc_id order
+        order = np.lexsort((ids, bk))
+        ids, n, bk = ids[order], n[order], bk[order]
+        csum = np.cumsum(n)
+        excl = np.concatenate(([0], csum[:-1]))
+        bfirst = np.ones(len(bk), dtype=bool)
+        bfirst[1:] = bk[1:] != bk[:-1]
+        # rebase each bucket run to zero, then add its global base
+        run_excl_at_start = excl[bfirst]
+        o = excl - np.repeat(run_excl_at_start, np.diff(
+            np.append(np.flatnonzero(bfirst), len(bk))))
+        o = o + np.repeat(bb_base[np.searchsorted(bb_ids, bk[bfirst])],
+                          np.diff(np.append(np.flatnonzero(bfirst),
+                                            len(bk))))
+        nz = n > 0
+        ids, n, o = ids[nz], n[nz], o[nz]
+        if not len(ids):
+            return empty
+        s0 = o // L
+        s1 = (o + n - 1) // L
+        n_spans = (s1 - s0 + 1).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(ids)), n_spans)
+        # span j of its doc -> global sequence id
+        span_j = np.arange(len(doc_idx), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_spans)[:-1])), n_spans)
+        seq = s0[doc_idx] + span_j
+        g_start = np.maximum(o[doc_idx], seq * L)
+        g_end = np.minimum(o[doc_idx] + n[doc_idx], (seq + 1) * L)
+        return {id_column: ids[doc_idx],
+                "seq_id": seq,
+                "doc_start": g_start - o[doc_idx],
+                "seq_start": g_start - seq * L,
+                "n_tokens_span": g_end - g_start}
+
+    return grouped_apply(counts, ["__bucket"], explode,
+                         num_partitions=num_partitions,
+                         fn_format="pyarrow")

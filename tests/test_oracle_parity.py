@@ -19,7 +19,7 @@ FAST_QUERIES = [
     "orders_by_month", "sample_events", "fingerprint_md5",
     "asof_prior_purchase", "range_join_events", "jaccard_clusters",
     "contamination", "embedding_neardup", "multimodal_decode",
-    "repetition_docs", "line_dedup_docs",
+    "repetition_docs", "line_dedup_docs", "pack_sequences",
 ]
 
 

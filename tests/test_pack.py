@@ -1,0 +1,74 @@
+"""Sequence-packing manifest: distributed bucketed prefix-sum vs a
+serial reference, plus manifest invariants."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from nacc_form_validator_ray.stages.pack import pack_sequences
+
+
+def _reference_manifest(df: pd.DataFrame, L: int) -> pd.DataFrame:
+    """Serial single-process oracle."""
+    rows = []
+    off = 0
+    for r in df.sort_values("doc_id").itertuples():
+        n = len([t for t in r.text.lower().split() if t.isalpha()])
+        # crude but adequate for pure [a-z ]+ fixtures
+        if n:
+            for seq in range(off // L, (off + n - 1) // L + 1):
+                g0 = max(off, seq * L)
+                g1 = min(off + n, (seq + 1) * L)
+                rows.append((r.doc_id, seq, g0 - off, g0 - seq * L,
+                             g1 - g0))
+        off += n
+    return pd.DataFrame(rows, columns=["doc_id", "seq_id", "doc_start",
+                                       "seq_start", "n_tokens_span"])
+
+
+def test_pack_sequences_matches_serial_reference():
+    rng = np.random.RandomState(9)
+    words = ["alpha", "beta", "gamma", "delta"]
+    df = pd.DataFrame({
+        # sparse non-contiguous ids across several buckets (bucket=8)
+        "doc_id": np.array([3, 9, 17, 21, 40, 41, 77, 100, 101, 130],
+                           dtype=np.int64),
+        "text": [" ".join(rng.choice(words, size=rng.randint(0, 30)))
+                 for _ in range(10)],
+    })
+    df.loc[4, "text"] = ""  # empty doc contributes nothing
+    out = pack_sequences(rd.from_pandas(df).repartition(3), seq_len=16,
+                         bucket_size=8, num_partitions=4).to_pandas() \
+        .sort_values(["doc_id", "seq_id"]).reset_index(drop=True)
+    ref = _reference_manifest(df, 16) \
+        .sort_values(["doc_id", "seq_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+    # invariants: every doc's spans tile [0, n) contiguously; every
+    # sequence except the last is exactly full
+    for doc, g in out.groupby("doc_id"):
+        g = g.sort_values("seq_id")
+        assert g["doc_start"].iloc[0] == 0
+        assert (g["doc_start"].to_numpy()[1:]
+                == (g["doc_start"] + g["n_tokens_span"])
+                .to_numpy()[:-1]).all()
+        assert (g["seq_id"].to_numpy()[1:]
+                - g["seq_id"].to_numpy()[:-1] == 1).all()
+    fill = out.groupby("seq_id")["n_tokens_span"].sum()
+    assert (fill.iloc[:-1] == 16).all()
+
+
+def test_pack_sequences_parallelism_invariance():
+    rng = np.random.RandomState(4)
+    words = ["one", "two", "three"]
+    df = pd.DataFrame({
+        "doc_id": np.arange(50, dtype=np.int64),
+        "text": [" ".join(rng.choice(words, size=rng.randint(1, 40)))
+                 for _ in range(50)],
+    })
+    a = pack_sequences(rd.from_pandas(df).repartition(1), seq_len=32,
+                       num_partitions=2).to_pandas() \
+        .sort_values(["doc_id", "seq_id"]).reset_index(drop=True)
+    b = pack_sequences(rd.from_pandas(df).repartition(7), seq_len=32,
+                       num_partitions=5).to_pandas() \
+        .sort_values(["doc_id", "seq_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
