@@ -131,6 +131,7 @@ def bench_queries(sf_dir: str):
         "validator_lineitem": lambda: consume(
             Q.q_validator_lineitem(sf_dir)),
         "repetition_docs": lambda: consume(Q.q_repetition_docs(sf_dir)),
+        "pack_sequences": lambda: consume(Q.q_pack_sequences(sf_dir)),
         "line_dedup_docs": lambda: consume(Q.q_line_dedup(sf_dir)),
         "pretrain_pages": lambda: consume(Q.q_pretrain_pages(sf_dir)),
     }
