@@ -476,6 +476,37 @@ FROM spans
 """
 
 
+def q_select_budget(sf_dir: str):
+    """Greedy best-data-first selection under a 15k-token budget,
+    scored by n_chars (the synthetic corpus' quality proxy)."""
+    from nacc_form_validator_ray.stages.pack import select_token_budget
+    ds = _docs(sf_dir, columns=["doc_id", "text", "n_chars"])
+    return select_token_budget(ds, budget=15_000,
+                               score_column="n_chars")
+
+
+SQL_SELECT_BUDGET = """
+WITH toks AS (
+  SELECT doc_id, n_chars AS score,
+         len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'))
+             AS n
+  FROM documents
+),
+o AS (
+  SELECT doc_id, score, n,
+         CAST(coalesce(sum(n) OVER (ORDER BY score DESC, doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+             AS excl
+  FROM toks
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(excl + n AS BIGINT) AS cum_tokens
+FROM o WHERE excl + n <= 15000
+"""
+
+
 def q_score_recompute(sf_dir: str):
     ds = _docs(sf_dir, columns=["doc_id", "text", "n_chars"])
 
@@ -1548,6 +1579,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "line_dedup_docs": q_line_dedup,
     "pack_sequences": q_pack_sequences,
+    "select_token_budget": q_select_budget,
     "score_recompute": q_score_recompute,
     "jaccard_pairs": q_jaccard_pairs,
     "temporal_events": q_temporal_events,
@@ -1601,6 +1633,7 @@ ORACLE_SQL["multimodal_decode"] = SQL_MULTIMODAL_DECODE
 ORACLE_SQL["repetition_docs"] = SQL_REPETITION_DOCS
 ORACLE_SQL["line_dedup_docs"] = SQL_LINE_DEDUP_DOCS
 ORACLE_SQL["pack_sequences"] = SQL_PACK_SEQUENCES
+ORACLE_SQL["select_token_budget"] = SQL_SELECT_BUDGET
 
 
 # --------------------------------------------------------------------------

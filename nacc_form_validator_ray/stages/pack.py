@@ -129,3 +129,89 @@ def pack_sequences(ds, seq_len: int = 2048, id_column: str = "doc_id",
     return grouped_apply(counts, ["__bucket"], explode,
                          num_partitions=num_partitions,
                          fn_format="pyarrow")
+
+
+def select_token_budget(ds, budget: int, score_column: str,
+                        id_column: str = "doc_id",
+                        text_column: str = "text",
+                        score_bucket: int = 1,
+                        num_partitions: int = 32):
+    """Greedy corpus selection under a token budget: keep whole
+    documents in (score DESC, id ASC) order while the running token
+    total stays within ``budget`` — the standard
+    best-data-first selection step of a pretraining pipeline.
+
+    Same distributed prefix-sum shape as ``pack_sequences``, but the
+    global order is score-descending: the exchange bucket is
+    ``-(score // score_bucket)`` (monotone in the keep order, coarsened
+    by ``score_bucket`` so the driver-held bucket table stays small at
+    scale), buckets are co-located with one hash exchange, and each
+    partition finishes the cumsum locally from the broadcast bucket
+    bases. A document is kept iff ``excl_cumsum + n_tokens <= budget``
+    (whole documents only). Exact integer arithmetic — the DuckDB
+    window twin (pipelines/queries.SQL_SELECT_BUDGET) matches
+    bit-for-bit. Scores must be integers (quantize floats first)."""
+    import pyarrow as pa
+    import ray
+    from nacc_form_validator_ray.stages.partition import (grouped_agg_sum,
+                                                          grouped_apply)
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    def project(batch: pa.Table) -> dict:
+        col = batch[text_column]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        _, _, _, n_tokens = arrow_token_codes(arr)
+        ids = np.asarray(batch[id_column]).astype(np.int64)
+        score = np.asarray(batch[score_column]).astype(np.int64)
+        return {id_column: ids, "score": score,
+                "n_tokens": n_tokens.astype(np.int64),
+                "__bucket": -(score // score_bucket)}
+
+    counts = ds.map_batches(project, batch_format="pyarrow")
+
+    bucket_tot = grouped_agg_sum(counts, ["__bucket"], ["n_tokens"],
+                                 num_partitions=num_partitions) \
+        .to_pandas()
+    if len(bucket_tot):
+        b_ids = bucket_tot["__bucket"].to_numpy().astype(np.int64)
+        b_sum = bucket_tot["n_tokens"].to_numpy().astype(np.int64)
+        order = np.argsort(b_ids)  # ascending bucket == descending score
+        b_ids, b_sum = b_ids[order], b_sum[order]
+        base = np.zeros(len(b_ids), dtype=np.int64)
+        base[1:] = np.cumsum(b_sum)[:-1]
+    else:
+        b_ids = base = np.empty(0, dtype=np.int64)
+    base_ref = ray.put((b_ids, base))
+    budget = int(budget)
+
+    def keep(part) -> dict:
+        bb_ids, bb_base = ray.get(base_ref)
+        ids = np.asarray(part[id_column]).astype(np.int64)
+        sc = np.asarray(part["score"]).astype(np.int64)
+        n = np.asarray(part["n_tokens"]).astype(np.int64)
+        bk = np.asarray(part["__bucket"]).astype(np.int64)
+        empty = {id_column: np.empty(0, dtype=np.int64),
+                 "score": np.empty(0, dtype=np.int64),
+                 "n_tokens": np.empty(0, dtype=np.int64),
+                 "cum_tokens": np.empty(0, dtype=np.int64)}
+        if not len(ids):
+            return empty
+        order = np.lexsort((ids, -sc, bk))
+        ids, sc, n, bk = ids[order], sc[order], n[order], bk[order]
+        csum = np.cumsum(n)
+        excl = np.concatenate(([0], csum[:-1]))
+        bfirst = np.ones(len(bk), dtype=bool)
+        bfirst[1:] = bk[1:] != bk[:-1]
+        runs = np.diff(np.append(np.flatnonzero(bfirst), len(bk)))
+        o = excl - np.repeat(excl[bfirst], runs) \
+            + np.repeat(bb_base[np.searchsorted(bb_ids, bk[bfirst])],
+                        runs)
+        mask = o + n <= budget
+        return {id_column: ids[mask], "score": sc[mask],
+                "n_tokens": n[mask], "cum_tokens": (o + n)[mask]}
+
+    return grouped_apply(counts, ["__bucket"], keep,
+                         num_partitions=num_partitions,
+                         fn_format="pyarrow")

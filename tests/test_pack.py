@@ -72,3 +72,44 @@ def test_pack_sequences_parallelism_invariance():
                        num_partitions=5).to_pandas() \
         .sort_values(["doc_id", "seq_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_select_token_budget_greedy_and_invariant():
+    from nacc_form_validator_ray.stages.pack import select_token_budget
+    rng = np.random.RandomState(6)
+    words = ["aa", "bb", "cc"]
+    df = pd.DataFrame({
+        "doc_id": np.arange(80, dtype=np.int64),
+        "text": [" ".join(rng.choice(words, size=rng.randint(1, 20)))
+                 for _ in range(80)],
+        "score": rng.randint(0, 10, size=80).astype(np.int64),
+    })
+    out = select_token_budget(rd.from_pandas(df).repartition(5),
+                              budget=150, score_column="score",
+                              num_partitions=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # budget respected
+    assert out["n_tokens"].sum() <= 150
+    assert out["cum_tokens"].max() <= 150
+    # prefix-cut contract: the kept set is the maximal PREFIX of whole
+    # docs in (score DESC, id) order whose full cumsum fits — the first
+    # non-fitting doc ends the selection (its tokens still count toward
+    # every later doc's exclusive cumsum, so nothing after fits either)
+    kept = set(out["doc_id"])
+    order = df.assign(
+        n=[len(t.split()) for t in df["text"]]).sort_values(
+        ["score", "doc_id"], ascending=[False, True])
+    run, cutting = 0, False
+    for r in order.itertuples():
+        run += r.n
+        if cutting or run > 150:
+            cutting = True
+            assert r.doc_id not in kept, r
+        else:
+            assert r.doc_id in kept, r
+    # parallelism invariance
+    out2 = select_token_budget(rd.from_pandas(df).repartition(1),
+                               budget=150, score_column="score",
+                               num_partitions=7).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
