@@ -1742,6 +1742,32 @@ WHERE event_id & 15 = 0
 """
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-source stratified sample of documents (domain
+    reweighting): each source gets the pseudo-random rate
+    charfold(source) mod 2^16 over 2^16."""
+    from nacc_form_validator_ray.stages.sampling import stratified_sample
+    ds = _docs(sf_dir, columns=["doc_id", "source"])
+    return stratified_sample(ds, group_column="source",
+                             id_column="doc_id")
+
+
+def _sql_stratified_sample() -> str:
+    from nacc_form_validator_ray.stages.dedup import P31, TOKEN_FOLD_MULT
+    from nacc_form_validator_ray.stages.sampling import (SAMPLE_A,
+                                                         SAMPLE_B)
+    fold = _sql_charfold("source", TOKEN_FOLD_MULT)
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE (({SAMPLE_A} * (doc_id % {P31}) + {SAMPLE_B}) % {P31}) % 65536
+      < {fold} % 65536
+"""
+
+
+QUERIES["stratified_sample"] = q_stratified_sample
+ORACLE_SQL["stratified_sample"] = _sql_stratified_sample()
+
+
 def q_part_type_words(sf_dir: str):
     """String extraction + grouped count (first word of p_type)."""
     from nacc_form_validator_ray.stages.partition import grouped_agg_sum

@@ -113,3 +113,27 @@ def test_select_token_budget_greedy_and_invariant():
                                num_partitions=7).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_stratified_sample_rates_and_determinism():
+    from nacc_form_validator_ray.stages.sampling import stratified_sample
+    df = pd.DataFrame({
+        "doc_id": np.arange(4000, dtype=np.int64),
+        "source": np.repeat(["wiki", "cc", "forum", "code"], 1000),
+    })
+    rates = {"wiki": 0.9, "cc": 0.1, "forum": 0.5}
+    out = stratified_sample(rd.from_pandas(df).repartition(4),
+                            group_column="source", id_column="doc_id",
+                            rates=rates, default_rate=0.0).to_pandas()
+    got = out.groupby("source").size()
+    assert "code" not in got.index          # default_rate=0 drops all
+    assert 800 < got["wiki"] <= 1000        # ~0.9
+    assert 40 < got["cc"] < 180             # ~0.1
+    assert 380 < got["forum"] < 620         # ~0.5
+    # determinism across partitionings
+    out2 = stratified_sample(rd.from_pandas(df).repartition(11),
+                             group_column="source", id_column="doc_id",
+                             rates=rates, default_rate=0.0).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True))
