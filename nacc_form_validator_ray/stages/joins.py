@@ -36,24 +36,23 @@ def asof_join(left_ds, right_ds, by: str, on: str,
     the same ``by`` key. Returns left columns + suffixed right columns.
     """
 
-    left_cols = list(left_ds.schema().names)
+    lschema, rschema = left_ds.schema(), right_ds.schema()
+    left_cols = list(lschema.names)
     rcols = right_columns if right_columns is not None else \
-        [c for c in right_ds.schema().names if c not in (by, on)]
+        [c for c in rschema.names if c not in (by, on)]
     all_cols = left_cols + [c for c in [by, on] + rcols
                             if c not in left_cols]
+    types = _arrow_types(rschema)
+    types.update(_arrow_types(lschema))
 
-    def tag(side):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.copy()
-            for c in all_cols:
-                if c not in batch.columns:
-                    batch[c] = None
-            batch[_SIDE] = side
-            return batch[all_cols + [_SIDE]]
-        return fn
-
-    lt = left_ds.map_batches(tag(0), batch_format="pandas")
-    rt = right_ds.map_batches(tag(1), batch_format="pandas")
+    # Arrow-native tag/union: typed null padding, no pandas boxing on
+    # the exchange (the per-partition merge_asof below still runs
+    # pandas — that is the per-GROUP callable, not a shuffle hop)
+    lt = left_ds.map_batches(_tag_arrow(all_cols, types, left_cols, 0),
+                             batch_format="pyarrow")
+    rt = right_ds.map_batches(
+        _tag_arrow(all_cols, types, [by, on] + rcols, 1),
+        batch_format="pyarrow")
 
     def join_partition(part: pd.DataFrame) -> pd.DataFrame:
         left = part[part[_SIDE] == 0][left_cols].sort_values(on)
@@ -80,41 +79,53 @@ def range_join_bucketed(left_ds, right_ds, lo: str, hi: str, value: str,
     replication stays bounded: width ≈ typical interval length).
     """
 
-    left_cols = list(left_ds.schema().names)
-    right_cols = list(right_ds.schema().names)
+    import pyarrow as pa
+
+    lschema, rschema = left_ds.schema(), right_ds.schema()
+    left_cols = list(lschema.names)
+    right_cols = list(rschema.names)
     all_cols = left_cols + [c for c in right_cols
                             if c not in left_cols]
+    types = _arrow_types(rschema)
+    types.update(_arrow_types(lschema))
 
-    def _align(batch: pd.DataFrame, side: int) -> pd.DataFrame:
+    def _align(batch: "pa.Table", bucket: np.ndarray,
+               present, side: int) -> "pa.Table":
+        n = batch.num_rows
+        present = set(present)
+        arrays = []
         for c in all_cols:
-            if c not in batch.columns:
-                batch[c] = None
-        batch[_SIDE] = side
-        return batch[all_cols + ["__bucket", _SIDE]]
+            if c in present:
+                col = batch[c]
+                arrays.append(col.combine_chunks() if isinstance(
+                    col, pa.ChunkedArray) else col)
+            else:
+                arrays.append(pa.nulls(n, type=types[c]))
+        arrays.append(pa.array(bucket.astype(np.int64)))
+        arrays.append(pa.array(np.full(n, side, dtype=np.int8)))
+        return pa.Table.from_arrays(
+            arrays, names=all_cols + ["__bucket", _SIDE])
 
-    def left_buckets(batch: pd.DataFrame) -> pd.DataFrame:
-        lo_b = np.floor(batch[lo].to_numpy(np.float64) / bucket_width) \
-            .astype(np.int64)
-        hi_b = np.floor(batch[hi].to_numpy(np.float64) / bucket_width) \
-            .astype(np.int64)
+    def left_buckets(batch: "pa.Table") -> "pa.Table":
+        lo_b = np.floor(np.asarray(batch[lo], dtype=np.float64)
+                        / bucket_width).astype(np.int64)
+        hi_b = np.floor(np.asarray(batch[hi], dtype=np.float64)
+                        / bucket_width).astype(np.int64)
         reps = np.maximum(hi_b - lo_b + 1, 0)
-        idx = np.repeat(np.arange(len(batch)), reps)
-        out = batch.iloc[idx].reset_index(drop=True)
+        idx = np.repeat(np.arange(batch.num_rows), reps)
+        out = batch.take(idx)
         buckets = np.concatenate(
             [np.arange(a, b + 1) for a, b in zip(lo_b, hi_b)]) \
-            if len(batch) else np.empty(0, dtype=np.int64)
-        out["__bucket"] = buckets.astype(np.int64)
-        return _align(out, 0)
+            if batch.num_rows else np.empty(0, dtype=np.int64)
+        return _align(out, buckets, left_cols, 0)
 
-    def right_buckets(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["__bucket"] = np.floor(
-            batch[value].to_numpy(np.float64) / bucket_width
-        ).astype(np.int64)
-        return _align(batch, 1)
+    def right_buckets(batch: "pa.Table") -> "pa.Table":
+        buckets = np.floor(np.asarray(batch[value], dtype=np.float64)
+                           / bucket_width).astype(np.int64)
+        return _align(batch, buckets, right_cols, 1)
 
-    lt = left_ds.map_batches(left_buckets, batch_format="pandas")
-    rt = right_ds.map_batches(right_buckets, batch_format="pandas")
+    lt = left_ds.map_batches(left_buckets, batch_format="pyarrow")
+    rt = right_ds.map_batches(right_buckets, batch_format="pyarrow")
 
     def join_partition(part: pd.DataFrame) -> pd.DataFrame:
         left = part[part[_SIDE] == 0][left_cols + ["__bucket"]]
