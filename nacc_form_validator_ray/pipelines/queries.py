@@ -2475,7 +2475,7 @@ def q_contamination(sf_dir: str):
     bench_tbl = pq.read_table(f"{sf_dir}/documents.parquet",
                               columns=["doc_id", "text"],
                               filters=[("doc_id", "<", 20)]).to_pandas()
-    _, bh = _shingle_hashes(_token_lists(bench_tbl["text"]), 3,
+    _, bh = _shingle_hashes(bench_tbl["text"], 3,
                             len(bench_tbl))
     bench_ref = ray.put(np.unique(bh))
 
@@ -2487,7 +2487,7 @@ def q_contamination(sf_dir: str):
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             if self.bench is None:
                 self.bench = ray.get(self.ref)
-            doc_id, h = _shingle_hashes(_token_lists(batch["text"]), 3,
+            doc_id, h = _shingle_hashes(batch["text"], 3,
                                         len(batch))
             n = len(batch)
             n_shingles = np.zeros(n, dtype=np.int64)

@@ -114,9 +114,30 @@ def _fold_hash_strings(flat: np.ndarray,
     return out
 
 
-def _shingle_hashes(token_lists: pd.Series, n: int,
+def _flat_token_hashes(text: pd.Series, mult: int = TOKEN_FOLD_MULT):
+    """(tok_h mod P31, doc index per token) over ``[a-z0-9]+`` runs of
+    the lowered text. The byte-fold hash runs over the DICTIONARY of
+    distinct tokens only and is gathered per occurrence — identical
+    values to hashing every occurrence (the hash is content-based), at
+    vocabulary cost instead of corpus cost (the per-byte int64 modmul
+    traffic was the dominant term of the 500k-page near-dedup pass)."""
+    import pyarrow as pa
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+    arr = text if isinstance(text, (pa.Array, pa.ChunkedArray)) \
+        else pa.array(text.fillna(""), type=pa.string())
+    codes, dictionary, tok_doc, _ = arrow_token_codes(
+        arr, include_digits=True)
+    if dictionary is None:
+        return (np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64))
+    dict_h = _fold_hash_strings(dictionary, mult)
+    return dict_h[codes], tok_doc.astype(np.int64)
+
+
+def _shingle_hashes(text: pd.Series, n: int,
                     num_docs: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Flatten word n-gram shingles to mod-P31 hashes.
+    """Word n-gram shingles to mod-P31 hashes.
 
     Returns (doc_id_per_shingle, hash_per_shingle). Token hashes are
     CONTENT-based (byte-fold polynomial — a batch-local ``factorize``
@@ -124,14 +145,7 @@ def _shingle_hashes(token_lists: pd.Series, n: int,
     missing every near-dup pair that spans a batch boundary; round-2
     finding) and integer-exact so the SQL twin reproduces them
     (pipelines/queries.sql_minhash_bands)."""
-    lens = token_lists.str.len().to_numpy(np.int64)
-    if lens.sum() == 0:
-        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
-    flat = np.concatenate(
-        [np.asarray(t, dtype=object) if t else np.empty(0, dtype=object)
-         for t in token_lists])
-    tok_h = _fold_hash_strings(flat)
-    doc_id = np.repeat(np.arange(num_docs, dtype=np.int64), lens)
+    tok_h, doc_id = _flat_token_hashes(text)
     if len(tok_h) < n:
         return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
     w = len(tok_h) - n + 1
@@ -160,8 +174,7 @@ class MinHasher:
 
     def signatures(self, text: pd.Series) -> np.ndarray:
         n_docs = len(text)
-        doc_id, hashes = _shingle_hashes(_token_lists(text), self.n,
-                                         n_docs)
+        doc_id, hashes = _shingle_hashes(text, self.n, n_docs)
         sig = np.full((n_docs, self.k), EMPTY_SIG, dtype=np.int64)
         if len(hashes):
             # shingles arrive grouped by doc, so the per-doc minimum is a
@@ -478,18 +491,22 @@ class SimHasher:
                                                   dtype=np.int64)
 
     def simhash(self, text: pd.Series) -> np.ndarray:
+        import pyarrow as pa
+        from nacc_form_validator_ray.stages.text_signals import \
+            arrow_token_codes
         n = len(text)
-        tokens = _token_lists(text)
-        lens = tokens.str.len().to_numpy(np.int64)
         out = np.zeros(n, dtype=np.int64)
-        if lens.sum() == 0:
+        arr = text if isinstance(text, (pa.Array, pa.ChunkedArray)) \
+            else pa.array(text.fillna(""), type=pa.string())
+        codes, dictionary, tok_doc, _ = arrow_token_codes(
+            arr, include_digits=True)
+        if dictionary is None:
             return out
-        flat = np.concatenate(
-            [np.asarray(t, dtype=object) if t else
-             np.empty(0, dtype=object) for t in tokens])
-        doc_id = np.repeat(np.arange(n, dtype=np.int64), lens)
-        h1 = _fold_hash_strings(flat, TOKEN_FOLD_MULT)
-        h2 = _fold_hash_strings(flat, TOKEN_FOLD_MULT2)
+        doc_id = tok_doc.astype(np.int64)
+        # hash the vocabulary once, gather per occurrence (identical
+        # content-based values at dictionary cost, not corpus cost)
+        h1 = _fold_hash_strings(dictionary, TOKEN_FOLD_MULT)[codes]
+        h2 = _fold_hash_strings(dictionary, TOKEN_FOLD_MULT2)[codes]
         hashes = (h1 << np.int64(31)) | h2
         bits = ((hashes[:, None] & self.bit_masks) != 0) \
             .astype(np.int64) * 2 - 1
@@ -661,8 +678,7 @@ def blocked_jaccard_pairs(ds, block_column: str,
             "jaccard": pd.Series([], dtype=np.float64)})
         if n < 2:
             return empty
-        doc_id, hashes = _shingle_hashes(
-            _token_lists(g[text_column]), shingle_n, n)
+        doc_id, hashes = _shingle_hashes(g[text_column], shingle_n, n)
         sets = [set() for _ in range(n)]
         for d, h in zip(doc_id, hashes):
             sets[d].add(int(h))

@@ -97,24 +97,20 @@ def _seg_counts(mask: np.ndarray, off: np.ndarray) -> np.ndarray:
     return out
 
 
-def arrow_token_codes(text):
-    """Tokenize an Arrow string array without regex or Python strings.
+def arrow_token_runs(text, include_digits: bool = False):
+    """Byte-run tokenizer core: maximal ``[a-z]`` (or ``[a-z0-9]``) runs
+    of the lowercased text, gathered into ONE packed buffer — no regex,
+    no Python strings.
 
-    Tokens are maximal [a-z] byte runs of the lowercased text — exactly
-    ``findall('[A-Za-z]+')`` of each lowered document, in order. The run
-    bytes are gathered into one packed buffer, wrapped as a StringArray
-    and dictionary-encoded, so per-token work stays in C.
-
-    Returns ``(codes, dictionary, tok_doc, n_tokens)``: int64 dictionary
-    code per token, the dictionary array, each token's document index
-    (ascending), and the per-document token counts. Shared by TextStats
-    and PerplexityScorer so both see the identical token stream.
+    Returns ``(flat_tok, tok_doc, n_tokens)``: the flat token
+    StringArray (None when there are no tokens), each token's document
+    index (int32, ascending) and per-document token counts.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
     n = len(text)
-    empty = (np.empty(0, dtype=np.int64), None,
-             np.empty(0, dtype=np.int64), np.zeros(n, dtype=np.int64))
+    empty = (None, np.empty(0, dtype=np.int32),
+             np.zeros(n, dtype=np.int64))
     lower = pc.utf8_lower(pc.fill_null(text, ""))
     if isinstance(lower, pa.ChunkedArray):
         lower = lower.combine_chunks()
@@ -124,6 +120,8 @@ def arrow_token_codes(text):
     if not total_l:
         return empty
     lalpha = (lbuf >= 97) & (lbuf <= 122)
+    if include_digits:
+        lalpha |= (lbuf >= 48) & (lbuf <= 57)
     lfirst = np.zeros(total_l, dtype=bool)
     lfirst[loff[:-1][llens > 0]] = True
     llast = np.zeros(total_l, dtype=bool)
@@ -158,6 +156,30 @@ def arrow_token_codes(text):
     flat_tok = pa.Array.from_buffers(
         pa.utf8(), len(s_idx),
         [None, pa.py_buffer(toff), pa.py_buffer(packed)])
+    return flat_tok, tok_doc, n_tokens
+
+
+def arrow_token_codes(text, include_digits: bool = False):
+    """Tokenize an Arrow string array without regex or Python strings.
+
+    Tokens are maximal [a-z] (or, with ``include_digits``, [a-z0-9])
+    byte runs of the lowercased text — exactly ``findall('[A-Za-z]+')``
+    of each lowered document, in order (``arrow_token_runs``) — then
+    dictionary-encoded so per-token work stays in C.
+
+    Returns ``(codes, dictionary, tok_doc, n_tokens)``: int32 dictionary
+    code per token, the dictionary array, each token's document index
+    (ascending), and the per-document token counts. Shared by TextStats
+    and PerplexityScorer so both see the identical token stream.
+    """
+    import pyarrow.compute as pc
+    n = len(text)
+    flat_tok, tok_doc, n_tokens = arrow_token_runs(
+        text, include_digits=include_digits)
+    if flat_tok is None:
+        return (np.empty(0, dtype=np.int64), None,
+                np.empty(0, dtype=np.int64),
+                np.zeros(n, dtype=np.int64))
     enc = pc.dictionary_encode(flat_tok)
     return (enc.indices.to_numpy().astype(np.int32), enc.dictionary,
             tok_doc, n_tokens)
