@@ -1768,6 +1768,31 @@ QUERIES["stratified_sample"] = q_stratified_sample
 ORACLE_SQL["stratified_sample"] = _sql_stratified_sample()
 
 
+def q_shuffle_manifest(sf_dir: str):
+    """Global pseudo-random shuffle as a rank manifest — payloads never
+    move; the loader gathers by position."""
+    from nacc_form_validator_ray.stages.pack import shuffle_manifest
+    ds = _docs(sf_dir, columns=["doc_id"])
+    return shuffle_manifest(ds)
+
+
+def _sql_shuffle_manifest() -> str:
+    from nacc_form_validator_ray.stages.dedup import P31
+    from nacc_form_validator_ray.stages.sampling import (SAMPLE_A,
+                                                         SAMPLE_B)
+    return f"""
+SELECT doc_id,
+       CAST(row_number() OVER (
+           ORDER BY ({SAMPLE_A} * (doc_id % {P31}) + {SAMPLE_B})
+                    % {P31}, doc_id) - 1 AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+
+QUERIES["shuffle_manifest"] = q_shuffle_manifest
+ORACLE_SQL["shuffle_manifest"] = _sql_shuffle_manifest()
+
+
 def q_part_type_words(sf_dir: str):
     """String extraction + grouped count (first word of p_type)."""
     from nacc_form_validator_ray.stages.partition import grouped_agg_sum

@@ -215,3 +215,73 @@ def select_token_budget(ds, budget: int, score_column: str,
     return grouped_apply(counts, ["__bucket"], keep,
                          num_partitions=num_partitions,
                          fn_format="pyarrow")
+
+
+def shuffle_manifest(ds, id_column: str = "doc_id",
+                     bucket_shift: int = 16,
+                     num_partitions: int = 32):
+    """Deterministic global shuffle as a MANIFEST: (id, shuffle_pos)
+    where ``shuffle_pos`` is the row's rank under the pseudo-random
+    order ``key = (A*(id mod P31) + B) mod P31`` (ties broken by id).
+
+    This is how a 100-TB corpus gets shuffled for training: payloads
+    never move — the loader reads the manifest and gathers. Third
+    instance of the bucketed distributed prefix-sum (``pack_sequences``,
+    ``select_token_budget``): bucket = key >> bucket_shift (monotone in
+    the order, <= P31/2^shift buckets on the driver), per-bucket counts
+    exchange once, each partition ranks its co-located buckets locally.
+    Integer-exact; DuckDB twin is row_number() over the same key
+    (pipelines/queries.SQL_SHUFFLE_MANIFEST)."""
+    import pyarrow as pa
+    import ray
+    from nacc_form_validator_ray.stages.partition import (grouped_agg_sum,
+                                                          grouped_apply)
+    from nacc_form_validator_ray.stages.sampling import (SAMPLE_A,
+                                                         SAMPLE_B)
+    P31 = 2 ** 31 - 1
+
+    def project(batch: pa.Table) -> dict:
+        ids = np.asarray(batch[id_column]).astype(np.int64)
+        key = (SAMPLE_A * (ids % P31) + SAMPLE_B) % P31
+        return {id_column: ids, "__key": key,
+                "__bucket": key >> bucket_shift,
+                "__one": np.ones(len(ids), dtype=np.int64)}
+
+    keyed = ds.map_batches(project, batch_format="pyarrow")
+
+    bucket_tot = grouped_agg_sum(keyed, ["__bucket"], ["__one"],
+                                 num_partitions=num_partitions) \
+        .to_pandas()
+    if len(bucket_tot):
+        b_ids = bucket_tot["__bucket"].to_numpy().astype(np.int64)
+        b_cnt = bucket_tot["__one"].to_numpy().astype(np.int64)
+        order = np.argsort(b_ids)
+        b_ids, b_cnt = b_ids[order], b_cnt[order]
+        base = np.zeros(len(b_ids), dtype=np.int64)
+        base[1:] = np.cumsum(b_cnt)[:-1]
+    else:
+        b_ids = base = np.empty(0, dtype=np.int64)
+    base_ref = ray.put((b_ids, base))
+
+    def rank(part) -> dict:
+        bb_ids, bb_base = ray.get(base_ref)
+        ids = np.asarray(part[id_column]).astype(np.int64)
+        key = np.asarray(part["__key"]).astype(np.int64)
+        bk = np.asarray(part["__bucket"]).astype(np.int64)
+        if not len(ids):
+            return {id_column: np.empty(0, dtype=np.int64),
+                    "shuffle_pos": np.empty(0, dtype=np.int64)}
+        order = np.lexsort((ids, key, bk))
+        ids, key, bk = ids[order], key[order], bk[order]
+        local = np.arange(len(ids), dtype=np.int64)
+        bfirst = np.ones(len(bk), dtype=bool)
+        bfirst[1:] = bk[1:] != bk[:-1]
+        runs = np.diff(np.append(np.flatnonzero(bfirst), len(bk)))
+        local = local - np.repeat(local[bfirst], runs)
+        pos = local + np.repeat(
+            bb_base[np.searchsorted(bb_ids, bk[bfirst])], runs)
+        return {id_column: ids, "shuffle_pos": pos}
+
+    return grouped_apply(keyed, ["__bucket"], rank,
+                         num_partitions=num_partitions,
+                         fn_format="pyarrow")

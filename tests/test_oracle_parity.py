@@ -20,7 +20,7 @@ FAST_QUERIES = [
     "asof_prior_purchase", "range_join_events", "jaccard_clusters",
     "contamination", "embedding_neardup", "multimodal_decode",
     "repetition_docs", "line_dedup_docs", "pack_sequences",
-    "select_token_budget", "stratified_sample",
+    "select_token_budget", "stratified_sample", "shuffle_manifest",
 ]
 
 

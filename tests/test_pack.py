@@ -137,3 +137,19 @@ def test_stratified_sample_rates_and_determinism():
     pd.testing.assert_frame_equal(
         out.sort_values("doc_id").reset_index(drop=True),
         out2.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_shuffle_manifest_is_permutation_and_invariant():
+    from nacc_form_validator_ray.stages.pack import shuffle_manifest
+    ids = np.array([5, 99, 1000, 7, 123456, 42, 0, 2**40], dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids})
+    out = shuffle_manifest(rd.from_pandas(df).repartition(3),
+                           num_partitions=4).to_pandas()
+    # a permutation of 0..n-1 covering every id exactly once
+    assert sorted(out["shuffle_pos"]) == list(range(len(ids)))
+    assert set(out["doc_id"]) == set(ids)
+    out2 = shuffle_manifest(rd.from_pandas(df).repartition(1),
+                            num_partitions=7).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
