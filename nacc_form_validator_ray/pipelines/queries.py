@@ -1793,6 +1793,46 @@ QUERIES["shuffle_manifest"] = q_shuffle_manifest
 ORACLE_SQL["shuffle_manifest"] = _sql_shuffle_manifest()
 
 
+def q_hist_quantiles(sf_dir: str):
+    """Approximate grouped quantiles via the mergeable fixed-width
+    histogram sketch — (group, bin, count) partials are all that ride
+    the exchange (the exact twin, event_value_quantiles, exchanges
+    every value)."""
+    from nacc_form_validator_ray.stages.sketches import \
+        grouped_histogram_quantiles
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+    return grouped_histogram_quantiles(ds, "event_type", "value",
+                                       qs=(0.5, 0.9, 0.99),
+                                       bin_width=16.0)
+
+
+SQL_HIST_QUANTILES = """
+WITH h AS (
+  SELECT event_type AS g, CAST(floor(value / 16.0) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT g, sum(cnt) AS total FROM h GROUP BY g),
+cum AS (
+  SELECT g, bin, sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS c
+  FROM h
+),
+qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                 (CAST(0.99 AS DOUBLE)))
+SELECT c.g AS event_type, q.q AS q,
+       CAST(greatest(ceil(q.q * t.total), 1) AS BIGINT) AS rank,
+       min(c.bin) AS bin,
+       CAST(min(c.bin) AS DOUBLE) * 16.0 AS est
+FROM cum c JOIN tot t ON t.g = c.g CROSS JOIN qs q
+WHERE c.c >= greatest(ceil(q.q * t.total), 1)
+GROUP BY c.g, q.q, t.total
+"""
+
+QUERIES["hist_quantiles"] = q_hist_quantiles
+ORACLE_SQL["hist_quantiles"] = SQL_HIST_QUANTILES
+
+
 def q_part_type_words(sf_dir: str):
     """String extraction + grouped count (first word of p_type)."""
     from nacc_form_validator_ray.stages.partition import grouped_agg_sum

@@ -153,3 +153,30 @@ def test_shuffle_manifest_is_permutation_and_invariant():
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_histogram_quantile_sketch_accuracy_and_merge():
+    from nacc_form_validator_ray.stages.sketches import \
+        grouped_histogram_quantiles
+    rng = np.random.RandomState(8)
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 5000),
+        "v": np.concatenate([rng.normal(100, 30, 5000),
+                             rng.exponential(50, 5000)]),
+    })
+    out = grouped_histogram_quantiles(
+        rd.from_pandas(df).repartition(6), "g", "v",
+        qs=(0.5, 0.9), bin_width=4.0).to_pandas()
+    for g in ["a", "b"]:
+        vals = df[df.g == g]["v"]
+        for q in [0.5, 0.9]:
+            est = out[(out.g == g) & (out.q == q)]["est"].iloc[0]
+            true = np.quantile(vals, q)
+            assert abs(est - true) <= 8.0, (g, q, est, true)
+    # parallelism invariance (the sketch merges by addition)
+    out2 = grouped_histogram_quantiles(
+        rd.from_pandas(df).repartition(1), "g", "v",
+        qs=(0.5, 0.9), bin_width=4.0).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values(["g", "q"]).reset_index(drop=True),
+        out2.sort_values(["g", "q"]).reset_index(drop=True))
