@@ -1833,6 +1833,43 @@ QUERIES["hist_quantiles"] = q_hist_quantiles
 ORACLE_SQL["hist_quantiles"] = SQL_HIST_QUANTILES
 
 
+def q_chunk_docs(sf_dir: str):
+    """Token-window chunking for embedding/RAG ingestion: overlapping
+    64-token windows advancing by 48."""
+    from nacc_form_validator_ray.stages.text_signals import \
+        chunk_documents
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_tokens=64, stride=48)
+
+
+SQL_CHUNK_DOCS = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS ws
+  FROM documents
+),
+d AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) > 0),
+c AS (
+  SELECT doc_id, ws, n,
+         unnest(range(0,
+             CAST(greatest(ceil(CAST(n - 64 AS DOUBLE) / 48), 0)
+                  AS BIGINT) + 1)) AS chunk_id
+  FROM d
+)
+SELECT doc_id, chunk_id,
+       CAST(chunk_id * 48 AS BIGINT) AS start_tok,
+       CAST(least(chunk_id * 48 + 64, n) - chunk_id * 48 AS BIGINT)
+           AS n_tok,
+       array_to_string(ws[chunk_id * 48 + 1 : least(chunk_id * 48 + 64,
+                                                    n)], ' ')
+           AS chunk_text
+FROM c
+"""
+
+QUERIES["chunk_docs"] = q_chunk_docs
+ORACLE_SQL["chunk_docs"] = SQL_CHUNK_DOCS
+
+
 def q_part_type_words(sf_dir: str):
     """String extraction + grouped count (first word of p_type)."""
     from nacc_form_validator_ray.stages.partition import grouped_agg_sum

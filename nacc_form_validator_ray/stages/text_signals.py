@@ -685,3 +685,102 @@ class Fingerprint:
                 hashlib.md5(norm.iloc[i].encode()).digest()[:8], "big"))
         batch["fingerprint_winnow"] = winnow
         return batch
+
+
+def chunk_documents(ds, chunk_tokens: int = 256, stride: int = 192,
+                    id_column: str = "doc_id",
+                    text_column: str = "text"):
+    """Token-window chunking (the embedding/RAG ingestion step): each
+    document becomes overlapping windows of ``chunk_tokens`` tokens
+    advancing by ``stride``; the emitted ``chunk_text`` is the window's
+    tokens joined by single spaces (the tokenizer's view of the text,
+    which is what an embedding model consumes — and what makes the
+    DuckDB twin exact: array_to_string(list_slice(...), ' ')).
+
+    One stateless flat-map shape: per batch the shared byte-run
+    tokenizer yields the packed token buffer, window emission is
+    numpy repeats, and chunk texts are rebuilt with ONE packed-buffer
+    gather (single-space separators) — no Python loop over chunks.
+    Output: (id, chunk_id, start_tok, n_tok, chunk_text).
+    """
+    import pyarrow as pa
+
+    C, S = int(chunk_tokens), int(stride)
+    if S <= 0 or C <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+
+    def chunks(batch: pa.Table) -> dict:
+        col = batch[text_column]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        flat_tok, tok_doc, n_tokens = arrow_token_runs(arr)
+        ids = np.asarray(batch[id_column]).astype(np.int64)
+        empty = {id_column: np.empty(0, dtype=np.int64),
+                 "chunk_id": np.empty(0, dtype=np.int64),
+                 "start_tok": np.empty(0, dtype=np.int64),
+                 "n_tok": np.empty(0, dtype=np.int64),
+                 "chunk_text": pa.array([], type=pa.string())}
+        if flat_tok is None:
+            return empty
+        # first token index of each doc in the flat array
+        doc_tok0 = np.zeros(len(ids), dtype=np.int64)
+        doc_tok0[1:] = np.cumsum(n_tokens)[:-1]
+        n = n_tokens
+        n_chunks = np.where(
+            n > 0, np.maximum((n - C + S - 1) // S, 0) + 1, 0)
+        if not n_chunks.sum():
+            return empty
+        doc_idx = np.repeat(np.arange(len(ids)), n_chunks)
+        local = np.arange(len(doc_idx), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_chunks)[:-1])), n_chunks)
+        start = local * S
+        end = np.minimum(start + C, n[doc_idx])
+        # gather: token byte ranges + single-space separators
+        off = np.frombuffer(flat_tok.buffers()[1], dtype=np.int32)[
+            flat_tok.offset:flat_tok.offset + len(flat_tok) + 1] \
+            .astype(np.int64)
+        tbuf = np.frombuffer(flat_tok.buffers()[2], dtype=np.uint8)
+        tok_lens = np.diff(off)
+        g_first = doc_tok0[doc_idx] + start     # global tok range
+        g_end = doc_tok0[doc_idx] + end
+        n_tok = end - start
+        # chunk byte length = sum(token lens) + (n_tok - 1) separators
+        tok_cum = np.zeros(len(off), dtype=np.int64)
+        tok_cum[1:] = np.cumsum(tok_lens)
+        chunk_bytes = tok_cum[g_end] - tok_cum[g_first] + n_tok - 1
+        out_off = np.zeros(len(doc_idx) + 1, dtype=np.int64)
+        np.cumsum(chunk_bytes, out=out_off[1:])
+        out = np.empty(int(out_off[-1]), dtype=np.uint8)
+        # per-token destination: chunk base + (token cum within chunk)
+        # + one separator per preceding token in the chunk
+        tok_of_chunk = np.repeat(np.arange(len(doc_idx)), n_tok)
+        tok_global = np.arange(len(tok_of_chunk), dtype=np.int64) \
+            - np.repeat(np.concatenate(([0], np.cumsum(n_tok)[:-1])),
+                        n_tok) + g_first[tok_of_chunk]
+        in_chunk_pos = tok_cum[tok_global] \
+            - tok_cum[g_first[tok_of_chunk]] \
+            + (tok_global - g_first[tok_of_chunk])
+        dst0 = out_off[:-1][tok_of_chunk] + in_chunk_pos
+        # write separators (before every non-first token)
+        not_first = tok_global > g_first[tok_of_chunk]
+        out[(dst0 - 1)[not_first]] = 32  # b' '
+        m = int(tok_lens[tok_global].sum())
+        lens_g = tok_lens[tok_global]
+        dst = np.arange(m, dtype=np.int64) + np.repeat(
+            dst0 - np.concatenate(([0], np.cumsum(lens_g)[:-1])),
+            lens_g)
+        src = np.arange(m, dtype=np.int64) + np.repeat(
+            off[:-1][tok_global]
+            - np.concatenate(([0], np.cumsum(lens_g)[:-1])), lens_g)
+        out[dst] = tbuf[src]
+        chunk_text = pa.Array.from_buffers(
+            pa.utf8(), len(doc_idx),
+            [None, pa.py_buffer(out_off.astype(np.int32)),
+             pa.py_buffer(out)])
+        return {id_column: ids[doc_idx],
+                "chunk_id": local,
+                "start_tok": start,
+                "n_tok": n_tok,
+                "chunk_text": chunk_text}
+
+    return ds.map_batches(chunks, batch_format="pyarrow")

@@ -59,3 +59,34 @@ def test_line_dedup_vs_duckdb(docs):
     pd.testing.assert_frame_equal(
         _canon(out[["doc_id", "text", "n_lines_dropped"]]),
         _canon(sql), check_dtype=False)
+
+
+def test_chunk_documents_edges_and_duckdb():
+    from nacc_form_validator_ray.pipelines.queries import SQL_CHUNK_DOCS
+    from nacc_form_validator_ray.stages.text_signals import \
+        chunk_documents
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "",                                # no chunks
+            "one",                             # single short chunk
+            " ".join(["tok"] * 64),            # exactly one full chunk
+            " ".join(["tok"] * 65),            # boundary +1 -> 2 chunks
+            " ".join(f"w{i}" for i in range(200)),   # several chunks
+            None,                              # null text -> no chunks
+        ]})
+    out = chunk_documents(rd.from_pandas(df).repartition(2),
+                          chunk_tokens=64, stride=48).to_pandas()
+    assert set(out[out.doc_id == 2]["chunk_id"]) == {0}
+    assert set(out[out.doc_id == 3]["chunk_id"]) == {0, 1}
+    assert 0 not in set(out["doc_id"][out.doc_id.isin([0, 5])])
+    row = out[(out.doc_id == 3) & (out.chunk_id == 1)].iloc[0]
+    assert row["start_tok"] == 48 and row["n_tok"] == 17
+    # w-numbered doc: chunk texts recompose the token stream exactly
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = con.sql(SQL_CHUNK_DOCS.replace("lower(coalesce(text, ''))",
+                                         "lower(coalesce(text, ''))")) \
+        .df()
+    pd.testing.assert_frame_equal(_canon(out), _canon(sql),
+                                  check_dtype=False)
