@@ -1870,6 +1870,69 @@ QUERIES["chunk_docs"] = q_chunk_docs
 ORACLE_SQL["chunk_docs"] = SQL_CHUNK_DOCS
 
 
+#: deterministic probe vocabulary for the count-min sketch demo: hot
+#: corpus words, function words, and a never-seen token (est 0 or the
+#: collision floor) — ASCII-only so the SQL char-fold twin is exact.
+CMS_PROBES = ["scan", "column", "window", "order", "sort", "join",
+              "merge", "query", "key", "value", "the", "of", "and",
+              "data", "zzzneverseen"]
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Count-min-sketch frequency estimates for a probe vocabulary —
+    the fixed-size mergeable-counter shape for corpus-scale token
+    frequency (the exchange is d×w cells, never the vocabulary)."""
+    from nacc_form_validator_ray.stages.sketches import count_min_estimates
+    ds = _docs(sf_dir, columns=["text"])
+    return count_min_estimates(ds, CMS_PROBES, depth=4, width=2048)
+
+
+def _sql_heavy_hitters(depth: int = 4, width: int = 2048,
+                       seed: int = 29) -> str:
+    """DuckDB twin of count_min_estimates: identical grid (group the
+    token DICTIONARY, hash once per distinct token, sum per cell),
+    identical probe reads (min over the d hashed cells, absent cell =
+    0)."""
+    from nacc_form_validator_ray.stages.dedup import P31, TOKEN_FOLD_MULT
+    from nacc_form_validator_ray.stages.sketches import cms_params
+    a, b = cms_params(depth, seed)
+    param_rows = ", ".join(f"({r}, {int(a[r])}, {int(b[r])})"
+                           for r in range(depth))
+    probe_rows = ", ".join(f"('{t}')" for t in sorted(set(CMS_PROBES)))
+    fold_t = _sql_charfold("t", TOKEN_FOLD_MULT)
+    fold_p = _sql_charfold("token", TOKEN_FOLD_MULT)
+    return f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                   '[a-z0-9]+')) AS t
+  FROM documents
+), th AS (
+  -- hash the dictionary, not every occurrence (engine parity)
+  SELECT {fold_t} AS h, count(*) AS cnt FROM tok GROUP BY t
+), params AS (
+  SELECT * FROM (VALUES {param_rows}) AS p(r, pa, pb)
+), counters AS (
+  SELECT r, (pa * h + pb) % {P31} % {width} AS cell,
+         sum(cnt) AS cnt
+  FROM th, params GROUP BY r, cell
+), probes AS (
+  SELECT * FROM (VALUES {probe_rows}) AS pr(token)
+), pcells AS (
+  SELECT token, r, (pa * {fold_p} + pb) % {P31} % {width} AS cell
+  FROM probes, params
+)
+SELECT token,
+       CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+FROM pcells LEFT JOIN counters c USING (r, cell)
+GROUP BY token
+ORDER BY token
+"""
+
+
+QUERIES["heavy_hitters"] = q_heavy_hitters
+ORACLE_SQL["heavy_hitters"] = _sql_heavy_hitters()
+
+
 def q_part_type_words(sf_dir: str):
     """String extraction + grouped count (first word of p_type)."""
     from nacc_form_validator_ray.stages.partition import grouped_agg_sum

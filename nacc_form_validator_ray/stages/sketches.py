@@ -1,5 +1,17 @@
 """Mergeable sketches for corpus-scale statistics.
 
+``count_min_estimates`` — corpus-scale token-frequency estimation via
+a count-min sketch. The exchange is the d×w counter grid — FIXED size
+regardless of vocabulary or corpus — merged by addition; estimates for
+a broadcast probe vocabulary are read off the merged grid
+(min over the d hashed cells). The hash family is the repo's
+deterministic mod-P31 affine family over the char-fold token hash, so
+the DuckDB twin (pipelines/queries.SQL_HEAVY_HITTERS) rebuilds the
+identical grid in SQL and the estimates match bit-for-bit. At 100 TB
+the per-batch partial is pre-reduced to the sparse nonzero cells of a
+local dense grid (vocabulary-in-batch cost), and the driver-side merge
+is bounded by d×w rows — no per-token exchange ever happens.
+
 ``grouped_histogram_quantiles`` — approximate grouped quantiles via a
 fixed-width histogram sketch. The exact grouped quantile
 (pipelines/queries.q_event_value_quantiles) exchanges every value; the
@@ -96,3 +108,81 @@ def grouped_histogram_quantiles(ds, group_column: str,
     return grouped_apply(totals, [group_column], finalize,
                          num_partitions=num_partitions,
                          fn_format="pyarrow")
+
+
+def cms_params(depth: int, seed: int = 29):
+    """The d affine constants (a, b) with 1 <= a < P31, 0 <= b < P31 —
+    shared by the engine and the generated SQL twin (the minhash_params
+    convention, stages/dedup.py)."""
+    from nacc_form_validator_ray.stages.dedup import P31
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, P31, size=depth).astype(np.int64)
+    b = rng.randint(0, P31, size=depth).astype(np.int64)
+    return a, b
+
+
+def count_min_estimates(ds, probe_tokens: Sequence[str],
+                        text_column: str = "text",
+                        depth: int = 4, width: int = 2048,
+                        seed: int = 29):
+    """Count-min frequency estimates for ``probe_tokens`` over the
+    ``[a-z0-9]+`` token stream of ``text_column``.
+
+    Shape: one stateless map_batches emits the SPARSE nonzero cells of
+    a per-batch dense d×w grid (token counts come from the shared
+    dictionary-encode, hashes run over the batch vocabulary only);
+    the bounded (row, cell) partials merge by addition on the driver
+    (<= d*w rows per batch); probe estimates are a tiny local min over
+    d cells. Returns a pandas DataFrame (token, est) sorted by token.
+
+    Estimates overcount on collisions, never undercount — the CMS
+    guarantee; with the default 4x2048 grid the expected bias at probe
+    time is corpus_tokens/width per row, min'd over 4 rows.
+    """
+    import pyarrow as pa
+    from nacc_form_validator_ray.stages.dedup import (P31,
+                                                      _fold_hash_strings)
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    d, w = int(depth), int(width)
+    a, b = cms_params(d, seed)
+
+    def partial(batch: pa.Table) -> dict:
+        col = batch[text_column]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        codes, dictionary, _, _ = arrow_token_codes(
+            arr, include_digits=True)
+        if dictionary is None:
+            return {"row": np.empty(0, dtype=np.int64),
+                    "cell": np.empty(0, dtype=np.int64),
+                    "cnt": np.empty(0, dtype=np.int64)}
+        cnt_per_tok = np.bincount(codes,
+                                  minlength=len(dictionary)) \
+            .astype(np.int64)
+        h = _fold_hash_strings(dictionary)
+        grid = np.zeros((d, w), dtype=np.int64)
+        for r in range(d):
+            cells = (a[r] * h + b[r]) % P31 % w
+            np.add.at(grid[r], cells, cnt_per_tok)
+        rows, cells = np.nonzero(grid)
+        return {"row": rows.astype(np.int64),
+                "cell": cells.astype(np.int64),
+                "cnt": grid[rows, cells]}
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    # bounded merge: <= d*w distinct (row, cell) keys total
+    import pandas as pd
+    grid_df = partials.to_pandas().groupby(
+        ["row", "cell"], as_index=False)["cnt"].sum()
+    grid = np.zeros((d, w), dtype=np.int64)
+    grid[grid_df["row"].to_numpy(), grid_df["cell"].to_numpy()] = \
+        grid_df["cnt"].to_numpy()
+    probes = sorted(set(probe_tokens))
+    ph = _fold_hash_strings(np.array(probes, dtype=object))
+    ests = np.min(
+        np.stack([grid[r, (a[r] * ph + b[r]) % P31 % w]
+                  for r in range(d)]), axis=0)
+    return pd.DataFrame({"token": probes,
+                         "est": ests.astype(np.int64)})
