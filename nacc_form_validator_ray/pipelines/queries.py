@@ -1933,6 +1933,77 @@ QUERIES["heavy_hitters"] = q_heavy_hitters
 ORACLE_SQL["heavy_hitters"] = _sql_heavy_hitters()
 
 
+BM25_QUERY = ["merge", "window", "scan", "query"]
+
+
+def q_bm25_search(sf_dir: str):
+    """BM25 top-20 keyword retrieval — the lexical counterpart of
+    knn_embeddings: bounded stats pass, broadcast idf, per-batch local
+    top-k, driver merge of k x blocks rows."""
+    from nacc_form_validator_ray.stages.retrieval import bm25_topk
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return bm25_topk(ds, BM25_QUERY, k=20)
+
+
+def _sql_bm25_search(k: int = 20, k1: float = 1.2,
+                     b: float = 0.75) -> str:
+    """DuckDB twin of bm25_topk: same tokenization, the same
+    association order for every float op (see stages/retrieval.py),
+    per-term scores floored to the 2^-20 grid before the per-doc sum.
+    Float literals are repr()s of the Python-computed constants so both
+    engines hold bit-identical doubles."""
+    terms = ", ".join(f"('{t}')" for t in sorted(set(BM25_QUERY)))
+    S = float(1 << 20)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '[a-z0-9]+')) AS t
+  FROM documents
+), dltab AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+), consts AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT CAST(coalesce(sum(dl), 0) AS BIGINT) FROM dltab)
+             AS total_toks
+), qterms AS (
+  SELECT * FROM (VALUES {terms}) AS q(term)
+), dftab AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM qterms LEFT JOIN tok ON t = term GROUP BY term
+), idftab AS (
+  SELECT term,
+         floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * {S!r} + 0.5) / {S!r} AS idf
+  FROM dftab, consts
+), tftab AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM tok JOIN qterms ON t = term GROUP BY doc_id, t
+), scored AS (
+  SELECT tf.doc_id,
+         floor(((i.idf * tf.tf) * {k1 + 1.0!r})
+               / (tf.tf + {k1!r} * ({1.0 - b!r}
+                  + {b!r} * (d.dl / (CAST(total_toks AS DOUBLE)
+                                     / CAST(n_docs AS DOUBLE)))))
+               * {S!r} + 0.5) / {S!r} AS s
+  FROM tftab tf
+  JOIN idftab i USING (term)
+  JOIN dltab d USING (doc_id), consts
+), totals AS (
+  SELECT doc_id, sum(s) AS score FROM scored GROUP BY doc_id
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+            AS BIGINT) AS rank
+FROM totals WHERE score > 0.0
+ORDER BY score DESC, doc_id
+LIMIT {int(k)}
+"""
+
+
+QUERIES["bm25_search"] = q_bm25_search
+ORACLE_SQL["bm25_search"] = _sql_bm25_search()
+
+
 def q_part_type_words(sf_dir: str):
     """String extraction + grouped count (first word of p_type)."""
     from nacc_form_validator_ray.stages.partition import grouped_agg_sum

@@ -21,7 +21,7 @@ FAST_QUERIES = [
     "contamination", "embedding_neardup", "multimodal_decode",
     "repetition_docs", "line_dedup_docs", "pack_sequences",
     "select_token_budget", "stratified_sample", "shuffle_manifest",
-    "hist_quantiles", "chunk_docs", "heavy_hitters",
+    "hist_quantiles", "chunk_docs", "heavy_hitters", "bm25_search",
 ]
 
 
