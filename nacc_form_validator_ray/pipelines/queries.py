@@ -2004,6 +2004,67 @@ QUERIES["bm25_search"] = q_bm25_search
 ORACLE_SQL["bm25_search"] = _sql_bm25_search()
 
 
+def q_percentile_cut_docs(sf_dir: str):
+    """Sketch-driven corpus cut: keep documents at or above the median
+    bpe_token_count, where the median comes from the mergeable
+    histogram sketch — the classic 'filter by a global percentile'
+    step done in two bounded passes (sketch partials, then a broadcast
+    scalar threshold) instead of a full sort.
+
+    The text is tokenized ONCE: the lean (doc_id, bpe_token_count)
+    projection (16 bytes/doc — the int-only case where pinning is
+    safe at 100 TB) feeds both the sketch and the filter."""
+    from nacc_form_validator_ray.stages.sketches import \
+        grouped_histogram_quantiles
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    lean = ds.map_batches(TextStats(), batch_format="pyarrow",
+                          batch_size=4096) \
+        .select_columns(["doc_id", "bpe_token_count"]).materialize()
+
+    def one_group(t):
+        return {"g": np.zeros(t.num_rows, dtype=np.int64),
+                "v": np.asarray(t["bpe_token_count"],
+                                dtype=np.float64)}
+
+    sk = grouped_histogram_quantiles(
+        lean.map_batches(one_group, batch_format="pyarrow"),
+        "g", "v", qs=(0.5,), bin_width=8.0).to_pandas()
+    est = float(sk["est"].iloc[0])  # broadcast scalar threshold
+
+    def keep(t):
+        btc = np.asarray(t["bpe_token_count"], dtype=np.int64)
+        m = btc.astype(np.float64) >= est
+        return {"doc_id": np.asarray(t["doc_id"],
+                                     dtype=np.int64)[m],
+                "bpe_token_count": btc[m]}
+
+    return lean.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_PERCENTILE_CUT = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(coalesce(text, ''),
+                                     '{BPE_TOKEN_RE}')) AS BIGINT)
+             AS btc
+  FROM documents
+), h AS (
+  SELECT CAST(floor(btc / 8.0) AS BIGINT) AS bin, count(*) AS cnt
+  FROM s GROUP BY 1
+), tot AS (SELECT sum(cnt) AS total FROM h),
+cum AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS c FROM h),
+thr AS (
+  SELECT CAST(min(bin) AS DOUBLE) * 8.0 AS est
+  FROM cum, tot WHERE c >= greatest(ceil(0.5 * total), 1)
+)
+SELECT doc_id, btc AS bpe_token_count
+FROM s, thr WHERE CAST(btc AS DOUBLE) >= est
+"""
+
+QUERIES["percentile_cut_docs"] = q_percentile_cut_docs
+ORACLE_SQL["percentile_cut_docs"] = SQL_PERCENTILE_CUT
+
+
 def q_part_type_words(sf_dir: str):
     """String extraction + grouped count (first word of p_type)."""
     from nacc_form_validator_ray.stages.partition import grouped_agg_sum

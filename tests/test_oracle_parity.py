@@ -22,6 +22,7 @@ FAST_QUERIES = [
     "repetition_docs", "line_dedup_docs", "pack_sequences",
     "select_token_budget", "stratified_sample", "shuffle_manifest",
     "hist_quantiles", "chunk_docs", "heavy_hitters", "bm25_search",
+    "percentile_cut_docs",
 ]
 
 
