@@ -134,6 +134,11 @@ def bench_queries(sf_dir: str):
         "pack_sequences": lambda: consume(Q.q_pack_sequences(sf_dir)),
         "line_dedup_docs": lambda: consume(Q.q_line_dedup(sf_dir)),
         "pretrain_pages": lambda: consume(Q.q_pretrain_pages(sf_dir)),
+        "chunk_docs": lambda: consume(Q.q_chunk_docs(sf_dir)),
+        "bm25_search": lambda: consume(Q.q_bm25_search(sf_dir)),
+        "heavy_hitters": lambda: consume(Q.q_heavy_hitters(sf_dir)),
+        "percentile_cut_docs": lambda: consume(
+            Q.q_percentile_cut_docs(sf_dir)),
     }
 
 

@@ -1562,6 +1562,7 @@ def flagship_oracles(sf_dir: str) -> Dict[str, str]:
         "pretrain_prefix_pages": sql_pretrain_prefix_pages(path),
         "pretrain_pages": sql_pretrain_pages(path),
         "host_doc_counts": sql_host_doc_counts(path),
+        "ivf_knn_embeddings": sql_ivf_knn(sf_dir),
     }
 
 
@@ -2189,19 +2190,36 @@ QUERIES["perplexity_docs"] = q_perplexity_docs
 ORACLE_SQL["perplexity_docs"] = SQL_PERPLEXITY_DOCS
 
 
-def q_ivf_knn(sf_dir: str):
-    """Approximate ANN (IVF inverted lists) — the scale path beside
-    knn_embeddings' exact brute force. Rows-only (recall < 1).
-
-    The centroid model is trained ONCE per input table and persisted
-    (train_ivf_model/save_ivf_model), then loaded on every later run —
-    the same load-weights pattern the perplexity model uses, so repeat
-    queries skip the driver-side sampling pass entirely."""
+def _ivf_model_for(sf_dir: str) -> str:
+    """Train-once-per-input persisted centroid model (the perplexity
+    load-weights pattern); shared by the query AND its generated SQL
+    twin so both see identical centroids."""
     import hashlib
     import os
-    import pyarrow.parquet as pq
     from nacc_form_validator_ray.stages.similarity import (
-        ivf_knn, save_ivf_model, train_ivf_model)
+        save_ivf_model, train_ivf_model)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    model_path = f"/tmp/nacc_ivf_model_{tag}_c16_s7.json"
+    if not os.path.exists(model_path):
+        ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+        save_ivf_model(train_ivf_model(ds, n_centroids=16, seed=7),
+                       model_path)
+    return model_path
+
+
+def q_ivf_knn(sf_dir: str):
+    """Approximate ANN (IVF inverted lists) — the scale path beside
+    knn_embeddings' exact brute force.
+
+    HARD oracle (round 3): assignment, probing and scoring run on
+    integer-quantized vectors (floor(x*2^12 + 0.5)) with the exact-cos
+    rule dp/(sqrt(nv)*sqrt(nq)) — every arithmetic step bit-identical
+    to the generated DuckDB twin (sql_ivf_knn), which embeds the SAME
+    persisted centroid model as literals. The model is trained ONCE per
+    input table (the perplexity load-weights pattern)."""
+    import pyarrow.parquet as pq
+    from nacc_form_validator_ray.stages.similarity import ivf_knn_quantized
     # pushed-down row filter: only the 10 query vectors leave storage
     small = pq.read_table(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"],
@@ -2211,14 +2229,77 @@ def q_ivf_knn(sf_dir: str):
                         for v in small["embedding"]])
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
                             columns=["vec_id", "embedding"])
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    model_path = f"/tmp/nacc_ivf_model_{tag}_c16_s7.json"
-    if not os.path.exists(model_path):
-        save_ivf_model(train_ivf_model(ds, n_centroids=16, seed=7),
-                       model_path)
-    out = ivf_knn(ds, queries, small["vec_id"].to_numpy(), k=10,
-                  n_centroids=16, n_probe=6, model_path=model_path)
+    out = ivf_knn_quantized(ds, queries, small["vec_id"].to_numpy(),
+                            k=10, n_probe=6,
+                            model_path=_ivf_model_for(sf_dir))
     return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+def sql_ivf_knn(sf_dir: str, k: int = 10, n_probe: int = 6,
+                quantize_bits: int = 12) -> str:
+    """DuckDB twin of q_ivf_knn: the persisted centroid model embedded
+    as integer literals, integer dot-product assignment/probing (ties
+    on lowest centroid id), and the shared exact-cos rule."""
+    import json
+    import numpy as np
+    from nacc_form_validator_ray.stages.similarity import _normalize
+    with open(_ivf_model_for(sf_dir)) as f:
+        model = json.load(f)
+    S = float(1 << quantize_bits)
+    cq = np.floor(_normalize(np.asarray(model["centroids"],
+                                        dtype=np.float64)) * S + 0.5) \
+        .astype(np.int64)
+    cent_rows = ", ".join(
+        "({}, [{}])".format(
+            cid, ", ".join(f"{v}.0" for v in row))
+        for cid, row in enumerate(cq.tolist()))
+    return f"""
+WITH cents AS (
+  SELECT * FROM (VALUES {cent_rows}) AS c(cid, cv)
+), qv AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding,
+                        x -> floor(x * {S!r} + 0.5)) AS q
+  FROM embeddings WHERE vec_id < 10
+), vv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(x * {S!r} + 0.5)) AS v
+  FROM embeddings
+), qn AS (
+  SELECT query_id, q, list_dot_product(q, q) AS nq FROM qv
+), vn AS (
+  SELECT vec_id, v, list_dot_product(v, v) AS nv FROM vv
+), probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY list_dot_product(q.q, c.cv) DESC, c.cid) AS pr
+    FROM qv q, cents c) WHERE pr <= {int(n_probe)}
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY list_dot_product(v.v, c.cv) DESC, c.cid) AS rn
+    FROM vv v, cents c) WHERE rn = 1
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(qn.q, vn.v)
+             / (sqrt(qn.nq) * sqrt(vn.nv)) AS cos
+  FROM probes p
+  JOIN assign a ON a.cid = p.cid
+  JOIN qn ON qn.query_id = p.query_id
+  JOIN vn ON vn.vec_id = a.vec_id
+  WHERE a.vec_id != p.query_id AND vn.nv > 0 AND qn.nq > 0
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {int(k)}
+"""
 
 
 QUERIES["ivf_knn_embeddings"] = q_ivf_knn
