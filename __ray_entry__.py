@@ -49,13 +49,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for each SQL-expressible query; rows-only
-    operators (MinHash/SimHash LSH, hyperplane LSH, winnowing
-    fingerprints, multimodal decode, full pretrain composition) are
-    intentionally omitted. The flagship page pipelines get hard oracles
-    over the persisted deterministic page table (materialized here so
-    the SQL runs no matter the query/oracle execution order; the
-    driver's gate runs at sf0.01)."""
+    """DuckDB-equivalent SQL for EVERY query — no rows-only entries
+    remain (LSH/fingerprint/multimodal/pretrain/IVF paths all run on
+    integer-exact or grid-quantized arithmetic their twins reproduce).
+    The flagship page pipelines get hard oracles over the persisted
+    deterministic page table (materialized here so the SQL runs no
+    matter the query/oracle execution order; the driver's gate runs at
+    sf0.01), and the IVF twin embeds the persisted centroid model as
+    literals."""
     from nacc_form_validator_ray.pipelines.queries import (ORACLE_SQL,
                                                            flagship_oracles)
     out = dict(ORACLE_SQL)
