@@ -139,6 +139,11 @@ def bench_queries(sf_dir: str):
         "heavy_hitters": lambda: consume(Q.q_heavy_hitters(sf_dir)),
         "percentile_cut_docs": lambda: consume(
             Q.q_percentile_cut_docs(sf_dir)),
+        "rolling_user_stats": lambda: consume(
+            Q.q_rolling_user_stats(sf_dir)),
+        "latest_events": lambda: consume(Q.q_latest_events(sf_dir)),
+        "lr_score_docs": lambda: consume(Q.q_lr_score_docs(sf_dir)),
+        "label_centroids": lambda: consume(Q.q_label_centroids(sf_dir)),
     }
 
 

@@ -2928,3 +2928,231 @@ FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 
 QUERIES["contamination"] = q_contamination
 ORACLE_SQL["contamination"] = SQL_CONTAMINATION
+
+
+# --------------------------------------------------------------------------
+# round-3 additions: windowed aggregates, snapshot resolution, model
+# inference, vector centroids
+# --------------------------------------------------------------------------
+
+
+def q_rolling_user_stats(sf_dir: str):
+    """Per-user time-ordered rolling window (last 5 events): the
+    streaming-log windowed-aggregate shape — ONE hash exchange on
+    user_id, then vectorized run-relative cumsum windows per partition
+    (no per-row loop, no global sort).
+
+    Oracle: values quantized to integer cents; the rolling sum is an
+    exact int64 difference of cumsums, and the rolling mean is one
+    exact-int divide — bit-identical to the SQL window frame
+    ``ROWS BETWEEN 4 PRECEDING AND CURRENT ROW``."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts",
+                                     "value"])
+    W = 5
+
+    def roll(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts", "event_id"],
+                                kind="stable")
+        cents = np.floor(part["value"].to_numpy(np.float64) * 100
+                         + 0.5).astype(np.int64)
+        uid = part["user_id"].to_numpy()
+        n = len(part)
+        idx = np.arange(n, dtype=np.int64)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        run_start = np.maximum.accumulate(np.where(new, idx, 0))
+        lo = np.maximum(run_start, idx - (W - 1))
+        cs = np.cumsum(cents)
+        prev = np.where(lo > 0, cs[lo - 1], 0)
+        roll_cents = cs - prev
+        roll_n = idx - lo + 1
+        return pd.DataFrame({
+            "event_id": part["event_id"].to_numpy(),
+            "user_id": uid,
+            "roll_n": roll_n,
+            "roll_cents": roll_cents,
+            "roll_avg": roll_cents / roll_n,
+        })
+
+    return grouped_apply(ds, ["user_id"], roll, num_partitions=32)
+
+
+SQL_ROLLING_USER_STATS = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS roll_n,
+       CAST(sum(cents) OVER w AS BIGINT) AS roll_cents,
+       CAST(sum(cents) OVER w AS BIGINT)
+           / CAST(count(*) OVER w AS BIGINT) AS roll_avg
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["rolling_user_stats"] = q_rolling_user_stats
+ORACLE_SQL["rolling_user_stats"] = SQL_ROLLING_USER_STATS
+
+
+def q_latest_events(sf_dir: str):
+    """Latest-snapshot resolution: keep the newest event per
+    (user_id, event_type) — the recrawl-dedup shape (newest
+    warc_ts per url wins). Per-batch local argmax FIRST (at most
+    |keys| rows per batch ride the wire), then the same argmax once
+    per partition after one lean hash exchange."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id",
+                                     "event_type", "ts", "value"])
+
+    def local_last(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values(["user_id", "event_type", "ts",
+                               "event_id"], kind="stable")
+        return b.drop_duplicates(["user_id", "event_type"],
+                                 keep="last")
+
+    partials = ds.map_batches(local_last, batch_format="pandas")
+    out = grouped_apply(partials, ["user_id", "event_type"],
+                        local_last, num_partitions=32)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        ts_us = batch["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "event_id": batch["event_id"].to_numpy(),
+            "user_id": batch["user_id"].to_numpy(),
+            "event_type": batch["event_type"].to_numpy(),
+            "ts_us": ts_us.to_numpy(),
+            "value": batch["value"].to_numpy(),
+        })
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_LATEST_EVENTS = """
+SELECT event_id, user_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+QUERIES["latest_events"] = q_latest_events
+ORACLE_SQL["latest_events"] = SQL_LATEST_EVENTS
+
+
+def q_lr_score_docs(sf_dir: str):
+    """Quality-classifier inference over `documents`: broadcast
+    integer-quantized weights (ray.put once, actor __init__ load),
+    Arrow RE2 feature kernels, one int64 dot-product logit per doc —
+    the batched-model-inference shape with a bit-exact twin
+    (stages/classifier.py)."""
+    from nacc_form_validator_ray.stages.classifier import \
+        score_documents
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return score_documents(ds)
+
+
+def _sql_lr_score() -> str:
+    from nacc_form_validator_ray.stages.classifier import LR_WEIGHTS_Q10
+    w = LR_WEIGHTS_Q10
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+             AS n_words,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+             AS n_digits,
+         CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT)
+             AS n_upper
+  FROM documents
+)
+SELECT doc_id, n_chars, n_words,
+       CAST({w['bias']}
+            + {w['n_chars']} * n_chars
+            + {w['n_words']} * n_words
+            + {w['n_digits']} * n_digits
+            + {w['n_upper']} * n_upper AS BIGINT) AS logit_q10,
+       ({w['bias']}
+        + {w['n_chars']} * n_chars
+        + {w['n_words']} * n_words
+        + {w['n_digits']} * n_digits
+        + {w['n_upper']} * n_upper) >= 0 AS keep
+FROM f
+"""
+
+
+QUERIES["lr_score_docs"] = q_lr_score_docs
+ORACLE_SQL["lr_score_docs"] = _sql_lr_score()
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-class embedding centroids (class prototypes): per-batch
+    partial component sums — only |labels| × d cells ride the
+    exchange, never the vectors — merged by one tiny grouped sum; the
+    centroid is one exact-int divide per component.
+
+    Components quantized to the 2^12 grid so the int64 sums (and the
+    single divide) are bit-identical to the SQL twin."""
+    import pyarrow as pa
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
+    from nacc_form_validator_ray.stages.similarity import \
+        _matrix_from_arrow
+    S = float(1 << 12)
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        M = np.floor(_matrix_from_arrow(t["embedding"]) * S + 0.5) \
+            .astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = M.shape[1]
+        ulab, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ulab), d), dtype=np.int64)
+        np.add.at(sums, inv, M)
+        counts = np.bincount(inv, minlength=len(ulab)).astype(np.int64)
+        return pa.table({
+            "label": np.repeat(ulab, d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(ulab)),
+            "comp_sum": sums.ravel(),
+            "n": np.repeat(counts, d),
+        })
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["label", "embedding"])
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=4096)
+    merged = grouped_agg_sum(partials, ["label", "dim"],
+                             ["comp_sum", "n"])
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["centroid"] = batch["comp_sum"].to_numpy(np.int64) \
+            / batch["n"].to_numpy(np.int64)
+        return batch[["label", "dim", "n", "comp_sum", "centroid"]]
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
+SQL_LABEL_CENTROIDS = """
+WITH q AS (
+  SELECT CAST(label AS BIGINT) AS label, i.i AS dim,
+         CAST(floor(embedding[CAST(i.i AS INT) + 1] * 4096.0 + 0.5)
+              AS BIGINT) AS c
+  FROM embeddings, range(64) i(i)
+)
+SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(c) AS BIGINT) AS comp_sum,
+       CAST(sum(c) AS BIGINT) / CAST(count(*) AS BIGINT) AS centroid
+FROM q GROUP BY label, dim
+"""
+
+QUERIES["label_centroids"] = q_label_centroids
+ORACLE_SQL["label_centroids"] = SQL_LABEL_CENTROIDS

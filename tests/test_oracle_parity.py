@@ -22,7 +22,8 @@ FAST_QUERIES = [
     "repetition_docs", "line_dedup_docs", "pack_sequences",
     "select_token_budget", "stratified_sample", "shuffle_manifest",
     "hist_quantiles", "chunk_docs", "heavy_hitters", "bm25_search",
-    "percentile_cut_docs",
+    "percentile_cut_docs", "rolling_user_stats", "latest_events",
+    "lr_score_docs", "label_centroids",
 ]
 
 
