@@ -144,6 +144,9 @@ def bench_queries(sf_dir: str):
         "latest_events": lambda: consume(Q.q_latest_events(sf_dir)),
         "lr_score_docs": lambda: consume(Q.q_lr_score_docs(sf_dir)),
         "label_centroids": lambda: consume(Q.q_label_centroids(sf_dir)),
+        "user_type_pivot": lambda: consume(Q.q_user_type_pivot(sf_dir)),
+        "user_outlier_events": lambda: consume(
+            Q.q_user_outlier_events(sf_dir)),
     }
 
 

@@ -3156,3 +3156,167 @@ FROM q GROUP BY label, dim
 
 QUERIES["label_centroids"] = q_label_centroids
 ORACLE_SQL["label_centroids"] = SQL_LABEL_CENTROIDS
+
+
+def q_user_type_pivot(sf_dir: str):
+    """Pivot (wide conditional aggregation): one row per user with a
+    count column per event type. Per-batch boolean-mask partials keep
+    the exchange at |users|×1 rows with 5 int columns — the narrow
+    pre-aggregated combiner shape, not a types×users shuffle."""
+    EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        et = batch["event_type"].to_numpy()
+        cols = {"user_id": batch["user_id"]}
+        for t in EVENT_TYPES:
+            cols[f"n_{t}"] = (et == t).astype(np.int64)
+        return pd.DataFrame(cols).groupby(
+            "user_id", as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return grouped_agg_sum(partials, ["user_id"],
+                           [f"n_{t}" for t in EVENT_TYPES])
+
+
+SQL_USER_TYPE_PIVOT = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+QUERIES["user_type_pivot"] = q_user_type_pivot
+ORACLE_SQL["user_type_pivot"] = SQL_USER_TYPE_PIVOT
+
+
+def q_user_outlier_events(sf_dir: str):
+    """Group-stats broadcast-back outlier flagging: pass 1 reduces the
+    stream to per-user (n, Σx, Σx²) partials (tiny), the driver merges
+    and ships the stats dict back via ray.put, pass 2 streams the full
+    log once more and flags events with |x-μ| > 2σ.
+
+    Exactness: cents are int64; the test is the cross-multiplied
+    integer form (n·x − S)² > 4·(n·SS − S²) — no division, no sqrt, no
+    float anywhere, so the flag is bit-identical to the SQL twin.
+    (Int64 bound: |n·x−S| < 3·10⁹ keeps the square exact; at larger
+    per-key magnitudes move both sides to the identical double
+    formulation.)"""
+    import ray
+    import pyarrow as pa
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "value"])
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(batch["value"].to_numpy(np.float64) * 100
+                         + 0.5).astype(np.int64)
+        g = pd.DataFrame({"user_id": batch["user_id"], "n": 1,
+                          "s": cents, "ss": cents * cents})
+        return g.groupby("user_id", as_index=False).sum()
+
+    stats = _merge_partials(
+        ds.map_batches(stats_partial, batch_format="pandas"),
+        ["user_id"], {"n": "sum", "s": "sum", "ss": "sum"})
+    uid = stats["user_id"].to_numpy(np.int64)
+    lut_ref = ray.put((uid,
+                       stats["n"].to_numpy(np.int64),
+                       stats["s"].to_numpy(np.int64),
+                       stats["ss"].to_numpy(np.int64)))
+
+    class Flag:
+        def __init__(self, ref):
+            ids, n, s, ss = ray.get(ref)
+            order = np.argsort(ids, kind="stable")
+            self.ids = ids[order]
+            self.n, self.s, self.ss = n[order], s[order], ss[order]
+
+        def __call__(self, batch: "pa.Table") -> "pa.Table":
+            cents = np.floor(batch["value"].to_numpy(
+                zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+            pos = np.searchsorted(self.ids, batch["user_id"].to_numpy(
+                zero_copy_only=False))
+            n, s, ss = self.n[pos], self.s[pos], self.ss[pos]
+            lhs = n * cents - s
+            outlier = lhs * lhs > 4 * (n * ss - s * s)
+            return pa.table({
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "cents": cents,
+                "outlier": outlier,
+            })
+
+    return ds.map_batches(Flag, fn_constructor_kwargs={"ref": lut_ref},
+                          batch_format="pyarrow", batch_size=8192,
+                          concurrency=(1, 8))
+
+
+SQL_USER_OUTLIER_EVENTS = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), st AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(cents * cents) AS BIGINT) AS ss
+  FROM e GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.cents,
+       (e.cents * st.n - st.s) * (e.cents * st.n - st.s)
+           > 4 * (st.n * st.ss - st.s * st.s) AS outlier
+FROM e JOIN st ON e.user_id = st.user_id
+"""
+
+QUERIES["user_outlier_events"] = q_user_outlier_events
+ORACLE_SQL["user_outlier_events"] = SQL_USER_OUTLIER_EVENTS
+
+
+def q_new_users_by_day(sf_dir: str):
+    """First-touch adoption curve: per-user min(day) via pre-aggregated
+    partials (the only exchange is |users| rows), then the tiny per-day
+    histogram and its cumulative sum on the driver."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        day = (batch["ts"].astype("datetime64[us]").astype("int64")
+               // 86_400_000_000)
+        return pd.DataFrame({"user_id": batch["user_id"],
+                             "first_day": day}) \
+            .groupby("user_id", as_index=False).min()
+
+    first = _merge_partials(ds.map_batches(partial,
+                                           batch_format="pandas"),
+                            ["user_id"], {"first_day": "min"})
+    per_day = first.groupby("first_day").size().sort_index()
+    return pd.DataFrame({
+        "day": per_day.index.to_numpy(np.int64),
+        "new_users": per_day.to_numpy(np.int64),
+        "cum_users": per_day.cumsum().to_numpy(np.int64),
+    })
+
+
+SQL_NEW_USERS_BY_DAY = """
+WITH f AS (
+  SELECT user_id,
+         min(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS day
+  FROM events GROUP BY user_id
+)
+SELECT day, CAST(count(*) AS BIGINT) AS new_users,
+       CAST(sum(count(*)) OVER (ORDER BY day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM f GROUP BY day
+"""
+
+QUERIES["new_users_by_day"] = q_new_users_by_day
+ORACLE_SQL["new_users_by_day"] = SQL_NEW_USERS_BY_DAY

@@ -23,7 +23,8 @@ FAST_QUERIES = [
     "select_token_budget", "stratified_sample", "shuffle_manifest",
     "hist_quantiles", "chunk_docs", "heavy_hitters", "bm25_search",
     "percentile_cut_docs", "rolling_user_stats", "latest_events",
-    "lr_score_docs", "label_centroids",
+    "lr_score_docs", "label_centroids", "user_type_pivot",
+    "user_outlier_events", "new_users_by_day",
 ]
 
 
