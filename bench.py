@@ -147,6 +147,8 @@ def bench_queries(sf_dir: str):
         "user_type_pivot": lambda: consume(Q.q_user_type_pivot(sf_dir)),
         "user_outlier_events": lambda: consume(
             Q.q_user_outlier_events(sf_dir)),
+        "q3_shipping_priority": lambda: consume(
+            Q.q3_shipping_priority(sf_dir)),
     }
 
 

@@ -3320,3 +3320,95 @@ FROM f GROUP BY day
 
 QUERIES["new_users_by_day"] = q_new_users_by_day
 ORACLE_SQL["new_users_by_day"] = SQL_NEW_USERS_BY_DAY
+
+
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape — the canonical THREE-table join composition on
+    the distributed exchange fabric: segment-filtered customer ⋈
+    date-filtered orders (hash exchange), then date-filtered lineitem
+    — pre-aggregated per (orderkey, batch) so only lean revenue
+    partials ride the second exchange — ⋈ the order side, grouped sum
+    per order, per-partition top-k and a k×partitions driver merge.
+
+    Revenue is exact integers: cents(extprice) × (100 − hundredths
+    (discount)) in cent-hundredths — bit-identical to the SQL twin.
+    Both date filters are pushed into the parquet read."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    from nacc_form_validator_ray.stages.joins import hash_join
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
+    cut_pd = pd.Timestamp("1998-01-01")
+
+    cust = _rd().read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"]) \
+        .filter(expr="c_mktsegment == 'BUILDING'") \
+        .map_batches(lambda t: t.select(["c_custkey"]).rename_columns(
+            ["o_custkey"]), batch_format="pyarrow")
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") < cut_pd))
+    ord_cust = hash_join(orders, cust, on="o_custkey") \
+        .map_batches(lambda t: t.select(["o_orderkey", "o_orderdate"]),
+                     batch_format="pyarrow")
+
+    line = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pads.field("l_shipdate") > cut_pd))
+
+    def rev_partial(t: "pa.Table") -> "pa.Table":
+        cents = np.floor(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        dh = np.floor(t["l_discount"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        g = pa.table({"o_orderkey": t["l_orderkey"].combine_chunks(),
+                      "revenue_ch": cents * (100 - dh)})
+        return pa.TableGroupBy(g, ["o_orderkey"]).aggregate(
+            [("revenue_ch", "sum")]) \
+            .rename_columns(["o_orderkey", "revenue_ch"])
+
+    rev = line.map_batches(rev_partial, batch_format="pyarrow")
+    joined = hash_join(rev, ord_cust, on="o_orderkey")
+    summed = grouped_agg_sum(
+        joined.map_batches(lambda t: t.select(
+            ["o_orderkey", "o_orderdate", "revenue_ch"]),
+            batch_format="pyarrow"),
+        ["o_orderkey", "o_orderdate"], ["revenue_ch"])
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["revenue_ch", "o_orderkey"],
+                                 ascending=[False, True]).head(10)
+
+    top = summed.map_batches(local_topk, batch_format="pandas") \
+        .to_pandas()
+    top = top.sort_values(["revenue_ch", "o_orderkey"],
+                          ascending=[False, True]).head(10)
+    return pd.DataFrame({
+        "o_orderkey": top["o_orderkey"].to_numpy(np.int64),
+        "revenue_ch": top["revenue_ch"].to_numpy(np.int64),
+        "o_orderdate_us": top["o_orderdate"]
+            .astype("datetime64[us]").astype("int64").to_numpy(),
+    })
+
+
+SQL_Q3_SHIPPING_PRIORITY = """
+SELECT l.l_orderkey AS o_orderkey,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                              AS BIGINT))) AS BIGINT) AS revenue_ch,
+       CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_us
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_ch DESC, o_orderkey LIMIT 10
+"""
+
+QUERIES["q3_shipping_priority"] = q3_shipping_priority
+ORACLE_SQL["q3_shipping_priority"] = SQL_Q3_SHIPPING_PRIORITY

@@ -24,7 +24,7 @@ FAST_QUERIES = [
     "hist_quantiles", "chunk_docs", "heavy_hitters", "bm25_search",
     "percentile_cut_docs", "rolling_user_stats", "latest_events",
     "lr_score_docs", "label_centroids", "user_type_pivot",
-    "user_outlier_events", "new_users_by_day",
+    "user_outlier_events", "new_users_by_day", "q3_shipping_priority",
 ]
 
 
