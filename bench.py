@@ -149,6 +149,7 @@ def bench_queries(sf_dir: str):
             Q.q_user_outlier_events(sf_dir)),
         "q3_shipping_priority": lambda: consume(
             Q.q3_shipping_priority(sf_dir)),
+        "pmi_bigrams": lambda: consume(Q.q_pmi_bigrams(sf_dir)),
     }
 
 

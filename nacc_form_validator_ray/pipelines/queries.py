@@ -3412,3 +3412,149 @@ ORDER BY revenue_ch DESC, o_orderkey LIMIT 10
 
 QUERIES["q3_shipping_priority"] = q3_shipping_priority
 ORACLE_SQL["q3_shipping_priority"] = SQL_Q3_SHIPPING_PRIORITY
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """Collocation extraction: top-50 bigrams by pointwise mutual
+    information. One tokenizing pass emits per-batch unigram AND
+    bigram count partials (dictionary-coded, pair-packed int64 —
+    no Python loop), one grouped-sum exchange merges them; the
+    vocabulary-bounded unigram table (plus the total bigram mass) is
+    pulled once and broadcast back (the perplexity-model pattern)
+    while bigram scoring stays distributed with a per-partition
+    top-k.
+
+    Exactness: PMI = log2((c_xy*N)/(c_x*c_y)) — exact int64 products,
+    one divide, log2 on the 2^-20 grid (the perplexity trick), ties
+    broken on (w1, w2). Int64 bound: c_xy*N < 2^63; beyond that move
+    both sides to the identical double formulation."""
+    import ray
+    import pyarrow as pa
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+    MIN_C, K, GRID = 3, 50, 1048576.0
+
+    def count_partial(t: "pa.Table") -> "pa.Table":
+        codes, dictionary, tok_doc, _ = arrow_token_codes(t["text"])
+        if dictionary is None or not len(codes):
+            return pa.table({"w1": pa.array([], type=pa.string()),
+                             "w2": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        toks = dictionary.to_numpy(zero_copy_only=False)
+        ucount = np.bincount(codes, minlength=len(toks)) \
+            .astype(np.int64)
+        nz = np.flatnonzero(ucount)
+        w1 = [toks[nz]]
+        w2 = [np.full(len(nz), "", dtype=object)]
+        cs = [ucount[nz]]
+        same_doc = tok_doc[1:] == tok_doc[:-1]
+        if same_doc.any():
+            a = codes[:-1][same_doc].astype(np.int64)
+            b = codes[1:][same_doc].astype(np.int64)
+            pair = (a << 32) | b
+            up, pcnt = np.unique(pair, return_counts=True)
+            w1.append(toks[(up >> 32).astype(np.int64)])
+            w2.append(toks[(up & 0xFFFFFFFF).astype(np.int64)])
+            cs.append(pcnt.astype(np.int64))
+        return pa.table({"w1": np.concatenate(w1),
+                         "w2": np.concatenate(w2),
+                         "c": np.concatenate(cs)})
+
+    ds = _docs(sf_dir, columns=["text"])
+    merged = grouped_agg_sum(
+        ds.map_batches(count_partial, batch_format="pyarrow",
+                       batch_size=4096), ["w1", "w2"], ["c"])
+
+    # ONE extra pass over the merged counts pulls only the
+    # vocabulary-bounded unigram rows plus a per-batch bigram-mass row
+    # (key "" can never collide with a [a-z]+ token)
+    def uni_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        is_u = batch["w2"].to_numpy() == ""
+        out = batch.loc[is_u, ["w1", "c"]]
+        mass = np.int64(batch.loc[~is_u, "c"].sum())
+        return pd.concat(
+            [out, pd.DataFrame({"w1": [""], "c": [mass]})],
+            ignore_index=True)
+
+    uni = _merge_partials(
+        merged.map_batches(uni_partial, batch_format="pandas"),
+        ["w1"], {"c": "sum"})
+    nb = np.int64(uni.loc[uni["w1"] == "", "c"].iloc[0])
+    lut_ref = ray.put((uni.loc[uni["w1"] != "", "w1"]
+                       .to_numpy(dtype=object),
+                       uni.loc[uni["w1"] != "", "c"]
+                       .to_numpy(np.int64), nb))
+
+    class Score:
+        def __init__(self, ref):
+            toks, counts, total = ray.get(ref)
+            order = np.argsort(toks, kind="stable")
+            self.toks = toks[order]
+            self.counts = counts[order]
+            self.nb = total
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch[(batch["w2"].to_numpy() != "")
+                      & (batch["c"].to_numpy(np.int64) >= MIN_C)]
+            if not len(b):
+                return pd.DataFrame({"w1": [], "w2": [],
+                                     "c_xy": np.empty(0, np.int64),
+                                     "pmi": np.empty(0, np.float64)})
+            cx = self.counts[np.searchsorted(
+                self.toks, b["w1"].to_numpy(dtype=object))]
+            cy = self.counts[np.searchsorted(
+                self.toks, b["w2"].to_numpy(dtype=object))]
+            c_xy = b["c"].to_numpy(np.int64)
+            ratio = (c_xy * self.nb).astype(np.float64) \
+                / (cx * cy).astype(np.float64)
+            pmi = np.floor(np.log2(ratio) * GRID + 0.5) / GRID
+            out = pd.DataFrame({"w1": b["w1"].to_numpy(),
+                                "w2": b["w2"].to_numpy(),
+                                "c_xy": c_xy, "pmi": pmi})
+            return out.sort_values(["pmi", "w1", "w2"],
+                                   ascending=[False, True, True]) \
+                .head(K)
+
+    top = merged.map_batches(Score, fn_constructor_kwargs={
+        "ref": lut_ref}, batch_format="pandas",
+        concurrency=(1, 8)).to_pandas()
+    return top.sort_values(["pmi", "w1", "w2"],
+                           ascending=[False, True, True]) \
+        .head(K).reset_index(drop=True)
+
+
+SQL_PMI_BIGRAMS = """
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), \'[a-z]+\') AS toks
+  FROM documents
+), bg AS (
+  SELECT unnest(CASE WHEN len(toks) >= 2
+       THEN list_transform(range(1, len(toks)),
+            i -> toks[i] || \' \' || toks[i+1])
+       ELSE CAST([] AS VARCHAR[]) END) AS b
+  FROM t
+), bc AS (
+  SELECT split_part(b, \' \', 1) AS w1, split_part(b, \' \', 2) AS w2,
+         CAST(count(*) AS BIGINT) AS c
+  FROM bg GROUP BY b
+), uc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+), nbt AS (
+  SELECT CAST(sum(c) AS BIGINT) AS nb FROM bc
+)
+SELECT bc.w1, bc.w2, bc.c AS c_xy,
+       floor(log2(CAST(bc.c * nbt.nb AS DOUBLE)
+                  / CAST(u1.c * u2.c AS DOUBLE))
+             * 1048576.0 + 0.5) / 1048576.0 AS pmi
+FROM bc
+CROSS JOIN nbt
+JOIN uc u1 ON u1.tok = bc.w1
+JOIN uc u2 ON u2.tok = bc.w2
+WHERE bc.c >= 3
+ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 50
+"""
+
+QUERIES["pmi_bigrams"] = q_pmi_bigrams
+ORACLE_SQL["pmi_bigrams"] = SQL_PMI_BIGRAMS
