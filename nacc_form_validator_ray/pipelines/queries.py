@@ -1552,17 +1552,164 @@ FROM ids WHERE doc_id NOT IN (SELECT doc_id FROM banned)
 """
 
 
+# ----------------------------------------------- linked-page operators
+
+
+def _linked_pages_path(sf_dir: str) -> str:
+    """Materialize the deterministic linked-page table (FIXTURES.md F8:
+    messy URLs, multi-line C4-filterable text, outbound link lists)."""
+    from nacc_form_validator_ray.pipelines.webgen import \
+        ensure_linked_pages_parquet
+    return ensure_linked_pages_parquet(_pages_n(sf_dir))
+
+
+def q_c4_filter_pages(sf_dir: str):
+    """C4-style heuristic line/document filter over the linked-page
+    fixture: terminal-punctuation + >=5-word + no-javascript line keep,
+    lorem-ipsum / curly-brace / <3-kept-lines document drop."""
+    from nacc_form_validator_ray.stages.webclean import c4_line_filter
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["doc_id", "text"])
+    return c4_line_filter(ds)
+
+
+def sql_c4_filter_pages(path: str) -> str:
+    return f"""
+WITH p AS (SELECT doc_id, text FROM read_parquet('{path}')),
+lns AS (
+  SELECT doc_id, generate_subscripts(ls, 1) AS idx, unnest(ls) AS ln
+  FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+        FROM p)
+),
+flt AS (
+  SELECT doc_id, idx, ln,
+         (len(regexp_extract_all(ln, '\\S+')) >= 5
+          AND regexp_matches(ln, '[.!?"]$')
+          AND NOT contains(lower(ln), 'javascript')) AS keepln
+  FROM lns
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_lines,
+         sum(CASE WHEN keepln THEN 1 ELSE 0 END) AS n_kept,
+         string_agg(CASE WHEN keepln THEN ln END, chr(10)
+                    ORDER BY idx) AS ktext
+  FROM flt GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(a.n_lines AS BIGINT) AS n_lines,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       (coalesce(a.n_kept, 0) >= 3
+        AND NOT contains(lower(p.text), 'lorem ipsum')
+        AND NOT contains(p.text, '{{')) AS keep,
+       coalesce(a.ktext, '') AS text
+FROM p JOIN agg a ON a.doc_id = p.doc_id
+"""
+
+
+def q_url_normalize_pages(sf_dir: str):
+    """URL canonicalization + duplicate-URL representative election
+    over the linked-page fixture (fragment/utm/slash strip, host
+    lowercasing, www./default-port removal, scheme coercion)."""
+    from nacc_form_validator_ray.stages.webclean import normalize_urls
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["doc_id", "url"])
+    return normalize_urls(ds)
+
+
+#: the SQL twin applies webclean.URL_RULES / HOST_RULES verbatim —
+#: both sides run RE2, so the replacement chain is byte-identical
+_SQL_URL_NORM = ("regexp_replace(regexp_replace(lower(regexp_extract("
+                 "{u}, '^(?i:https?)://([^/?#]+)', 1)), '^www\\.', '',"
+                 " 'g'), ':(443|80)$', '', 'g')")
+
+
+def _sql_url_chain(col: str) -> str:
+    from nacc_form_validator_ray.stages.webclean import URL_RULES
+    expr = f"coalesce({col}, '')"
+    for pat, rep in URL_RULES:
+        # DuckDB single-quoted literals are not backslash-escaped
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{rep}', 'g')"
+    return expr
+
+
+def sql_url_normalize_pages(path: str) -> str:
+    host = _SQL_URL_NORM.format(u="u")
+    return f"""
+WITH p AS (SELECT doc_id, url FROM read_parquet('{path}')),
+s1 AS (SELECT doc_id, url, {_sql_url_chain('url')} AS u FROM p),
+s2 AS (SELECT doc_id, url,
+       'https://' || {host} ||
+       regexp_replace(u, '^https?://[^/?#]+', '') AS norm_url
+       FROM s1)
+SELECT doc_id, url, norm_url,
+       (doc_id = min(doc_id) OVER (PARTITION BY norm_url))
+           AS is_canonical
+FROM s2
+"""
+
+
+def q_host_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank over the host link graph of the
+    linked-page fixture — 5 power iterations, each one hash join plus
+    one grouped-sum exchange."""
+    from nacc_form_validator_ray.stages.graph import host_pagerank
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["url", "links"])
+    return host_pagerank(ds)
+
+
+def sql_host_pagerank(path: str, iterations: int = 5) -> str:
+    from nacc_form_validator_ray.stages.graph import PR_SCALE
+    host_url = _SQL_URL_NORM.format(u="url")
+    host_lk = _SQL_URL_NORM.format(u="lk")
+    iters = []
+    for k in range(1, iterations + 1):
+        iters.append(f"""
+r{k} AS (
+  SELECT host, CAST(sum(v) AS BIGINT) AS r FROM (
+    SELECT host, ((({PR_SCALE} // nn.cnt) * 15) // 100) AS v
+    FROM nodes, nn
+    UNION ALL
+    SELECT e.dst AS host, (85 * p.r) // (100 * o.c) AS v
+    FROM edges e
+    JOIN r{k - 1} p ON p.host = e.src
+    JOIN outdeg o ON o.src = e.src
+  ) GROUP BY host
+)""")
+    return f"""
+WITH pg AS (SELECT url, links FROM read_parquet('{path}')),
+e0 AS (SELECT {host_url} AS src, unnest(links) AS lk FROM pg),
+e1 AS (SELECT src, {host_lk} AS dst FROM e0),
+nodes AS (SELECT DISTINCT {host_url} AS host FROM pg),
+nn AS (SELECT count(*) AS cnt FROM nodes),
+outdeg AS (SELECT src, count(*) AS c FROM e1 GROUP BY src),
+edges AS (SELECT src, dst FROM e1
+          WHERE dst IN (SELECT host FROM nodes)),
+r0 AS (SELECT host, CAST({PR_SCALE} // cnt AS BIGINT) AS r
+       FROM nodes, nn),
+{','.join(iters)}
+SELECT host, r AS rank_fp,
+       CAST(r AS DOUBLE) / {float(PR_SCALE)} AS "rank"
+FROM r{iterations}
+"""
+
+
 def flagship_oracles(sf_dir: str) -> Dict[str, str]:
     """DuckDB twins for the flagship page pipelines — materializes the
     deterministic page table first so the SQL can run regardless of
     whether the Ray query ran before it."""
     path = _pages_path(sf_dir)
+    lp = _linked_pages_path(sf_dir)
     return {
         "quality_filter_pages": sql_quality_filter_pages(path),
         "pretrain_prefix_pages": sql_pretrain_prefix_pages(path),
         "pretrain_pages": sql_pretrain_pages(path),
         "host_doc_counts": sql_host_doc_counts(path),
         "ivf_knn_embeddings": sql_ivf_knn(sf_dir),
+        "c4_filter_pages": sql_c4_filter_pages(lp),
+        "url_normalize_pages": sql_url_normalize_pages(lp),
+        "host_pagerank": sql_host_pagerank(lp),
     }
 
 
@@ -3558,3 +3705,8 @@ ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 50
 
 QUERIES["pmi_bigrams"] = q_pmi_bigrams
 ORACLE_SQL["pmi_bigrams"] = SQL_PMI_BIGRAMS
+
+QUERIES["c4_filter_pages"] = q_c4_filter_pages
+QUERIES["url_normalize_pages"] = q_url_normalize_pages
+QUERIES["host_pagerank"] = q_host_pagerank
+# their oracles embed the linked-page parquet path -> flagship_oracles

@@ -150,6 +150,138 @@ def generate_pages(n_docs: int, seed: int = 42, n_hosts: int = 1000,
                           batch_format="pandas", batch_size=2048)
 
 
+#: boilerplate lines seeded into linked pages (C4-style line-filter prey)
+_BOILERPLATE = ["all rights reserved", "privacy policy and terms",
+                "subscribe to our newsletter"]
+_TERMINAL = [".", "!", "?"]
+
+
+class LinkedPageGenerator:
+    """Deterministic messy-web fixture (FIXTURES.md F8): multi-line text
+    with C4-filterable structure, denormalized URLs (casing, www, default
+    ports, utm params, fragments, trailing slashes) and an outbound
+    ``links`` list column for host-graph algorithms.
+
+    Every value derives from ``(seed, doc_id)`` only — byte-identical
+    across runs and parallelism levels, so the Ray operators and their
+    DuckDB twins read identical rows from the cached parquet."""
+
+    def __init__(self, n_docs: int, seed: int = 42, n_hosts: int = 200):
+        self.n_docs = n_docs
+        self.seed = seed
+        self.n_hosts = n_hosts
+
+    def _url(self, rng: np.random.RandomState, doc_id: int) -> str:
+        host_rank = min(int(rng.zipf(1.3)), self.n_hosts) - 1
+        base = f"host{host_rank}.example.org"
+        v = int(rng.randint(4))
+        host = [base, base.upper(), "www." + base,
+                ("www." + base).upper()][v]
+        scheme = "http" if rng.rand() < 0.3 else "https"
+        port = ""
+        if rng.rand() < 0.2:
+            port = ":443" if scheme == "https" else ":80"
+        # 25% reuse an earlier path -> genuine canonical-url collisions
+        path_doc = doc_id
+        if rng.rand() < 0.25 and doc_id > 0:
+            path_doc = int(rng.randint(0, max(1, int(doc_id * 0.8) + 1)))
+        path = f"/doc/{path_doc}"
+        if rng.rand() < 0.3:
+            path += "/"
+        q = float(rng.rand())
+        if q < 0.15:
+            query = f"?utm_source=feed{rng.randint(5)}"
+        elif q < 0.25:
+            query = f"?id={rng.randint(50)}&utm_campaign=c{rng.randint(5)}"
+        elif q < 0.35:
+            query = f"?utm_medium=m{rng.randint(5)}&id={rng.randint(50)}"
+        elif q < 0.45:
+            query = f"?id={rng.randint(50)}"
+        else:
+            query = ""
+        frag = f"#sec{rng.randint(9)}" if rng.rand() < 0.2 else ""
+        return f"{scheme}://{host}{port}{path}{query}{frag}"
+
+    def _text(self, rng: np.random.RandomState) -> str:
+        pool = _CONTENT["en"] + STOPWORDS["en"]
+        lines = []
+        for _ in range(int(rng.randint(3, 13))):
+            r = float(rng.rand())
+            if r < 0.08:
+                lines.append("enable javascript to view this site")
+                continue
+            if r < 0.14:
+                lines.append(_BOILERPLATE[int(rng.randint(
+                    len(_BOILERPLATE)))])
+                continue
+            n_words = int(rng.randint(2, 16))
+            words = [pool[int(rng.randint(len(pool)))]
+                     for _ in range(n_words)]
+            line = " ".join(words)
+            if rng.rand() < 0.6:
+                line += _TERMINAL[int(rng.randint(len(_TERMINAL)))]
+            lines.append(line)
+        if rng.rand() < 0.07:
+            lines.insert(int(rng.randint(len(lines) + 1)),
+                         "lorem ipsum dolor sit amet.")
+        if rng.rand() < 0.07:
+            lines.append("function f() { return 1; }")
+        return "\n".join(lines)
+
+    def _links(self, rng: np.random.RandomState) -> list:
+        out = []
+        for _ in range(int(rng.randint(0, 7))):
+            tr = min(int(rng.zipf(1.3)), self.n_hosts) - 1
+            td = int(rng.randint(0, self.n_docs))
+            out.append(f"https://host{tr}.example.org/doc/{td}")
+        return out
+
+    def _doc(self, doc_id: int) -> Dict:
+        rng = np.random.RandomState(
+            self.seed * 1_000_003 + doc_id + 7_777_777)
+        return {
+            "doc_id": doc_id,
+            "url": self._url(rng, doc_id),
+            "text": self._text(rng),
+            "links": self._links(rng),
+        }
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["id"].to_numpy()
+        return pd.DataFrame([self._doc(int(i)) for i in ids])
+
+
+def generate_linked_pages(n_docs: int, seed: int = 42,
+                          n_hosts: int = 200,
+                          parallelism: Optional[int] = None):
+    """Build the linked-page Dataset via distributed generation."""
+    import ray.data as rd
+    ds = rd.range(n_docs, override_num_blocks=parallelism)
+    return ds.map_batches(
+        LinkedPageGenerator(n_docs=n_docs, seed=seed, n_hosts=n_hosts),
+        batch_format="pandas", batch_size=2048)
+
+
+def ensure_linked_pages_parquet(
+        n_docs: int, seed: int = 42,
+        cache_dir: str = "/tmp/nacc_pages_cache") -> str:
+    """Cache the deterministic linked-page table (same atomic-write
+    contract as ``ensure_pages_parquet``)."""
+    import os
+    import tempfile
+    path = os.path.join(cache_dir, f"linkpages_n{n_docs}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(cache_dir, exist_ok=True)
+    gen = LinkedPageGenerator(n_docs=n_docs, seed=seed)
+    df = pd.DataFrame([gen._doc(i) for i in range(n_docs)])
+    fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".parquet")
+    os.close(fd)
+    df.to_parquet(tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def ensure_pages_parquet(n_docs: int, seed: int = 42,
                          cache_dir: str = "/tmp/nacc_pages_cache") -> str:
     """Write the deterministic page table to a cached parquet file and

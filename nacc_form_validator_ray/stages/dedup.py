@@ -826,6 +826,50 @@ def _split_lines_arrow(text):
     return flat, counts, line_doc
 
 
+def reassemble_lines(flat, line_doc: np.ndarray, kept: np.ndarray,
+                     n: int):
+    """Rejoin the kept lines of each document with '\\n' via packed
+    uint8 buffer gathers (no Python loop over lines). ``flat`` is the
+    flat line array from :func:`_split_lines_arrow`, ``line_doc`` maps
+    each line to its document index in [0, n), ``kept`` is the per-line
+    keep mask. Returns ``(new_text: pa.Array, kept_per_doc: np.ndarray)``.
+    """
+    import pyarrow as pa
+    off = np.frombuffer(flat.buffers()[1], dtype=np.int32)[
+        flat.offset:flat.offset + len(flat) + 1].astype(np.int64)
+    lbuf = np.frombuffer(flat.buffers()[2], dtype=np.uint8) \
+        if flat.buffers()[2] is not None \
+        else np.empty(0, dtype=np.uint8)
+    starts = off[:-1][kept]
+    lens = np.diff(off)[kept]
+    kdoc = line_doc[kept]
+    first = np.ones(len(kdoc), dtype=bool)
+    first[1:] = kdoc[1:] != kdoc[:-1]
+    slot = lens + (~first).astype(np.int64)
+    slot_off = np.zeros(len(slot) + 1, dtype=np.int64)
+    np.cumsum(slot, out=slot_off[1:])
+    out = np.empty(int(slot_off[-1]), dtype=np.uint8)
+    out[slot_off[:-1][~first]] = 10  # b'\n'
+    dst0 = slot_off[:-1] + (~first).astype(np.int64)
+    m = int(lens.sum())
+    if m:
+        dst = np.arange(m, dtype=np.int64) + np.repeat(
+            dst0 - np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+        src = np.arange(m, dtype=np.int64) + np.repeat(
+            starts - np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+        out[dst] = lbuf[src]
+    doc_bytes = np.bincount(kdoc, weights=slot,
+                            minlength=n).astype(np.int64)
+    doc_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(doc_bytes, out=doc_off[1:])
+    new_text = pa.Array.from_buffers(
+        pa.utf8(), n,
+        [None, pa.py_buffer(doc_off.astype(np.int32)),
+         pa.py_buffer(out)])
+    kept_per_doc = np.bincount(kdoc, minlength=n).astype(np.int64)
+    return new_text, kept_per_doc
+
+
 def line_dedup(ds, id_column: str = "doc_id", text_column: str = "text",
                min_docs: int = 2, num_partitions: int = 32):
     """Cross-document line deduplication (CCNet-style boilerplate
@@ -907,43 +951,10 @@ def line_dedup(ds, id_column: str = "doc_id", text_column: str = "text",
             drop = np.isin(key, self.banned)
             kept = ~drop
             # reassemble: packed-buffer gather, '\n' between kept lines
-            off = np.frombuffer(flat.buffers()[1], dtype=np.int32)[
-                flat.offset:flat.offset + len(flat) + 1] \
-                .astype(np.int64)
-            lbuf = np.frombuffer(flat.buffers()[2], dtype=np.uint8) \
-                if flat.buffers()[2] is not None \
-                else np.empty(0, dtype=np.uint8)
-            starts = off[:-1][kept]
-            lens = np.diff(off)[kept]
-            kdoc = line_doc[kept]
-            first = np.ones(len(kdoc), dtype=bool)
-            first[1:] = kdoc[1:] != kdoc[:-1]
-            slot = lens + (~first).astype(np.int64)
-            slot_off = np.zeros(len(slot) + 1, dtype=np.int64)
-            np.cumsum(slot, out=slot_off[1:])
-            out = np.empty(int(slot_off[-1]), dtype=np.uint8)
-            out[slot_off[:-1][~first]] = 10  # b'\n'
-            dst0 = slot_off[:-1] + (~first).astype(np.int64)
-            m = int(lens.sum())
-            if m:
-                dst = np.arange(m, dtype=np.int64) + np.repeat(
-                    dst0 - np.concatenate(
-                        ([0], np.cumsum(lens)[:-1])), lens)
-                src = np.arange(m, dtype=np.int64) + np.repeat(
-                    starts - np.concatenate(
-                        ([0], np.cumsum(lens)[:-1])), lens)
-                out[dst] = lbuf[src]
-            doc_bytes = np.bincount(kdoc, weights=slot,
-                                    minlength=n).astype(np.int64)
-            doc_off = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(doc_bytes, out=doc_off[1:])
-            new_text = pa.Array.from_buffers(
-                pa.utf8(), n,
-                [None, pa.py_buffer(doc_off.astype(np.int32)),
-                 pa.py_buffer(out)])
+            new_text, kept_per_doc = reassemble_lines(
+                flat, line_doc, kept, n)
             dropped = (np.bincount(line_doc, minlength=n)
-                       - np.bincount(kdoc, minlength=n)) \
-                .astype(np.int64)
+                       - kept_per_doc).astype(np.int64)
             return pa.table({
                 id_column: batch[id_column],
                 text_column: new_text,

@@ -1,0 +1,161 @@
+"""Web-corpus cleaning operators: C4-style heuristic line/document
+filtering and URL canonicalization.
+
+Both operators are pure ``map_batches`` stages over zero-copy Arrow
+batches — no exchange is needed for the line filter (every rule is
+document-local), and URL dedup rides ONE hash exchange on the
+normalized key. All regexes are RE2-class (no lookaround) and are the
+SAME regex engine DuckDB uses, so the SQL twins in
+``pipelines/queries.py`` reproduce the byte-exact outputs.
+
+Reference anchor: the C4 heuristics (terminal punctuation, >=5-word
+lines, "javascript" line drop, lorem-ipsum / curly-brace document
+drop) follow the published C4 cleaning recipe (Raffel et al., 2020);
+the keep/drop decision surface mirrors the reference validator's
+rule-vector semantics (reference: nacc_form_validator/quality_check.py
+error-vector shape) recast as line-level web rules.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+#: ordered URL-normalization regex chain, applied to the FULL url first
+#: (fragment strip, utm-param removal, separator repair, slash trims).
+#: Each entry is (pattern, replacement); replacements are global. The
+#: DuckDB twin applies the identical chain via regexp_replace(..., 'g').
+URL_RULES: List[Tuple[str, str]] = [
+    (r"#.*$", ""),            # fragment
+    (r"utm_[^&#]*&", ""),     # utm_ param followed by another param
+    (r"[?&]utm_[^&#]*$", ""),  # utm_ param in final position
+    (r"/\?", "?"),            # trailing path slash before a query
+    (r"/$", ""),              # trailing slash
+]
+
+#: host part: lowercase, strip leading www., strip default ports
+HOST_RULES: List[Tuple[str, str]] = [
+    (r"^www\.", ""),
+    (r":(443|80)$", ""),
+]
+
+_URL_SPLIT = r"^(?i:https?)://(?P<hostport>[^/?#]+)(?P<rest>.*)$"
+
+
+def c4_line_filter(ds, id_column: str = "doc_id",
+                   text_column: str = "text",
+                   min_words: int = 5, min_kept_lines: int = 3):
+    """C4-style heuristic cleaning: keep a line iff it has >=
+    ``min_words`` whitespace-delimited words AND ends in terminal
+    punctuation (``. ! ? "``) AND does not mention "javascript"
+    (case-insensitive); drop the whole document iff fewer than
+    ``min_kept_lines`` lines survive OR the raw text contains
+    "lorem ipsum" (case-insensitive) or a ``{``.
+
+    Output per document: id, ``n_lines``, ``n_kept``, ``keep`` flag and
+    the cleaned ``text`` (kept lines rejoined with '\\n', computed for
+    dropped documents too so downstream stages can audit the cut).
+
+    Scale shape: document-local rules only — a single map_batches pass,
+    no exchange; line masks are RE2 kernel calls over the flat line
+    array and reassembly is the packed-buffer gather shared with
+    ``line_dedup``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.stages.dedup import (_split_lines_arrow,
+                                                      reassemble_lines)
+
+    def run(batch: "pa.Table") -> "pa.Table":
+        text = batch[text_column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = batch.num_rows
+        flat, counts, line_doc = _split_lines_arrow(text)
+        n_words = pc.count_substring_regex(flat, r"\S+").to_numpy() \
+            .astype(np.int64, copy=False)
+        punct = pc.match_substring_regex(flat, r'[.!?"]$').to_numpy(
+            zero_copy_only=False)
+        js = pc.match_substring(pc.utf8_lower(flat),
+                                "javascript").to_numpy(
+            zero_copy_only=False)
+        kept = (n_words >= min_words) & punct & ~js
+        new_text, kept_per_doc = reassemble_lines(flat, line_doc, kept, n)
+        lorem = pc.match_substring(pc.utf8_lower(text),
+                                   "lorem ipsum").to_numpy(
+            zero_copy_only=False)
+        brace = pc.match_substring(text, "{").to_numpy(
+            zero_copy_only=False)
+        keep = (kept_per_doc >= min_kept_lines) & ~lorem & ~brace
+        return pa.table({
+            id_column: batch[id_column],
+            "n_lines": pa.array(counts),
+            "n_kept": pa.array(kept_per_doc),
+            "keep": pa.array(keep),
+            text_column: new_text,
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow", batch_size=4096)
+
+
+def _normalize_url_array(url, pc):
+    """Apply the normalization chain to an Arrow string array; returns
+    the canonical form ``https://<host><rest>``."""
+    import pyarrow as pa
+    u = pc.fill_null(url, "")
+    for pat, rep in URL_RULES:
+        u = pc.replace_substring_regex(u, pat, rep)
+    parts = pc.extract_regex(u, _URL_SPLIT)
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    host = pc.utf8_lower(pc.struct_field(parts, "hostport"))
+    for pat, rep in HOST_RULES:
+        host = pc.replace_substring_regex(host, pat, rep)
+    rest = pc.struct_field(parts, "rest")
+    return pc.binary_join_element_wise(
+        pa.array(["https://"] * len(u)), host, pc.fill_null(rest, ""), "")
+
+
+def normalize_urls(ds, id_column: str = "doc_id",
+                   url_column: str = "url", num_partitions: int = 32):
+    """URL canonicalization + duplicate-URL resolution: strip fragment,
+    utm_* tracking params and trailing slashes, lowercase the host,
+    drop a leading ``www.`` and default ports, coerce the scheme to
+    https — then mark, per canonical URL, the row with the smallest id
+    as ``is_canonical`` (the representative a recrawl dedup would keep).
+
+    Scale shape: the normalization itself is a document-local Arrow
+    RE2 pass; canonical-representative election is ONE hash exchange on
+    ``norm_url`` (grouped min broadcast back within the partition).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    def add_norm(batch: "pa.Table") -> "pa.Table":
+        url = batch[url_column]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        return batch.append_column("norm_url",
+                                   _normalize_url_array(url, pc))
+
+    ds = ds.map_batches(add_norm, batch_format="pyarrow",
+                        batch_size=4096)
+
+    def elect(part: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc2
+        gb = pa.TableGroupBy(part.select(["norm_url", id_column]),
+                             ["norm_url"]).aggregate([(id_column, "min")])
+        joined = part.join(gb, keys=["norm_url"])
+        flag = pc2.equal(joined[id_column],
+                         joined[f"{id_column}_min"])
+        return joined.select(
+            [id_column, url_column, "norm_url"]).append_column(
+            "is_canonical", flag)
+
+    return grouped_apply(ds, ["norm_url"], elect,
+                         num_partitions=num_partitions,
+                         fn_format="pyarrow")

@@ -1,0 +1,224 @@
+"""Crafted-input tests for the web-cleaning and host-graph operators.
+
+The driver tables carry no messy URLs or multi-line text, so these
+tests build adversarial rows directly (boundary punctuation, utm
+params in every position, dangling hosts, rank sinks) and check the
+engine both against hand-computed expectations and against the DuckDB
+SQL twins over a crafted parquet file.
+"""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from nacc_form_validator_ray.pipelines.queries import (
+    sql_c4_filter_pages, sql_host_pagerank, sql_url_normalize_pages)
+from nacc_form_validator_ray.stages.graph import PR_SCALE, host_pagerank
+from nacc_form_validator_ray.stages.webclean import (c4_line_filter,
+                                                     normalize_urls)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns), kind="stable") \
+        .reset_index(drop=True)
+
+
+# ------------------------------------------------------------ C4 filter
+
+
+def test_c4_line_rules():
+    docs = [
+        # 3 good lines -> kept document, text = the good lines only
+        "the quick brown fox jumps high.\n"
+        "short line\n"
+        "every good sentence ends with punctuation!\n"
+        "Enable JavaScript to continue browsing here.\n"
+        "does this line have five words?",
+        # only 2 good lines -> dropped (min_kept_lines=3)
+        "one two three four five six.\nseven eight nine ten eleven!",
+        # lorem ipsum anywhere -> dropped even with good lines
+        "alpha beta gamma delta epsilon zeta.\n"
+        "lorem ipsum dolor sit amet today.\n"
+        "eta theta iota kappa lambda mu.",
+        # curly brace -> dropped
+        "function f() { return 1; }\n"
+        "alpha beta gamma delta epsilon zeta.\n"
+        "eta theta iota kappa lambda mu.\n"
+        "nu xi omicron pi rho sigma.",
+        # empty text
+        "",
+    ]
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(docs), dtype=np.int64), "text": docs}))
+    out = c4_line_filter(ds).to_pandas().set_index("doc_id").sort_index()
+
+    assert out.loc[0, "keep"]
+    assert out.loc[0, "n_lines"] == 5 and out.loc[0, "n_kept"] == 3
+    assert out.loc[0, "text"] == (
+        "the quick brown fox jumps high.\n"
+        "every good sentence ends with punctuation!\n"
+        "does this line have five words?")
+    assert not out.loc[1, "keep"] and out.loc[1, "n_kept"] == 2
+    # lorem-ipsum doc: lines survive but document is dropped
+    assert not out.loc[2, "keep"] and out.loc[2, "n_kept"] == 3
+    assert not out.loc[3, "keep"] and out.loc[3, "n_kept"] == 3
+    assert not out.loc[4, "keep"] and out.loc[4, "n_kept"] == 0
+    assert out.loc[4, "text"] == ""
+
+
+def test_c4_filter_vs_duckdb_crafted(tmp_path):
+    rng = np.random.RandomState(7)
+    words = ["alpha", "beta", "gamma", "javascript", "lorem", "ipsum",
+             "{x}", "end."]
+    docs = []
+    for _ in range(60):
+        lines = [" ".join(rng.choice(words, rng.randint(0, 9)))
+                 + rng.choice(["", ".", "!", "?", '"'])
+                 for _ in range(rng.randint(0, 7))]
+        docs.append("\n".join(lines))
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+    path = os.path.join(tmp_path, "pages.parquet")
+    df.to_parquet(path)
+    eng = c4_line_filter(rd.read_parquet(path)).to_pandas()
+    sql = duckdb.sql(sql_c4_filter_pages(path)).df()
+    pd.testing.assert_frame_equal(_canon(eng), _canon(sql),
+                                  check_dtype=False)
+
+
+# --------------------------------------------------------- URL normalize
+
+
+def test_url_normalization_rules():
+    urls = [
+        "HTTP://WWW.Example.COM:80/a/b/?utm_source=x#frag",
+        "https://example.com:443/a/b",
+        "https://example.com/a/b/",
+        "http://example.com/a/b?id=3&utm_campaign=z",
+        "https://sub.example.com/a/b",
+        None,
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(urls), dtype=np.int64)),
+        "url": pa.array(urls, type=pa.string())}))
+    out = normalize_urls(ds).to_pandas().set_index("doc_id").sort_index()
+    # rows 0-2 all canonicalize to the same url
+    assert out.loc[0, "norm_url"] == "https://example.com/a/b"
+    assert out.loc[1, "norm_url"] == "https://example.com/a/b"
+    assert out.loc[2, "norm_url"] == "https://example.com/a/b"
+    assert out.loc[3, "norm_url"] == "https://example.com/a/b?id=3"
+    assert out.loc[4, "norm_url"] == "https://sub.example.com/a/b"
+    # min-id representative election within the duplicate group
+    assert bool(out.loc[0, "is_canonical"])
+    assert not bool(out.loc[1, "is_canonical"])
+    assert not bool(out.loc[2, "is_canonical"])
+    assert bool(out.loc[3, "is_canonical"])
+
+
+def test_url_normalize_vs_duckdb_crafted(tmp_path):
+    rng = np.random.RandomState(11)
+    hosts = ["a.com", "WWW.A.com", "b.org:443", "c.net"]
+    urls = []
+    for i in range(80):
+        h = hosts[rng.randint(len(hosts))]
+        scheme = "http" if rng.rand() < 0.5 else "https"
+        path = f"/p/{rng.randint(5)}" + ("/" if rng.rand() < 0.4 else "")
+        q = ["", "?utm_source=s", "?id=1&utm_medium=m",
+             "?utm_x=1&id=2"][rng.randint(4)]
+        f = "#top" if rng.rand() < 0.3 else ""
+        urls.append(f"{scheme}://{h}{path}{q}{f}")
+    df = pd.DataFrame({"doc_id": np.arange(len(urls), dtype=np.int64),
+                       "url": urls})
+    path = os.path.join(tmp_path, "urls.parquet")
+    df.to_parquet(path)
+    eng = normalize_urls(rd.read_parquet(path)).to_pandas()
+    sql = duckdb.sql(sql_url_normalize_pages(path)).df()
+    pd.testing.assert_frame_equal(_canon(eng), _canon(sql),
+                                  check_dtype=False)
+
+
+# ------------------------------------------------------------- PageRank
+
+
+def _ref_pagerank(pages, iterations=5):
+    """Driver-side fixed-point reference: same integer recurrence."""
+    import re
+
+    def host(u):
+        m = re.match(r"^https?://([^/?#]+)", u or "")
+        h = (m.group(1) if m else "").lower()
+        h = re.sub(r"^www\.", "", h)
+        return re.sub(r":(443|80)$", "", h)
+
+    nodes = sorted({host(u) for u, _ in pages})
+    n = len(nodes)
+    outdeg, edges = {}, []
+    for u, links in pages:
+        s = host(u)
+        for lk in links:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        for lk in links:
+            d = host(lk)
+            if d in set(nodes):
+                edges.append((s, d))
+    r = {h: PR_SCALE // n for h in nodes}
+    tele = ((PR_SCALE // n) * 15) // 100
+    for _ in range(iterations):
+        nxt = {h: tele for h in nodes}
+        for s, d in edges:
+            nxt[d] += (85 * r[s]) // (100 * outdeg[s])
+        r = nxt
+    return r
+
+
+def test_host_pagerank_crafted():
+    # hub -> {a, b}; a -> hub; b dangling; external target ignored;
+    # c isolated (teleport only)
+    pages = [
+        ("https://hub.com/1", ["https://a.com/x", "https://b.com/y"]),
+        ("http://WWW.A.com/2", ["https://hub.com/z",
+                                "https://offsite.example/x"]),
+        ("https://b.com:443/3", []),
+        ("https://c.com/4", []),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array([u for u, _ in pages]),
+        "links": pa.array([l for _, l in pages],
+                          type=pa.list_(pa.string()))}))
+    out = host_pagerank(ds, num_partitions=4).to_pandas() \
+        .set_index("host")["rank_fp"].to_dict()
+    assert out == _ref_pagerank(pages)
+    # isolated host holds exactly the 5x-compounded teleport floor
+    assert out["c.com"] < out["hub.com"]
+
+
+def test_host_pagerank_vs_duckdb_crafted(tmp_path):
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(50):
+        h = f"h{rng.randint(8)}.com"
+        links = [f"https://h{rng.randint(10)}.com/d/{rng.randint(9)}"
+                 for _ in range(rng.randint(0, 5))]
+        rows.append((f"https://{h}/doc/{i}", links))
+    path = os.path.join(tmp_path, "linked.parquet")
+    pa.parquet.write_table(pa.table({
+        "url": pa.array([u for u, _ in rows]),
+        "links": pa.array([l for _, l in rows],
+                          type=pa.list_(pa.string()))}), path)
+    eng = host_pagerank(rd.read_parquet(path)).to_pandas()
+    sql = duckdb.sql(sql_host_pagerank(path)).df()
+    pd.testing.assert_frame_equal(_canon(eng), _canon(sql),
+                                  check_dtype=False)
+    # float rank is the single correctly-rounded division of rank_fp
+    np.testing.assert_array_equal(
+        eng["rank"].to_numpy(),
+        eng["rank_fp"].to_numpy().astype(np.float64) / float(PR_SCALE))
