@@ -57,6 +57,44 @@ def pages_dir(n_docs: int = BENCH_PAGES, seed: int = PAGES_SEED) -> str:
     return path
 
 
+def linked_pages_dir(n_docs: int = BENCH_PAGES, seed: int = PAGES_SEED) \
+        -> str:
+    """Generate (once) and cache the linked-page corpus (FIXTURES.md F8:
+    messy URLs, multi-line text, outbound links) as partitioned parquet."""
+    path = f"/tmp/nfvr_bench/linkpages_{n_docs}_{seed}"
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        from nacc_form_validator_ray.pipelines.webgen import \
+            generate_linked_pages
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        ds = generate_linked_pages(n_docs, seed=seed, parallelism=192)
+        ds.write_parquet(path)
+        open(marker, "w").write("ok")
+    return path
+
+
+def run_c4_filter() -> int:
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.webclean import c4_line_filter
+    ds = rd.read_parquet(linked_pages_dir(), columns=["doc_id", "text"])
+    return c4_line_filter(ds).count()
+
+
+def run_url_normalize() -> int:
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.webclean import normalize_urls
+    ds = rd.read_parquet(linked_pages_dir(), columns=["doc_id", "url"])
+    return normalize_urls(ds).count()
+
+
+def run_host_pagerank() -> int:
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.graph import host_pagerank
+    ds = rd.read_parquet(linked_pages_dir(), columns=["url", "links"])
+    return host_pagerank(ds).count()
+
+
 def _ppl_model(corpus: str) -> dict:
     """Train (once, cached beside the corpus) the perplexity model the
     flagship scores with — the KenLM-analog actor-pool stage."""
@@ -150,6 +188,11 @@ def bench_queries(sf_dir: str):
         "q3_shipping_priority": lambda: consume(
             Q.q3_shipping_priority(sf_dir)),
         "pmi_bigrams": lambda: consume(Q.q_pmi_bigrams(sf_dir)),
+        # linked-page operators run over the 120k-doc bench corpus, not
+        # the tiny oracle fixture (sf_dir-independent)
+        "c4_filter_pages": run_c4_filter,
+        "url_normalize_pages": run_url_normalize,
+        "host_pagerank": run_host_pagerank,
     }
 
 
@@ -157,7 +200,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     _init_ray(num_cpus)
     timings = {}
 
-    pages_dir()  # materialize the corpus outside the timed section
+    pages_dir()  # materialize the corpora outside the timed section
+    linked_pages_dir()
     t0 = time.perf_counter()
     n_pages = run_quality_filter_pages(sf_dir)
     qf_sec = time.perf_counter() - t0
