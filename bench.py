@@ -95,6 +95,20 @@ def run_host_pagerank() -> int:
     return host_pagerank(ds).count()
 
 
+def run_inlink_stats() -> int:
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.graph import inlink_stats
+    ds = rd.read_parquet(linked_pages_dir(), columns=["url", "links"])
+    return inlink_stats(ds).count()
+
+
+def run_dup_ngram_spans() -> int:
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.dedup import dup_ngram_spans
+    ds = rd.read_parquet(linked_pages_dir(), columns=["doc_id", "text"])
+    return dup_ngram_spans(ds, k=3, min_docs=2).count()
+
+
 def _ppl_model(corpus: str) -> dict:
     """Train (once, cached beside the corpus) the perplexity model the
     flagship scores with — the KenLM-analog actor-pool stage."""
@@ -193,6 +207,8 @@ def bench_queries(sf_dir: str):
         "c4_filter_pages": run_c4_filter,
         "url_normalize_pages": run_url_normalize,
         "host_pagerank": run_host_pagerank,
+        "inlink_stats": run_inlink_stats,
+        "dup_ngram_spans": run_dup_ngram_spans,
     }
 
 

@@ -1695,6 +1695,84 @@ FROM r{iterations}
 """
 
 
+def q_inlink_stats(sf_dir: str):
+    """Per-host inlink statistics (total inbound links + distinct
+    linking hosts) over the linked-page fixture's link graph."""
+    from nacc_form_validator_ray.stages.graph import inlink_stats
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["url", "links"])
+    return inlink_stats(ds)
+
+
+def sql_inlink_stats(path: str) -> str:
+    host_url = _SQL_URL_NORM.format(u="url")
+    host_lk = _SQL_URL_NORM.format(u="lk")
+    return f"""
+WITH pg AS (SELECT url, links FROM read_parquet('{path}')),
+e0 AS (SELECT {host_url} AS src, unnest(links) AS lk FROM pg),
+e1 AS (SELECT src, {host_lk} AS dst FROM e0),
+nodes AS (SELECT DISTINCT {host_url} AS host FROM pg),
+agg AS (
+  SELECT dst AS host, CAST(count(*) AS BIGINT) AS n_inlinks,
+         CAST(count(DISTINCT src) AS BIGINT) AS n_src_hosts
+  FROM e1 WHERE dst IN (SELECT host FROM nodes) GROUP BY dst
+)
+SELECT n.host, coalesce(a.n_inlinks, 0) AS n_inlinks,
+       coalesce(a.n_src_hosts, 0) AS n_src_hosts
+FROM nodes n LEFT JOIN agg a ON a.host = n.host
+"""
+
+
+def q_dup_ngram_spans(sf_dir: str):
+    """Bounded exact-substring duplication audit: per-document count
+    and token coverage of 3-gram shingles shared with other documents
+    (linked-page fixture — its boilerplate lines guarantee real
+    cross-document spans)."""
+    from nacc_form_validator_ray.stages.dedup import dup_ngram_spans
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["doc_id", "text"])
+    return dup_ngram_spans(ds, k=3, min_docs=2)
+
+
+def sql_dup_ngram_spans(path: str, k: int = 3, min_docs: int = 2) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+  FROM read_parquet('{path}')
+), sh0 AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {k} + 2, 1))) AS i
+  FROM t
+), sh AS (
+  SELECT doc_id, i, array_to_string(toks[i:i + {k} - 1], ' ') AS s
+  FROM sh0
+), dup AS (
+  SELECT s FROM (SELECT s, doc_id FROM sh GROUP BY s, doc_id)
+  GROUP BY s HAVING count(*) >= {min_docs}
+), dpos AS (
+  SELECT doc_id, i FROM sh WHERE s IN (SELECT s FROM dup)
+), cov AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup,
+         CAST(sum(c) AS BIGINT) AS dup_cov
+  FROM (
+    SELECT doc_id,
+           least({k}, coalesce(lead(i) OVER (PARTITION BY doc_id
+                                             ORDER BY i) - i, {k})) AS c
+    FROM dpos)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(greatest(len(t.toks) - {k} + 1, 0) AS BIGINT) AS n_shingles,
+       coalesce(c.n_dup, 0) AS n_dup,
+       coalesce(c.dup_cov, 0) AS dup_cov,
+       CASE WHEN len(t.toks) > 0
+            THEN CAST(coalesce(c.dup_cov, 0) AS DOUBLE)
+                 / CAST(len(t.toks) AS DOUBLE)
+            ELSE 0.0 END AS dup_frac
+FROM t LEFT JOIN cov c ON c.doc_id = t.doc_id
+"""
+
+
 def flagship_oracles(sf_dir: str) -> Dict[str, str]:
     """DuckDB twins for the flagship page pipelines — materializes the
     deterministic page table first so the SQL can run regardless of
@@ -1710,6 +1788,8 @@ def flagship_oracles(sf_dir: str) -> Dict[str, str]:
         "c4_filter_pages": sql_c4_filter_pages(lp),
         "url_normalize_pages": sql_url_normalize_pages(lp),
         "host_pagerank": sql_host_pagerank(lp),
+        "inlink_stats": sql_inlink_stats(lp),
+        "dup_ngram_spans": sql_dup_ngram_spans(lp),
     }
 
 
@@ -3709,4 +3789,6 @@ ORACLE_SQL["pmi_bigrams"] = SQL_PMI_BIGRAMS
 QUERIES["c4_filter_pages"] = q_c4_filter_pages
 QUERIES["url_normalize_pages"] = q_url_normalize_pages
 QUERIES["host_pagerank"] = q_host_pagerank
+QUERIES["inlink_stats"] = q_inlink_stats
+QUERIES["dup_ngram_spans"] = q_dup_ngram_spans
 # their oracles embed the linked-page parquet path -> flagship_oracles

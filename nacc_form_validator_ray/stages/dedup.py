@@ -963,3 +963,165 @@ def line_dedup(ds, id_column: str = "doc_id", text_column: str = "text",
 
     return ds.map_batches(DropLines, fn_constructor_kwargs=dict(
         ref=banned_ref), batch_format="pyarrow", concurrency=(1, 8))
+
+
+def dup_ngram_spans(ds, id_column: str = "doc_id",
+                    text_column: str = "text", k: int = 3,
+                    min_docs: int = 2, num_partitions: int = 32):
+    """Bounded exact-substring duplication audit (the k-gram core of
+    suffix-array substring dedup, Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"): find every k-token
+    shingle that appears in >= ``min_docs`` DISTINCT documents and
+    report, per document, how much of it is covered by such duplicated
+    spans.
+
+    Tokens are the shared ``[a-z]+`` runs of the lowered text (the
+    corpus-wide tokenizer contract, reproduced in SQL by
+    ``regexp_extract_all(lower(text), '[a-z]+')``); a shingle is k
+    consecutive tokens joined by one space, built from zero-copy Arrow
+    slices of the flat token array — no Python loop. Coverage of a
+    duplicated position ``p`` is ``min(k, next_dup_pos - p)`` (interval
+    union of the [p, p+k) spans), so ``dup_cov`` counts duplicated
+    TOKENS, not shingles.
+
+    Scale shape: two grouped exchanges plus one lean join — (1) all
+    (shingle, doc, pos) rows exchange ONCE on the shingle; each
+    partition counts distinct docs per shingle and emits only the
+    duplicated positions (detection and join-back share the exchange);
+    (2) duplicated positions exchange on doc for the coverage union;
+    (3) a left hash-join attaches coverage to the per-doc token stats.
+    Shingles ride the exchange as exact strings (the SQL twin groups on
+    the same strings; a 64-bit routing hash would be faster but a hash
+    collision would silently merge distinct shingles on one side only).
+
+    Output: ``doc_id, n_tokens, n_shingles, n_dup, dup_cov, dup_frac``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.stages.joins import hash_join
+    from nacc_form_validator_ray.stages.partition import (grouped_apply,
+                                                          run_boundaries)
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_runs
+
+    id_type = pa.int64()
+
+    def emit_shingles(batch: "pa.Table") -> "pa.Table":
+        text = batch[text_column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ids = batch[id_column].to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        flat_tok, tok_doc, n_tokens = arrow_token_runs(text)
+        empty = pa.table({
+            "s": pa.array([], pa.string()),
+            id_column: pa.array([], id_type),
+            "pos": pa.array([], pa.int64())})
+        if flat_tok is None:
+            return empty
+        m = len(flat_tok)
+        if m < k:
+            return empty
+        parts = [flat_tok.slice(j, m - k + 1) for j in range(k)]
+        sh = pc.binary_join_element_wise(*parts, " ")
+        d0 = tok_doc[:m - k + 1].astype(np.int64, copy=False)
+        valid = d0 == tok_doc[k - 1:].astype(np.int64, copy=False)
+        if not valid.any():
+            return empty
+        starts = np.zeros(len(batch), dtype=np.int64)
+        np.cumsum(n_tokens[:-1], out=starts[1:])
+        idx = np.flatnonzero(valid)
+        dsel = d0[idx]
+        return pa.table({
+            "s": sh.take(pa.array(idx)),
+            id_column: pa.array(ids[dsel]),
+            "pos": pa.array(idx - starts[dsel]),
+        })
+
+    def dup_positions(part: "pa.Table") -> "pa.Table":
+        enc = part["s"]
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = pc.dictionary_encode(enc).indices.to_numpy() \
+            .astype(np.int64, copy=False)
+        docs = part[id_column].to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        order, starts = run_boundaries([codes, docs])
+        # one run per distinct (shingle, doc): distinct-doc count per
+        # shingle = runs per shingle code
+        ndocs = np.bincount(codes[order][starts])
+        dup = ndocs >= min_docs
+        keep = dup[codes]
+        return pa.table({
+            id_column: pa.array(docs[keep]),
+            "pos": part["pos"].filter(pa.array(keep)),
+        })
+
+    def coverage(part: "pa.Table") -> "pa.Table":
+        docs = part[id_column].to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        pos = part["pos"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        order = np.lexsort((pos, docs))
+        sd, sp = docs[order], pos[order]
+        nxt = np.full(len(sp), k, dtype=np.int64)
+        if len(sp) > 1:
+            same = sd[1:] == sd[:-1]
+            gap = sp[1:] - sp[:-1]
+            nxt[:-1][same] = np.minimum(k, gap[same])
+        first = np.ones(len(sd), dtype=bool)
+        first[1:] = sd[1:] != sd[:-1]
+        starts = np.flatnonzero(first)
+        uids = sd[starts]
+        n_dup = np.diff(np.append(starts, len(sd)))
+        cov = np.add.reduceat(nxt, starts) if len(starts) else \
+            np.empty(0, dtype=np.int64)
+        return pa.table({
+            id_column: pa.array(uids),
+            "n_dup": pa.array(n_dup.astype(np.int64)),
+            "dup_cov": pa.array(cov),
+        })
+
+    def doc_stats(batch: "pa.Table") -> "pa.Table":
+        text = batch[text_column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        _, _, n_tokens = arrow_token_runs(text)
+        return pa.table({
+            id_column: batch[id_column],
+            "n_tokens": pa.array(n_tokens),
+            "n_shingles": pa.array(np.maximum(n_tokens - k + 1, 0)),
+        })
+
+    shingles = ds.map_batches(emit_shingles, batch_format="pyarrow")
+    dup_pos = grouped_apply(shingles, ["s"], dup_positions,
+                            num_partitions=num_partitions,
+                            fn_format="pyarrow")
+    cov = grouped_apply(dup_pos, [id_column], coverage,
+                        num_partitions=num_partitions,
+                        fn_format="pyarrow")
+    stats = ds.map_batches(doc_stats, batch_format="pyarrow")
+    joined = hash_join(stats, cov, on=[id_column], how="left",
+                       num_partitions=num_partitions)
+
+    def finish(batch: "pa.Table") -> "pa.Table":
+        nt = batch["n_tokens"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        nd = pc.fill_null(batch["n_dup"], 0).to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
+        cv = pc.fill_null(batch["dup_cov"], 0).to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
+        frac = np.zeros(len(nt), dtype=np.float64)
+        nz = nt > 0
+        frac[nz] = cv[nz].astype(np.float64) / nt[nz].astype(np.float64)
+        return pa.table({
+            id_column: batch[id_column],
+            "n_tokens": batch["n_tokens"],
+            "n_shingles": batch["n_shingles"],
+            "n_dup": pa.array(nd),
+            "dup_cov": pa.array(cv),
+            "dup_frac": pa.array(frac),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -50,6 +50,75 @@ def _host_of(url_arr, pc):
     return pc.fill_null(host, "")
 
 
+def inlink_stats(ds, url_column: str = "url",
+                 links_column: str = "links",
+                 num_partitions: int = 32):
+    """Per-host inlink statistics over the link graph: total inbound
+    link count and number of distinct linking hosts, restricted (like
+    :func:`host_pagerank`) to targets that are themselves page hosts.
+
+    Scale shape: the map pass pre-aggregates (src, dst) pairs per batch
+    (combiner), ONE hash exchange on dst merges them, and the known-host
+    restriction rides the same exchange (node rows tagged with a null
+    src) — no join and no second exchange. Output: ``host``,
+    ``n_inlinks`` (int64), ``n_src_hosts`` (int64).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    def edge_pairs(batch: "pa.Table") -> "pa.Table":
+        src = _host_of(batch[url_column], pc)
+        links = batch[links_column]
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        counts = pc.list_value_length(links).to_numpy() \
+            .astype(np.int64, copy=False)
+        dst = _host_of(pc.list_flatten(links), pc)
+        src_rep = src.take(pa.array(np.repeat(
+            np.arange(len(batch), dtype=np.int64), counts)))
+        pairs = pa.TableGroupBy(
+            pa.table({"src": src_rep, "host": dst}),
+            ["src", "host"]).aggregate([([], "count_all")])
+        pairs = pairs.rename_columns(["src", "host", "cnt"])
+        # node rows: src=null marks "this dst is a known page host"
+        nodes = pc.unique(src)
+        return pa.concat_tables([
+            pairs,
+            pa.table({"src": pa.nulls(len(nodes), pa.string()),
+                      "host": nodes,
+                      "cnt": pa.nulls(len(nodes), pa.int64())})])
+
+    def per_host(part: "pa.Table") -> "pa.Table":
+        src = part["src"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        is_node = pc.is_null(src).to_numpy(zero_copy_only=False)
+        known = pc.unique(part["host"].filter(pa.array(is_node)))
+        edges = part.filter(pa.array(~is_node))
+        edges = edges.filter(pc.is_in(edges["host"], value_set=known))
+        agg = pa.TableGroupBy(edges, ["host"]).aggregate(
+            [("cnt", "sum"), ("src", "count_distinct")])
+        agg = agg.rename_columns(["host", "n_inlinks", "n_src_hosts"])
+        # known hosts with zero inlinks still get a row
+        missing = known.filter(pc.invert(
+            pc.is_in(known, value_set=agg["host"].combine_chunks())))
+        zero = pa.table({
+            "host": missing,
+            "n_inlinks": pa.array(
+                np.zeros(len(missing), dtype=np.int64)),
+            "n_src_hosts": pa.array(
+                np.zeros(len(missing), dtype=np.int64))})
+        return pa.concat_tables([agg, zero])
+
+    return grouped_apply(ds.map_batches(edge_pairs,
+                                        batch_format="pyarrow"),
+                         ["host"], per_host,
+                         num_partitions=num_partitions,
+                         fn_format="pyarrow")
+
+
 def host_pagerank(ds, url_column: str = "url",
                   links_column: str = "links",
                   iterations: int = 5, num_partitions: int = 32):

@@ -222,3 +222,81 @@ def test_host_pagerank_vs_duckdb_crafted(tmp_path):
     np.testing.assert_array_equal(
         eng["rank"].to_numpy(),
         eng["rank_fp"].to_numpy().astype(np.float64) / float(PR_SCALE))
+
+
+# ------------------------------------------------ inlink / dup spans
+
+
+def test_inlink_stats_crafted():
+    from nacc_form_validator_ray.stages.graph import inlink_stats
+    pages = [
+        ("https://a.com/1", ["https://b.com/x", "https://b.com/y",
+                             "https://offsite.example/z"]),
+        ("https://b.com/2", ["https://b.com/self", "https://a.com/p"]),
+        ("https://c.com/3", ["https://b.com/q"]),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array([u for u, _ in pages]),
+        "links": pa.array([l for _, l in pages],
+                          type=pa.list_(pa.string()))}))
+    out = inlink_stats(ds, num_partitions=4).to_pandas() \
+        .set_index("host").sort_index()
+    # b.com: 2 links from a, 1 self-link, 1 from c -> 4 inlinks, 3 srcs
+    assert out.loc["b.com", "n_inlinks"] == 4
+    assert out.loc["b.com", "n_src_hosts"] == 3
+    assert out.loc["a.com", "n_inlinks"] == 1
+    assert out.loc["a.com", "n_src_hosts"] == 1
+    # c.com has no inlinks but is still reported
+    assert out.loc["c.com", "n_inlinks"] == 0
+    assert out.loc["c.com", "n_src_hosts"] == 0
+    # offsite target is not a page host -> no row
+    assert "offsite.example" not in out.index
+
+
+def test_dup_ngram_spans_crafted():
+    from nacc_form_validator_ray.stages.dedup import dup_ngram_spans
+    docs = [
+        # docs 0/1 share "alpha beta gamma delta" -> two overlapping
+        # dup 3-grams at pos 0,1: coverage = min(3,1)+3 = 4 tokens
+        "alpha beta gamma delta uniqueza tailza hereza",
+        "alpha beta gamma delta uniquezb tailzb herezb",
+        # within-doc repetition only -> NOT duplicated (needs >=2 docs)
+        "spam ham eggs spam ham eggs spam ham eggs",
+        # no tokens at all
+        "12345 !!!",
+        # shares nothing
+        "totally different words everywhere now",
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+        "text": pa.array(docs)}))
+    out = dup_ngram_spans(ds, k=3, min_docs=2, num_partitions=4) \
+        .to_pandas().set_index("doc_id").sort_index()
+    for d in (0, 1):
+        assert out.loc[d, "n_tokens"] == 7
+        assert out.loc[d, "n_shingles"] == 5
+        assert out.loc[d, "n_dup"] == 2
+        assert out.loc[d, "dup_cov"] == 4
+        assert out.loc[d, "dup_frac"] == 4.0 / 7.0
+    assert out.loc[2, "n_dup"] == 0 and out.loc[2, "dup_cov"] == 0
+    assert out.loc[3, "n_tokens"] == 0 and out.loc[3, "dup_frac"] == 0.0
+    assert out.loc[4, "n_dup"] == 0
+
+
+def test_dup_ngram_spans_vs_duckdb_crafted(tmp_path):
+    from nacc_form_validator_ray.stages.dedup import dup_ngram_spans
+    from nacc_form_validator_ray.pipelines.queries import \
+        sql_dup_ngram_spans
+    rng = np.random.RandomState(5)
+    words = ["a", "bb", "ccc", "dd", "e", "fff", "gg"]
+    docs = [" ".join(rng.choice(words, rng.randint(0, 12)))
+            for _ in range(80)]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+    path = os.path.join(tmp_path, "docs.parquet")
+    df.to_parquet(path)
+    eng = dup_ngram_spans(rd.read_parquet(path), k=3,
+                          min_docs=2).to_pandas()
+    sql = duckdb.sql(sql_dup_ngram_spans(path)).df()
+    pd.testing.assert_frame_equal(_canon(eng), _canon(sql),
+                                  check_dtype=False)
