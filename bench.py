@@ -209,6 +209,7 @@ def bench_queries(sf_dir: str):
         "host_pagerank": run_host_pagerank,
         "inlink_stats": run_inlink_stats,
         "dup_ngram_spans": run_dup_ngram_spans,
+        "bpe_merges": lambda: consume(Q.q_bpe_merges(sf_dir)),
     }
 
 

@@ -3792,3 +3792,60 @@ QUERIES["host_pagerank"] = q_host_pagerank
 QUERIES["inlink_stats"] = q_inlink_stats
 QUERIES["dup_ngram_spans"] = q_dup_ngram_spans
 # their oracles embed the linked-page parquet path -> flagship_oracles
+
+
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training: learn the first 10 merge rules over the
+    documents corpus (word counting is the corpus exchange; the merge
+    loop runs on the vocabulary-bounded frequency table)."""
+    from nacc_form_validator_ray.stages.bpe import bpe_merges
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    return bpe_merges(ds, n_merges=10)
+
+
+def _sql_bpe_merges(n_merges: int = 10) -> str:
+    """Chained-CTE twin: one (pair-count -> argmax -> replace) stage
+    per merge, identical dotted-string representation and
+    (count DESC, pattern ASC) tie-break."""
+    stages, outs = [], []
+    for k in range(1, n_merges + 1):
+        prev = f"v{k - 1}"
+        # MATERIALIZED stops DuckDB's default CTE inlining — each stage
+        # references its predecessor twice, so inlining is exponential
+        stages.append(f"""
+py{k} AS (
+  SELECT sp, cnt, unnest(range(2, len(sp))) AS i
+  FROM (SELECT string_split(seq, '.') AS sp, cnt FROM {prev})
+),
+p{k} AS (
+  SELECT '.' || sp[i] || '.' || sp[i + 1] AS pat,
+         '.' || sp[i] || sp[i + 1] AS rep,
+         CAST(sum(cnt) AS BIGINT) AS c
+  FROM py{k} GROUP BY 1, 2
+),
+m{k} AS MATERIALIZED (
+  SELECT pat, rep, c FROM p{k} ORDER BY c DESC, pat LIMIT 1),
+v{k} AS MATERIALIZED (
+  SELECT replace(seq, coalesce((SELECT pat FROM m{k}), chr(1)),
+                 coalesce((SELECT rep FROM m{k}), chr(1))) AS seq, cnt
+  FROM {prev}
+)""")
+        outs.append(f"SELECT {k} AS \"rank\", pat AS pair, rep AS "
+                    f"merged, c FROM m{k}")
+    return f"""
+WITH w AS (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+    FROM documents) GROUP BY tok
+),
+v0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', '.\\1', 'g') AS seq, cnt FROM w),
+{','.join(stages)}
+SELECT CAST("rank" AS BIGINT) AS "rank", pair, merged, c
+FROM ({' UNION ALL '.join(outs)}) ORDER BY "rank"
+"""
+
+
+QUERIES["bpe_merges"] = q_bpe_merges
+ORACLE_SQL["bpe_merges"] = _sql_bpe_merges()

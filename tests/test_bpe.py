@@ -1,0 +1,63 @@
+"""BPE trainer: hand-computed merges on the classic Sennrich-style
+corpus, plus a DuckDB differential on a random corpus."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from nacc_form_validator_ray.pipelines.queries import _sql_bpe_merges
+from nacc_form_validator_ray.stages.bpe import bpe_merges
+
+
+def _corpus(word_freq):
+    words = []
+    for w, c in word_freq.items():
+        words += [w] * c
+    return " ".join(words)
+
+
+def test_bpe_hand_computed():
+    # Sennrich et al. example vocabulary (no end-of-word marker):
+    # low:5 lower:2 newest:6 widest:3
+    text = _corpus({"low": 5, "lower": 2, "newest": 6, "widest": 3})
+    ds = rd.from_pandas(pd.DataFrame({"text": [text]}))
+    out = bpe_merges(ds, n_merges=5, num_partitions=4).to_pandas()
+    got = list(zip(out["pair"], out["merged"], out["c"]))
+    assert got == [
+        (".e.s", ".es", 9),   # e-s:9 ties s-t:9, '.e.s' < '.s.t'
+        (".es.t", ".est", 9),
+        (".l.o", ".lo", 7),   # l-o:7 ties o-w:7
+        (".lo.w", ".low", 7),
+        (".e.w", ".ew", 6),   # ties n-e and w-est at 6
+    ]
+    assert list(out["rank"]) == [1, 2, 3, 4, 5]
+
+
+def test_bpe_overlapping_pair_merge():
+    # 'aaaa' -> pairs (a,a)x3; merge is left-to-right non-overlapping:
+    # '.a.a.a.a' -> '.aa.aa', so round 2 merges (aa,aa)
+    ds = rd.from_pandas(pd.DataFrame({"text": ["aaaa aaaa aaaa"]}))
+    out = bpe_merges(ds, n_merges=2, num_partitions=2).to_pandas()
+    assert list(out["pair"]) == [".a.a", ".aa.aa"]
+    assert list(out["c"]) == [9, 3]
+
+
+def test_bpe_vs_duckdb_random():
+    rng = np.random.RandomState(13)
+    syll = ["ba", "na", "to", "ri", "ku", "zez"]
+    docs = []
+    for _ in range(40):
+        words = ["".join(rng.choice(syll, rng.randint(1, 4)))
+                 for _ in range(rng.randint(0, 30))]
+        docs.append(" ".join(words))
+    df = pd.DataFrame({"text": docs})
+    eng = bpe_merges(rd.from_pandas(df), n_merges=8,
+                     num_partitions=4).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = con.sql(_sql_bpe_merges(8)).df()
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), sql.reset_index(drop=True),
+        check_dtype=False)
