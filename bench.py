@@ -210,6 +210,7 @@ def bench_queries(sf_dir: str):
         "inlink_stats": run_inlink_stats,
         "dup_ngram_spans": run_dup_ngram_spans,
         "bpe_merges": lambda: consume(Q.q_bpe_merges(sf_dir)),
+        "bpe_encode_docs": lambda: consume(Q.q_bpe_encode_docs(sf_dir)),
     }
 
 

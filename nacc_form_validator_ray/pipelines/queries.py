@@ -3804,10 +3804,10 @@ def q_bpe_merges(sf_dir: str):
     return bpe_merges(ds, n_merges=10)
 
 
-def _sql_bpe_merges(n_merges: int = 10) -> str:
-    """Chained-CTE twin: one (pair-count -> argmax -> replace) stage
-    per merge, identical dotted-string representation and
-    (count DESC, pattern ASC) tie-break."""
+def _bpe_cte_chain(n_merges: int):
+    """Shared CTE chain for the BPE twins: word counts -> dotted v0 ->
+    one (pair-count -> argmax -> replace) stage per merge. Returns the
+    WITH-body string and the per-merge output selects."""
     stages, outs = [], []
     for k in range(1, n_merges + 1):
         prev = f"v{k - 1}"
@@ -3833,19 +3833,72 @@ v{k} AS MATERIALIZED (
 )""")
         outs.append(f"SELECT {k} AS \"rank\", pat AS pair, rep AS "
                     f"merged, c FROM m{k}")
-    return f"""
-WITH w AS (
+    body = f"""w AS (
   SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
     SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
     FROM documents) GROUP BY tok
 ),
 v0 AS MATERIALIZED (
   SELECT regexp_replace(word, '(.)', '.\\1', 'g') AS seq, cnt FROM w),
-{','.join(stages)}
+{','.join(stages)}"""
+    return body, outs
+
+
+def _sql_bpe_merges(n_merges: int = 10) -> str:
+    """Chained-CTE twin: one (pair-count -> argmax -> replace) stage
+    per merge, identical dotted-string representation and
+    (count DESC, pattern ASC) tie-break."""
+    body, outs = _bpe_cte_chain(n_merges)
+    return f"""
+WITH {body}
 SELECT CAST("rank" AS BIGINT) AS "rank", pair, merged, c
 FROM ({' UNION ALL '.join(outs)}) ORDER BY "rank"
 """
 
 
+def q_bpe_encode_docs(sf_dir: str):
+    """BPE tokenization: train the 10-rule merge table, broadcast it,
+    and encode every document — per-doc word / character / subword
+    counts (the map-only corpus pass; merges apply to each batch's word
+    dictionary, not every occurrence)."""
+    from nacc_form_validator_ray.stages.bpe import bpe_encode, bpe_merges
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+    m = bpe_merges(ds, n_merges=10).to_pandas()
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    return bpe_encode(docs, list(zip(m["pair"], m["merged"])))
+
+
+def _sql_bpe_encode_docs(n_merges: int = 10) -> str:
+    body, _ = _bpe_cte_chain(n_merges)
+    expr = "regexp_replace(word, '(.)', '.\\1', 'g')"
+    for k in range(1, n_merges + 1):
+        expr = (f"replace({expr}, coalesce((SELECT pat FROM m{k}), "
+                f"chr(1)), coalesce((SELECT rep FROM m{k}), chr(1)))")
+    return f"""
+WITH {body},
+dw AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+      AS word
+  FROM documents
+),
+de AS (SELECT doc_id, word, {expr} AS enc FROM dw),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(len(word)) AS BIGINT) AS n_chars,
+         CAST(sum(len(string_split(enc, '.')) - 1) AS BIGINT)
+             AS n_subwords
+  FROM de GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
+       coalesce(a.n_chars, 0) AS n_chars,
+       coalesce(a.n_subwords, 0) AS n_subwords
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
 QUERIES["bpe_merges"] = q_bpe_merges
 ORACLE_SQL["bpe_merges"] = _sql_bpe_merges()
+QUERIES["bpe_encode_docs"] = q_bpe_encode_docs
+ORACLE_SQL["bpe_encode_docs"] = _sql_bpe_encode_docs()

@@ -146,3 +146,57 @@ def bpe_merges(ds, text_column: str = "text", n_merges: int = 10,
         "merged": pa.array(out_merged, pa.string()),
         "c": pa.array(np.array(out_c, dtype=np.int64)),
     }))
+
+
+def bpe_encode(ds, merges, id_column: str = "doc_id",
+               text_column: str = "text"):
+    """Apply learned BPE merges to the corpus and report per-document
+    subword statistics: ``n_words`` ([a-z]+ tokens), ``n_chars``
+    (alphabetic characters) and ``n_subwords`` (symbols after applying
+    ``merges`` in rank order).
+
+    ``merges`` is the (pair, merged) list from :func:`bpe_merges`
+    (broadcast-sized: one small list). Scale shape: map-only — merges
+    are applied to each batch's word DICTIONARY (unique words), not to
+    every token occurrence, so the replace cost is vocabulary-bounded
+    per batch; per-token subword counts are gathered by dictionary code
+    and summed per document with one bincount.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    rules = [(str(p), str(r)) for p, r in merges]
+
+    def encode(batch: "pa.Table") -> "pa.Table":
+        text = batch[text_column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = batch.num_rows
+        codes, dictionary, tok_doc, n_tokens = arrow_token_codes(text)
+        if dictionary is None:
+            z = pa.array(np.zeros(n, dtype=np.int64))
+            return pa.table({id_column: batch[id_column],
+                             "n_words": z, "n_chars": z,
+                             "n_subwords": z})
+        seq = pc.replace_substring_regex(dictionary, "(.)", r".\1")
+        for pat, rep in rules:
+            seq = pc.replace_substring(seq, pat, rep)
+        sub_per_word = pc.count_substring(seq, ".").to_numpy() \
+            .astype(np.int64, copy=False)
+        chars_per_word = pc.utf8_length(dictionary).to_numpy() \
+            .astype(np.int64, copy=False)
+        n_sub = np.bincount(tok_doc, weights=sub_per_word[codes],
+                            minlength=n).astype(np.int64)
+        n_chr = np.bincount(tok_doc, weights=chars_per_word[codes],
+                            minlength=n).astype(np.int64)
+        return pa.table({
+            id_column: batch[id_column],
+            "n_words": pa.array(n_tokens.astype(np.int64)),
+            "n_chars": pa.array(n_chr),
+            "n_subwords": pa.array(n_sub),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")

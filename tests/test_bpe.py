@@ -61,3 +61,45 @@ def test_bpe_vs_duckdb_random():
     pd.testing.assert_frame_equal(
         eng.reset_index(drop=True), sql.reset_index(drop=True),
         check_dtype=False)
+
+
+def test_bpe_encode_counts():
+    from nacc_form_validator_ray.stages.bpe import bpe_encode
+    # after (e,s): newest = n-e-w-es-t (5 symbols);
+    # after (es,t): n-e-w-est (4 symbols)
+    merges = [(".e.s", ".es"), (".es.t", ".est")]
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["newest widest", "no pairs here", ""]}))
+    out = bpe_encode(ds, merges).to_pandas().set_index("doc_id") \
+        .sort_index()
+    # newest: n,e,w,est = 4; widest: w,i,d,est = 4
+    assert out.loc[0, "n_words"] == 2
+    assert out.loc[0, "n_chars"] == 12
+    assert out.loc[0, "n_subwords"] == 8
+    # untouched words keep one symbol per char
+    assert out.loc[1, "n_subwords"] == out.loc[1, "n_chars"] == 11
+    assert out.loc[2, "n_words"] == 0 and out.loc[2, "n_subwords"] == 0
+
+
+def test_bpe_encode_vs_duckdb_random():
+    from nacc_form_validator_ray.stages.bpe import bpe_encode, bpe_merges
+    from nacc_form_validator_ray.pipelines.queries import \
+        _sql_bpe_encode_docs
+    rng = np.random.RandomState(21)
+    syll = ["re", "do", "mi", "fa", "sol"]
+    docs = [" ".join("".join(rng.choice(syll, rng.randint(1, 4)))
+                     for _ in range(rng.randint(0, 20)))
+            for _ in range(50)]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+    m = bpe_merges(rd.from_pandas(df), n_merges=6,
+                   num_partitions=4).to_pandas()
+    eng = bpe_encode(rd.from_pandas(df),
+                     list(zip(m["pair"], m["merged"]))).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = con.sql(_sql_bpe_encode_docs(6)).df()
+    key = lambda d: d.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(eng), key(sql),
+                                  check_dtype=False)
