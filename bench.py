@@ -211,6 +211,8 @@ def bench_queries(sf_dir: str):
         "dup_ngram_spans": run_dup_ngram_spans,
         "bpe_merges": lambda: consume(Q.q_bpe_merges(sf_dir)),
         "bpe_encode_docs": lambda: consume(Q.q_bpe_encode_docs(sf_dir)),
+        "bigram_perplexity_docs": lambda: consume(
+            Q.q_bigram_perplexity_docs(sf_dir)),
     }
 
 

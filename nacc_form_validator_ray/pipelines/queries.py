@@ -2417,6 +2417,77 @@ QUERIES["perplexity_docs"] = q_perplexity_docs
 ORACLE_SQL["perplexity_docs"] = SQL_PERPLEXITY_DOCS
 
 
+def q_bigram_perplexity_docs(sf_dir: str):
+    """Interpolated-bigram LM perplexity (the KenLM-direction model):
+    distributed unigram+bigram count exchanges, broadcast artifact,
+    actor-pool scoring. First token of each doc scores on the unigram
+    term alone (no BOS marker); non-initial tokens on the 50/50
+    unigram/bigram mixture with add-0.5 smoothing. Log-probs ride the
+    2^-20 grid, so per-doc sums are exact and order-independent."""
+    from nacc_form_validator_ray.stages.perplexity import (
+        BigramScorer, train_bigram_model)
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    model = train_bigram_model(ds)
+    scored = ds.map_batches(BigramScorer,
+                            fn_constructor_kwargs={"model": model},
+                            batch_format="pyarrow", concurrency=(1, 4))
+    return scored.select_columns(["doc_id", "log_ppl", "ppl_tokens",
+                                  "unseen_bigrams"])
+
+
+# Twin rebuilds the bigram model in SQL: same token stream, same
+# mixture expression tree (left-to-right products/divides), same grid.
+SQL_BIGRAM_PERPLEXITY_DOCS = """
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS tok
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+        FROM documents)
+), uc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok
+), consts AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS total,
+         CAST(count(*) AS BIGINT) AS v
+  FROM uc
+), bc AS (
+  SELECT t1.tok AS w1, t2.tok AS w2, CAST(count(*) AS BIGINT) AS c
+  FROM tok t2
+  JOIN tok t1 ON t1.doc_id = t2.doc_id AND t1.i = t2.i - 1
+  GROUP BY t1.tok, t2.tok
+), lp AS (
+  SELECT t.doc_id,
+    CASE WHEN t.i = 1 THEN
+      floor(log2((u.c + 0.5) / (consts.total + 0.5 * (consts.v + 1)))
+            * 1048576.0 + 0.5) / 1048576.0
+    ELSE
+      floor(log2((0.5 * (coalesce(b.c, 0) + 0.5))
+                     / (u1.c + 0.5 * (consts.v + 1))
+                 + (0.5 * (u.c + 0.5))
+                     / (consts.total + 0.5 * (consts.v + 1)))
+            * 1048576.0 + 0.5) / 1048576.0
+    END AS lp,
+    CASE WHEN t.i > 1 AND b.c IS NULL THEN 1 ELSE 0 END AS unseen
+  FROM tok t
+  CROSS JOIN consts
+  JOIN uc u ON u.tok = t.tok
+  LEFT JOIN tok p ON p.doc_id = t.doc_id AND p.i = t.i - 1
+  LEFT JOIN uc u1 ON u1.tok = p.tok
+  LEFT JOIN bc b ON b.w1 = p.tok AND b.w2 = t.tok
+), scored AS (
+  SELECT doc_id, count(*) AS n, sum(lp) AS slp,
+         CAST(sum(unseen) AS BIGINT) AS uns
+  FROM lp GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(-slp / n, 0.0) AS log_ppl,
+       CAST(coalesce(n, 0) AS BIGINT) AS ppl_tokens,
+       coalesce(uns, 0) AS unseen_bigrams
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+QUERIES["bigram_perplexity_docs"] = q_bigram_perplexity_docs
+ORACLE_SQL["bigram_perplexity_docs"] = SQL_BIGRAM_PERPLEXITY_DOCS
+
+
 def _ivf_model_for(sf_dir: str) -> str:
     """Train-once-per-input persisted centroid model (the perplexity
     load-weights pattern); shared by the query AND its generated SQL

@@ -158,3 +158,144 @@ class PerplexityScorer:
         for name, values in cols.items():
             batch[name] = values
         return batch
+
+
+def train_bigram_model(ds, text_column: str = "text",
+                       add_k: float = 0.5,
+                       num_partitions: int = 16) -> Dict[str, Any]:
+    """Distributed interpolated-bigram LM (the KenLM-direction upgrade
+    of :func:`train_ngram_model`): per-batch unigram AND bigram count
+    partials (dictionary codes, packed int64 pairs, bincount — no
+    Python loop over tokens), one grouped-sum exchange each, small
+    JSON-able artifact on the driver. Bigrams span adjacent tokens
+    WITHIN a document (no BOS/EOS markers — documented simplification;
+    the first token of a document is scored by the unigram term alone).
+    """
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    def bigram_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        arr = pa.array(batch["text"].fillna(""), type=pa.string())
+        codes, dictionary, tok_doc, _ = arrow_token_codes(arr)
+        if dictionary is None or len(codes) < 2:
+            return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                                 "w2": pd.Series([], dtype=object),
+                                 "count": pd.Series([],
+                                                    dtype=np.int64)})
+        same = tok_doc[1:] == tok_doc[:-1]
+        w1c = codes[:-1][same].astype(np.int64)
+        w2c = codes[1:][same].astype(np.int64)
+        packed, counts = np.unique(w1c * len(dictionary) + w2c,
+                                   return_counts=True)
+        d = np.asarray(dictionary.to_pylist(), dtype=object)
+        return pd.DataFrame({
+            "w1": d[(packed // len(dictionary)).astype(np.int64)],
+            "w2": d[(packed % len(dictionary)).astype(np.int64)],
+            "count": counts.astype(np.int64)})
+
+    uni_partials = ds.map_batches(
+        lambda b: _batch_token_counts(b, text_column),
+        batch_format="pandas")
+    uni = grouped_agg_sum(uni_partials, ["token"], ["count"],
+                          num_partitions=num_partitions).to_pandas()
+    bi = grouped_agg_sum(
+        ds.map_batches(bigram_partials, batch_format="pandas"),
+        ["w1", "w2"], ["count"],
+        num_partitions=num_partitions).to_pandas()
+    return {
+        "uni": dict(zip(uni["token"], uni["count"].astype(int))),
+        "bi": {f"{a} {b}": int(c) for a, b, c in
+               zip(bi["w1"], bi["w2"], bi["count"])},
+        "add_k": add_k,
+    }
+
+
+class BigramScorer:
+    """Actor-pool scorer for the interpolated bigram model: per-token
+    log-prob is ``q(log2(0.5*(c_bi+k)/(c_prev+k(V+1)) +
+    0.5*(c_uni+k)/(T+k(V+1))))`` for non-initial tokens and the plain
+    unigram term for each document's first token; ``q`` is the 2^-20
+    grid (LOGP_SCALE), so per-doc sums are exact dyadic arithmetic and
+    the DuckDB twin reproduces them bit-for-bit. Lookups resolve only
+    the batch's token/pair DICTIONARY against the model (vocabulary
+    cost), then gather by code."""
+
+    def __init__(self, model: Optional[Dict[str, Any]] = None,
+                 model_path: Optional[str] = None,
+                 text_column: str = "text"):
+        if model is None:
+            if model_path is None:
+                raise ValueError("need model or model_path")
+            with open(model_path) as f:
+                model = json.load(f)
+        self.text_column = text_column
+        self.uni = model["uni"]
+        self.bi = model["bi"]
+        self.k = float(model["add_k"])
+        self.T = float(sum(self.uni.values()))
+        self.V = len(self.uni)
+        self.kv1 = self.k * (self.V + 1)
+        self.d_uni = self.T + self.kv1
+
+    def _score(self, text_arr) -> Dict[str, np.ndarray]:
+        from nacc_form_validator_ray.stages.text_signals import \
+            arrow_token_codes
+        n = len(text_arr)
+        codes, dictionary, tok_doc, lens = arrow_token_codes(text_arr)
+        log_ppl = np.zeros(n, dtype=np.float64)
+        unseen = np.zeros(n, dtype=np.int64)
+        if len(codes):
+            d = dictionary.to_pylist()
+            cu_dict = np.array([self.uni.get(t, 0) for t in d],
+                               dtype=np.float64)
+            cu = cu_dict[codes]
+            lp_uni = np.floor(
+                np.log2((cu + self.k) / self.d_uni)
+                * LOGP_SCALE + 0.5) / LOGP_SCALE
+            lp = lp_uni.copy()
+            first = np.ones(len(codes), dtype=bool)
+            first[1:] = tok_doc[1:] != tok_doc[:-1]
+            rest = ~first
+            if rest.any():
+                prev = np.empty(len(codes), dtype=np.int64)
+                prev[1:] = codes[:-1]
+                prev[0] = 0
+                packed = prev[rest] * len(d) + codes[rest]
+                upk, inv = np.unique(packed, return_inverse=True)
+                cbi_u = np.array(
+                    [self.bi.get(f"{d[p // len(d)]} {d[p % len(d)]}",
+                                 0) for p in upk], dtype=np.float64)
+                cbi = cbi_u[inv]
+                cu_prev = cu_dict[prev[rest]]
+                mix = (0.5 * (cbi + self.k)) / (cu_prev + self.kv1) \
+                    + (0.5 * (cu[rest] + self.k)) / self.d_uni
+                lp[rest] = np.floor(np.log2(mix) * LOGP_SCALE + 0.5) \
+                    / LOGP_SCALE
+                uns_tok = np.zeros(len(codes), dtype=np.int64)
+                uns_tok[rest] = (cbi == 0).astype(np.int64)
+                unseen = np.bincount(tok_doc, weights=uns_tok,
+                                     minlength=n).astype(np.int64)
+            sum_lp = np.bincount(tok_doc, weights=lp, minlength=n)
+            log_ppl = -sum_lp / np.maximum(lens, 1) + 0.0
+        return {"log_ppl": log_ppl, "ppl_tokens": lens,
+                "unseen_bigrams": unseen}
+
+    def __call__(self, batch):
+        import pyarrow as pa
+        if isinstance(batch, pa.Table):
+            col = batch[self.text_column]
+            arr = col.combine_chunks() if isinstance(
+                col, pa.ChunkedArray) else col
+            for name, values in self._score(arr).items():
+                batch = batch.append_column(name, pa.array(values))
+            return batch
+        text_arr = pa.array(batch[self.text_column].fillna(""),
+                            type=pa.string())
+        cols = self._score(text_arr)
+        batch = batch.copy()
+        for name, values in cols.items():
+            batch[name] = values
+        return batch

@@ -59,3 +59,69 @@ def test_scoring_in_dataset_pipeline(corpus):
         concurrency=2).to_pandas()
     assert len(out) == len(corpus)
     assert "log_ppl" in out.columns
+
+
+# ------------------------------------------------- interpolated bigram
+
+
+def test_bigram_model_counts_and_scoring():
+    import math
+    from nacc_form_validator_ray.stages.perplexity import (
+        BigramScorer, train_bigram_model, quantize_logp)
+    df = pd.DataFrame({"doc_id": [0, 1],
+                       "text": ["a b a b", "a b c"]})
+    model = train_bigram_model(rd.from_pandas(df))
+    assert model["uni"] == {"a": 3, "b": 3, "c": 1}
+    assert model["bi"] == {"a b": 3, "b a": 1, "b c": 1}
+    out = BigramScorer(model=model)(df.copy())
+    T, V, k = 7.0, 3, 0.5
+    d_uni = T + k * (V + 1)
+    lp_a = quantize_logp(math.log2((3 + k) / d_uni))
+    # 'b' after 'a': c_bi=3, c_a=3
+    mix_ab = (0.5 * (3 + k)) / (3 + k * (V + 1)) \
+        + (0.5 * (3 + k)) / d_uni
+    lp_ab = quantize_logp(math.log2(mix_ab))
+    mix_ba = (0.5 * (1 + k)) / (3 + k * (V + 1)) \
+        + (0.5 * (3 + k)) / d_uni
+    lp_ba = quantize_logp(math.log2(mix_ba))
+    want0 = -(lp_a + lp_ab + lp_ba + lp_ab) / 4
+    assert out.loc[0, "log_ppl"] == want0
+    assert out.loc[0, "unseen_bigrams"] == 0
+    # doc 1 saw every bigram during training too
+    assert out.loc[1, "unseen_bigrams"] == 0
+
+
+def test_bigram_unseen_pairs_counted():
+    from nacc_form_validator_ray.stages.perplexity import (
+        BigramScorer, train_bigram_model)
+    train = pd.DataFrame({"doc_id": [0], "text": ["x y z"]})
+    model = train_bigram_model(rd.from_pandas(train))
+    score = pd.DataFrame({"doc_id": [0], "text": ["y x z y"]})
+    out = BigramScorer(model=model)(score)
+    # pairs y-x, x-z, z-y all unseen; first token is unigram-only
+    assert out.loc[0, "unseen_bigrams"] == 3
+
+
+def test_bigram_vs_duckdb_random():
+    import duckdb
+    from nacc_form_validator_ray.pipelines.queries import \
+        SQL_BIGRAM_PERPLEXITY_DOCS
+    from nacc_form_validator_ray.stages.perplexity import (
+        BigramScorer, train_bigram_model)
+    rng = np.random.RandomState(31)
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    docs = [" ".join(rng.choice(words, rng.randint(0, 15)))
+            for _ in range(60)]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+    model = train_bigram_model(rd.from_pandas(df))
+    eng = rd.from_pandas(df).map_batches(
+        BigramScorer, fn_constructor_kwargs={"model": model},
+        batch_format="pyarrow", concurrency=2).to_pandas()[
+        ["doc_id", "log_ppl", "ppl_tokens", "unseen_bigrams"]]
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = con.sql(SQL_BIGRAM_PERPLEXITY_DOCS).df()
+    key = lambda d: d.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(eng), key(sql),
+                                  check_dtype=False)
