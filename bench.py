@@ -102,6 +102,24 @@ def run_inlink_stats() -> int:
     return inlink_stats(ds).count()
 
 
+def run_web_clean() -> int:
+    """Composed clean: canonical-url election -> id join -> C4 filter."""
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.joins import hash_join
+    from nacc_form_validator_ray.stages.webclean import (c4_line_filter,
+                                                         normalize_urls)
+    path = linked_pages_dir()
+    canon = normalize_urls(
+        rd.read_parquet(path, columns=["doc_id", "url"])) \
+        .filter(expr="is_canonical") \
+        .select_columns(["doc_id", "norm_url"])
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    kept = hash_join(docs, canon, on=["doc_id"])
+    out = c4_line_filter(kept.select_columns(["doc_id", "text"]))
+    return out.map_batches(lambda b: b.filter(b["keep"]),
+                           batch_format="pyarrow").count()
+
+
 def run_dup_ngram_spans() -> int:
     import ray.data as rd
     from nacc_form_validator_ray.stages.dedup import dup_ngram_spans
@@ -209,6 +227,7 @@ def bench_queries(sf_dir: str):
         "host_pagerank": run_host_pagerank,
         "inlink_stats": run_inlink_stats,
         "dup_ngram_spans": run_dup_ngram_spans,
+        "web_clean_pages": run_web_clean,
         "bpe_merges": lambda: consume(Q.q_bpe_merges(sf_dir)),
         "bpe_encode_docs": lambda: consume(Q.q_bpe_encode_docs(sf_dir)),
         "bigram_perplexity_docs": lambda: consume(

@@ -1695,6 +1695,206 @@ FROM r{iterations}
 """
 
 
+def q_web_clean_pages(sf_dir: str):
+    """Composed web-cleaning pipeline over the linked-page fixture:
+    URL canonicalization elects one representative per canonical URL
+    (recrawl dedup), then the C4 line/document filter cleans the
+    survivors. Payload discipline: the url exchange runs on the lean
+    (doc_id, url) projection — text joins back by id afterwards and
+    never rides the shuffle."""
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.stages.joins import hash_join
+    from nacc_form_validator_ray.stages.webclean import (c4_line_filter,
+                                                         normalize_urls)
+    path = _linked_pages_path(sf_dir)
+    urls = _rd().read_parquet(path, columns=["doc_id", "url"])
+    canon = normalize_urls(urls) \
+        .filter(expr="is_canonical") \
+        .select_columns(["doc_id", "norm_url"])
+    docs = _rd().read_parquet(path, columns=["doc_id", "text"])
+    kept = hash_join(docs, canon, on=["doc_id"])
+    out = c4_line_filter(kept.select_columns(["doc_id", "text"]))
+    out = out.map_batches(lambda b: b.filter(b["keep"]),
+                          batch_format="pyarrow")
+    urlmap = hash_join(out.select_columns(
+        ["doc_id", "n_lines", "n_kept", "text"]), canon,
+        on=["doc_id"])
+    return urlmap.select_columns(["doc_id", "norm_url", "n_lines",
+                                  "n_kept", "text"])
+
+
+def sql_web_clean_pages(path: str) -> str:
+    host = _SQL_URL_NORM.format(u="u")
+    return f"""
+WITH p AS (SELECT doc_id, url, text FROM read_parquet('{path}')),
+s1 AS (SELECT doc_id, {_sql_url_chain('url')} AS u FROM p),
+s2 AS (SELECT doc_id,
+       'https://' || {host} ||
+       regexp_replace(u, '^https?://[^/?#]+', '') AS norm_url
+       FROM s1),
+canon AS (
+  SELECT doc_id, norm_url FROM (
+    SELECT doc_id, norm_url,
+           doc_id = min(doc_id) OVER (PARTITION BY norm_url) AS isc
+    FROM s2) WHERE isc
+),
+lns AS (
+  SELECT doc_id, generate_subscripts(ls, 1) AS idx, unnest(ls) AS ln
+  FROM (SELECT p.doc_id, string_split(coalesce(p.text, ''), chr(10))
+            AS ls
+        FROM p JOIN canon c ON c.doc_id = p.doc_id)
+),
+flt AS (
+  SELECT doc_id, idx, ln,
+         (len(regexp_extract_all(ln, '\\S+')) >= 5
+          AND regexp_matches(ln, '[.!?"]$')
+          AND NOT contains(lower(ln), 'javascript')) AS keepln
+  FROM lns
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN keepln THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+         string_agg(CASE WHEN keepln THEN ln END, chr(10)
+                    ORDER BY idx) AS ktext
+  FROM flt GROUP BY doc_id
+)
+SELECT c.doc_id, c.norm_url, a.n_lines,
+       coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.ktext, '') AS text
+FROM canon c
+JOIN agg a ON a.doc_id = c.doc_id
+JOIN p ON p.doc_id = c.doc_id
+WHERE coalesce(a.n_kept, 0) >= 3
+  AND NOT contains(lower(p.text), 'lorem ipsum')
+  AND NOT contains(p.text, '{{')
+"""
+
+
+def q_domain_filter_docs(sf_dir: str, min_rate: float = 0.5):
+    """Domain-level quality gating (the blocklist-building stage): run
+    the C4 document filter, aggregate keep-rates per host, and drop
+    EVERY document of a host whose keep-rate falls below ``min_rate`` —
+    low-quality domains lose even their individually-passing pages.
+
+    Scale shape: the per-doc flags ride a lean (doc_id, host, keep)
+    projection; the host rollup is one grouped exchange over the
+    bounded host dimension, whose verdict broadcasts back into a
+    map-only final pass (ray.put, read per actor)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from nacc_form_validator_ray.stages.graph import _host_of
+    from nacc_form_validator_ray.stages.joins import hash_join
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
+    from nacc_form_validator_ray.stages.webclean import c4_line_filter
+
+    path = _linked_pages_path(sf_dir)
+    flags = c4_line_filter(
+        _rd().read_parquet(path, columns=["doc_id", "text"])) \
+        .select_columns(["doc_id", "keep"])
+
+    def host_proj(batch: "pa.Table") -> "pa.Table":
+        return pa.table({"doc_id": batch["doc_id"],
+                         "host": _host_of(batch["url"], pc)})
+
+    hosts = _rd().read_parquet(path, columns=["doc_id", "url"]) \
+        .map_batches(host_proj, batch_format="pyarrow")
+    tagged = hash_join(flags, hosts, on=["doc_id"],
+                       num_partitions=32).materialize()
+
+    def rate_partial(batch: "pa.Table") -> "pa.Table":
+        k = batch["keep"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = pa.TableGroupBy(
+            pa.table({"host": batch["host"],
+                      "n_docs": pa.array(np.ones(len(k), np.int64)),
+                      "n_keep": pa.array(k)}),
+            ["host"]).aggregate([("n_docs", "sum"), ("n_keep", "sum")])
+        return g.rename_columns(["host", "n_docs", "n_keep"])
+
+    per_host = grouped_agg_sum(
+        tagged.map_batches(rate_partial, batch_format="pyarrow"),
+        ["host"], ["n_docs", "n_keep"], num_partitions=32)
+    hs, rates = [], {}
+    for b in per_host.iter_batches(batch_format="pyarrow",
+                                   batch_size=65536):
+        h = b["host"].to_pylist()
+        r = (b["n_keep"].to_numpy(zero_copy_only=False)
+             .astype(np.float64)
+             / b["n_docs"].to_numpy(zero_copy_only=False)
+             .astype(np.float64))
+        rates.update(zip(h, r))
+    rate_ref = ray.put(rates)
+
+    class Gate:
+        def __init__(self, ref, thresh):
+            self.rates = ray.get(ref)
+            self.thresh = thresh
+
+        def __call__(self, batch: "pa.Table") -> "pa.Table":
+            h = batch["host"]
+            if isinstance(h, pa.ChunkedArray):
+                h = h.combine_chunks()
+            enc = pc.dictionary_encode(h)
+            per_host = np.array(
+                [self.rates.get(x, 0.0)
+                 for x in enc.dictionary.to_pylist()],
+                dtype=np.float64)
+            hr = per_host[enc.indices.to_numpy()]
+            dk = batch["keep"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "host": batch["host"],
+                "doc_keep": batch["keep"],
+                "host_keep_rate": pa.array(hr),
+                "keep": pa.array(dk & (hr >= self.thresh)),
+            })
+
+    return tagged.map_batches(Gate, fn_constructor_kwargs=dict(
+        ref=rate_ref, thresh=min_rate), batch_format="pyarrow",
+        concurrency=(1, 8))
+
+
+def sql_domain_filter_docs(path: str, min_rate: float = 0.5) -> str:
+    host = _SQL_URL_NORM.format(u="url")
+    return f"""
+WITH p AS (SELECT doc_id, url, text FROM read_parquet('{path}')),
+lns AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10)))
+      AS ln
+  FROM p
+),
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN len(regexp_extract_all(ln, '\\S+')) >= 5
+                   AND regexp_matches(ln, '[.!?"]$')
+                   AND NOT contains(lower(ln), 'javascript')
+              THEN 1 ELSE 0 END) AS n_kept
+  FROM lns GROUP BY doc_id
+),
+flags AS (
+  SELECT p.doc_id, {host} AS host,
+         (coalesce(a.n_kept, 0) >= 3
+          AND NOT contains(lower(p.text), 'lorem ipsum')
+          AND NOT contains(p.text, '{{')) AS doc_keep
+  FROM p JOIN agg a ON a.doc_id = p.doc_id
+),
+hr AS (
+  SELECT host,
+         CAST(sum(CASE WHEN doc_keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS host_keep_rate
+  FROM flags GROUP BY host
+)
+SELECT f.doc_id, f.host, f.doc_keep, h.host_keep_rate,
+       (f.doc_keep AND h.host_keep_rate >= {min_rate}) AS keep
+FROM flags f JOIN hr h ON h.host = f.host
+"""
+
+
 def q_inlink_stats(sf_dir: str):
     """Per-host inlink statistics (total inbound links + distinct
     linking hosts) over the linked-page fixture's link graph."""
@@ -1790,6 +1990,8 @@ def flagship_oracles(sf_dir: str) -> Dict[str, str]:
         "host_pagerank": sql_host_pagerank(lp),
         "inlink_stats": sql_inlink_stats(lp),
         "dup_ngram_spans": sql_dup_ngram_spans(lp),
+        "web_clean_pages": sql_web_clean_pages(lp),
+        "domain_filter_docs": sql_domain_filter_docs(lp),
     }
 
 
@@ -3862,6 +4064,8 @@ QUERIES["url_normalize_pages"] = q_url_normalize_pages
 QUERIES["host_pagerank"] = q_host_pagerank
 QUERIES["inlink_stats"] = q_inlink_stats
 QUERIES["dup_ngram_spans"] = q_dup_ngram_spans
+QUERIES["web_clean_pages"] = q_web_clean_pages
+QUERIES["domain_filter_docs"] = q_domain_filter_docs
 # their oracles embed the linked-page parquet path -> flagship_oracles
 
 

@@ -300,3 +300,67 @@ def test_dup_ngram_spans_vs_duckdb_crafted(tmp_path):
     sql = duckdb.sql(sql_dup_ngram_spans(path)).df()
     pd.testing.assert_frame_equal(_canon(eng), _canon(sql),
                                   check_dtype=False)
+
+
+# ----------------------------------------- composed cleaning pipelines
+
+
+def test_web_clean_pages_composition(tmp_path):
+    from nacc_form_validator_ray.pipelines.queries import \
+        sql_web_clean_pages
+    from nacc_form_validator_ray.stages.joins import hash_join
+    from nacc_form_validator_ray.stages.webclean import (c4_line_filter,
+                                                         normalize_urls)
+    good = ("alpha beta gamma delta epsilon zeta.\n"
+            "eta theta iota kappa lambda mu.\n"
+            "nu xi omicron pi rho sigma.")
+    rows = [
+        # two crawls of the same canonical url: only doc 0 survives
+        (0, "https://a.com/x", good),
+        (1, "https://A.com/x/", good),
+        # passes C4 but unique url
+        (2, "http://b.com/y?utm_source=z", good),
+        # canonical but fails C4
+        (3, "https://c.com/z", "short.\nlines only here."),
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "url", "text"])
+    path = os.path.join(tmp_path, "lp.parquet")
+    df.to_parquet(path)
+    urls = rd.read_parquet(path, columns=["doc_id", "url"])
+    canon = normalize_urls(urls).filter(expr="is_canonical") \
+        .select_columns(["doc_id", "norm_url"])
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    kept = hash_join(docs, canon, on=["doc_id"])
+    out = c4_line_filter(kept.select_columns(["doc_id", "text"]))
+    out = out.map_batches(lambda b: b.filter(b["keep"]),
+                          batch_format="pyarrow").to_pandas()
+    assert sorted(out["doc_id"]) == [0, 2]
+    sql = duckdb.sql(sql_web_clean_pages(path)).df()
+    assert sorted(sql["doc_id"]) == [0, 2]
+    assert set(sql["norm_url"]) == {"https://a.com/x",
+                                    "https://b.com/y"}
+
+
+def test_domain_filter_crafted(tmp_path):
+    from nacc_form_validator_ray.pipelines.queries import \
+        sql_domain_filter_docs
+    good = ("alpha beta gamma delta epsilon zeta.\n"
+            "eta theta iota kappa lambda mu.\n"
+            "nu xi omicron pi rho sigma.")
+    bad = "short."
+    rows = []
+    # goodhost: 3/3 keep; badhost: 1 good doc among 4 -> rate 0.25,
+    # its passing doc must flip to dropped
+    for i in range(3):
+        rows.append((i, f"https://goodhost.com/{i}", good))
+    rows.append((3, "https://badhost.com/0", good))
+    for i in range(4, 7):
+        rows.append((i, f"https://badhost.com/{i}", bad))
+    df = pd.DataFrame(rows, columns=["doc_id", "url", "text"])
+    path = os.path.join(tmp_path, "lp.parquet")
+    df.to_parquet(path)
+    sql = duckdb.sql(sql_domain_filter_docs(path)).df() \
+        .set_index("doc_id").sort_index()
+    assert bool(sql.loc[3, "doc_keep"]) and not bool(sql.loc[3, "keep"])
+    assert bool(sql.loc[0, "keep"])
+    assert sql.loc[3, "host_keep_rate"] == 0.25
