@@ -61,7 +61,7 @@ def linked_pages_dir(n_docs: int = BENCH_PAGES, seed: int = PAGES_SEED) \
         -> str:
     """Generate (once) and cache the linked-page corpus (FIXTURES.md F8:
     messy URLs, multi-line text, outbound links) as partitioned parquet."""
-    path = f"/tmp/nfvr_bench/linkpages_{n_docs}_{seed}"
+    path = f"/tmp/nfvr_bench/linkpages_{n_docs}_{seed}_v2"
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         from nacc_form_validator_ray.pipelines.webgen import \
@@ -118,6 +118,14 @@ def run_web_clean() -> int:
     out = c4_line_filter(kept.select_columns(["doc_id", "text"]))
     return out.map_batches(lambda b: b.filter(b["keep"]),
                            batch_format="pyarrow").count()
+
+
+def run_url_blocklist() -> int:
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.webclean import \
+        url_blocklist_filter
+    ds = rd.read_parquet(linked_pages_dir(), columns=["doc_id", "url"])
+    return url_blocklist_filter(ds).count()
 
 
 def run_dup_ngram_spans() -> int:
@@ -228,6 +236,9 @@ def bench_queries(sf_dir: str):
         "inlink_stats": run_inlink_stats,
         "dup_ngram_spans": run_dup_ngram_spans,
         "web_clean_pages": run_web_clean,
+        "url_blocklist": run_url_blocklist,
+        "normalize_text_docs": lambda: consume(
+            Q.q_normalize_text_docs(sf_dir)),
         "bpe_merges": lambda: consume(Q.q_bpe_merges(sf_dir)),
         "bpe_encode_docs": lambda: consume(Q.q_bpe_encode_docs(sf_dir)),
         "bigram_perplexity_docs": lambda: consume(

@@ -1895,6 +1895,36 @@ FROM flags f JOIN hr h ON h.host = f.host
 """
 
 
+def q_url_blocklist(sf_dir: str):
+    """URL-keyword blocklist filtering (adult/gambling/tracker/
+    shortener rules) over the linked-page fixture — map-only, one Arrow
+    RE2 kernel call per rule per batch."""
+    from nacc_form_validator_ray.stages.webclean import \
+        url_blocklist_filter
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["doc_id", "url"])
+    return url_blocklist_filter(ds)
+
+
+def sql_url_blocklist(path: str) -> str:
+    from nacc_form_validator_ray.stages.webclean import URL_BLOCKLIST
+    conds = [(name, pat.replace("'", "''"))
+             for name, pat in URL_BLOCKLIST]
+    whens = "\n".join(
+        f"    WHEN regexp_matches(lower(coalesce(url, '')), '{p}') "
+        f"THEN '{n}'" for n, p in conds)
+    anymatch = " OR ".join(
+        f"regexp_matches(lower(coalesce(url, '')), '{p}')"
+        for _, p in conds)
+    return f"""
+SELECT doc_id, url, ({anymatch}) AS blocked,
+  CASE
+{whens}
+    ELSE '' END AS block_rule
+FROM read_parquet('{path}')
+"""
+
+
 def q_inlink_stats(sf_dir: str):
     """Per-host inlink statistics (total inbound links + distinct
     linking hosts) over the linked-page fixture's link graph."""
@@ -1992,6 +2022,7 @@ def flagship_oracles(sf_dir: str) -> Dict[str, str]:
         "dup_ngram_spans": sql_dup_ngram_spans(lp),
         "web_clean_pages": sql_web_clean_pages(lp),
         "domain_filter_docs": sql_domain_filter_docs(lp),
+        "url_blocklist": sql_url_blocklist(lp),
     }
 
 
@@ -2688,6 +2719,27 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 
 QUERIES["bigram_perplexity_docs"] = q_bigram_perplexity_docs
 ORACLE_SQL["bigram_perplexity_docs"] = SQL_BIGRAM_PERPLEXITY_DOCS
+
+
+def q_normalize_text_docs(sf_dir: str):
+    """Unicode canonicalization of the documents table (NFC + lower +
+    whitespace collapse + trim) — the dedup-key normalization pass."""
+    from nacc_form_validator_ray.stages.webclean import normalize_text
+    return normalize_text(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+SQL_NORMALIZE_TEXT_DOCS = """
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(coalesce(text, ''))),
+                           '\\s+', ' ', 'g'), ' ') AS norm_text,
+       CAST(length(trim(regexp_replace(
+           lower(nfc_normalize(coalesce(text, ''))),
+           '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS norm_chars
+FROM documents
+"""
+
+QUERIES["normalize_text_docs"] = q_normalize_text_docs
+ORACLE_SQL["normalize_text_docs"] = SQL_NORMALIZE_TEXT_DOCS
 
 
 def _ivf_model_for(sf_dir: str) -> str:
@@ -4066,6 +4118,7 @@ QUERIES["inlink_stats"] = q_inlink_stats
 QUERIES["dup_ngram_spans"] = q_dup_ngram_spans
 QUERIES["web_clean_pages"] = q_web_clean_pages
 QUERIES["domain_filter_docs"] = q_domain_filter_docs
+QUERIES["url_blocklist"] = q_url_blocklist
 # their oracles embed the linked-page parquet path -> flagship_oracles
 
 

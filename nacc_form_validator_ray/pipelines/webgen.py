@@ -186,6 +186,11 @@ class LinkedPageGenerator:
         if rng.rand() < 0.25 and doc_id > 0:
             path_doc = int(rng.randint(0, max(1, int(doc_id * 0.8) + 1)))
         path = f"/doc/{path_doc}"
+        # ~10% carry a URL-blocklist-matching path segment (adult /
+        # gambling keywords) so url_blocklist_filter has real prey
+        if rng.rand() < 0.10:
+            path += ["/casino", "/xxx-gallery", "/poker",
+                     "/adult-videos"][int(rng.randint(4))]
         if rng.rand() < 0.3:
             path += "/"
         q = float(rng.rand())
@@ -269,7 +274,7 @@ def ensure_linked_pages_parquet(
     contract as ``ensure_pages_parquet``)."""
     import os
     import tempfile
-    path = os.path.join(cache_dir, f"linkpages_n{n_docs}_s{seed}.parquet")
+    path = os.path.join(cache_dir, f"linkpages_n{n_docs}_s{seed}_v2.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(cache_dir, exist_ok=True)

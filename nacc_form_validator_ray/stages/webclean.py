@@ -159,3 +159,102 @@ def normalize_urls(ds, id_column: str = "doc_id",
     return grouped_apply(ds, ["norm_url"], elect,
                          num_partitions=num_partitions,
                          fn_format="pyarrow")
+
+
+#: default URL blocklist rules (RE2, applied to the lowercased url) —
+#: the adult/spam/tracker URL-keyword filtering stage of CC pipelines.
+#: Ordered: the FIRST matching rule is reported.
+URL_BLOCKLIST = [
+    ("adult", r"(xxx|porn|adult)"),
+    ("gambling", r"(casino|poker|betting)"),
+    ("tracker", r"[?&](click_?id|affiliate)="),
+    ("shortener", r"^https?://(bit\.ly|t\.co|tinyurl\.com)/"),
+]
+
+
+def url_blocklist_filter(ds, url_column: str = "url",
+                         rules=None):
+    """Flag documents whose URL matches a blocklist rule: adds
+    ``blocked`` (bool) and ``block_rule`` (first matching rule name,
+    '' when clean). Rules are (name, RE2-pattern) pairs evaluated on
+    the lowercased URL in order.
+
+    Scale shape: map-only; the rule list is broadcast-sized and each
+    rule is ONE vectorized Arrow RE2 kernel call per batch — no
+    per-row Python. The SQL twin runs the identical patterns through
+    DuckDB's RE2, so flags match byte-for-byte.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ruleset = list(rules) if rules is not None else list(URL_BLOCKLIST)
+
+    def run(batch: "pa.Table") -> "pa.Table":
+        url = batch[url_column]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        low = pc.utf8_lower(pc.fill_null(url, ""))
+        n = len(low)
+        blocked = np.zeros(n, dtype=bool)
+        rule = np.full(n, "", dtype=object)
+        for name, pat in ruleset:
+            m = pc.match_substring_regex(low, pat).to_numpy(
+                zero_copy_only=False)
+            newly = m & ~blocked
+            rule[newly] = name
+            blocked |= m
+        return batch.append_column(
+            "blocked", pa.array(blocked)).append_column(
+            "block_rule", pa.array(rule, pa.string()))
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def normalize_text(ds, id_column: str = "doc_id",
+                   text_column: str = "text"):
+    """Canonical text normalization for dedup/matching keys: Unicode
+    NFC composition, full case-folding via ``utf8_lower``, whitespace
+    runs collapsed to one space, edges trimmed. Adds ``norm_text`` and
+    its character count ``norm_chars``.
+
+    Map-only Arrow pass with an ASCII fast path: pure-ASCII strings
+    (detected zero-copy: utf8 char count == byte count) are NFC-
+    invariant, so ``unicodedata.normalize`` runs only on the non-ASCII
+    minority (pyarrow's ``utf8_normalize`` does NOT compose — NFC of a
+    decomposed string comes back unchanged in Arrow 16, so it cannot
+    match DuckDB). The DuckDB twin chains ``nfc_normalize -> lower ->
+    regexp_replace('\\s+',' ','g') -> trim`` — NFC (not NFKC) because
+    DuckDB exposes only NFC, and both regex engines are RE2 so the
+    collapse is byte-identical.
+    """
+    import unicodedata
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def run(batch: "pa.Table") -> "pa.Table":
+        text = batch[text_column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        s = pc.fill_null(text, "")
+        non_ascii = pc.not_equal(pc.utf8_length(s),
+                                 pc.binary_length(s))
+        if pc.any(non_ascii).as_py():
+            idx = np.flatnonzero(
+                non_ascii.to_numpy(zero_copy_only=False))
+            fixed = pa.array(
+                [unicodedata.normalize("NFC", s[int(i)].as_py())
+                 for i in idx], pa.string())
+            np_s = s.to_numpy(zero_copy_only=False).copy()
+            np_s[idx] = fixed.to_numpy(zero_copy_only=False)
+            s = pa.array(np_s, pa.string())
+        s = pc.utf8_lower(s)
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        s = pc.utf8_trim(s, " ")
+        return pa.table({
+            id_column: batch[id_column],
+            "norm_text": s,
+            "norm_chars": pc.utf8_length(s).cast(pa.int64()),
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow")

@@ -364,3 +364,66 @@ def test_domain_filter_crafted(tmp_path):
     assert bool(sql.loc[3, "doc_keep"]) and not bool(sql.loc[3, "keep"])
     assert bool(sql.loc[0, "keep"])
     assert sql.loc[3, "host_keep_rate"] == 0.25
+
+
+def test_url_blocklist_rules_and_order(tmp_path):
+    from nacc_form_validator_ray.pipelines.queries import \
+        sql_url_blocklist
+    from nacc_form_validator_ray.stages.webclean import \
+        url_blocklist_filter
+    urls = [
+        "https://ok.com/article",
+        "https://fun.com/XXX-zone",            # adult (case-folded)
+        "https://play.com/casino/poker",       # gambling
+        "https://shop.com/x?click_id=99",      # tracker
+        "https://shop.com/x?a=1&affiliate=b",  # tracker (& position)
+        "https://bit.ly/abc",                  # shortener
+        "https://spam.com/adult-casino",       # adult wins (rule order)
+        None,
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(urls), dtype=np.int64),
+                       "url": urls})
+    path = os.path.join(tmp_path, "u.parquet")
+    df.to_parquet(path)
+    eng = url_blocklist_filter(rd.read_parquet(path)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert not eng.loc[0, "blocked"]
+    assert eng.loc[1, "block_rule"] == "adult"
+    assert eng.loc[2, "block_rule"] == "gambling"
+    assert eng.loc[3, "block_rule"] == "tracker"
+    assert eng.loc[4, "block_rule"] == "tracker"
+    assert eng.loc[5, "block_rule"] == "shortener"
+    assert eng.loc[6, "block_rule"] == "adult"
+    assert not eng.loc[7, "blocked"] and eng.loc[7, "block_rule"] == ""
+    sql = duckdb.sql(sql_url_blocklist(path)).df()
+    pd.testing.assert_frame_equal(
+        _canon(eng.reset_index()), _canon(sql), check_dtype=False)
+
+
+def test_normalize_text_unicode_crafted():
+    from nacc_form_validator_ray.stages.webclean import normalize_text
+    import unicodedata
+    # decomposed e + combining acute must compose to the same norm_text
+    # as the precomposed form
+    decomposed = "Café   du  Monde"
+    precomposed = "Café du Monde"
+    docs = [decomposed, precomposed, "  \t tabs\nand\nnewlines  ", ""]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+        "text": pa.array(docs)}))
+    out = normalize_text(ds).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[0, "norm_text"] == out.loc[1, "norm_text"] \
+        == "café du monde"
+    assert out.loc[0, "norm_chars"] == 13
+    assert out.loc[2, "norm_text"] == "tabs and newlines"
+    assert out.loc[3, "norm_text"] == "" and out.loc[3, "norm_chars"] == 0
+    # DuckDB twin agrees on the unicode inputs
+    from nacc_form_validator_ray.pipelines.queries import \
+        SQL_NORMALIZE_TEXT_DOCS
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = con.sql(SQL_NORMALIZE_TEXT_DOCS).df()
+    pd.testing.assert_frame_equal(
+        _canon(out.reset_index()), _canon(sql), check_dtype=False)
