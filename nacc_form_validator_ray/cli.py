@@ -108,12 +108,50 @@ def cmd_pretrain(args) -> int:
     return 0
 
 
-def cmd_genpages(args) -> int:
+def cmd_webclean(args) -> int:
+    """Composed web-clean over a linked-page parquet directory:
+    URL blocklist -> canonical-url recrawl dedup -> C4 line filter,
+    written as partitioned parquet (payload discipline: text joins the
+    lean url verdicts by id and never rides the url exchange)."""
     import ray
-    from nacc_form_validator_ray.pipelines.webgen import generate_pages
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.joins import hash_join
+    from nacc_form_validator_ray.stages.webclean import (
+        c4_line_filter, normalize_urls, url_blocklist_filter)
 
     _init_ray(args.num_cpus)
-    ds = generate_pages(args.n_docs, seed=args.seed)
+    urls = rd.read_parquet(args.input, columns=["doc_id", "url"])
+    allowed = url_blocklist_filter(urls) \
+        .filter(expr="blocked == False") \
+        .select_columns(["doc_id", "url"])
+    canon = normalize_urls(allowed).filter(expr="is_canonical") \
+        .select_columns(["doc_id", "norm_url"])
+    docs = rd.read_parquet(args.input, columns=["doc_id", "text"])
+    kept = hash_join(docs, canon, on=["doc_id"])
+    out = c4_line_filter(kept.select_columns(["doc_id", "text"]))
+    out = out.map_batches(lambda b: b.filter(b["keep"]),
+                          batch_format="pyarrow")
+    final = hash_join(out.select_columns(
+        ["doc_id", "n_lines", "n_kept", "text"]), canon,
+        on=["doc_id"])
+    n_in = docs.count()
+    final.write_parquet(args.output)
+    n_out = rd.read_parquet(args.output).count()
+    print(json.dumps({"input_docs": n_in, "kept_docs": n_out,
+                      "output": args.output}, indent=1))
+    ray.shutdown()
+    return 0
+
+
+def cmd_genpages(args) -> int:
+    import ray
+    from nacc_form_validator_ray.pipelines.webgen import (
+        generate_linked_pages, generate_pages)
+
+    _init_ray(args.num_cpus)
+    gen = generate_linked_pages if getattr(args, "linked", False) \
+        else generate_pages
+    ds = gen(args.n_docs, seed=args.seed)
     ds.write_parquet(args.output)
     print(f"wrote {args.n_docs} pages to {args.output}")
     ray.shutdown()
@@ -156,10 +194,20 @@ def main(argv=None) -> int:
     p.add_argument("--num-cpus", type=int, default=None)
     p.set_defaults(fn=cmd_pretrain)
 
+    w = sub.add_parser("webclean",
+                       help="url blocklist + recrawl dedup + C4 filter")
+    w.add_argument("-i", "--input", required=True,
+                   help="directory of linked-page parquet files")
+    w.add_argument("-o", "--output", required=True)
+    w.add_argument("--num-cpus", type=int, default=None)
+    w.set_defaults(fn=cmd_webclean)
+
     g = sub.add_parser("genpages", help="generate synthetic page corpus")
     g.add_argument("-n", "--n-docs", type=int, required=True)
     g.add_argument("-o", "--output", required=True)
     g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--linked", action="store_true",
+                   help="generate the linked-page shape (urls+links)")
     g.add_argument("--num-cpus", type=int, default=None)
     g.set_defaults(fn=cmd_genpages)
 

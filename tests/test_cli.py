@@ -144,3 +144,23 @@ def test_cli_yaml_rules_and_multi_error_csv(tmp_path):
     bad = [l for l in rows if l.startswith("-2")]
     assert len(bad) == 1
     assert "min value is 0" in bad[0] and "unallowed value X" in bad[0]
+
+
+def test_cli_webclean(tmp_path):
+    gen = run_cli("genpages", "-n", "300", "-o",
+                  str(tmp_path / "lp"), "--linked", "--num-cpus", "2")
+    assert gen.returncode == 0, gen.stderr[-2000:]
+    out = run_cli("webclean", "-i", str(tmp_path / "lp"), "-o",
+                  str(tmp_path / "cleaned"), "--num-cpus", "2")
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout)
+    assert stats["input_docs"] == 300
+    assert 0 < stats["kept_docs"] < 300
+    import pandas as pd
+    df = pd.concat([pd.read_parquet(p) for p in
+                    glob.glob(str(tmp_path / "cleaned" / "*.parquet"))])
+    assert len(df) == stats["kept_docs"]
+    assert {"doc_id", "norm_url", "text"} <= set(df.columns)
+    # every kept doc has >= 3 kept lines and no lorem ipsum
+    assert (df["n_kept"] >= 3).all()
+    assert not df["text"].str.lower().str.contains("lorem ipsum").any()
