@@ -243,6 +243,8 @@ def bench_queries(sf_dir: str):
         "bpe_encode_docs": lambda: consume(Q.q_bpe_encode_docs(sf_dir)),
         "bigram_perplexity_docs": lambda: consume(
             Q.q_bigram_perplexity_docs(sf_dir)),
+        "lr_train_weights": lambda: consume(
+            Q.q_lr_train_weights(sf_dir)),
     }
 
 

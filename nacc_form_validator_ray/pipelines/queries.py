@@ -2742,6 +2742,70 @@ QUERIES["normalize_text_docs"] = q_normalize_text_docs
 ORACLE_SQL["normalize_text_docs"] = SQL_NORMALIZE_TEXT_DOCS
 
 
+def q_lr_train_weights(sf_dir: str):
+    """Distributed quality-classifier TRAINING (hard-sigmoid logistic
+    regression, 5 rounds): per-batch exact-dyadic gradient partials,
+    one tiny merge per round, grid-quantized weight steps — the
+    training counterpart of lr_score_docs' broadcast inference."""
+    from nacc_form_validator_ray.stages.classifier import lr_train
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+    return lr_train(ds)
+
+
+def _sql_lr_train(iterations: int = 5) -> str:
+    """Chained-CTE twin: one (gradient -> step) stage per round,
+    identical feature scaling, hard sigmoid, 2^-20 grid and update
+    expression tree. Every sum is exact dyadic arithmetic, so
+    partitioning/order cannot matter on either side."""
+    names = ["bias", "n_chars", "n_words", "n_digits", "n_upper"]
+    xs = [f"x{j}" for j in range(5)]
+    z = " + ".join(f"w.w{j} * {x}" for j, x in enumerate(xs))
+    act = (f"floor(least(greatest(0.25 * ({z}) + 0.5, 0.0), 1.0)"
+           " * 1048576.0 + 0.5) / 1048576.0")
+    stages = []
+    for k in range(1, iterations + 1):
+        gsel = ", ".join(f"sum((a - y) * {x}) AS g{j}"
+                         for j, x in enumerate(xs))
+        wsel = ", ".join(
+            f"floor((w.w{j} - 0.0625 * (g.g{j} / g.n)) * 1048576.0"
+            f" + 0.5) / 1048576.0 AS w{j}" for j in range(5))
+        stages.append(f"""
+g{k} AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE) AS n, {gsel}
+  FROM (SELECT y, {', '.join(xs)}, {act} AS a
+        FROM feats, w{k - 1} w)
+),
+w{k} AS MATERIALIZED (
+  SELECT {wsel} FROM w{k - 1} w, g{k} g
+)""")
+    outs = " UNION ALL ".join(
+        f"SELECT {j} AS ord, '{n}' AS feature, w{j} AS weight "
+        f"FROM w{iterations}" for j, n in enumerate(names))
+    return f"""
+WITH feats AS MATERIALIZED (
+  SELECT CASE WHEN coalesce(lang, '') = 'en' THEN 1.0 ELSE 0.0 END
+      AS y,
+    1.0 AS x0,
+    length(coalesce(text, '')) * 0.0009765625 AS x1,
+    len(regexp_extract_all(coalesce(text, ''), '\\S+'))
+        * 0.0078125 AS x2,
+    len(regexp_extract_all(coalesce(text, ''), '[0-9]'))
+        * 0.0078125 AS x3,
+    len(regexp_extract_all(coalesce(text, ''), '[A-Z]'))
+        * 0.0078125 AS x4
+  FROM documents
+),
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+              0.0 AS w4),
+{','.join(stages)}
+SELECT feature, weight FROM ({outs}) ORDER BY ord
+"""
+
+
+QUERIES["lr_train_weights"] = q_lr_train_weights
+ORACLE_SQL["lr_train_weights"] = _sql_lr_train()
+
+
 def _ivf_model_for(sf_dir: str) -> str:
     """Train-once-per-input persisted centroid model (the perplexity
     load-weights pattern); shared by the query AND its generated SQL

@@ -90,3 +90,100 @@ def score_documents(ds, weights: dict | None = None,
                                    id_column=id_column),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+#: fixed-point grids for exact distributed training
+_TRAIN_GRID = float(1 << 20)
+#: dyadic feature scaling (exact float shifts): keeps every product in
+#: the training loop inside float64's 52-bit exact-integer window
+_FEAT_SCALE = {"bias": 1.0, "n_chars": 2.0 ** -10,
+               "n_words": 2.0 ** -7, "n_digits": 2.0 ** -7,
+               "n_upper": 2.0 ** -7}
+_FEATURES = ["bias", "n_chars", "n_words", "n_digits", "n_upper"]
+
+
+def _q20(x):
+    """Quantize to the 2^-20 grid (floor(x*S + 0.5)/S, half-up) —
+    the engine/DuckDB shared rounding convention."""
+    return np.floor(np.asarray(x, dtype=np.float64) * _TRAIN_GRID
+                    + 0.5) / _TRAIN_GRID
+
+
+def lr_train(ds, label_fn=None, text_column: str = "text",
+             label_column: str = "lang", positive: str = "en",
+             iterations: int = 5, lr: float = 2.0 ** -4):
+    """Distributed hard-sigmoid logistic-regression training with a
+    bit-exact arithmetic contract (the TRAINING counterpart of
+    :class:`LRScorer`'s broadcast-weights inference).
+
+    Per round: every batch computes its gradient PARTIAL — features
+    are the scorer's exact-integer RE2 counts, dyadically scaled
+    (2^-10/2^-7 shifts); the activation is the hard sigmoid
+    ``clamp(0.25*z + 0.5, 0, 1)`` (piecewise linear — exact on both
+    engines, unlike exp) quantized to the 2^-20 grid; the residual ×
+    feature products then carry <=30 fraction bits, so every partial
+    sum is EXACT float64 integer-grid arithmetic, order-independent
+    across batches and partitions. The driver merges partials (one
+    tiny pull per round), steps ``w -= lr * g / n`` (one
+    correctly-rounded divide) and re-quantizes weights to the grid —
+    bit-identical to the DuckDB twin's chained per-iteration CTEs.
+
+    Returns the weight table: (feature, weight) rows in feature order.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    w = np.zeros(len(_FEATURES), dtype=np.float64)
+    scale = np.array([_FEAT_SCALE[f] for f in _FEATURES])
+
+    def grad_partials(weights):
+        wref = ray.put(weights)
+
+        def run(batch: "pa.Table") -> "pa.Table":
+            wv = ray.get(wref)
+            txt = batch[text_column]
+            if isinstance(txt, pa.ChunkedArray):
+                txt = txt.combine_chunks()
+            n = len(txt)
+            X = np.empty((n, len(_FEATURES)), dtype=np.float64)
+            X[:, 0] = 1.0
+            X[:, 1] = pc.utf8_length(pc.fill_null(txt, "")).to_numpy(
+                zero_copy_only=False)
+            for j, name in enumerate(_FEATURES[2:], start=2):
+                X[:, j] = pc.count_substring_regex(
+                    pc.fill_null(txt, ""),
+                    FEATURE_RE[name]).to_numpy(zero_copy_only=False)
+            X *= scale
+            y = pc.equal(pc.fill_null(batch[label_column], ""),
+                         positive).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            z = X @ wv
+            act = _q20(np.clip(0.25 * z + 0.5, 0.0, 1.0))
+            r = act - y
+            g = r @ X
+            out = {"n": pa.array([np.float64(n)])}
+            for j, name in enumerate(_FEATURES):
+                out[f"g_{name}"] = pa.array([g[j]])
+            return pa.table(out)
+
+        return ds.map_batches(run, batch_format="pyarrow")
+
+    for _ in range(iterations):
+        parts = grad_partials(w)
+        tot = np.zeros(len(_FEATURES) + 1, dtype=np.float64)
+        for b in parts.iter_batches(batch_format="pyarrow",
+                                    batch_size=4096):
+            tot[0] += float(np.sum(
+                b["n"].to_numpy(zero_copy_only=False)))
+            for j, name in enumerate(_FEATURES):
+                tot[j + 1] += float(np.sum(
+                    b[f"g_{name}"].to_numpy(zero_copy_only=False)))
+        n_docs = tot[0]
+        w = _q20(w - lr * (tot[1:] / n_docs))
+
+    return rd.from_arrow(pa.table({
+        "feature": pa.array(_FEATURES, pa.string()),
+        "weight": pa.array(w),
+    }))

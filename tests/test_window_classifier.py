@@ -10,6 +10,7 @@ import os
 import numpy as np
 import pandas as pd
 import pytest
+import ray.data as rd
 
 
 @pytest.fixture(scope="module")
@@ -121,3 +122,44 @@ def test_label_centroids_exact(ray_session):
         sub = got[got["label"] == label].sort_values("dim")
         assert (sub["comp_sum"].to_numpy() == rows.sum(axis=0)).all()
         assert (sub["n"].to_numpy() == len(rows)).all()
+
+
+def test_lr_train_matches_duckdb_and_learns():
+    import duckdb
+    import re
+    from nacc_form_validator_ray.pipelines.queries import _sql_lr_train
+    from nacc_form_validator_ray.stages.classifier import lr_train
+    rng = np.random.RandomState(17)
+    docs, langs = [], []
+    for _ in range(200):
+        docs.append(" ".join(rng.choice(
+            ["Word", "x9", "THE", "apple", "42!"], rng.randint(0, 30))))
+        langs.append(rng.choice(["en", "de"], p=[0.5, 0.5]))
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                       "text": docs, "lang": langs})
+    eng = lr_train(rd.from_pandas(df).repartition(4)).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = con.sql(_sql_lr_train(5)).df()
+    # bit-exact: grid arithmetic is order-independent across the 4
+    # partitions
+    assert list(eng["feature"]) == list(sql["feature"])
+    np.testing.assert_array_equal(eng["weight"].to_numpy(),
+                                  sql["weight"].to_numpy())
+    assert (eng["weight"].to_numpy() != 0).any()
+
+
+def test_lr_train_separates_trivial_labels():
+    # label == presence of digits; n_digits weight must move positive
+    # relative to the others after a few rounds
+    from nacc_form_validator_ray.stages.classifier import lr_train
+    rows = []
+    for i in range(120):
+        if i % 2:
+            rows.append((i, "numbers 123 456 789 here", "en"))
+        else:
+            rows.append((i, "pure prose with no numerals", "xx"))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    out = lr_train(rd.from_pandas(df), iterations=8).to_pandas() \
+        .set_index("feature")["weight"]
+    assert out["n_digits"] > 0
