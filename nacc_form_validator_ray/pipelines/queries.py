@@ -1640,7 +1640,7 @@ WITH p AS (SELECT doc_id, url FROM read_parquet('{path}')),
 s1 AS (SELECT doc_id, url, {_sql_url_chain('url')} AS u FROM p),
 s2 AS (SELECT doc_id, url,
        'https://' || {host} ||
-       regexp_replace(u, '^https?://[^/?#]+', '') AS norm_url
+       regexp_replace(u, '^(?i:https?)://[^/?#]+', '') AS norm_url
        FROM s1)
 SELECT doc_id, url, norm_url,
        (doc_id = min(doc_id) OVER (PARTITION BY norm_url))
@@ -1731,7 +1731,7 @@ WITH p AS (SELECT doc_id, url, text FROM read_parquet('{path}')),
 s1 AS (SELECT doc_id, {_sql_url_chain('url')} AS u FROM p),
 s2 AS (SELECT doc_id,
        'https://' || {host} ||
-       regexp_replace(u, '^https?://[^/?#]+', '') AS norm_url
+       regexp_replace(u, '^(?i:https?)://[^/?#]+', '') AS norm_url
        FROM s1),
 canon AS (
   SELECT doc_id, norm_url FROM (

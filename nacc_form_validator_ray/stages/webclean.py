@@ -102,7 +102,10 @@ def c4_line_filter(ds, id_column: str = "doc_id",
 
 def _normalize_url_array(url, pc):
     """Apply the normalization chain to an Arrow string array; returns
-    the canonical form ``https://<host><rest>``."""
+    the canonical form ``https://<host><rest>``. Inputs without an
+    http(s) scheme get host '' and an unchanged rest — exactly what
+    the SQL twin's regexp_extract/regexp_replace produce on no-match,
+    so garbage rows agree byte-for-byte instead of diverging to null."""
     import pyarrow as pa
     u = pc.fill_null(url, "")
     for pat, rep in URL_RULES:
@@ -110,12 +113,16 @@ def _normalize_url_array(url, pc):
     parts = pc.extract_regex(u, _URL_SPLIT)
     if isinstance(parts, pa.ChunkedArray):
         parts = parts.combine_chunks()
-    host = pc.utf8_lower(pc.struct_field(parts, "hostport"))
+    host = pc.utf8_lower(pc.fill_null(
+        pc.struct_field(parts, "hostport"), ""))
     for pat, rep in HOST_RULES:
         host = pc.replace_substring_regex(host, pat, rep)
-    rest = pc.struct_field(parts, "rest")
+    # no-match rows keep the whole (rule-chained) url as their rest
+    rest = pc.if_else(pc.is_valid(parts),
+                      pc.fill_null(pc.struct_field(parts, "rest"), ""),
+                      u)
     return pc.binary_join_element_wise(
-        pa.array(["https://"] * len(u)), host, pc.fill_null(rest, ""), "")
+        pa.array(["https://"] * len(u)), host, rest, "")
 
 
 def normalize_urls(ds, id_column: str = "doc_id",
