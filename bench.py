@@ -128,6 +128,49 @@ def run_url_blocklist() -> int:
     return url_blocklist_filter(ds).count()
 
 
+def run_incremental_ingest() -> int:
+    """Delta-vs-corpus recrawl dedup over the bench linked corpus."""
+    from nacc_form_validator_ray.pipelines import queries as Q
+    import ray.data as rd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import numpy as np
+    from nacc_form_validator_ray.stages.joins import anti_join
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+    from nacc_form_validator_ray.stages.webclean import \
+        _normalize_url_array
+
+    def add_norm(batch):
+        url = batch["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        return pa.table({"doc_id": batch["doc_id"],
+                         "norm_url": _normalize_url_array(url, pc)})
+
+    def side(parity):
+        def f(batch):
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % 2 == parity))
+        return f
+
+    norm = rd.read_parquet(linked_pages_dir(),
+                           columns=["doc_id", "url"]) \
+        .map_batches(add_norm, batch_format="pyarrow")
+    existing = norm.map_batches(side(0), batch_format="pyarrow") \
+        .select_columns(["norm_url"])
+    delta = norm.map_batches(side(1), batch_format="pyarrow")
+    surv = anti_join(delta, existing, on="norm_url", num_partitions=32)
+
+    def elect(part):
+        gb = pa.TableGroupBy(part, ["norm_url"]) \
+            .aggregate([("doc_id", "min")])
+        return gb.rename_columns(["norm_url", "doc_id"])
+
+    return grouped_apply(surv, ["norm_url"], elect,
+                         num_partitions=32,
+                         fn_format="pyarrow").count()
+
+
 def run_dup_ngram_spans() -> int:
     import ray.data as rd
     from nacc_form_validator_ray.stages.dedup import dup_ngram_spans
@@ -245,6 +288,7 @@ def bench_queries(sf_dir: str):
             Q.q_bigram_perplexity_docs(sf_dir)),
         "lr_train_weights": lambda: consume(
             Q.q_lr_train_weights(sf_dir)),
+        "incremental_ingest": run_incremental_ingest,
     }
 
 

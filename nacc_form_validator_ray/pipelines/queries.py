@@ -1925,6 +1925,72 @@ FROM read_parquet('{path}')
 """
 
 
+def q_incremental_ingest(sf_dir: str):
+    """Incremental recrawl ingestion: treat even doc_ids as the
+    existing (already-ingested) corpus and odd doc_ids as the new
+    crawl delta; a delta page survives iff its canonical URL is absent
+    from the corpus, then one representative per canonical URL is
+    elected within the delta. The corpus side rides the distributed
+    anti-join (no broadcast — the existing-URL set is corpus-sized)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.stages.joins import anti_join
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+    from nacc_form_validator_ray.stages.webclean import \
+        _normalize_url_array
+
+    def add_norm(batch: "pa.Table") -> "pa.Table":
+        url = batch["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "norm_url": _normalize_url_array(url, pc)})
+
+    def side(parity: int):
+        def f(batch: "pa.Table") -> "pa.Table":
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % 2 == parity))
+        return f
+
+    norm = _rd().read_parquet(_linked_pages_path(sf_dir),
+                              columns=["doc_id", "url"]) \
+        .map_batches(add_norm, batch_format="pyarrow")
+    existing = norm.map_batches(side(0), batch_format="pyarrow") \
+        .select_columns(["norm_url"])
+    delta = norm.map_batches(side(1), batch_format="pyarrow")
+    surv = anti_join(delta, existing, on="norm_url",
+                     num_partitions=32)
+
+    def elect(part: "pa.Table") -> "pa.Table":
+        gb = pa.TableGroupBy(part, ["norm_url"]) \
+            .aggregate([("doc_id", "min")])
+        return gb.rename_columns(["norm_url", "doc_id"]) \
+            .select(["doc_id", "norm_url"])
+
+    return grouped_apply(surv, ["norm_url"], elect,
+                         num_partitions=32, fn_format="pyarrow")
+
+
+def sql_incremental_ingest(path: str) -> str:
+    host = _SQL_URL_NORM.format(u="u")
+    return f"""
+WITH p AS (SELECT doc_id, url FROM read_parquet('{path}')),
+s1 AS (SELECT doc_id, {_sql_url_chain('url')} AS u FROM p),
+n AS (SELECT doc_id,
+      'https://' || {host} ||
+      regexp_replace(u, '^(?i:https?)://[^/?#]+', '') AS norm_url
+      FROM s1),
+ex AS (SELECT norm_url FROM n WHERE doc_id % 2 = 0),
+dl AS (SELECT doc_id, norm_url FROM n WHERE doc_id % 2 = 1),
+surv AS (SELECT doc_id, norm_url FROM dl
+         WHERE norm_url NOT IN (SELECT norm_url FROM ex))
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, norm_url
+FROM surv GROUP BY norm_url
+"""
+
+
 def q_inlink_stats(sf_dir: str):
     """Per-host inlink statistics (total inbound links + distinct
     linking hosts) over the linked-page fixture's link graph."""
@@ -2023,6 +2089,7 @@ def flagship_oracles(sf_dir: str) -> Dict[str, str]:
         "web_clean_pages": sql_web_clean_pages(lp),
         "domain_filter_docs": sql_domain_filter_docs(lp),
         "url_blocklist": sql_url_blocklist(lp),
+        "incremental_ingest": sql_incremental_ingest(lp),
     }
 
 
@@ -4183,6 +4250,7 @@ QUERIES["dup_ngram_spans"] = q_dup_ngram_spans
 QUERIES["web_clean_pages"] = q_web_clean_pages
 QUERIES["domain_filter_docs"] = q_domain_filter_docs
 QUERIES["url_blocklist"] = q_url_blocklist
+QUERIES["incremental_ingest"] = q_incremental_ingest
 # their oracles embed the linked-page parquet path -> flagship_oracles
 
 

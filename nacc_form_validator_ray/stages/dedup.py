@@ -1033,6 +1033,10 @@ def dup_ngram_spans(ds, id_column: str = "doc_id",
         np.cumsum(n_tokens[:-1], out=starts[1:])
         idx = np.flatnonzero(valid)
         dsel = d0[idx]
+        # NOTE: dictionary-encoding `s` here was measured 2.8x SLOWER
+        # end-to-end (40.7 s vs 14.5 s at 120k pages) — the sort
+        # exchange pays per-partition dictionary unification that
+        # outweighs the wire savings. Plain strings win.
         return pa.table({
             "s": sh.take(pa.array(idx)),
             id_column: pa.array(ids[dsel]),

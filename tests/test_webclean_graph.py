@@ -427,3 +427,31 @@ def test_normalize_text_unicode_crafted():
     sql = con.sql(SQL_NORMALIZE_TEXT_DOCS).df()
     pd.testing.assert_frame_equal(
         _canon(out.reset_index()), _canon(sql), check_dtype=False)
+
+
+def test_incremental_ingest_semantics(tmp_path, monkeypatch):
+    # existing corpus (even ids) holds /a and /b; delta (odd ids)
+    # recrawls /a (drop), adds /c twice (one representative) and /d
+    from nacc_form_validator_ray.pipelines import queries as Q
+    rows = [
+        (0, "https://h.com/a"),
+        (2, "https://h.com/b"),
+        (1, "https://H.com/a/"),        # dup of existing /a -> dropped
+        (3, "https://h.com/c?utm_source=x"),
+        (5, "https://h.com/c"),          # same canonical as 3
+        (7, "https://h.com/d#frag"),
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "url"])
+    df["text"] = "x"
+    df["links"] = [[] for _ in rows]
+    path = os.path.join(tmp_path, "lp.parquet")
+    df.to_parquet(path)
+    monkeypatch.setattr(Q, "_linked_pages_path", lambda sf: path)
+    out = Q.q_incremental_ingest("ignored").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == [3, 7]
+    assert set(out["norm_url"]) == {"https://h.com/c",
+                                    "https://h.com/d"}
+    sql = duckdb.sql(Q.sql_incremental_ingest(path)).df()
+    pd.testing.assert_frame_equal(_canon(out), _canon(sql),
+                                  check_dtype=False)
