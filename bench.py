@@ -95,6 +95,13 @@ def run_host_pagerank() -> int:
     return host_pagerank(ds).count()
 
 
+def run_host_hits() -> int:
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.graph import host_hits
+    ds = rd.read_parquet(linked_pages_dir(), columns=["url", "links"])
+    return host_hits(ds).count()
+
+
 def run_inlink_stats() -> int:
     import ray.data as rd
     from nacc_form_validator_ray.stages.graph import inlink_stats
@@ -289,6 +296,7 @@ def bench_queries(sf_dir: str):
         "lr_train_weights": lambda: consume(
             Q.q_lr_train_weights(sf_dir)),
         "incremental_ingest": run_incremental_ingest,
+        "host_hits": run_host_hits,
     }
 
 

@@ -1991,6 +1991,61 @@ FROM surv GROUP BY norm_url
 """
 
 
+def q_host_hits(sf_dir: str):
+    """HITS hubs/authorities over the host link graph — 5 exact
+    fixed-point power iterations on the Pregel fabric shared with
+    host_pagerank."""
+    from nacc_form_validator_ray.stages.graph import host_hits
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["url", "links"])
+    return host_hits(ds)
+
+
+def sql_host_hits(path: str, iterations: int = 5) -> str:
+    from nacc_form_validator_ray.stages.graph import PR_SCALE
+    host_url = _SQL_URL_NORM.format(u="url")
+    host_lk = _SQL_URL_NORM.format(u="lk")
+    S = PR_SCALE
+    stages = []
+    for k in range(1, iterations + 1):
+        stages.append(f"""
+ar{k} AS MATERIALIZED (
+  SELECT e.dst AS host, CAST(sum(h.v) AS BIGINT) AS v
+  FROM edges e JOIN h{k - 1} h ON h.host = e.src GROUP BY e.dst
+),
+a{k} AS MATERIALIZED (
+  SELECT host, v // ((SELECT (max(v) + {S} - 1) // {S} FROM ar{k}))
+      AS v
+  FROM ar{k}
+),
+hr{k} AS MATERIALIZED (
+  SELECT e.src AS host, CAST(sum(a.v) AS BIGINT) AS v
+  FROM edges e JOIN a{k} a ON a.host = e.dst GROUP BY e.src
+),
+h{k} AS MATERIALIZED (
+  SELECT host, v // ((SELECT (max(v) + {S} - 1) // {S} FROM hr{k}))
+      AS v
+  FROM hr{k}
+)""")
+    return f"""
+WITH pg AS (SELECT url, links FROM read_parquet('{path}')),
+e0 AS (SELECT {host_url} AS src, unnest(links) AS lk FROM pg),
+e1 AS (SELECT src, {host_lk} AS dst FROM e0),
+nodes AS (SELECT DISTINCT {host_url} AS host FROM pg),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM e1 WHERE dst IN (SELECT host FROM nodes)),
+h0 AS (SELECT host, CAST({S} AS BIGINT) AS v FROM nodes),
+{','.join(stages)}
+SELECT n.host,
+       coalesce(a.v, 0) AS auth_fp, coalesce(h.v, 0) AS hub_fp,
+       CAST(coalesce(a.v, 0) AS DOUBLE) / {float(S)} AS auth,
+       CAST(coalesce(h.v, 0) AS DOUBLE) / {float(S)} AS hub
+FROM nodes n
+LEFT JOIN a{iterations} a ON a.host = n.host
+LEFT JOIN h{iterations} h ON h.host = n.host
+"""
+
+
 def q_inlink_stats(sf_dir: str):
     """Per-host inlink statistics (total inbound links + distinct
     linking hosts) over the linked-page fixture's link graph."""
@@ -2090,6 +2145,7 @@ def flagship_oracles(sf_dir: str) -> Dict[str, str]:
         "domain_filter_docs": sql_domain_filter_docs(lp),
         "url_blocklist": sql_url_blocklist(lp),
         "incremental_ingest": sql_incremental_ingest(lp),
+        "host_hits": sql_host_hits(lp),
     }
 
 
@@ -4251,6 +4307,7 @@ QUERIES["web_clean_pages"] = q_web_clean_pages
 QUERIES["domain_filter_docs"] = q_domain_filter_docs
 QUERIES["url_blocklist"] = q_url_blocklist
 QUERIES["incremental_ingest"] = q_incremental_ingest
+QUERIES["host_hits"] = q_host_hits
 # their oracles embed the linked-page parquet path -> flagship_oracles
 
 

@@ -264,3 +264,132 @@ def host_pagerank(ds, url_column: str = "url",
     })
     import ray.data as rd
     return rd.from_arrow(final)
+
+
+def host_hits(ds, url_column: str = "url",
+              links_column: str = "links",
+              iterations: int = 5, num_partitions: int = 32):
+    """HITS hubs/authorities over the host graph (Kleinberg 1999), in
+    exact int64 fixed-point arithmetic like :func:`host_pagerank`.
+
+    Per round: ``a[dst] = sum(h[src])`` over edges, max-normalized as
+    ``a // ceil(max(a)/SCALE)`` (the ceil-divisor form — multiplying
+    by SCALE first would overflow int64); then ``h[src] =
+    sum(a[dst])``, normalized the same way. Every operation is an
+    integer sum or floor division, so the DuckDB twin (two grouped
+    sums + two scalar maxes per round, chained CTEs) is bit-identical.
+    Normalizing by the max (not the L2 norm) keeps the recurrence in
+    pure integers; hosts with no edges hold 0.
+
+    Scale shape: identical to pagerank — edge-id table built once,
+    hub/authority vectors broadcast per half-step, per-batch combining
+    into one tiny grouped-sum exchange each.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from nacc_form_validator_ray.stages.partition import (grouped_agg_sum,
+                                                          grouped_apply)
+
+    def edge_project(batch: "pa.Table") -> "pa.Table":
+        src = _host_of(batch[url_column], pc)
+        links = batch[links_column]
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        counts = pc.list_value_length(links).to_numpy() \
+            .astype(np.int64, copy=False)
+        flat = pc.list_flatten(links)
+        dst = _host_of(flat, pc)
+        src_rep = src.take(pa.array(np.repeat(
+            np.arange(len(batch), dtype=np.int64), counts)))
+        return pa.table({"src": src_rep, "dst": dst})
+
+    def src_project(batch: "pa.Table") -> "pa.Table":
+        return pa.table({"host": pc.unique(
+            _host_of(batch[url_column], pc))})
+
+    def distinct_hosts(part: "pa.Table") -> "pa.Table":
+        return pa.TableGroupBy(part, ["host"]).aggregate([])
+
+    nodes = grouped_apply(ds.map_batches(src_project,
+                                         batch_format="pyarrow"),
+                          ["host"], distinct_hosts,
+                          num_partitions=num_partitions,
+                          fn_format="pyarrow").materialize()
+    hosts = np.sort(np.concatenate(
+        [b["host"].to_numpy(zero_copy_only=False)
+         for b in nodes.iter_batches(batch_format="pyarrow",
+                                     batch_size=65536)]))
+    n_nodes = int(len(hosts))
+    host_index = pd.Index(hosts)
+    idx_ref = ray.put(host_index)
+
+    def to_ids(batch: "pa.Table") -> "pa.Table":
+        index = ray.get(idx_ref)
+        src = index.get_indexer(
+            batch["src"].to_numpy(zero_copy_only=False))
+        dst = index.get_indexer(
+            batch["dst"].to_numpy(zero_copy_only=False))
+        keep = dst >= 0
+        return pa.table({"src_id": pa.array(src[keep]),
+                         "dst_id": pa.array(dst[keep])})
+
+    edges = ds.map_batches(
+        edge_project, batch_format="pyarrow").map_batches(
+        to_ids, batch_format="pyarrow").materialize()
+
+    def push(vec: np.ndarray, key: str, out: str) -> np.ndarray:
+        """sum vec[key] into out-side slots via one combined exchange."""
+        ref = ray.put(vec)
+
+        def contrib(batch: "pa.Table") -> "pa.Table":
+            v = ray.get(ref)
+            kk = batch[key].to_numpy(zero_copy_only=False)
+            oo = batch[out].to_numpy(zero_copy_only=False)
+            part = v[kk]
+            order = np.argsort(oo, kind="stable")
+            so = oo[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], so[1:] != so[:-1])))
+            sums = np.add.reduceat(part[order], starts) \
+                if len(so) else np.empty(0, dtype=np.int64)
+            return pa.table({"id": pa.array(so[starts]),
+                             "val": pa.array(sums)})
+
+        summed = grouped_agg_sum(
+            edges.map_batches(contrib, batch_format="pyarrow"),
+            ["id"], ["val"], num_partitions=num_partitions)
+        nxt = np.zeros(n_nodes, dtype=np.int64)
+        for b in summed.iter_batches(batch_format="pyarrow",
+                                     batch_size=65536):
+            nxt[b["id"].to_numpy(zero_copy_only=False)] = \
+                b["val"].to_numpy(zero_copy_only=False)
+        return nxt
+
+    def norm(v: np.ndarray) -> np.ndarray:
+        # max-normalize via a ceil divisor: v // ceil(max/SCALE).
+        # (v * SCALE) // max would overflow int64 — raw sums reach
+        # ~indegree * SCALE ~ 2^57 here
+        m = int(v.max()) if len(v) else 0
+        if m <= 0:
+            return v
+        d = (m + PR_SCALE - 1) // PR_SCALE
+        return v // d
+
+    auth = np.full(n_nodes, PR_SCALE, dtype=np.int64)
+    hub = np.full(n_nodes, PR_SCALE, dtype=np.int64)
+    for _ in range(iterations):
+        auth = norm(push(hub, "src_id", "dst_id"))
+        hub = norm(push(auth, "dst_id", "src_id"))
+
+    final = pa.table({
+        "host": pa.array(hosts),
+        "auth_fp": pa.array(auth),
+        "hub_fp": pa.array(hub),
+        "auth": pa.array(auth.astype(np.float64) / float(PR_SCALE)),
+        "hub": pa.array(hub.astype(np.float64) / float(PR_SCALE)),
+    })
+    import ray.data as rd
+    return rd.from_arrow(final)

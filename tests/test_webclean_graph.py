@@ -455,3 +455,37 @@ def test_incremental_ingest_semantics(tmp_path, monkeypatch):
     sql = duckdb.sql(Q.sql_incremental_ingest(path)).df()
     pd.testing.assert_frame_equal(_canon(out), _canon(sql),
                                   check_dtype=False)
+
+
+def test_host_hits_crafted(tmp_path):
+    from nacc_form_validator_ray.pipelines.queries import sql_host_hits
+    from nacc_form_validator_ray.stages.graph import host_hits
+    # star: hub.com links to a,b,c; a,b,c link back to hub.com
+    pages = [
+        ("https://hub.com/1", ["https://a.com/x", "https://b.com/x",
+                               "https://c.com/x"]),
+        ("https://a.com/1", ["https://hub.com/y"]),
+        ("https://b.com/1", ["https://hub.com/y"]),
+        ("https://c.com/1", ["https://hub.com/y"]),
+        ("https://iso.com/1", []),
+    ]
+    path = os.path.join(tmp_path, "lp.parquet")
+    pa.parquet.write_table(pa.table({
+        "url": pa.array([u for u, _ in pages]),
+        "links": pa.array([l for _, l in pages],
+                          type=pa.list_(pa.string()))}), path)
+    out = host_hits(rd.read_parquet(path), num_partitions=4) \
+        .to_pandas().set_index("host")
+    # hub.com tops both scores up to fixed-point floor rounding (the
+    # ceil-divisor normalization can leave it one quantum below the
+    # symmetric leaves); isolated host scores 0
+    assert out.loc["hub.com", "hub_fp"] >= out["hub_fp"].max() - 2
+    assert out.loc["hub.com", "auth_fp"] >= out["auth_fp"].max() - 2
+    assert out.loc["iso.com", "hub_fp"] == 0
+    assert out.loc["iso.com", "auth_fp"] == 0
+    # a/b/c are symmetric
+    assert len({out.loc[h, "auth_fp"] for h in
+                ("a.com", "b.com", "c.com")}) == 1
+    sql = duckdb.sql(sql_host_hits(path)).df()
+    pd.testing.assert_frame_equal(
+        _canon(out.reset_index()), _canon(sql), check_dtype=False)
