@@ -102,6 +102,36 @@ def run_host_hits() -> int:
     return host_hits(ds).count()
 
 
+def run_validator_linkpages() -> int:
+    """Reference rule engine gating crawl-record metadata at scale."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from nacc_form_validator_ray.pipelines.queries import LINKPAGE_RULES
+    from nacc_form_validator_ray.stages.validate import validate_dataset
+    from nacc_form_validator_ray.stages.webclean import \
+        _normalize_url_array
+
+    def project(batch):
+        url = batch["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "url": _normalize_url_array(url, pc),
+            "n_links": pc.list_value_length(
+                batch["links"]).cast(pa.int64()),
+            "n_chars": pc.utf8_length(
+                pc.fill_null(batch["text"], "")).cast(pa.int64()),
+        })
+
+    ds = rd.read_parquet(linked_pages_dir()) \
+        .map_batches(project, batch_format="pyarrow")
+    out = validate_dataset(ds, LINKPAGE_RULES, strict=False,
+                           collect="none")
+    return out.select_columns(["doc_id", "passed"]).count()
+
+
 def run_inlink_stats() -> int:
     import ray.data as rd
     from nacc_form_validator_ray.stages.graph import inlink_stats
@@ -297,6 +327,7 @@ def bench_queries(sf_dir: str):
             Q.q_lr_train_weights(sf_dir)),
         "incremental_ingest": run_incremental_ingest,
         "host_hits": run_host_hits,
+        "validator_linkpages": run_validator_linkpages,
     }
 
 

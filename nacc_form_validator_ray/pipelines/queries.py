@@ -2046,6 +2046,71 @@ LEFT JOIN h{iterations} h ON h.host = n.host
 """
 
 
+#: the reference rule vocabulary applied to web-page metadata — the
+#: north-star shape: Cerberus-style schema rules gating crawl records
+LINKPAGE_RULES = {
+    "url": {"type": "string", "required": True,
+            "regex": "^https://[a-z0-9.-]+(/.*)?$"},
+    "n_links": {"type": "integer", "min": 0, "max": 5},
+    "n_chars": {"type": "integer", "min": 40},
+}
+
+
+def q_validator_linkpages(sf_dir: str):
+    """The reference's rule engine over web-page metadata: canonical
+    urls must match the https pattern, outbound-link counts stay <= 5,
+    and pages carry >= 40 chars of text — per-document error vectors
+    exactly like the validator queries on the TPC-H tables."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.stages.validate import validate_dataset
+    from nacc_form_validator_ray.stages.webclean import \
+        _normalize_url_array
+
+    def project(batch: "pa.Table") -> "pa.Table":
+        url = batch["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "url": _normalize_url_array(url, pc),
+            "n_links": pc.list_value_length(
+                batch["links"]).cast(pa.int64()),
+            "n_chars": pc.utf8_length(
+                pc.fill_null(batch["text"], "")).cast(pa.int64()),
+        })
+
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir)) \
+        .map_batches(project, batch_format="pyarrow")
+    out = validate_dataset(ds, LINKPAGE_RULES, strict=False,
+                           collect="none")
+    return out.select_columns(["doc_id", "passed", "n_errors"])
+
+
+def sql_validator_linkpages(path: str) -> str:
+    host = _SQL_URL_NORM.format(u="u")
+    return f"""
+WITH p AS (SELECT doc_id, url, text, links FROM read_parquet('{path}')),
+s1 AS (SELECT doc_id, {_sql_url_chain('url')} AS u, text, links FROM p),
+n AS (SELECT doc_id,
+      'https://' || {host} ||
+      regexp_replace(u, '^(?i:https?)://[^/?#]+', '') AS url,
+      len(links) AS n_links,
+      length(coalesce(text, '')) AS n_chars
+      FROM s1)
+SELECT doc_id, n_errors = 0 AS passed, CAST(n_errors AS INT) AS n_errors
+FROM (
+  SELECT doc_id,
+         (CASE WHEN NOT regexp_matches(url,
+               '^https://[a-z0-9.-]+(/.*)?$') THEN 1 ELSE 0 END) +
+         (CASE WHEN n_links > 5 THEN 1 ELSE 0 END) +
+         (CASE WHEN n_chars < 40 THEN 1 ELSE 0 END) AS n_errors
+  FROM n
+)
+"""
+
+
 def q_inlink_stats(sf_dir: str):
     """Per-host inlink statistics (total inbound links + distinct
     linking hosts) over the linked-page fixture's link graph."""
@@ -2146,6 +2211,7 @@ def flagship_oracles(sf_dir: str) -> Dict[str, str]:
         "url_blocklist": sql_url_blocklist(lp),
         "incremental_ingest": sql_incremental_ingest(lp),
         "host_hits": sql_host_hits(lp),
+        "validator_linkpages": sql_validator_linkpages(lp),
     }
 
 
@@ -4308,6 +4374,7 @@ QUERIES["domain_filter_docs"] = q_domain_filter_docs
 QUERIES["url_blocklist"] = q_url_blocklist
 QUERIES["incremental_ingest"] = q_incremental_ingest
 QUERIES["host_hits"] = q_host_hits
+QUERIES["validator_linkpages"] = q_validator_linkpages
 # their oracles embed the linked-page parquet path -> flagship_oracles
 
 
