@@ -166,13 +166,12 @@ def run_url_blocklist() -> int:
 
 
 def run_incremental_ingest() -> int:
-    """Delta-vs-corpus recrawl dedup over the bench linked corpus."""
-    from nacc_form_validator_ray.pipelines import queries as Q
+    """Delta-vs-corpus recrawl dedup over the bench linked corpus —
+    anti-join + election fused into one norm_url exchange."""
     import ray.data as rd
     import pyarrow as pa
     import pyarrow.compute as pc
     import numpy as np
-    from nacc_form_validator_ray.stages.joins import anti_join
     from nacc_form_validator_ray.stages.partition import grouped_apply
     from nacc_form_validator_ray.stages.webclean import \
         _normalize_url_array
@@ -184,26 +183,29 @@ def run_incremental_ingest() -> int:
         return pa.table({"doc_id": batch["doc_id"],
                          "norm_url": _normalize_url_array(url, pc)})
 
-    def side(parity):
-        def f(batch):
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            return batch.filter(pa.array(ids % 2 == parity))
-        return f
+    def new_representatives(part):
+        import pandas as pd
+        ids = part["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        codes, uniques = pd.factorize(
+            part["norm_url"].to_numpy(zero_copy_only=False))
+        n = len(uniques)
+        has_existing = np.zeros(n, dtype=bool)
+        np.logical_or.at(has_existing, codes, ids % 2 == 0)
+        best = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        delta = ids % 2 == 1
+        np.minimum.at(best, codes[delta], ids[delta])
+        keep = ~has_existing & (best != np.iinfo(np.int64).max)
+        return pa.table({
+            "doc_id": pa.array(best[keep]),
+            "norm_url": pa.array(
+                np.asarray(uniques, dtype=object)[keep], pa.string()),
+        })
 
     norm = rd.read_parquet(linked_pages_dir(),
                            columns=["doc_id", "url"]) \
         .map_batches(add_norm, batch_format="pyarrow")
-    existing = norm.map_batches(side(0), batch_format="pyarrow") \
-        .select_columns(["norm_url"])
-    delta = norm.map_batches(side(1), batch_format="pyarrow")
-    surv = anti_join(delta, existing, on="norm_url", num_partitions=32)
-
-    def elect(part):
-        gb = pa.TableGroupBy(part, ["norm_url"]) \
-            .aggregate([("doc_id", "min")])
-        return gb.rename_columns(["norm_url", "doc_id"])
-
-    return grouped_apply(surv, ["norm_url"], elect,
+    return grouped_apply(norm, ["norm_url"], new_representatives,
                          num_partitions=32,
                          fn_format="pyarrow").count()
 

@@ -1930,12 +1930,14 @@ def q_incremental_ingest(sf_dir: str):
     existing (already-ingested) corpus and odd doc_ids as the new
     crawl delta; a delta page survives iff its canonical URL is absent
     from the corpus, then one representative per canonical URL is
-    elected within the delta. The corpus side rides the distributed
-    anti-join (no broadcast — the existing-URL set is corpus-sized)."""
+    elected within the delta. Anti-join and election both key on
+    norm_url, so they FUSE into ONE hash exchange: each partition sees
+    every row of its urls (both sides, side-tagged) and emits the min
+    delta id for urls with no corpus row. No broadcast — the
+    existing-URL side is corpus-sized and rides the same exchange."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from nacc_form_validator_ray.stages.joins import anti_join
     from nacc_form_validator_ray.stages.partition import grouped_apply
     from nacc_form_validator_ray.stages.webclean import \
         _normalize_url_array
@@ -1948,28 +1950,30 @@ def q_incremental_ingest(sf_dir: str):
             "doc_id": batch["doc_id"],
             "norm_url": _normalize_url_array(url, pc)})
 
-    def side(parity: int):
-        def f(batch: "pa.Table") -> "pa.Table":
-            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-            return batch.filter(pa.array(ids % 2 == parity))
-        return f
-
     norm = _rd().read_parquet(_linked_pages_path(sf_dir),
                               columns=["doc_id", "url"]) \
         .map_batches(add_norm, batch_format="pyarrow")
-    existing = norm.map_batches(side(0), batch_format="pyarrow") \
-        .select_columns(["norm_url"])
-    delta = norm.map_batches(side(1), batch_format="pyarrow")
-    surv = anti_join(delta, existing, on="norm_url",
-                     num_partitions=32)
 
-    def elect(part: "pa.Table") -> "pa.Table":
-        gb = pa.TableGroupBy(part, ["norm_url"]) \
-            .aggregate([("doc_id", "min")])
-        return gb.rename_columns(["norm_url", "doc_id"]) \
-            .select(["doc_id", "norm_url"])
+    def new_representatives(part: "pa.Table") -> "pa.Table":
+        import pandas as pd
+        ids = part["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        codes, uniques = pd.factorize(
+            part["norm_url"].to_numpy(zero_copy_only=False))
+        n = len(uniques)
+        has_existing = np.zeros(n, dtype=bool)
+        np.logical_or.at(has_existing, codes, ids % 2 == 0)
+        best = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        delta = ids % 2 == 1
+        np.minimum.at(best, codes[delta], ids[delta])
+        keep = ~has_existing & (best != np.iinfo(np.int64).max)
+        return pa.table({
+            "doc_id": pa.array(best[keep]),
+            "norm_url": pa.array(np.asarray(uniques, dtype=object)[keep],
+                                 pa.string()),
+        })
 
-    return grouped_apply(surv, ["norm_url"], elect,
+    return grouped_apply(norm, ["norm_url"], new_representatives,
                          num_partitions=32, fn_format="pyarrow")
 
 
