@@ -152,7 +152,7 @@ def run_web_clean() -> int:
         .select_columns(["doc_id", "norm_url"])
     docs = rd.read_parquet(path, columns=["doc_id", "text"])
     kept = hash_join(docs, canon, on=["doc_id"])
-    out = c4_line_filter(kept.select_columns(["doc_id", "text"]))
+    out = c4_line_filter(kept, passthrough=("norm_url",))
     return out.map_batches(lambda b: b.filter(b["keep"]),
                            batch_format="pyarrow").count()
 

@@ -128,12 +128,9 @@ def cmd_webclean(args) -> int:
         .select_columns(["doc_id", "norm_url"])
     docs = rd.read_parquet(args.input, columns=["doc_id", "text"])
     kept = hash_join(docs, canon, on=["doc_id"])
-    out = c4_line_filter(kept.select_columns(["doc_id", "text"]))
-    out = out.map_batches(lambda b: b.filter(b["keep"]),
-                          batch_format="pyarrow")
-    final = hash_join(out.select_columns(
-        ["doc_id", "n_lines", "n_kept", "text"]), canon,
-        on=["doc_id"])
+    out = c4_line_filter(kept, passthrough=("norm_url",))
+    final = out.map_batches(lambda b: b.filter(b["keep"]),
+                            batch_format="pyarrow")
     n_in = docs.count()
     final.write_parquet(args.output)
     n_out = rd.read_parquet(args.output).count()

@@ -1714,14 +1714,13 @@ def q_web_clean_pages(sf_dir: str):
         .select_columns(["doc_id", "norm_url"])
     docs = _rd().read_parquet(path, columns=["doc_id", "text"])
     kept = hash_join(docs, canon, on=["doc_id"])
-    out = c4_line_filter(kept.select_columns(["doc_id", "text"]))
+    # norm_url rides the filter as a passthrough column — no second
+    # join to re-attach it
+    out = c4_line_filter(kept, passthrough=("norm_url",))
     out = out.map_batches(lambda b: b.filter(b["keep"]),
                           batch_format="pyarrow")
-    urlmap = hash_join(out.select_columns(
-        ["doc_id", "n_lines", "n_kept", "text"]), canon,
-        on=["doc_id"])
-    return urlmap.select_columns(["doc_id", "norm_url", "n_lines",
-                                  "n_kept", "text"])
+    return out.select_columns(["doc_id", "norm_url", "n_lines",
+                               "n_kept", "text"])
 
 
 def sql_web_clean_pages(path: str) -> str:

@@ -45,7 +45,8 @@ _URL_SPLIT = r"^(?i:https?)://(?P<hostport>[^/?#]+)(?P<rest>.*)$"
 
 def c4_line_filter(ds, id_column: str = "doc_id",
                    text_column: str = "text",
-                   min_words: int = 5, min_kept_lines: int = 3):
+                   min_words: int = 5, min_kept_lines: int = 3,
+                   passthrough=()):
     """C4-style heuristic cleaning: keep a line iff it has >=
     ``min_words`` whitespace-delimited words AND ends in terminal
     punctuation (``. ! ? "``) AND does not mention "javascript"
@@ -89,13 +90,18 @@ def c4_line_filter(ds, id_column: str = "doc_id",
         brace = pc.match_substring(text, "{").to_numpy(
             zero_copy_only=False)
         keep = (kept_per_doc >= min_kept_lines) & ~lorem & ~brace
-        return pa.table({
+        out = pa.table({
             id_column: batch[id_column],
             "n_lines": pa.array(counts),
             "n_kept": pa.array(kept_per_doc),
             "keep": pa.array(keep),
             text_column: new_text,
         })
+        # carry extra columns through so downstream stages need no
+        # re-join to recover them
+        for col in passthrough:
+            out = out.append_column(col, batch[col])
+        return out
 
     return ds.map_batches(run, batch_format="pyarrow", batch_size=4096)
 
