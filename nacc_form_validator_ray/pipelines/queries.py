@@ -4144,7 +4144,6 @@ def q3_shipping_priority(sf_dir: str):
     import pyarrow as pa
     import pyarrow.dataset as pads
     from nacc_form_validator_ray.stages.joins import hash_join
-    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
     cut_pd = pd.Timestamp("1998-01-01")
 
     cust = _rd().read_parquet(
@@ -4179,26 +4178,66 @@ def q3_shipping_priority(sf_dir: str):
             .rename_columns(["o_orderkey", "revenue_ch"])
 
     rev = line.map_batches(rev_partial, batch_format="pyarrow")
-    joined = hash_join(rev, ord_cust, on="o_orderkey")
-    summed = grouped_agg_sum(
-        joined.map_batches(lambda t: t.select(
-            ["o_orderkey", "o_orderdate", "revenue_ch"]),
-            batch_format="pyarrow"),
-        ["o_orderkey", "o_orderdate"], ["revenue_ch"])
 
-    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.sort_values(["revenue_ch", "o_orderkey"],
-                                 ascending=[False, True]).head(10)
+    # join + grouped sum + local top-k all key on o_orderkey, so they
+    # fuse into ONE exchange: revenue partials and order rows ride it
+    # side-tagged, each partition joins/sums/top-10s in numpy, and the
+    # driver merges 10 rows per partition (was: a second full exchange
+    # of the joined rows before the sum).
+    def tag_rev(t: "pa.Table") -> "pa.Table":
+        n = t.num_rows
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "revenue_ch": t["revenue_ch"],
+            "o_orderdate_us": pa.array(np.zeros(n, np.int64)),
+            "side": pa.array(np.zeros(n, np.int8))})
 
-    top = summed.map_batches(local_topk, batch_format="pandas") \
-        .to_pandas()
+    def tag_ord(t: "pa.Table") -> "pa.Table":
+        n = t.num_rows
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "revenue_ch": pa.array(np.zeros(n, np.int64)),
+            "o_orderdate_us": t["o_orderdate"].cast(pa.int64()),
+            "side": pa.array(np.ones(n, np.int8))})
+
+    def join_sum_topk(part: "pa.Table") -> "pa.Table":
+        okeys = part["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        sidev = part["side"].to_numpy(zero_copy_only=False)
+        revs = part["revenue_ch"].to_numpy(zero_copy_only=False)
+        dus = part["o_orderdate_us"].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(okeys)
+        n = len(uniq)
+        om = sidev == 1
+        has = np.zeros(n, dtype=bool)
+        date = np.zeros(n, dtype=np.int64)
+        has[codes[om]] = True
+        date[codes[om]] = dus[om]
+        rm = ~om
+        touched = np.zeros(n, dtype=bool)
+        np.logical_or.at(touched, codes[rm], True)
+        revsum = np.zeros(n, dtype=np.int64)
+        np.add.at(revsum, codes[rm], revs[rm])
+        k = np.flatnonzero(has & touched)
+        sel = k[np.lexsort((np.asarray(uniq)[k], -revsum[k]))[:10]]
+        return pa.table({
+            "o_orderkey": pa.array(
+                np.asarray(uniq)[sel].astype(np.int64)),
+            "revenue_ch": pa.array(revsum[sel]),
+            "o_orderdate_us": pa.array(date[sel])})
+
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+    both = rev.map_batches(tag_rev, batch_format="pyarrow").union(
+        ord_cust.map_batches(tag_ord, batch_format="pyarrow"))
+    top = grouped_apply(both, ["o_orderkey"], join_sum_topk,
+                        num_partitions=32,
+                        fn_format="pyarrow").to_pandas()
     top = top.sort_values(["revenue_ch", "o_orderkey"],
                           ascending=[False, True]).head(10)
     return pd.DataFrame({
         "o_orderkey": top["o_orderkey"].to_numpy(np.int64),
         "revenue_ch": top["revenue_ch"].to_numpy(np.int64),
-        "o_orderdate_us": top["o_orderdate"]
-            .astype("datetime64[us]").astype("int64").to_numpy(),
+        "o_orderdate_us": top["o_orderdate_us"].to_numpy(np.int64),
     })
 
 
