@@ -1695,6 +1695,17 @@ FROM r{iterations}
 """
 
 
+def q_dup_ngram_spans_hashed(sf_dir: str):
+    """The 100-TB variant of dup_ngram_spans: the heavy exchange
+    carries 64-bit shingle hashes, then an exact-string verify pass
+    over the flagged (bounded) subset removes every collision — same
+    rows, same oracle as the exact-string path."""
+    from nacc_form_validator_ray.stages.dedup import dup_ngram_spans
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["doc_id", "text"])
+    return dup_ngram_spans(ds, k=3, min_docs=2, via="hashed")
+
+
 def q_web_clean_pages(sf_dir: str):
     """Composed web-cleaning pipeline over the linked-page fixture:
     URL canonicalization elects one representative per canonical URL
@@ -2209,6 +2220,7 @@ def flagship_oracles(sf_dir: str) -> Dict[str, str]:
         "host_pagerank": sql_host_pagerank(lp),
         "inlink_stats": sql_inlink_stats(lp),
         "dup_ngram_spans": sql_dup_ngram_spans(lp),
+        "dup_ngram_spans_hashed": sql_dup_ngram_spans(lp),
         "web_clean_pages": sql_web_clean_pages(lp),
         "domain_filter_docs": sql_domain_filter_docs(lp),
         "url_blocklist": sql_url_blocklist(lp),
@@ -4411,6 +4423,7 @@ QUERIES["url_normalize_pages"] = q_url_normalize_pages
 QUERIES["host_pagerank"] = q_host_pagerank
 QUERIES["inlink_stats"] = q_inlink_stats
 QUERIES["dup_ngram_spans"] = q_dup_ngram_spans
+QUERIES["dup_ngram_spans_hashed"] = q_dup_ngram_spans_hashed
 QUERIES["web_clean_pages"] = q_web_clean_pages
 QUERIES["domain_filter_docs"] = q_domain_filter_docs
 QUERIES["url_blocklist"] = q_url_blocklist

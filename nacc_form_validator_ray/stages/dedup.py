@@ -967,7 +967,8 @@ def line_dedup(ds, id_column: str = "doc_id", text_column: str = "text",
 
 def dup_ngram_spans(ds, id_column: str = "doc_id",
                     text_column: str = "text", k: int = 3,
-                    min_docs: int = 2, num_partitions: int = 32):
+                    min_docs: int = 2, num_partitions: int = 32,
+                    via: str = "exact"):
     """Bounded exact-substring duplication audit (the k-gram core of
     suffix-array substring dedup, Lee et al. 2022 "Deduplicating
     Training Data Makes Language Models Better"): find every k-token
@@ -990,9 +991,15 @@ def dup_ngram_spans(ds, id_column: str = "doc_id",
     duplicated positions (detection and join-back share the exchange);
     (2) duplicated positions exchange on doc for the coverage union;
     (3) a left hash-join attaches coverage to the per-doc token stats.
-    Shingles ride the exchange as exact strings (the SQL twin groups on
-    the same strings; a 64-bit routing hash would be faster but a hash
-    collision would silently merge distinct shingles on one side only).
+
+    ``via="exact"`` ships shingles as exact strings (the SQL twin
+    groups on the same strings; a naked 64-bit key would let a
+    collision silently merge distinct shingles on one side only).
+    ``via="hashed"`` is the 100-TB variant: the heavy exchange carries
+    64-bit hashes (collisions only ADD candidates), then the exact
+    strings of the flagged positions alone — bounded by the duplicated
+    subset — ride a small verify exchange that removes every
+    collision. Both variants return identical rows.
 
     Output: ``doc_id, n_tokens, n_shingles, n_dup, dup_cov, dup_frac``.
     """
@@ -1007,40 +1014,50 @@ def dup_ngram_spans(ds, id_column: str = "doc_id",
 
     id_type = pa.int64()
 
-    def emit_shingles(batch: "pa.Table") -> "pa.Table":
+    def _shingle_arrays(batch: "pa.Table"):
+        """(shingle strings, doc ids, in-doc positions) of a batch, or
+        None when it yields no shingles."""
         text = batch[text_column]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         ids = batch[id_column].to_numpy(zero_copy_only=False) \
             .astype(np.int64, copy=False)
         flat_tok, tok_doc, n_tokens = arrow_token_runs(text)
-        empty = pa.table({
-            "s": pa.array([], pa.string()),
-            id_column: pa.array([], id_type),
-            "pos": pa.array([], pa.int64())})
         if flat_tok is None:
-            return empty
+            return None
         m = len(flat_tok)
         if m < k:
-            return empty
+            return None
         parts = [flat_tok.slice(j, m - k + 1) for j in range(k)]
         sh = pc.binary_join_element_wise(*parts, " ")
         d0 = tok_doc[:m - k + 1].astype(np.int64, copy=False)
         valid = d0 == tok_doc[k - 1:].astype(np.int64, copy=False)
         if not valid.any():
-            return empty
+            return None
         starts = np.zeros(len(batch), dtype=np.int64)
         np.cumsum(n_tokens[:-1], out=starts[1:])
         idx = np.flatnonzero(valid)
         dsel = d0[idx]
+        return (sh.take(pa.array(idx)), ids[dsel],
+                idx - starts[dsel])
+
+    _EMPTY_S = {"s": pa.array([], pa.string()),
+                id_column: pa.array([], id_type),
+                "pos": pa.array([], pa.int64())}
+
+    def emit_shingles(batch: "pa.Table") -> "pa.Table":
+        got = _shingle_arrays(batch)
+        if got is None:
+            return pa.table(_EMPTY_S)
+        sh, dsel, pos = got
         # NOTE: dictionary-encoding `s` here was measured 2.8x SLOWER
         # end-to-end (40.7 s vs 14.5 s at 120k pages) — the sort
         # exchange pays per-partition dictionary unification that
         # outweighs the wire savings. Plain strings win.
         return pa.table({
-            "s": sh.take(pa.array(idx)),
-            id_column: pa.array(ids[dsel]),
-            "pos": pa.array(idx - starts[dsel]),
+            "s": sh,
+            id_column: pa.array(dsel),
+            "pos": pa.array(pos),
         })
 
     def dup_positions(part: "pa.Table") -> "pa.Table":
@@ -1098,10 +1115,83 @@ def dup_ngram_spans(ds, id_column: str = "doc_id",
             "n_shingles": pa.array(np.maximum(n_tokens - k + 1, 0)),
         })
 
-    shingles = ds.map_batches(emit_shingles, batch_format="pyarrow")
-    dup_pos = grouped_apply(shingles, ["s"], dup_positions,
-                            num_partitions=num_partitions,
-                            fn_format="pyarrow")
+    if via == "exact":
+        shingles = ds.map_batches(emit_shingles,
+                                  batch_format="pyarrow")
+        dup_pos = grouped_apply(shingles, ["s"], dup_positions,
+                                num_partitions=num_partitions,
+                                fn_format="pyarrow")
+    elif via == "hashed":
+        # phase A: the heavy exchange carries 64-bit shingle hashes,
+        # not strings; candidate dup positions fall out exactly as in
+        # the exact path (collisions only ADD candidates)
+        def emit_hashes(batch: "pa.Table") -> "pa.Table":
+            got = _shingle_arrays(batch)
+            if got is None:
+                return pa.table({
+                    "h": pa.array([], pa.int64()),
+                    id_column: pa.array([], id_type),
+                    "pos": pa.array([], pa.int64())})
+            sh, dsel, pos = got
+            h = _fold_hash_strings(sh, TOKEN_FOLD_MULT) \
+                .view(np.int64)
+            return pa.table({"h": pa.array(h),
+                             id_column: pa.array(dsel),
+                             "pos": pa.array(pos)})
+
+        def dup_hash_positions(part: "pa.Table") -> "pa.Table":
+            hv = part["h"].to_numpy(zero_copy_only=False)
+            docs = part[id_column].to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False)
+            codes = np.unique(hv, return_inverse=True)[1]
+            order, starts = run_boundaries([codes, docs])
+            ndocs = np.bincount(codes[order][starts])
+            keep = (ndocs >= min_docs)[codes]
+            return pa.table({
+                id_column: pa.array(docs[keep]),
+                "pos": part["pos"].filter(pa.array(keep))})
+
+        cand = grouped_apply(
+            ds.map_batches(emit_hashes, batch_format="pyarrow"),
+            ["h"], dup_hash_positions,
+            num_partitions=num_partitions, fn_format="pyarrow")
+        # candidate volume = true dups + collisions (tiny) — the
+        # broadcast set is bounded by the duplicated subset, not the
+        # corpus
+        import ray
+        keys = []
+        for b in cand.iter_batches(batch_format="pyarrow",
+                                   batch_size=65536):
+            keys.append(
+                b[id_column].to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                + 1j * b["pos"].to_numpy(zero_copy_only=False))
+        cand_set = np.concatenate(keys) if keys else \
+            np.empty(0, dtype=np.complex128)
+        cand_ref = ray.put(cand_set)
+
+        # phase B: re-derive the exact strings ONLY for flagged
+        # positions and verify distinct-doc counts on the real keys —
+        # a hash collision cannot survive this exchange
+        def emit_flagged(batch: "pa.Table") -> "pa.Table":
+            flagged = ray.get(cand_ref)
+            got = _shingle_arrays(batch)
+            if got is None or not len(flagged):
+                return pa.table(_EMPTY_S)
+            sh, dsel, pos = got
+            key = dsel.astype(np.float64) + 1j * pos
+            m = np.isin(key, flagged)
+            return pa.table({
+                "s": sh.filter(pa.array(m)),
+                id_column: pa.array(dsel[m]),
+                "pos": pa.array(pos[m])})
+
+        dup_pos = grouped_apply(
+            ds.map_batches(emit_flagged, batch_format="pyarrow"),
+            ["s"], dup_positions,
+            num_partitions=num_partitions, fn_format="pyarrow")
+    else:
+        raise ValueError(f"unknown via: {via!r}")
     cov = grouped_apply(dup_pos, [id_column], coverage,
                         num_partitions=num_partitions,
                         fn_format="pyarrow")

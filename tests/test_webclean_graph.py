@@ -283,6 +283,25 @@ def test_dup_ngram_spans_crafted():
     assert out.loc[4, "n_dup"] == 0
 
 
+def test_dup_ngram_spans_hashed_matches_exact():
+    """The 100-TB variant (hash exchange + exact-string verify pass)
+    must return the same rows as the exact-string exchange."""
+    from nacc_form_validator_ray.stages.dedup import dup_ngram_spans
+    rng = np.random.RandomState(11)
+    words = ["alpha", "beta", "gamma", "delta", "ep", "zeta", "eta"]
+    docs = [" ".join(rng.choice(words, rng.randint(0, 15)))
+            for _ in range(120)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+        "text": pa.array(docs)}))
+    exact = dup_ngram_spans(ds, k=3, min_docs=2, num_partitions=4,
+                            via="exact").to_pandas()
+    hashed = dup_ngram_spans(ds, k=3, min_docs=2, num_partitions=4,
+                             via="hashed").to_pandas()
+    pd.testing.assert_frame_equal(_canon(exact), _canon(hashed),
+                                  check_dtype=False)
+
+
 def test_dup_ngram_spans_vs_duckdb_crafted(tmp_path):
     from nacc_form_validator_ray.stages.dedup import dup_ngram_spans
     from nacc_form_validator_ray.pipelines.queries import \
