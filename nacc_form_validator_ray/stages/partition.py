@@ -119,9 +119,166 @@ def _hash_table(batch, key_cols: Sequence[str]) -> np.ndarray:
     return h
 
 
+#: default exchange mechanism for grouped_apply: "tasks" is the direct
+#: two-phase hash shuffle (no sort), "sort" rides Ray's sort-based
+#: groupby. Flip-able globally for A/B benchmarking.
+DEFAULT_VIA = "tasks"
+
+_SPLIT_TASK = None
+_REDUCE_TASK = None
+
+
+def _route_rows(table, route, num_partitions: int) -> np.ndarray:
+    """Per-row partition ids for a routing spec.
+
+    * ``("hash", [key_cols])`` — hash(keys) % P (co-locates equal keys).
+    * ``("range", col, boundaries)`` — ``searchsorted(boundaries, col,
+      side="right")``: ascending range partitioning where every row with
+      the SAME routing value lands in the same partition (ties can never
+      straddle a boundary), the property global ranking relies on.
+    """
+    if route[0] == "hash":
+        return (_hash_table(table, route[1])
+                % np.uint64(num_partitions)).astype(np.int64)
+    _, col, boundaries = route
+    vals = table[col].to_numpy(zero_copy_only=False)
+    return np.searchsorted(boundaries, vals, side="right") \
+        .astype(np.int64)
+
+
+def _split_arrow_block(table, route, num_partitions: int):
+    """One map-side shuffle task: tag rows with their partition id,
+    stable argsort by the tag (ONE take), then return P zero-copy slices
+    plus the per-partition row counts. Slices serialize lean (Ray's
+    Arrow serializer truncates buffers to the slice)."""
+    import pyarrow as pa
+    if isinstance(table, pd.DataFrame):
+        # to_arrow_refs passes pandas-backed blocks through unconverted
+        table = pa.Table.from_pandas(table, preserve_index=False)
+    if table.num_rows == 0:
+        # fully-filtered blocks may even lack the key columns; their
+        # zero-row slices are dropped on the reduce side regardless
+        empty = table.slice(0, 0)
+        return (*([empty] * num_partitions),
+                np.zeros(num_partitions, dtype=np.int64))
+    part = _route_rows(table, route, num_partitions)
+    order = np.argsort(part, kind="stable")
+    tbl = table.combine_chunks().take(pa.array(order))
+    sp = part[order]
+    bounds = np.searchsorted(sp, np.arange(num_partitions + 1))
+    outs = [tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+            for i in range(num_partitions)]
+    return (*outs, (bounds[1:] - bounds[:-1]).astype(np.int64))
+
+
+def _reduce_partition(fn, fn_format: str, extra, *chunks):
+    """One reduce-side shuffle task: concat a partition's chunks and run
+    the partition callable once (with ``**extra`` kwargs when the
+    exchange provides per-partition context, e.g. global rank offsets).
+    Always returns a pyarrow.Table block."""
+    import pyarrow as pa
+    live = [c for c in chunks if c.num_rows]
+    part = live[0] if len(live) == 1 else pa.concat_tables(live)
+    kwargs = extra or {}
+    if fn_format == "pandas":
+        out = fn(part.to_pandas(), **kwargs)
+    else:
+        out = fn(part, **kwargs)
+    if isinstance(out, pa.Table):
+        return out
+    if isinstance(out, dict):  # dict-of-arrays, as map_groups allows
+        return pa.table(out)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def hash_exchange(ds, key_cols: Sequence[str], fn: Callable,
+                  num_partitions: int = 64, fn_format: str = "pandas"):
+    """Direct two-phase hash shuffle: no sort, no ``groupby`` barrier.
+
+    Ray Data's ``groupby(tag).map_groups`` implements the exchange as a
+    distributed SORT on the tag — correct, but every exchange pays the
+    sort's fixed barrier cost even though partition routing only needs
+    hashing. This is the textbook map/reduce shuffle instead, built on
+    raw Ray tasks (the one place the Dataset API can't express the
+    semantics): each input block is split into P hash slices by a map
+    task (``num_returns=P+1``; the +1 is the per-partition row counts),
+    then one reduce task per NON-EMPTY partition concats its slices and
+    runs ``fn`` once. Results come back as a Dataset via
+    ``from_arrow_refs`` — all data movement is object-store refs,
+    nothing routes through the driver.
+
+    Scale notes (100 TB): this is exactly Ray's production shuffle shape
+    (map tasks × reduce partitions); the M×P slice-object count is the
+    known metadata cost — size P to the cluster's reduce parallelism and
+    coalesce tiny input blocks upstream. The driver blocks on the (tiny)
+    count vectors before launching reduces — the same barrier the sort
+    path has, minus the sort.
+    """
+    return _task_exchange(ds, ("hash", list(key_cols)), fn,
+                          num_partitions, fn_format)
+
+
+def ranged_exchange(ds, routing_col: str, boundaries, fn: Callable,
+                    fn_format: str = "pandas", extra_fn=None):
+    """Range-partitioned exchange: rows route by
+    ``searchsorted(boundaries, routing_col)`` so partition p holds a
+    contiguous ascending value range, and equal values never straddle a
+    boundary. ``boundaries`` (len P-1, ascending) come from a sampled
+    quantile sketch — they affect only load balance, never results.
+
+    ``extra_fn(part_index, totals)`` may return per-partition kwargs for
+    ``fn`` (e.g. the global offset = rows in lower partitions), computed
+    from the exchange's own per-partition row counts — this is what
+    turns a local sort into a GLOBAL rank without a second pass.
+    """
+    boundaries = np.asarray(boundaries)
+    return _task_exchange(ds, ("range", routing_col, boundaries),
+                          fn, len(boundaries) + 1, fn_format,
+                          extra_fn=extra_fn)
+
+
+def _task_exchange(ds, route, fn: Callable, num_partitions: int,
+                   fn_format: str, extra_fn=None):
+    global _SPLIT_TASK, _REDUCE_TASK
+    import ray
+    import ray.data as rd
+
+    refs = ds.to_arrow_refs()
+    if not refs:
+        if route[0] != "hash":
+            raise ValueError("ranged_exchange over an empty dataset")
+        return _grouped_apply_sort(ds, route[1], fn, num_partitions,
+                                   fn_format)
+    if _SPLIT_TASK is None:
+        _SPLIT_TASK = ray.remote(_split_arrow_block)
+        _REDUCE_TASK = ray.remote(_reduce_partition)
+    P = num_partitions
+    split = _SPLIT_TASK.options(num_returns=P + 1)
+    slice_refs = []
+    count_refs = []
+    for r in refs:
+        out = split.remote(r, route, P)
+        slice_refs.append(out[:P])
+        count_refs.append(out[P])
+    del refs  # release input blocks as soon as splits consume them
+    totals = np.sum(ray.get(count_refs), axis=0)
+    out_refs = [
+        _REDUCE_TASK.remote(fn, fn_format,
+                            extra_fn(p, totals) if extra_fn else None,
+                            *[blk[p] for blk in slice_refs])
+        for p in range(P) if totals[p]
+    ]
+    if not out_refs:
+        if route[0] != "hash":
+            return rd.from_items([])
+        return _grouped_apply_sort(ds.limit(0), route[1], fn,
+                                   num_partitions, fn_format)
+    return rd.from_arrow_refs(out_refs)
+
+
 def grouped_apply(ds, key_cols: Sequence[str],
                   fn: Callable, num_partitions: int = 64,
-                  fn_format: str = "pandas"):
+                  fn_format: str = "pandas", via: str | None = None):
     """One shuffle on hash(keys) % P, then ``fn`` once per partition.
 
     ``fn`` receives every row of each key it sees (exactness) and must do
@@ -133,7 +290,22 @@ def grouped_apply(ds, key_cols: Sequence[str],
     Arrow→pandas→Arrow object boxing on every hop (round-2 VERDICT: the
     pandas fabric pays DRAM for the conversions on an engine whose
     measured wall is memory bandwidth).
+
+    ``via`` picks the exchange mechanism: ``"tasks"`` (default, see
+    ``hash_exchange``) or ``"sort"`` (Ray's sort-based groupby).
     """
+    if (via or DEFAULT_VIA) == "tasks":
+        return hash_exchange(ds, key_cols, fn,
+                             num_partitions=num_partitions,
+                             fn_format=fn_format)
+    return _grouped_apply_sort(ds, key_cols, fn, num_partitions,
+                               fn_format)
+
+
+def _grouped_apply_sort(ds, key_cols: Sequence[str],
+                        fn: Callable, num_partitions: int,
+                        fn_format: str):
+    """Sort-based exchange: tag + ``groupby(tag).map_groups``."""
     keys = list(key_cols)
 
     if fn_format == "pyarrow":

@@ -1,0 +1,151 @@
+"""Equivalence of the task-based hash exchange vs the sort-based one.
+
+The two paths must produce identical multisets of rows for any
+partition callable: same rows of each key reach exactly one ``fn``
+invocation either way; only partition *composition* may differ (both
+route on ``hash(key) % P``, so in fact even composition matches).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from nacc_form_validator_ray.stages.partition import (
+    grouped_apply, grouped_agg_sum, hash_exchange)
+
+
+def _sorted_df(ds) -> pd.DataFrame:
+    df = ds.to_pandas()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _mixed_frame(n: int, seed: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "k_str": np.array([f"host{v}.example" for v in
+                           rng.integers(0, 37, n)], dtype=object),
+        "k_int": rng.integers(-5, 5, n).astype(np.int64),
+        "val": rng.integers(0, 1000, n).astype(np.int64),
+        "w": rng.random(n),
+    })
+
+
+def _make_per_key_stats():
+    """Return the stats callable as a CLOSURE: functions at test-module
+    top level pickle by reference, and Ray workers cannot import the
+    test module (the same constraint any Ray Data UDF has)."""
+    def per_key_stats(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(["k_str", "k_int"], as_index=False) \
+            .agg(total=("val", "sum"), n=("val", "size"),
+                 wmax=("w", "max"))
+    return per_key_stats
+
+
+@pytest.mark.parametrize("fn_format", ["pandas", "pyarrow"])
+def test_tasks_matches_sort_path(fn_format):
+    df = _mixed_frame(5000, seed=7)
+    ds = rd.from_pandas(df).repartition(6)
+
+    stats = _make_per_key_stats()
+    if fn_format == "pyarrow":
+        def fn(part: pa.Table) -> pa.Table:
+            return pa.Table.from_pandas(
+                stats(part.to_pandas()), preserve_index=False)
+    else:
+        fn = stats
+
+    got_tasks = grouped_apply(ds, ["k_str", "k_int"], fn,
+                              num_partitions=16, fn_format=fn_format,
+                              via="tasks")
+    got_sort = grouped_apply(ds, ["k_str", "k_int"], fn,
+                             num_partitions=16, fn_format=fn_format,
+                             via="sort")
+    a, b = _sorted_df(got_tasks), _sorted_df(got_sort)
+    pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=0,
+                                  atol=0)
+    # ground truth: a single-node pandas groupby over the whole frame
+    truth = _make_per_key_stats()(df).sort_values(["k_str", "k_int"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a.sort_values(["k_str", "k_int"]).reset_index(drop=True)
+        [truth.columns.tolist()], truth)
+
+
+def test_every_key_lands_in_one_partition():
+    """fn sees ALL rows of each key it sees (the exactness contract)."""
+    df = _mixed_frame(3000, seed=11)
+    ds = rd.from_pandas(df).repartition(5)
+
+    def per_partition_keys(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(["k_str", "k_int"], as_index=False) \
+            .agg(seen=("val", "size"))
+
+    out = hash_exchange(ds, ["k_str", "k_int"], per_partition_keys,
+                        num_partitions=32).to_pandas()
+    # if a key were split across partitions it would appear twice
+    assert not out.duplicated(["k_str", "k_int"]).any()
+    truth = df.groupby(["k_str", "k_int"], as_index=False) \
+        .agg(seen=("val", "size"))
+    merged = out.merge(truth, on=["k_str", "k_int"],
+                       suffixes=("", "_t"))
+    assert len(merged) == len(truth)
+    assert (merged["seen"] == merged["seen_t"]).all()
+
+
+def test_empty_partitions_skipped_and_small_P_ok():
+    df = pd.DataFrame({"k": np.array(["a", "b"], dtype=object),
+                       "v": np.array([1, 2], dtype=np.int64)})
+    ds = rd.from_pandas(df)
+    out = hash_exchange(ds, ["k"],
+                        lambda p: p.groupby("k", as_index=False)
+                        .agg(s=("v", "sum")),
+                        num_partitions=256).to_pandas()
+    assert sorted(out["k"]) == ["a", "b"]
+    assert out["s"].sum() == 3
+
+
+def test_empty_dataset_falls_back():
+    df = _mixed_frame(50, seed=3)
+    ds = rd.from_pandas(df).filter(lambda r: False)
+    out = grouped_apply(ds, ["k_str"], _make_per_key_stats(),
+                        num_partitions=8, via="tasks")
+    assert out.count() == 0
+
+
+def test_grouped_agg_sum_via_tasks():
+    df = _mixed_frame(4000, seed=23)
+    ds = rd.from_pandas(df).repartition(7)
+    out = grouped_agg_sum(ds, ["k_int"], ["val"], num_partitions=16) \
+        .to_pandas().sort_values("k_int").reset_index(drop=True)
+    truth = df.groupby("k_int", as_index=False)["val"].sum() \
+        .sort_values("k_int").reset_index(drop=True)
+    assert (out["k_int"] == truth["k_int"]).all()
+    assert (out["val"] == truth["val"]).all()
+
+
+def test_nulls_and_dict_columns_route_consistently():
+    n = 2000
+    rng = np.random.default_rng(5)
+    keys = pd.array(
+        [None if v == 0 else f"k{v}" for v in rng.integers(0, 9, n)],
+        dtype=object)
+    tbl = pa.table({
+        "k": pa.array(keys).dictionary_encode(),
+        "v": pa.array(rng.integers(0, 100, n), type=pa.int64()),
+    })
+    ds = rd.from_arrow(tbl).repartition(4)
+
+    def fn(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        df["k"] = df["k"].astype(object).where(df["k"].notna(), None)
+        g = df.groupby("k", dropna=False, as_index=False) \
+            .agg(s=("v", "sum"))
+        g["k"] = g["k"].astype(object)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = hash_exchange(ds, ["k"], fn, num_partitions=16,
+                        fn_format="pyarrow").to_pandas()
+    assert not out.duplicated("k").any()
+    assert out["s"].sum() == int(tbl["v"].to_pandas().sum())
