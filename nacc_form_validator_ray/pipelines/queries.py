@@ -4541,3 +4541,49 @@ QUERIES["bpe_merges"] = q_bpe_merges
 ORACLE_SQL["bpe_merges"] = _sql_bpe_merges()
 QUERIES["bpe_encode_docs"] = q_bpe_encode_docs
 ORACLE_SQL["bpe_encode_docs"] = _sql_bpe_encode_docs()
+
+
+def q_ranked_docs(sf_dir: str):
+    """Global ROW_NUMBER over the whole documents table: rank by
+    ``n_chars DESC, doc_id`` via ONE range exchange (sampled boundaries
+    route co-located value ranges; each partition sorts locally and adds
+    the exact offset of higher-ranked partitions — no second pass, no
+    driver-side data). Reference analog: globally ordered report output
+    (nacc_form_validator orders its error aggregation); at web scale the
+    same primitive drives curriculum ordering and sorted exports."""
+    from nacc_form_validator_ray.stages.ranking import global_rank
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+    return global_rank(ds, "n_chars", tie_cols=["doc_id"],
+                       descending=True, num_partitions=32)
+
+
+SQL_RANKED_DOCS = """
+SELECT doc_id, n_chars,
+       ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+FROM documents
+"""
+
+
+def q_ntile_docs(sf_dir: str):
+    """Exact SQL NTILE(100) percentile tiers over the documents table,
+    derived arithmetically from the same one-exchange global rank (the
+    first n%k tiles hold ceil(n/k) rows)."""
+    from nacc_form_validator_ray.stages.ranking import global_rank
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+    ranked = global_rank(ds, "n_chars", tie_cols=["doc_id"],
+                         num_partitions=32, ntile=100)
+    return ranked.select_columns(["doc_id", "n_chars", "tile"])
+
+
+SQL_NTILE_DOCS = """
+SELECT doc_id, n_chars,
+       NTILE(100) OVER (ORDER BY n_chars, doc_id) AS tile
+FROM documents
+"""
+
+QUERIES["ranked_docs"] = q_ranked_docs
+ORACLE_SQL["ranked_docs"] = SQL_RANKED_DOCS
+QUERIES["ntile_docs"] = q_ntile_docs
+ORACLE_SQL["ntile_docs"] = SQL_NTILE_DOCS

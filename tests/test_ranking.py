@@ -1,0 +1,76 @@
+"""Global rank / ntile: exactness under ties, skew, and tiny inputs."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from nacc_form_validator_ray.stages.ranking import (_ntile_of_rank,
+                                                    global_rank)
+
+
+def _truth_rank(df, descending):
+    return df.sort_values(["k", "id"],
+                          ascending=[not descending, True]) \
+        .reset_index(drop=True)
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_global_rank_matches_pandas(descending):
+    rng = np.random.default_rng(13)
+    n = 4000
+    # HEAVY ties: only 17 distinct key values, so ties straddle any
+    # naive boundary choice — the routing contract must co-locate them
+    df = pd.DataFrame({"k": rng.integers(0, 17, n).astype(np.int64),
+                       "id": np.arange(n, dtype=np.int64)})
+    ds = rd.from_pandas(df.sample(frac=1, random_state=1)) \
+        .repartition(6)
+    out = global_rank(ds, "k", tie_cols=["id"], descending=descending,
+                      num_partitions=8).to_pandas() \
+        .sort_values("rank").reset_index(drop=True)
+    truth = _truth_rank(df, descending)
+    assert (out["rank"].to_numpy() == np.arange(1, n + 1)).all()
+    assert (out["k"].to_numpy() == truth["k"].to_numpy()).all()
+    assert (out["id"].to_numpy() == truth["id"].to_numpy()).all()
+
+
+@pytest.mark.parametrize("n,k", [(1000, 7), (5, 100), (64, 64),
+                                 (1, 1), (997, 10)])
+def test_ntile_formula_matches_duckdb(n, k):
+    ranks = np.arange(1, n + 1, dtype=np.int64)
+    got = _ntile_of_rank(ranks, n, k)
+    truth = duckdb.sql(
+        f"SELECT NTILE({k}) OVER (ORDER BY r) AS t "
+        f"FROM (SELECT unnest(range(1, {n + 1})) AS r)"
+    ).fetchnumpy()["t"]
+    assert (got == truth.astype(np.int64)).all()
+
+
+def test_global_rank_single_value_column():
+    """Every row shares ONE key value: a single partition must hold all
+    of them, and ranks are still the full 1..n (ties broken by id)."""
+    n = 500
+    df = pd.DataFrame({"k": np.zeros(n, dtype=np.int64),
+                       "id": np.arange(n, dtype=np.int64)})
+    out = global_rank(rd.from_pandas(df).repartition(4), "k",
+                      tie_cols=["id"], num_partitions=8).to_pandas()
+    out = out.sort_values("rank")
+    assert (out["rank"].to_numpy() == np.arange(1, n + 1)).all()
+    assert (out["id"].to_numpy() == np.arange(n)).all()
+
+
+def test_global_rank_with_ntile_column():
+    rng = np.random.default_rng(3)
+    n = 1200
+    df = pd.DataFrame({"k": rng.integers(0, 10_000, n),
+                       "id": np.arange(n, dtype=np.int64)})
+    out = global_rank(rd.from_pandas(df).repartition(5), "k",
+                      tie_cols=["id"], num_partitions=8,
+                      ntile=13).to_pandas().sort_values("rank")
+    # tiles are non-decreasing in rank order and sized per SQL NTILE
+    sizes = out.groupby("tile").size()
+    assert sizes.index.tolist() == list(range(1, 14))
+    big, small = -(-n // 13), n // 13
+    assert set(sizes) <= {big, small}
+    assert (sizes == big).sum() == n % 13
