@@ -4587,3 +4587,44 @@ QUERIES["ranked_docs"] = q_ranked_docs
 ORACLE_SQL["ranked_docs"] = SQL_RANKED_DOCS
 QUERIES["ntile_docs"] = q_ntile_docs
 ORACLE_SQL["ntile_docs"] = SQL_NTILE_DOCS
+
+
+def q_running_value_events(sf_dir: str):
+    """Exact global running total over the events stream:
+    ``SUM(value_milli) OVER (ORDER BY ts, event_id)`` in one range
+    exchange (per-partition sums ride the exchange's stats vector, so
+    each reducer gets the exact prefix of all lower partitions). Values
+    are fixed-point milli-units — integer addition is associative, so
+    the distributed scan is bit-identical to SQL's sequential one."""
+    from nacc_form_validator_ray.stages.ranking import running_total
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "value"])
+
+    def to_milli(batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        v = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 1000.0) \
+            .astype(np.int64)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "ts": batch["ts"],
+            "value_milli": pa.array(v, pa.int64()),
+        })
+
+    lean = ds.map_batches(to_milli, batch_format="pyarrow")
+    out = running_total(lean, "ts", "value_milli",
+                        tie_cols=["event_id"], num_partitions=32,
+                        out_col="cum_milli")
+    return out.select_columns(["event_id", "value_milli", "cum_milli"])
+
+
+SQL_RUNNING_VALUE_EVENTS = """
+SELECT event_id,
+       CAST(floor(value * 1000) AS BIGINT) AS value_milli,
+       CAST(SUM(CAST(floor(value * 1000) AS BIGINT))
+            OVER (ORDER BY ts, event_id) AS BIGINT) AS cum_milli
+FROM events
+"""
+
+QUERIES["running_value_events"] = q_running_value_events
+ORACLE_SQL["running_value_events"] = SQL_RUNNING_VALUE_EVENTS

@@ -146,21 +146,28 @@ def _route_rows(table, route, num_partitions: int) -> np.ndarray:
         .astype(np.int64)
 
 
-def _split_arrow_block(table, route, num_partitions: int):
+def _split_arrow_block(table, route, num_partitions: int,
+                       agg_cols: Sequence[str] = ()):
     """One map-side shuffle task: tag rows with their partition id,
     stable argsort by the tag (ONE take), then return P zero-copy slices
-    plus the per-partition row counts. Slices serialize lean (Ray's
-    Arrow serializer truncates buffers to the slice)."""
+    plus the per-partition stats — row counts, and (when ``agg_cols``
+    int64 columns are named) their per-partition sums alongside, as an
+    int64 ``(P, 1+len(agg_cols))`` matrix. Those sums are what let a
+    range exchange hand each reducer the EXACT aggregate of all lower
+    partitions (global prefix sums) with no extra pass. Slices serialize
+    lean (Ray's Arrow serializer truncates buffers to the slice)."""
     import pyarrow as pa
     if isinstance(table, pd.DataFrame):
         # to_arrow_refs passes pandas-backed blocks through unconverted
         table = pa.Table.from_pandas(table, preserve_index=False)
+    width = 1 + len(agg_cols)
     if table.num_rows == 0:
         # fully-filtered blocks may even lack the key columns; their
         # zero-row slices are dropped on the reduce side regardless
         empty = table.slice(0, 0)
+        stats = np.zeros((num_partitions, width), dtype=np.int64)
         return (*([empty] * num_partitions),
-                np.zeros(num_partitions, dtype=np.int64))
+                stats if agg_cols else stats[:, 0])
     part = _route_rows(table, route, num_partitions)
     order = np.argsort(part, kind="stable")
     tbl = table.combine_chunks().take(pa.array(order))
@@ -168,7 +175,14 @@ def _split_arrow_block(table, route, num_partitions: int):
     bounds = np.searchsorted(sp, np.arange(num_partitions + 1))
     outs = [tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
             for i in range(num_partitions)]
-    return (*outs, (bounds[1:] - bounds[:-1]).astype(np.int64))
+    stats = np.zeros((num_partitions, width), dtype=np.int64)
+    stats[:, 0] = bounds[1:] - bounds[:-1]
+    nonempty = stats[:, 0] > 0
+    for j, c in enumerate(agg_cols):
+        vals = tbl[c].to_numpy(zero_copy_only=False).astype(np.int64)
+        stats[nonempty, 1 + j] = np.add.reduceat(
+            vals, bounds[:-1][nonempty])
+    return (*outs, stats if agg_cols else stats[:, 0])
 
 
 def _reduce_partition(fn, fn_format: str, extra, *chunks):
@@ -219,7 +233,8 @@ def hash_exchange(ds, key_cols: Sequence[str], fn: Callable,
 
 
 def ranged_exchange(ds, routing_col: str, boundaries, fn: Callable,
-                    fn_format: str = "pandas", extra_fn=None):
+                    fn_format: str = "pandas", extra_fn=None,
+                    agg_cols: Sequence[str] = ()):
     """Range-partitioned exchange: rows route by
     ``searchsorted(boundaries, routing_col)`` so partition p holds a
     contiguous ascending value range, and equal values never straddle a
@@ -228,17 +243,22 @@ def ranged_exchange(ds, routing_col: str, boundaries, fn: Callable,
 
     ``extra_fn(part_index, totals)`` may return per-partition kwargs for
     ``fn`` (e.g. the global offset = rows in lower partitions), computed
-    from the exchange's own per-partition row counts — this is what
-    turns a local sort into a GLOBAL rank without a second pass.
+    from the exchange's own per-partition stats — this is what turns a
+    local sort into a GLOBAL rank without a second pass. ``totals`` is
+    the per-partition row-count vector, or, when ``agg_cols`` names
+    int64 columns (caller guarantees no overflow — use fixed-point),
+    a ``(P, 1+len(agg_cols))`` matrix of counts and column sums, which
+    upgrades ranks to exact global PREFIX SUMS (running totals).
     """
     boundaries = np.asarray(boundaries)
     return _task_exchange(ds, ("range", routing_col, boundaries),
                           fn, len(boundaries) + 1, fn_format,
-                          extra_fn=extra_fn)
+                          extra_fn=extra_fn, agg_cols=agg_cols)
 
 
 def _task_exchange(ds, route, fn: Callable, num_partitions: int,
-                   fn_format: str, extra_fn=None):
+                   fn_format: str, extra_fn=None,
+                   agg_cols: Sequence[str] = ()):
     global _SPLIT_TASK, _REDUCE_TASK
     import ray
     import ray.data as rd
@@ -257,16 +277,17 @@ def _task_exchange(ds, route, fn: Callable, num_partitions: int,
     slice_refs = []
     count_refs = []
     for r in refs:
-        out = split.remote(r, route, P)
+        out = split.remote(r, route, P, list(agg_cols))
         slice_refs.append(out[:P])
         count_refs.append(out[P])
     del refs  # release input blocks as soon as splits consume them
     totals = np.sum(ray.get(count_refs), axis=0)
+    counts = totals[:, 0] if totals.ndim == 2 else totals
     out_refs = [
         _REDUCE_TASK.remote(fn, fn_format,
                             extra_fn(p, totals) if extra_fn else None,
                             *[blk[p] for blk in slice_refs])
-        for p in range(P) if totals[p]
+        for p in range(P) if counts[p]
     ]
     if not out_refs:
         if route[0] != "hash":

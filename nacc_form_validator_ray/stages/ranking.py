@@ -111,6 +111,43 @@ def global_rank(ds, key_col: str, tie_cols: Sequence[str] = (),
                            fn_format="pyarrow", extra_fn=extra)
 
 
+def running_total(ds, order_col: str, value_col: str,
+                  tie_cols: Sequence[str] = (),
+                  num_partitions: int = 64,
+                  out_col: str = "running"):
+    """Exact global running total —
+    ``SUM(value) OVER (ORDER BY order_col, tie_cols)`` — in ONE range
+    exchange: the split tasks return per-partition int64 sums alongside
+    the row counts, so each reducer adds the exact aggregate of all
+    lower partitions to its local cumsum. ``value_col`` must be int64
+    (fixed-point for monetary/float quantities): integer addition is
+    associative, so the partition-wise offset is bit-identical to a
+    sequential scan — the property a float column would not have.
+
+    ``order_col, tie_cols`` should form a strict order (SQL's default
+    RANGE frame then coincides with ROWS)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    boundaries = sample_boundaries(ds, order_col, num_partitions)
+    sort_keys = [(order_col, "ascending")] + \
+        [(t, "ascending") for t in tie_cols]
+
+    def extra(p: int, totals: np.ndarray) -> dict:
+        return {"offset": int(totals[:p, 1].sum())}
+
+    def cum_part(part: "pa.Table", offset: int) -> "pa.Table":
+        out = part.take(pc.sort_indices(part, sort_keys=sort_keys))
+        v = out[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        run = offset + np.cumsum(v)
+        return out.append_column(out_col, pa.array(run, pa.int64()))
+
+    return ranged_exchange(ds, order_col, boundaries, cum_part,
+                           fn_format="pyarrow", extra_fn=extra,
+                           agg_cols=[value_col])
+
+
 def _ntile_of_rank(rank: np.ndarray, n: int, k: int) -> np.ndarray:
     """Exact SQL NTILE(k) bucket from 1-based ranks over n rows: the
     first ``n % k`` buckets hold ``n//k + 1`` rows, the rest ``n//k``."""

@@ -74,3 +74,24 @@ def test_global_rank_with_ntile_column():
     big, small = -(-n // 13), n // 13
     assert set(sizes) <= {big, small}
     assert (sizes == big).sum() == n % 13
+
+
+def test_running_total_matches_sequential_scan():
+    from nacc_form_validator_ray.stages.ranking import running_total
+    rng = np.random.default_rng(29)
+    n = 3000
+    # duplicate order keys + negative values: routing must co-locate
+    # equal keys and the offset math must hold under sign changes
+    df = pd.DataFrame({
+        "t": rng.integers(0, 400, n).astype(np.int64),
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.integers(-500, 500, n).astype(np.int64),
+    })
+    ds = rd.from_pandas(df.sample(frac=1, random_state=2)) \
+        .repartition(6)
+    out = running_total(ds, "t", "v", tie_cols=["id"],
+                        num_partitions=16, out_col="cum") \
+        .to_pandas().sort_values(["t", "id"]).reset_index(drop=True)
+    truth = df.sort_values(["t", "id"]).reset_index(drop=True)
+    assert (out["cum"].to_numpy()
+            == np.cumsum(truth["v"].to_numpy())).all()
