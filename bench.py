@@ -330,6 +330,11 @@ def bench_queries(sf_dir: str):
         "incremental_ingest": run_incremental_ingest,
         "host_hits": run_host_hits,
         "validator_linkpages": run_validator_linkpages,
+        "ranked_docs": lambda: consume(Q.q_ranked_docs(sf_dir)),
+        "ntile_docs": lambda: consume(Q.q_ntile_docs(sf_dir)),
+        "running_value_events": lambda: consume(
+            Q.q_running_value_events(sf_dir)),
+        "user_event_seq": lambda: consume(Q.q_user_event_seq(sf_dir)),
     }
 
 

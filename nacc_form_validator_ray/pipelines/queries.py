@@ -4628,3 +4628,61 @@ FROM events
 
 QUERIES["running_value_events"] = q_running_value_events
 ORACLE_SQL["running_value_events"] = SQL_RUNNING_VALUE_EVENTS
+
+
+def q_user_event_seq(sf_dir: str):
+    """Per-user ordered-window functions in ONE hash exchange:
+    ``ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)``
+    and ``LAG(value_milli)`` over the same frame. The partition callable
+    lexsorts once and derives both: run starts give the sequence reset
+    points; the lag is the sorted value shifted one row, nulled at each
+    user's first event."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "value"])
+
+    def windows(part: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        uid = part["user_id"].to_numpy(zero_copy_only=False)
+        ts = part["ts"].to_numpy(zero_copy_only=False)
+        eid = part["event_id"].to_numpy(zero_copy_only=False)
+        v = np.floor(
+            part["value"].to_numpy(zero_copy_only=False) * 1000.0) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        su, se, sv = uid[order], eid[order], v[order]
+        n = len(order)
+        first = np.ones(n, dtype=bool)
+        first[1:] = su[1:] != su[:-1]
+        starts = np.flatnonzero(first)
+        run_id = np.cumsum(first) - 1
+        seq = np.arange(n, dtype=np.int64) - starts[run_id] + 1
+        lag = np.empty(n, dtype=np.int64)
+        lag[1:] = sv[:-1]
+        lag[0] = 0
+        return pa.table({
+            "event_id": pa.array(se, pa.int64()),
+            "user_id": pa.array(su, pa.int64()),
+            "seq": pa.array(seq, pa.int64()),
+            "lag_value_milli": pa.array(lag, pa.int64(),
+                                        mask=first),
+        })
+
+    return grouped_apply(ds, ["user_id"], windows,
+                         num_partitions=32, fn_format="pyarrow")
+
+
+SQL_USER_EVENT_SEQ = """
+SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS BIGINT)
+           AS seq,
+       LAG(CAST(floor(value * 1000) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)
+           AS lag_value_milli
+FROM events
+"""
+
+QUERIES["user_event_seq"] = q_user_event_seq
+ORACLE_SQL["user_event_seq"] = SQL_USER_EVENT_SEQ

@@ -148,6 +148,64 @@ def running_total(ds, order_col: str, value_col: str,
                            agg_cols=[value_col])
 
 
+def write_sorted(ds, key_col: str, path: str,
+                 tie_cols: Sequence[str] = (),
+                 num_partitions: int = 64):
+    """Globally sorted, resumable parquet export.
+
+    One range exchange; each reducer sorts its value range locally and
+    writes ``part-<i>.parquet`` (zero-padded so lexicographic file
+    order IS the global sort order — a reader concatenating the files
+    in name order streams the corpus fully sorted). Returns the
+    manifest as a pandas DataFrame: one row per written partition with
+    ``file, rows, key_min, key_max, offset`` (offset = rows in lower
+    partitions, i.e. the global rank of the file's first row). A
+    failed run reruns only partitions whose file is missing — the
+    boundaries are data-dependent but the CONTENT of the sorted stream
+    is not, so re-exports are value-identical.
+
+    Resume contract: a rerun must see the SAME input (same files, same
+    read parallelism) so the deterministic boundary sample reproduces
+    the same partition layout; point a changed input at a fresh
+    directory instead.
+    """
+    import os
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    boundaries = sample_boundaries(ds, key_col, num_partitions)
+    sort_keys = [(key_col, "ascending")] + \
+        [(t, "ascending") for t in tie_cols]
+    pad = len(str(len(boundaries)))
+
+    def extra(p: int, totals: np.ndarray) -> dict:
+        return {"part_index": p, "offset": int(totals[:p].sum())}
+
+    def write_part(part: "pa.Table", part_index: int, offset: int) \
+            -> "pa.Table":
+        out = part.take(pc.sort_indices(part, sort_keys=sort_keys))
+        fname = f"part-{part_index:0{pad}d}.parquet"
+        fpath = os.path.join(path, fname)
+        if not os.path.exists(fpath):  # resume: skip finished parts
+            pq.write_table(out, fpath + ".tmp")
+            os.replace(fpath + ".tmp", fpath)
+        keys = out[key_col]
+        return pa.table({
+            "file": pa.array([fname]),
+            "rows": pa.array([out.num_rows], pa.int64()),
+            "key_min": keys.slice(0, 1),
+            "key_max": keys.slice(out.num_rows - 1, 1),
+            "offset": pa.array([offset], pa.int64()),
+        })
+
+    manifest = ranged_exchange(ds, key_col, boundaries, write_part,
+                               fn_format="pyarrow", extra_fn=extra) \
+        .to_pandas()
+    return manifest.sort_values("file").reset_index(drop=True)
+
+
 def _ntile_of_rank(rank: np.ndarray, n: int, k: int) -> np.ndarray:
     """Exact SQL NTILE(k) bucket from 1-based ranks over n rows: the
     first ``n % k`` buckets hold ``n//k + 1`` rows, the rest ``n//k``."""

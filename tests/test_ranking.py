@@ -95,3 +95,44 @@ def test_running_total_matches_sequential_scan():
     truth = df.sort_values(["t", "id"]).reset_index(drop=True)
     assert (out["cum"].to_numpy()
             == np.cumsum(truth["v"].to_numpy())).all()
+
+
+def test_write_sorted_global_order_and_resume(tmp_path):
+    from nacc_form_validator_ray.stages.ranking import write_sorted
+    import pyarrow.parquet as pq
+    import glob
+    import os
+
+    rng = np.random.default_rng(41)
+    n = 2500
+    df = pd.DataFrame({"k": rng.integers(0, 10_000, n),
+                       "id": np.arange(n, dtype=np.int64)})
+    ds = rd.from_pandas(df.sample(frac=1, random_state=5)) \
+        .repartition(5)
+    out_dir = str(tmp_path / "sorted")
+    man = write_sorted(ds, "k", out_dir, tie_cols=["id"],
+                       num_partitions=8)
+    assert man["rows"].sum() == n
+    assert (man["offset"].to_numpy()
+            == np.concatenate(([0], np.cumsum(man["rows"])[:-1]))).all()
+    files = sorted(glob.glob(out_dir + "/part-*.parquet"))
+    got = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                    ignore_index=True)
+    truth = df.sort_values(["k", "id"]).reset_index(drop=True)
+    assert (got["k"].to_numpy() == truth["k"].to_numpy()).all()
+    assert (got["id"].to_numpy() == truth["id"].to_numpy()).all()
+    # resume: drop one part file, rerun — only it is rewritten,
+    # content of the re-exported stream is value-identical
+    victim = files[len(files) // 2]
+    os.remove(victim)
+    mtimes = {f: os.path.getmtime(f) for f in files if f != victim}
+    man2 = write_sorted(ds, "k", out_dir, tie_cols=["id"],
+                        num_partitions=8)
+    assert man2["rows"].sum() == n
+    got2 = pd.concat(
+        [pq.read_table(f).to_pandas()
+         for f in sorted(glob.glob(out_dir + "/part-*.parquet"))],
+        ignore_index=True)
+    assert (got2["k"].to_numpy() == truth["k"].to_numpy()).all()
+    for f, m in mtimes.items():
+        assert os.path.getmtime(f) == m, f"{f} was rewritten"
