@@ -335,6 +335,8 @@ def bench_queries(sf_dir: str):
         "running_value_events": lambda: consume(
             Q.q_running_value_events(sf_dir)),
         "user_event_seq": lambda: consume(Q.q_user_event_seq(sf_dir)),
+        "kmeans_embeddings": lambda: consume(
+            Q.q_kmeans_embeddings(sf_dir)),
     }
 
 

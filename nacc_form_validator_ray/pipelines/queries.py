@@ -4686,3 +4686,79 @@ FROM events
 
 QUERIES["user_event_seq"] = q_user_event_seq
 ORACLE_SQL["user_event_seq"] = SQL_USER_EVENT_SEQ
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed k-means training (3 Lloyd rounds, k=8) over the
+    embeddings table — the third iterative-training operator on the
+    fabric (with lr_train and PageRank/HITS): broadcast centroid
+    matrix, per-batch (k, d+1) partials, driver k-way merge; exact
+    integer arithmetic end-to-end (stages/kmeans.py documents the
+    contract that makes the chained-CTE DuckDB twin bit-identical)."""
+    from nacc_form_validator_ray.stages.kmeans import kmeans_train
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    return kmeans_train(ds, k=8, iterations=3)
+
+
+def sql_kmeans_embeddings(k: int = 8, iterations: int = 3) -> str:
+    """Chained per-iteration CTE twin of q_kmeans_embeddings (assign →
+    component sums → rebuilt centroid list per round; MATERIALIZED —
+    each stage is referenced twice and DuckDB's default inlining is
+    exponential in chain depth)."""
+    S = float(1 << 12)
+    ctes = [f"""vv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(x * {S!r} + 0.5)) AS v
+  FROM embeddings
+)""", f"""c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+             AS cid, v AS cv
+  FROM (SELECT vec_id, v FROM vv ORDER BY vec_id LIMIT {k})
+)""", """ux AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(v, 1) AS idx, unnest(v) AS val
+  FROM vv
+)"""]
+    for i in range(1, iterations + 1):
+        prev = f"c{i - 1}"
+        ctes.append(f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vv.vec_id, c.cid,
+           row_number() OVER (PARTITION BY vv.vec_id ORDER BY
+               list_dot_product(c.cv, c.cv)
+               - 2 * list_dot_product(vv.v, c.cv), c.cid) AS rn
+    FROM vv, {prev} c) WHERE rn = 1
+)""")
+        ctes.append(f"""s{i} AS MATERIALIZED (
+  SELECT a.cid, u.idx,
+         floor(sum(u.val) / count(*)) AS cval,
+         count(*) AS n
+  FROM a{i} a JOIN ux u USING (vec_id)
+  GROUP BY a.cid, u.idx
+)""")
+        ctes.append(f"""c{i} AS MATERIALIZED (
+  SELECT p.cid,
+         list(coalesce(s.cval, p.pval) ORDER BY p.idx) AS cv
+  FROM (SELECT cid, generate_subscripts(cv, 1) AS idx,
+               unnest(cv) AS pval FROM {prev}) p
+  LEFT JOIN s{i} s ON s.cid = p.cid AND s.idx = p.idx
+  GROUP BY p.cid
+)""")
+    T = iterations
+    return f"""
+WITH {', '.join(ctes)},
+members AS (
+  SELECT cid, count(*) AS n FROM a{T} GROUP BY cid
+)
+SELECT f.cid, CAST(f.idx - 1 AS BIGINT) AS dim,
+       CAST(f.cval AS BIGINT) AS cval,
+       CAST(coalesce(m.n, 0) AS BIGINT) AS n_members
+FROM (SELECT cid, generate_subscripts(cv, 1) AS idx,
+             unnest(cv) AS cval FROM c{T}) f
+LEFT JOIN members m ON m.cid = f.cid
+"""
+
+
+QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
+ORACLE_SQL["kmeans_embeddings"] = sql_kmeans_embeddings()
