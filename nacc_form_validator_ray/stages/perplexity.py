@@ -177,36 +177,43 @@ def train_bigram_model(ds, text_column: str = "text",
     from nacc_form_validator_ray.stages.text_signals import \
         arrow_token_codes
 
-    def bigram_partials(batch: pd.DataFrame) -> pd.DataFrame:
+    def fused_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        """ONE tokenization per batch emits BOTH count kinds through a
+        single exchange: unigram rows carry the ``w2 == ""`` sentinel
+        (tokens match [a-z]+, so the empty string cannot collide)."""
         arr = pa.array(batch["text"].fillna(""), type=pa.string())
         codes, dictionary, tok_doc, _ = arrow_token_codes(arr)
-        if dictionary is None or len(codes) < 2:
+        if dictionary is None:
             return pd.DataFrame({"w1": pd.Series([], dtype=object),
                                  "w2": pd.Series([], dtype=object),
                                  "count": pd.Series([],
                                                     dtype=np.int64)})
-        same = tok_doc[1:] == tok_doc[:-1]
-        w1c = codes[:-1][same].astype(np.int64)
-        w2c = codes[1:][same].astype(np.int64)
-        packed, counts = np.unique(w1c * len(dictionary) + w2c,
-                                   return_counts=True)
         d = np.asarray(dictionary.to_pylist(), dtype=object)
-        return pd.DataFrame({
-            "w1": d[(packed // len(dictionary)).astype(np.int64)],
-            "w2": d[(packed % len(dictionary)).astype(np.int64)],
-            "count": counts.astype(np.int64)})
+        ucounts = np.bincount(codes, minlength=len(d))
+        w1 = [d]
+        w2 = [np.full(len(d), "", dtype=object)]
+        cnt = [ucounts.astype(np.int64)]
+        if len(codes) >= 2:
+            same = tok_doc[1:] == tok_doc[:-1]
+            w1c = codes[:-1][same].astype(np.int64)
+            w2c = codes[1:][same].astype(np.int64)
+            packed, counts = np.unique(w1c * len(d) + w2c,
+                                       return_counts=True)
+            w1.append(d[(packed // len(d)).astype(np.int64)])
+            w2.append(d[(packed % len(d)).astype(np.int64)])
+            cnt.append(counts.astype(np.int64))
+        return pd.DataFrame({"w1": np.concatenate(w1),
+                             "w2": np.concatenate(w2),
+                             "count": np.concatenate(cnt)})
 
-    uni_partials = ds.map_batches(
-        lambda b: _batch_token_counts(b, text_column),
-        batch_format="pandas")
-    uni = grouped_agg_sum(uni_partials, ["token"], ["count"],
-                          num_partitions=num_partitions).to_pandas()
-    bi = grouped_agg_sum(
-        ds.map_batches(bigram_partials, batch_format="pandas"),
+    merged = grouped_agg_sum(
+        ds.map_batches(fused_partials, batch_format="pandas"),
         ["w1", "w2"], ["count"],
         num_partitions=num_partitions).to_pandas()
+    is_uni = merged["w2"] == ""
+    uni, bi = merged[is_uni], merged[~is_uni]
     return {
-        "uni": dict(zip(uni["token"], uni["count"].astype(int))),
+        "uni": dict(zip(uni["w1"], uni["count"].astype(int))),
         "bi": {f"{a} {b}": int(c) for a, b, c in
                zip(bi["w1"], bi["w2"], bi["count"])},
         "add_k": add_k,
