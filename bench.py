@@ -337,6 +337,9 @@ def bench_queries(sf_dir: str):
         "user_event_seq": lambda: consume(Q.q_user_event_seq(sf_dir)),
         "kmeans_embeddings": lambda: consume(
             Q.q_kmeans_embeddings(sf_dir)),
+        "semdedup_embeddings": lambda: consume(
+            Q.q_semdedup_embeddings(sf_dir)),
+        "dsir_weights": lambda: consume(Q.q_dsir_weights(sf_dir)),
     }
 
 

@@ -4701,11 +4701,12 @@ def q_kmeans_embeddings(sf_dir: str):
     return kmeans_train(ds, k=8, iterations=3)
 
 
-def sql_kmeans_embeddings(k: int = 8, iterations: int = 3) -> str:
-    """Chained per-iteration CTE twin of q_kmeans_embeddings (assign →
-    component sums → rebuilt centroid list per round; MATERIALIZED —
-    each stage is referenced twice and DuckDB's default inlining is
-    exponential in chain depth)."""
+def sql_kmeans_ctes(k: int = 8, iterations: int = 3) -> list:
+    """The chained per-iteration Lloyd CTEs shared by the k-means and
+    SemDeDup twins (assign → component sums → rebuilt centroid list per
+    round; MATERIALIZED — each stage is referenced twice and DuckDB's
+    default inlining is exponential in chain depth). Returns the CTE
+    list through ``c{iterations}`` (plus ``vv``/``ux``/``a*``/``s*``)."""
     S = float(1 << 12)
     ctes = [f"""vv AS MATERIALIZED (
   SELECT vec_id,
@@ -4745,6 +4746,13 @@ def sql_kmeans_embeddings(k: int = 8, iterations: int = 3) -> str:
   LEFT JOIN s{i} s ON s.cid = p.cid AND s.idx = p.idx
   GROUP BY p.cid
 )""")
+    return ctes
+
+
+def sql_kmeans_embeddings(k: int = 8, iterations: int = 3) -> str:
+    """q_kmeans_embeddings' twin: the shared Lloyd CTEs plus the final
+    model projection."""
+    ctes = sql_kmeans_ctes(k, iterations)
     T = iterations
     return f"""
 WITH {', '.join(ctes)},
@@ -4762,3 +4770,120 @@ LEFT JOIN members m ON m.cid = f.cid
 
 QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
 ORACLE_SQL["kmeans_embeddings"] = sql_kmeans_embeddings()
+
+
+def q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540): k-means-partitioned semantic
+    dedup — train the exact-integer Lloyd model, broadcast the centroid
+    matrix, assign every vector in one map pass, then ONE hash exchange
+    on the cluster id; within a cluster a vector is dropped when a
+    smaller-id member sits within the quantized squared-L2 threshold
+    (stages/semdedup.py documents the bit-exactness contract and the
+    max_anchors bound mirrored by the twin's row_number() cap)."""
+    from nacc_form_validator_ray.stages.semdedup import semdedup
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    return semdedup(ds, k=8, iterations=3,
+                    dist2_threshold=20_000_000, max_anchors=4096)
+
+
+def sql_semdedup_embeddings(k: int = 8, iterations: int = 3,
+                            dist2_threshold: int = 20_000_000,
+                            max_anchors: int = 4096) -> str:
+    """q_semdedup_embeddings' twin: the shared Lloyd CTEs, one final
+    assignment against c{T}, then the within-cluster smaller-id
+    neighbor test (anchors capped at row_number() <= max_anchors)."""
+    ctes = sql_kmeans_ctes(k, iterations)
+    T = iterations
+    return f"""
+WITH {', '.join(ctes)},
+af AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vv.vec_id, c.cid,
+           row_number() OVER (PARTITION BY vv.vec_id ORDER BY
+               list_dot_product(c.cv, c.cv)
+               - 2 * list_dot_product(vv.v, c.cv), c.cid) AS rn
+    FROM vv, c{T} c) WHERE rn = 1
+), ranked AS MATERIALIZED (
+  SELECT a.vec_id, a.cid, v.v,
+         row_number() OVER (PARTITION BY a.cid
+                            ORDER BY a.vec_id) AS rn
+  FROM af a JOIN vv v USING (vec_id)
+), dup AS (
+  SELECT m.vec_id, min(e.vec_id) AS dup_of
+  FROM ranked m JOIN ranked e
+    ON e.cid = m.cid AND e.vec_id < m.vec_id
+   AND e.rn <= {max_anchors}
+  WHERE list_dot_product(m.v, m.v) + list_dot_product(e.v, e.v)
+        - 2 * list_dot_product(m.v, e.v) <= {dist2_threshold}
+  GROUP BY m.vec_id
+)
+SELECT r.vec_id, r.cid,
+       (d.dup_of IS NULL) AS kept,
+       CAST(coalesce(d.dup_of, -1) AS BIGINT) AS dup_of
+FROM ranked r LEFT JOIN dup d ON d.vec_id = r.vec_id
+"""
+
+
+QUERIES["semdedup_embeddings"] = q_semdedup_embeddings
+ORACLE_SQL["semdedup_embeddings"] = sql_semdedup_embeddings()
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (arXiv:2302.03169): one fused pass
+    counts every token for the raw corpus AND the target domain
+    (source = 'src0'), one exchange merges the vocab table, and an
+    actor pool scores each document's quantized log2 importance ratio
+    sum — exact dyadic arithmetic on the 2^-20 grid, so the per-doc
+    weights are bit-identical across parallelism levels and to the
+    DuckDB twin (stages/importance.py documents the contract)."""
+    from nacc_form_validator_ray.stages.importance import (
+        ImportanceScorer, train_importance_model)
+    ds = _docs(sf_dir, columns=["doc_id", "text", "source"])
+    model = train_importance_model(ds, select_column="source",
+                                   select_value="src0")
+    scored = ds.map_batches(ImportanceScorer,
+                            fn_constructor_kwargs={"model": model},
+                            batch_format="pyarrow", concurrency=(1, 4))
+    return scored.select_columns(["doc_id", "dsir_weight",
+                                  "dsir_tokens"])
+
+
+# Twin rebuilds both unigram models from one token stream: raw counts
+# over all documents, target counts over source='src0' rows, add-0.5
+# smoothing, each log-prob quantized to the 2^-20 grid BEFORE the
+# subtraction (same floor(x*S + 0.5)/S convention as the perplexity
+# twin) — differences and per-doc sums of grid values are exact.
+SQL_DSIR_WEIGHTS = """
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT tok, count(*) AS cr,
+         sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct
+  FROM tok GROUP BY tok
+), consts AS (
+  SELECT sum(cr) AS tr, count(*) AS vr, sum(ct) AS tt,
+         sum(CASE WHEN ct > 0 THEN 1 ELSE 0 END) AS vt
+  FROM cnt
+), model AS (
+  SELECT tok,
+         floor(log2((ct + 0.5) / (tt + 0.5 * (vt + 1)))
+               * 1048576.0 + 0.5) / 1048576.0
+       - floor(log2((cr + 0.5) / (tr + 0.5 * (vr + 1)))
+               * 1048576.0 + 0.5) / 1048576.0 AS lr
+  FROM cnt, consts
+), scored AS (
+  SELECT t.doc_id, count(*) AS n_toks, sum(m.lr) AS w
+  FROM tok t JOIN model m USING (tok)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.w, 0.0) + 0.0 AS dsir_weight,
+       CAST(coalesce(s.n_toks, 0) AS BIGINT) AS dsir_tokens
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+QUERIES["dsir_weights"] = q_dsir_weights
+ORACLE_SQL["dsir_weights"] = SQL_DSIR_WEIGHTS

@@ -65,17 +65,17 @@ def _init_centroids(ds, vec_column: str, id_column: str, k: int):
     return _quantize(X[order])
 
 
-def kmeans_train(ds, vec_column: str = "embedding",
-                 id_column: str = "vec_id", k: int = 8,
-                 iterations: int = 3):
-    """Run ``iterations`` Lloyd rounds; return a Dataset of the final
-    model as ``(cid, dim, cval, n_members)`` rows — ``cval`` the
-    centroid component AFTER the last update, ``n_members`` the
-    cluster's size in the last ASSIGNMENT (0 for a cluster that
-    emptied and kept its previous centroid)."""
+def kmeans_fit(ds, vec_column: str = "embedding",
+               id_column: str = "vec_id", k: int = 8,
+               iterations: int = 3):
+    """Run ``iterations`` Lloyd rounds; return ``(cents, counts)`` —
+    the quantized int64 ``(k, d)`` centroid matrix AFTER the last
+    update and each cluster's size in the last ASSIGNMENT (0 for a
+    cluster that emptied and kept its previous centroid). The matrix is
+    model-sized (tiny) — downstream stages broadcast it with
+    ``ray.put`` (semdedup's assignment pass does exactly that)."""
     import pyarrow as pa
     import ray
-    import ray.data as rd
     from nacc_form_validator_ray.stages.similarity import \
         _matrix_from_arrow
 
@@ -115,6 +115,19 @@ def kmeans_train(ds, vec_column: str = "embedding",
         cents = cents.copy()
         cents[live] = sums[live] // counts[live, None]
 
+    return cents, counts
+
+
+def kmeans_train(ds, vec_column: str = "embedding",
+                 id_column: str = "vec_id", k: int = 8,
+                 iterations: int = 3):
+    """``kmeans_fit`` reshaped as a Dataset of ``(cid, dim, cval,
+    n_members)`` rows — the exchangeable model artifact."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    cents, counts = kmeans_fit(ds, vec_column, id_column, k, iterations)
+    k, d = cents.shape
     cid = np.repeat(np.arange(k, dtype=np.int64), d)
     return rd.from_arrow(pa.table({
         "cid": pa.array(cid),

@@ -1,0 +1,114 @@
+"""SemDeDup — semantic deduplication via k-means partitioning
+(Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication", arXiv:2303.09540).
+
+The published recipe: cluster the corpus embeddings with k-means, then
+compare vectors ONLY within their cluster and drop all but one member
+of every near-duplicate group. Clustering turns the quadratic global
+pair space into k independent quadratic-in-cluster-size problems —
+exactly a hash-exchange shape (the cluster id is the partition key).
+
+Scale shape (100 TB):
+
+* the k-means model is trained by :func:`~.kmeans.kmeans_fit` (per-batch
+  ``(k, d+1)`` partials, driver k-way merge — the model is tiny and the
+  data is never exchanged during training);
+* the final centroid matrix is broadcast ONCE with ``ray.put``; one
+  ``map_batches`` pass assigns every vector its cluster id;
+* one hash exchange on ``cid`` co-locates each cluster; the quantized
+  vectors ride the exchange as ``list<int64>`` (inherent to SemDeDup —
+  the within-cluster comparison needs the vectors themselves; an int16
+  cast would halve the wire bytes since components fit 13 bits, kept
+  int64 here for zero-copy reassembly);
+* within a cluster, every member is compared against the
+  ``max_anchors`` SMALLEST-id members only (one bounded
+  ``n × anchors`` integer matmul per cluster) — the same degenerate-
+  bucket cap the MinHash/SimHash stages use, mirrored in the SQL twin
+  via ``row_number() <= max_anchors``.
+
+Exactness contract (same grid as stages/kmeans.py): components are
+``floor(x * 2^12 + 0.5)`` int64, pair distance is the quantized squared
+L2 ``|a|^2 + |b|^2 - 2 a·b`` — with 64 dims and |component| < 2^13
+every term stays below 2^32, exact in int64 and in DuckDB's DOUBLE
+``list_dot_product``. A member is DROPPED when any smaller-id anchor in
+its cluster sits within ``dist2_threshold``; ``dup_of`` is the SMALLEST
+such anchor id (deterministic across partitionings), -1 for kept rows.
+
+On L2 vs cosine: the paper applies cosine similarity to NORMALIZED
+embeddings, where ``1 - cos = ||a - b||^2 / 2`` — thresholding squared
+L2 on the quantized grid is the same decision rule, division-free and
+bit-reproducible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nacc_form_validator_ray.stages.kmeans import _quantize, kmeans_fit
+
+
+def semdedup(ds, vec_column: str = "embedding",
+             id_column: str = "vec_id", k: int = 8,
+             iterations: int = 3,
+             dist2_threshold: int = 20_000_000,
+             max_anchors: int = 4096,
+             num_partitions: int = 16):
+    """Return a Dataset of ``(vec_id, cid, kept, dup_of)`` — one row per
+    input vector; ``kept`` is False for members whose cluster holds a
+    smaller-id vector within ``dist2_threshold`` (quantized squared L2),
+    ``dup_of`` that smallest anchor id (-1 when kept)."""
+    import pyarrow as pa
+    import ray
+
+    from nacc_form_validator_ray.stages.partition import hash_exchange
+    from nacc_form_validator_ray.stages.similarity import \
+        _matrix_from_arrow
+
+    cents, _ = kmeans_fit(ds, vec_column, id_column, k, iterations)
+    wref = ray.put(cents)
+
+    def assign(batch: "pa.Table") -> "pa.Table":
+        C = ray.get(wref)
+        X = _quantize(_matrix_from_arrow(batch[vec_column]))
+        # argmin_c (c·c - 2 x·c); ties -> lowest cid (np.argmin)
+        dist = (C * C).sum(axis=1)[None, :] - 2 * (X @ C.T)
+        return pa.table({
+            id_column: batch[id_column],
+            "cid": pa.array(np.argmin(dist, axis=1).astype(np.int64)),
+            "__v": pa.array(list(X)),
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def dedupe(part: "pa.Table") -> dict:
+        ids = part[id_column].to_numpy(zero_copy_only=False)
+        cid = part["cid"].to_numpy(zero_copy_only=False)
+        X = _matrix_from_arrow(part["__v"]).astype(np.int64)
+        order = np.lexsort((ids, cid))
+        ids, cid, X = ids[order], cid[order], X[order]
+        dup_of = np.full(len(ids), -1, dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, cid[1:] != cid[:-1]])
+        ends = np.r_[starts[1:], len(cid)]
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            V = X[s:e]                       # ascending vec_id
+            na = (V * V).sum(axis=1)
+            A = V[:min(n, max_anchors)]
+            # d2[i, j] = |v_i - a_j|^2, exact int64
+            d2 = na[:, None] + na[None, :len(A)] - 2 * (V @ A.T)
+            hit = d2 <= dist2_threshold
+            # anchors must be strictly smaller-id than the member:
+            # anchor j is row j of the sorted cluster
+            hit &= np.arange(len(A))[None, :] < \
+                np.minimum(np.arange(n), max_anchors)[:, None]
+            any_hit = hit.any(axis=1)
+            first = np.argmax(hit, axis=1)
+            dup_of[s:e][any_hit] = ids[s:e][first[any_hit]]
+        return {id_column: ids, "cid": cid,
+                "kept": dup_of < 0, "dup_of": dup_of}
+
+    return hash_exchange(assigned, ["cid"], dedupe,
+                         num_partitions=num_partitions,
+                         fn_format="pyarrow")

@@ -25,7 +25,7 @@ FAST_QUERIES = [
     "percentile_cut_docs", "rolling_user_stats", "latest_events",
     "lr_score_docs", "label_centroids", "user_type_pivot",
     "user_outlier_events", "new_users_by_day", "q3_shipping_priority",
-    "pmi_bigrams",
+    "pmi_bigrams", "semdedup_embeddings", "dsir_weights",
 ]
 
 

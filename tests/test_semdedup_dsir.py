@@ -1,0 +1,99 @@
+"""SemDeDup and DSIR importance weighting: determinism across
+partitionings, known-answer drop behavior, and the grid-exactness
+contract that backs their DuckDB twins."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from nacc_form_validator_ray.stages.importance import (
+    ImportanceScorer, train_importance_model)
+from nacc_form_validator_ray.stages.semdedup import semdedup
+
+
+def _emb_ds(vecs: np.ndarray, reps: int):
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    return rd.from_arrow(tbl).repartition(reps)
+
+
+def test_semdedup_drops_near_duplicates_to_smallest_id():
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 8)).astype(np.float32)
+    # rows 37..39 are byte-identical to rows 3..5 -> must drop, with
+    # dup_of pointing at the SMALLEST qualifying cluster-mate
+    vecs = np.concatenate([base[:37], base[3:6]], axis=0)
+    out = semdedup(_emb_ds(vecs, 3), k=4, iterations=2,
+                   dist2_threshold=10, num_partitions=4) \
+        .to_pandas().set_index("vec_id").sort_index()
+    assert not out.loc[37, "kept"] and out.loc[37, "dup_of"] == 3
+    assert not out.loc[38, "kept"] and out.loc[38, "dup_of"] == 4
+    assert not out.loc[39, "kept"] and out.loc[39, "dup_of"] == 5
+    assert out["kept"].sum() == 37
+    assert (out.loc[out["kept"], "dup_of"] == -1).all()
+
+
+def test_semdedup_partitioning_invariance():
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(200, 12)).astype(np.float32)
+    # threshold wide enough that real in-cluster drops occur
+    a = semdedup(_emb_ds(vecs, 1), k=5, iterations=3,
+                 dist2_threshold=300_000_000, num_partitions=2) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    b = semdedup(_emb_ds(vecs, 9), k=5, iterations=3,
+                 dist2_threshold=300_000_000, num_partitions=16) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (~a["kept"]).sum() > 0  # the threshold actually fires
+
+
+def _doc_ds(texts, sources, reps: int):
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "source": pa.array(sources, pa.string()),
+    })
+    return rd.from_arrow(tbl).repartition(reps)
+
+
+def test_dsir_weights_favor_target_vocabulary():
+    texts = (["quantum flux capacitor"] * 5
+             + ["mundane filler words here"] * 20)
+    sources = ["tgt"] * 5 + ["raw"] * 20
+    ds = _doc_ds(texts, sources, 3)
+    model = train_importance_model(ds, select_column="source",
+                                   select_value="tgt")
+    scored = ds.map_batches(
+        ImportanceScorer, fn_constructor_kwargs={"model": model},
+        batch_format="pyarrow", concurrency=1).to_pandas() \
+        .set_index("doc_id")
+    # target-domain docs must outscore the raw filler docs
+    assert scored.loc[0, "dsir_weight"] > scored.loc[10, "dsir_weight"]
+    assert scored.loc[0, "dsir_tokens"] == 3
+
+
+def test_dsir_weights_partitioning_invariant_bitwise():
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+             for _ in range(120)]
+    sources = [("tgt" if i % 7 == 0 else "raw") for i in range(120)]
+    outs = []
+    for reps in (1, 11):
+        ds = _doc_ds(texts, sources, reps)
+        model = train_importance_model(ds, select_column="source",
+                                       select_value="tgt")
+        df = ds.map_batches(
+            ImportanceScorer, fn_constructor_kwargs={"model": model},
+            batch_format="pyarrow", concurrency=2).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        outs.append(df[["doc_id", "dsir_weight", "dsir_tokens"]])
+    # grid-quantized ratios -> per-doc sums are EXACT dyadic floats:
+    # bit-identical regardless of partitioning and summation order
+    assert (outs[0]["dsir_weight"].to_numpy()
+            == outs[1]["dsir_weight"].to_numpy()).all()
+    pd.testing.assert_frame_equal(outs[0], outs[1])
