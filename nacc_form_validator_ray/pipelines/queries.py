@@ -3079,12 +3079,12 @@ WITH cents AS (
 ), qv AS (
   SELECT vec_id AS query_id,
          list_transform(embedding,
-                        x -> floor(x * {S!r} + 0.5)) AS q
+                        x -> floor(CAST(x AS DOUBLE) * {S!r} + 0.5)) AS q
   FROM embeddings WHERE vec_id < 10
 ), vv AS (
   SELECT vec_id,
          list_transform(embedding,
-                        x -> floor(x * {S!r} + 0.5)) AS v
+                        x -> floor(CAST(x AS DOUBLE) * {S!r} + 0.5)) AS v
   FROM embeddings
 ), qn AS (
   SELECT query_id, q, list_dot_product(q, q) AS nq FROM qv
@@ -4711,7 +4711,7 @@ def sql_kmeans_ctes(k: int = 8, iterations: int = 3) -> list:
     ctes = [f"""vv AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding,
-                        x -> floor(x * {S!r} + 0.5)) AS v
+                        x -> floor(CAST(x AS DOUBLE) * {S!r} + 0.5)) AS v
   FROM embeddings
 )""", f"""c0 AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)

@@ -51,6 +51,40 @@ def test_semdedup_partitioning_invariance():
     assert (~a["kept"]).sum() > 0  # the threshold actually fires
 
 
+def test_semdedup_twin_exact_on_large_magnitude_vectors():
+    """Round-3 fuzz regression: DuckDB resolves FLOAT * DOUBLE as FLOAT,
+    so a quantize lambda without CAST(x AS DOUBLE) yields FLOAT[] lists
+    and list_dot_product accumulates in float32 — at |component| ~ 8 the
+    norms reach ~1e9 where float32's ulp is 64, and a true d2 = 2 pair
+    silently missed the threshold. The twins now cast; this locks it."""
+    import duckdb
+
+    from nacc_form_validator_ray.pipelines.queries import \
+        sql_semdedup_embeddings
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(scale=2.0, size=(60, 31)).astype(np.float32)
+    vecs[59] = vecs[7]  # exact dup at large magnitude
+    ds = _emb_ds(vecs, 4)
+    got = semdedup(ds, k=2, iterations=2, dist2_threshold=71,
+                   num_partitions=4).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert not got.loc[59, "kept"] and got.loc[59, "dup_of"] == 7
+    con = duckdb.connect()
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    con.register("emb", tbl)
+    con.sql("CREATE VIEW embeddings AS SELECT * FROM emb")
+    want = con.sql(sql_semdedup_embeddings(
+        k=2, iterations=2, dist2_threshold=71)).df() \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want[["vec_id", "cid", "kept", "dup_of"]],
+        check_dtype=False)
+
+
 def _doc_ds(texts, sources, reps: int):
     tbl = pa.table({
         "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
