@@ -340,6 +340,8 @@ def bench_queries(sf_dir: str):
         "semdedup_embeddings": lambda: consume(
             Q.q_semdedup_embeddings(sf_dir)),
         "dsir_weights": lambda: consume(Q.q_dsir_weights(sf_dir)),
+        "q13_customer_distribution": lambda: consume(
+            Q.q13_customer_distribution(sf_dir)),
     }
 
 

@@ -4273,6 +4273,76 @@ QUERIES["q3_shipping_priority"] = q3_shipping_priority
 ORACLE_SQL["q3_shipping_priority"] = SQL_Q3_SHIPPING_PRIORITY
 
 
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape — the LEFT OUTER JOIN distribution query: count
+    each customer's qualifying orders (including customers with zero)
+    and histogram the counts. Runs as ONE fused exchange: both sides
+    key on custkey, so the order side pre-aggregates per batch (lean
+    (custkey, cnt) partials — order payload never rides the wire), the
+    customer side ships keys only, and each partition counts, aligns
+    the left side (zero-fill = the OUTER semantics), and emits a
+    partial histogram; a tiny second exchange merges histograms."""
+    from nacc_form_validator_ray.stages.partition import (
+        grouped_agg_sum, hash_exchange)
+    rd_ = _rd()
+    cust = rd_.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey"])
+    orders = rd_.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_orderpriority"])
+
+    def cust_rows(t):
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+        return {"custkey": keys.astype(np.int64),
+                "cnt": np.zeros(len(keys), dtype=np.int64),
+                "side": np.zeros(len(keys), dtype=np.int8)}
+
+    def order_partials(t):
+        import pyarrow.compute as pc
+        mask = pc.not_equal(t["o_orderpriority"], "5-LOW")
+        keys = t.filter(mask)["o_custkey"] \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, counts = np.unique(keys, return_counts=True)
+        return {"custkey": uniq,
+                "cnt": counts.astype(np.int64),
+                "side": np.ones(len(uniq), dtype=np.int8)}
+
+    unioned = cust.map_batches(cust_rows, batch_format="pyarrow") \
+        .union(orders.map_batches(order_partials,
+                                  batch_format="pyarrow"))
+
+    def dist(part: pd.DataFrame) -> pd.DataFrame:
+        left = part.loc[part["side"] == 0, "custkey"] \
+            .to_numpy(np.int64)
+        o = part[part["side"] == 1]
+        counts = np.zeros(len(left), dtype=np.int64)
+        if len(o):
+            sums = o.groupby("custkey", sort=False)["cnt"].sum()
+            counts = sums.reindex(left).fillna(0) \
+                .to_numpy(np.int64)
+        hist_k, hist_n = np.unique(counts, return_counts=True)
+        return pd.DataFrame({"c_count": hist_k,
+                             "custdist": hist_n.astype(np.int64)})
+
+    parts = hash_exchange(unioned, ["custkey"], dist,
+                          num_partitions=16)
+    return grouped_agg_sum(parts, ["c_count"], ["custdist"],
+                           num_partitions=4)
+
+
+SQL_Q13_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey)
+GROUP BY c_count
+"""
+
+QUERIES["q13_customer_distribution"] = q13_customer_distribution
+ORACLE_SQL["q13_customer_distribution"] = SQL_Q13_CUSTOMER_DISTRIBUTION
+
+
 def q_pmi_bigrams(sf_dir: str):
     """Collocation extraction: top-50 bigrams by pointwise mutual
     information. One tokenizing pass emits per-batch unigram AND
