@@ -16,10 +16,12 @@ Scale shape (100 TB):
 * the final centroid matrix is broadcast ONCE with ``ray.put``; one
   ``map_batches`` pass assigns every vector its cluster id;
 * one hash exchange on ``cid`` co-locates each cluster; the quantized
-  vectors ride the exchange as ``list<int64>`` (inherent to SemDeDup —
-  the within-cluster comparison needs the vectors themselves; an int16
-  cast would halve the wire bytes since components fit 13 bits, kept
-  int64 here for zero-copy reassembly);
+  vectors ride the exchange as ``list<int32>`` — half the wire bytes
+  of int64, and the exchange IS the dominant cost of SemDeDup at
+  100 TB (the within-cluster comparison needs the vectors themselves).
+  Components are range-checked per batch (|x| < 2^31/2^12 = 524288 —
+  generous for any embedding space) and widened back to int64 before
+  the exact distance matmul;
 * within a cluster, every member is compared against the
   ``max_anchors`` SMALLEST-id members only (one bounded
   ``n × anchors`` integer matmul per cluster) — the same degenerate-
@@ -72,10 +74,15 @@ def semdedup(ds, vec_column: str = "embedding",
         X = _quantize(_matrix_from_arrow(batch[vec_column]))
         # argmin_c (c·c - 2 x·c); ties -> lowest cid (np.argmin)
         dist = (C * C).sum(axis=1)[None, :] - 2 * (X @ C.T)
+        if len(X) and np.abs(X).max() >= np.int64(1) << 31:
+            raise ValueError(
+                "semdedup wire format is int32: quantized component "
+                f"magnitude {np.abs(X).max()} >= 2^31 (raw |x| must "
+                "stay below 2^19)")
         return pa.table({
             id_column: batch[id_column],
             "cid": pa.array(np.argmin(dist, axis=1).astype(np.int64)),
-            "__v": pa.array(list(X)),
+            "__v": pa.array(list(X.astype(np.int32))),
         })
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")
