@@ -342,6 +342,8 @@ def bench_queries(sf_dir: str):
         "dsir_weights": lambda: consume(Q.q_dsir_weights(sf_dir)),
         "q13_customer_distribution": lambda: consume(
             Q.q13_customer_distribution(sf_dir)),
+        "kn_perplexity_docs": lambda: consume(
+            Q.q_kn_perplexity_docs(sf_dir)),
     }
 
 

@@ -2925,6 +2925,90 @@ QUERIES["bigram_perplexity_docs"] = q_bigram_perplexity_docs
 ORACLE_SQL["bigram_perplexity_docs"] = SQL_BIGRAM_PERPLEXITY_DOCS
 
 
+def q_kn_perplexity_docs(sf_dir: str):
+    """Interpolated Kneser–Ney bigram perplexity — the smoothing family
+    KenLM implements (absolute discount D=0.5, smoothed continuation
+    distribution). Same scale shape as the other LM pipelines: one
+    fused count exchange trains the model, the KN statistics (context
+    totals, N1+ fan-outs, continuation counts) derive on the driver
+    from the vocab-sized artifact, and an actor pool scores batches
+    with dictionary-resolved vectorized lookups. Log2 terms ride the
+    2^-20 grid, so per-doc sums are exact (stages/perplexity.KNScorer
+    documents the expression tree the twin mirrors)."""
+    from nacc_form_validator_ray.stages.perplexity import (KNScorer,
+                                                           train_kn_model)
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    model = train_kn_model(ds)
+    scored = ds.map_batches(KNScorer,
+                            fn_constructor_kwargs={"model": model},
+                            batch_format="pyarrow", concurrency=(1, 4))
+    return scored.select_columns(["doc_id", "log_ppl", "ppl_tokens",
+                                  "unseen_bigrams"])
+
+
+# Twin rebuilds the KN statistics in SQL from the same token stream:
+# ctx/N1+(w1,·) per context, continuation counts N1+(·,w2), distinct
+# bigram total; the CASE mirrors KNScorer's expression tree operation
+# for operation (greatest(c-D,0)/ctx + ((D*n1f)/ctx)*pcont, full
+# backoff to pcont for doc-initial or context-less tokens).
+SQL_KN_PERPLEXITY_DOCS = """
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS tok
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+        FROM documents)
+), uc AS (
+  SELECT tok FROM tok GROUP BY tok
+), vconst AS (
+  SELECT CAST(count(*) AS BIGINT) AS v FROM uc
+), bc AS (
+  SELECT t1.tok AS w1, t2.tok AS w2, CAST(count(*) AS BIGINT) AS c
+  FROM tok t2
+  JOIN tok t1 ON t1.doc_id = t2.doc_id AND t1.i = t2.i - 1
+  GROUP BY t1.tok, t2.tok
+), ctx AS (
+  SELECT w1, CAST(sum(c) AS DOUBLE) AS c1,
+         CAST(count(*) AS DOUBLE) AS n1f
+  FROM bc GROUP BY w1
+), cont AS (
+  SELECT w2, CAST(count(*) AS DOUBLE) AS n1b FROM bc GROUP BY w2
+), bconst AS (
+  SELECT CAST(count(*) AS DOUBLE) AS b FROM bc
+), lp AS (
+  SELECT t.doc_id,
+    CASE WHEN t.i = 1 OR cx.c1 IS NULL THEN
+      floor(log2((coalesce(ct.n1b, 0) + 0.5)
+                 / (bconst.b + 0.5 * (vconst.v + 1)))
+            * 1048576.0 + 0.5) / 1048576.0
+    ELSE
+      floor(log2(greatest(coalesce(b.c, 0) - 0.5, 0) / cx.c1
+                 + ((0.5 * cx.n1f) / cx.c1)
+                   * ((coalesce(ct.n1b, 0) + 0.5)
+                      / (bconst.b + 0.5 * (vconst.v + 1))))
+            * 1048576.0 + 0.5) / 1048576.0
+    END AS lp,
+    CASE WHEN t.i > 1 AND b.c IS NULL THEN 1 ELSE 0 END AS unseen
+  FROM tok t
+  CROSS JOIN bconst CROSS JOIN vconst
+  LEFT JOIN cont ct ON ct.w2 = t.tok
+  LEFT JOIN tok p ON p.doc_id = t.doc_id AND p.i = t.i - 1
+  LEFT JOIN ctx cx ON cx.w1 = p.tok
+  LEFT JOIN bc b ON b.w1 = p.tok AND b.w2 = t.tok
+), scored AS (
+  SELECT doc_id, count(*) AS n, sum(lp) AS slp,
+         CAST(sum(unseen) AS BIGINT) AS uns
+  FROM lp GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(-slp / n, 0.0) AS log_ppl,
+       CAST(coalesce(n, 0) AS BIGINT) AS ppl_tokens,
+       coalesce(uns, 0) AS unseen_bigrams
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+QUERIES["kn_perplexity_docs"] = q_kn_perplexity_docs
+ORACLE_SQL["kn_perplexity_docs"] = SQL_KN_PERPLEXITY_DOCS
+
+
 def q_normalize_text_docs(sf_dir: str):
     """Unicode canonicalization of the documents table (NFC + lower +
     whitespace collapse + trim) — the dedup-key normalization pass."""

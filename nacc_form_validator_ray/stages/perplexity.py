@@ -306,3 +306,137 @@ class BigramScorer:
         for name, values in cols.items():
             batch[name] = values
         return batch
+
+
+def train_kn_model(ds, text_column: str = "text",
+                   num_partitions: int = 16) -> Dict[str, Any]:
+    """Interpolated Kneser–Ney bigram model (absolute discount
+    D = 0.5) — the smoothing family KenLM actually implements, derived
+    from the SAME fused one-pass count exchange as
+    :func:`train_bigram_model`:
+
+    * ``ctx[w1]``  = Σ_w2 c(w1,w2)  (occurrences of w1 as a context),
+    * ``n1f[w1]``  = |{w2 : c(w1,w2) > 0}|  (N1+(w1,·)),
+    * ``n1b[w2]``  = |{w1 : c(w1,w2) > 0}|  (N1+(·,w2), the
+      continuation count), and
+    * ``n_bigrams`` = N1+(··).
+
+    The discount and the continuation add-k (both 0.5) are dyadic, so
+    every probability is a ratio of exactly-representable values and
+    the grid-quantized log2 terms match the DuckDB twin bit-for-bit.
+    """
+    base = train_bigram_model(ds, text_column=text_column,
+                              num_partitions=num_partitions)
+    ctx: Dict[str, int] = {}
+    n1f: Dict[str, int] = {}
+    n1b: Dict[str, int] = {}
+    for key, c in base["bi"].items():
+        w1, w2 = key.split(" ", 1)
+        ctx[w1] = ctx.get(w1, 0) + c
+        n1f[w1] = n1f.get(w1, 0) + 1
+        n1b[w2] = n1b.get(w2, 0) + 1
+    return {"uni": base["uni"], "bi": base["bi"], "ctx": ctx,
+            "n1f": n1f, "n1b": n1b, "n_bigrams": len(base["bi"]),
+            "discount": 0.5}
+
+
+class KNScorer:
+    """Actor-pool scorer for the Kneser–Ney bigram model. Per-token
+    probability (D = 0.5, smoothed continuation distribution
+    ``pcont(w) = (N1+(·,w) + 0.5) / (N1+(··) + 0.5 (V+1))``):
+
+    * document-initial token, or previous token never seen as a
+      context: ``pcont(w)`` (full backoff);
+    * otherwise ``max(c(w1,w2) - D, 0)/ctx(w1)
+      + ((D · N1+(w1,·))/ctx(w1)) · pcont(w2)``.
+
+    Each log2 is quantized to the 2^-20 grid so per-doc sums are exact
+    dyadic floats — bit-identical across partitionings and to
+    SQL_KN_PERPLEXITY_DOCS, whose CASE mirrors this expression tree
+    operation for operation."""
+
+    def __init__(self, model: Optional[Dict[str, Any]] = None,
+                 model_path: Optional[str] = None,
+                 text_column: str = "text"):
+        if model is None:
+            if model_path is None:
+                raise ValueError("need model or model_path")
+            with open(model_path) as f:
+                model = json.load(f)
+        self.text_column = text_column
+        self.bi = model["bi"]
+        self.ctx = model["ctx"]
+        self.n1f = model["n1f"]
+        self.n1b = model["n1b"]
+        self.D = float(model["discount"])
+        V = len(model["uni"])
+        self.den_cont = float(model["n_bigrams"]) + 0.5 * (V + 1)
+
+    def _score(self, text_arr) -> Dict[str, np.ndarray]:
+        from nacc_form_validator_ray.stages.text_signals import \
+            arrow_token_codes
+        n = len(text_arr)
+        codes, dictionary, tok_doc, lens = arrow_token_codes(text_arr)
+        log_ppl = np.zeros(n, dtype=np.float64)
+        unseen = np.zeros(n, dtype=np.int64)
+        if len(codes):
+            d = dictionary.to_pylist()
+            pcont_d = (np.array([self.n1b.get(t, 0) for t in d],
+                                dtype=np.float64) + 0.5) / self.den_cont
+            c1_d = np.array([self.ctx.get(t, 0) for t in d],
+                            dtype=np.float64)
+            n1f_d = np.array([self.n1f.get(t, 0) for t in d],
+                             dtype=np.float64)
+            pcont = pcont_d[codes]
+            # default = full backoff (doc-initial / context-less)
+            lp = np.floor(np.log2(pcont) * LOGP_SCALE + 0.5) \
+                / LOGP_SCALE
+            first = np.ones(len(codes), dtype=bool)
+            first[1:] = tok_doc[1:] != tok_doc[:-1]
+            rest = ~first
+            if rest.any():
+                prev = np.empty(len(codes), dtype=np.int64)
+                prev[1:] = codes[:-1]
+                prev[0] = 0
+                packed = prev[rest] * len(d) + codes[rest]
+                upk, inv = np.unique(packed, return_inverse=True)
+                cbi = np.array(
+                    [self.bi.get(f"{d[p // len(d)]} {d[p % len(d)]}",
+                                 0) for p in upk],
+                    dtype=np.float64)[inv]
+                c1 = c1_d[prev[rest]]
+                n1f = n1f_d[prev[rest]]
+                have_ctx = c1 > 0
+                c1s = np.maximum(c1, 1.0)
+                mix = np.where(
+                    have_ctx,
+                    np.maximum(cbi - self.D, 0.0) / c1s
+                    + ((self.D * n1f) / c1s) * pcont[rest],
+                    pcont[rest])
+                lp[rest] = np.floor(np.log2(mix) * LOGP_SCALE + 0.5) \
+                    / LOGP_SCALE
+                uns_tok = np.zeros(len(codes), dtype=np.int64)
+                uns_tok[rest] = (cbi == 0).astype(np.int64)
+                unseen = np.bincount(tok_doc, weights=uns_tok,
+                                     minlength=n).astype(np.int64)
+            sum_lp = np.bincount(tok_doc, weights=lp, minlength=n)
+            log_ppl = -sum_lp / np.maximum(lens, 1) + 0.0
+        return {"log_ppl": log_ppl, "ppl_tokens": lens,
+                "unseen_bigrams": unseen}
+
+    def __call__(self, batch):
+        import pyarrow as pa
+        if isinstance(batch, pa.Table):
+            col = batch[self.text_column]
+            arr = col.combine_chunks() if isinstance(
+                col, pa.ChunkedArray) else col
+            for name, values in self._score(arr).items():
+                batch = batch.append_column(name, pa.array(values))
+            return batch
+        text_arr = pa.array(batch[self.text_column].fillna(""),
+                            type=pa.string())
+        cols = self._score(text_arr)
+        batch = batch.copy()
+        for name, values in cols.items():
+            batch[name] = values
+        return batch

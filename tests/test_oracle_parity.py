@@ -26,7 +26,7 @@ FAST_QUERIES = [
     "lr_score_docs", "label_centroids", "user_type_pivot",
     "user_outlier_events", "new_users_by_day", "q3_shipping_priority",
     "pmi_bigrams", "semdedup_embeddings", "dsir_weights",
-    "q13_customer_distribution",
+    "q13_customer_distribution", "kn_perplexity_docs",
 ]
 
 

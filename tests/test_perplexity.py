@@ -125,3 +125,38 @@ def test_bigram_vs_duckdb_random():
     key = lambda d: d.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(key(eng), key(sql),
                                   check_dtype=False)
+
+
+def test_kn_vs_duckdb_random():
+    """KN bigram scorer vs its twin on random short docs — exercises
+    doc-initial backoff, unseen bigrams under a seen context, and the
+    context-less (doc-final-only word as prev) full-backoff path."""
+    import duckdb
+    from nacc_form_validator_ray.pipelines.queries import \
+        SQL_KN_PERPLEXITY_DOCS
+    from nacc_form_validator_ray.stages.perplexity import (KNScorer,
+                                                           train_kn_model)
+    rng = np.random.RandomState(47)
+    words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    docs = [" ".join(rng.choice(words, rng.randint(0, 12)))
+            for _ in range(70)]
+    docs += ["gg"]  # a word seen ONLY doc-final: context-less as prev
+    docs += ["gg hh", ""]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+    model = train_kn_model(rd.from_pandas(df))
+    outs = []
+    for reps in (1, 7):
+        eng = rd.from_pandas(df).repartition(reps).map_batches(
+            KNScorer, fn_constructor_kwargs={"model": model},
+            batch_format="pyarrow", concurrency=2).to_pandas()[
+            ["doc_id", "log_ppl", "ppl_tokens", "unseen_bigrams"]]
+        outs.append(eng.sort_values("doc_id").reset_index(drop=True))
+    # grid-exact sums: bit-identical across partitionings
+    assert (outs[0]["log_ppl"].to_numpy()
+            == outs[1]["log_ppl"].to_numpy()).all()
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = con.sql(SQL_KN_PERPLEXITY_DOCS).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(outs[0], sql, check_dtype=False)
