@@ -344,6 +344,8 @@ def bench_queries(sf_dir: str):
             Q.q13_customer_distribution(sf_dir)),
         "kn_perplexity_docs": lambda: consume(
             Q.q_kn_perplexity_docs(sf_dir)),
+        "knn_join_embeddings": lambda: consume(
+            Q.q_knn_join_embeddings(sf_dir)),
     }
 
 

@@ -4983,6 +4983,60 @@ QUERIES["semdedup_embeddings"] = q_semdedup_embeddings
 ORACLE_SQL["semdedup_embeddings"] = sql_semdedup_embeddings()
 
 
+def q_knn_join_embeddings(sf_dir: str):
+    """Cluster-partitioned kNN similarity SELF-JOIN: every vector's
+    top-3 nearest neighbors (quantized squared L2, ties to the smaller
+    id) among the other members of its k-means cell — the IVF-style
+    embedding join (n_probe=1) used for retrieval-augmented dedup at
+    corpus scale. One assignment pass + ONE cid exchange; the twin
+    rides the shared Lloyd CTEs plus a within-cell ranked self-join."""
+    from nacc_form_validator_ray.stages.semdedup import knn_join
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    return knn_join(ds, k=8, iterations=3, top_k=3, max_anchors=4096)
+
+
+def sql_knn_join_embeddings(k: int = 8, iterations: int = 3,
+                            top_k: int = 3,
+                            max_anchors: int = 4096) -> str:
+    ctes = sql_kmeans_ctes(k, iterations)
+    T = iterations
+    return f"""
+WITH {', '.join(ctes)},
+af AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vv.vec_id, c.cid,
+           row_number() OVER (PARTITION BY vv.vec_id ORDER BY
+               list_dot_product(c.cv, c.cv)
+               - 2 * list_dot_product(vv.v, c.cv), c.cid) AS rn
+    FROM vv, c{T} c) WHERE rn = 1
+), ranked AS MATERIALIZED (
+  SELECT a.vec_id, a.cid, v.v,
+         row_number() OVER (PARTITION BY a.cid
+                            ORDER BY a.vec_id) AS rn
+  FROM af a JOIN vv v USING (vec_id)
+), cand AS (
+  SELECT m.vec_id, e.vec_id AS neighbor_id,
+         CAST(list_dot_product(m.v, m.v) + list_dot_product(e.v, e.v)
+              - 2 * list_dot_product(m.v, e.v) AS BIGINT) AS dist2
+  FROM ranked m JOIN ranked e
+    ON e.cid = m.cid AND e.vec_id <> m.vec_id
+   AND e.rn <= {max_anchors}
+)
+SELECT vec_id,
+       CAST(row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist2, neighbor_id) AS BIGINT)
+           AS rank,
+       neighbor_id, dist2
+FROM cand
+QUALIFY rank <= {top_k}
+"""
+
+
+QUERIES["knn_join_embeddings"] = q_knn_join_embeddings
+ORACLE_SQL["knn_join_embeddings"] = sql_knn_join_embeddings()
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR importance weights (arXiv:2302.03169): one fused pass
     counts every token for the raw corpus AND the target domain

@@ -119,3 +119,101 @@ def semdedup(ds, vec_column: str = "embedding",
     return hash_exchange(assigned, ["cid"], dedupe,
                          num_partitions=num_partitions,
                          fn_format="pyarrow")
+
+
+def knn_join(ds, vec_column: str = "embedding",
+             id_column: str = "vec_id", k: int = 8,
+             iterations: int = 3, top_k: int = 3,
+             max_anchors: int = 4096,
+             num_partitions: int = 16):
+    """Cluster-partitioned kNN similarity self-join: for EVERY vector,
+    its ``top_k`` nearest neighbors (quantized squared L2, ties on the
+    smaller neighbor id) among the other members of its k-means cell —
+    the IVF-style approximate similarity JOIN used for embedding-based
+    retrieval and dedup at corpus scale. Same fabric as
+    :func:`semdedup`: exact-integer Lloyd fit, broadcast centroids, one
+    assignment pass, ONE hash exchange on the cluster id (vectors ride
+    as int32), then one bounded ``n × anchors`` integer matmul per
+    cluster. Candidates are restricted to each cluster's
+    ``max_anchors`` smallest-id members (the twin mirrors the cap with
+    ``row_number() <= max_anchors``); neighbors outside the cell are
+    missed by construction — the documented IVF n_probe=1 tradeoff.
+
+    Returns ``(vec_id, rank, neighbor_id, dist2)`` with rank 1-based;
+    vectors alone in their cell emit no rows.
+    """
+    import pyarrow as pa
+    import ray
+
+    from nacc_form_validator_ray.stages.partition import hash_exchange
+    from nacc_form_validator_ray.stages.similarity import \
+        _matrix_from_arrow
+
+    cents, _ = kmeans_fit(ds, vec_column, id_column, k, iterations)
+    wref = ray.put(cents)
+
+    def assign(batch: "pa.Table") -> "pa.Table":
+        C = ray.get(wref)
+        X = _quantize(_matrix_from_arrow(batch[vec_column]))
+        dist = (C * C).sum(axis=1)[None, :] - 2 * (X @ C.T)
+        if len(X) and np.abs(X).max() >= np.int64(1) << 31:
+            raise ValueError("knn_join wire format is int32: "
+                             "|quantized component| must stay < 2^31")
+        return pa.table({
+            id_column: batch[id_column],
+            "cid": pa.array(np.argmin(dist, axis=1).astype(np.int64)),
+            "__v": pa.array(list(X.astype(np.int32))),
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def topk(part: "pa.Table") -> dict:
+        ids = part[id_column].to_numpy(zero_copy_only=False)
+        cid = part["cid"].to_numpy(zero_copy_only=False)
+        X = _matrix_from_arrow(part["__v"]).astype(np.int64)
+        order = np.lexsort((ids, cid))
+        ids, cid, X = ids[order], cid[order], X[order]
+        out_id, out_rank, out_nbr, out_d2 = [], [], [], []
+        starts = np.flatnonzero(np.r_[True, cid[1:] != cid[:-1]])
+        ends = np.r_[starts[1:], len(cid)]
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            V = X[s:e]
+            na = (V * V).sum(axis=1)
+            m = min(n, max_anchors)
+            A, aid = V[:m], ids[s:e][:m]
+            d2 = na[:, None] + na[None, :m] - 2 * (V @ A.T)
+            # exclude self (member i is anchor i when i < m) with a
+            # sentinel that sorts LAST, so each row's valid candidates
+            # form a prefix of its stable sort order
+            rows = np.arange(n)
+            self_mask = rows[:, None] == np.arange(m)[None, :]
+            d2 = np.where(self_mask, np.int64(1) << 62, d2)
+            kk_max = min(top_k, m)
+            # ties -> smaller neighbor id: anchors are id-ascending, so
+            # a stable argsort on d2 resolves ties to the smaller id
+            sel = np.argsort(d2, axis=1, kind="stable")[:, :kk_max]
+            d2s = np.take_along_axis(d2, sel, axis=1)
+            valid = d2s < (np.int64(1) << 61)
+            per_row = valid.sum(axis=1)
+            out_id.append(np.repeat(ids[s:e], per_row))
+            out_rank.append(np.tile(np.arange(1, kk_max + 1,
+                                              dtype=np.int64),
+                                    (n, 1))[valid])
+            out_nbr.append(aid[sel][valid])
+            out_d2.append(d2s[valid])
+        if not out_id:
+            return {id_column: np.empty(0, np.int64),
+                    "rank": np.empty(0, np.int64),
+                    "neighbor_id": np.empty(0, np.int64),
+                    "dist2": np.empty(0, np.int64)}
+        return {id_column: np.concatenate(out_id),
+                "rank": np.concatenate(out_rank),
+                "neighbor_id": np.concatenate(out_nbr),
+                "dist2": np.concatenate(out_d2)}
+
+    return hash_exchange(assigned, ["cid"], topk,
+                         num_partitions=num_partitions,
+                         fn_format="pyarrow")

@@ -131,3 +131,47 @@ def test_dsir_weights_partitioning_invariant_bitwise():
     assert (outs[0]["dsir_weight"].to_numpy()
             == outs[1]["dsir_weight"].to_numpy()).all()
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_knn_join_matches_bruteforce_within_cells():
+    from nacc_form_validator_ray.stages.kmeans import _quantize, kmeans_fit
+    from nacc_form_validator_ray.stages.semdedup import knn_join
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(80, 10)).astype(np.float32)
+    ds = _emb_ds(vecs, 5)
+    out = knn_join(ds, k=3, iterations=2, top_k=4,
+                   num_partitions=4).to_pandas() \
+        .sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    # brute-force reference: same assignment, exhaustive in-cell top-k
+    cents, _ = kmeans_fit(_emb_ds(vecs, 1), k=3, iterations=2)
+    X = _quantize(np.stack(list(vecs)).astype(np.float64))
+    a = np.argmin((cents * cents).sum(1)[None, :] - 2 * (X @ cents.T),
+                  axis=1)
+    rows = []
+    for i in range(len(X)):
+        cell = np.flatnonzero(a == a[i])
+        cand = [(int(((X[i] - X[j]) ** 2).sum()), j)
+                for j in cell if j != i]
+        for r, (d2, j) in enumerate(sorted(cand)[:4], start=1):
+            rows.append((i, r, j, d2))
+    ref = pd.DataFrame(rows, columns=["vec_id", "rank", "neighbor_id",
+                                      "dist2"])
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_knn_join_topk_exceeding_cell_size():
+    """top_k larger than a cell emits only the real neighbors (the
+    self-distance sentinel must never leak as a neighbor row)."""
+    from nacc_form_validator_ray.stages.semdedup import knn_join
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(7, 4)).astype(np.float32)
+    out = knn_join(_emb_ds(vecs, 2), k=2, iterations=1, top_k=50,
+                   num_partitions=2).to_pandas()
+    # every (vec, neighbor) pair is distinct and never self
+    assert (out["vec_id"] != out["neighbor_id"]).all()
+    assert out["dist2"].max() < (1 << 61)
+    per = out.groupby("vec_id").size()
+    # each vector sees exactly |cell|-1 neighbors
+    total_cells = out.groupby("vec_id")["neighbor_id"].nunique()
+    assert (per == total_cells).all()
+    assert per.sum() == len(out)
