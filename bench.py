@@ -346,6 +346,8 @@ def bench_queries(sf_dir: str):
             Q.q_kn_perplexity_docs(sf_dir)),
         "knn_join_embeddings": lambda: consume(
             Q.q_knn_join_embeddings(sf_dir)),
+        "token_entropy_docs": lambda: consume(
+            Q.q_token_entropy_docs(sf_dir)),
     }
 
 

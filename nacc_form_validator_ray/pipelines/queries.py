@@ -3009,6 +3009,72 @@ QUERIES["kn_perplexity_docs"] = q_kn_perplexity_docs
 ORACLE_SQL["kn_perplexity_docs"] = SQL_KN_PERPLEXITY_DOCS
 
 
+def q_token_entropy_docs(sf_dir: str):
+    """Per-document token-distribution entropy — the vocabulary-
+    diversity quality signal (low entropy = repetitive/templated junk,
+    a standard web-filter heuristic). Embarrassingly parallel: one
+    map_batches pass over the shared packed-run token stream, no
+    exchange. Reports EXACT total entropy bits on the 2^-20 grid:
+    ``ent_bits = T·q(log2 T) − Σ_tok c·q(log2 c)`` — every term is a
+    dyadic rational (int × grid value), so per-doc results are
+    bit-identical across partitionings and to the DuckDB twin;
+    consumers divide by ``n_toks`` for bits/token."""
+    import pyarrow as pa
+
+    def entropy(batch: "pa.Table") -> "pa.Table":
+        from nacc_form_validator_ray.stages.text_signals import \
+            arrow_token_codes
+        col = batch["text"]
+        arr = col.combine_chunks() if isinstance(
+            col, pa.ChunkedArray) else col
+        n = len(arr)
+        codes, dictionary, tok_doc, lens = arrow_token_codes(arr)
+        ent = np.zeros(n, dtype=np.float64)
+        if len(codes):
+            V = len(dictionary)
+            key = tok_doc.astype(np.int64) * V + codes
+            upair, c = np.unique(key, return_counts=True)
+            c = c.astype(np.float64)
+            qlc = np.floor(np.log2(c) * 1048576.0 + 0.5) / 1048576.0
+            sc = np.bincount((upair // V).astype(np.int64),
+                             weights=c * qlc, minlength=n)
+            T = lens.astype(np.float64)
+            qlt = np.zeros(n, dtype=np.float64)
+            nz = lens > 0
+            qlt[nz] = np.floor(np.log2(T[nz]) * 1048576.0 + 0.5) \
+                / 1048576.0
+            ent = T * qlt - sc + 0.0
+        return pa.table({"doc_id": batch["doc_id"],
+                         "ent_bits": pa.array(ent),
+                         "n_toks": pa.array(lens.astype(np.int64))})
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(entropy, batch_format="pyarrow")
+
+
+SQL_TOKEN_ENTROPY_DOCS = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents
+), pc_ AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY doc_id, tok
+), s AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS t,
+         sum(c * (floor(log2(c) * 1048576.0 + 0.5) / 1048576.0)) AS sc
+  FROM pc_ GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(t * (floor(log2(t) * 1048576.0 + 0.5) / 1048576.0)
+                - sc, 0.0) + 0.0 AS ent_bits,
+       CAST(coalesce(t, 0) AS BIGINT) AS n_toks
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
+QUERIES["token_entropy_docs"] = q_token_entropy_docs
+ORACLE_SQL["token_entropy_docs"] = SQL_TOKEN_ENTROPY_DOCS
+
+
 def q_normalize_text_docs(sf_dir: str):
     """Unicode canonicalization of the documents table (NFC + lower +
     whitespace collapse + trim) — the dedup-key normalization pass."""
