@@ -348,6 +348,7 @@ def bench_queries(sf_dir: str):
             Q.q_knn_join_embeddings(sf_dir)),
         "token_entropy_docs": lambda: consume(
             Q.q_token_entropy_docs(sf_dir)),
+        "orders_rollup": lambda: consume(Q.q_orders_rollup(sf_dir)),
     }
 
 

@@ -2338,6 +2338,60 @@ FROM orders GROUP BY 1
 """
 
 
+def q_orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(year, month) — the multi-granularity subtotal
+    shape (grouping sets). ONE exchange at the finest grain (year,
+    month); the coarser levels (per-year subtotals, grand total) derive
+    from the AGGREGATE-sized fine table on the driver — re-aggregating
+    a few hundred rows, never the data. Missing keys are coalesced to
+    -1 on both sides (months are 1-12, years positive — no collision)."""
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["o_orderdate"]
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        g = pd.DataFrame({"o_year": d.dt.year.to_numpy(np.int64),
+                          "o_month": d.dt.month.to_numpy(np.int64),
+                          "n_orders": 1, "revenue_cents": cents})
+        return g.groupby(["o_year", "o_month"], as_index=False).sum()
+
+    fine = grouped_agg_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["o_year", "o_month"], ["n_orders", "revenue_cents"],
+        num_partitions=8).to_pandas()
+    per_year = fine.groupby("o_year", as_index=False)[
+        ["n_orders", "revenue_cents"]].sum()
+    per_year["o_month"] = np.int64(-1)
+    total = pd.DataFrame({
+        "o_year": [np.int64(-1)], "o_month": [np.int64(-1)],
+        "n_orders": [fine["n_orders"].sum()],
+        "revenue_cents": [fine["revenue_cents"].sum()]})
+    cols = ["o_year", "o_month", "n_orders", "revenue_cents"]
+    out = pd.concat([fine[cols], per_year[cols], total[cols]],
+                    ignore_index=True)
+    return out.astype({c: np.int64 for c in cols})
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT CAST(coalesce(year(o_orderdate), -1) AS BIGINT) AS o_year,
+       CAST(coalesce(CASE WHEN GROUPING(month(o_orderdate)) = 1
+                          THEN NULL ELSE month(o_orderdate) END, -1)
+            AS BIGINT) AS o_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM orders
+GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))
+"""
+
+QUERIES["orders_rollup"] = q_orders_rollup
+ORACLE_SQL["orders_rollup"] = SQL_ORDERS_ROLLUP
+
+
 def q_distinct_event_types(sf_dir: str):
     """Distinct values (ds.unique is a shuffle; result is tiny)."""
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet",

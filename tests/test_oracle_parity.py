@@ -27,7 +27,7 @@ FAST_QUERIES = [
     "user_outlier_events", "new_users_by_day", "q3_shipping_priority",
     "pmi_bigrams", "semdedup_embeddings", "dsir_weights",
     "q13_customer_distribution", "kn_perplexity_docs",
-    "knn_join_embeddings", "token_entropy_docs",
+    "knn_join_embeddings", "token_entropy_docs", "orders_rollup",
 ]
 
 
