@@ -349,6 +349,8 @@ def bench_queries(sf_dir: str):
         "token_entropy_docs": lambda: consume(
             Q.q_token_entropy_docs(sf_dir)),
         "orders_rollup": lambda: consume(Q.q_orders_rollup(sf_dir)),
+        "daily_activity_full": lambda: consume(
+            Q.q_daily_activity_full(sf_dir)),
     }
 
 

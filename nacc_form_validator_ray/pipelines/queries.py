@@ -2392,6 +2392,74 @@ QUERIES["orders_rollup"] = q_orders_rollup
 ORACLE_SQL["orders_rollup"] = SQL_ORDERS_ROLLUP
 
 
+def q_daily_activity_full(sf_dir: str):
+    """FULL OUTER join of two pre-aggregated daily series (order counts
+    vs event counts by calendar day) — days with activity on EITHER
+    side survive, the other side null-filled to 0. Both sides
+    pre-aggregate per batch, so only (day, count) partials ride the two
+    tiny exchanges and the full-outer hash join sees aggregate-sized
+    inputs; the join itself is one more key exchange."""
+    from nacc_form_validator_ray.stages.joins import hash_join
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
+    rd_ = _rd()
+
+    def day_partial(col_ts, out_name):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            d = batch[col_ts]
+            day = (d.dt.year * 10000 + d.dt.month * 100
+                   + d.dt.day).to_numpy(np.int64)
+            g = pd.DataFrame({"day": day, out_name: 1})
+            return g.groupby("day", as_index=False).sum()
+        return fn
+
+    orders = rd_.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderdate"])
+    events = rd_.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["ts"])
+    od = grouped_agg_sum(
+        orders.map_batches(day_partial("o_orderdate", "n_orders"),
+                           batch_format="pandas"),
+        ["day"], ["n_orders"], num_partitions=8)
+    ed = grouped_agg_sum(
+        events.map_batches(day_partial("ts", "n_events"),
+                           batch_format="pandas"),
+        ["day"], ["n_events"], num_partitions=8)
+    joined = hash_join(od, ed, on="day", how="full",
+                       num_partitions=8)
+
+    def fill(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": batch["day"].to_numpy(np.int64),
+            "n_orders": batch["n_orders"].fillna(0)
+            .to_numpy(np.int64),
+            "n_events": batch["n_events"].fillna(0)
+            .to_numpy(np.int64)})
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
+SQL_DAILY_ACTIVITY_FULL = """
+WITH od AS (
+  SELECT CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+              + day(o_orderdate) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+), ed AS (
+  SELECT CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS BIGINT)
+             AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT coalesce(od.day, ed.day) AS day,
+       coalesce(od.n_orders, 0) AS n_orders,
+       coalesce(ed.n_events, 0) AS n_events
+FROM od FULL OUTER JOIN ed ON od.day = ed.day
+"""
+
+QUERIES["daily_activity_full"] = q_daily_activity_full
+ORACLE_SQL["daily_activity_full"] = SQL_DAILY_ACTIVITY_FULL
+
+
 def q_distinct_event_types(sf_dir: str):
     """Distinct values (ds.unique is a shuffle; result is tiny)."""
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet",

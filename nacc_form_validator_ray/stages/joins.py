@@ -199,13 +199,16 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
     fits a broadcast dict; keep broadcast lookups for true dimensions
     (nation/region). ``on`` must name column(s) present in both sides
     (rename upstream in a lean map_batches if they differ). ``how`` is
-    "inner" or "left".
+    "inner", "left" or "full" (full outer: unmatched rows of EITHER
+    side survive with the other side's columns null — each key lives
+    in exactly one partition, so per-partition full outer composes to
+    the global full outer).
 
     Partitioning assumption: all rows of one key value fit in one
     partition — salt hot keys upstream when a single key's rows exceed
     worker memory.
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "full"):
         raise ValueError(f"unsupported join type: {how}")
     keys = [on] if isinstance(on, str) else list(on)
     lschema, rschema = left_ds.schema(), right_ds.schema()
@@ -229,7 +232,8 @@ def hash_join(left_ds, right_ds, on, how: str = "inner",
         side = part[_SIDE]
         left = part.filter(pc.equal(side, 0)).select(left_cols)
         right = part.filter(pc.equal(side, 1)).select(keys + rcols)
-        join_type = "inner" if how == "inner" else "left outer"
+        join_type = {"inner": "inner", "left": "left outer",
+                     "full": "full outer"}[how]
         return left.join(right, keys=keys, join_type=join_type,
                          right_suffix=suffix)
 
