@@ -333,6 +333,22 @@ def test_hash_join_inner_and_left():
     assert len(lj) == 5 and lj["rv"].isna().sum() == 2
 
 
+def test_hash_join_full_outer():
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.joins import hash_join
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "lv": ["a", "b", "c", "d"]})
+    right = pd.DataFrame({"k": [2, 3, 3, 5], "rv": [20, 30, 31, 50]})
+    fj = hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                   on="k", how="full", num_partitions=4).to_pandas() \
+        .sort_values(["k", "rv"]).reset_index(drop=True)
+    expect = left.merge(right, on="k", how="outer") \
+        .sort_values(["k", "rv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fj, expect, check_dtype=False)
+    # unmatched rows of BOTH sides survive
+    assert set(fj["k"]) == {1, 2, 3, 4, 5}
+    assert fj["lv"].isna().sum() == 1 and fj["rv"].isna().sum() == 2
+
+
 def test_hash_join_multi_key():
     import ray.data as rd
     from nacc_form_validator_ray.stages.joins import hash_join
