@@ -140,6 +140,32 @@ def cmd_webclean(args) -> int:
     return 0
 
 
+def cmd_semdedup(args) -> int:
+    """SemDeDup over an embeddings parquet directory: writes the full
+    verdict table (vec_id, cid, kept, dup_of) as partitioned parquet
+    and prints the keep/drop counts."""
+    import ray
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.semdedup import semdedup
+
+    _init_ray(args.num_cpus)
+    ds = rd.read_parquet(args.input,
+                         columns=[args.id_column, args.vec_column])
+    out = semdedup(ds, vec_column=args.vec_column,
+                   id_column=args.id_column, k=args.k,
+                   iterations=args.iterations,
+                   dist2_threshold=args.threshold)
+    out.write_parquet(args.output)
+    verdicts = rd.read_parquet(args.output, columns=["kept"])
+    n = verdicts.count()
+    kept = verdicts.sum("kept")
+    print(json.dumps({"vectors": n, "kept": int(kept),
+                      "dropped": int(n - kept),
+                      "output": args.output}, indent=1))
+    ray.shutdown()
+    return 0
+
+
 def cmd_genpages(args) -> int:
     import ray
     from nacc_form_validator_ray.pipelines.webgen import (
@@ -198,6 +224,19 @@ def main(argv=None) -> int:
     w.add_argument("-o", "--output", required=True)
     w.add_argument("--num-cpus", type=int, default=None)
     w.set_defaults(fn=cmd_webclean)
+
+    s = sub.add_parser("semdedup",
+                       help="semantic dedup over an embeddings table")
+    s.add_argument("-i", "--input", required=True)
+    s.add_argument("-o", "--output", required=True)
+    s.add_argument("--vec-column", default="embedding")
+    s.add_argument("--id-column", default="vec_id")
+    s.add_argument("-k", type=int, default=8)
+    s.add_argument("--iterations", type=int, default=3)
+    s.add_argument("--threshold", type=int, default=20_000_000,
+                   help="quantized squared-L2 drop threshold")
+    s.add_argument("--num-cpus", type=int, default=None)
+    s.set_defaults(fn=cmd_semdedup)
 
     g = sub.add_parser("genpages", help="generate synthetic page corpus")
     g.add_argument("-n", "--n-docs", type=int, required=True)

@@ -164,3 +164,20 @@ def test_cli_webclean(tmp_path):
     # every kept doc has >= 3 kept lines and no lorem ipsum
     assert (df["n_kept"] >= 3).all()
     assert not df["text"].str.lower().str.contains("lorem ipsum").any()
+
+
+def test_cli_semdedup(tmp_path):
+    out = run_cli("semdedup", "-i",
+                  "/root/testdata/sf0.001/embeddings.parquet",
+                  "-o", str(tmp_path / "sd"), "--num-cpus", "2")
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout)
+    assert stats["vectors"] == 500
+    assert stats["kept"] + stats["dropped"] == 500
+    import pandas as pd
+    df = pd.concat([pd.read_parquet(p) for p in
+                    glob.glob(str(tmp_path / "sd" / "*.parquet"))])
+    assert len(df) == 500
+    assert set(df.columns) == {"vec_id", "cid", "kept", "dup_of"}
+    assert (df.loc[df["kept"], "dup_of"] == -1).all()
+    assert (df.loc[~df["kept"], "dup_of"] >= 0).all()
