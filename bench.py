@@ -351,6 +351,7 @@ def bench_queries(sf_dir: str):
         "orders_rollup": lambda: consume(Q.q_orders_rollup(sf_dir)),
         "daily_activity_full": lambda: consume(
             Q.q_daily_activity_full(sf_dir)),
+        "knn_join_probe2": lambda: consume(Q.q_knn_join_probe2(sf_dir)),
     }
 
 

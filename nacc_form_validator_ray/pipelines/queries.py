@@ -5225,6 +5225,61 @@ QUERIES["knn_join_embeddings"] = q_knn_join_embeddings
 ORACLE_SQL["knn_join_embeddings"] = sql_knn_join_embeddings()
 
 
+def q_knn_join_probe2(sf_dir: str):
+    """Multi-probe IVF kNN join (n_probe=2): each vector is indexed in
+    its nearest cell but QUERIES its two nearest cells, recovering
+    neighbors that straddle a cell boundary — the standard IVF
+    recall/cost dial. Per-cell candidate sets are disjoint, so the
+    merge is a plain per-query top-k on one more lean exchange."""
+    from nacc_form_validator_ray.stages.semdedup import knn_join
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    return knn_join(ds, k=8, iterations=3, top_k=3, n_probe=2)
+
+
+def sql_knn_join_probe2(k: int = 8, iterations: int = 3,
+                        top_k: int = 3, n_probe: int = 2,
+                        max_anchors: int = 4096) -> str:
+    ctes = sql_kmeans_ctes(k, iterations)
+    T = iterations
+    return f"""
+WITH {', '.join(ctes)},
+ap AS MATERIALIZED (
+  SELECT vec_id, cid, rn FROM (
+    SELECT vv.vec_id, c.cid,
+           row_number() OVER (PARTITION BY vv.vec_id ORDER BY
+               list_dot_product(c.cv, c.cv)
+               - 2 * list_dot_product(vv.v, c.cv), c.cid) AS rn
+    FROM vv, c{T} c) WHERE rn <= {n_probe}
+), members AS MATERIALIZED (
+  SELECT a.vec_id, a.cid, v.v,
+         row_number() OVER (PARTITION BY a.cid
+                            ORDER BY a.vec_id) AS mrn
+  FROM ap a JOIN vv v USING (vec_id) WHERE a.rn = 1
+), cand AS (
+  SELECT q.vec_id, e.vec_id AS neighbor_id,
+         CAST(list_dot_product(qv.v, qv.v)
+              + list_dot_product(e.v, e.v)
+              - 2 * list_dot_product(qv.v, e.v) AS BIGINT) AS dist2
+  FROM ap q
+  JOIN vv qv ON qv.vec_id = q.vec_id
+  JOIN members e ON e.cid = q.cid AND e.vec_id <> q.vec_id
+   AND e.mrn <= {max_anchors}
+)
+SELECT vec_id,
+       CAST(row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist2, neighbor_id) AS BIGINT)
+           AS rank,
+       neighbor_id, dist2
+FROM cand
+QUALIFY rank <= {top_k}
+"""
+
+
+QUERIES["knn_join_probe2"] = q_knn_join_probe2
+ORACLE_SQL["knn_join_probe2"] = sql_knn_join_probe2()
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR importance weights (arXiv:2302.03169): one fused pass
     counts every token for the raw corpus AND the target domain

@@ -125,22 +125,25 @@ def knn_join(ds, vec_column: str = "embedding",
              id_column: str = "vec_id", k: int = 8,
              iterations: int = 3, top_k: int = 3,
              max_anchors: int = 4096,
-             num_partitions: int = 16):
+             num_partitions: int = 16,
+             n_probe: int = 1):
     """Cluster-partitioned kNN similarity self-join: for EVERY vector,
     its ``top_k`` nearest neighbors (quantized squared L2, ties on the
-    smaller neighbor id) among the other members of its k-means cell —
-    the IVF-style approximate similarity JOIN used for embedding-based
-    retrieval and dedup at corpus scale. Same fabric as
-    :func:`semdedup`: exact-integer Lloyd fit, broadcast centroids, one
-    assignment pass, ONE hash exchange on the cluster id (vectors ride
-    as int32), then one bounded ``n × anchors`` integer matmul per
-    cluster. Candidates are restricted to each cluster's
+    smaller neighbor id) found IVF-style — each vector is INDEXED in
+    its single nearest k-means cell, and as a QUERY probes its
+    ``n_probe`` nearest cells. Same fabric as :func:`semdedup`:
+    exact-integer Lloyd fit, broadcast centroids, one assignment pass
+    (each vector ships once per probed cell, int32 components), ONE
+    hash exchange on the cell id, one bounded ``queries × anchors``
+    integer matmul per cell. Candidate sets from different probed
+    cells are DISJOINT (a neighbor is indexed in exactly one cell), so
+    the ``n_probe > 1`` merge is a plain per-query top-k with no dedup
+    — one more lean exchange on the query id. Anchors are each cell's
     ``max_anchors`` smallest-id members (the twin mirrors the cap with
-    ``row_number() <= max_anchors``); neighbors outside the cell are
-    missed by construction — the documented IVF n_probe=1 tradeoff.
+    ``row_number() <= max_anchors``).
 
     Returns ``(vec_id, rank, neighbor_id, dist2)`` with rank 1-based;
-    vectors alone in their cell emit no rows.
+    vectors whose probed cells hold no other member emit no rows.
     """
     import pyarrow as pa
     import ray
@@ -149,6 +152,8 @@ def knn_join(ds, vec_column: str = "embedding",
     from nacc_form_validator_ray.stages.similarity import \
         _matrix_from_arrow
 
+    if n_probe < 1 or n_probe > k:
+        raise ValueError("need 1 <= n_probe <= k")
     cents, _ = kmeans_fit(ds, vec_column, id_column, k, iterations)
     wref = ray.put(cents)
 
@@ -159,10 +164,18 @@ def knn_join(ds, vec_column: str = "embedding",
         if len(X) and np.abs(X).max() >= np.int64(1) << 31:
             raise ValueError("knn_join wire format is int32: "
                              "|quantized component| must stay < 2^31")
+        # stable argsort: ties between cells break to the lower cid,
+        # matching the twin's ORDER BY dist, cid
+        probes = np.argsort(dist, axis=1, kind="stable")[:, :n_probe]
+        n = len(X)
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        Xw = X.astype(np.int32)
         return pa.table({
-            id_column: batch[id_column],
-            "cid": pa.array(np.argmin(dist, axis=1).astype(np.int64)),
-            "__v": pa.array(list(X.astype(np.int32))),
+            id_column: pa.array(np.repeat(ids, n_probe)),
+            "cid": pa.array(probes.reshape(-1).astype(np.int64)),
+            # member in the NEAREST cell only (probe rank 0)
+            "__m": pa.array(np.tile(np.arange(n_probe) == 0, n)),
+            "__v": pa.array(list(np.repeat(Xw, n_probe, axis=0))),
         })
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")
@@ -170,38 +183,39 @@ def knn_join(ds, vec_column: str = "embedding",
     def topk(part: "pa.Table") -> dict:
         ids = part[id_column].to_numpy(zero_copy_only=False)
         cid = part["cid"].to_numpy(zero_copy_only=False)
+        member = part["__m"].to_numpy(zero_copy_only=False)
         X = _matrix_from_arrow(part["__v"]).astype(np.int64)
         order = np.lexsort((ids, cid))
-        ids, cid, X = ids[order], cid[order], X[order]
+        ids, cid, member, X = ids[order], cid[order], \
+            member[order], X[order]
         out_id, out_rank, out_nbr, out_d2 = [], [], [], []
         starts = np.flatnonzero(np.r_[True, cid[1:] != cid[:-1]])
         ends = np.r_[starts[1:], len(cid)]
         for s, e in zip(starts, ends):
-            n = e - s
-            if n < 2:
+            mem = member[s:e]
+            if not mem.any():
                 continue
-            V = X[s:e]
-            na = (V * V).sum(axis=1)
-            m = min(n, max_anchors)
-            A, aid = V[:m], ids[s:e][:m]
-            d2 = na[:, None] + na[None, :m] - 2 * (V @ A.T)
-            # exclude self (member i is anchor i when i < m) with a
-            # sentinel that sorts LAST, so each row's valid candidates
-            # form a prefix of its stable sort order
-            rows = np.arange(n)
-            self_mask = rows[:, None] == np.arange(m)[None, :]
-            d2 = np.where(self_mask, np.int64(1) << 62, d2)
+            Q, qid = X[s:e], ids[s:e]            # every row queries
+            A = X[s:e][mem]                      # id-ascending members
+            aid = ids[s:e][mem]
+            m = min(len(A), max_anchors)
+            A, aid = A[:m], aid[:m]
+            nq = (Q * Q).sum(axis=1)
+            na = (A * A).sum(axis=1)
+            d2 = nq[:, None] + na[None, :] - 2 * (Q @ A.T)
+            # exclude self (by id — a query row need not be a member
+            # row here) with a sentinel that sorts LAST
+            d2 = np.where(qid[:, None] == aid[None, :],
+                          np.int64(1) << 62, d2)
             kk_max = min(top_k, m)
-            # ties -> smaller neighbor id: anchors are id-ascending, so
-            # a stable argsort on d2 resolves ties to the smaller id
             sel = np.argsort(d2, axis=1, kind="stable")[:, :kk_max]
             d2s = np.take_along_axis(d2, sel, axis=1)
             valid = d2s < (np.int64(1) << 61)
             per_row = valid.sum(axis=1)
-            out_id.append(np.repeat(ids[s:e], per_row))
+            out_id.append(np.repeat(qid, per_row))
             out_rank.append(np.tile(np.arange(1, kk_max + 1,
                                               dtype=np.int64),
-                                    (n, 1))[valid])
+                                    (len(Q), 1))[valid])
             out_nbr.append(aid[sel][valid])
             out_d2.append(d2s[valid])
         if not out_id:
@@ -214,6 +228,26 @@ def knn_join(ds, vec_column: str = "embedding",
                 "neighbor_id": np.concatenate(out_nbr),
                 "dist2": np.concatenate(out_d2)}
 
-    return hash_exchange(assigned, ["cid"], topk,
+    cells = hash_exchange(assigned, ["cid"], topk,
+                          num_partitions=num_partitions,
+                          fn_format="pyarrow")
+    if n_probe == 1:
+        return cells
+
+    def merge(part: "pa.Table") -> dict:
+        ids = part[id_column].to_numpy(zero_copy_only=False)
+        nbr = part["neighbor_id"].to_numpy(zero_copy_only=False)
+        d2 = part["dist2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nbr, d2, ids))
+        ids, nbr, d2 = ids[order], nbr[order], d2[order]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        pos = np.arange(len(ids)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(ids)]))
+        keep = pos < top_k
+        return {id_column: ids[keep],
+                "rank": (pos[keep] + 1).astype(np.int64),
+                "neighbor_id": nbr[keep], "dist2": d2[keep]}
+
+    return hash_exchange(cells, [id_column], merge,
                          num_partitions=num_partitions,
                          fn_format="pyarrow")

@@ -175,3 +175,23 @@ def test_knn_join_topk_exceeding_cell_size():
     total_cells = out.groupby("vec_id")["neighbor_id"].nunique()
     assert (per == total_cells).all()
     assert per.sum() == len(out)
+
+
+def test_knn_join_probe2_improves_recall():
+    """n_probe=2 must recover strictly more (or equal) true neighbors
+    than n_probe=1 and never regress a query's rank-1 distance."""
+    from nacc_form_validator_ray.stages.semdedup import knn_join
+    rng = np.random.default_rng(29)
+    vecs = rng.normal(size=(150, 8)).astype(np.float32)
+    ds = _emb_ds(vecs, 4)
+    p1 = knn_join(ds, k=6, iterations=2, top_k=2, n_probe=1,
+                  num_partitions=4).to_pandas()
+    p2 = knn_join(ds, k=6, iterations=2, top_k=2, n_probe=2,
+                  num_partitions=4).to_pandas()
+    b1 = p1[p1["rank"] == 1].set_index("vec_id")["dist2"]
+    b2 = p2[p2["rank"] == 1].set_index("vec_id")["dist2"]
+    common = b1.index.intersection(b2.index)
+    assert (b2.loc[common] <= b1.loc[common]).all()
+    assert len(p2) >= len(p1)
+    # disjoint-candidate merge: no duplicate (query, neighbor) pairs
+    assert not p2.duplicated(["vec_id", "neighbor_id"]).any()
