@@ -352,6 +352,7 @@ def bench_queries(sf_dir: str):
         "daily_activity_full": lambda: consume(
             Q.q_daily_activity_full(sf_dir)),
         "knn_join_probe2": lambda: consume(Q.q_knn_join_probe2(sf_dir)),
+        "dsir_select": lambda: consume(Q.q_dsir_select(sf_dir)),
     }
 
 

@@ -5338,3 +5338,48 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 
 QUERIES["dsir_weights"] = q_dsir_weights
 ORACLE_SQL["dsir_weights"] = SQL_DSIR_WEIGHTS
+
+
+def q_dsir_select(sf_dir: str, n: int = 100):
+    """The DSIR RESAMPLE step: select the top-n documents by importance
+    weight (ties to the smaller doc_id) — scoring as in dsir_weights,
+    then per-batch local top-n partials (lean (doc_id, weight) rows)
+    and one driver merge of the bounded partial set; the corpus never
+    rides a global sort. Weights are exact dyadic floats, so the
+    ordering is deterministic cross-engine."""
+    from nacc_form_validator_ray.stages.importance import (
+        ImportanceScorer, train_importance_model)
+    ds = _docs(sf_dir, columns=["doc_id", "text", "source"])
+    model = train_importance_model(ds, select_column="source",
+                                   select_value="src0")
+    scored = ds.map_batches(ImportanceScorer,
+                            fn_constructor_kwargs={"model": model},
+                            batch_format="pyarrow", concurrency=(1, 4))
+
+    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch["dsir_weight"].to_numpy(np.float64)
+        ids = batch["doc_id"].to_numpy(np.int64)
+        keep = np.lexsort((ids, -w))[:n]
+        return pd.DataFrame({"doc_id": ids[keep],
+                             "dsir_weight": w[keep]})
+
+    partials = scored.map_batches(local_top,
+                                  batch_format="pandas").to_pandas()
+    top = partials.sort_values(["dsir_weight", "doc_id"],
+                               ascending=[False, True]).head(n) \
+        .reset_index(drop=True)
+    top["sel_rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top
+
+
+SQL_DSIR_SELECT = f"""
+WITH base AS ({SQL_DSIR_WEIGHTS})
+SELECT doc_id, dsir_weight,
+       CAST(row_number() OVER (ORDER BY dsir_weight DESC, doc_id)
+            AS BIGINT) AS sel_rank
+FROM base
+QUALIFY sel_rank <= 100
+"""
+
+QUERIES["dsir_select"] = q_dsir_select
+ORACLE_SQL["dsir_select"] = SQL_DSIR_SELECT

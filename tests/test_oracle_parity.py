@@ -28,7 +28,7 @@ FAST_QUERIES = [
     "pmi_bigrams", "semdedup_embeddings", "dsir_weights",
     "q13_customer_distribution", "kn_perplexity_docs",
     "knn_join_embeddings", "token_entropy_docs", "orders_rollup",
-    "daily_activity_full", "knn_join_probe2",
+    "daily_activity_full", "knn_join_probe2", "dsir_select",
 ]
 
 
