@@ -353,6 +353,7 @@ def bench_queries(sf_dir: str):
             Q.q_daily_activity_full(sf_dir)),
         "knn_join_probe2": lambda: consume(Q.q_knn_join_probe2(sf_dir)),
         "dsir_select": lambda: consume(Q.q_dsir_select(sf_dir)),
+        "cohort_retention": lambda: consume(Q.q_cohort_retention(sf_dir)),
     }
 
 

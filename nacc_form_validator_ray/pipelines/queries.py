@@ -2460,6 +2460,68 @@ QUERIES["daily_activity_full"] = q_daily_activity_full
 ORACLE_SQL["daily_activity_full"] = SQL_DAILY_ACTIVITY_FULL
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users bucketed by first-seen week,
+    counted in every later week they were active — the classic
+    retention triangle. Per-batch partials dedup (user, week) pairs so
+    only lean pairs ride the wire; ONE hash exchange on user_id
+    computes each user's cohort (min week) and offsets; a tiny second
+    exchange merges the (cohort_week, week_offset) histogram."""
+    from nacc_form_validator_ray.stages.partition import (
+        grouped_agg_sum, hash_exchange)
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "user_id"])
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        days = batch["ts"].to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)
+        week = days // 7
+        uid = batch["user_id"].to_numpy(np.int64)
+        uniq = np.unique(np.stack([uid, week], axis=1), axis=0)
+        return pd.DataFrame({"user_id": uniq[:, 0],
+                             "week": uniq[:, 1]})
+
+    def retention(part: pd.DataFrame) -> pd.DataFrame:
+        uid = part["user_id"].to_numpy(np.int64)
+        wk = part["week"].to_numpy(np.int64)
+        pairs_ = np.unique(np.stack([uid, wk], axis=1), axis=0)
+        uid, wk = pairs_[:, 0], pairs_[:, 1]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        sizes = np.diff(np.r_[starts, len(uid)])
+        cohort = np.repeat(wk[starts], sizes)  # min week (sorted)
+        key = np.stack([cohort, wk - cohort], axis=1)
+        cells, n = np.unique(key, axis=0, return_counts=True)
+        return pd.DataFrame({"cohort_week": cells[:, 0],
+                             "week_offset": cells[:, 1],
+                             "n_users": n.astype(np.int64)})
+
+    lean = ds.map_batches(pairs, batch_format="pandas")
+    cells = hash_exchange(lean, ["user_id"], retention,
+                          num_partitions=8)
+    return grouped_agg_sum(cells, ["cohort_week", "week_offset"],
+                           ["n_users"], num_partitions=4)
+
+
+SQL_COHORT_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+              AS BIGINT) AS week
+  FROM events
+), c AS (
+  SELECT user_id, min(week) AS cohort FROM uw GROUP BY user_id
+)
+SELECT c.cohort AS cohort_week,
+       CAST(uw.week - c.cohort AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+QUERIES["cohort_retention"] = q_cohort_retention
+ORACLE_SQL["cohort_retention"] = SQL_COHORT_RETENTION
+
+
 def q_distinct_event_types(sf_dir: str):
     """Distinct values (ds.unique is a shuffle; result is tiny)."""
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
