@@ -354,6 +354,8 @@ def bench_queries(sf_dir: str):
         "knn_join_probe2": lambda: consume(Q.q_knn_join_probe2(sf_dir)),
         "dsir_select": lambda: consume(Q.q_dsir_select(sf_dir)),
         "cohort_retention": lambda: consume(Q.q_cohort_retention(sf_dir)),
+        "parts_never_bulk_ordered": lambda: consume(
+            Q.q_parts_never_bulk_ordered(sf_dir)),
     }
 
 

@@ -2522,6 +2522,45 @@ QUERIES["cohort_retention"] = q_cohort_retention
 ORACLE_SQL["cohort_retention"] = SQL_COHORT_RETENTION
 
 
+def q_parts_never_bulk_ordered(sf_dir: str):
+    """Relational EXCEPT via the distributed anti join: parts whose key
+    never appears in a bulk lineitem (quantity >= 49). The key stream
+    filters and pre-dedups per batch (lean single-column rows on the
+    wire); no broadcast — the exchange form works when the subtrahend
+    is itself corpus-sized."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.stages.joins import anti_join
+    rd_ = _rd()
+    part = rd_.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_type"])
+
+    def lean_keys(t: "pa.Table") -> "pa.Table":
+        bulk = t.filter(pc.greater_equal(t["l_quantity"], 49))
+        keys = np.unique(
+            bulk["l_partkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"p_partkey": pa.array(keys)})
+
+    bulk_keys = rd_.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                 columns=["l_partkey", "l_quantity"]) \
+        .map_batches(lean_keys, batch_format="pyarrow")
+    return anti_join(part, bulk_keys, on="p_partkey",
+                     num_partitions=8)
+
+
+SQL_PARTS_NEVER_BULK_ORDERED = """
+SELECT p.p_partkey, p.p_type
+FROM part p
+JOIN (SELECT p_partkey FROM part
+      EXCEPT SELECT l_partkey FROM lineitem WHERE l_quantity >= 49) k
+  ON p.p_partkey = k.p_partkey
+"""
+
+QUERIES["parts_never_bulk_ordered"] = q_parts_never_bulk_ordered
+ORACLE_SQL["parts_never_bulk_ordered"] = SQL_PARTS_NEVER_BULK_ORDERED
+
+
 def q_distinct_event_types(sf_dir: str):
     """Distinct values (ds.unique is a shuffle; result is tiny)."""
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet",

@@ -29,7 +29,7 @@ FAST_QUERIES = [
     "q13_customer_distribution", "kn_perplexity_docs",
     "knn_join_embeddings", "token_entropy_docs", "orders_rollup",
     "daily_activity_full", "knn_join_probe2", "dsir_select",
-    "cohort_retention",
+    "cohort_retention", "parts_never_bulk_ordered",
 ]
 
 
