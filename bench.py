@@ -356,6 +356,8 @@ def bench_queries(sf_dir: str):
         "cohort_retention": lambda: consume(Q.q_cohort_retention(sf_dir)),
         "parts_never_bulk_ordered": lambda: consume(
             Q.q_parts_never_bulk_ordered(sf_dir)),
+        "train_val_test_split": lambda: consume(
+            Q.q_train_val_test_split(sf_dir)),
     }
 
 

@@ -2561,6 +2561,49 @@ QUERIES["parts_never_bulk_ordered"] = q_parts_never_bulk_ordered
 ORACLE_SQL["parts_never_bulk_ordered"] = SQL_PARTS_NEVER_BULK_ORDERED
 
 
+def q_train_val_test_split(sf_dir: str):
+    """Deterministic train/val/test split assignment (80/10/10) by a
+    Knuth multiplicative hash of the doc id — the standard
+    content-stable split for training corpora: embarrassingly parallel
+    (map-only, no exchange), reproducible across runs/partitionings,
+    and a new document never moves an existing one between splits.
+    The bucket is ``(doc_id * 2654435761) mod 2^32 mod 10`` — exact
+    integer arithmetic on both engines."""
+    import pyarrow as pa
+
+    def split(batch: "pa.Table") -> "pa.Table":
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        bucket = ((ids.astype(np.uint64) * np.uint64(2654435761))
+                  % np.uint64(1 << 32)) % np.uint64(10)
+        names = np.array(["train", "val", "test"], dtype=object)
+        sel = np.where(bucket < 8, 0, np.where(bucket == 8, 1, 2))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "bucket": pa.array(bucket.astype(np.int64)),
+            "split": pa.array(names[sel]),
+        })
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
+SQL_TRAIN_VAL_TEST_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         CAST((CAST(doc_id AS HUGEINT) * 2654435761)
+              % 4294967296 % 10 AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 8 THEN 'train'
+            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+FROM b
+"""
+
+QUERIES["train_val_test_split"] = q_train_val_test_split
+ORACLE_SQL["train_val_test_split"] = SQL_TRAIN_VAL_TEST_SPLIT
+
+
 def q_distinct_event_types(sf_dir: str):
     """Distinct values (ds.unique is a shuffle; result is tiny)."""
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
