@@ -17,7 +17,8 @@ def canon(df):
         if df[c].dtype == object: df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
-rng = np.random.default_rng(99)
+import os
+rng = np.random.default_rng(int(os.environ.get("FUZZ_SEED", "99")))
 fails = 0
 for trial in range(12):
     n = int(rng.integers(20, 400)); d = int(rng.integers(2, 40))

@@ -32,7 +32,8 @@ def cmp(name, got, want, ctx):
     return 0
 
 fails = 0
-rng = np.random.default_rng(777)
+import os
+rng = np.random.default_rng(int(os.environ.get("FUZZ_SEED", "777")))
 
 # --- knn_join with BINDING caps and multi-probe
 for trial in range(8):
