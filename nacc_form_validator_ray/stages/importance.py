@@ -64,9 +64,15 @@ def _batch_pair_counts(batch: pd.DataFrame, text_column: str,
 def train_importance_model(ds, text_column: str = "text",
                            select_column: str = "source",
                            select_value: Any = None,
-                           add_k: float = 0.5) -> Dict[str, Any]:
+                           add_k: float = 0.5,
+                           max_vocab: int = 2_000_000) -> Dict[str, Any]:
     """Fit the target and raw unigram models in ONE distributed pass
-    and return the per-token quantized log2 importance ratios."""
+    and return the per-token quantized log2 importance ratios.
+    ``max_vocab`` bounds the driver artifact (most-frequent-raw head,
+    deterministic ties by token — the same cut train_ngram_model
+    applies; a no-op at every oracle scale). Denominators use the FULL
+    corpus totals computed before the cut, so the kept tokens' ratios
+    are unchanged; dropped tail tokens score with the unseen mass."""
     from nacc_form_validator_ray.stages.partition import grouped_agg_sum
 
     partials = ds.map_batches(
@@ -75,10 +81,19 @@ def train_importance_model(ds, text_column: str = "text",
         batch_format="pandas")
     merged = grouped_agg_sum(partials, ["token"], ["c_raw", "c_tgt"],
                              num_partitions=16).to_pandas()
+    full_totals = (int(merged["c_raw"].sum()),
+                   len(merged),
+                   int(merged["c_tgt"].sum()),
+                   int((merged["c_tgt"] > 0).sum()))
+    if len(merged) > max_vocab:
+        merged = merged.sort_values(["c_raw", "token"],
+                                    ascending=[False, True]) \
+            .head(max_vocab)
     c_raw = merged["c_raw"].to_numpy(np.int64)
     c_tgt = merged["c_tgt"].to_numpy(np.int64)
-    denom_r = float(c_raw.sum()) + add_k * (len(merged) + 1)
-    denom_t = float(c_tgt.sum()) + add_k * (int((c_tgt > 0).sum()) + 1)
+    tot_r, v_r, tot_t, v_t = full_totals
+    denom_r = float(tot_r) + add_k * (v_r + 1)
+    denom_t = float(tot_t) + add_k * (v_t + 1)
     ratio = {
         tok: quantize_logp(math.log2((ct + add_k) / denom_t))
         - quantize_logp(math.log2((cr + add_k) / denom_r))

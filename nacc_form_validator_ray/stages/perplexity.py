@@ -162,7 +162,8 @@ class PerplexityScorer:
 
 def train_bigram_model(ds, text_column: str = "text",
                        add_k: float = 0.5,
-                       num_partitions: int = 16) -> Dict[str, Any]:
+                       num_partitions: int = 16,
+                       max_entries: int = 2_000_000) -> Dict[str, Any]:
     """Distributed interpolated-bigram LM (the KenLM-direction upgrade
     of :func:`train_ngram_model`): per-batch unigram AND bigram count
     partials (dictionary codes, packed int64 pairs, bincount — no
@@ -212,6 +213,14 @@ def train_bigram_model(ds, text_column: str = "text",
         num_partitions=num_partitions).to_pandas()
     is_uni = merged["w2"] == ""
     uni, bi = merged[is_uni], merged[~is_uni]
+    if len(bi) > max_entries:
+        # driver-artifact bound (the unigram head-cut analog for the
+        # pair table): keep the max_entries most frequent bigrams,
+        # deterministic ties by key. A no-op at every oracle scale —
+        # dropped tail pairs simply score as unseen.
+        bi = bi.sort_values(["count", "w1", "w2"],
+                            ascending=[False, True, True]) \
+            .head(max_entries)
     return {
         "uni": dict(zip(uni["w1"], uni["count"].astype(int))),
         "bi": {f"{a} {b}": int(c) for a, b, c in

@@ -195,3 +195,20 @@ def test_knn_join_probe2_improves_recall():
     assert len(p2) >= len(p1)
     # disjoint-candidate merge: no duplicate (query, neighbor) pairs
     assert not p2.duplicated(["vec_id", "neighbor_id"]).any()
+
+
+def test_dsir_max_vocab_cut_preserves_kept_ratios():
+    """Binding max_vocab drops tail tokens to the unseen path but keeps
+    the frequent tokens' ratios identical (denominators use full-corpus
+    totals computed before the cut)."""
+    texts = ["alpha alpha alpha beta beta rare1",
+             "alpha beta beta gamma rare2"]
+    ds = _doc_ds(texts, ["tgt", "raw"], 1)
+    full = train_importance_model(ds, select_column="source",
+                                  select_value="tgt")
+    cut = train_importance_model(ds, select_column="source",
+                                 select_value="tgt", max_vocab=3)
+    assert len(cut["logratio"]) == 3
+    for tok, lr in cut["logratio"].items():
+        assert lr == full["logratio"][tok], tok
+    assert cut["oov_logratio"] == full["oov_logratio"]
