@@ -358,6 +358,7 @@ def bench_queries(sf_dir: str):
             Q.q_parts_never_bulk_ordered(sf_dir)),
         "train_val_test_split": lambda: consume(
             Q.q_train_val_test_split(sf_dir)),
+        "semdedup_corpus": lambda: consume(Q.q_semdedup_corpus(sf_dir)),
     }
 
 

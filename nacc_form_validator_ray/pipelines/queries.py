@@ -5369,6 +5369,82 @@ QUERIES["knn_join_embeddings"] = q_knn_join_embeddings
 ORACLE_SQL["knn_join_embeddings"] = sql_knn_join_embeddings()
 
 
+def q_semdedup_corpus(sf_dir: str):
+    """The cross-modality curation composition: SemDeDup verdicts from
+    the EMBEDDINGS table applied to the TEXT corpus — per source, how
+    many documents and tokens survive semantic dedup. Lean end-to-end:
+    the verdict side ships (doc_id, kept), the document side ships
+    (doc_id, source, n_toks) computed in one Arrow token pass; one
+    hash join on the id, then per-batch partials into a tiny grouped
+    sum. The twin nests the full semdedup query as a CTE."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.stages.joins import hash_join
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
+    from nacc_form_validator_ray.stages.semdedup import semdedup
+    rd_ = _rd()
+    emb = rd_.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    verdicts = semdedup(emb, k=8, iterations=3,
+                        dist2_threshold=20_000_000) \
+        .map_batches(lambda t: pa.table(
+            {"doc_id": t["vec_id"], "kept": t["kept"]}),
+        batch_format="pyarrow")
+
+    def doc_lean(t: "pa.Table") -> "pa.Table":
+        from nacc_form_validator_ray.stages.text_signals import \
+            arrow_token_codes
+        col = t["text"]
+        arr = col.combine_chunks() if isinstance(
+            col, pa.ChunkedArray) else col
+        _, _, _, lens = arrow_token_codes(arr)
+        return pa.table({"doc_id": t["doc_id"],
+                         "source": t["source"],
+                         "n_toks": pa.array(lens.astype(np.int64))})
+
+    docs = _docs(sf_dir, columns=["doc_id", "source", "text"]) \
+        .map_batches(doc_lean, batch_format="pyarrow")
+    joined = hash_join(docs, verdicts, on="doc_id", num_partitions=8)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        kept = b["kept"].to_numpy()
+        g = pd.DataFrame({
+            "source": b["source"],
+            "docs_kept": kept.astype(np.int64),
+            "docs_dropped": (~kept).astype(np.int64),
+            "tokens_kept": np.where(kept, b["n_toks"].to_numpy(
+                np.int64), 0)})
+        return g.groupby("source", as_index=False).sum()
+
+    parts = joined.map_batches(partial, batch_format="pandas")
+    return grouped_agg_sum(parts, ["source"],
+                           ["docs_kept", "docs_dropped", "tokens_kept"],
+                           num_partitions=4)
+
+
+SQL_SEMDEDUP_CORPUS = f"""
+WITH sd AS ({sql_semdedup_embeddings()}),
+dt AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+              AS BIGINT) AS n_toks
+  FROM documents
+)
+SELECT d.source,
+       CAST(sum(CASE WHEN s.kept THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_kept,
+       CAST(sum(CASE WHEN s.kept THEN 0 ELSE 1 END) AS BIGINT)
+           AS docs_dropped,
+       CAST(sum(CASE WHEN s.kept THEN d.n_toks ELSE 0 END) AS BIGINT)
+           AS tokens_kept
+FROM dt d JOIN sd s ON s.vec_id = d.doc_id
+GROUP BY d.source
+"""
+
+QUERIES["semdedup_corpus"] = q_semdedup_corpus
+ORACLE_SQL["semdedup_corpus"] = SQL_SEMDEDUP_CORPUS
+
+
 def q_knn_join_probe2(sf_dir: str):
     """Multi-probe IVF kNN join (n_probe=2): each vector is indexed in
     its nearest cell but QUERIES its two nearest cells, recovering

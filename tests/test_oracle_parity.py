@@ -30,7 +30,7 @@ FAST_QUERIES = [
     "knn_join_embeddings", "token_entropy_docs", "orders_rollup",
     "daily_activity_full", "knn_join_probe2", "dsir_select",
     "cohort_retention", "parts_never_bulk_ordered",
-    "train_val_test_split",
+    "train_val_test_split", "semdedup_corpus",
 ]
 
 
