@@ -44,8 +44,12 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import os
+
     import ray
-    ray.init(address="local", num_cpus=8, include_dashboard=False,
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("ORACLE_CPUS", "8")),
+             include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
