@@ -359,6 +359,8 @@ def bench_queries(sf_dir: str):
         "train_val_test_split": lambda: consume(
             Q.q_train_val_test_split(sf_dir)),
         "semdedup_corpus": lambda: consume(Q.q_semdedup_corpus(sf_dir)),
+        "parts_ordered_both_halves": lambda: consume(
+            Q.q_parts_ordered_both_halves(sf_dir)),
     }
 
 

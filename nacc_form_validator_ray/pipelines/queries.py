@@ -2561,6 +2561,62 @@ QUERIES["parts_never_bulk_ordered"] = q_parts_never_bulk_ordered
 ORACLE_SQL["parts_never_bulk_ordered"] = SQL_PARTS_NEVER_BULK_ORDERED
 
 
+def q_parts_ordered_both_halves(sf_dir: str):
+    """Relational INTERSECT (completing the set-op trio with
+    union/distinct and EXCEPT): part keys ordered in BOTH the early and
+    the late half of the shipping range. Each side pre-dedups per
+    batch into lean tagged keys; ONE hash exchange intersects them per
+    partition (a key is whole in one partition, so the per-partition
+    intersection composes globally)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.stages.partition import hash_exchange
+    rd_ = _rd()
+    cut = np.datetime64("1997-01-01")
+
+    def side_keys(side: int):
+        def fn(t: "pa.Table") -> "pa.Table":
+            ship = t["l_shipdate"].to_numpy(zero_copy_only=False) \
+                .astype("datetime64[D]")
+            mask = ship < cut if side == 0 else ship >= cut
+            keys = np.unique(
+                t["l_partkey"].to_numpy(zero_copy_only=False)[mask])
+            return pa.table({
+                "p_partkey": pa.array(keys.astype(np.int64)),
+                "side": pa.array(
+                    np.full(len(keys), side, dtype=np.int8)),
+            })
+        return fn
+
+    li = rd_.read_parquet(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_partkey", "l_shipdate"])
+    tagged = li.map_batches(side_keys(0), batch_format="pyarrow") \
+        .union(li.map_batches(side_keys(1), batch_format="pyarrow"))
+
+    def intersect(part: pd.DataFrame) -> pd.DataFrame:
+        early = set(part.loc[part["side"] == 0, "p_partkey"])
+        late = part.loc[part["side"] == 1, "p_partkey"].unique()
+        both = np.sort(np.array(
+            [k for k in late if k in early], dtype=np.int64))
+        return pd.DataFrame({"p_partkey": both})
+
+    return hash_exchange(tagged, ["p_partkey"], intersect,
+                         num_partitions=8)
+
+
+SQL_PARTS_ORDERED_BOTH_HALVES = """
+SELECT l_partkey AS p_partkey FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1997-01-01'
+INTERSECT
+SELECT l_partkey FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+"""
+
+QUERIES["parts_ordered_both_halves"] = q_parts_ordered_both_halves
+ORACLE_SQL["parts_ordered_both_halves"] = SQL_PARTS_ORDERED_BOTH_HALVES
+
+
 def q_train_val_test_split(sf_dir: str):
     """Deterministic train/val/test split assignment (80/10/10) by a
     Knuth multiplicative hash of the doc id — the standard

@@ -31,6 +31,7 @@ FAST_QUERIES = [
     "daily_activity_full", "knn_join_probe2", "dsir_select",
     "cohort_retention", "parts_never_bulk_ordered",
     "train_val_test_split", "semdedup_corpus",
+    "parts_ordered_both_halves",
 ]
 
 
