@@ -37,7 +37,7 @@ from nacc_form_validator_ray.utils import Clock
 BROADCAST_ID_LIMIT = 8_000_000
 
 
-def _keep_and_project(batch: pd.DataFrame) -> pd.DataFrame:
+def _keep_and_project(batch: "pa.Table") -> "pa.Table":
     """Quality-passed rows projected to the lean doc schema.
 
     ``doc_id`` hashes (url, warc_ts, text) — NOT url alone: recrawled
@@ -56,23 +56,34 @@ def _keep_and_project(batch: pd.DataFrame) -> pd.DataFrame:
     space means a ~2^-60 pairwise collision rate, which at worst drops
     one extra doc — acceptable for a lossy dedup pipeline, documented
     here."""
-    kept = batch[batch["passed"]]
-    url = kept["url"].astype(str)
-    sc = kept["scrubbed_text"].fillna("").astype(str)
-    if "warc_ts" in kept.columns:
-        keys = (u + "\x1f" + str(t) + "\x1f" + s for u, t, s in
-                zip(url, kept["warc_ts"], sc))
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from nacc_form_validator_ray.stages.dedup import md5_prefix60
+
+    kept = batch.filter(pc.fill_null(batch["passed"], False))
+    url = pc.cast(kept["url"], pa.string())
+    sc = pc.fill_null(kept["scrubbed_text"], "")
+    if "warc_ts" in kept.column_names:
+        # whole-second render, matching both str(pd.Timestamp) and
+        # DuckDB's CAST(ts AS VARCHAR) on WARC-style timestamps (the
+        # identity-key contract assumes whole seconds; sub-second
+        # values never round-tripped across engines in any convention)
+        # Arrow's %S appends fractional seconds on sub-second-unit
+        # timestamps; cast to second resolution first so the render is
+        # exactly 'YYYY-MM-DD HH:MM:SS'
+        ts = pc.strftime(
+            pc.cast(pc.floor_temporal(kept["warc_ts"], unit="second"),
+                    pa.timestamp("s")),
+            format="%Y-%m-%d %H:%M:%S")
+        keys = pc.binary_join_element_wise(url, ts, sc, "\x1f")
     else:
-        keys = (u + "\x1f" + s for u, s in zip(url, sc))
-    doc_id = np.fromiter(
-        (int(hashlib.md5(k.encode("utf-8")).hexdigest()[:15], 16)
-         for k in keys), dtype=np.int64, count=len(kept))
-    return pd.DataFrame({
-        "doc_id": doc_id,
-        "url": kept["url"].to_numpy(),
-        "lang_pred": kept["lang_pred"].to_numpy(),
-        "text": kept["scrubbed_text"].to_numpy(),
-        "n_words": kept["n_words"].to_numpy(np.int64),
+        keys = pc.binary_join_element_wise(url, sc, "\x1f")
+    return pa.table({
+        "doc_id": pa.array(md5_prefix60(keys)),
+        "url": kept["url"],
+        "lang_pred": kept["lang_pred"],
+        "text": sc,
+        "n_words": pc.cast(kept["n_words"], pa.int64()),
     })
 
 
@@ -82,18 +93,13 @@ def _exact_dup_ids(docs, id_column: str, text_column: str):
     Dataset of ids that are NOT their digest's minimum (the drops)."""
     from nacc_form_validator_ray.stages.partition import run_boundaries
 
-    def project(batch: pd.DataFrame):
-        from nacc_form_validator_ray.stages.dedup import \
-            normalize_ws_arrow
-        norm = normalize_ws_arrow(batch[text_column]) \
-            .to_numpy(zero_copy_only=False)
-        digests = b"".join(hashlib.md5(t.encode("utf-8")).digest()
-                           for t in norm)
-        h = np.frombuffer(digests, dtype=np.uint64).view(np.int64) \
-            .reshape(-1, 2) if len(batch) else \
-            np.empty((0, 2), dtype=np.int64)
+    def project(batch):
+        from nacc_form_validator_ray.stages.dedup import (
+            md5_int64_pairs, normalize_ws_arrow)
+        norm = normalize_ws_arrow(batch[text_column].combine_chunks())
+        h = md5_int64_pairs(norm)
         return {
-            id_column: batch[id_column].to_numpy(),
+            id_column: batch[id_column].to_numpy(zero_copy_only=False),
             "__h1": np.ascontiguousarray(h[:, 0]),
             "__h2": np.ascontiguousarray(h[:, 1]),
         }
@@ -110,7 +116,7 @@ def _exact_dup_ids(docs, id_column: str, text_column: str):
         run_min = np.minimum.reduceat(sids, starts)
         return {id_column: sids[sids != np.repeat(run_min, counts)]}
 
-    lean = docs.map_batches(project, batch_format="pandas")
+    lean = docs.map_batches(project, batch_format="pyarrow")
     return grouped_apply(lean, ["__h1", "__h2"], drops,
                          num_partitions=32, fn_format="pyarrow")
 
@@ -142,11 +148,14 @@ def build_pretrain_pipeline(pages_ds,
     ds = build_quality_pipeline(pages_ds, rules=rules, clock=clock,
                                 extract=extract, collect="none")
 
-    docs = ds.map_batches(_keep_and_project, batch_format="pandas")
+    docs = ds.map_batches(_keep_and_project, batch_format="pyarrow")
     if pin == "parquet":
-        import tempfile
         import ray.data as rd
-        d = pin_dir or tempfile.mkdtemp(prefix="pretrain_pin_")
+        # auto-created pin dirs are registered for atexit cleanup
+        # (round-3 ADVICE: the corpus-sized /tmp spill used to leak);
+        # a caller-supplied pin_dir stays caller-owned
+        from nacc_form_validator_ray.stages.dedup import _auto_pin_dir
+        d = pin_dir or _auto_pin_dir()
         docs.write_parquet(d)
         docs = rd.read_parquet(d)
     elif pin == "memory":
@@ -160,8 +169,9 @@ def build_pretrain_pipeline(pages_ds,
                                     text_column="text",
                                     threshold=near_dup_threshold)
     near_drops = pairs.map_batches(
-        lambda b: {"doc_id": b["id_b"].to_numpy(np.int64)},
-        batch_format="pandas")
+        lambda b: {"doc_id": b["id_b"].to_numpy(zero_copy_only=False)
+                   .astype(np.int64)},
+        batch_format="pyarrow")
     banned = exact_drops.union(near_drops)
 
     if drop_via == "auto":
@@ -189,15 +199,17 @@ def build_pretrain_pipeline(pages_ds,
             self.ref = ref
             self.ids = None
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        def __call__(self, batch):
             if self.ids is None:
                 self.ids = ray.get(self.ref)
-            keep = ~np.isin(batch["doc_id"].to_numpy(np.int64),
-                            self.ids)
-            return batch[keep]
+            import pyarrow as pa
+            keep = ~np.isin(
+                batch["doc_id"].to_numpy(zero_copy_only=False),
+                self.ids)
+            return batch.filter(pa.array(keep))
 
     return docs.map_batches(DropBanned(banned_ref),
-                            batch_format="pandas")
+                            batch_format="pyarrow")
 
 
 def run_pretrain(input_dir: str, out_dir: str,
@@ -241,7 +253,7 @@ def run_pretrain(input_dir: str, out_dir: str,
         fresh(clean_dir)
         ds = build_quality_pipeline(pages, rules=rules, clock=clock,
                                     extract=True, collect="none")
-        ds.map_batches(_keep_and_project, batch_format="pandas") \
+        ds.map_batches(_keep_and_project, batch_format="pyarrow") \
             .write_parquet(clean_dir)
         mark(clean_dir)
 
@@ -253,8 +265,9 @@ def run_pretrain(input_dir: str, out_dir: str,
         pairs = minhash_candidate_pairs(docs, id_column="doc_id",
                                         text_column="text")
         near_drops = pairs.map_batches(
-            lambda b: {"doc_id": b["id_b"].to_numpy(np.int64)},
-            batch_format="pandas")
+            lambda b: {"doc_id": b["id_b"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64)},
+            batch_format="pyarrow")
         exact_drops.union(near_drops).write_parquet(banned_dir)
         mark(banned_dir)
 
@@ -275,12 +288,14 @@ def run_pretrain(input_dir: str, out_dir: str,
             else np.empty(0, dtype=np.int64)
         ref = ray.put(arr)
 
-        def drop(batch: pd.DataFrame) -> pd.DataFrame:
-            keep = ~np.isin(batch["doc_id"].to_numpy(np.int64),
-                            ray.get(ref))
-            return batch[keep]
+        def drop(batch):
+            import pyarrow as pa
+            keep = ~np.isin(
+                batch["doc_id"].to_numpy(zero_copy_only=False),
+                ray.get(ref))
+            return batch.filter(pa.array(keep))
 
-        out = docs.map_batches(drop, batch_format="pandas")
+        out = docs.map_batches(drop, batch_format="pyarrow")
 
     fresh(final_dir)
     out.write_parquet(final_dir)

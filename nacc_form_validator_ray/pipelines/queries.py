@@ -18,6 +18,8 @@ from typing import Any, Callable, Dict, Tuple
 import numpy as np
 import pandas as pd
 
+from nacc_form_validator_ray.stages.partition import \
+    pa_grouped_agg as _pa_grouped_agg
 from nacc_form_validator_ray.stages.scrub import PII_PATTERNS, Scrubber
 from nacc_form_validator_ray.stages.text_signals import (BPE_TOKEN_RE,
                                                          LANG_ORDER,
@@ -339,11 +341,11 @@ def q_token_count_by_source(sf_dir: str):
             "total_words": t["n_words"].combine_chunks(),
             "total_bpe_tokens": t["bpe_token_count"].combine_chunks(),
         })
-        return pa.TableGroupBy(g, ["source"]).aggregate(
+        return _pa_grouped_agg(
+            g, ["source"],
             [("n_docs", "sum"), ("total_words", "sum"),
-             ("total_bpe_tokens", "sum")]) \
-            .rename_columns(["source", "n_docs", "total_words",
-                             "total_bpe_tokens"])
+             ("total_bpe_tokens", "sum")],
+            ["n_docs", "total_words", "total_bpe_tokens"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return _merge_partials(partials, ["source"],
@@ -797,9 +799,10 @@ def q_segment_revenue(sf_dir: str):
         g = pa.table({"o_custkey": t["o_custkey"].combine_chunks(),
                       "n_orders": np.ones(t.num_rows, dtype=np.int64),
                       "revenue_cents": cents})
-        return pa.TableGroupBy(g, ["o_custkey"]).aggregate(
-            [("n_orders", "sum"), ("revenue_cents", "sum")]) \
-            .rename_columns(["o_custkey", "n_orders", "revenue_cents"])
+        return _pa_grouped_agg(
+            g, ["o_custkey"],
+            [("n_orders", "sum"), ("revenue_cents", "sum")],
+            ["n_orders", "revenue_cents"])
 
     order_partials = orders.map_batches(pre_agg, batch_format="pyarrow")
     cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
@@ -809,12 +812,11 @@ def q_segment_revenue(sf_dir: str):
     joined = hash_join(order_partials, cust, on="o_custkey")
 
     def partial(t: "pa.Table") -> "pa.Table":
-        return pa.TableGroupBy(
+        return _pa_grouped_agg(
             t.select(["c_mktsegment", "n_orders", "revenue_cents"]),
-            ["c_mktsegment"]).aggregate(
-                [("n_orders", "sum"), ("revenue_cents", "sum")]) \
-            .rename_columns(["c_mktsegment", "n_orders",
-                             "revenue_cents"])
+            ["c_mktsegment"],
+            [("n_orders", "sum"), ("revenue_cents", "sum")],
+            ["n_orders", "revenue_cents"])
 
     partials = joined.map_batches(partial, batch_format="pyarrow")
     return _merge_partials(partials, ["c_mktsegment"],
@@ -1819,12 +1821,12 @@ def q_domain_filter_docs(sf_dir: str, min_rate: float = 0.5):
     def rate_partial(batch: "pa.Table") -> "pa.Table":
         k = batch["keep"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        g = pa.TableGroupBy(
+        return _pa_grouped_agg(
             pa.table({"host": batch["host"],
                       "n_docs": pa.array(np.ones(len(k), np.int64)),
                       "n_keep": pa.array(k)}),
-            ["host"]).aggregate([("n_docs", "sum"), ("n_keep", "sum")])
-        return g.rename_columns(["host", "n_docs", "n_keep"])
+            ["host"], [("n_docs", "sum"), ("n_keep", "sum")],
+            ["n_docs", "n_keep"])
 
     per_host = grouped_agg_sum(
         tagged.map_batches(rate_partial, batch_format="pyarrow"),
@@ -4657,9 +4659,9 @@ def q3_shipping_priority(sf_dir: str):
             zero_copy_only=False) * 100 + 0.5).astype(np.int64)
         g = pa.table({"o_orderkey": t["l_orderkey"].combine_chunks(),
                       "revenue_ch": cents * (100 - dh)})
-        return pa.TableGroupBy(g, ["o_orderkey"]).aggregate(
-            [("revenue_ch", "sum")]) \
-            .rename_columns(["o_orderkey", "revenue_ch"])
+        return _pa_grouped_agg(g, ["o_orderkey"],
+                               [("revenue_ch", "sum")],
+                               ["revenue_ch"])
 
     rev = line.map_batches(rev_partial, batch_format="pyarrow")
 
@@ -4987,30 +4989,59 @@ def q_bpe_merges(sf_dir: str):
 
 def _bpe_cte_chain(n_merges: int):
     """Shared CTE chain for the BPE twins: word counts -> dotted v0 ->
-    one (pair-count -> argmax -> replace) stage per merge. Returns the
-    WITH-body string and the per-merge output selects."""
+    one merge stage per rank. Each stage mirrors the engine's
+    REFERENCE-EXACT list merge (stages/bpe._apply_merge): unnest the
+    symbol rows, flag (a, b) candidates, resolve overlaps greedily
+    left-to-right via run parity (gaps-and-islands: within a maximal
+    run of consecutive candidate positions only offsets 0, 2, 4, ...
+    merge), splice out the consumed right symbols and re-aggregate the
+    dotted string. Returns the WITH-body string and the per-merge
+    output selects."""
     stages, outs = [], []
     for k in range(1, n_merges + 1):
         prev = f"v{k - 1}"
         # MATERIALIZED stops DuckDB's default CTE inlining — each stage
-        # references its predecessor twice, so inlining is exponential
+        # references its predecessor several times, so inlining is
+        # exponential in the merge count
         stages.append(f"""
-py{k} AS (
-  SELECT sp, cnt, unnest(range(2, len(sp))) AS i
-  FROM (SELECT string_split(seq, '.') AS sp, cnt FROM {prev})
+sy{k} AS (
+  SELECT word, cnt, i, sp[i] AS sym,
+         CASE WHEN i < len(sp) - 1 THEN sp[i + 1] END AS nxt
+  FROM (SELECT word, cnt, sp, unnest(range(2, len(sp))) AS i
+        FROM (SELECT word, cnt, string_split(seq, '.') AS sp
+              FROM {prev}))
 ),
 p{k} AS (
-  SELECT '.' || sp[i] || '.' || sp[i + 1] AS pat,
-         '.' || sp[i] || sp[i + 1] AS rep,
+  SELECT '.' || sym || '.' || nxt || '.' AS pat, sym AS a, nxt AS b,
          CAST(sum(cnt) AS BIGINT) AS c
-  FROM py{k} GROUP BY 1, 2
+  FROM sy{k} WHERE nxt IS NOT NULL GROUP BY 1, 2, 3
 ),
 m{k} AS MATERIALIZED (
-  SELECT pat, rep, c FROM p{k} ORDER BY c DESC, pat LIMIT 1),
+  SELECT pat, '.' || a || b || '.' AS rep, a, b, c
+  FROM p{k} ORDER BY c DESC, pat LIMIT 1),
+rn{k} AS (
+  SELECT *, CASE WHEN cand THEN i - ROW_NUMBER()
+        OVER (PARTITION BY word, cand ORDER BY i) END AS grp
+  FROM (SELECT word, cnt, i, sym, nxt,
+               COALESCE(sym = (SELECT a FROM m{k})
+                        AND nxt = (SELECT b FROM m{k}),
+                        FALSE) AS cand
+        FROM sy{k})
+),
+mg{k} AS (
+  SELECT word, cnt, i,
+         CASE WHEN keepm THEN sym || nxt ELSE sym END AS osym,
+         COALESCE(LAG(keepm) OVER (PARTITION BY word ORDER BY i),
+                  FALSE) AS consumed
+  FROM (SELECT *, cand AND (ROW_NUMBER() OVER
+              (PARTITION BY word, grp ORDER BY i) - 1) % 2 = 0
+              AS keepm
+        FROM rn{k})
+),
 v{k} AS MATERIALIZED (
-  SELECT replace(seq, coalesce((SELECT pat FROM m{k}), chr(1)),
-                 coalesce((SELECT rep FROM m{k}), chr(1))) AS seq, cnt
-  FROM {prev}
+  SELECT word, cnt,
+         '.' || string_agg(osym, '.' ORDER BY i) || '.' AS seq
+  FROM mg{k} WHERE NOT consumed GROUP BY word, cnt
 )""")
         outs.append(f"SELECT {k} AS \"rank\", pat AS pair, rep AS "
                     f"merged, c FROM m{k}")
@@ -5020,7 +5051,9 @@ v{k} AS MATERIALIZED (
     FROM documents) GROUP BY tok
 ),
 v0 AS MATERIALIZED (
-  SELECT regexp_replace(word, '(.)', '.\\1', 'g') AS seq, cnt FROM w),
+  SELECT word, regexp_replace(word, '(.)', '.\\1', 'g') || '.' AS seq,
+         cnt
+  FROM w),
 {','.join(stages)}"""
     return body, outs
 
@@ -5052,11 +5085,11 @@ def q_bpe_encode_docs(sf_dir: str):
 
 
 def _sql_bpe_encode_docs(n_merges: int = 10) -> str:
+    # the training corpus IS the encode corpus here, so the chain's
+    # final vocabulary state v{n} already carries each word's merged
+    # symbol sequence — the encode twin joins doc words to it instead
+    # of re-running the merges
     body, _ = _bpe_cte_chain(n_merges)
-    expr = "regexp_replace(word, '(.)', '.\\1', 'g')"
-    for k in range(1, n_merges + 1):
-        expr = (f"replace({expr}, coalesce((SELECT pat FROM m{k}), "
-                f"chr(1)), coalesce((SELECT rep FROM m{k}), chr(1)))")
     return f"""
 WITH {body},
 dw AS (
@@ -5064,12 +5097,15 @@ dw AS (
       AS word
   FROM documents
 ),
-de AS (SELECT doc_id, word, {expr} AS enc FROM dw),
+de AS (
+  SELECT dw.doc_id, dw.word,
+         len(string_split(v.seq, '.')) - 2 AS n_sub
+  FROM dw JOIN v{n_merges} v ON v.word = dw.word
+),
 agg AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          CAST(sum(len(word)) AS BIGINT) AS n_chars,
-         CAST(sum(len(string_split(enc, '.')) - 1) AS BIGINT)
-             AS n_subwords
+         CAST(sum(n_sub) AS BIGINT) AS n_subwords
   FROM de GROUP BY doc_id
 )
 SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,

@@ -9,16 +9,16 @@ anti-join exchange, so the shuffled volume drops from |left| to roughly
 |matches| + fp_rate·|left|, with zero correctness loss (the exact join
 adjudicates every hit).
 
-Keys of any dtype are first mapped to uint64 with ``pd.util.hash_array``
-(content-based — identical across batches and workers); the k bloom
-probes are derived from that hash with wrapping multiply-shift mixes, so
-building and probing agree bit-for-bit.
+Arrow-native end-to-end: keys are hashed to uint64 straight off the
+Arrow buffers (``partition._hash_table`` — string columns never box
+into pandas objects; round-3 VERDICT item), and the k bloom probes are
+derived from that hash with wrapping multiply-shift mixes, so building
+and probing agree bit-for-bit within a run.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
 #: odd multipliers for the k multiply-shift probes
 _MIXERS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
@@ -26,17 +26,13 @@ _MIXERS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
                    dtype=np.uint64)
 
 
-def _key_hash(values: np.ndarray) -> np.ndarray:
-    """Content-based uint64 hash of an arbitrary key column.
-
-    Object (string) arrays are hashed directly — ``astype("U")`` would
-    materialize a fixed-width UTF-32 copy padded to the LONGEST value in
-    the batch (~4x max-len bytes per row), a multi-GB allocation when
-    keys are long documents (round-2 ADVICE)."""
-    if values.dtype == object:
-        return pd.util.hash_array(values, categorize=False) \
-            .astype(np.uint64)
-    return pd.util.hash_array(values).astype(np.uint64)
+def _key_hash(batch, on: str) -> np.ndarray:
+    """Content-based uint64 hash of the key column of an Arrow table,
+    zero-copy for strings (no UTF-32 ``astype("U")`` copies, no object
+    boxing). Build and probe share this function, which is the only
+    consistency the filter needs."""
+    from nacc_form_validator_ray.stages.partition import _hash_table
+    return _hash_table(batch, [on])
 
 
 def _probe_positions(h: np.ndarray, n_bits: int) -> np.ndarray:
@@ -50,17 +46,17 @@ def _probe_positions(h: np.ndarray, n_bits: int) -> np.ndarray:
 def build_bloom(keys_ds, on: str, n_bits: int = 1 << 23):
     """Build a packed Bloom bitmap from a Dataset's key column.
 
-    Per-batch work emits the DISTINCT bit positions (lean int32 rows);
+    Per-batch work emits the DISTINCT bit positions (lean int64 rows);
     one ``unique`` exchange bounds the driver transfer at the bitmap
     size regardless of key count. Returns (bitmap uint8 array of
     ``n_bits/8`` bytes, n_bits).
     """
-    def positions(batch: pd.DataFrame) -> pd.DataFrame:
-        h = _key_hash(batch[on].to_numpy())
+    def positions(batch):
+        h = _key_hash(batch, on)
         pos = np.unique(_probe_positions(h, n_bits))
-        return pd.DataFrame({"pos": pos.astype(np.int64)})
+        return {"pos": pos.astype(np.int64)}
 
-    pos = keys_ds.map_batches(positions, batch_format="pandas") \
+    pos = keys_ds.map_batches(positions, batch_format="pyarrow") \
         .unique("pos")
     bitmap = np.zeros(n_bits // 8, dtype=np.uint8)
     pos = np.fromiter(pos, dtype=np.int64)  # unique() may yield a set
@@ -71,11 +67,10 @@ def build_bloom(keys_ds, on: str, n_bits: int = 1 << 23):
     return bitmap, n_bits
 
 
-def _bloom_hits(values: np.ndarray, bitmap: np.ndarray,
+def _bloom_hits(h: np.ndarray, bitmap: np.ndarray,
                 n_bits: int) -> np.ndarray:
     """Boolean mask: True where the key MAY be in the filter."""
-    h = _key_hash(values)
-    hits = np.ones(len(values), dtype=bool)
+    hits = np.ones(len(h), dtype=bool)
     for i in range(len(_MIXERS)):
         pos = ((h * _MIXERS[i]) >> np.uint64(17)).astype(np.int64) % n_bits
         hits &= (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 > 0
@@ -96,6 +91,7 @@ def anti_join_bloom(left_ds, keys_ds, on: str,
     re-readable source (parquet) or a materialized dataset so laziness
     does not recompute an expensive upstream twice.
     """
+    import pyarrow as pa
     import ray
     from nacc_form_validator_ray.stages.joins import anti_join
 
@@ -110,17 +106,18 @@ def anti_join_bloom(left_ds, keys_ds, on: str,
             self.keep_hits = keep_hits
             self.bitmap = None
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        def __call__(self, batch: "pa.Table") -> "pa.Table":
             if self.bitmap is None:
                 self.bitmap = ray.get(self.ref)
-            hits = _bloom_hits(batch[on].to_numpy(), self.bitmap,
+            hits = _bloom_hits(_key_hash(batch, on), self.bitmap,
                                self.nb)
-            return batch[hits] if self.keep_hits else batch[~hits]
+            mask = hits if self.keep_hits else ~hits
+            return batch.filter(pa.array(mask))
 
     misses = left_ds.map_batches(Split(ref, nb, keep_hits=False),
-                                 batch_format="pandas")
+                                 batch_format="pyarrow")
     hits = left_ds.map_batches(Split(ref, nb, keep_hits=True),
-                               batch_format="pandas")
+                               batch_format="pyarrow")
     verified = anti_join(hits, keys_ds, on=on,
                          num_partitions=num_partitions)
     return misses.union(verified)

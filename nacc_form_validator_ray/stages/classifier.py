@@ -55,7 +55,10 @@ class LRScorer:
     def __call__(self, batch):
         import pyarrow as pa
         import pyarrow.compute as pc
-        txt = batch[self.text_column]
+        # null text scores as empty text (lr_train and the SQL twin's
+        # coalesce do the same) — without this, utf8_length's null
+        # propagates to NaN and .astype(int64) makes garbage logits
+        txt = pc.fill_null(batch[self.text_column], "")
         feats = {"n_chars": pc.utf8_length(txt).to_numpy(
             zero_copy_only=False).astype(np.int64)}
         for name, rx in FEATURE_RE.items():

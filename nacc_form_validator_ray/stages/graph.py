@@ -66,7 +66,8 @@ def inlink_stats(ds, url_column: str = "url",
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from nacc_form_validator_ray.stages.partition import grouped_apply
+    from nacc_form_validator_ray.stages.partition import (grouped_apply,
+                                                           pa_grouped_agg)
 
     def edge_pairs(batch: "pa.Table") -> "pa.Table":
         src = _host_of(batch[url_column], pc)
@@ -78,10 +79,9 @@ def inlink_stats(ds, url_column: str = "url",
         dst = _host_of(pc.list_flatten(links), pc)
         src_rep = src.take(pa.array(np.repeat(
             np.arange(len(batch), dtype=np.int64), counts)))
-        pairs = pa.TableGroupBy(
+        pairs = pa_grouped_agg(
             pa.table({"src": src_rep, "host": dst}),
-            ["src", "host"]).aggregate([([], "count_all")])
-        pairs = pairs.rename_columns(["src", "host", "cnt"])
+            ["src", "host"], [([], "count_all")], ["cnt"])
         # node rows: src=null marks "this dst is a known page host"
         nodes = pc.unique(src)
         return pa.concat_tables([
@@ -98,9 +98,10 @@ def inlink_stats(ds, url_column: str = "url",
         known = pc.unique(part["host"].filter(pa.array(is_node)))
         edges = part.filter(pa.array(~is_node))
         edges = edges.filter(pc.is_in(edges["host"], value_set=known))
-        agg = pa.TableGroupBy(edges, ["host"]).aggregate(
-            [("cnt", "sum"), ("src", "count_distinct")])
-        agg = agg.rename_columns(["host", "n_inlinks", "n_src_hosts"])
+        agg = pa_grouped_agg(
+            edges, ["host"],
+            [("cnt", "sum"), ("src", "count_distinct")],
+            ["n_inlinks", "n_src_hosts"])
         # known hosts with zero inlinks still get a row
         missing = known.filter(pc.invert(
             pc.is_in(known, value_set=agg["host"].combine_chunks())))

@@ -80,6 +80,11 @@ def kmeans_fit(ds, vec_column: str = "embedding",
         _matrix_from_arrow
 
     cents = _init_centroids(ds, vec_column, id_column, k)
+    if cents.shape[0] == 0:
+        raise ValueError("kmeans_fit: dataset holds no vectors")
+    # fewer vectors than k: clamp so counts/live stay aligned with the
+    # centroid matrix instead of raising IndexError downstream
+    k = cents.shape[0]
     d = cents.shape[1]
 
     def partials_for(weights: np.ndarray):
@@ -87,6 +92,13 @@ def kmeans_fit(ds, vec_column: str = "embedding",
 
         def run(batch: "pa.Table") -> "pa.Table":
             C = ray.get(wref)
+            if batch.num_rows == 0:
+                return pa.table({
+                    "cid": pa.array(np.arange(k, dtype=np.int64)),
+                    "n": pa.array(np.zeros(k, dtype=np.int64)),
+                    "s": pa.array(list(np.zeros((k, d),
+                                                dtype=np.int64))),
+                })
             X = _quantize(_matrix_from_arrow(batch[vec_column]))
             # argmin_c (c·c - 2 x·c); ties -> lowest cid (np.argmin)
             dist = (C * C).sum(axis=1)[None, :] - 2 * (X @ C.T)

@@ -358,6 +358,23 @@ def _grouped_apply_sort(ds, key_cols: Sequence[str],
         .groupby(PART_COL).map_groups(run, batch_format="pandas")
 
 
+def pa_grouped_agg(table, keys: Sequence[str], aggs, out_names):
+    """``pyarrow.TableGroupBy(...).aggregate(aggs)`` with VERSION-SAFE
+    output naming: key columns and aggregates are selected by the
+    names pyarrow generates (``{col}_{fn}`` / ``{fn}`` for nullary),
+    never by position — older pyarrow emitted key columns last, which
+    a positional ``rename_columns`` would silently swap."""
+    import pyarrow as pa
+
+    keys = list(keys)
+    out = pa.TableGroupBy(table, keys).aggregate(aggs)
+    cols = {k: out[k] for k in keys}
+    for name, (target, fname) in zip(out_names, aggs):
+        gen = fname if target == [] else f"{target}_{fname}"
+        cols[name] = out[gen]
+    return pa.table(cols)
+
+
 def grouped_agg_sum(ds, key_cols: Sequence[str],
                     sum_cols: Sequence[str],
                     num_partitions: int = 64):
@@ -370,9 +387,8 @@ def grouped_agg_sum(ds, key_cols: Sequence[str],
     sums = list(sum_cols)
 
     def agg(part: "pa.Table") -> "pa.Table":
-        out = pa.TableGroupBy(part.select(keys + sums), keys) \
-            .aggregate([(c, "sum") for c in sums])
-        return out.rename_columns(keys + sums)
+        return pa_grouped_agg(part.select(keys + sums), keys,
+                              [(c, "sum") for c in sums], sums)
 
     return grouped_apply(ds, keys, agg, num_partitions=num_partitions,
                          fn_format="pyarrow")

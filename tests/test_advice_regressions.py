@@ -168,8 +168,9 @@ def test_pretrain_doc_id_unique_for_duplicate_urls():
         "scrubbed_text": ["first crawl", "second crawl", "other"],
         "n_words": [2, 2, 1],
     })
-    out = _keep_and_project(batch)
-    assert out["doc_id"].nunique() == 3  # recrawled url != same id
+    import pyarrow as pa
+    out = _keep_and_project(pa.Table.from_pandas(batch))
+    assert len(set(out["doc_id"].to_pylist())) == 3  # recrawl != same id
 
 
 def test_pretrain_duplicate_url_keeps_one_representative(tmp_path):
@@ -190,7 +191,8 @@ def test_pretrain_duplicate_url_keeps_one_representative(tmp_path):
         "scrubbed_text": [text, text, text + " different tail words"],
         "n_words": [10] * 3,
     })
-    docs = rd.from_pandas(_keep_and_project(batch))
+    import pyarrow as pa
+    docs = rd.from_arrow(_keep_and_project(pa.Table.from_pandas(batch)))
     out = exact_dedup(docs, id_column="doc_id",
                       text_column="text").to_pandas()
     assert sorted(out["url"]) == ["https://h/x", "https://h/y"]
@@ -238,3 +240,46 @@ def test_byte_run_tokenizer_matches_arrow_regex_split_on_unicode():
         new[d].append(vocab[c])
     assert old == new
     assert n_tokens.tolist() == [len(x) for x in old]
+
+
+def test_kmeans_fewer_vectors_than_k():
+    """Round-3 ADVICE: k > dataset size used to IndexError in the
+    centroid update (counts/live sized k vs an (m<k, d) matrix)."""
+    from nacc_form_validator_ray.stages.kmeans import kmeans_fit
+    df = pd.DataFrame({
+        "vec_id": np.arange(3, dtype=np.int64),
+        "embedding": [np.array([1.0, 0.0], dtype=np.float32),
+                      np.array([0.0, 1.0], dtype=np.float32),
+                      np.array([1.0, 1.0], dtype=np.float32)],
+    })
+    cents, counts = kmeans_fit(rd.from_pandas(df), k=8, iterations=2)
+    assert cents.shape[0] == 3 == len(counts)
+    assert counts.sum() == 3
+
+
+def test_lr_scorer_null_text_scores_as_empty():
+    """Round-3 ADVICE: a null text row made utf8_length propagate null
+    -> NaN -> INT64_MIN garbage logits; it must score like ''."""
+    from nacc_form_validator_ray.stages.classifier import score_documents
+    df = pd.DataFrame({
+        "doc_id": np.arange(2, dtype=np.int64),
+        "text": pd.array([None, ""], dtype="string"),
+    })
+    out = score_documents(rd.from_pandas(df)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[0, "logit_q10"] == out.loc[1, "logit_q10"]
+    assert out.loc[0, "n_chars"] == 0
+
+
+def test_grouped_agg_sum_names_not_positions():
+    """Round-3 ADVICE: aggregate outputs must be selected by their
+    generated names, never positionally."""
+    import pyarrow as pa
+    from nacc_form_validator_ray.stages.partition import pa_grouped_agg
+    t = pa.table({"k": [1, 1, 2], "v": [10, 20, 5], "w": [1, 2, 3]})
+    out = pa_grouped_agg(t, ["k"], [("v", "sum"), ("w", "sum"),
+                                    ([], "count_all")],
+                         ["v", "w", "n"])
+    d = {r["k"]: r for r in out.to_pylist()}
+    assert d[1]["v"] == 30 and d[1]["w"] == 3 and d[1]["n"] == 2
+    assert d[2]["v"] == 5 and d[2]["w"] == 3 and d[2]["n"] == 1

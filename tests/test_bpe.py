@@ -26,22 +26,51 @@ def test_bpe_hand_computed():
     out = bpe_merges(ds, n_merges=5, num_partitions=4).to_pandas()
     got = list(zip(out["pair"], out["merged"], out["c"]))
     assert got == [
-        (".e.s", ".es", 9),   # e-s:9 ties s-t:9, '.e.s' < '.s.t'
-        (".es.t", ".est", 9),
-        (".l.o", ".lo", 7),   # l-o:7 ties o-w:7
-        (".lo.w", ".low", 7),
-        (".e.w", ".ew", 6),   # ties n-e and w-est at 6
+        (".e.s.", ".es.", 9),   # e-s:9 ties s-t:9, '.e.s.' < '.s.t.'
+        (".es.t.", ".est.", 9),
+        (".l.o.", ".lo.", 7),   # l-o:7 ties o-w:7
+        (".lo.w.", ".low.", 7),
+        (".e.w.", ".ew.", 6),   # ties n-e and w-est at 6
     ]
     assert list(out["rank"]) == [1, 2, 3, 4, 5]
 
 
 def test_bpe_overlapping_pair_merge():
-    # 'aaaa' -> pairs (a,a)x3; merge is left-to-right non-overlapping:
-    # '.a.a.a.a' -> '.aa.aa', so round 2 merges (aa,aa)
+    # 'aaaa' -> pairs (a,a)x3; greedy left-to-right merges offsets
+    # 0 and 2 (reference semantics): [a,a,a,a] -> [aa,aa], so round 2
+    # merges (aa,aa)
     ds = rd.from_pandas(pd.DataFrame({"text": ["aaaa aaaa aaaa"]}))
     out = bpe_merges(ds, n_merges=2, num_partitions=2).to_pandas()
-    assert list(out["pair"]) == [".a.a", ".aa.aa"]
+    assert list(out["pair"]) == [".a.a.", ".aa.aa."]
     assert list(out["c"]) == [9, 3]
+
+
+def test_bpe_odd_run_greedy():
+    # [a,a,a] merges once (positions 0-1), leaving [aa, a] — the
+    # run-parity rule; a naive "replace all matches" would be wrong
+    ds = rd.from_pandas(pd.DataFrame({"text": ["aaa aaa"]}))
+    out = bpe_merges(ds, n_merges=2, num_partitions=2).to_pandas()
+    assert list(out["pair"])[0] == ".a.a."
+    assert list(out["c"])[0] == 4  # 2 pairs per 'aaa' x 2 words
+    # round 2: each word is [aa, a] -> best pair (aa, a) with c=2
+    assert list(out["pair"])[1] == ".a.aa." or \
+        list(out["pair"])[1] == ".aa.a."
+    assert list(out["c"])[1] == 2
+
+
+def test_bpe_prefix_collision_regression():
+    # round-3 ADVICE: substring-replace BPE let pattern '.a.b' match
+    # '.a.bc' (symbol 'b' a proper prefix of 'bc'); list merges must
+    # only merge FULL symbols: applying (a, b) to 'abc' gives
+    # [ab, c] (2 subwords), never [abc]
+    from nacc_form_validator_ray.stages.bpe import bpe_encode
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(2, dtype=np.int64),
+        "text": ["abc", "ab"]}))
+    out = bpe_encode(ds, [(".a.b.", ".ab.")]).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[0, "n_subwords"] == 2  # [ab, c]
+    assert out.loc[1, "n_subwords"] == 1  # [ab]
 
 
 def test_bpe_vs_duckdb_random():
@@ -67,7 +96,7 @@ def test_bpe_encode_counts():
     from nacc_form_validator_ray.stages.bpe import bpe_encode
     # after (e,s): newest = n-e-w-es-t (5 symbols);
     # after (es,t): n-e-w-est (4 symbols)
-    merges = [(".e.s", ".es"), (".es.t", ".est")]
+    merges = [(".e.s.", ".es."), (".es.t.", ".est.")]
     ds = rd.from_pandas(pd.DataFrame({
         "doc_id": np.arange(3, dtype=np.int64),
         "text": ["newest widest", "no pairs here", ""]}))
