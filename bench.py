@@ -364,36 +364,55 @@ def bench_queries(sf_dir: str):
     }
 
 
-def run_bench(sf_dir: str, num_cpus: int) -> dict:
+#: interleaved repetitions per bench line (round-3 VERDICT #5: the
+#: recorded snapshot must be best-of-N so host drift cannot write the
+#: headline; this box's absolute speed swings ±30-50% across minutes)
+BENCH_REPS = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+
+
+def run_bench(sf_dir: str, num_cpus: int, reps: int = BENCH_REPS) -> dict:
     _init_ray(num_cpus)
-    timings = {}
 
     pages_dir()  # materialize the corpora outside the timed section
     linked_pages_dir()
-    t0 = time.perf_counter()
-    n_pages = run_quality_filter_pages(sf_dir)
-    qf_sec = time.perf_counter() - t0
-    timings["quality_filter_pages"] = round(qf_sec, 3)
 
-    for name, fn in bench_queries(sf_dir).items():
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # INTERLEAVED best-of-N: every line runs once per sweep, so a slow
+    # host window inflates one whole sweep rather than the tail lines
+    # of a single pass, and min() per line removes it
+    lines = [("quality_filter_pages",
+              lambda: run_quality_filter_pages(sf_dir))]
+    lines += list(bench_queries(sf_dir).items())
+    timings: dict = {}
+    per_rep: dict = {name: [] for name, _ in lines}
+    n_pages = 0
+    for _ in range(max(reps, 1)):
+        for name, fn in lines:
+            t0 = time.perf_counter()
+            out = fn()
+            sec = time.perf_counter() - t0
+            per_rep[name].append(round(sec, 3))
+            if name == "quality_filter_pages":
+                n_pages = out
+    for name, _ in lines:
+        timings[name] = min(per_rep[name])
 
     import ray
     ray.shutdown()
     micro = validator_micro_bench()
     total = round(sum(timings.values()), 3)
     return {
-        "metric": "end-to-end seconds for the headline pipeline suite "
-                  "(web-text quality filter + operator benches)",
+        "metric": "best-of-%d seconds, headline suite "
+                  "(quality filter + operator benches)" % max(reps, 1),
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "pages": n_pages,
-        "docs_per_sec": round(n_pages / qf_sec, 1),
+        "docs_per_sec": round(
+            n_pages / timings["quality_filter_pages"], 1),
+        "n_reps": max(reps, 1),
+        "per_rep": per_rep,
         **micro,
     }
 
@@ -628,7 +647,45 @@ def main():
                              args.scaling_high)
     else:
         result = run_bench(args.sf_dir, args.cpus)
-    print(json.dumps(result))
+    print(_final_line(result))
+
+
+def _final_line(result: dict, limit: int = 1900) -> str:
+    """The ONE stdout JSON line, kept under ``limit`` bytes.
+
+    The driver records only the last ~2000 chars of stdout and parses
+    the final line as JSON — round 3's line outgrew that window and
+    the recorded artifact lost its parsed block. Full detail
+    (per-repetition timings included) always lands in
+    ``bench_results.json`` next to this script; the stdout line drops
+    the bulky fields first and, if still too long, truncates the
+    queries dict to the slowest lines with a marker."""
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_results.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        full_path = None
+
+    slim = {k: v for k, v in result.items() if k != "per_rep"}
+    if full_path:
+        slim["full"] = os.path.basename(full_path)
+    line = json.dumps(slim, separators=(",", ":"))
+    if len(line) <= limit:
+        return line
+    q = slim.get("queries", {})
+    keep = dict(sorted(q.items(), key=lambda kv: -float(kv[1]))[:40])         if all(isinstance(v, (int, float)) for v in q.values()) else q
+    slim["queries"] = keep
+    slim["queries_truncated"] = len(q) - len(keep)
+    line = json.dumps(slim, separators=(",", ":"))
+    while len(line) > limit and slim["queries"]:
+        drop = min(slim["queries"], key=lambda k: float(
+            slim["queries"][k]))
+        del slim["queries"][drop]
+        slim["queries_truncated"] += 1
+        line = json.dumps(slim, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":

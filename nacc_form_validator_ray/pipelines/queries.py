@@ -2159,11 +2159,27 @@ def q_dup_ngram_spans(sf_dir: str):
     """Bounded exact-substring duplication audit: per-document count
     and token coverage of 3-gram shingles shared with other documents
     (linked-page fixture — its boilerplate lines guarantee real
-    cross-document spans)."""
+    cross-document spans).
+
+    Registered DEFAULT is ``via="hashed"`` (round-3 VERDICT #1): the
+    heavy exchange carries 64-bit shingle hashes and an exact-string
+    verify pass over the flagged (bounded) subset removes every
+    collision — identical rows to the exact-string path, which remains
+    available as the ``dup_ngram_spans_exact`` registry entry / the
+    verify path."""
     from nacc_form_validator_ray.stages.dedup import dup_ngram_spans
     ds = _rd().read_parquet(_linked_pages_path(sf_dir),
                             columns=["doc_id", "text"])
-    return dup_ngram_spans(ds, k=3, min_docs=2)
+    return dup_ngram_spans(ds, k=3, min_docs=2, via="hashed")
+
+
+def q_dup_ngram_spans_exact(sf_dir: str):
+    """The exact-string exchange variant (corpus-sized shuffle payload
+    — the verify/debug path, not the scale default)."""
+    from nacc_form_validator_ray.stages.dedup import dup_ngram_spans
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["doc_id", "text"])
+    return dup_ngram_spans(ds, k=3, min_docs=2, via="exact")
 
 
 def sql_dup_ngram_spans(path: str, k: int = 3, min_docs: int = 2) -> str:
@@ -2223,6 +2239,7 @@ def flagship_oracles(sf_dir: str) -> Dict[str, str]:
         "inlink_stats": sql_inlink_stats(lp),
         "dup_ngram_spans": sql_dup_ngram_spans(lp),
         "dup_ngram_spans_hashed": sql_dup_ngram_spans(lp),
+        "dup_ngram_spans_exact": sql_dup_ngram_spans(lp),
         "web_clean_pages": sql_web_clean_pages(lp),
         "domain_filter_docs": sql_domain_filter_docs(lp),
         "url_blocklist": sql_url_blocklist(lp),
@@ -4968,6 +4985,7 @@ QUERIES["host_pagerank"] = q_host_pagerank
 QUERIES["inlink_stats"] = q_inlink_stats
 QUERIES["dup_ngram_spans"] = q_dup_ngram_spans
 QUERIES["dup_ngram_spans_hashed"] = q_dup_ngram_spans_hashed
+QUERIES["dup_ngram_spans_exact"] = q_dup_ngram_spans_exact
 QUERIES["web_clean_pages"] = q_web_clean_pages
 QUERIES["domain_filter_docs"] = q_domain_filter_docs
 QUERIES["url_blocklist"] = q_url_blocklist

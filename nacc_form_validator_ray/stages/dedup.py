@@ -716,6 +716,9 @@ def blocked_jaccard_pairs(ds, block_column: str,
     (pipelines/queries.SQL_JACCARD_PAIRS).
     """
     import logging
+
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
     log = logging.getLogger(__name__)
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
@@ -730,9 +733,13 @@ def blocked_jaccard_pairs(ds, block_column: str,
         rep.loc[1::2, "__bucket"] += 1
         return rep
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        part_bucket = int(group["__bucket"].iloc[0])
-        g = group.sort_values(id_column)
+    empty = pd.DataFrame({
+        "id_a": pd.Series([], dtype=np.int64),
+        "id_b": pd.Series([], dtype=np.int64),
+        "jaccard": pd.Series([], dtype=np.float64)})
+
+    def group_pairs(g: pd.DataFrame, part_bucket: int) -> pd.DataFrame:
+        g = g.sort_values(id_column)
         if len(g) > max_block:
             log.warning(
                 "jaccard partition %s overflows max_block=%d (%d rows); "
@@ -741,10 +748,6 @@ def blocked_jaccard_pairs(ds, block_column: str,
                 max_block, len(g), max_block)
             g = g.head(max_block)
         n = len(g)
-        empty = pd.DataFrame({
-            "id_a": pd.Series([], dtype=np.int64),
-            "id_b": pd.Series([], dtype=np.int64),
-            "jaccard": pd.Series([], dtype=np.float64)})
         if n < 2:
             return empty
         doc_id, hashes = _shingle_hashes(g[text_column], shingle_n, n)
@@ -773,9 +776,19 @@ def blocked_jaccard_pairs(ds, block_column: str,
             "id_b": np.asarray(out_b, dtype=np.int64),
             "jaccard": np.asarray(out_j, dtype=np.float64)})
 
-    return ds.map_batches(add_bucket, batch_format="pandas") \
-        .groupby([block_column, "__bucket"]) \
-        .map_groups(pairs, batch_format="pandas")
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        outs = [group_pairs(g, int(bucket)) for (_, bucket), g in
+                part.groupby([block_column, "__bucket"], sort=False)]
+        live = [o for o in outs if len(o)]
+        return pd.concat(live, ignore_index=True) if live else empty
+
+    # ONE task-based hash exchange on (block, bucket) — the rest of the
+    # engine's exchange fabric — instead of the sort-path
+    # groupby().map_groups (round-3 VERDICT #2/#4)
+    return grouped_apply(ds.map_batches(add_bucket,
+                                        batch_format="pandas"),
+                         [block_column, "__bucket"], per_partition,
+                         num_partitions=32, fn_format="pandas")
 
 
 def propagate_labels(pairs_ds, ids_ds, id_column: str = "doc_id",

@@ -75,8 +75,9 @@ def _hash_string_arrow(arr) -> np.ndarray:
         if _POW_TABLE is None:
             t = np.empty(_POW_CYCLE, dtype=np.uint64)
             t[0] = 1
-            for m in range(1, _POW_CYCLE):
-                t[m] = t[m - 1] * np.uint64(0x100000001B3)  # FNV prime
+            with np.errstate(over="ignore"):  # wraparound is the point
+                for m in range(1, _POW_CYCLE):
+                    t[m] = t[m - 1] * np.uint64(0x100000001B3)  # FNV
             _POW_TABLE = t
         owner_end = np.repeat(starts + lens, lens)
         pos = (owner_end - 1 - np.arange(total, dtype=np.int64)) \
@@ -140,14 +141,30 @@ def _route_rows(table, route, num_partitions: int) -> np.ndarray:
     if route[0] == "hash":
         return (_hash_table(table, route[1])
                 % np.uint64(num_partitions)).astype(np.int64)
+    if route[0] == "hash_iso":
+        # skew isolation: heavy keys get DEDICATED trailing partitions
+        # (a hot key cannot be split below one partition — lags need
+        # the whole subject history — but it must not ALSO receive a
+        # 1/P share of every other key; SURVEY §7.3 / round-3 VERDICT
+        # #9). heavy is a SORTED uint64 array of heavy key hashes.
+        _, key_cols, heavy = route
+        base = num_partitions - len(heavy)
+        h = _hash_table(table, key_cols)
+        part = (h % np.uint64(base)).astype(np.int64)
+        if len(heavy):
+            idx = np.searchsorted(heavy, h)
+            idx = np.clip(idx, 0, len(heavy) - 1)
+            hit = heavy[idx] == h
+            part[hit] = base + idx[hit]
+        return part
     _, col, boundaries = route
     vals = table[col].to_numpy(zero_copy_only=False)
     return np.searchsorted(boundaries, vals, side="right") \
         .astype(np.int64)
 
 
-def _split_arrow_block(table, route, num_partitions: int,
-                       agg_cols: Sequence[str] = ()):
+def _split_arrow_block(route, num_partitions: int,
+                       agg_cols: Sequence[str], *tables):
     """One map-side shuffle task: tag rows with their partition id,
     stable argsort by the tag (ONE take), then return P zero-copy slices
     plus the per-partition stats — row counts, and (when ``agg_cols``
@@ -155,11 +172,28 @@ def _split_arrow_block(table, route, num_partitions: int,
     int64 ``(P, 1+len(agg_cols))`` matrix. Those sums are what let a
     range exchange hand each reducer the EXACT aggregate of all lower
     partitions (global prefix sums) with no extra pass. Slices serialize
-    lean (Ray's Arrow serializer truncates buffers to the slice)."""
+    lean (Ray's Arrow serializer truncates buffers to the slice).
+
+    Accepts SEVERAL input blocks (upstream coalescing, round-3 VERDICT
+    #3): when the input dataset arrives as many tiny blocks, the driver
+    groups adjacent blocks into one split task so the M×P slice-object
+    metadata count stays bounded by the coalesced task count, not the
+    raw block count."""
     import pyarrow as pa
-    if isinstance(table, pd.DataFrame):
-        # to_arrow_refs passes pandas-backed blocks through unconverted
-        table = pa.Table.from_pandas(table, preserve_index=False)
+    tabs = []
+    for t in tables:
+        if isinstance(t, pd.DataFrame):
+            # to_arrow_refs passes pandas-backed blocks through
+            # unconverted
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        tabs.append(t)
+    live = [t for t in tabs if t.num_rows]
+    if not live:
+        table = tabs[0]
+    elif len(live) == 1:
+        table = live[0]
+    else:
+        table = pa.concat_tables(live)
     width = 1 + len(agg_cols)
     if table.num_rows == 0:
         # fully-filtered blocks may even lack the key columns; their
@@ -256,6 +290,24 @@ def ranged_exchange(ds, routing_col: str, boundaries, fn: Callable,
                           extra_fn=extra_fn, agg_cols=agg_cols)
 
 
+def _coalesce_refs(refs, num_partitions: int, cpus: int):
+    """Group adjacent input-block refs so one split task handles
+    several tiny blocks. The exchange's metadata cost is
+    ``n_split_tasks × P`` slice objects; with unbounded tiny input
+    blocks (a filter-heavy upstream, a high-parallelism read) that
+    product is the first thing to fall over at 100-TB block counts.
+    Target split-task count = ``max(P, 2·CPU)`` — enough for full map
+    parallelism, independent of the raw block count; grouping only
+    kicks in once the input exceeds twice that (so normal-sized inputs
+    keep their 1:1 block-to-task mapping and zero extra concat cost)."""
+    import math
+    target = max(num_partitions, 2 * cpus)
+    if len(refs) <= 2 * target:
+        return [[r] for r in refs]
+    gsize = math.ceil(len(refs) / target)
+    return [refs[i:i + gsize] for i in range(0, len(refs), gsize)]
+
+
 def _task_exchange(ds, route, fn: Callable, num_partitions: int,
                    fn_format: str, extra_fn=None,
                    agg_cols: Sequence[str] = ()):
@@ -274,13 +326,15 @@ def _task_exchange(ds, route, fn: Callable, num_partitions: int,
         _REDUCE_TASK = ray.remote(_reduce_partition)
     P = num_partitions
     split = _SPLIT_TASK.options(num_returns=P + 1)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    groups = _coalesce_refs(refs, P, cpus)
     slice_refs = []
     count_refs = []
-    for r in refs:
-        out = split.remote(r, route, P, list(agg_cols))
+    for g in groups:
+        out = split.remote(route, P, list(agg_cols), *g)
         slice_refs.append(out[:P])
         count_refs.append(out[P])
-    del refs  # release input blocks as soon as splits consume them
+    del refs, groups  # release input blocks once splits consume them
     totals = np.sum(ray.get(count_refs), axis=0)
     counts = totals[:, 0] if totals.ndim == 2 else totals
     out_refs = [
@@ -297,9 +351,56 @@ def _task_exchange(ds, route, fn: Callable, num_partitions: int,
     return rd.from_arrow_refs(out_refs)
 
 
+def detect_heavy_key_hashes(ds, key_cols: Sequence[str],
+                            threshold_frac: float = 0.02) -> np.ndarray:
+    """SORTED uint64 hashes of keys holding more than ``threshold_frac``
+    of the dataset's rows — the input to skew-isolated routing.
+
+    Scale shape: per-batch combiner emits only LOCAL candidates (keys
+    at ≥ half the threshold within their batch — a globally heavy key
+    is locally heavy in all but adversarially ordered inputs) plus one
+    batch-total row, so the decision exchange is bounded by the
+    candidate count, never the key cardinality. Heuristic by design:
+    the heavy set only affects routing/load balance, never results."""
+    import pyarrow as pa
+
+    sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def partial(batch: "pa.Table") -> "pa.Table":
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             "c": pa.array([], pa.int64())})
+        h = _hash_table(batch, list(key_cols))
+        uniq, cnt = np.unique(h, return_counts=True)
+        keep = cnt >= max(1, int(n * threshold_frac / 2))
+        return pa.table({
+            "h": np.append(uniq[keep], sentinel),
+            "c": np.append(cnt[keep].astype(np.int64), np.int64(n)),
+        })
+
+    counts: dict = {}
+    total = 0
+    lean = ds.map_batches(partial, batch_format="pyarrow")
+    for b in lean.iter_batches(batch_format="pyarrow",
+                               batch_size=None):
+        hs = b["h"].to_numpy(zero_copy_only=False)
+        cs = b["c"].to_numpy(zero_copy_only=False)
+        for h, c in zip(hs, cs):
+            if h == sentinel:
+                total += int(c)
+            else:
+                counts[int(h)] = counts.get(int(h), 0) + int(c)
+    cut = max(1, int(total * threshold_frac))
+    heavy = np.array(sorted(h for h, c in counts.items() if c >= cut),
+                     dtype=np.uint64)
+    return heavy
+
+
 def grouped_apply(ds, key_cols: Sequence[str],
                   fn: Callable, num_partitions: int = 64,
-                  fn_format: str = "pandas", via: str | None = None):
+                  fn_format: str = "pandas", via: str | None = None,
+                  isolate_heavy_frac: float | None = None):
     """One shuffle on hash(keys) % P, then ``fn`` once per partition.
 
     ``fn`` receives every row of each key it sees (exactness) and must do
@@ -314,7 +415,22 @@ def grouped_apply(ds, key_cols: Sequence[str],
 
     ``via`` picks the exchange mechanism: ``"tasks"`` (default, see
     ``hash_exchange``) or ``"sort"`` (Ray's sort-based groupby).
-    """
+
+    ``isolate_heavy_frac``: when set (e.g. 0.02), a lean pre-pass
+    detects keys holding more than that fraction of rows and routes
+    each to its own DEDICATED partition, so a hot key's partition
+    holds that key alone instead of the key plus a 1/P share of
+    everything else (host-level skew is a north-rule requirement; the
+    input must be re-readable/materialized since the pre-pass consumes
+    it once). Results are identical either way — this only moves
+    partition boundaries."""
+    if isolate_heavy_frac is not None and (via or DEFAULT_VIA) == "tasks":
+        heavy = detect_heavy_key_hashes(ds, key_cols,
+                                        isolate_heavy_frac)
+        if len(heavy):
+            return _task_exchange(
+                ds, ("hash_iso", list(key_cols), heavy), fn,
+                num_partitions + len(heavy), fn_format)
     if (via or DEFAULT_VIA) == "tasks":
         return hash_exchange(ds, key_cols, fn,
                              num_partitions=num_partitions,
@@ -432,13 +548,38 @@ def write_bucketed(ds, key_cols: Sequence[str], path: str,
         .write_parquet(path, partition_cols=["__bucket"])
 
 
+#: bucketed_grouped_apply refuses to coalesce a bucket larger than
+#: this (bytes on disk; parquet decompresses several-fold in memory) —
+#: a single bucket must fit one worker's heap, and silently
+#: repartition(1)-ing an oversized one would OOM the worker instead of
+#: telling the caller to raise num_buckets / salt the bucket key
+BUCKET_BYTES_LIMIT = 2 << 30
+
+
+def _dir_bytes(path: str) -> int:
+    import os
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def bucketed_grouped_apply(path: str,
                            fn: Callable[[pd.DataFrame], pd.DataFrame],
-                           num_buckets: int = 64):
+                           num_buckets: int = 64,
+                           max_bucket_bytes: int = BUCKET_BYTES_LIMIT):
     """``grouped_apply`` over a ``write_bucketed`` directory WITHOUT a
     shuffle: each bucket is read as one partition (its rows are already
     co-located on disk) and ``fn`` runs once per bucket. Returns the
-    union Dataset of all bucket results."""
+    union Dataset of all bucket results.
+
+    Each bucket is coalesced to ONE block, so a bucket must fit a
+    worker's heap; a bucket whose on-disk size exceeds
+    ``max_bucket_bytes`` raises ``ValueError`` up front (round-3
+    VERDICT #8 — fail loudly, never silently repartition(1) an
+    unbounded bucket). Fixes: raise ``num_buckets`` when writing, or
+    salt the bucket key for hot keys."""
     import os
     import ray.data as rd
 
@@ -447,6 +588,13 @@ def bucketed_grouped_apply(path: str,
         bdir = os.path.join(path, f"__bucket={i}")
         if not os.path.isdir(bdir):
             continue
+        nbytes = _dir_bytes(bdir)
+        if nbytes > max_bucket_bytes:
+            raise ValueError(
+                f"bucket {i} under {path} is {nbytes} bytes on disk "
+                f"(> max_bucket_bytes={max_bucket_bytes}); it cannot "
+                f"be coalesced into one worker block — rewrite with "
+                f"more buckets or salt the bucket key")
         # a bucket spans several files (one per writer task): coalesce
         # to ONE block so fn sees the whole bucket — this concat is
         # bucket-local, not an all-to-all exchange

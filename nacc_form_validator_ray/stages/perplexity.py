@@ -94,15 +94,55 @@ def save_model(model: Dict[str, Any], path: str) -> None:
         json.dump(model, f)
 
 
+def load_arpa_unigram(path: str) -> Dict[str, Any]:
+    """Parse the \\1-grams section of a KenLM-style ARPA file into this
+    engine's unigram model dict: ARPA stores log10 probabilities
+    (``log10p token [backoff]``), converted to natural log here;
+    ``<unk>``'s entry becomes ``oov_logp`` (fallback -20.0). This is
+    the external perplexity-model seam — the same ``__init__``-time
+    artifact load a real ``kenlm.Model`` would do, exercised by
+    tests/test_model_seams.py without the kenlm dependency."""
+    import math
+    logp: Dict[str, float] = {}
+    oov = -20.0
+    in_unigrams = False
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("\\1-grams"):
+                in_unigrams = True
+                continue
+            if line.startswith("\\"):  # next section / \\end\\
+                in_unigrams = False
+                continue
+            if not in_unigrams or not line:
+                continue
+            parts = line.split("\t") if "\t" in line else line.split()
+            lp10, tok = float(parts[0]), parts[1]
+            ln_p = lp10 * math.log(10.0)
+            if tok == "<unk>":
+                oov = ln_p
+            else:
+                logp[tok] = ln_p
+    return {"oov_logp": oov, "logp": logp}
+
+
 class PerplexityScorer:
-    """map_batches callable: model loads ONCE per actor/task instance."""
+    """map_batches callable: model loads ONCE per actor/task instance.
+
+    Model sources, in precedence order: ``model`` (dict), ``arpa_path``
+    (KenLM-style ARPA unigram section — the real-model seam), or
+    ``model_path`` (this engine's JSON artifact)."""
 
     def __init__(self, model: Optional[Dict[str, Any]] = None,
                  model_path: Optional[str] = None,
-                 text_column: str = "text"):
+                 text_column: str = "text",
+                 arpa_path: Optional[str] = None):
+        if model is None and arpa_path is not None:
+            model = load_arpa_unigram(arpa_path)
         if model is None:
             if model_path is None:
-                raise ValueError("need model or model_path")
+                raise ValueError("need model, arpa_path or model_path")
             with open(model_path) as f:
                 model = json.load(f)
         self.text_column = text_column

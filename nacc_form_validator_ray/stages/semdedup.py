@@ -50,7 +50,7 @@ from nacc_form_validator_ray.stages.kmeans import _quantize, kmeans_fit
 
 
 def semdedup(ds, vec_column: str = "embedding",
-             id_column: str = "vec_id", k: int = 8,
+             id_column: str = "vec_id", k: int | None = None,
              iterations: int = 3,
              dist2_threshold: int = 20_000_000,
              max_anchors: int = 4096,
@@ -58,7 +58,13 @@ def semdedup(ds, vec_column: str = "embedding",
     """Return a Dataset of ``(vec_id, cid, kept, dup_of)`` — one row per
     input vector; ``kept`` is False for members whose cluster holds a
     smaller-id vector within ``dist2_threshold`` (quantized squared L2),
-    ``dup_of`` that smallest anchor id (-1 when kept)."""
+    ``dup_of`` that smallest anchor id (-1 when kept).
+
+    ``k=None`` derives the cluster count from the corpus size with the
+    sqrt rule (``similarity.derive_ivf_params``) — one metadata-cheap
+    ``count()``; the memory contract is that an expected cluster
+    (~N/k = sqrt(N) vectors) fits one reducer's heap, and ``max_anchors``
+    caps the per-cluster matmul width regardless."""
     import pyarrow as pa
     import ray
 
@@ -66,6 +72,10 @@ def semdedup(ds, vec_column: str = "embedding",
     from nacc_form_validator_ray.stages.similarity import \
         _matrix_from_arrow
 
+    if k is None:
+        from nacc_form_validator_ray.stages.similarity import \
+            derive_ivf_params
+        k, _ = derive_ivf_params(ds.count())
     cents, _ = kmeans_fit(ds, vec_column, id_column, k, iterations)
     wref = ray.put(cents)
 

@@ -305,15 +305,52 @@ def _kmeans_fit(sample: np.ndarray, n_centroids: int, n_iter: int = 8,
     return centroids
 
 
-def train_ivf_model(ds, n_centroids: int = 16,
+def derive_ivf_params(n_vectors: int,
+                      n_centroids: int | None = None,
+                      sample_size: int | None = None):
+    """Corpus-size-derived IVF parameters (round-3 VERDICT #7 — a fixed
+    16/4096 stops partitioning once the corpus outgrows it):
+
+    * ``n_centroids = clamp(sqrt(N), 4, 65536)`` — the standard IVF
+      sizing rule; expected inverted-list size is then ~sqrt(N) rows,
+      so a probe scans ~n_probe*sqrt(N) vectors instead of N.
+    * ``sample_size = min(max(256 * n_centroids, 4096), 2^20)`` —
+      ~256 training points per centroid, bounded so the driver-side
+      fit stays small.
+
+    Memory bound (documented contract): an inverted list / k-means
+    cell is processed as ONE partition downstream, so
+    ``(N / n_centroids) * dim * 4`` bytes must fit a worker's heap;
+    with the sqrt rule that is ``sqrt(N) * dim * 4`` — at N = 10^12,
+    dim = 256 that is ~1 GB, inside a standard worker. Callers with
+    skewed embeddings (one dense cluster) should raise n_centroids
+    beyond sqrt(N) rather than rely on the default."""
+    if n_centroids is None:
+        n_centroids = int(np.clip(int(np.sqrt(max(n_vectors, 1))),
+                                  4, 65536))
+    if sample_size is None:
+        sample_size = int(min(max(256 * n_centroids, 4096), 1 << 20))
+    return n_centroids, sample_size
+
+
+def train_ivf_model(ds, n_centroids: int | None = None,
                     vector_column: str = "embedding",
-                    sample_size: int = 4096, seed: int = 7) -> dict:
+                    sample_size: int | None = None,
+                    seed: int = 7) -> dict:
     """Fit the IVF centroid model on a bounded driver-side sample and
     return a small JSON-serializable artifact — train ONCE, then pass
     (or ``save_ivf_model``/``model_path``) into every ``ivf_knn`` run,
     exactly the load-weights-per-run pattern the perplexity model uses
     (round-2 VERDICT #10: re-sampling per invocation paid an extra
-    ``take_all`` in every query path)."""
+    ``take_all`` in every query path).
+
+    With ``n_centroids``/``sample_size`` unset they derive from the
+    corpus size (``derive_ivf_params``; one metadata-cheap ``count()``
+    on a parquet-backed dataset — pass explicit values when ``ds`` is
+    a derived pipeline whose count would trigger execution)."""
+    if n_centroids is None or sample_size is None:
+        n_centroids, sample_size = derive_ivf_params(
+            ds.count(), n_centroids, sample_size)
     sample_rows = ds.limit(sample_size).take_all()
     sample = np.stack([np.asarray(r[vector_column], dtype=np.float64)
                        for r in sample_rows])
@@ -329,9 +366,9 @@ def save_ivf_model(model: dict, path: str) -> None:
 
 
 def ivf_knn(ds, queries: np.ndarray, query_ids, k: int = 10,
-            n_centroids: int = 16, n_probe: int = 4,
+            n_centroids: int | None = None, n_probe: int = 4,
             id_column: str = "vec_id", vector_column: str = "embedding",
-            sample_size: int = 4096, seed: int = 7,
+            sample_size: int | None = None, seed: int = 7,
             model: dict | None = None,
             model_path: str | None = None):
     """IVF-style approximate top-k: the scale path for ANN.

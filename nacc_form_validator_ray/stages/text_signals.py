@@ -575,6 +575,31 @@ class RepetitionSignals:
         return batch
 
 
+def load_fasttext_wordlists(path: str):
+    """Parse a fastText-supervised-style wordlist artifact: each line
+    ``__label__<lang> <word> [word ...]`` contributes its words to that
+    language's bank. Returns (lang_order, banks) where lang_order is
+    label order of first appearance. This is the engine's external
+    language-model seam — the same ``__init__``-time load a real
+    ``fasttext.load_model`` would do, exercised by
+    tests/test_model_seams.py without the fasttext dependency."""
+    order: List[str] = []
+    words: Dict[str, list] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts or not parts[0].startswith("__label__"):
+                continue
+            lang = parts[0][len("__label__"):]
+            if lang not in words:
+                words[lang] = []
+                order.append(lang)
+            words[lang].extend(w.lower() for w in parts[1:])
+    banks = {lang: np.array(sorted(set(ws)), dtype=object)
+             for lang, ws in words.items()}
+    return order, banks
+
+
 class LangId:
     """Stopword-bank language identifier.
 
@@ -587,11 +612,23 @@ class LangId:
     the plumbing.
     """
 
-    def __init__(self, text_column: str = "text"):
+    def __init__(self, text_column: str = "text",
+                 bank_path: str | None = None):
+        """``bank_path`` is the real-model seam: a fastText-style
+        supervised wordlist (lines of ``__label__<lang> <word>
+        [word ...]``) loaded ONCE per actor — exactly where a fastText
+        ``model.bin`` would load; with it unset the built-in stopword
+        banks apply. Label order of first appearance defines the
+        argmax tie-break order (the file owns its own contract)."""
         self.text_column = text_column
         self.word_re = re.compile(WORD_RE)
-        self.banks = {lang: np.array(STOPWORDS[lang], dtype=object)
-                      for lang in LANG_ORDER}
+        if bank_path is not None:
+            self.lang_order, self.banks = load_fasttext_wordlists(
+                bank_path)
+        else:
+            self.lang_order = list(LANG_ORDER)
+            self.banks = {lang: np.array(STOPWORDS[lang], dtype=object)
+                          for lang in LANG_ORDER}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         text = batch[self.text_column].fillna("")
@@ -603,24 +640,24 @@ class LangId:
             token_lists = text.str.lower().str.findall(self.word_re)
         flat, lens = _flatten_tokens(token_lists)
         doc_id = np.repeat(np.arange(n, dtype=np.int64), lens)
-        counts = np.zeros((len(LANG_ORDER), n), dtype=np.int64)
+        counts = np.zeros((len(self.lang_order), n), dtype=np.int64)
         if len(flat):
             # factorize once; per-language membership on the small vocab
             codes, uniques = pd.factorize(pd.Series(flat, dtype=object))
             uarr = uniques.to_numpy(dtype=object)
-            for i, lang in enumerate(LANG_ORDER):
+            for i, lang in enumerate(self.lang_order):
                 hit_codes = np.isin(uarr, self.banks[lang])
                 hits = hit_codes[codes]
                 counts[i] = np.bincount(doc_id, weights=hits,
                                         minlength=n).astype(np.int64)
-        best_idx = counts.argmax(axis=0)  # first max wins = LANG_ORDER
+        best_idx = counts.argmax(axis=0)  # first max wins = lang_order
         best = counts.max(axis=0)
-        pred = np.array(LANG_ORDER, dtype=object)[best_idx]
+        pred = np.array(self.lang_order, dtype=object)[best_idx]
         pred[best == 0] = "und"
         n_words = batch["n_words"].to_numpy(np.int64) if "n_words" in batch \
             else text.str.count(r"\S+").to_numpy(np.int64)
         batch = batch.copy()
-        for i, lang in enumerate(LANG_ORDER):
+        for i, lang in enumerate(self.lang_order):
             batch[f"sw_{lang}"] = counts[i]
         batch["lang_pred"] = pred
         batch["stop_ratio"] = best / np.maximum(n_words, 1)

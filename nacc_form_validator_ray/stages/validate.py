@@ -233,10 +233,19 @@ def validate_dataset(ds,
                      = None,
                      batch_size: int = 4096,
                      concurrency: Optional[Any] = None,
-                     clock=None):
+                     clock=None,
+                     isolate_hot_subjects: Optional[float] = None):
     """Apply a rule schema to a Dataset; returns it with result columns.
 
     The temporal groupby stage runs only when the schema needs it.
+
+    ``isolate_hot_subjects``: fraction (e.g. 0.02) above which a
+    subject is routed to its OWN partition in the temporal exchange —
+    host-level skew defense (a subject's history cannot be split, but
+    a hot subject must not also receive a 1/P share of every other
+    subject). The detection pre-pass consumes the validated stream
+    once more, so enable it only when the upstream is re-readable
+    (parquet) or cheap; results are identical either way.
     """
     compiled = CompiledSchema(schema, pk_field=pk_field, orderby=orderby,
                               strict=strict, clock=clock)
@@ -284,7 +293,8 @@ def validate_dataset(ds,
             return pd.concat(out, ignore_index=True)
 
         ds = grouped_apply(ds, [pk_field], temporal_partition,
-                           num_partitions=64)
+                           num_partitions=64,
+                           isolate_heavy_frac=isolate_hot_subjects)
     return ds
 
 

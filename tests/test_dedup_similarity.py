@@ -88,6 +88,27 @@ def test_blocked_jaccard():
     assert by_pair[(0, 1)] > 0.8
 
 
+def test_blocked_jaccard_bucket_boundary_pair():
+    """Round-3 VERDICT #4: a 63-token vs 64-token near-dup pair sits
+    in adjacent length buckets (width 64) — the adjacent-bucket
+    emission must still compare it, exactly once."""
+    toks = [f"w{i}" for i in range(64)]
+    a = " ".join(toks[:63])          # 63 tokens -> bucket 0
+    b = " ".join(toks)               # 64 tokens -> bucket 1
+    df = pd.DataFrame({
+        "doc_id": np.array([10, 11], dtype=np.int64),
+        "text": [a, b],
+        "block": np.zeros(2, dtype=np.int64),
+    })
+    pairs = blocked_jaccard_pairs(rd.from_pandas(df), "block",
+                                  threshold=0.5,
+                                  length_bucket=64).to_pandas()
+    # shingles of a are a subset of b's: jaccard = 61/62
+    assert len(pairs) == 1  # found once, claimed by ONE partition
+    assert pairs.iloc[0]["id_a"] == 10 and pairs.iloc[0]["id_b"] == 11
+    assert abs(pairs.iloc[0]["jaccard"] - 61 / 62) < 1e-12
+
+
 def test_propagate_labels_transitive():
     ids = rd.from_pandas(pd.DataFrame({"doc_id": [0, 1, 2, 3, 4, 5]}))
     # chain 0-1, 1-2, and isolated pair 4-5

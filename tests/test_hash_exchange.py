@@ -149,3 +149,124 @@ def test_nulls_and_dict_columns_route_consistently():
                         fn_format="pyarrow").to_pandas()
     assert not out.duplicated("k").any()
     assert out["s"].sum() == int(tbl["v"].to_pandas().sum())
+
+
+def test_coalesce_refs_grouping_policy():
+    from nacc_form_validator_ray.stages.partition import _coalesce_refs
+    # at or below 2*target: 1:1 mapping (no concat cost on normal input)
+    refs = list(range(40))
+    assert _coalesce_refs(refs, num_partitions=8, cpus=10) == \
+        [[r] for r in refs]
+    # far above: grouped down to ~target tasks, order preserved, no loss
+    refs = list(range(1000))
+    groups = _coalesce_refs(refs, num_partitions=8, cpus=10)
+    assert len(groups) <= 20 + 1
+    assert [r for g in groups for r in g] == refs
+
+
+def test_exchange_over_many_tiny_blocks_matches_few_blocks():
+    """grouped_apply must give identical results whether the input
+    arrives as 4 blocks or as hundreds of tiny ones (the coalesced
+    split path)."""
+    import pandas as pd
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    df = pd.DataFrame({
+        "k": np.arange(2000, dtype=np.int64) % 97,
+        "v": np.arange(2000, dtype=np.int64),
+    })
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("k", as_index=False)["v"].sum()
+
+    def run(n_blocks):
+        ds = rd.from_pandas(df).repartition(n_blocks)
+        out = grouped_apply(ds, ["k"], per_part,
+                            num_partitions=8).to_pandas()
+        return out.sort_values("k").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run(4), run(400))
+
+
+def test_bucketed_grouped_apply_oversized_bucket_fails_loudly(tmp_path):
+    import pytest
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.partition import (
+        bucketed_grouped_apply, write_bucketed)
+
+    df = pd.DataFrame({"k": np.zeros(5000, dtype=np.int64),
+                       "v": np.arange(5000, dtype=np.int64)})
+    path = str(tmp_path / "buckets")
+    write_bucketed(rd.from_pandas(df), ["k"], path, num_buckets=4)
+    # a tiny cap: the single hot bucket exceeds it -> loud failure
+    with pytest.raises(ValueError, match="max_bucket_bytes"):
+        bucketed_grouped_apply(path, lambda p: p, num_buckets=4,
+                               max_bucket_bytes=1024)
+    # generous cap: works
+    out = bucketed_grouped_apply(path, lambda p: p, num_buckets=4)
+    assert out.count() == 5000
+
+
+def test_heavy_key_isolation_bounds_partition_size():
+    """Round-3 VERDICT #9: one subject holding 50% of rows must land in
+    a DEDICATED partition (its partition holds only that subject), and
+    results must be identical to the unsalted exchange."""
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    n = 20_000
+    pk = np.where(np.arange(n) % 2 == 0, 7,
+                  np.arange(n, dtype=np.int64) % 997 + 100)
+    df = pd.DataFrame({"pk": pk.astype(np.int64),
+                       "v": np.arange(n, dtype=np.int64)})
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        agg = part.groupby("pk", as_index=False)["v"].sum()
+        agg["part_rows"] = len(part)
+        agg["part_keys"] = part["pk"].nunique()
+        return agg
+
+    ds = rd.from_pandas(df).materialize()
+    iso = grouped_apply(ds, ["pk"], per_part, num_partitions=8,
+                        isolate_heavy_frac=0.05).to_pandas()
+    hot = iso[iso["pk"] == 7].iloc[0]
+    assert hot["part_keys"] == 1          # the hot key sits alone
+    assert hot["part_rows"] == n // 2     # bounded by the key itself
+    plain = grouped_apply(ds, ["pk"], per_part,
+                          num_partitions=8).to_pandas()
+    a = iso[["pk", "v"]].sort_values("pk").reset_index(drop=True)
+    b = plain[["pk", "v"]].sort_values("pk").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_temporal_stage_with_hot_subject_isolation():
+    """The temporal rule stage gives identical answers with skew
+    isolation on (one subject = 50% of rows)."""
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.validate import validate_dataset
+
+    schema = {
+        "score": {"type": "integer",
+                  "compare_with": {"comparator": ">=",
+                                   "base": "previous_record"}},
+    }
+    n = 4000
+    rng = np.random.RandomState(5)
+    pk = np.where(np.arange(n) % 2 == 0, 1,
+                  np.arange(n, dtype=np.int64) % 37 + 10)
+    df = pd.DataFrame({
+        "pid": pk.astype(np.int64),
+        "visit": np.arange(n, dtype=np.int64),
+        "score": rng.randint(0, 100, size=n),
+    })
+
+    def run(iso):
+        ds = rd.from_pandas(df).materialize()
+        out = validate_dataset(ds, schema, pk_field="pid",
+                               orderby="visit",
+                               isolate_hot_subjects=iso).to_pandas()
+        return out.sort_values(["pid", "visit"]) \
+            .reset_index(drop=True)[["pid", "visit", "passed"]]
+
+    pd.testing.assert_frame_equal(run(None), run(0.05))

@@ -212,3 +212,16 @@ def test_dsir_max_vocab_cut_preserves_kept_ratios():
     for tok, lr in cut["logratio"].items():
         assert lr == full["logratio"][tok], tok
     assert cut["oov_logratio"] == full["oov_logratio"]
+
+
+def test_derive_ivf_params_sqrt_rule():
+    from nacc_form_validator_ray.stages.similarity import \
+        derive_ivf_params
+    nc, ss = derive_ivf_params(1_000_000)
+    assert nc == 1000 and ss == 256_000
+    nc, ss = derive_ivf_params(10)       # tiny corpus: floor at 4
+    assert nc == 4 and ss == 4096
+    nc, ss = derive_ivf_params(10 ** 12)  # huge: both capped
+    assert nc == 65536 and ss == 1 << 20
+    # explicit values pass through untouched
+    assert derive_ivf_params(10 ** 9, 16, 4096) == (16, 4096)
