@@ -642,15 +642,18 @@ def main():
 
     if args.flagship_only:
         result = run_flagship_only(args.sf_dir, args.cpus)
+        print(_final_line(result, fname="bench_results_flagship.json"))
     elif args.scaling:
         result = run_scaling(args.sf_dir, args.scaling_low,
                              args.scaling_high)
+        print(_final_line(result, fname="bench_results_scaling.json"))
     else:
         result = run_bench(args.sf_dir, args.cpus)
-    print(_final_line(result))
+        print(_final_line(result))
 
 
-def _final_line(result: dict, limit: int = 1900) -> str:
+def _final_line(result: dict, limit: int = 1900,
+                fname: str = "bench_results.json") -> str:
     """The ONE stdout JSON line, kept under ``limit`` bytes.
 
     The driver records only the last ~2000 chars of stdout and parses
@@ -661,7 +664,7 @@ def _final_line(result: dict, limit: int = 1900) -> str:
     the bulky fields first and, if still too long, truncates the
     queries dict to the slowest lines with a marker."""
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_results.json")
+                             fname)
     try:
         with open(full_path, "w") as f:
             json.dump(result, f, indent=1)

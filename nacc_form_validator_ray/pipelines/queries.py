@@ -5284,6 +5284,177 @@ QUERIES["user_event_seq"] = q_user_event_seq
 ORACLE_SQL["user_event_seq"] = SQL_USER_EVENT_SEQ
 
 
+def q_user_sessions(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity) of the event
+    stream: ONE user_id hash exchange, vectorized session assignment
+    (lexsort + int64 gap diff + cumsum + reduceat aggregates) — the
+    classic streaming-window operator on the same exchange the
+    temporal rule stage rides (stages/sessions.py)."""
+    from nacc_form_validator_ray.stages.sessions import sessionize
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "value"])
+    return sessionize(ds)
+
+
+SQL_USER_SESSIONS = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events),
+g AS (
+  SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                    > 1800000000
+            THEN 1 ELSE 0 END AS news
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id, CAST(sid AS BIGINT) AS session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(vc) AS BIGINT) AS value_cents,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+           AS duration_us
+FROM s GROUP BY user_id, sid
+"""
+
+QUERIES["user_sessions"] = q_user_sessions
+ORACLE_SQL["user_sessions"] = SQL_USER_SESSIONS
+
+
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape — the canonical SIX-table join: revenue per
+    nation for ASIA-region customers served by suppliers of the SAME
+    nation, orders within one year.
+
+    Scale shape: region/nation and supplier are broadcast lookups
+    (``ray.put`` once, read in every task — never re-shipped per
+    batch; suppliers are 10k/SF, broadcastable far past 100 TB of
+    fact data), so only TWO large-table exchanges remain: orders ⋈
+    customer on custkey, then lineitem — already reduced per batch to
+    (orderkey, s_nationkey, revenue partial) — ⋈ that result on
+    orderkey. The same-nation predicate and the per-nation sum ride
+    the second exchange's output batches as a combiner; the final
+    groupby is nation-sized (tiny). Revenue is exact integer
+    cent-hundredths, bit-identical to the SQL twin."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+    from nacc_form_validator_ray.stages.joins import hash_join
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+
+    # dimension broadcast: ASIA nationkeys + names, supplier -> nation
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    asia_rk = region.filter(
+        pc.equal(region["r_name"], "ASIA"))["r_regionkey"][0].as_py()
+    nat = nation.filter(pc.equal(nation["n_regionkey"], asia_rk))
+    nat_keys = nat["n_nationkey"].to_numpy()
+    nat_names = {int(k): str(v) for k, v in
+                 zip(nat_keys, nat["n_name"].to_pylist())}
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    s_max = int(supp["s_suppkey"].to_numpy().max())
+    s_nat = np.full(s_max + 1, -1, dtype=np.int64)
+    s_nat[supp["s_suppkey"].to_numpy()] = supp["s_nationkey"]         .to_numpy()
+    dims_ref = ray.put({"nat_keys": nat_keys.astype(np.int64),
+                        "s_nat": s_nat})
+
+    cust = _rd().read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"])
+
+    def cust_proj(t: "pa.Table") -> "pa.Table":
+        d = ray.get(dims_ref)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(nk, d["nat_keys"])
+        t = t.filter(pa.array(keep))
+        return pa.table({"o_custkey": t["c_custkey"],
+                         "c_nationkey": t["c_nationkey"]})
+
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi))
+    ord_cust = hash_join(
+        orders, cust.map_batches(cust_proj, batch_format="pyarrow"),
+        on="o_custkey", num_partitions=32)         .map_batches(lambda t: t.select(["o_orderkey", "c_nationkey"])
+                     .rename_columns(["l_orderkey", "c_nationkey"]),
+                     batch_format="pyarrow")
+
+    line = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def line_proj(t: "pa.Table") -> "pa.Table":
+        d = ray.get(dims_ref)
+        sn = d["s_nat"][t["l_suppkey"].to_numpy(zero_copy_only=False)]
+        keep = np.isin(sn, d["nat_keys"])
+        cents = np.floor(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        dh = np.floor(t["l_discount"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"].combine_chunks(),
+            "s_nationkey": pa.array(sn),
+            "revenue_ch": pa.array(cents * (100 - dh)),
+        }).filter(pa.array(keep))
+
+    joined = hash_join(line.map_batches(line_proj,
+                                        batch_format="pyarrow"),
+                       ord_cust, on="l_orderkey", num_partitions=32)
+
+    def nation_partial(t: "pa.Table") -> "pa.Table":
+        same = pc.equal(t["s_nationkey"], t["c_nationkey"])
+        t = t.filter(same)
+        return _pa_grouped_agg(
+            t.select(["s_nationkey", "revenue_ch"]), ["s_nationkey"],
+            [("revenue_ch", "sum")], ["revenue_ch"])
+
+    per_nat = grouped_agg_sum(
+        joined.map_batches(nation_partial, batch_format="pyarrow"),
+        ["s_nationkey"], ["revenue_ch"], num_partitions=4)
+
+    def add_name(t: "pa.Table") -> "pa.Table":
+        names = [nat_names[int(k)] for k in
+                 t["s_nationkey"].to_pylist()]
+        return pa.table({"n_name": pa.array(names, pa.string()),
+                         "revenue_ch": t["revenue_ch"]})
+
+    return per_nat.map_batches(add_name, batch_format="pyarrow")
+
+
+SQL_Q5_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5)
+                              AS BIGINT))) AS BIGINT) AS revenue_ch
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+QUERIES["q5_local_supplier_volume"] = q5_local_supplier_volume
+ORACLE_SQL["q5_local_supplier_volume"] = SQL_Q5_LOCAL_SUPPLIER_VOLUME
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed k-means training (3 Lloyd rounds, k=8) over the
     embeddings table — the third iterative-training operator on the

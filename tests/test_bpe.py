@@ -75,7 +75,9 @@ def test_bpe_prefix_collision_regression():
 
 def test_bpe_vs_duckdb_random():
     rng = np.random.RandomState(13)
-    syll = ["ba", "na", "to", "ri", "ku", "zez"]
+    # 'aa'/'aaa' force delimiter-adjacent repeat merges — the greedy
+    # run-parity rule must agree between numpy and the SQL twin
+    syll = ["ba", "na", "to", "ri", "ku", "zez", "aa", "aaa"]
     docs = []
     for _ in range(40):
         words = ["".join(rng.choice(syll, rng.randint(1, 4)))
