@@ -211,10 +211,23 @@ def run_incremental_ingest() -> int:
 
 
 def run_dup_ngram_spans() -> int:
+    # the registry/stage default (hashed two-phase: 62-bit keys +
+    # exact verify on the flagged subset). NOTE: the linked fixture is
+    # adversarially duplicative (boilerplate on every page), so the
+    # flagged subset is most of the corpus and hashed pays ~2x the
+    # exact path HERE; at a real web corpus's dup rate the exchange
+    # payload shrinks by the dup fraction instead
     import ray.data as rd
     from nacc_form_validator_ray.stages.dedup import dup_ngram_spans
     ds = rd.read_parquet(linked_pages_dir(), columns=["doc_id", "text"])
     return dup_ngram_spans(ds, k=3, min_docs=2).count()
+
+
+def run_dup_ngram_spans_exact() -> int:
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.dedup import dup_ngram_spans
+    ds = rd.read_parquet(linked_pages_dir(), columns=["doc_id", "text"])
+    return dup_ngram_spans(ds, k=3, min_docs=2, via="exact").count()
 
 
 def _ppl_model(corpus: str) -> dict:
@@ -317,6 +330,7 @@ def bench_queries(sf_dir: str):
         "host_pagerank": run_host_pagerank,
         "inlink_stats": run_inlink_stats,
         "dup_ngram_spans": run_dup_ngram_spans,
+        "dup_ngram_spans_exact": run_dup_ngram_spans_exact,
         "web_clean_pages": run_web_clean,
         "url_blocklist": run_url_blocklist,
         "normalize_text_docs": lambda: consume(
@@ -394,7 +408,9 @@ def run_bench(sf_dir: str, num_cpus: int, reps: int = BENCH_REPS) -> dict:
             if name == "quality_filter_pages":
                 n_pages = out
     for name, _ in lines:
-        timings[name] = min(per_rep[name])
+        # 2 decimals: the stdout line must fit the driver's 2000-char
+        # tail with the full queries dict intact
+        timings[name] = round(min(per_rep[name]), 2)
 
     import ray
     ray.shutdown()
@@ -672,6 +688,8 @@ def _final_line(result: dict, limit: int = 1900,
         full_path = None
 
     slim = {k: v for k, v in result.items() if k != "per_rep"}
+    if isinstance(slim.get("sf"), str):
+        slim["sf"] = os.path.basename(slim["sf"].rstrip("/"))
     if full_path:
         slim["full"] = os.path.basename(full_path)
     line = json.dumps(slim, separators=(",", ":"))

@@ -1699,9 +1699,10 @@ FROM r{iterations}
 
 def q_dup_ngram_spans_hashed(sf_dir: str):
     """The 100-TB variant of dup_ngram_spans: the heavy exchange
-    carries 64-bit shingle hashes, then an exact-string verify pass
-    over the flagged (bounded) subset removes every collision — same
-    rows, same oracle as the exact-string path."""
+    carries 62-bit shingle keys (two independent mod-P31 folds over
+    dictionary-hashed tokens), then an exact-string verify pass over
+    the flagged (dup-rate-bounded) subset removes every collision —
+    same rows, same oracle as the exact-string path."""
     from nacc_form_validator_ray.stages.dedup import dup_ngram_spans
     ds = _rd().read_parquet(_linked_pages_path(sf_dir),
                             columns=["doc_id", "text"])
@@ -2162,11 +2163,11 @@ def q_dup_ngram_spans(sf_dir: str):
     cross-document spans).
 
     Registered DEFAULT is ``via="hashed"`` (round-3 VERDICT #1): the
-    heavy exchange carries 64-bit shingle hashes and an exact-string
-    verify pass over the flagged (bounded) subset removes every
-    collision — identical rows to the exact-string path, which remains
-    available as the ``dup_ngram_spans_exact`` registry entry / the
-    verify path."""
+    heavy exchange carries 62-bit shingle keys and an exact-string
+    verify pass over the flagged (dup-rate-bounded) subset removes
+    every collision — identical rows to the exact-string path, which
+    remains available as the ``dup_ngram_spans_exact`` registry entry /
+    the verify path."""
     from nacc_form_validator_ray.stages.dedup import dup_ngram_spans
     ds = _rd().read_parquet(_linked_pages_path(sf_dir),
                             columns=["doc_id", "text"])

@@ -37,6 +37,8 @@ TOKEN_FOLD_MULT = 131
 TOKEN_FOLD_MULT2 = 137
 #: shingle fold multiplier over token hashes
 SHINGLE_FOLD_MULT = 1_000_003
+#: second independent shingle fold multiplier (62-bit candidate keys)
+SHINGLE_FOLD_MULT2 = 999_983
 #: band-key fold multipliers (two independent keys per band)
 BAND_FOLD_MULTS = (8_191, 524_287)
 #: signature value for docs with no shingles (all real minima < P31)
@@ -1047,10 +1049,22 @@ def line_dedup(ds, id_column: str = "doc_id", text_column: str = "text",
         ref=banned_ref), batch_format="pyarrow", concurrency=(1, 8))
 
 
+def _pos_keys(doc_ids: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """uint64 key for a (doc_id, in-doc position) pair — the phase-B
+    candidate-set membership key of ``dup_ngram_spans``. A key
+    collision only adds a harmless extra row to the verify exchange
+    (the exact string grouping adjudicates), so 64 bits suffice at any
+    scale; a flagged position always matches its own key exactly."""
+    with np.errstate(over="ignore"):
+        d = doc_ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return d ^ (pos.astype(np.uint64)
+                    * np.uint64(0xC2B2AE3D27D4EB4F))
+
+
 def dup_ngram_spans(ds, id_column: str = "doc_id",
                     text_column: str = "text", k: int = 3,
                     min_docs: int = 2, num_partitions: int = 32,
-                    via: str = "exact"):
+                    via: str = "hashed"):
     """Bounded exact-substring duplication audit (the k-gram core of
     suffix-array substring dedup, Lee et al. 2022 "Deduplicating
     Training Data Makes Language Models Better"): find every k-token
@@ -1096,9 +1110,13 @@ def dup_ngram_spans(ds, id_column: str = "doc_id",
 
     id_type = pa.int64()
 
-    def _shingle_arrays(batch: "pa.Table"):
+    def _shingle_arrays(batch: "pa.Table", flagged=None):
         """(shingle strings, doc ids, in-doc positions) of a batch, or
-        None when it yields no shingles."""
+        None when it yields no shingles. With ``flagged`` (the phase-B
+        candidate set as doc+1j*pos complex keys), positions are
+        filtered BEFORE any shingle string is built, so the string
+        construction cost is bounded by the flagged subset, not the
+        corpus."""
         text = batch[text_column]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
@@ -1110,8 +1128,6 @@ def dup_ngram_spans(ds, id_column: str = "doc_id",
         m = len(flat_tok)
         if m < k:
             return None
-        parts = [flat_tok.slice(j, m - k + 1) for j in range(k)]
-        sh = pc.binary_join_element_wise(*parts, " ")
         d0 = tok_doc[:m - k + 1].astype(np.int64, copy=False)
         valid = d0 == tok_doc[k - 1:].astype(np.int64, copy=False)
         if not valid.any():
@@ -1120,8 +1136,26 @@ def dup_ngram_spans(ds, id_column: str = "doc_id",
         np.cumsum(n_tokens[:-1], out=starts[1:])
         idx = np.flatnonzero(valid)
         dsel = d0[idx]
-        return (sh.take(pa.array(idx)), ids[dsel],
-                idx - starts[dsel])
+        pos = idx - starts[dsel]
+        if flagged is not None:
+            # flagged is SORTED uint64 keys; searchsorted membership is
+            # O(B log N) per batch (np.isin on complex128 keys measured
+            # 10x slower end-to-end on a high-duplication corpus)
+            key = _pos_keys(ids[dsel], pos)
+            loc = np.searchsorted(flagged, key)
+            loc[loc == len(flagged)] = 0
+            msk = flagged[loc] == key if len(flagged) else \
+                np.zeros(len(key), dtype=bool)
+            if not msk.any():
+                return None
+            idx, dsel, pos = idx[msk], dsel[msk], pos[msk]
+            parts = [flat_tok.take(pa.array(idx + j))
+                     for j in range(k)]
+            return (pc.binary_join_element_wise(*parts, " "),
+                    ids[dsel], pos)
+        parts = [flat_tok.slice(j, m - k + 1) for j in range(k)]
+        sh = pc.binary_join_element_wise(*parts, " ")
+        return sh.take(pa.array(idx)), ids[dsel], pos
 
     _EMPTY_S = {"s": pa.array([], pa.string()),
                 id_column: pa.array([], id_type),
@@ -1204,22 +1238,53 @@ def dup_ngram_spans(ds, id_column: str = "doc_id",
                                 num_partitions=num_partitions,
                                 fn_format="pyarrow")
     elif via == "hashed":
-        # phase A: the heavy exchange carries 64-bit shingle hashes,
-        # not strings; candidate dup positions fall out exactly as in
-        # the exact path (collisions only ADD candidates)
+        # phase A: the heavy exchange carries 62-bit shingle keys
+        # (TWO independent mod-P31 folds over DICTIONARY-hashed tokens
+        # — a single 31-bit fold saturates at 10^15 shingles and the
+        # "candidates ≈ duplicates" bound collapses); no shingle
+        # string is ever built in this phase. Candidate dup positions
+        # fall out exactly as in the exact path (collisions only ADD
+        # candidates; phase B removes every one)
         def emit_hashes(batch: "pa.Table") -> "pa.Table":
-            got = _shingle_arrays(batch)
-            if got is None:
-                return pa.table({
-                    "h": pa.array([], pa.int64()),
-                    id_column: pa.array([], id_type),
-                    "pos": pa.array([], pa.int64())})
-            sh, dsel, pos = got
-            h = _fold_hash_strings(sh, TOKEN_FOLD_MULT) \
-                .view(np.int64)
-            return pa.table({"h": pa.array(h),
-                             id_column: pa.array(dsel),
-                             "pos": pa.array(pos)})
+            from nacc_form_validator_ray.stages.text_signals import \
+                arrow_token_codes
+            empty = pa.table({
+                "h": pa.array([], pa.int64()),
+                id_column: pa.array([], id_type),
+                "pos": pa.array([], pa.int64())})
+            text = batch[text_column]
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            ids = batch[id_column].to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False)
+            codes, dictionary, tok_doc, n_tokens = \
+                arrow_token_codes(text)
+            if dictionary is None:
+                return empty
+            m = len(codes)
+            if m < k:
+                return empty
+            t1 = _fold_hash_strings(dictionary,
+                                    TOKEN_FOLD_MULT)[codes]
+            t2 = _fold_hash_strings(dictionary,
+                                    TOKEN_FOLD_MULT2)[codes]
+            w = m - k + 1
+            h1, h2 = t1[:w].copy(), t2[:w].copy()
+            for i in range(1, k):
+                h1 = (h1 * SHINGLE_FOLD_MULT + t1[i:w + i]) % P31
+                h2 = (h2 * SHINGLE_FOLD_MULT2 + t2[i:w + i]) % P31
+            d0 = tok_doc[:w].astype(np.int64, copy=False)
+            valid = d0 == tok_doc[k - 1:].astype(np.int64, copy=False)
+            if not valid.any():
+                return empty
+            starts = np.zeros(batch.num_rows, dtype=np.int64)
+            np.cumsum(n_tokens[:-1], out=starts[1:])
+            idx = np.flatnonzero(valid)
+            dsel = d0[idx]
+            return pa.table({
+                "h": pa.array(h1[idx] * P31 + h2[idx]),
+                id_column: pa.array(ids[dsel]),
+                "pos": pa.array(idx - starts[dsel])})
 
         def dup_hash_positions(part: "pa.Table") -> "pa.Table":
             hv = part["h"].to_numpy(zero_copy_only=False)
@@ -1244,12 +1309,11 @@ def dup_ngram_spans(ds, id_column: str = "doc_id",
         keys = []
         for b in cand.iter_batches(batch_format="pyarrow",
                                    batch_size=65536):
-            keys.append(
-                b[id_column].to_numpy(zero_copy_only=False)
-                .astype(np.float64)
-                + 1j * b["pos"].to_numpy(zero_copy_only=False))
-        cand_set = np.concatenate(keys) if keys else \
-            np.empty(0, dtype=np.complex128)
+            keys.append(_pos_keys(
+                b[id_column].to_numpy(zero_copy_only=False),
+                b["pos"].to_numpy(zero_copy_only=False)))
+        cand_set = np.sort(np.concatenate(keys)) if keys else \
+            np.empty(0, dtype=np.uint64)
         cand_ref = ray.put(cand_set)
 
         # phase B: re-derive the exact strings ONLY for flagged
@@ -1257,16 +1321,16 @@ def dup_ngram_spans(ds, id_column: str = "doc_id",
         # a hash collision cannot survive this exchange
         def emit_flagged(batch: "pa.Table") -> "pa.Table":
             flagged = ray.get(cand_ref)
-            got = _shingle_arrays(batch)
-            if got is None or not len(flagged):
+            if not len(flagged):
+                return pa.table(_EMPTY_S)
+            got = _shingle_arrays(batch, flagged=flagged)
+            if got is None:
                 return pa.table(_EMPTY_S)
             sh, dsel, pos = got
-            key = dsel.astype(np.float64) + 1j * pos
-            m = np.isin(key, flagged)
             return pa.table({
-                "s": sh.filter(pa.array(m)),
-                id_column: pa.array(dsel[m]),
-                "pos": pa.array(pos[m])})
+                "s": sh,
+                id_column: pa.array(dsel),
+                "pos": pa.array(pos)})
 
         dup_pos = grouped_apply(
             ds.map_batches(emit_flagged, batch_format="pyarrow"),
