@@ -375,6 +375,9 @@ def bench_queries(sf_dir: str):
         "semdedup_corpus": lambda: consume(Q.q_semdedup_corpus(sf_dir)),
         "parts_ordered_both_halves": lambda: consume(
             Q.q_parts_ordered_both_halves(sf_dir)),
+        "user_sessions": lambda: consume(Q.q_user_sessions(sf_dir)),
+        "q5_local_supplier_volume": lambda: consume(
+            Q.q5_local_supplier_volume(sf_dir)),
     }
 
 

@@ -90,6 +90,47 @@ class BatchTopK:
         }
 
 
+def _per_query_merge_exchange(local, merge, num_partitions: int = 8):
+    """k-way top-k merge of batch-local candidates, grouped by
+    query_id, on the task-based hash exchange (one vectorized callable
+    per PARTITION, groups resolved inside) — the sort-path
+    ``groupby("query_id").map_groups`` paid the sort barrier plus a
+    Python call per query (round-4 port; the merged volume is
+    k × blocks per query, tiny either way)."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        outs = [merge(g) for _, g in
+                part.groupby("query_id", sort=False)]
+        return pd.concat(outs, ignore_index=True) if outs else merge(
+            part)
+
+    return grouped_apply(local, ["query_id"], per_part,
+                         num_partitions=num_partitions,
+                         fn_format="pandas")
+
+
+def _per_bucket_exchange(hashed, verify, bucket_col: str,
+                         num_partitions: int = 32):
+    """Per-LSH-bucket verify on the task-based hash exchange: buckets
+    are fine-grained, so one vectorized callable per partition with an
+    internal pandas groupby replaces the sort path's per-bucket Python
+    dispatch."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        outs = [verify(g) for _, g in
+                part.groupby(bucket_col, sort=False)]
+        live = [o for o in outs if len(o)]
+        if not live:
+            return verify(part.head(0))
+        return pd.concat(live, ignore_index=True)
+
+    return grouped_apply(hashed, [bucket_col], per_part,
+                         num_partitions=num_partitions,
+                         fn_format="pandas")
+
+
 def knn_bruteforce(ds, queries: np.ndarray, query_ids, k: int = 10,
                    id_column: str = "vec_id",
                    vector_column: str = "embedding",
@@ -122,8 +163,7 @@ def knn_bruteforce(ds, queries: np.ndarray, query_ids, k: int = 10,
         g["rank"] = np.arange(1, len(g) + 1)
         return g[["query_id", "neighbor_id", "rank", "cosine"]]
 
-    return local.groupby("query_id").map_groups(merge,
-                                                batch_format="pandas")
+    return _per_query_merge_exchange(local, merge)
 
 
 class HyperplaneHasher:
@@ -177,8 +217,7 @@ def hyperplane_lsh_pairs(ds, dim: int, id_column: str = "vec_id",
             "cosine": sims[ai, bi][keep],
         })
 
-    pairs = hashed.groupby("lsh_bucket").map_groups(
-        verify, batch_format="pandas")
+    pairs = _per_bucket_exchange(hashed, verify, "lsh_bucket")
 
     # a pair can surface from several buckets: dedup with ONE hash
     # exchange + vectorized drop_duplicates per partition (per-pair
@@ -279,8 +318,7 @@ def quantized_lsh_pairs(ds, dim: int, id_column: str = "vec_id",
 
     # one signature per vector -> each pair surfaces from exactly one
     # bucket: no cross-bucket dedup pass is needed
-    return hashed.groupby("lsh_bucket").map_groups(
-        verify, batch_format="pandas")
+    return _per_bucket_exchange(hashed, verify, "lsh_bucket")
 
 
 # ---------------------------------------------------------------- IVF ANN
@@ -458,8 +496,7 @@ def ivf_knn(ds, queries: np.ndarray, query_ids, k: int = 10,
         g["rank"] = np.arange(1, len(g) + 1)
         return g[["query_id", "neighbor_id", "rank", "cosine"]]
 
-    return local.groupby("query_id").map_groups(merge,
-                                                batch_format="pandas")
+    return _per_query_merge_exchange(local, merge)
 
 
 def ivf_knn_quantized(ds, queries: np.ndarray, query_ids, k: int = 10,
@@ -565,5 +602,4 @@ def ivf_knn_quantized(ds, queries: np.ndarray, query_ids, k: int = 10,
         g["rank"] = np.arange(1, len(g) + 1)
         return g[["query_id", "neighbor_id", "rank", "cosine"]]
 
-    return local.groupby("query_id").map_groups(merge,
-                                                batch_format="pandas")
+    return _per_query_merge_exchange(local, merge)
