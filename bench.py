@@ -378,6 +378,12 @@ def bench_queries(sf_dir: str):
         "user_sessions": lambda: consume(Q.q_user_sessions(sf_dir)),
         "q5_local_supplier_volume": lambda: consume(
             Q.q5_local_supplier_volume(sf_dir)),
+        "q4_order_priority": lambda: consume(
+            Q.q4_order_priority(sf_dir)),
+        "q10_returned_items": lambda: consume(
+            Q.q10_returned_items(sf_dir)),
+        "tfidf_topterms": lambda: consume(Q.q_tfidf_topterms(sf_dir)),
+        "events_cube": lambda: consume(Q.q_events_cube(sf_dir)),
     }
 
 

@@ -5885,3 +5885,371 @@ QUALIFY sel_rank <= 100
 
 QUERIES["dsir_select"] = q_dsir_select
 ORACLE_SQL["dsir_select"] = SQL_DSIR_SELECT
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape — the canonical EXISTS semi-join: count orders
+    per priority, 1996-Q3, that have at least one RETURNED lineitem
+    (the testdata carries no commit/receipt dates, so the reference
+    predicate ``l_commitdate < l_receiptdate`` maps to
+    ``l_returnflag = 'R'``; the semi-join shape is identical).
+
+    Scale shape: lineitem is filtered AT THE READ (returnflag
+    pushdown) and reduced per batch to DISTINCT orderkeys (combiner)
+    before the single hash exchange inside ``semi_join`` — the
+    exchange moves one lean key row per (order, batch), never
+    lineitem rows. Orders are date-pruned at the read. The surviving
+    orders pre-aggregate per priority inside each partition, so the
+    driver merge is priority-cardinality (5 rows)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    from nacc_form_validator_ray.stages.joins import semi_join
+
+    lo, hi = pd.Timestamp("1996-07-01"), pd.Timestamp("1996-10-01")
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi))
+    returned = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"],
+        filter=pads.field("l_returnflag") == "R")
+
+    def distinct_keys(t: "pa.Table") -> "pa.Table":
+        keys = np.unique(t["l_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"o_orderkey": pa.array(keys, pa.int64())})
+
+    hits = semi_join(orders,
+                     returned.map_batches(distinct_keys,
+                                          batch_format="pyarrow"),
+                     on="o_orderkey", num_partitions=16)
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        g = pa.table({
+            "o_orderpriority": t["o_orderpriority"].combine_chunks(),
+            "order_count": np.ones(t.num_rows, dtype=np.int64)})
+        return _pa_grouped_agg(g, ["o_orderpriority"],
+                               [("order_count", "sum")],
+                               ["order_count"])
+
+    partials = hits.map_batches(partial, batch_format="pyarrow")
+    return _merge_partials(partials, ["o_orderpriority"],
+                           {"order_count": "sum"})
+
+
+SQL_Q4_ORDER_PRIORITY = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+QUERIES["q4_order_priority"] = q4_order_priority
+ORACLE_SQL["q4_order_priority"] = SQL_Q4_ORDER_PRIORITY
+
+
+def q10_returned_items(sf_dir: str, n: int = 20):
+    """TPC-H Q10 shape — top-k then fetch-wide-payload: revenue per
+    customer from RETURNED lineitems of one order-year, top 20
+    customers, then their name/acctbal/nation attached AFTER the
+    ranking so wide customer columns never ride the big exchanges.
+
+    Scale shape: lineitem is filtered at the read and pre-aggregated
+    per batch to (orderkey, revenue partial); ONE hash join attaches
+    custkeys (orders date-pruned at the read); the per-customer sum is
+    a second lean exchange whose partitions each emit a local top-k,
+    so the driver merges k x P candidate rows. The winner set (20
+    ids) then prunes the customer table INSIDE map_batches via a
+    broadcast — the wide fetch touches ~k rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+    from nacc_form_validator_ray.stages.joins import hash_join
+    from nacc_form_validator_ray.stages.partition import (grouped_apply,
+                                                          grouped_agg_sum)
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    line = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == "R")
+
+    def rev_partial(t: "pa.Table") -> "pa.Table":
+        cents = np.floor(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        dh = np.floor(t["l_discount"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        g = pa.table({"o_orderkey": t["l_orderkey"].combine_chunks(),
+                      "revenue_ch": pa.array(cents * (100 - dh))})
+        return _pa_grouped_agg(g, ["o_orderkey"],
+                               [("revenue_ch", "sum")], ["revenue_ch"])
+
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi))
+    joined = hash_join(line.map_batches(rev_partial,
+                                        batch_format="pyarrow"),
+                       orders, on="o_orderkey", num_partitions=32)
+    per_cust = grouped_agg_sum(
+        joined.map_batches(lambda t: t.select(
+            ["o_custkey", "revenue_ch"]), batch_format="pyarrow"),
+        ["o_custkey"], ["revenue_ch"], num_partitions=32)
+
+    def local_top(t: "pa.Table") -> "pa.Table":
+        rev = t["revenue_ch"].to_numpy(zero_copy_only=False)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        keep = np.lexsort((ck, -rev))[:n]
+        return pa.table({"c_custkey": pa.array(ck[keep]),
+                         "revenue_ch": pa.array(rev[keep])})
+
+    cand = per_cust.map_batches(local_top,
+                                batch_format="pyarrow").to_pandas()
+    top = cand.sort_values(["revenue_ch", "c_custkey"],
+                           ascending=[False, True]).head(n) \
+        .reset_index(drop=True)
+    win_ref = ray.put(np.sort(top["c_custkey"].to_numpy(np.int64)))
+
+    def fetch(t: "pa.Table") -> "pa.Table":
+        wins = ray.get(win_ref)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(wins, ck)
+        pos[pos == len(wins)] = 0
+        return t.filter(pa.array(wins[pos] == ck))
+
+    cust = _rd().read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"]) \
+        .map_batches(fetch, batch_format="pyarrow").to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    out = top.merge(cust, on="c_custkey") \
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    out = out.sort_values(["revenue_ch", "c_custkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    out["acctbal_cents"] = np.floor(
+        out["c_acctbal"].to_numpy(np.float64) * 100 + 0.5).astype(
+            np.int64)
+    out["cust_rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["cust_rank", "c_custkey", "c_name", "n_name",
+                "acctbal_cents", "revenue_ch"]]
+
+
+SQL_Q10_RETURNED_ITEMS = """
+WITH rev AS (
+  SELECT c_custkey, c_name, n_name,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                AS BIGINT))) AS BIGINT) AS revenue_ch
+  FROM customer, orders, lineitem, nation
+  WHERE c_custkey = o_custkey
+    AND l_orderkey = o_orderkey
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+    AND l_returnflag = 'R'
+    AND c_nationkey = n_nationkey
+  GROUP BY c_custkey, c_name, n_name, c_acctbal
+)
+SELECT CAST(row_number() OVER (ORDER BY revenue_ch DESC, c_custkey)
+            AS BIGINT) AS cust_rank,
+       c_custkey, c_name, n_name, acctbal_cents, revenue_ch
+FROM rev
+ORDER BY cust_rank
+LIMIT 20
+"""
+
+QUERIES["q10_returned_items"] = q10_returned_items
+ORACLE_SQL["q10_returned_items"] = SQL_Q10_RETURNED_ITEMS
+
+
+def q_tfidf_topterms(sf_dir: str, k: int = 3):
+    """Per-document top-k terms by tf-idf over the whole corpus.
+
+    The idf side is the corpus document-frequency table: pass 1
+    reduces each batch to DISTINCT (doc, term) pairs and emits one
+    lean (term, df partial) row per term per batch, merged by a tiny
+    grouped sum (vocabulary-sized, NOT corpus-sized) and broadcast
+    back via ``ray.put``. Pass 2 re-streams the corpus, computes per
+    (doc, term) counts with dictionary codes (no Python strings), and
+    keeps each doc's top-k by the INTEGER score ``tf * 10^9 // df`` —
+    exact cross-engine, no log/float. 100-TB note: the broadcast
+    assumes the vocabulary fits a worker (natural-language vocabs do);
+    an unbounded term domain (e.g. raw shingles) should swap the
+    broadcast for a hash join on term.
+
+    Ties break toward the lexically smaller term (pure [a-z] tokens,
+    so numpy bytewise order == DuckDB collation)."""
+    import pyarrow as pa
+    import ray
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def df_partial(t: "pa.Table") -> "pa.Table":
+        codes, vocab, tok_doc, _ = arrow_token_codes(t["text"])
+        if vocab is None:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        pair = tok_doc.astype(np.int64) * len(vocab) + codes
+        uniq = np.unique(pair)
+        cnt = np.bincount((uniq % len(vocab)).astype(np.int64),
+                          minlength=len(vocab))
+        return pa.table({"term": vocab,
+                         "df": pa.array(cnt.astype(np.int64))})
+
+    df_tab = _merge_partials(
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        ["term"], {"df": "sum"})
+    order = np.argsort(df_tab["term"].to_numpy())
+    df_ref = ray.put((df_tab["term"].to_numpy()[order],
+                      df_tab["df"].to_numpy(np.int64)[order]))
+
+    class TopTerms:
+        def __init__(self, ref):
+            self.terms, self.df = ray.get(ref)
+
+        def __call__(self, t: "pa.Table") -> "pa.Table":
+            empty = pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "score": pa.array([], pa.int64()),
+                "term_rank": pa.array([], pa.int64())})
+            codes, vocab, tok_doc, _ = arrow_token_codes(t["text"])
+            if vocab is None:
+                return empty
+            doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            pair = tok_doc.astype(np.int64) * len(vocab) + codes
+            uniq, tf = np.unique(pair, return_counts=True)
+            di = (uniq // len(vocab)).astype(np.int64)
+            ci = (uniq % len(vocab)).astype(np.int64)
+            terms = vocab.to_numpy(zero_copy_only=False)[ci]
+            pos = np.searchsorted(self.terms, terms)
+            df = self.df[pos]
+            score = tf.astype(np.int64) * 1_000_000_000 // df
+            # top-k per doc: lexsort by (doc, -score, term), rank
+            # within doc via run offsets
+            o = np.lexsort((terms, -score, di))
+            di, terms, tf, df, score = (di[o], terms[o], tf[o],
+                                        df[o], score[o])
+            starts = np.flatnonzero(np.r_[True, di[1:] != di[:-1]])
+            rank = np.arange(len(di), dtype=np.int64) - np.repeat(
+                starts, np.diff(np.r_[starts, len(di)])) + 1
+            keep = rank <= k
+            return pa.table({
+                "doc_id": pa.array(doc_ids[di[keep]]),
+                "term": pa.array(terms[keep], pa.string()),
+                "tf": pa.array(tf[keep].astype(np.int64)),
+                "df": pa.array(df[keep]),
+                "score": pa.array(score[keep]),
+                "term_rank": pa.array(rank[keep])})
+
+    return ds.map_batches(TopTerms, fn_constructor_kwargs={"ref": df_ref},
+                          batch_format="pyarrow", batch_size=4096,
+                          concurrency=(1, 8))
+
+
+SQL_TFIDF_TOPTERMS = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY term
+)
+SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       tf.tf * 1000000000 // df.df AS score,
+       CAST(row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * 1000000000 // df.df DESC, tf.term)
+           AS BIGINT) AS term_rank
+FROM tf JOIN df USING (term)
+QUALIFY term_rank <= 3
+"""
+
+QUERIES["tfidf_topterms"] = q_tfidf_topterms
+ORACLE_SQL["tfidf_topterms"] = SQL_TFIDF_TOPTERMS
+
+
+def q_events_cube(sf_dir: str):
+    """GROUPING SETS / cube: event counts and value sums by
+    (event_type, day-of-week), by each alone, and the grand total —
+    all four grains derived from ONE pass of per-batch partials at the
+    finest grain (|types| x 7 rows per batch), so the coarser grains
+    cost nothing: they are exact integer re-sums of the merged fine
+    table on the driver. Rolled-up keys surface as 'ALL' / -1
+    (coalesce in the SQL twin). dow is the cross-engine-exact
+    ``(epoch_days + 4) % 7`` (0 = Sunday; 1970-01-01 was a Thursday),
+    not a locale-dependent date function."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "ts", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        dow = (batch["ts"].astype("datetime64[us]").astype("int64")
+               // 86_400_000_000 + 4) % 7
+        cents = np.floor(batch["value"].to_numpy(np.float64) * 100
+                         + 0.5).astype(np.int64)
+        g = pd.DataFrame({"event_type": batch["event_type"],
+                          "dow": dow.to_numpy(np.int64),
+                          "n_events": 1, "total_cents": cents})
+        return g.groupby(["event_type", "dow"], as_index=False).sum()
+
+    fine = _merge_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "dow"], {"n_events": "sum",
+                                "total_cents": "sum"})
+
+    def roll(frame: pd.DataFrame, keys) -> pd.DataFrame:
+        if keys:
+            out = frame.groupby(keys, as_index=False)[
+                ["n_events", "total_cents"]].sum()
+        else:
+            out = pd.DataFrame({
+                "n_events": [frame["n_events"].sum()],
+                "total_cents": [frame["total_cents"].sum()]})
+        if "event_type" not in out:
+            out["event_type"] = "ALL"
+        if "dow" not in out:
+            out["dow"] = -1
+        return out[["event_type", "dow", "n_events", "total_cents"]]
+
+    out = pd.concat([roll(fine, ["event_type", "dow"]),
+                     roll(fine, ["event_type"]),
+                     roll(fine, ["dow"]),
+                     roll(fine, [])], ignore_index=True)
+    out["dow"] = out["dow"].astype(np.int64)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    out["total_cents"] = out["total_cents"].astype(np.int64)
+    return out
+
+
+SQL_EVENTS_CUBE = """
+WITH e AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS dow,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       CAST(coalesce(dow, -1) AS BIGINT) AS dow,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM e
+GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow), ())
+"""
+
+QUERIES["events_cube"] = q_events_cube
+ORACLE_SQL["events_cube"] = SQL_EVENTS_CUBE

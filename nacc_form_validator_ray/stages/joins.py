@@ -270,3 +270,34 @@ def anti_join(left_ds, keys_ds, on: str, num_partitions: int = 64):
     return grouped_apply(lt.union(kt), [on], filter_partition,
                          num_partitions=num_partitions,
                          fn_format="pyarrow")
+
+
+def semi_join(left_ds, keys_ds, on: str, num_partitions: int = 64):
+    """Distributed semi join (SQL ``EXISTS``): left rows whose ``on``
+    value DOES appear in ``keys_ds`` — each left row at most once,
+    however many key matches exist. Same single Arrow-native hash
+    exchange as ``anti_join`` (the two differ only in the final mask);
+    duplicate keys cost nothing beyond exchange volume, so callers
+    should still pre-dedup the key side per batch as a combiner."""
+    lschema = left_ds.schema()
+    left_cols = list(lschema.names)
+    types = _arrow_types(lschema)
+
+    lt = left_ds.map_batches(
+        _tag_arrow(left_cols, types, left_cols, 0),
+        batch_format="pyarrow")
+    kt = keys_ds.map_batches(
+        _tag_arrow(left_cols, types, [on], 1),
+        batch_format="pyarrow")
+
+    def filter_partition(part):
+        import pyarrow.compute as pc
+        side = part[_SIDE]
+        wanted = part.filter(pc.equal(side, 1))[on].combine_chunks()
+        left = part.filter(pc.equal(side, 0))
+        keep = pc.is_in(left[on], value_set=wanted)
+        return left.filter(keep).select(left_cols)
+
+    return grouped_apply(lt.union(kt), [on], filter_partition,
+                         num_partitions=num_partitions,
+                         fn_format="pyarrow")
