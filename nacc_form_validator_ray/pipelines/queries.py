@@ -6253,3 +6253,14 @@ GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow), ())
 
 QUERIES["events_cube"] = q_events_cube
 ORACLE_SQL["events_cube"] = SQL_EVENTS_CUBE
+
+
+# --------------------------------------------------------------------------
+# TPC-H remainder (Q6/Q7/Q8/Q14/Q15/Q17/Q18/Q19/Q21/Q22) — pipelines.tpch
+# --------------------------------------------------------------------------
+
+from nacc_form_validator_ray.pipelines.tpch import (TPCH_ORACLE_SQL,
+                                                    TPCH_QUERIES)
+
+QUERIES.update(TPCH_QUERIES)
+ORACLE_SQL.update(TPCH_ORACLE_SQL)

@@ -1,0 +1,978 @@
+"""TPC-H query family — the rest of the expressible set (Q6, Q7, Q8,
+Q14, Q15, Q17, Q18, Q19, Q21, Q22).
+
+Q1/Q3/Q4/Q5/Q10/Q13 live in ``pipelines.queries``; this module adds
+every remaining TPC-H query the driver schema can express. The
+testdata star schema has no ``partsupp`` table (so Q2/Q9/Q11/Q16/Q20
+are out of reach in their true form) and ``lineitem`` lacks
+shipmode/commitdate/receiptdate, so Q21 substitutes the one available
+lateness signal (``l_shipdate`` vs ``o_orderdate``) and Q19 swaps the
+missing ``p_container``/``l_shipmode`` legs for ``p_size`` bands —
+each adaptation is documented on the query.
+
+Shared conventions (identical to the Q1..Q13 family):
+
+* money is exact fixed-point: cents = ``floor(x*100+0.5)`` as int64,
+  revenue in cent-hundredths (``*_ch`` columns) so every sum is
+  integer-exact and bit-identical to the DuckDB twin regardless of
+  partitioning;
+* true dimensions (nation/region/supplier) broadcast via ``ray.put``
+  — read once per task, never re-shipped per batch; fact-to-fact
+  joins ride the task-based hash exchange (``stages.joins.hash_join``);
+* per-batch combiners pre-aggregate before any exchange, and
+  final LOW-cardinality groupings merge on the driver
+  (``queries._merge_partials`` — O(keys × blocks) rows, not data-sized).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _rd():
+    import ray.data as rd
+    return rd
+
+
+def _cents(arr) -> np.ndarray:
+    """floor(x*100 + 0.5) as int64 — THE money grid of the family."""
+    return np.floor(np.asarray(arr, dtype=np.float64) * 100 + 0.5) \
+        .astype(np.int64)
+
+
+def _qty_i(arr) -> np.ndarray:
+    """l_quantity is integer-valued double; floor(q+0.5) as int64."""
+    return np.floor(np.asarray(arr, dtype=np.float64) + 0.5) \
+        .astype(np.int64)
+
+
+def _supplier_nation_lut(sf_dir: str):
+    """Dense suppkey -> nationkey int64 array (supplier is a broadcast
+    dimension: 10k rows/SF in TPC-H — droplet-sized next to the fact
+    tables at any scale)."""
+    import pyarrow.parquet as pq
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    s_max = int(supp["s_suppkey"].to_numpy().max())
+    lut = np.full(s_max + 1, -1, dtype=np.int64)
+    lut[supp["s_suppkey"].to_numpy()] = \
+        supp["s_nationkey"].to_numpy().astype(np.int64)
+    return lut
+
+
+def _nation_names(sf_dir: str) -> dict:
+    import pyarrow.parquet as pq
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    return {int(k): str(v) for k, v in
+            zip(nat["n_nationkey"].to_numpy(), nat["n_name"].to_pylist())}
+
+
+# --------------------------------------------------------------------------
+# Q6 — forecasting revenue change (single-table filter + global sum)
+# --------------------------------------------------------------------------
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6: revenue that would have been gained by eliminating
+    small discounts — one pruned, filter-pushed scan, a per-batch int64
+    combiner, and a driver merge of O(blocks) scalar partials. No
+    exchange at all: the cheapest query in the family and the shape a
+    100-TB filter-sum must take (the discount band is applied on the
+    cent grid in-batch because a float pushdown on 0.05/0.07 boundaries
+    would disagree with the twin's rounded-cents semantics)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi)
+        & (pads.field("l_quantity") < 24.0))
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        cents = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        dh = _cents(t["l_discount"].to_numpy(zero_copy_only=False))
+        keep = (dh >= 5) & (dh <= 7)
+        return pa.table({"revenue_ch": pa.array(
+            [int((cents[keep] * dh[keep]).sum())], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"revenue_ch": [np.int64(parts["revenue_ch"].sum())]})
+
+
+SQL_Q6 = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+       AS BIGINT) AS revenue_ch
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_quantity < 24
+  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+"""
+
+
+# --------------------------------------------------------------------------
+# Q7 — volume shipping between two nations
+# --------------------------------------------------------------------------
+
+Q7_NATION_A, Q7_NATION_B = 3, 13  # both have suppliers at every SF
+
+
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7: shipping volume between two nations by direction and
+    ship year. Same two-exchange plan as Q5: supplier->nation is a
+    broadcast LUT applied in the lineitem projection (which also
+    filters to the two nations and pre-computes revenue_ch + l_year),
+    customer nation rides an orders ⋈ customer custkey exchange, and
+    the direction filter + per-(pair, year) sums combine per batch
+    after the orderkey exchange — the final grouping is 8 keys, merged
+    on the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
+    from nacc_form_validator_ray.stages.joins import hash_join
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+    pair = (Q7_NATION_A, Q7_NATION_B)
+    lut_ref = ray.put(_supplier_nation_lut(sf_dir))
+    names = _nation_names(sf_dir)
+
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+
+    def cust_proj(t: "pa.Table") -> "pa.Table":
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = np.isin(nk, pair)
+        return pa.table({"o_custkey": t["c_custkey"].combine_chunks(),
+                         "c_nat": pa.array(nk)}).filter(pa.array(keep))
+
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    ord_cust = hash_join(
+        orders, cust.map_batches(cust_proj, batch_format="pyarrow"),
+        on="o_custkey", num_partitions=32) \
+        .map_batches(lambda t: t.select(["o_orderkey", "c_nat"])
+                     .rename_columns(["l_orderkey", "c_nat"]),
+                     batch_format="pyarrow")
+
+    line = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi))
+
+    def line_proj(t: "pa.Table") -> "pa.Table":
+        lut = ray.get(lut_ref)
+        sn = lut[t["l_suppkey"].to_numpy(zero_copy_only=False)]
+        keep = np.isin(sn, pair)
+        cents = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        dh = _cents(t["l_discount"].to_numpy(zero_copy_only=False))
+        year = pc.year(t["l_shipdate"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"].combine_chunks(),
+            "s_nat": pa.array(sn),
+            "l_year": pa.array(year),
+            "revenue_ch": pa.array(cents * (100 - dh)),
+        }).filter(pa.array(keep))
+
+    joined = hash_join(line.map_batches(line_proj,
+                                        batch_format="pyarrow"),
+                       ord_cust, on="l_orderkey", num_partitions=32)
+
+    def pair_partial(t: "pa.Table") -> pd.DataFrame:
+        s = t["s_nat"].to_numpy(zero_copy_only=False)
+        c = t["c_nat"].to_numpy(zero_copy_only=False)
+        keep = ((s == pair[0]) & (c == pair[1])) | \
+               ((s == pair[1]) & (c == pair[0]))
+        df = pd.DataFrame({
+            "s_nat": s[keep], "c_nat": c[keep],
+            "l_year": t["l_year"].to_numpy(zero_copy_only=False)[keep],
+            "revenue_ch": t["revenue_ch"].to_numpy(
+                zero_copy_only=False)[keep]})
+        return df.groupby(["s_nat", "c_nat", "l_year"],
+                          as_index=False).sum()
+
+    out = _merge_partials(
+        joined.map_batches(pair_partial, batch_format="pyarrow"),
+        ["s_nat", "c_nat", "l_year"], {"revenue_ch": "sum"})
+    out["supp_nation"] = out.pop("s_nat").map(names)
+    out["cust_nation"] = out.pop("c_nat").map(names)
+    return out[["supp_nation", "cust_nation", "l_year", "revenue_ch"]]
+
+
+SQL_Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_ch
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey
+  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_nationkey = {Q7_NATION_A} AND n2.n_nationkey = {Q7_NATION_B})
+    OR (n1.n_nationkey = {Q7_NATION_B} AND n2.n_nationkey = {Q7_NATION_A}))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# --------------------------------------------------------------------------
+# Q8 — national market share
+# --------------------------------------------------------------------------
+
+Q8_TARGET_NATION = 12  # ASIA nation with suppliers at every SF
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8: the target nation's share of PROMO-part revenue sold
+    to ASIA-region customers, per order year. Part is keys-only on the
+    wire: the PROMO partkeys ride a distributed ``semi_join`` exchange
+    (NOT a driver broadcast — part scales with the corpus), the
+    supplier nation is a broadcast LUT inside the same projection that
+    pre-computes revenue_ch, and customer region + order year arrive
+    through the Q5-style custkey-then-orderkey exchanges. num/den are
+    exact int64; the published share is one double division both
+    engines perform on identical operands."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
+    from nacc_form_validator_ray.stages.joins import hash_join, semi_join
+
+    lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
+    lut_ref = ray.put(_supplier_nation_lut(sf_dir))
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    asia_rk = region.filter(
+        pc.equal(region["r_name"], "ASIA"))["r_regionkey"][0].as_py()
+    asia_keys = nation.filter(
+        pc.equal(nation["n_regionkey"], asia_rk))["n_nationkey"] \
+        .to_numpy().astype(np.int64)
+
+    promo_keys = _rd().read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"],
+        filter=pads.field("p_type") == "PROMO") \
+        .map_batches(lambda t: pa.table(
+            {"l_partkey": t["p_partkey"].combine_chunks()}),
+            batch_format="pyarrow")
+
+    line = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_orderkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+
+    def line_proj(t: "pa.Table") -> "pa.Table":
+        lut = ray.get(lut_ref)
+        sn = lut[t["l_suppkey"].to_numpy(zero_copy_only=False)]
+        cents = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        dh = _cents(t["l_discount"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "l_partkey": t["l_partkey"].combine_chunks(),
+            "l_orderkey": t["l_orderkey"].combine_chunks(),
+            "s_nat": pa.array(sn),
+            "revenue_ch": pa.array(cents * (100 - dh))})
+
+    promo_lines = semi_join(
+        line.map_batches(line_proj, batch_format="pyarrow"),
+        promo_keys, on="l_partkey", num_partitions=32) \
+        .map_batches(lambda t: t.select(
+            ["l_orderkey", "s_nat", "revenue_ch"]),
+            batch_format="pyarrow")
+
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+
+    def cust_proj(t: "pa.Table") -> "pa.Table":
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = np.isin(nk, asia_keys)
+        return pa.table({"o_custkey": t["c_custkey"].combine_chunks()}) \
+            .filter(pa.array(keep))
+
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi))
+    ord_cust = hash_join(
+        orders, cust.map_batches(cust_proj, batch_format="pyarrow"),
+        on="o_custkey", num_partitions=32) \
+        .map_batches(lambda t: pa.table({
+            "l_orderkey": t["o_orderkey"].combine_chunks(),
+            "o_year": pc.year(t["o_orderdate"]).cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    joined = hash_join(promo_lines, ord_cust, on="l_orderkey",
+                       num_partitions=32)
+
+    def share_partial(t: "pa.Table") -> pd.DataFrame:
+        rev = t["revenue_ch"].to_numpy(zero_copy_only=False)
+        tgt = t["s_nat"].to_numpy(zero_copy_only=False) == \
+            Q8_TARGET_NATION
+        df = pd.DataFrame({
+            "o_year": t["o_year"].to_numpy(zero_copy_only=False),
+            "num_ch": np.where(tgt, rev, 0),
+            "den_ch": rev})
+        return df.groupby("o_year", as_index=False).sum()
+
+    out = _merge_partials(
+        joined.map_batches(share_partial, batch_format="pyarrow"),
+        ["o_year"], {"num_ch": "sum", "den_ch": "sum"})
+    out["mkt_share"] = out["num_ch"].astype(np.float64) / \
+        out["den_ch"].astype(np.float64)
+    return out[["o_year", "num_ch", "den_ch", "mkt_share"]]
+
+
+SQL_Q8 = f"""
+WITH vol AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev,
+         s_nationkey
+  FROM lineitem, part, orders, customer, nation, region, supplier
+  WHERE p_partkey = l_partkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_suppkey = l_suppkey
+    AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    AND r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01')
+SELECT o_year,
+       CAST(sum(CASE WHEN s_nationkey = {Q8_TARGET_NATION}
+                     THEN rev ELSE 0 END) AS BIGINT) AS num_ch,
+       CAST(sum(rev) AS BIGINT) AS den_ch,
+       CAST(sum(CASE WHEN s_nationkey = {Q8_TARGET_NATION}
+                     THEN rev ELSE 0 END) AS DOUBLE)
+         / CAST(sum(rev) AS DOUBLE) AS mkt_share
+FROM vol GROUP BY o_year
+"""
+
+
+# --------------------------------------------------------------------------
+# Q14 — promotion effect
+# --------------------------------------------------------------------------
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14: share of one month's revenue from PROMO parts. One
+    partkey hash exchange joins the month's (pre-projected, revenue
+    already on the cent grid) lineitems to part's (partkey, p_type);
+    promo/total partials combine per batch to two int64 scalars and
+    the percentage is a single double expression both engines evaluate
+    on identical operands."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    from nacc_form_validator_ray.stages.joins import hash_join
+
+    lo, hi = pd.Timestamp("1996-03-01"), pd.Timestamp("1996-04-01")
+    line = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi))
+
+    def line_proj(t: "pa.Table") -> "pa.Table":
+        cents = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        dh = _cents(t["l_discount"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "l_partkey": t["l_partkey"].combine_chunks(),
+            "revenue_ch": pa.array(cents * (100 - dh))})
+
+    part = _rd().read_parquet(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_type"]) \
+        .map_batches(lambda t: pa.table({
+            "l_partkey": t["p_partkey"].combine_chunks(),
+            "p_type": t["p_type"].combine_chunks()}),
+            batch_format="pyarrow")
+
+    joined = hash_join(line.map_batches(line_proj,
+                                        batch_format="pyarrow"),
+                       part, on="l_partkey", num_partitions=32)
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+        rev = t["revenue_ch"].to_numpy(zero_copy_only=False)
+        promo = pc.equal(t["p_type"], "PROMO") \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "promo_ch": pa.array([int(rev[promo].sum())], pa.int64()),
+            "total_ch": pa.array([int(rev.sum())], pa.int64())})
+
+    parts = joined.map_batches(partial,
+                               batch_format="pyarrow").to_pandas()
+    promo, total = np.int64(parts["promo_ch"].sum()), \
+        np.int64(parts["total_ch"].sum())
+    return pd.DataFrame({
+        "promo_ch": [promo], "total_ch": [total],
+        "promo_pct": [100.0 * np.float64(promo) / np.float64(total)]})
+
+
+SQL_Q14 = """
+WITH j AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01')
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+            AS BIGINT) AS promo_ch,
+       CAST(sum(rev) AS BIGINT) AS total_ch,
+       100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                    AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE) AS promo_pct
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier
+# --------------------------------------------------------------------------
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15: the supplier(s) with maximum revenue in one quarter.
+    Per-batch suppkey combiners feed ONE supplier-keyed exchange
+    (``grouped_agg_sum``); the per-supplier table is dimension-sized so
+    it is materialized once, the max is a Dataset scalar aggregate over
+    it, and names come from the broadcast supplier dimension. Ties all
+    survive, as in the spec's view formulation."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+    line = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi))
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        from nacc_form_validator_ray.stages.partition import \
+            pa_grouped_agg
+        cents = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        dh = _cents(t["l_discount"].to_numpy(zero_copy_only=False))
+        g = pa.table({"s_suppkey": t["l_suppkey"].combine_chunks(),
+                      "total_revenue_ch": pa.array(cents * (100 - dh))})
+        return pa_grouped_agg(g, ["s_suppkey"],
+                              [("total_revenue_ch", "sum")],
+                              ["total_revenue_ch"])
+
+    per_supp = grouped_agg_sum(
+        line.map_batches(partial, batch_format="pyarrow"),
+        ["s_suppkey"], ["total_revenue_ch"],
+        num_partitions=8).materialize()
+    best = per_supp.max("total_revenue_ch")
+
+    names = pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"])
+    name_of = {int(k): str(v) for k, v in
+               zip(names["s_suppkey"].to_numpy(),
+                   names["s_name"].to_pylist())}
+
+    top = per_supp.filter(
+        lambda row: row["total_revenue_ch"] == best).to_pandas()
+    top["s_name"] = top["s_suppkey"].map(name_of)
+    return top[["s_suppkey", "s_name", "total_revenue_ch"]]
+
+
+SQL_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                AS BIGINT))) AS BIGINT)
+             AS total_revenue_ch
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT rev.s_suppkey, s_name, total_revenue_ch
+FROM rev JOIN supplier ON rev.s_suppkey = supplier.s_suppkey
+WHERE total_revenue_ch = (SELECT max(total_revenue_ch) FROM rev)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue
+# --------------------------------------------------------------------------
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17: revenue lost to small orders of one brand's parts —
+    lineitems whose quantity is below 20% of the part's average.
+    Adaptation: ``p_container`` does not exist, so the part filter is
+    ``p_brand = 'Brand#23' AND p_size <= 25``.
+
+    Plan: the brand's partkeys ride a ``semi_join`` exchange onto the
+    pre-projected lineitems; ONE further partkey exchange computes,
+    inside each partition (all rows of a partkey co-locate), the
+    per-part (sum_qty, count) and the filtered price sum in the same
+    pass — the avg-vs-quantity comparison is the exact integer
+    inequality ``5·qty·cnt < sum_qty`` (quantities are integer-valued),
+    so no float division ever happens; partitions emit one scalar
+    partial each."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    from nacc_form_validator_ray.stages.joins import semi_join
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    pk = _rd().read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+        filter=(pads.field("p_brand") == "Brand#23")
+        & (pads.field("p_size") <= 25)) \
+        .map_batches(lambda t: pa.table(
+            {"l_partkey": t["p_partkey"].combine_chunks()}),
+            batch_format="pyarrow")
+
+    line = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def line_proj(t: "pa.Table") -> "pa.Table":
+        return pa.table({
+            "l_partkey": t["l_partkey"].combine_chunks(),
+            "qty_i": pa.array(_qty_i(t["l_quantity"].to_numpy(
+                zero_copy_only=False))),
+            "price_c": pa.array(_cents(t["l_extendedprice"].to_numpy(
+                zero_copy_only=False)))})
+
+    brand_lines = semi_join(
+        line.map_batches(line_proj, batch_format="pyarrow"),
+        pk, on="l_partkey", num_partitions=32)
+
+    def per_partition(t: "pa.Table") -> "pa.Table":
+        pk_arr = t["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = t["qty_i"].to_numpy(zero_copy_only=False)
+        price = t["price_c"].to_numpy(zero_copy_only=False)
+        # per-part sums within the partition (keys co-locate)
+        uniq, inv = np.unique(pk_arr, return_inverse=True)
+        sq = np.zeros(len(uniq), dtype=np.int64)
+        cnt = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sq, inv, qty)
+        np.add.at(cnt, inv, 1)
+        small = 5 * qty * cnt[inv] < sq[inv]
+        return pa.table({"total_ch": pa.array(
+            [int(price[small].sum())], pa.int64())})
+
+    parts = grouped_apply(brand_lines, ["l_partkey"], per_partition,
+                          num_partitions=16,
+                          fn_format="pyarrow").to_pandas()
+    total = np.int64(parts["total_ch"].sum())
+    return pd.DataFrame({"total_ch": [total],
+                         "avg_yearly": [np.float64(total) / 7.0]})
+
+
+SQL_Q17 = """
+WITH pk AS (
+  SELECT p_partkey FROM part
+  WHERE p_brand = 'Brand#23' AND p_size <= 25),
+st AS (
+  SELECT l_partkey,
+         sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sq,
+         count(*) AS cnt
+  FROM lineitem JOIN pk ON l_partkey = p_partkey GROUP BY 1)
+SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_ch,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l JOIN st ON l.l_partkey = st.l_partkey
+WHERE 5 * CAST(floor(l_quantity + 0.5) AS BIGINT) * cnt < sq
+"""
+
+
+# --------------------------------------------------------------------------
+# Q18 — large-volume customers
+# --------------------------------------------------------------------------
+
+Q18_QTY_THRESHOLD = 300
+
+
+def q18_large_volume_customers(sf_dir: str):
+    """TPC-H Q18: orders whose total quantity exceeds the threshold,
+    with their customers. The HAVING runs first and cheap: per-batch
+    orderkey combiners feed one orderkey exchange; only the few
+    surviving orders (p99+ of the quantity distribution) proceed
+    through the orders join (orderkey exchange) and the customer join
+    (custkey exchange) — the expensive joins see rows-after-having,
+    not the fact table."""
+    import pyarrow as pa
+    from nacc_form_validator_ray.stages.joins import hash_join
+    from nacc_form_validator_ray.stages.partition import (grouped_agg_sum,
+                                                          pa_grouped_agg)
+
+    line = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_quantity"])
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        g = pa.table({"l_orderkey": t["l_orderkey"].combine_chunks(),
+                      "sum_qty": pa.array(_qty_i(
+                          t["l_quantity"].to_numpy(
+                              zero_copy_only=False)))})
+        return pa_grouped_agg(g, ["l_orderkey"], [("sum_qty", "sum")],
+                              ["sum_qty"])
+
+    per_order = grouped_agg_sum(
+        line.map_batches(partial, batch_format="pyarrow"),
+        ["l_orderkey"], ["sum_qty"], num_partitions=32) \
+        .filter(lambda r: r["sum_qty"] > Q18_QTY_THRESHOLD) \
+        .map_batches(lambda t: t.rename_columns(
+            ["o_orderkey", "sum_qty"]), batch_format="pyarrow")
+
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"])
+    big = hash_join(per_order, orders, on="o_orderkey",
+                    num_partitions=16) \
+        .map_batches(lambda t: t.rename_columns(
+            [{"o_custkey": "c_custkey"}.get(c, c)
+             for c in t.column_names]), batch_format="pyarrow")
+
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_name"])
+    out = hash_join(big, cust, on="c_custkey", num_partitions=16)
+    return out.map_batches(
+        lambda t: t.select(["c_name", "c_custkey", "o_orderkey",
+                            "o_orderdate", "o_totalprice", "sum_qty"]),
+        batch_format="pyarrow")
+
+
+SQL_Q18 = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+         > {Q18_QTY_THRESHOLD})
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Q19 — discounted revenue (disjunctive predicate)
+# --------------------------------------------------------------------------
+
+def q19_discounted_revenue(sf_dir: str):
+    """TPC-H Q19: revenue from three brand/size/quantity bands OR-ed
+    together. Adaptation: ``p_container`` and ``l_shipmode`` do not
+    exist, so each branch constrains ``p_size`` instead of container
+    and drops the shipmode leg. The only common atom (qty <= 30) is
+    pushed into the parquet scan; the disjunction itself is evaluated
+    vectorized after ONE partkey exchange joins parts on, and batches
+    combine to scalar partials."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    from nacc_form_validator_ray.stages.joins import hash_join
+
+    line = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+        filter=(pads.field("l_quantity") <= 30.0))
+
+    def line_proj(t: "pa.Table") -> "pa.Table":
+        cents = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        dh = _cents(t["l_discount"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "l_partkey": t["l_partkey"].combine_chunks(),
+            "qty_i": pa.array(_qty_i(t["l_quantity"].to_numpy(
+                zero_copy_only=False))),
+            "revenue_ch": pa.array(cents * (100 - dh))})
+
+    part = _rd().read_parquet(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_brand",
+                                       "p_size"]) \
+        .map_batches(lambda t: pa.table({
+            "l_partkey": t["p_partkey"].combine_chunks(),
+            "p_brand": t["p_brand"].combine_chunks(),
+            "p_size": t["p_size"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    joined = hash_join(line.map_batches(line_proj,
+                                        batch_format="pyarrow"),
+                       part, on="l_partkey", num_partitions=32)
+
+    branches = [("Brand#12", 1, 5, 1, 11),
+                ("Brand#23", 1, 10, 10, 20),
+                ("Brand#3", 1, 15, 20, 30)]
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        qty = t["qty_i"].to_numpy(zero_copy_only=False)
+        size = t["p_size"].to_numpy(zero_copy_only=False)
+        rev = t["revenue_ch"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(qty), dtype=bool)
+        for brand, s_lo, s_hi, q_lo, q_hi in branches:
+            b = pc.equal(t["p_brand"], brand) \
+                .to_numpy(zero_copy_only=False)
+            keep |= b & (size >= s_lo) & (size <= s_hi) \
+                & (qty >= q_lo) & (qty <= q_hi)
+        return pa.table({"revenue_ch": pa.array(
+            [int(rev[keep].sum())], pa.int64())})
+
+    parts = joined.map_batches(partial,
+                               batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "revenue_ch": [np.int64(parts["revenue_ch"].sum())]})
+
+
+SQL_Q19 = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue_ch
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND CAST(floor(l_quantity + 0.5) AS BIGINT) BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND CAST(floor(l_quantity + 0.5) AS BIGINT) BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND CAST(floor(l_quantity + 0.5) AS BIGINT) BETWEEN 20 AND 30)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting
+# --------------------------------------------------------------------------
+
+Q21_LATE_DAYS = 365
+
+
+def q21_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21: for finalized (status 'F') multi-supplier orders
+    where EXACTLY ONE supplier shipped late, count such orders per
+    guilty supplier. Adaptation: ``l_commitdate``/``l_receiptdate``
+    do not exist, so "late" is ``l_shipdate > o_orderdate + 365 days``
+    (the one lateness signal the schema carries).
+
+    Plan: one orderkey exchange joins lineitems to the F-orders'
+    orderdate, the late flag is computed vectorized on the join
+    output, and a second orderkey exchange runs the per-order
+    exists/not-exists logic (distinct suppliers vs distinct late
+    suppliers) — emitting per-partition (suppkey, numwait) partials
+    that the driver merges (supplier-bounded). Returns every supplier
+    with numwait > 0 (no LIMIT: ties at a cut would make the result
+    partition-order-dependent)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
+    from nacc_form_validator_ray.stages.joins import hash_join
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+    import pyarrow.dataset as pads
+
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderdate"],
+        filter=pads.field("o_orderstatus") == "F") \
+        .map_batches(lambda t: pa.table({
+            "l_orderkey": t["o_orderkey"].combine_chunks(),
+            "o_orderdate": t["o_orderdate"].combine_chunks()}),
+            batch_format="pyarrow")
+
+    line = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_suppkey",
+                                       "l_shipdate"])
+
+    joined = hash_join(line, orders, on="l_orderkey",
+                       num_partitions=32)
+
+    def add_late(t: "pa.Table") -> "pa.Table":
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        late = (ship - od) > np.timedelta64(Q21_LATE_DAYS, "D")
+        return pa.table({
+            "l_orderkey": t["l_orderkey"].combine_chunks(),
+            "l_suppkey": t["l_suppkey"].combine_chunks(),
+            "late": pa.array(late)})
+
+    flagged = joined.map_batches(add_late, batch_format="pyarrow")
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df.groupby("l_orderkey")["l_suppkey"].nunique()
+        late = df[df["late"]]
+        nl = late.groupby("l_orderkey")["l_suppkey"].nunique()
+        # the single late supplier of each order (unique when nl == 1)
+        wait = late.groupby("l_orderkey")["l_suppkey"].first()
+        ok = (ns.reindex(nl.index) > 1) & (nl == 1)
+        counts = wait[ok.to_numpy()].value_counts()
+        return pd.DataFrame({
+            "l_suppkey": counts.index.to_numpy(np.int64),
+            "numwait": counts.to_numpy(np.int64)})
+
+    partials = grouped_apply(flagged, ["l_orderkey"], per_partition,
+                             num_partitions=16, fn_format="pandas")
+    out = _merge_partials(partials, ["l_suppkey"], {"numwait": "sum"})
+
+    names = pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"])
+    name_of = {int(k): str(v) for k, v in
+               zip(names["s_suppkey"].to_numpy(),
+                   names["s_name"].to_pylist())}
+    out["s_name"] = out.pop("l_suppkey").map(name_of)
+    return out[["s_name", "numwait"]]
+
+
+SQL_Q21 = f"""
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+agg AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS ns,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nl,
+         max(CASE WHEN late THEN l_suppkey END) AS wait_supp
+  FROM j GROUP BY 1)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM agg JOIN supplier ON wait_supp = s_suppkey
+WHERE ns > 1 AND nl = 1
+GROUP BY s_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Q22 — global sales opportunity
+# --------------------------------------------------------------------------
+
+Q22_NATIONS = (1, 3, 5, 7, 9, 11, 13)
+Q22_CUTOFF = "2000-01-01"
+
+
+def q22_sales_opportunity(sf_dir: str):
+    """TPC-H Q22: per country, count + total balance of customers with
+    above-average (positive-balance) account balances and no recent
+    orders. Adaptation: ``c_phone`` does not exist, so the country code
+    IS ``c_nationkey`` (no substring) and "has not placed an order" is
+    scoped to orders on/after the cutoff date (the unscoped version is
+    empty at small SFs — every customer has old orders).
+
+    Plan: the threshold is two driver scalars from one pruned customer
+    pass (sum/count of positive balances in the nation set); "recent
+    purchasers" pre-dedup per batch and flow into a distributed
+    ``anti_join`` on custkey (no broadcast — the active-customer set
+    scales with the corpus); the avg comparison is the exact integer
+    cross-multiplication ``bal_c * count > sum`` so no division is
+    ever computed; final per-nation partials merge on the driver."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
+    from nacc_form_validator_ray.stages.joins import anti_join
+
+    nations = np.asarray(Q22_NATIONS, dtype=np.int64)
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey",
+                                       "c_acctbal"])
+
+    def cust_proj(t: "pa.Table") -> "pa.Table":
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = np.isin(nk, nations)
+        return pa.table({
+            "c_custkey": t["c_custkey"].combine_chunks(),
+            "cntrycode": pa.array(nk),
+            "bal_c": pa.array(_cents(t["c_acctbal"].to_numpy(
+                zero_copy_only=False)))}).filter(pa.array(keep))
+
+    in_set = cust.map_batches(cust_proj, batch_format="pyarrow")
+
+    # threshold pass: two int64 scalars off bounded per-batch partials
+    def thr_partial(t: "pa.Table") -> "pa.Table":
+        bal = t["bal_c"].to_numpy(zero_copy_only=False)
+        pos = bal > 0
+        return pa.table({"s": pa.array([int(bal[pos].sum())], pa.int64()),
+                         "c": pa.array([int(pos.sum())], pa.int64())})
+
+    thr = in_set.map_batches(thr_partial,
+                             batch_format="pyarrow").to_pandas()
+    s_total, c_total = int(thr["s"].sum()), int(thr["c"].sum())
+
+    active = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"],
+        filter=pads.field("o_orderdate") >= pd.Timestamp(Q22_CUTOFF)) \
+        .map_batches(lambda t: pa.table({
+            "c_custkey": pa.array(np.unique(t["o_custkey"].to_numpy(
+                zero_copy_only=False)))}), batch_format="pyarrow")
+
+    inactive = anti_join(in_set, active, on="c_custkey",
+                         num_partitions=16)
+
+    def nation_partial(t: "pa.Table") -> pd.DataFrame:
+        bal = t["bal_c"].to_numpy(zero_copy_only=False)
+        keep = bal * c_total > s_total
+        df = pd.DataFrame({
+            "cntrycode": t["cntrycode"].to_numpy(
+                zero_copy_only=False)[keep],
+            "numcust": 1, "totacctbal_c": bal[keep]})
+        return df.groupby("cntrycode", as_index=False).sum()
+
+    out = _merge_partials(
+        inactive.map_batches(nation_partial, batch_format="pyarrow"),
+        ["cntrycode"], {"numcust": "sum", "totacctbal_c": "sum"})
+    out["numcust"] = out["numcust"].astype(np.int64)
+    return out[["cntrycode", "numcust", "totacctbal_c"]]
+
+
+SQL_Q22 = f"""
+WITH cs AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS cntrycode,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM customer
+  WHERE c_nationkey IN {Q22_NATIONS}),
+thr AS (SELECT sum(bal_c) AS s, count(*) AS c FROM cs WHERE bal_c > 0),
+inact AS (
+  SELECT * FROM cs WHERE c_custkey NOT IN
+    (SELECT o_custkey FROM orders
+     WHERE o_orderdate >= TIMESTAMP '{Q22_CUTOFF}'))
+SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+FROM inact, thr WHERE bal_c * thr.c > thr.s
+GROUP BY cntrycode
+"""
+
+
+TPCH_QUERIES = {
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_sales_opportunity": q22_sales_opportunity,
+}
+
+TPCH_ORACLE_SQL = {
+    "q6_forecast_revenue": SQL_Q6,
+    "q7_volume_shipping": SQL_Q7,
+    "q8_market_share": SQL_Q8,
+    "q14_promo_revenue": SQL_Q14,
+    "q15_top_supplier": SQL_Q15,
+    "q17_small_quantity_revenue": SQL_Q17,
+    "q18_large_volume_customers": SQL_Q18,
+    "q19_discounted_revenue": SQL_Q19,
+    "q21_waiting_suppliers": SQL_Q21,
+    "q22_sales_opportunity": SQL_Q22,
+}

@@ -32,6 +32,8 @@ FAST_QUERIES = [
     "cohort_retention", "parts_never_bulk_ordered",
     "train_val_test_split", "semdedup_corpus",
     "parts_ordered_both_halves",
+    "q6_forecast_revenue", "q17_small_quantity_revenue",
+    "q21_waiting_suppliers", "q22_sales_opportunity",
 ]
 
 

@@ -1,0 +1,77 @@
+"""Unit tests for the TPC-H remainder family (pipelines.tpch) — the
+partition-local logic that the end-to-end oracle sweep can't isolate.
+Full-query parity runs in test_oracle_parity.py / scripts/check_oracle.py.
+"""
+
+import numpy as np
+import pandas as pd
+
+from nacc_form_validator_ray.pipelines.tpch import _cents, _qty_i
+
+
+def test_cents_grid_negative_and_halfway():
+    # floor(x*100 + 0.5) on IEEE doubles: 1.005*100 is 100.4999... so
+    # it rounds DOWN — the point is not decimal correctness but that
+    # engine and SQL twin compute the identical value on identical
+    # float64 operands (negatives included: q22 balances go negative)
+    assert list(_cents([1.005, -8.4669, 0.0, 2.675])) == \
+        [100, -847, 0, 268]
+
+
+def test_qty_integer_grid():
+    assert list(_qty_i([24.0, 23.999999999, 1.0])) == [24, 24, 1]
+
+
+def test_q17_small_quantity_inequality_is_integer_exact():
+    # 5*qty*cnt < sum_qty  <=>  qty < 0.2 * avg, with no float division:
+    # avg 10 over 4 rows -> threshold 2; qty=1 passes, qty=2 (== 0.2*avg)
+    # must NOT pass (strict <)
+    qty = np.array([1, 2, 17, 20], dtype=np.int64)
+    sq, cnt = qty.sum(), len(qty)
+    small = 5 * qty * cnt < sq
+    assert list(small) == [True, False, False, False]
+
+
+def test_q21_per_order_exactly_one_late_supplier():
+    # order 1: two suppliers, one late -> supplier 7 counted
+    # order 2: two suppliers, both late -> nobody counted
+    # order 3: ONE supplier, late -> not counted (needs another supplier)
+    # order 4: supplier 7 late twice in the same order -> counted ONCE
+    df = pd.DataFrame({
+        "l_orderkey": [1, 1, 2, 2, 3, 4, 4, 4],
+        "l_suppkey":  [7, 8, 7, 8, 9, 7, 7, 5],
+        "late":       [True, False, True, True, True,
+                       True, True, False],
+    })
+    ns = df.groupby("l_orderkey")["l_suppkey"].nunique()
+    late = df[df["late"]]
+    nl = late.groupby("l_orderkey")["l_suppkey"].nunique()
+    wait = late.groupby("l_orderkey")["l_suppkey"].first()
+    ok = (ns.reindex(nl.index) > 1) & (nl == 1)
+    counts = wait[ok.to_numpy()].value_counts()
+    assert dict(zip(counts.index, counts)) == {7: 2}
+
+
+def test_q22_threshold_cross_multiplication():
+    # bal*count > sum  <=>  bal > avg(positive)  — integer-exact
+    bal = np.array([100, 200, 300, -50], dtype=np.int64)
+    pos = bal[bal > 0]
+    s, c = pos.sum(), len(pos)        # avg = 200
+    keep = bal * c > s
+    assert list(keep) == [False, False, True, False]
+
+
+def test_registry_has_all_sixteen_tpch_queries():
+    from nacc_form_validator_ray.pipelines.queries import (ORACLE_SQL,
+                                                           QUERIES)
+    expected = {
+        "q1_lineitem", "q3_shipping_priority", "q4_order_priority",
+        "q5_local_supplier_volume", "q6_forecast_revenue",
+        "q7_volume_shipping", "q8_market_share", "q10_returned_items",
+        "q13_customer_distribution", "q14_promo_revenue",
+        "q15_top_supplier", "q17_small_quantity_revenue",
+        "q18_large_volume_customers", "q19_discounted_revenue",
+        "q21_waiting_suppliers", "q22_sales_opportunity",
+    }
+    assert expected <= set(QUERIES)
+    assert expected <= set(ORACLE_SQL)
