@@ -384,6 +384,14 @@ def bench_queries(sf_dir: str):
             Q.q10_returned_items(sf_dir)),
         "tfidf_topterms": lambda: consume(Q.q_tfidf_topterms(sf_dir)),
         "events_cube": lambda: consume(Q.q_events_cube(sf_dir)),
+        # TPC-H remainder representatives (r4): the 3-exchange pair
+        # plan, having-before-join, and the per-order analytic
+        "q7_volume_shipping": lambda: consume(
+            Q.QUERIES["q7_volume_shipping"](sf_dir)),
+        "q18_large_volume_customers": lambda: consume(
+            Q.QUERIES["q18_large_volume_customers"](sf_dir)),
+        "q21_waiting_suppliers": lambda: consume(
+            Q.QUERIES["q21_waiting_suppliers"](sf_dir)),
     }
 
 

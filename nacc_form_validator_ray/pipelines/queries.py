@@ -6255,6 +6255,177 @@ QUERIES["events_cube"] = q_events_cube
 ORACLE_SQL["events_cube"] = SQL_EVENTS_CUBE
 
 
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def q_gopher_quality_docs(sf_dir: str):
+    """Gopher quality-filter rules (Rae et al. 2021, arXiv:2112.11446
+    §A1.1) over the documents table — the published heuristic gate a
+    pretraining pipeline runs before model-based scoring: word-count
+    bounds, mean-word-length band, symbol-to-word ratio, alphabetic-word
+    ratio, and a minimum stop-word presence.
+
+    Map-only (zero exchange) and integer-exact: every ratio gate is a
+    cross-multiplication (``3·wc <= nonspace <= 10·wc`` instead of a
+    float mean), so the keep decision is bit-identical to the twin at
+    any partitioning. All counting runs on RE2 kernels shared by both
+    engines (pyarrow ``count_substring_regex`` / DuckDB
+    ``regexp_extract_all`` have identical non-overlapping leftmost
+    semantics). The symbol legs (#/ellipsis) never fire on this
+    fixture (the generator emits neither) but are kept because the
+    real-web shape needs them."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def signals(t: "pa.Table") -> "pa.Table":
+        txt = t["text"]
+        wc = pc.count_substring_regex(txt, r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        nonspace = pc.utf8_length(
+            pc.replace_substring_regex(txt, r"\s+", "")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        alpha = pc.count_substring_regex(txt, r"\S*[A-Za-z]\S*") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sym = (pc.count_substring_regex(txt, "#")
+               .to_numpy(zero_copy_only=False).astype(np.int64)
+               + pc.count_substring_regex(txt, r"\.\.\.")
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        stop = np.zeros(t.num_rows, dtype=np.int64)
+        for w in GOPHER_STOPWORDS:
+            stop += pc.match_substring_regex(
+                txt, rf"\b{w}\b").to_numpy(zero_copy_only=False)
+        passed = ((wc >= 30) & (wc <= 100_000)
+                  & (3 * wc <= nonspace) & (nonspace <= 10 * wc)
+                  & (10 * sym <= wc)
+                  & (5 * alpha >= 4 * wc)
+                  & (stop >= 2))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "word_count": pa.array(wc),
+            "nonspace_chars": pa.array(nonspace),
+            "alpha_words": pa.array(alpha),
+            "symbol_count": pa.array(sym),
+            "stop_hits": pa.array(stop),
+            "passed": pa.array(passed.astype(np.int64)),
+        })
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(signals, batch_format="pyarrow")
+
+
+_STOP_HITS_SQL = " + ".join(
+    f"(CASE WHEN regexp_matches(text, '\\b{w}\\b') THEN 1 ELSE 0 END)"
+    for w in GOPHER_STOPWORDS)
+
+SQL_GOPHER_QUALITY_DOCS = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+             AS word_count,
+         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+             AS nonspace_chars,
+         CAST(len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*'))
+              AS BIGINT) AS alpha_words,
+         CAST(len(regexp_extract_all(text, '#'))
+              + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT)
+             AS symbol_count,
+         CAST({_STOP_HITS_SQL} AS BIGINT) AS stop_hits
+  FROM documents)
+SELECT doc_id, word_count, nonspace_chars, alpha_words, symbol_count,
+       stop_hits,
+       CAST((word_count >= 30 AND word_count <= 100000
+             AND 3 * word_count <= nonspace_chars
+             AND nonspace_chars <= 10 * word_count
+             AND 10 * symbol_count <= word_count
+             AND 5 * alpha_words >= 4 * word_count
+             AND stop_hits >= 2) AS BIGINT) AS passed
+FROM s
+"""
+
+QUERIES["gopher_quality_docs"] = q_gopher_quality_docs
+ORACLE_SQL["gopher_quality_docs"] = SQL_GOPHER_QUALITY_DOCS
+
+
+def q_temperature_mix_sample(sf_dir: str):
+    """Temperature-based source mixing (the multi-source balancing step
+    of T5/Pile-style pretraining mixes, alpha = 0.5): per-language
+    sampling quotas proportional to ``floor(sqrt(n_lang))`` — upweights
+    small sources relative to raw proportions — with EXACT quota
+    selection: each language keeps its ``quota`` docs of smallest
+    content-stable hash, so the sample is reproducible across runs,
+    batch sizes and cluster sizes.
+
+    Plan: per-batch (lang, count) partials merge on the driver (few
+    langs), quotas come from exact integer arithmetic (sqrt is float64
+    on BOTH engines — exact for counts < 2^52), and selection is ONE
+    lang exchange with per-lang (hash, doc_id) lexsort + head(quota).
+    'en' holds ~40% of the fixture, so the exchange runs with
+    ``isolate_heavy_frac`` skew isolation — the hot language gets a
+    dedicated partition. Scale note: a single language must fit a
+    partition group; at corpus scale the selection becomes the range
+    exchange (ranking.global_rank) on (lang, hash) — same contract."""
+    import pyarrow as pa
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
+
+    def count_partial(t: "pa.Table") -> pd.DataFrame:
+        df = pd.DataFrame({"lang": t["lang"].to_pylist(), "n_docs": 1})
+        return df.groupby("lang", as_index=False).sum()
+
+    counts = _merge_partials(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["lang"], {"n_docs": "sum"})
+    n_total = int(counts["n_docs"].sum())
+    k_total = n_total // 5
+    w = np.floor(np.sqrt(counts["n_docs"].to_numpy(np.float64))) \
+        .astype(np.int64)
+    w_sum = int(w.sum())
+    quota = {lang: int(k_total * int(wi)) // w_sum
+             for lang, wi in zip(counts["lang"], w)}
+
+    def add_hash(t: "pa.Table") -> "pa.Table":
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = ((ids.astype(np.uint64) * np.uint64(2654435761))
+             % np.uint64(1 << 32)).astype(np.int64)
+        return t.append_column("h", pa.array(h))
+
+    def select(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for lang, g in part.groupby("lang", sort=False):
+            g = g.sort_values(["h", "doc_id"]).head(quota.get(lang, 0))
+            outs.append(g)
+        return pd.concat(outs, ignore_index=True) if outs else \
+            part.head(0)
+
+    return grouped_apply(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        ["lang"], select, num_partitions=8,
+        isolate_heavy_frac=0.3)
+
+
+SQL_TEMPERATURE_MIX_SAMPLE = """
+WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+w AS (SELECT lang, CAST(floor(sqrt(n_docs)) AS BIGINT) AS w FROM n),
+q AS (SELECT lang,
+             CAST((((SELECT count(*) FROM documents) // 5) * w)
+                  // (SELECT sum(w) FROM w) AS BIGINT) AS quota
+      FROM w),
+h AS (SELECT doc_id, lang,
+             CAST((CAST(doc_id AS HUGEINT) * 2654435761)
+                  % 4294967296 AS BIGINT) AS h
+      FROM documents),
+r AS (SELECT doc_id, lang, h,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY h, doc_id) AS rk
+      FROM h)
+SELECT doc_id, lang, h FROM r JOIN q USING (lang) WHERE rk <= quota
+"""
+
+QUERIES["temperature_mix_sample"] = q_temperature_mix_sample
+ORACLE_SQL["temperature_mix_sample"] = SQL_TEMPERATURE_MIX_SAMPLE
+
+
 # --------------------------------------------------------------------------
 # TPC-H remainder (Q6/Q7/Q8/Q14/Q15/Q17/Q18/Q19/Q21/Q22) — pipelines.tpch
 # --------------------------------------------------------------------------
