@@ -486,8 +486,12 @@ def q15_top_supplier(sf_dir: str):
                zip(names["s_suppkey"].to_numpy(),
                    names["s_name"].to_pylist())}
 
-    top = per_supp.filter(
-        lambda row: row["total_revenue_ch"] == best).to_pandas()
+    def keep_best(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+        return t.filter(pc.equal(t["total_revenue_ch"], best))
+
+    top = per_supp.map_batches(keep_best,
+                               batch_format="pyarrow").to_pandas()
     top["s_name"] = top["s_suppkey"].map(name_of)
     return top[["s_suppkey", "s_name", "total_revenue_ch"]]
 
@@ -628,12 +632,17 @@ def q18_large_volume_customers(sf_dir: str):
         return pa_grouped_agg(g, ["l_orderkey"], [("sum_qty", "sum")],
                               ["sum_qty"])
 
+    def keep_big(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+        return t.filter(pc.greater(t["sum_qty"], Q18_QTY_THRESHOLD)) \
+            .rename_columns(["o_orderkey", "sum_qty"])
+
+    # the HAVING filter is an Arrow kernel over the per-order aggregate
+    # (order-count-sized — a Python row filter here would be a hot path)
     per_order = grouped_agg_sum(
         line.map_batches(partial, batch_format="pyarrow"),
         ["l_orderkey"], ["sum_qty"], num_partitions=32) \
-        .filter(lambda r: r["sum_qty"] > Q18_QTY_THRESHOLD) \
-        .map_batches(lambda t: t.rename_columns(
-            ["o_orderkey", "sum_qty"]), batch_format="pyarrow")
+        .map_batches(keep_big, batch_format="pyarrow")
 
     orders = _rd().read_parquet(
         f"{sf_dir}/orders.parquet",

@@ -34,6 +34,70 @@ def test_gopher_symbol_and_alpha_legs_fire_on_crafted_text():
     assert list(alpha) == [3, 0, 0]
 
 
+def test_gopher_signals_differential_on_adversarial_text():
+    """The fixture has no symbols/digits/uppercase, so the symbol and
+    alpha legs never fire there — this differential proves the engine's
+    pyarrow RE2 kernels and the twin's DuckDB RE2 functions agree on
+    text that exercises every leg (#, ..., digits-only words, unicode,
+    tabs/newlines, trailing whitespace)."""
+    import random
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    rng = random.Random(7)
+    vocab = ["the", "a", "and", "of", "to", "in", "is", "it", "spark",
+             "merge", "x1", "##", "...", "a#b", "1.2.3", "...word",
+             "w...", "#tag", "12345", "mixedCASE", "Ω", "-", "_",
+             "e.g."]
+    docs = []
+    for _ in range(400):
+        n = rng.randint(0, 60)
+        s = " ".join(rng.choice(vocab) for _ in range(n))
+        if rng.random() < 0.3:
+            s += "   "
+        if rng.random() < 0.2:
+            s += "\t\nx"
+        docs.append(s)
+    txt = pa.array(docs)
+    stops = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+    wc = pc.count_substring_regex(txt, r"\S+").to_numpy() \
+        .astype(np.int64)
+    nonspace = pc.utf8_length(
+        pc.replace_substring_regex(txt, r"\s+", "")).to_numpy() \
+        .astype(np.int64)
+    alpha = pc.count_substring_regex(txt, r"\S*[A-Za-z]\S*") \
+        .to_numpy().astype(np.int64)
+    sym = (pc.count_substring_regex(txt, "#").to_numpy()
+           .astype(np.int64)
+           + pc.count_substring_regex(txt, r"\.\.\.").to_numpy()
+           .astype(np.int64))
+    stop = np.zeros(len(docs), dtype=np.int64)
+    for w in stops:
+        stop += pc.match_substring_regex(txt, rf"\b{w}\b") \
+            .to_numpy(zero_copy_only=False)
+
+    con = duckdb.connect()
+    con.register("docs", pa.table({
+        "i": pa.array(range(len(docs))), "text": txt}))
+    stop_sql = " + ".join(
+        f"(CASE WHEN regexp_matches(text,'\\b{w}\\b') "
+        "THEN 1 ELSE 0 END)" for w in stops)
+    df = con.execute(f"""
+        SELECT i, len(regexp_extract_all(text,'\\S+')) wc,
+               length(regexp_replace(text,'\\s+','','g')) ns,
+               len(regexp_extract_all(text,'\\S*[A-Za-z]\\S*')) al,
+               len(regexp_extract_all(text,'#'))
+                 + len(regexp_extract_all(text,'\\.\\.\\.')) sym,
+               {stop_sql} st
+        FROM docs ORDER BY i""").df()
+    for eng, col in [(wc, "wc"), (nonspace, "ns"), (alpha, "al"),
+                     (sym, "sym"), (stop, "st")]:
+        assert (eng == df[col].to_numpy().astype(np.int64)).all(), col
+
+
 def test_temperature_quota_math_upweights_small_sources():
     # alpha=0.5: quotas proportional to sqrt(count) — the small source
     # gets a larger share than its raw proportion
