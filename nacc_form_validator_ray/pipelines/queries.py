@@ -6426,6 +6426,70 @@ QUERIES["temperature_mix_sample"] = q_temperature_mix_sample
 ORACLE_SQL["temperature_mix_sample"] = SQL_TEMPERATURE_MIX_SAMPLE
 
 
+HOP_WINDOW_S, HOP_STRIDE_S = 3600, 900  # 1h windows every 15 min
+
+
+def q_hopping_window_events(sf_dir: str):
+    """Hopping (sliding) windows — the streaming aggregate the tumbling
+    ``events_window`` can't express: 1-hour windows advancing every
+    15 minutes, so each event belongs to exactly W/H = 4 overlapping
+    windows. Vectorized replication per batch (an event at second ``s``
+    with last hop boundary ``b = s // H * H`` is covered by EVERY start
+    ``b - i*H, i in [0, W/H)`` — no per-row filtering needed), per-batch
+    (window_start, event_type) combiners, then ONE grouped-sum exchange.
+    Replication happens AFTER projection to three lean columns, so the
+    4x volume rides int64 buffers plus one dictionary-encoded string —
+    at 100 TB the combiner collapses each batch to its distinct
+    (window, type) pairs before anything moves."""
+    import pyarrow as pa
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
+
+    k = HOP_WINDOW_S // HOP_STRIDE_S
+
+    def replicate(t: "pa.Table") -> pd.DataFrame:
+        ts_s = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            // 1_000_000
+        base = (ts_s // HOP_STRIDE_S) * HOP_STRIDE_S
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+        n = len(ts_s)
+        idx = np.repeat(np.arange(n), k)
+        starts = np.repeat(base, k) - \
+            np.tile(np.arange(k, dtype=np.int64) * HOP_STRIDE_S, n)
+        df = pd.DataFrame({
+            "window_start": starts,
+            "event_type": np.asarray(
+                t["event_type"].to_pylist(), dtype=object)[idx],
+            "n_events": 1,
+            "value_cents": cents[idx]})
+        return df.groupby(["window_start", "event_type"],
+                          as_index=False).sum()
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type", "value"])
+    return grouped_agg_sum(
+        ds.map_batches(replicate, batch_format="pyarrow"),
+        ["window_start", "event_type"], ["n_events", "value_cents"],
+        num_partitions=16)
+
+
+SQL_HOPPING_WINDOW_EVENTS = f"""
+WITH offs AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(i)),
+e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events)
+SELECT ((s // {HOP_STRIDE_S}) - i) * {HOP_STRIDE_S} AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM e CROSS JOIN offs
+GROUP BY 1, 2
+"""
+
+QUERIES["hopping_window_events"] = q_hopping_window_events
+ORACLE_SQL["hopping_window_events"] = SQL_HOPPING_WINDOW_EVENTS
+
+
 # --------------------------------------------------------------------------
 # TPC-H remainder (Q6/Q7/Q8/Q14/Q15/Q17/Q18/Q19/Q21/Q22) — pipelines.tpch
 # --------------------------------------------------------------------------

@@ -60,3 +60,25 @@ def test_sessionize_session_seq_resets_per_user():
     for u in (5, 9):
         assert sorted(out[out["user_id"] == u]["session_seq"]) == \
             [1, 2, 3]
+
+
+def test_hopping_window_replication_invariant():
+    """Every event is covered by EXACTLY W/H hopping windows: for any
+    second s with b = s//H*H, each start b - i*H (i in [0, W/H)) covers
+    s, and no other hop boundary does."""
+    import numpy as np
+    W, H = 3600, 900
+    k = W // H
+    rng = np.random.RandomState(0)
+    s = rng.randint(0, 10**9, size=1000).astype(np.int64)
+    base = (s // H) * H
+    starts = np.repeat(base, k) - \
+        np.tile(np.arange(k, dtype=np.int64) * H, len(s))
+    srep = np.repeat(s, k)
+    assert ((starts <= srep) & (srep < starts + W)).all()
+    # exhaustive cross-check on a small grid: count of covering starts
+    for sec in [0, 1, 899, 900, 3599, 3600, 12345]:
+        covering = [st for st in range((sec // H) * H - 10 * H,
+                                       sec + H, H)
+                    if st <= sec < st + W]
+        assert len(covering) == k
