@@ -6490,6 +6490,52 @@ QUERIES["hopping_window_events"] = q_hopping_window_events
 ORACLE_SQL["hopping_window_events"] = SQL_HOPPING_WINDOW_EVENTS
 
 
+def q_json_props_stats(sf_dir: str):
+    """Semi-structured extraction: events carry a JSON ``props`` payload
+    (``{"k": <int>}``); parse the field VECTORIZED (one RE2
+    ``extract_regex`` pass over the Arrow string buffer — never
+    ``json.loads`` per row) and aggregate per event type. Unparseable
+    payloads coalesce to 0 on both engines. Map-only with per-batch
+    combiners; the merge is event-type-sized on the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        ext = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
+        k = pc.fill_null(
+            pc.cast(pc.struct_field(ext, "k"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_pylist(),
+            "sum_k": k, "max_k": k, "n_events": 1})
+        return df.groupby("event_type", as_index=False).agg(
+            sum_k=("sum_k", "sum"), max_k=("max_k", "max"),
+            n_events=("n_events", "sum"))
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "props"])
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], {"sum_k": "sum", "max_k": "max",
+                         "n_events": "sum"})
+
+
+SQL_JSON_PROPS_STATS = """
+WITH e AS (
+  SELECT event_type,
+         coalesce(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                           AS BIGINT), 0) AS k
+  FROM events)
+SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM e GROUP BY event_type
+"""
+
+QUERIES["json_props_stats"] = q_json_props_stats
+ORACLE_SQL["json_props_stats"] = SQL_JSON_PROPS_STATS
+
+
 # --------------------------------------------------------------------------
 # TPC-H remainder (Q6/Q7/Q8/Q14/Q15/Q17/Q18/Q19/Q21/Q22) — pipelines.tpch
 # --------------------------------------------------------------------------
