@@ -774,20 +774,26 @@ def q21_waiting_suppliers(sf_dir: str):
     do not exist, so "late" is ``l_shipdate > o_orderdate + 365 days``
     (the one lateness signal the schema carries).
 
-    Plan: one orderkey exchange joins lineitems to the F-orders'
-    orderdate, the late flag is computed vectorized on the join
-    output, and a second orderkey exchange runs the per-order
-    exists/not-exists logic (distinct suppliers vs distinct late
-    suppliers) — emitting per-partition (suppkey, numwait) partials
-    that the driver merges (supplier-bounded). Returns every supplier
-    with numwait > 0 (no LIMIT: ties at a cut would make the result
+    Plan: the join and the per-order exists/not-exists logic key on
+    the SAME column, so they FUSE into ONE orderkey exchange (the
+    engine's exchange-fusion rule — a hash_join followed by a
+    grouped_apply on the join key would ship the joined fact rows
+    through a second, pure-overhead exchange): lineitems and F-orders
+    ride the exchange side-tagged; each partition aligns orderdate to
+    its lines (inner-join semantics — lines of non-F orders drop),
+    flags lateness, and runs the distinct-suppliers vs
+    distinct-late-suppliers logic, emitting per-partition
+    (suppkey, numwait) partials that the driver merges
+    (supplier-bounded). Returns every supplier with numwait > 0 (no
+    LIMIT: ties at a cut would make the result
     partition-order-dependent)."""
     import pyarrow as pa
+    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
     from nacc_form_validator_ray.pipelines.queries import _merge_partials
-    from nacc_form_validator_ray.stages.joins import hash_join
     from nacc_form_validator_ray.stages.partition import grouped_apply
-    import pyarrow.dataset as pads
+
+    late_us = np.int64(Q21_LATE_DAYS) * 86_400_000_000
 
     orders = _rd().read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -795,30 +801,31 @@ def q21_waiting_suppliers(sf_dir: str):
         filter=pads.field("o_orderstatus") == "F") \
         .map_batches(lambda t: pa.table({
             "l_orderkey": t["o_orderkey"].combine_chunks(),
-            "o_orderdate": t["o_orderdate"].combine_chunks()}),
+            "l_suppkey": pa.array(
+                np.zeros(t.num_rows, dtype=np.int64)),
+            "ts_us": t["o_orderdate"].cast(pa.int64()),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8))}),
             batch_format="pyarrow")
 
     line = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
                               columns=["l_orderkey", "l_suppkey",
-                                       "l_shipdate"])
-
-    joined = hash_join(line, orders, on="l_orderkey",
-                       num_partitions=32)
-
-    def add_late(t: "pa.Table") -> "pa.Table":
-        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
-        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
-        late = (ship - od) > np.timedelta64(Q21_LATE_DAYS, "D")
-        return pa.table({
+                                       "l_shipdate"]) \
+        .map_batches(lambda t: pa.table({
             "l_orderkey": t["l_orderkey"].combine_chunks(),
             "l_suppkey": t["l_suppkey"].combine_chunks(),
-            "late": pa.array(late)})
-
-    flagged = joined.map_batches(add_late, batch_format="pyarrow")
+            "ts_us": t["l_shipdate"].cast(pa.int64()),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8))}),
+            batch_format="pyarrow")
 
     def per_partition(df: pd.DataFrame) -> pd.DataFrame:
-        ns = df.groupby("l_orderkey")["l_suppkey"].nunique()
-        late = df[df["late"]]
+        od = df.loc[df["side"] == 1].set_index("l_orderkey")["ts_us"]
+        lines = df.loc[df["side"] == 0]
+        od_aligned = lines["l_orderkey"].map(od)
+        lines = lines.loc[od_aligned.notna()]
+        late_mask = (lines["ts_us"].to_numpy(np.int64)
+                     - od_aligned.dropna().to_numpy(np.int64)) > late_us
+        ns = lines.groupby("l_orderkey")["l_suppkey"].nunique()
+        late = lines.loc[late_mask]
         nl = late.groupby("l_orderkey")["l_suppkey"].nunique()
         # the single late supplier of each order (unique when nl == 1)
         wait = late.groupby("l_orderkey")["l_suppkey"].first()
@@ -828,8 +835,9 @@ def q21_waiting_suppliers(sf_dir: str):
             "l_suppkey": counts.index.to_numpy(np.int64),
             "numwait": counts.to_numpy(np.int64)})
 
-    partials = grouped_apply(flagged, ["l_orderkey"], per_partition,
-                             num_partitions=16, fn_format="pandas")
+    partials = grouped_apply(line.union(orders), ["l_orderkey"],
+                             per_partition, num_partitions=16,
+                             fn_format="pandas")
     out = _merge_partials(partials, ["l_suppkey"], {"numwait": "sum"})
 
     names = pq.read_table(f"{sf_dir}/supplier.parquet",
