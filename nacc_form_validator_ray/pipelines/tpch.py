@@ -523,17 +523,19 @@ def q17_small_quantity_revenue(sf_dir: str):
     Adaptation: ``p_container`` does not exist, so the part filter is
     ``p_brand = 'Brand#23' AND p_size <= 25``.
 
-    Plan: the brand's partkeys ride a ``semi_join`` exchange onto the
-    pre-projected lineitems; ONE further partkey exchange computes,
-    inside each partition (all rows of a partkey co-locate), the
-    per-part (sum_qty, count) and the filtered price sum in the same
-    pass — the avg-vs-quantity comparison is the exact integer
-    inequality ``5·qty·cnt < sum_qty`` (quantities are integer-valued),
-    so no float division ever happens; partitions emit one scalar
-    partial each."""
+    Plan: the semi join (brand membership) and the per-part logic key
+    on the SAME column, so they FUSE into ONE partkey exchange (the
+    exchange-fusion rule — semi_join followed by grouped_apply on the
+    join key would re-exchange the brand's lineitems): the filtered
+    partkeys and the pre-projected lineitems ride side-tagged; each
+    partition filters to member keys, computes per-part
+    (sum_qty, count), and applies the avg-vs-quantity comparison as
+    the exact integer inequality ``5·qty·cnt < sum_qty`` (quantities
+    are integer-valued — no float division ever happens), emitting one
+    scalar partial."""
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.dataset as pads
-    from nacc_form_validator_ray.stages.joins import semi_join
     from nacc_form_validator_ray.stages.partition import grouped_apply
 
     pk = _rd().read_parquet(
@@ -541,8 +543,11 @@ def q17_small_quantity_revenue(sf_dir: str):
         columns=["p_partkey", "p_brand", "p_size"],
         filter=(pads.field("p_brand") == "Brand#23")
         & (pads.field("p_size") <= 25)) \
-        .map_batches(lambda t: pa.table(
-            {"l_partkey": t["p_partkey"].combine_chunks()}),
+        .map_batches(lambda t: pa.table({
+            "l_partkey": t["p_partkey"].combine_chunks(),
+            "qty_i": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "price_c": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "side": pa.array(np.ones(t.num_rows, dtype=np.int8))}),
             batch_format="pyarrow")
 
     line = _rd().read_parquet(
@@ -555,16 +560,19 @@ def q17_small_quantity_revenue(sf_dir: str):
             "qty_i": pa.array(_qty_i(t["l_quantity"].to_numpy(
                 zero_copy_only=False))),
             "price_c": pa.array(_cents(t["l_extendedprice"].to_numpy(
-                zero_copy_only=False)))})
-
-    brand_lines = semi_join(
-        line.map_batches(line_proj, batch_format="pyarrow"),
-        pk, on="l_partkey", num_partitions=32)
+                zero_copy_only=False))),
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8))})
 
     def per_partition(t: "pa.Table") -> "pa.Table":
-        pk_arr = t["l_partkey"].to_numpy(zero_copy_only=False)
-        qty = t["qty_i"].to_numpy(zero_copy_only=False)
-        price = t["price_c"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        member = t.filter(pa.array(side == 1))["l_partkey"] \
+            .combine_chunks()
+        lines = t.filter(pa.array(side == 0))
+        lines = lines.filter(pc.is_in(lines["l_partkey"],
+                                      value_set=member))
+        pk_arr = lines["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = lines["qty_i"].to_numpy(zero_copy_only=False)
+        price = lines["price_c"].to_numpy(zero_copy_only=False)
         # per-part sums within the partition (keys co-locate)
         uniq, inv = np.unique(pk_arr, return_inverse=True)
         sq = np.zeros(len(uniq), dtype=np.int64)
@@ -575,9 +583,10 @@ def q17_small_quantity_revenue(sf_dir: str):
         return pa.table({"total_ch": pa.array(
             [int(price[small].sum())], pa.int64())})
 
-    parts = grouped_apply(brand_lines, ["l_partkey"], per_partition,
-                          num_partitions=16,
-                          fn_format="pyarrow").to_pandas()
+    parts = grouped_apply(
+        line.map_batches(line_proj, batch_format="pyarrow").union(pk),
+        ["l_partkey"], per_partition, num_partitions=16,
+        fn_format="pyarrow").to_pandas()
     total = np.int64(parts["total_ch"].sum())
     return pd.DataFrame({"total_ch": [total],
                          "avg_yearly": [np.float64(total) / 7.0]})
