@@ -121,3 +121,53 @@ def anti_join_bloom(left_ds, keys_ds, on: str,
     verified = anti_join(hits, keys_ds, on=on,
                          num_partitions=num_partitions)
     return misses.union(verified)
+
+
+def bloom_prefilter(left_ds, keys_ds, on: str, n_bits: int = 1 << 23):
+    """Keep only the rows whose key MAY appear in ``keys_ds`` (no false
+    negatives — every true match survives; false positives pass through
+    and must be adjudicated by the exact join/semi downstream).
+
+    This is the shuffle-volume lever for joins whose probe side is
+    mostly non-matching (e.g. a fact table joined to a small selected
+    slice of a scaling dimension): definite misses are dropped LOCALLY,
+    so the downstream exchange ships |matches| + fp_rate·|left| instead
+    of |left|. The bitmap is built once and broadcast via ``ray.put``
+    (fixed n_bits/8 bytes per worker regardless of corpus size)."""
+    import pyarrow as pa
+    import ray
+
+    bitmap, nb = build_bloom(keys_ds.materialize(), on, n_bits=n_bits)
+    ref = ray.put(bitmap)
+
+    class KeepHits:
+        def __init__(self):
+            self.bitmap = None
+
+        def __call__(self, batch: "pa.Table") -> "pa.Table":
+            if self.bitmap is None:
+                self.bitmap = ray.get(ref)
+            hits = _bloom_hits(_key_hash(batch, on), self.bitmap, nb)
+            return batch.filter(pa.array(hits))
+
+    return left_ds.map_batches(KeepHits, batch_format="pyarrow",
+                               concurrency=(1, 8))
+
+
+def semi_join_bloom(left_ds, keys_ds, on: str,
+                    n_bits: int = 1 << 23,
+                    num_partitions: int = 64):
+    """``semi_join`` with the broadcast Bloom prefilter: definite misses
+    are dropped locally (a semi join discards them anyway — unlike
+    ``anti_join_bloom`` there is no miss pass to union back), and only
+    bloom hits ride the exact exchange, which adjudicates every false
+    positive. Results are identical to ``joins.semi_join``.
+
+    ``keys_ds`` is consumed twice (bloom build + exact verify) and is
+    materialized by the prefilter; hand it a lean key projection."""
+    from nacc_form_validator_ray.stages.joins import semi_join
+
+    keys_ds = keys_ds.materialize()
+    hits = bloom_prefilter(left_ds, keys_ds, on, n_bits=n_bits)
+    return semi_join(hits, keys_ds, on=on,
+                     num_partitions=num_partitions)

@@ -423,6 +423,46 @@ def test_anti_join_bloom_string_keys():
     assert sorted(out["u"]) == sorted(expect["u"])
 
 
+def test_semi_join_bloom_matches_plain_semi_join():
+    """A tiny bitmap (high fp rate) forces false positives through the
+    prefilter — the exact semi join must adjudicate every one."""
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.bloom import semi_join_bloom
+    from nacc_form_validator_ray.stages.joins import semi_join
+    rng = np.random.RandomState(11)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 5000, size=3000).astype(np.int64),
+        "payload": np.arange(3000),
+    })
+    keys = pd.DataFrame({"k": rng.choice(5000, size=300,
+                                         replace=False).astype(np.int64)})
+    plain = semi_join(rd.from_pandas(left), rd.from_pandas(keys),
+                      on="k", num_partitions=8).to_pandas() \
+        .sort_values("payload").reset_index(drop=True)
+    bloom = semi_join_bloom(rd.from_pandas(left).materialize(),
+                            rd.from_pandas(keys), on="k",
+                            n_bits=1 << 10,  # ~26% fp rate
+                            num_partitions=8).to_pandas() \
+        .sort_values("payload").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        bloom[["k", "payload"]], plain[["k", "payload"]],
+        check_dtype=False)
+    expect = left[left["k"].isin(keys["k"])]
+    assert len(plain) == len(expect)
+
+
+def test_bloom_prefilter_never_drops_a_match():
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.bloom import bloom_prefilter
+    left = pd.DataFrame({"u": [f"https://h/{i}" for i in range(500)]})
+    keys = pd.DataFrame({"u": [f"https://h/{i}" for i in range(0, 500,
+                                                               13)]})
+    hits = bloom_prefilter(rd.from_pandas(left).materialize(),
+                           rd.from_pandas(keys), on="u",
+                           n_bits=1 << 12).to_pandas()
+    assert set(keys["u"]) <= set(hits["u"])
+
+
 def test_bucketed_write_then_shuffle_free_grouped_apply(tmp_path):
     """write_bucketed persists key co-location; bucketed_grouped_apply
     then matches grouped_apply's result with NO further exchange."""
