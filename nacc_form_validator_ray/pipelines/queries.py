@@ -6536,6 +6536,101 @@ QUERIES["json_props_stats"] = q_json_props_stats
 ORACLE_SQL["json_props_stats"] = SQL_JSON_PROPS_STATS
 
 
+def q_value_regression_events(sf_dir: str):
+    """Distributed least squares + correlation per event type, the
+    exact-moments way: per-batch combiners accumulate the five integer
+    cross-moments (n, Σx, Σy, Σxx, Σxy, Σyy) on the cent/unit grid —
+    order-independent int64 sums, so the merged moments are
+    bit-identical at any partitioning — and slope/intercept/Pearson r
+    are single double expressions over those exact integers, evaluated
+    identically by both engines (never an incremental float update, so
+    no SQL REGR_*/corr() whose accumulation order would differ).
+    x = the JSON props field, y = value cents.
+
+    Moment-overflow bound: Σy² stays in int64 while n·max(y)² < 2^63 —
+    with y ≤ 10^5 cents that is ~10^8 rows per group; beyond it, shard
+    the group (sub-key the combiner and merge moments hierarchically)
+    or widen the grid. The twin's CAST(sum(...) AS BIGINT) fails loudly
+    there rather than wrapping."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        ext = pc.extract_regex(t["props"], r'"k": (?P<k>\d+)')
+        x = pc.fill_null(
+            pc.cast(pc.struct_field(ext, "k"), pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        y = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                     * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_pylist(),
+            "n": 1, "sum_x": x, "sum_y": y,
+            "sum_xx": x * x, "sum_xy": x * y, "sum_yy": y * y})
+        return df.groupby("event_type", as_index=False).sum()
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "props", "value"])
+    out = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], {c: "sum" for c in
+                         ["n", "sum_x", "sum_y", "sum_xx", "sum_xy",
+                          "sum_yy"]})
+    n = out["n"].to_numpy(np.float64)
+    sx = out["sum_x"].to_numpy(np.float64)
+    sy = out["sum_y"].to_numpy(np.float64)
+    sxx = out["sum_xx"].to_numpy(np.float64)
+    sxy = out["sum_xy"].to_numpy(np.float64)
+    syy = out["sum_yy"].to_numpy(np.float64)
+    # identical expression order as the SQL twin — exact int64 sums in,
+    # one deterministic double evaluation out
+    out["slope"] = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    out["intercept"] = (sy - out["slope"].to_numpy() * sx) / n
+    out["pearson_r"] = (n * sxy - sx * sy) / np.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy))
+    return out[["event_type", "n", "sum_x", "sum_y", "sum_xx",
+                "sum_xy", "sum_yy", "slope", "intercept", "pearson_r"]]
+
+
+SQL_VALUE_REGRESSION_EVENTS = """
+WITH e AS (
+  SELECT event_type,
+         coalesce(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                           AS BIGINT), 0) AS x,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sum_x,
+         CAST(sum(y) AS BIGINT) AS sum_y,
+         CAST(sum(x * x) AS BIGINT) AS sum_xx,
+         CAST(sum(x * y) AS BIGINT) AS sum_xy,
+         CAST(sum(y * y) AS BIGINT) AS sum_yy
+  FROM e GROUP BY event_type)
+SELECT event_type, n, sum_x, sum_y, sum_xx, sum_xy, sum_yy,
+       (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+        - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+          - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)) AS slope,
+       (CAST(sum_y AS DOUBLE)
+        - ((CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+            - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+              - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)))
+          * CAST(sum_x AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+       (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+        - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+       / sqrt((CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+               - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+                 - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)))
+           AS pearson_r
+FROM m
+"""
+
+QUERIES["value_regression_events"] = q_value_regression_events
+ORACLE_SQL["value_regression_events"] = SQL_VALUE_REGRESSION_EVENTS
+
+
 # --------------------------------------------------------------------------
 # TPC-H remainder (Q6/Q7/Q8/Q14/Q15/Q17/Q18/Q19/Q21/Q22) — pipelines.tpch
 # --------------------------------------------------------------------------
