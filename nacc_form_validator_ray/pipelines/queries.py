@@ -6582,11 +6582,29 @@ def q_value_regression_events(sf_dir: str):
     sxy = out["sum_xy"].to_numpy(np.float64)
     syy = out["sum_yy"].to_numpy(np.float64)
     # identical expression order as the SQL twin — exact int64 sums in,
-    # one deterministic double evaluation out
-    out["slope"] = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    out["intercept"] = (sy - out["slope"].to_numpy() * sx) / n
-    out["pearson_r"] = (n * sxy - sx * sy) / np.sqrt(
-        (n * sxx - sx * sx) * (n * syy - sy * sy))
+    # one deterministic double evaluation out. Zero-variance groups
+    # (all x equal — e.g. every props row failing the regex) are
+    # DEFINED as 0.0 on both engines: numpy would emit inf/nan and
+    # DuckDB NULL for x/0, neither of which compares stably, so the
+    # degenerate case is pinned by an explicit guard in both
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    # the zero guards are INTEGER-exact (mirroring the twin's BIGINT
+    # CASE condition) — a float-computed denx could cancel to 0.0
+    # while the true integer denominator is small-nonzero
+    ni = out["n"].to_numpy(np.int64)
+    sxi = out["sum_x"].to_numpy(np.int64)
+    syi = out["sum_y"].to_numpy(np.int64)
+    zx = ni * out["sum_xx"].to_numpy(np.int64) - sxi * sxi == 0
+    zy = ni * out["sum_yy"].to_numpy(np.int64) - syi * syi == 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = np.where(zx, 0.0, num / denx)
+        intercept = np.where(zx, 0.0, (sy - slope * sx) / n)
+        r = np.where(zx | zy, 0.0, num / np.sqrt(denx * deny))
+    out["slope"] = slope
+    out["intercept"] = intercept
+    out["pearson_r"] = r
     return out[["event_type", "n", "sum_x", "sum_y", "sum_xx",
                 "sum_xy", "sum_yy", "slope", "intercept", "pearson_r"]]
 
@@ -6607,22 +6625,28 @@ m AS (
          CAST(sum(y * y) AS BIGINT) AS sum_yy
   FROM e GROUP BY event_type)
 SELECT event_type, n, sum_x, sum_y, sum_xx, sum_xy, sum_yy,
+       CASE WHEN n * sum_xx - sum_x * sum_x = 0 THEN 0.0 ELSE
        (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
         - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
        / (CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
-          - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)) AS slope,
+          - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)) END
+           AS slope,
+       CASE WHEN n * sum_xx - sum_x * sum_x = 0 THEN 0.0 ELSE
        (CAST(sum_y AS DOUBLE)
         - ((CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
             - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
            / (CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
               - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)))
-          * CAST(sum_x AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+          * CAST(sum_x AS DOUBLE)) / CAST(n AS DOUBLE) END
+           AS intercept,
+       CASE WHEN n * sum_xx - sum_x * sum_x = 0
+              OR n * sum_yy - sum_y * sum_y = 0 THEN 0.0 ELSE
        (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
         - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
        / sqrt((CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
                - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
               * (CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
-                 - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)))
+                 - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE))) END
            AS pearson_r
 FROM m
 """

@@ -69,6 +69,15 @@ def _nation_names(sf_dir: str) -> dict:
             zip(nat["n_nationkey"].to_numpy(), nat["n_name"].to_pylist())}
 
 
+def _supplier_names(sf_dir: str) -> dict:
+    import pyarrow.parquet as pq
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    return {int(k): str(v) for k, v in
+            zip(supp["s_suppkey"].to_numpy(),
+                supp["s_name"].to_pylist())}
+
+
 # --------------------------------------------------------------------------
 # Q6 — forecasting revenue change (single-table filter + global sum)
 # --------------------------------------------------------------------------
@@ -459,7 +468,6 @@ def q15_top_supplier(sf_dir: str):
     survive, as in the spec's view formulation."""
     import pyarrow as pa
     import pyarrow.dataset as pads
-    import pyarrow.parquet as pq
     from nacc_form_validator_ray.stages.partition import grouped_agg_sum
 
     lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
@@ -487,11 +495,7 @@ def q15_top_supplier(sf_dir: str):
         num_partitions=8).materialize()
     best = per_supp.max("total_revenue_ch")
 
-    names = pq.read_table(f"{sf_dir}/supplier.parquet",
-                          columns=["s_suppkey", "s_name"])
-    name_of = {int(k): str(v) for k, v in
-               zip(names["s_suppkey"].to_numpy(),
-                   names["s_name"].to_pylist())}
+    name_of = _supplier_names(sf_dir)
 
     def keep_best(t: "pa.Table") -> "pa.Table":
         import pyarrow.compute as pc
@@ -711,11 +715,15 @@ def q19_discounted_revenue(sf_dir: str):
     import pyarrow.dataset as pads
     from nacc_form_validator_ray.stages.joins import hash_join
 
+    # pushdown bound chosen on the RAW value so it is a strict superset
+    # of every twin-counted row: floor(q+0.5) <= 30 <=> q < 30.5 — a
+    # <= 30.0 cap would drop float noise just above 30.0 that the
+    # rounded-grid branch bounds (both engines) still accept
     line = _rd().read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_quantity", "l_extendedprice",
                  "l_discount"],
-        filter=(pads.field("l_quantity") <= 30.0))
+        filter=(pads.field("l_quantity") < 30.5))
 
     def line_proj(t: "pa.Table") -> "pa.Table":
         cents = _cents(t["l_extendedprice"].to_numpy(zero_copy_only=False))
@@ -805,7 +813,6 @@ def q21_waiting_suppliers(sf_dir: str):
     partition-order-dependent)."""
     import pyarrow as pa
     import pyarrow.dataset as pads
-    import pyarrow.parquet as pq
     from nacc_form_validator_ray.pipelines.queries import _merge_partials
     from nacc_form_validator_ray.stages.partition import grouped_apply
 
@@ -856,11 +863,7 @@ def q21_waiting_suppliers(sf_dir: str):
                              fn_format="pandas")
     out = _merge_partials(partials, ["l_suppkey"], {"numwait": "sum"})
 
-    names = pq.read_table(f"{sf_dir}/supplier.parquet",
-                          columns=["s_suppkey", "s_name"])
-    name_of = {int(k): str(v) for k, v in
-               zip(names["s_suppkey"].to_numpy(),
-                   names["s_name"].to_pylist())}
+    name_of = _supplier_names(sf_dir)
     out["s_name"] = out.pop("l_suppkey").map(name_of)
     return out[["s_name", "numwait"]]
 
@@ -927,7 +930,10 @@ def q22_sales_opportunity(sf_dir: str):
             "bal_c": pa.array(_cents(t["c_acctbal"].to_numpy(
                 zero_copy_only=False)))}).filter(pa.array(keep))
 
-    in_set = cust.map_batches(cust_proj, batch_format="pyarrow")
+    # consumed twice (threshold pass + anti_join left side): materialize
+    # so laziness does not re-run the customer scan and projection
+    in_set = cust.map_batches(cust_proj,
+                              batch_format="pyarrow").materialize()
 
     # threshold pass: two int64 scalars off bounded per-batch partials
     def thr_partial(t: "pa.Table") -> "pa.Table":

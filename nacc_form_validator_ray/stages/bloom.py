@@ -77,6 +77,29 @@ def _bloom_hits(h: np.ndarray, bitmap: np.ndarray,
     return hits
 
 
+def _filter_by_bloom(ds, ref, nb: int, on: str, keep_hits: bool):
+    """Stateless actor-ish probe stage shared by every bloom join: the
+    bitmap is fetched from the object store ONCE per worker process
+    (ray.get of the same ref is a local cache hit afterwards) and each
+    Arrow batch is masked in place."""
+    import pyarrow as pa
+    import ray
+
+    class Probe:
+        def __init__(self):
+            self.bitmap = None
+
+        def __call__(self, batch: "pa.Table") -> "pa.Table":
+            if self.bitmap is None:
+                self.bitmap = ray.get(ref)
+            hits = _bloom_hits(_key_hash(batch, on), self.bitmap, nb)
+            mask = hits if keep_hits else ~hits
+            return batch.filter(pa.array(mask))
+
+    return ds.map_batches(Probe, batch_format="pyarrow",
+                          concurrency=(1, 8))
+
+
 def anti_join_bloom(left_ds, keys_ds, on: str,
                     n_bits: int = 1 << 23,
                     num_partitions: int = 64):
@@ -91,7 +114,6 @@ def anti_join_bloom(left_ds, keys_ds, on: str,
     re-readable source (parquet) or a materialized dataset so laziness
     does not recompute an expensive upstream twice.
     """
-    import pyarrow as pa
     import ray
     from nacc_form_validator_ray.stages.joins import anti_join
 
@@ -99,25 +121,8 @@ def anti_join_bloom(left_ds, keys_ds, on: str,
     bitmap, nb = build_bloom(keys_ds, on, n_bits=n_bits)
     ref = ray.put(bitmap)
 
-    class Split:
-        def __init__(self, ref, nb, keep_hits):
-            self.ref = ref
-            self.nb = nb
-            self.keep_hits = keep_hits
-            self.bitmap = None
-
-        def __call__(self, batch: "pa.Table") -> "pa.Table":
-            if self.bitmap is None:
-                self.bitmap = ray.get(self.ref)
-            hits = _bloom_hits(_key_hash(batch, on), self.bitmap,
-                               self.nb)
-            mask = hits if self.keep_hits else ~hits
-            return batch.filter(pa.array(mask))
-
-    misses = left_ds.map_batches(Split(ref, nb, keep_hits=False),
-                                 batch_format="pyarrow")
-    hits = left_ds.map_batches(Split(ref, nb, keep_hits=True),
-                               batch_format="pyarrow")
+    misses = _filter_by_bloom(left_ds, ref, nb, on, keep_hits=False)
+    hits = _filter_by_bloom(left_ds, ref, nb, on, keep_hits=True)
     verified = anti_join(hits, keys_ds, on=on,
                          num_partitions=num_partitions)
     return misses.union(verified)
@@ -133,25 +138,15 @@ def bloom_prefilter(left_ds, keys_ds, on: str, n_bits: int = 1 << 23):
     slice of a scaling dimension): definite misses are dropped LOCALLY,
     so the downstream exchange ships |matches| + fp_rate·|left| instead
     of |left|. The bitmap is built once and broadcast via ``ray.put``
-    (fixed n_bits/8 bytes per worker regardless of corpus size)."""
-    import pyarrow as pa
+    (fixed n_bits/8 bytes per worker regardless of corpus size).
+    ``keys_ds`` should already be materialized (or trivially
+    re-readable) — it is consumed once here and again by the exact
+    join downstream."""
     import ray
 
-    bitmap, nb = build_bloom(keys_ds.materialize(), on, n_bits=n_bits)
+    bitmap, nb = build_bloom(keys_ds, on, n_bits=n_bits)
     ref = ray.put(bitmap)
-
-    class KeepHits:
-        def __init__(self):
-            self.bitmap = None
-
-        def __call__(self, batch: "pa.Table") -> "pa.Table":
-            if self.bitmap is None:
-                self.bitmap = ray.get(ref)
-            hits = _bloom_hits(_key_hash(batch, on), self.bitmap, nb)
-            return batch.filter(pa.array(hits))
-
-    return left_ds.map_batches(KeepHits, batch_format="pyarrow",
-                               concurrency=(1, 8))
+    return _filter_by_bloom(left_ds, ref, nb, on, keep_hits=True)
 
 
 def semi_join_bloom(left_ds, keys_ds, on: str,
@@ -163,8 +158,8 @@ def semi_join_bloom(left_ds, keys_ds, on: str,
     bloom hits ride the exact exchange, which adjudicates every false
     positive. Results are identical to ``joins.semi_join``.
 
-    ``keys_ds`` is consumed twice (bloom build + exact verify) and is
-    materialized by the prefilter; hand it a lean key projection."""
+    ``keys_ds`` is consumed twice (bloom build + exact verify), so it
+    is materialized here once; hand it a lean key projection."""
     from nacc_form_validator_ray.stages.joins import semi_join
 
     keys_ds = keys_ds.materialize()
