@@ -137,20 +137,25 @@ def q7_volume_shipping(sf_dir: str):
     ship year. Same two-exchange plan as Q5: supplier->nation is a
     broadcast LUT applied in the lineitem projection (which also
     filters to the two nations and pre-computes revenue_ch + l_year),
-    customer nation rides an orders ⋈ customer custkey exchange —
-    Bloom-prefiltered: only ~2/25 of customers are in the pair, so a
-    broadcast bitmap built from their custkeys drops the non-matching
-    ~92% of orders LOCALLY and the exchange ships |matches| + the
-    false-positive sliver (the exact join adjudicates those) — and
+    customer nation rides an orders ⋈ customer custkey exchange, and
     the direction filter + per-(pair, year) sums combine per batch
-    after the orderkey exchange; the final grouping is 8 keys, merged
-    on the driver."""
+    after the orderkey exchange — the final grouping is 8 keys, merged
+    on the driver.
+
+    Scale note: only ~2/25 of customers are in the pair, so the orders
+    side is a candidate for ``stages.bloom.bloom_prefilter`` (drop the
+    non-matching ~92% locally, exchange |matches| + the fp sliver).
+    Measured at sf0.1 the prefilter's fixed costs (key materialize +
+    bitmap build + the extra probe pass over orders) LOSE to the
+    savings — interleaved A/B 6.2 s plain vs 6.4-8.3 s bloomed — so
+    the plain join is the registered plan; flip to the prefilter when
+    the custkey exchange volume, not fixed stage cost, dominates
+    (orders >> ~10^7 rows per node)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
     import ray
     from nacc_form_validator_ray.pipelines.queries import _merge_partials
-    from nacc_form_validator_ray.stages.bloom import bloom_prefilter
     from nacc_form_validator_ray.stages.joins import hash_join
 
     lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
@@ -168,13 +173,11 @@ def q7_volume_shipping(sf_dir: str):
         return pa.table({"o_custkey": t["c_custkey"].combine_chunks(),
                          "c_nat": pa.array(nk)}).filter(pa.array(keep))
 
-    pair_cust = cust.map_batches(cust_proj,
-                                 batch_format="pyarrow").materialize()
     orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
                                 columns=["o_orderkey", "o_custkey"])
     ord_cust = hash_join(
-        bloom_prefilter(orders, pair_cust, on="o_custkey"),
-        pair_cust, on="o_custkey", num_partitions=32) \
+        orders, cust.map_batches(cust_proj, batch_format="pyarrow"),
+        on="o_custkey", num_partitions=32) \
         .map_batches(lambda t: t.select(["o_orderkey", "c_nat"])
                      .rename_columns(["l_orderkey", "c_nat"]),
                      batch_format="pyarrow")

@@ -78,26 +78,31 @@ def _bloom_hits(h: np.ndarray, bitmap: np.ndarray,
 
 
 def _filter_by_bloom(ds, ref, nb: int, on: str, keep_hits: bool):
-    """Stateless actor-ish probe stage shared by every bloom join: the
-    bitmap is fetched from the object store ONCE per worker process
-    (ray.get of the same ref is a local cache hit afterwards) and each
-    Arrow batch is masked in place."""
+    """Probe stage shared by every bloom join, run on the TASK pool (a
+    pickled instance, not an actor class — an actor pool here caps and
+    serializes the upstream scan; measured 2x on q7). ray.get of the
+    broadcast bitmap inside a task is a zero-copy local read after the
+    first fetch on each node."""
     import pyarrow as pa
     import ray
 
     class Probe:
-        def __init__(self):
+        def __init__(self, ref, nb, keep_hits):
+            self.ref = ref
+            self.nb = nb
+            self.keep_hits = keep_hits
             self.bitmap = None
 
         def __call__(self, batch: "pa.Table") -> "pa.Table":
             if self.bitmap is None:
-                self.bitmap = ray.get(ref)
-            hits = _bloom_hits(_key_hash(batch, on), self.bitmap, nb)
-            mask = hits if keep_hits else ~hits
+                self.bitmap = ray.get(self.ref)
+            hits = _bloom_hits(_key_hash(batch, on), self.bitmap,
+                               self.nb)
+            mask = hits if self.keep_hits else ~hits
             return batch.filter(pa.array(mask))
 
-    return ds.map_batches(Probe, batch_format="pyarrow",
-                          concurrency=(1, 8))
+    return ds.map_batches(Probe(ref, nb, keep_hits),
+                          batch_format="pyarrow")
 
 
 def anti_join_bloom(left_ds, keys_ds, on: str,
