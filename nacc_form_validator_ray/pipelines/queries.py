@@ -2247,6 +2247,7 @@ def flagship_oracles(sf_dir: str) -> Dict[str, str]:
         "incremental_ingest": sql_incremental_ingest(lp),
         "host_hits": sql_host_hits(lp),
         "validator_linkpages": sql_validator_linkpages(lp),
+        "host_triangles": sql_host_triangles(lp),
     }
 
 
@@ -6653,6 +6654,39 @@ FROM m
 
 QUERIES["value_regression_events"] = q_value_regression_events
 ORACLE_SQL["value_regression_events"] = SQL_VALUE_REGRESSION_EVENTS
+
+
+def q_host_triangles(sf_dir: str):
+    """Distributed triangle count over the host link graph — see
+    stages/graph.host_triangles (forward node-iterator algorithm,
+    three string-keyed hash exchanges, exact host-string vertex
+    ids). Host level because the fixture's page graph is bipartite
+    (zero triangles by construction)."""
+    from nacc_form_validator_ray.stages.graph import host_triangles
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["url", "links"])
+    return host_triangles(ds)
+
+
+def sql_host_triangles(path: str) -> str:
+    host_u = _SQL_URL_NORM.format(u="url")
+    host_l = _SQL_URL_NORM.format(u="lk")
+    return f"""
+WITH p AS (SELECT url, unnest(links) AS lk
+           FROM read_parquet('{path}')),
+h AS (SELECT coalesce({host_u}, '') AS src,
+             coalesce({host_l}, '') AS dst FROM p),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM h WHERE src <> dst),
+tri AS (SELECT e1.b AS x, e2.b AS y
+        FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM tri JOIN e ON tri.x = e.a AND tri.y = e.b
+"""
+
+
+QUERIES["host_triangles"] = q_host_triangles
 
 
 # --------------------------------------------------------------------------

@@ -508,3 +508,39 @@ def test_host_hits_crafted(tmp_path):
     sql = duckdb.sql(sql_host_hits(path)).df()
     pd.testing.assert_frame_equal(
         _canon(out.reset_index()), _canon(sql), check_dtype=False)
+
+
+def test_host_triangles_crafted_graph():
+    """K4 on hosts a,b,c,d (4 triangles) plus a pendant edge d-e and a
+    duplicate/multi-edge (must not double count) and a self-link
+    (dropped)."""
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.graph import host_triangles
+    hosts = ["a.com", "b.com", "c.com", "d.com", "e.com"]
+    links = {
+        "a.com": ["b.com", "c.com", "d.com", "a.com"],  # self dropped
+        "b.com": ["c.com", "d.com", "c.com"],           # dup edge
+        "c.com": ["d.com"],
+        "d.com": ["e.com"],
+        "e.com": [],
+    }
+    df = pd.DataFrame({
+        "url": [f"https://{h}/p{i}" for i, h in enumerate(hosts)],
+        "links": [[f"https://{t}/x" for t in links[h]] for h in hosts],
+    })
+    out = host_triangles(rd.from_pandas(df))
+    assert out["n_edges"].iloc[0] == 7   # K4 (6) + d-e
+    assert out["n_triangles"].iloc[0] == 4
+
+
+def test_host_triangles_zero_on_bipartite():
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.graph import host_triangles
+    df = pd.DataFrame({
+        "url": [f"https://l{i}.com/p" for i in range(4)],
+        "links": [[f"https://r{j}.com/x" for j in range(3)]
+                  for _ in range(4)],
+    })
+    out = host_triangles(rd.from_pandas(df))
+    assert out["n_edges"].iloc[0] == 12
+    assert out["n_triangles"].iloc[0] == 0
