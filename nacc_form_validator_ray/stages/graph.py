@@ -403,7 +403,8 @@ def host_hits(ds, url_column: str = "url",
 
 def host_triangles(ds, url_column: str = "url",
                    links_column: str = "links",
-                   num_partitions: int = 32):
+                   num_partitions: int = 32,
+                   orientation: str = "lex"):
     """Distributed triangle counting over the HOST link graph — the
     "forward" node-iterator algorithm (Schank & Wagner 2005) in three
     hash exchanges, strings end-to-end (exact — vertex ids are the
@@ -426,13 +427,15 @@ def host_triangles(ds, url_column: str = "url",
        a candidate counts iff its pair is an edge. Partitions emit
        int64 count partials; the driver sums O(partitions) scalars.
 
-    Skew note: triad volume from vertex ``a`` is deg⁺(a)² where deg⁺
-    counts LARGER neighbors only — lexicographic orientation, not the
-    degree-ordered variant; a hub that is lexicographically smaller
-    than most neighbors can still blow up. The degree-ordered upgrade
-    (direct edges low→high degree; triads then cost O(E^1.5) total)
-    adds one counting exchange and drops in here if a corpus has such
-    hubs. Returns {n_edges, n_triangles}."""
+    Skew note: with the default ``orientation="lex"`` the triad volume
+    from vertex ``a`` is deg⁺(a)² where deg⁺ counts LARGER neighbors
+    only — a hub that is lexicographically smaller than most neighbors
+    can blow up. ``orientation="degree"`` directs every edge from its
+    (degree, name)-smaller endpoint (one extra counting exchange +
+    a broadcast degree table), bounding total triad volume at
+    O(E^1.5); the triangle count is identical (each triangle's
+    order-minimal vertex emits it exactly once under either total
+    order). Returns {n_edges, n_triangles}."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -466,10 +469,52 @@ def host_triangles(ds, url_column: str = "url",
         num_partitions=num_partitions).materialize()
     n_edges = edges.count()
 
+    if orientation == "degree":
+        # the skew upgrade: orient each edge from its (degree, name)-
+        # smaller endpoint, so triad volume per vertex is bounded by
+        # its degree-ordered out-degree (O(E^1.5) total). Degrees come
+        # from per-batch combiners + one vertex exchange; the table is
+        # host-universe-sized (the module's documented small side, as
+        # with the PageRank rank vector) and broadcasts via ray.put.
+        import ray
+        from nacc_form_validator_ray.stages.partition import \
+            grouped_agg_sum
+
+        def deg_partial(part: pd.DataFrame) -> pd.DataFrame:
+            both = pd.concat([part["a"], part["b"]])
+            vc = both.value_counts()
+            return pd.DataFrame({"v": vc.index.to_numpy(object),
+                                 "deg": vc.to_numpy(np.int64)})
+
+        deg = grouped_apply(
+            edges.map_batches(deg_partial, batch_format="pandas"),
+            ["v"], lambda p: p.groupby("v", as_index=False)["deg"]
+            .sum(), num_partitions=num_partitions).to_pandas()
+        deg_ref = ray.put(dict(zip(deg["v"], deg["deg"])))
+
+        def orient(part: pd.DataFrame) -> pd.DataFrame:
+            d = ray.get(deg_ref)
+            da = part["a"].map(d).to_numpy(np.int64)
+            db = part["b"].map(d).to_numpy(np.int64)
+            a = part["a"].to_numpy(object)
+            b = part["b"].to_numpy(object)
+            a_first = (da < db) | ((da == db) & (a < b))
+            return pd.DataFrame({
+                "u": np.where(a_first, a, b),
+                "w": np.where(a_first, b, a)})
+
+        directed = edges.map_batches(orient, batch_format="pandas")
+        triad_key = "u"
+    else:
+        directed = edges.map_batches(
+            lambda p: p.rename(columns={"a": "u", "b": "w"}),
+            batch_format="pandas")
+        triad_key = "u"
+
     def triads(part: pd.DataFrame) -> pd.DataFrame:
         xs, ys = [], []
-        for _, g in part.groupby("a", sort=False):
-            nb = np.sort(g["b"].to_numpy())
+        for _, g in part.groupby("u", sort=False):
+            nb = np.sort(g["w"].to_numpy())
             if len(nb) < 2:
                 continue
             i, j = np.triu_indices(len(nb), k=1)
@@ -479,11 +524,12 @@ def host_triangles(ds, url_column: str = "url",
             return pd.DataFrame({"a": pd.Series([], dtype=object),
                                  "b": pd.Series([], dtype=object),
                                  "side": pd.Series([], dtype=np.int8)})
+        # emitted pairs are lex-sorted (nb is), matching E's (a < b)
         return pd.DataFrame({"a": np.concatenate(xs),
                              "b": np.concatenate(ys),
                              "side": np.int8(0)})
 
-    cands = grouped_apply(edges, ["a"], triads,
+    cands = grouped_apply(directed, [triad_key], triads,
                           num_partitions=num_partitions)
 
     def tag_edges(part: pd.DataFrame) -> pd.DataFrame:

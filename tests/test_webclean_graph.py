@@ -544,3 +544,22 @@ def test_host_triangles_zero_on_bipartite():
     out = host_triangles(rd.from_pandas(df))
     assert out["n_edges"].iloc[0] == 12
     assert out["n_triangles"].iloc[0] == 0
+
+
+def test_host_triangles_degree_orientation_same_count():
+    """The degree-ordered orientation (skew path) must count exactly
+    the same triangles as the lexicographic default — on a graph with
+    a lexicographically-small hub ('a-hub.com' links everything)."""
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.graph import host_triangles
+    spokes = [f"s{i}.com" for i in range(8)]
+    df = pd.DataFrame({
+        "url": ["https://a-hub.com/p"] +
+               [f"https://{s}/p" for s in spokes],
+        "links": [[f"https://{s}/x" for s in spokes]] +
+                 [[f"https://s{(i+1) % 8}.com/x"] for i in range(8)],
+    })
+    lex = host_triangles(rd.from_pandas(df), orientation="lex")
+    deg = host_triangles(rd.from_pandas(df), orientation="degree")
+    assert lex["n_triangles"].iloc[0] == deg["n_triangles"].iloc[0] > 0
+    assert lex["n_edges"].iloc[0] == deg["n_edges"].iloc[0]
