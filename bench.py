@@ -392,6 +392,10 @@ def bench_queries(sf_dir: str):
             Q.QUERIES["q18_large_volume_customers"](sf_dir)),
         "q21_waiting_suppliers": lambda: consume(
             Q.QUERIES["q21_waiting_suppliers"](sf_dir)),
+        "hopping_window_events": lambda: consume(
+            Q.QUERIES["hopping_window_events"](sf_dir)),
+        "host_triangles": lambda: consume(
+            Q.QUERIES["host_triangles"](sf_dir)),
     }
 
 
