@@ -2248,6 +2248,7 @@ def flagship_oracles(sf_dir: str) -> Dict[str, str]:
         "host_hits": sql_host_hits(lp),
         "validator_linkpages": sql_validator_linkpages(lp),
         "host_triangles": sql_host_triangles(lp),
+        "host_kcore": sql_host_kcore(lp),
     }
 
 
@@ -6687,6 +6688,45 @@ FROM tri JOIN e ON tri.x = e.a AND tri.y = e.b
 
 
 QUERIES["host_triangles"] = q_host_triangles
+
+
+KCORE_K, KCORE_ROUNDS = 4, 6
+
+
+def q_host_kcore(sf_dir: str):
+    """k-core of the host link graph by iterative peeling — see
+    stages/graph.host_kcore (fixed peel rounds, idempotent once
+    converged, so both engines run the identical chain)."""
+    from nacc_form_validator_ray.stages.graph import host_kcore
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["url", "links"])
+    return host_kcore(ds, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def sql_host_kcore(path: str, k: int = KCORE_K,
+                   rounds: int = KCORE_ROUNDS) -> str:
+    host_u = _SQL_URL_NORM.format(u="url")
+    host_l = _SQL_URL_NORM.format(u="lk")
+    ctes = [f"""p AS (SELECT url, unnest(links) AS lk
+           FROM read_parquet('{path}')),
+h AS (SELECT coalesce({host_u}, '') AS src,
+             coalesce({host_l}, '') AS dst FROM p),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM h WHERE src <> dst),
+nb AS MATERIALIZED (
+  SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e),
+l0 AS MATERIALIZED (SELECT DISTINCT v FROM nb)"""]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""l{i} AS MATERIALIZED (
+  SELECT nb.v FROM nb
+  JOIN l{i-1} s ON nb.v = s.v JOIN l{i-1} t ON nb.w = t.v
+  GROUP BY nb.v HAVING count(*) >= {k})""")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT v AS host FROM l{rounds}")
+
+
+QUERIES["host_kcore"] = q_host_kcore
 
 
 # --------------------------------------------------------------------------

@@ -555,3 +555,80 @@ def host_triangles(ds, url_column: str = "url",
     n_tri = int(partials.to_pandas()["n"].sum())
     return pd.DataFrame({"n_edges": [np.int64(n_edges)],
                          "n_triangles": [np.int64(n_tri)]})
+
+
+def host_kcore(ds, k: int = 4, rounds: int = 6,
+               url_column: str = "url", links_column: str = "links",
+               num_partitions: int = 32):
+    """k-core of the host link graph by iterative peeling — the OTHER
+    iterative-graph fixpoint shape (vertex REMOVAL, not value
+    propagation): per round, drop every vertex with fewer than ``k``
+    LIVE neighbors until stable.
+
+    Exactly ``rounds`` peels run (peeling is idempotent once
+    converged), so the DuckDB twin — the same fixed chain of
+    MATERIALIZED CTEs — is bit-identical without cross-engine
+    termination-detection parity. The fixture converges in 2-3 rounds;
+    raise ``rounds`` for deeper graphs (degeneracy peels can need more)
+    — both sides take it as a parameter.
+
+    Scale shape mirrors host_pagerank: the distinct undirected host
+    edge list is built by ONE (a, b) exchange and materialized once;
+    each round broadcasts the live-host set (the module's documented
+    small side) via ``ray.put``, edge batches emit per-batch live-
+    degree partials, and the driver merges O(hosts) counters — no
+    per-round exchange at all. Returns a DataFrame {host} of k-core
+    members (sorted)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    def build_edges(t: "pa.Table") -> pd.DataFrame:
+        links = t[links_column]
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        flat = pc.list_flatten(links)
+        parent = pc.list_parent_indices(links).to_numpy(
+            zero_copy_only=False)
+        src_all = _host_of(t[url_column], pc) \
+            .to_numpy(zero_copy_only=False)
+        dst = _host_of(flat, pc).to_numpy(zero_copy_only=False)
+        src = src_all[parent]
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        a = np.where(src < dst, src, dst)
+        b = np.where(src < dst, dst, src)
+        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+
+    edges = grouped_apply(
+        ds.map_batches(build_edges, batch_format="pyarrow"),
+        ["a", "b"], lambda p: p.drop_duplicates(),
+        num_partitions=num_partitions).materialize()
+
+    live_ref = None  # round 0: every vertex is live
+
+    def degree_partial(part: pd.DataFrame) -> pd.DataFrame:
+        if live_ref is not None:
+            live = ray.get(live_ref)
+            ok = part["a"].isin(live) & part["b"].isin(live)
+            part = part.loc[ok]
+        vc = pd.concat([part["a"], part["b"]]).value_counts()
+        return pd.DataFrame({"host": vc.index.to_numpy(object),
+                             "deg": vc.to_numpy(np.int64)})
+
+    for _ in range(rounds):
+        partials = edges.map_batches(degree_partial,
+                                     batch_format="pandas").to_pandas()
+        # a fully-peeled round yields all-empty blocks, whose pandas
+        # conversion loses the schema — that IS the empty core
+        if partials.empty or "host" not in partials.columns:
+            live = frozenset()
+        else:
+            deg = partials.groupby("host")["deg"].sum()
+            live = frozenset(deg.index[deg >= k])
+        live_ref = ray.put(live)
+
+    return pd.DataFrame({"host": sorted(live)})

@@ -563,3 +563,27 @@ def test_host_triangles_degree_orientation_same_count():
     deg = host_triangles(rd.from_pandas(df), orientation="degree")
     assert lex["n_triangles"].iloc[0] == deg["n_triangles"].iloc[0] > 0
     assert lex["n_edges"].iloc[0] == deg["n_edges"].iloc[0]
+
+
+def test_host_kcore_crafted_cascade():
+    """K5 plus a pendant chain hanging off it: the chain peels away in
+    CASCADING rounds (t3 -> t2 -> t1 each become sub-k only after their
+    child is removed), leaving exactly the K5 as the 4-core."""
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.graph import host_kcore
+    core = [f"c{i}.com" for i in range(5)]
+    rows = []
+    for i, h in enumerate(core):
+        rows.append((f"https://{h}/p",
+                     [f"https://{t}/x" for t in core if t != h]))
+    # chain: c0 - t1 - t2 - t3
+    rows.append(("https://t1.com/p", ["https://c0.com/x",
+                                      "https://t2.com/x"]))
+    rows.append(("https://t2.com/p", ["https://t3.com/x"]))
+    rows.append(("https://t3.com/p", []))
+    df = pd.DataFrame(rows, columns=["url", "links"])
+    out = host_kcore(rd.from_pandas(df), k=4, rounds=6)
+    assert sorted(out["host"]) == sorted(core)
+    # k larger than any degree -> empty core
+    out2 = host_kcore(rd.from_pandas(df), k=10, rounds=4)
+    assert len(out2) == 0
