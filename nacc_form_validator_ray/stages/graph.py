@@ -401,6 +401,43 @@ def host_hits(ds, url_column: str = "url",
     return rd.from_arrow(final)
 
 
+def _host_edge_list(ds, url_column: str, links_column: str,
+                    num_partitions: int):
+    """Distinct undirected host edge list ``(a < b)`` of the link
+    graph: flatten links, normalize hosts on both sides, drop
+    self-loops, lex-canonicalize, per-batch local dedup, then ONE
+    (a, b) exchange for global distinctness. Materialized once (lean:
+    two string columns) — shared by every multi-pass graph algorithm
+    (triangles, k-core)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    def build_edges(t: "pa.Table") -> pd.DataFrame:
+        links = t[links_column]
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        flat = pc.list_flatten(links)
+        parent = pc.list_parent_indices(links).to_numpy(
+            zero_copy_only=False)
+        src_all = _host_of(t[url_column], pc) \
+            .to_numpy(zero_copy_only=False)
+        dst = _host_of(flat, pc).to_numpy(zero_copy_only=False)
+        src = src_all[parent]
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        a = np.where(src < dst, src, dst)
+        b = np.where(src < dst, dst, src)
+        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+
+    return grouped_apply(
+        ds.map_batches(build_edges, batch_format="pyarrow"),
+        ["a", "b"], lambda part: part.drop_duplicates(),
+        num_partitions=num_partitions).materialize()
+
+
 def host_triangles(ds, url_column: str = "url",
                    links_column: str = "links",
                    num_partitions: int = 32,
@@ -437,37 +474,17 @@ def host_triangles(ds, url_column: str = "url",
     order-minimal vertex emits it exactly once under either total
     order). Returns {n_edges, n_triangles}."""
     import pandas as pd
-    import pyarrow as pa
-    import pyarrow.compute as pc
 
     from nacc_form_validator_ray.stages.partition import grouped_apply
 
-    def build_edges(t: "pa.Table") -> pd.DataFrame:
-        links = t[links_column]
-        if isinstance(links, pa.ChunkedArray):
-            links = links.combine_chunks()
-        flat = pc.list_flatten(links)
-        parent = pc.list_parent_indices(links).to_numpy(
-            zero_copy_only=False)
-        src_all = _host_of(t[url_column], pc) \
-            .to_numpy(zero_copy_only=False)
-        dst = _host_of(flat, pc).to_numpy(zero_copy_only=False)
-        src = src_all[parent]
-        keep = src != dst
-        src, dst = src[keep], dst[keep]
-        a = np.where(src < dst, src, dst)
-        b = np.where(src < dst, dst, src)
-        df = pd.DataFrame({"a": a, "b": b})
-        return df.drop_duplicates()
-
-    def distinct_edges(part: pd.DataFrame) -> pd.DataFrame:
-        return part.drop_duplicates()
-
-    edges = grouped_apply(
-        ds.map_batches(build_edges, batch_format="pyarrow"),
-        ["a", "b"], distinct_edges,
-        num_partitions=num_partitions).materialize()
+    edges = _host_edge_list(ds, url_column, links_column,
+                            num_partitions)
     n_edges = edges.count()
+    if n_edges == 0:
+        # an edgeless graph yields schemaless empty exchanges — short-
+        # circuit to the (0, 0) row the SQL twin produces
+        return pd.DataFrame({"n_edges": [np.int64(0)],
+                             "n_triangles": [np.int64(0)]})
 
     if orientation == "degree":
         # the skew upgrade: orient each edge from its (degree, name)-
@@ -486,10 +503,9 @@ def host_triangles(ds, url_column: str = "url",
             return pd.DataFrame({"v": vc.index.to_numpy(object),
                                  "deg": vc.to_numpy(np.int64)})
 
-        deg = grouped_apply(
+        deg = grouped_agg_sum(
             edges.map_batches(deg_partial, batch_format="pandas"),
-            ["v"], lambda p: p.groupby("v", as_index=False)["deg"]
-            .sum(), num_partitions=num_partitions).to_pandas()
+            ["v"], ["deg"], num_partitions=num_partitions).to_pandas()
         deg_ref = ray.put(dict(zip(deg["v"], deg["deg"])))
 
         def orient(part: pd.DataFrame) -> pd.DataFrame:
@@ -580,33 +596,10 @@ def host_kcore(ds, k: int = 4, rounds: int = 6,
     per-round exchange at all. Returns a DataFrame {host} of k-core
     members (sorted)."""
     import pandas as pd
-    import pyarrow as pa
-    import pyarrow.compute as pc
     import ray
 
-    from nacc_form_validator_ray.stages.partition import grouped_apply
-
-    def build_edges(t: "pa.Table") -> pd.DataFrame:
-        links = t[links_column]
-        if isinstance(links, pa.ChunkedArray):
-            links = links.combine_chunks()
-        flat = pc.list_flatten(links)
-        parent = pc.list_parent_indices(links).to_numpy(
-            zero_copy_only=False)
-        src_all = _host_of(t[url_column], pc) \
-            .to_numpy(zero_copy_only=False)
-        dst = _host_of(flat, pc).to_numpy(zero_copy_only=False)
-        src = src_all[parent]
-        keep = src != dst
-        src, dst = src[keep], dst[keep]
-        a = np.where(src < dst, src, dst)
-        b = np.where(src < dst, dst, src)
-        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
-
-    edges = grouped_apply(
-        ds.map_batches(build_edges, batch_format="pyarrow"),
-        ["a", "b"], lambda p: p.drop_duplicates(),
-        num_partitions=num_partitions).materialize()
+    edges = _host_edge_list(ds, url_column, links_column,
+                            num_partitions)
 
     live_ref = None  # round 0: every vertex is live
 
@@ -619,7 +612,8 @@ def host_kcore(ds, k: int = 4, rounds: int = 6,
         return pd.DataFrame({"host": vc.index.to_numpy(object),
                              "deg": vc.to_numpy(np.int64)})
 
-    for _ in range(rounds):
+    live = frozenset()
+    for rnd in range(rounds):
         partials = edges.map_batches(degree_partial,
                                      batch_format="pandas").to_pandas()
         # a fully-peeled round yields all-empty blocks, whose pandas
@@ -629,6 +623,10 @@ def host_kcore(ds, k: int = 4, rounds: int = 6,
         else:
             deg = partials.groupby("host")["deg"].sum()
             live = frozenset(deg.index[deg >= k])
-        live_ref = ray.put(live)
+        if rnd < rounds - 1:  # the final live set has no reader
+            live_ref = ray.put(live)
 
-    return pd.DataFrame({"host": sorted(live)})
+    # explicit object dtype: an empty core would otherwise infer
+    # float64 and break dtype parity with the VARCHAR twin
+    return pd.DataFrame({"host": pd.Series(sorted(live),
+                                           dtype=object)})

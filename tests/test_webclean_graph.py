@@ -587,3 +587,29 @@ def test_host_kcore_crafted_cascade():
     # k larger than any degree -> empty core
     out2 = host_kcore(rd.from_pandas(df), k=10, rounds=4)
     assert len(out2) == 0
+
+
+def test_host_triangles_edgeless_graph_returns_zero_row():
+    """Self-loops only / empty links: the exchanges are all-empty and
+    schemaless — the engine must still return the twin's (0, 0) row."""
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.graph import host_triangles
+    df = pd.DataFrame({
+        "url": ["https://a.com/p", "https://b.com/p"],
+        "links": [["https://a.com/x"], []],
+    })
+    out = host_triangles(rd.from_pandas(df))
+    assert out["n_edges"].iloc[0] == 0
+    assert out["n_triangles"].iloc[0] == 0
+
+
+def test_host_kcore_empty_core_keeps_object_dtype():
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.graph import host_kcore
+    df = pd.DataFrame({
+        "url": ["https://a.com/p", "https://b.com/p"],
+        "links": [["https://b.com/x"], []],
+    })
+    out = host_kcore(rd.from_pandas(df), k=5, rounds=3)
+    assert len(out) == 0
+    assert out["host"].dtype == object
