@@ -296,8 +296,7 @@ def host_hits(ds, url_column: str = "url",
     import pyarrow.compute as pc
     import ray
 
-    from nacc_form_validator_ray.stages.partition import (grouped_agg_sum,
-                                                          grouped_apply)
+    from nacc_form_validator_ray.stages.partition import grouped_apply
 
     def edge_project(batch: "pa.Table") -> "pa.Table":
         src = _host_of(batch[url_column], pc)
