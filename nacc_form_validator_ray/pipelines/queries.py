@@ -6729,6 +6729,63 @@ l0 AS MATERIALIZED (SELECT DISTINCT v FROM nb)"""]
 QUERIES["host_kcore"] = q_host_kcore
 
 
+def q_running_distinct_types(sf_dir: str):
+    """Cumulative DISTINCT count per user — the window shape plain
+    running sums can't express (and DuckDB has no COUNT(DISTINCT)
+    OVER): per event, how many distinct event types this user has
+    produced up to and including it. ONE user_id exchange; inside each
+    partition a vectorized lexsort by (user, ts, event_id), a
+    first-occurrence flag per (user, type) (pandas duplicated — hash
+    based, no second sort), and a per-user cumsum via the same
+    ordering. The twin lowers it the standard way: ROW_NUMBER over
+    (user, type) = 1 as the flag, SUM(flag) OVER the per-user
+    ordering."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="stable")
+        first = (~df.duplicated(["user_id", "event_type"])) \
+            .to_numpy(np.int64)
+        cum = np.cumsum(first)
+        # reset the running sum at each user boundary
+        uid = df["user_id"].to_numpy()
+        starts = np.flatnonzero(
+            np.r_[True, uid[1:] != uid[:-1]])
+        offset = np.zeros(len(df), dtype=np.int64)
+        offset[starts] = cum[starts] - first[starts]
+        np.maximum.accumulate(offset, out=offset)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": uid,
+            "n_distinct_types": cum - offset})
+
+    return grouped_apply(ds, ["user_id"], per_partition,
+                         num_partitions=16, fn_format="pandas")
+
+
+SQL_RUNNING_DISTINCT_TYPES = """
+WITH f AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events)
+SELECT event_id, user_id,
+       CAST(SUM(first_seen) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS BIGINT)
+           AS n_distinct_types
+FROM f
+"""
+
+QUERIES["running_distinct_types"] = q_running_distinct_types
+ORACLE_SQL["running_distinct_types"] = SQL_RUNNING_DISTINCT_TYPES
+
+
 # --------------------------------------------------------------------------
 # TPC-H remainder (Q6/Q7/Q8/Q14/Q15/Q17/Q18/Q19/Q21/Q22) — pipelines.tpch
 # --------------------------------------------------------------------------
