@@ -6786,6 +6786,78 @@ QUERIES["running_distinct_types"] = q_running_distinct_types
 ORACLE_SQL["running_distinct_types"] = SQL_RUNNING_DISTINCT_TYPES
 
 
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def q_event_funnel(sf_dir: str):
+    """Ordered-subsequence conversion funnel: how many users signup,
+    then click STRICTLY after their first signup, then purchase
+    strictly after that click — the analytics op sessionization and
+    retention don't cover (it needs ordered-subsequence existence per
+    user, not windows). ONE user_id exchange; each partition computes
+    the three earliest-qualifying timestamps per user with THREE
+    chained hash-groupby mins (t2 = min click ts > t1, t3 = min
+    purchase ts > t2 — no per-user Python loop) and emits three count
+    partials; the driver merges O(partitions × 3) rows. Strictness is
+    on ts alone, exactly as the twin's correlated-min CTE chain
+    states it."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_type"])
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized: three chained hash-groupby mins, no
+        # per-user Python loop (a partition can hold millions of users)
+        prev = None  # Series: user -> earliest qualifying ts so far
+        counts = np.zeros(3, dtype=np.int64)
+        for i, step in enumerate(FUNNEL_STEPS):
+            rows = df.loc[df["event_type"] == step,
+                          ["user_id", "ts"]]
+            if prev is not None:
+                bound = rows["user_id"].map(prev)
+                rows = rows.loc[bound.notna().to_numpy()
+                                & (rows["ts"].to_numpy()
+                                   > bound.to_numpy())]
+            prev = rows.groupby("user_id")["ts"].min()
+            counts[i] = len(prev)
+        return pd.DataFrame({
+            "step": np.arange(1, 4, dtype=np.int64),
+            "step_name": list(FUNNEL_STEPS),
+            "n_users": counts})
+
+    out = _merge_partials(
+        grouped_apply(ds, ["user_id"], per_partition,
+                      num_partitions=16, fn_format="pandas"),
+        ["step", "step_name"], {"n_users": "sum"})
+    return out[["step", "step_name", "n_users"]]
+
+
+SQL_EVENT_FUNNEL = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE event_type = '{FUNNEL_STEPS[1]}' AND ts > t1 GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE event_type = '{FUNNEL_STEPS[2]}' AND ts > t2 GROUP BY 1)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step, '{FUNNEL_STEPS[0]}' AS step_name,
+         CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+  UNION ALL
+  SELECT 2, '{FUNNEL_STEPS[1]}',
+         CAST((SELECT count(*) FROM s2) AS BIGINT)
+  UNION ALL
+  SELECT 3, '{FUNNEL_STEPS[2]}',
+         CAST((SELECT count(*) FROM s3) AS BIGINT))
+"""
+
+QUERIES["event_funnel"] = q_event_funnel
+ORACLE_SQL["event_funnel"] = SQL_EVENT_FUNNEL
+
+
 # --------------------------------------------------------------------------
 # TPC-H remainder (Q6/Q7/Q8/Q14/Q15/Q17/Q18/Q19/Q21/Q22) — pipelines.tpch
 # --------------------------------------------------------------------------
