@@ -6858,6 +6858,66 @@ QUERIES["event_funnel"] = q_event_funnel
 ORACLE_SQL["event_funnel"] = SQL_EVENT_FUNNEL
 
 
+def q_event_type_cooccurrence(sf_dir: str):
+    """Market-basket co-occurrence (association-rule support counts):
+    for every unordered event-type pair, how many users produced BOTH.
+    ONE user_id exchange; each partition builds a per-user type BITMASK
+    (types are a tiny closed set — dictionary-encoded to bit positions)
+    with a hash groupby + bitwise-or, expands each user's mask to its
+    pairs via precomputed pair masks (vocab²/2 masks, not rows), and
+    emits per-pair count partials the driver merges. The twin is the
+    distinct-pair self-join. Support counts at corpus scale never
+    leave the combiner bigger than types² rows per partition."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # distinct (user, type) first: each bit then appears once per
+        # user, so a C-speed groupby SUM equals the bitwise OR — no
+        # per-user Python reduce. factorize is partition-local but the
+        # output carries type NAMES, so local bit positions are safe.
+        dd = df.drop_duplicates()
+        codes, uniques = pd.factorize(dd["event_type"], sort=True)
+        masks = pd.DataFrame({
+            "user_id": dd["user_id"].to_numpy(),
+            "__m": np.int64(1) << codes.astype(np.int64)}) \
+            .groupby("user_id")["__m"].sum()
+        m = masks.to_numpy(np.int64)
+        names = list(uniques)
+        out_a, out_b, out_n = [], [], []
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                pair_mask = (np.int64(1) << i) | (np.int64(1) << j)
+                n = int(((m & pair_mask) == pair_mask).sum())
+                if n:
+                    out_a.append(names[i])
+                    out_b.append(names[j])
+                    out_n.append(n)
+        return pd.DataFrame({"type_a": out_a, "type_b": out_b,
+                             "n_users": np.asarray(out_n,
+                                                   dtype=np.int64)})
+
+    return _merge_partials(
+        grouped_apply(ds, ["user_id"], per_partition,
+                      num_partitions=16, fn_format="pandas"),
+        ["type_a", "type_b"], {"n_users": "sum"})
+
+
+SQL_EVENT_TYPE_COOCCURRENCE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ut a JOIN ut b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+QUERIES["event_type_cooccurrence"] = q_event_type_cooccurrence
+ORACLE_SQL["event_type_cooccurrence"] = SQL_EVENT_TYPE_COOCCURRENCE
+
+
 # --------------------------------------------------------------------------
 # TPC-H remainder (Q6/Q7/Q8/Q14/Q15/Q17/Q18/Q19/Q21/Q22) — pipelines.tpch
 # --------------------------------------------------------------------------
