@@ -181,6 +181,42 @@ def cmd_genpages(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registered pipeline from the query registry over a
+    testdata-shaped table directory and write the result as parquet
+    (a DataFrame result lands as one file; a Dataset result streams
+    to partitioned shards)."""
+    import pandas as pd
+    import ray
+
+    from nacc_form_validator_ray.pipelines.queries import QUERIES
+
+    if args.list:
+        for name in sorted(QUERIES):
+            print(name)
+        return 0
+    if args.name not in QUERIES:
+        print(f"unknown query: {args.name!r} "
+              f"(see --list for the {len(QUERIES)} registered names)",
+              file=sys.stderr)
+        return 2
+
+    _init_ray(args.num_cpus)
+    result = QUERIES[args.name](args.input)
+    if isinstance(result, pd.DataFrame):
+        import os
+        os.makedirs(args.output, exist_ok=True)
+        out = os.path.join(args.output, "part-0.parquet")
+        result.to_parquet(out, index=False)
+        n = len(result)
+    else:
+        result.write_parquet(args.output)
+        n = "streamed"
+    print(f"{args.name}: wrote {n} rows to {args.output}")
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="nacc-form-validator-ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -246,6 +282,21 @@ def main(argv=None) -> int:
                    help="generate the linked-page shape (urls+links)")
     g.add_argument("--num-cpus", type=int, default=None)
     g.set_defaults(fn=cmd_genpages)
+
+    r = sub.add_parser(
+        "query",
+        help="run a registered pipeline over a table directory")
+    r.add_argument("-n", "--name", default="",
+                   help="query name (see --list)")
+    r.add_argument("-i", "--input", default="",
+                   help="directory holding the parquet tables "
+                        "(testdata shape)")
+    r.add_argument("-o", "--output", default="",
+                   help="output parquet directory")
+    r.add_argument("--list", action="store_true",
+                   help="list registered query names and exit")
+    r.add_argument("--num-cpus", type=int, default=None)
+    r.set_defaults(fn=cmd_query)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -181,3 +181,26 @@ def test_cli_semdedup(tmp_path):
     assert set(df.columns) == {"vec_id", "cid", "kept", "dup_of"}
     assert (df.loc[df["kept"], "dup_of"] == -1).all()
     assert (df.loc[~df["kept"], "dup_of"] >= 0).all()
+
+
+def test_cli_query_subcommand(tmp_path):
+    out = tmp_path / "q6"
+    proc = run_cli("query", "-n", "q6_forecast_revenue",
+                   "-i", "/root/testdata/sf0.001", "-o", str(out))
+    assert proc.returncode == 0, proc.stderr
+    import pyarrow.parquet as pq
+    t = pq.read_table(str(out))
+    assert t.num_rows == 1 and "revenue_ch" in t.column_names
+
+
+def test_cli_query_unknown_name():
+    proc = run_cli("query", "-n", "nope", "-i", "/tmp", "-o", "/tmp/x")
+    assert proc.returncode == 2
+    assert "unknown query" in proc.stderr
+
+
+def test_cli_query_list():
+    proc = run_cli("query", "--list")
+    assert proc.returncode == 0
+    names = proc.stdout.split()
+    assert "q5_local_supplier_volume" in names and len(names) >= 132
