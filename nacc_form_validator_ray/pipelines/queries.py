@@ -5542,6 +5542,70 @@ QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
 ORACLE_SQL["kmeans_embeddings"] = sql_kmeans_embeddings()
 
 
+def q_kmeans_inertia(sf_dir: str):
+    """Clustering-quality evaluation: per-cluster member count and
+    INERTIA (sum of squared distances to the final centroid) for the
+    k-means model — the metric an elbow/model-selection sweep reads.
+    Train once (the existing exact-integer Lloyd fit), broadcast the
+    centroid matrix, then one scoring pass: per batch an int64
+    ``|x|² - 2x·c + |c|²`` distance matrix, argmin with the model's
+    smallest-cid tie rule, and per-cid (n, inertia) combiners the
+    driver merges. Every quantity is an exact integer on the 2^12
+    grid, so the twin (the shared Lloyd CTE chain plus one final
+    assignment/SUM) is bit-identical."""
+    import pyarrow as pa
+    import ray
+    from nacc_form_validator_ray.stages.kmeans import (_quantize,
+                                                       kmeans_fit)
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    cents, _ = kmeans_fit(ds, k=8, iterations=3)
+    cents_ref = ray.put(cents.astype(np.int64))
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        C = ray.get(cents_ref)
+        X = _quantize(np.stack(
+            t["embedding"].to_numpy(zero_copy_only=False))) \
+            .astype(np.int64)
+        d = (X * X).sum(axis=1)[:, None] \
+            - 2 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        cid = np.argmin(d, axis=1)  # first minimum == smallest cid
+        min_d = d[np.arange(len(X)), cid]
+        df = pd.DataFrame({"cid": cid.astype(np.int64),
+                           "n_members": 1, "inertia": min_d})
+        return df.groupby("cid", as_index=False).sum()
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["cid"], {"n_members": "sum", "inertia": "sum"})
+
+
+def sql_kmeans_inertia(k: int = 8, iterations: int = 3) -> str:
+    ctes = sql_kmeans_ctes(k, iterations)
+    T = iterations
+    return f"""
+WITH {', '.join(ctes)},
+af AS (
+  SELECT vec_id, cid,
+         list_dot_product(v, v) + list_dot_product(cv, cv)
+           - 2 * list_dot_product(v, cv) AS dist
+  FROM (
+    SELECT vv.vec_id, c.cid, vv.v, c.cv,
+           row_number() OVER (PARTITION BY vv.vec_id ORDER BY
+               list_dot_product(c.cv, c.cv)
+               - 2 * list_dot_product(vv.v, c.cv), c.cid) AS rn
+    FROM vv, c{T} c) WHERE rn = 1)
+SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(dist) AS BIGINT) AS inertia
+FROM af GROUP BY cid
+"""
+
+
+QUERIES["kmeans_inertia"] = q_kmeans_inertia
+ORACLE_SQL["kmeans_inertia"] = sql_kmeans_inertia()
+
+
 def q_semdedup_embeddings(sf_dir: str):
     """SemDeDup (arXiv:2303.09540): k-means-partitioned semantic
     dedup — train the exact-integer Lloyd model, broadcast the centroid
