@@ -6991,3 +6991,15 @@ from nacc_form_validator_ray.pipelines.tpch import (TPCH_ORACLE_SQL,
 
 QUERIES.update(TPCH_QUERIES)
 ORACLE_SQL.update(TPCH_ORACLE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Advanced analytics (skyline / mode / profiling / HLL / fuzzy join) —
+# pipelines.advanced
+# --------------------------------------------------------------------------
+
+from nacc_form_validator_ray.pipelines.advanced import (ADV_ORACLE_SQL,
+                                                        ADV_QUERIES)
+
+QUERIES.update(ADV_QUERIES)
+ORACLE_SQL.update(ADV_ORACLE_SQL)

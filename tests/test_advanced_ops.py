@@ -1,0 +1,219 @@
+"""Unit tests for pipelines/advanced.py: skyline dominance semantics,
+exact integer floor-log2, HLL estimate accuracy, and the fuzzy-join
+building blocks (deletion-neighborhood completeness, exact ed<=1
+verification)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from nacc_form_validator_ray.pipelines.advanced import (_deletion_keys,
+                                                        _floor_log2_u64,
+                                                        _skyline_keep,
+                                                        _verify_ed1,
+                                                        hll_estimate)
+
+
+# ----------------------------- skyline ------------------------------
+
+def _skyline_naive(price, size):
+    n = len(price)
+    keep = np.ones(n, dtype=bool)
+    for i in range(n):
+        for j in range(n):
+            if (price[j] <= price[i] and size[j] >= size[i]
+                    and (price[j] < price[i] or size[j] > size[i])):
+                keep[i] = False
+                break
+    return keep
+
+
+def test_skyline_matches_naive_random():
+    rng = np.random.RandomState(7)
+    for _ in range(20):
+        n = rng.randint(1, 60)
+        price = rng.randint(0, 12, n).astype(np.int64)
+        size = rng.randint(0, 12, n).astype(np.int64)
+        got = _skyline_keep(price, size)
+        want = _skyline_naive(price, size)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_skyline_duplicates_survive_together():
+    # two identical non-dominated points: neither dominates the other
+    price = np.array([5, 5, 9], dtype=np.int64)
+    size = np.array([9, 9, 9], dtype=np.int64)
+    np.testing.assert_array_equal(_skyline_keep(price, size),
+                                  [True, True, False])
+
+
+def test_skyline_anticorrelated_chain_all_survive():
+    # a strict staircase: every point is on the frontier
+    price = np.arange(10, dtype=np.int64)
+    size = np.arange(10, dtype=np.int64)  # bigger price, bigger size
+    assert _skyline_keep(price, size).all()
+
+
+def test_skyline_empty():
+    assert len(_skyline_keep(np.array([], dtype=np.int64),
+                             np.array([], dtype=np.int64))) == 0
+
+
+# --------------------------- floor log2 -----------------------------
+
+def test_floor_log2_exact_at_power_boundaries():
+    # float log2 rounds 2^57 - 1 up; the integer path must not
+    vals = []
+    for k in (1, 2, 5, 31, 52, 53, 54, 57):
+        vals += [2 ** k - 1, 2 ** k, 2 ** k + 1]
+    w = np.array(vals, dtype=np.uint64)
+    got = _floor_log2_u64(w)
+    want = np.array([len(bin(int(v))) - 3 for v in vals],
+                    dtype=np.int64)  # '0b1...' -> floor log2
+    np.testing.assert_array_equal(got, want)
+
+
+# ------------------------------ HLL ---------------------------------
+
+def test_hll_estimate_within_tolerance():
+    from nacc_form_validator_ray.pipelines.advanced import \
+        q_hll_user_registers
+    sf = "/root/testdata/sf0.001"
+    regs = q_hll_user_registers(sf)
+    import duckdb
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"read_parquet('{sf}/events.parquet')").fetchone()[0]
+    est = hll_estimate(regs)
+    assert abs(est - exact) / exact < 0.35, (est, exact)
+
+
+def test_hll_registers_merge_invariance():
+    """Register tables are max-mergeable: two half-streams merged give
+    the full-stream registers."""
+    from nacc_form_validator_ray.pipelines.advanced import (HLL_M,
+                                                            HLL_MULT,
+                                                            _HLL_WBITS)
+
+    def regs_of(ids):
+        h = ids.astype(np.uint64) * np.uint64(HLL_MULT)
+        bucket = (h & np.uint64(HLL_M - 1)).astype(np.int64)
+        w = h >> np.uint64(6)
+        rho = np.where(w == 0, np.int64(_HLL_WBITS + 1),
+                       np.int64(_HLL_WBITS) - _floor_log2_u64(w))
+        reg = np.zeros(HLL_M, dtype=np.int64)
+        np.maximum.at(reg, bucket, rho)
+        return reg
+
+    rng = np.random.RandomState(3)
+    ids = rng.randint(0, 10 ** 9, 5000).astype(np.int64)
+    full = regs_of(ids)
+    merged = np.maximum(regs_of(ids[:2500]), regs_of(ids[2500:]))
+    np.testing.assert_array_equal(full, merged)
+
+
+# --------------------------- fuzzy join -----------------------------
+
+def _ed(a: str, b: str) -> int:
+    # classic DP, reference implementation for the tests only
+    la, lb = len(a), len(b)
+    d = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, lb + 1):
+            cur = min(d[j] + 1, d[j - 1] + 1,
+                      prev + (a[i - 1] != b[j - 1]))
+            prev, d[j] = d[j], cur
+    return d[lb]
+
+
+def test_verify_ed1_cases():
+    a = np.array(["abc", "abc", "abc", "abc", "ab", "", "a", "xyz",
+                  "ab"], dtype=object)
+    b = np.array(["abc", "abd", "ab", "abcd", "abx", "a", "", "abc",
+                  "ba"], dtype=object)
+    ed = _verify_ed1(a, b)
+    assert list(ed) == [0, 1, 1, 1, 1, 1, 1, 2, 2]
+
+
+def test_verify_ed1_matches_dp_random():
+    rng = np.random.RandomState(11)
+    alpha = "ab"
+    pairs = []
+    for _ in range(400):
+        la = rng.randint(0, 6)
+        lb = rng.randint(0, 6)
+        a = "".join(rng.choice(list(alpha)) for _ in range(la))
+        b = "".join(rng.choice(list(alpha)) for _ in range(lb))
+        pairs.append((a, b))
+    na = np.array([p[0] for p in pairs], dtype=object)
+    nb = np.array([p[1] for p in pairs], dtype=object)
+    got = _verify_ed1(na, nb)
+    for (a, b), g in zip(pairs, got):
+        want = _ed(a, b)
+        if want <= 1:
+            assert g == want, (a, b, g, want)
+        else:
+            assert g == 2, (a, b, g)
+
+
+def test_deletion_keys_no_false_negatives():
+    """Any two strings within edit distance 1 must share at least one
+    (variant length, key) bucket — the candidate-generation soundness
+    property the exchange relies on."""
+    rng = np.random.RandomState(5)
+    words = []
+    for _ in range(120):
+        L = rng.randint(1, 7)
+        words.append("".join(rng.choice(list("abc"))
+                             for _ in range(L)))
+    words = list(dict.fromkeys(words))
+    names = np.array(words, dtype=object)
+    ids = np.arange(len(words), dtype=np.int64)
+    vlen, vkey, vid = _deletion_keys(names, ids)
+    buckets = {}
+    for l, k, i in zip(vlen, vkey, vid):
+        buckets.setdefault((l, k), set()).add(int(i))
+    for i in range(len(words)):
+        for j in range(i + 1, len(words)):
+            if _ed(words[i], words[j]) <= 1:
+                assert any(i in s and j in s
+                           for s in buckets.values()), \
+                    (words[i], words[j])
+
+
+def test_fuzzy_pipeline_variable_lengths(tmp_path):
+    """End-to-end over a synthetic table with variable-length names:
+    deletions, substitutions, exact duplicates, and far pairs."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # ASCII only: DuckDB levenshtein counts BYTES, the engine counts
+    # codepoints — identical on ASCII (the operator's documented grid)
+    names = ["alpha", "alpa", "alphq", "beta", "betas", "gamma",
+             "gamma", "delta", "delt", "dolt", "x", "", "y"]
+    t = pa.table({"c_custkey": pa.array(range(len(names)),
+                                        type=pa.int64()),
+                  "c_name": pa.array(names, type=pa.string())})
+    d = tmp_path / "fz"
+    d.mkdir()
+    pq.write_table(t, str(d / "customer.parquet"))
+
+    from nacc_form_validator_ray.pipelines.advanced import \
+        q_fuzzy_name_pairs
+    got = q_fuzzy_name_pairs(str(d)).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW customer AS SELECT * FROM "
+            f"read_parquet('{d}/customer.parquet')")
+    from nacc_form_validator_ray.pipelines.advanced import \
+        SQL_FUZZY_NAME_PAIRS
+    want = con.sql(SQL_FUZZY_NAME_PAIRS).df() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"id_a": np.int64, "id_b": np.int64,
+                    "ed": np.int64}),
+        want.astype({"id_a": np.int64, "id_b": np.int64,
+                     "ed": np.int64}))

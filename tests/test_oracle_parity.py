@@ -34,6 +34,9 @@ FAST_QUERIES = [
     "parts_ordered_both_halves",
     "q6_forecast_revenue", "q17_small_quantity_revenue",
     "q21_waiting_suppliers", "q22_sales_opportunity",
+    "pareto_parts", "top_event_type_per_user",
+    "column_profile_events", "hll_user_registers",
+    "fuzzy_name_pairs",
 ]
 
 
