@@ -2249,6 +2249,7 @@ def flagship_oracles(sf_dir: str) -> Dict[str, str]:
         "validator_linkpages": sql_validator_linkpages(lp),
         "host_triangles": sql_host_triangles(lp),
         "host_kcore": sql_host_kcore(lp),
+        "host_bfs": sql_host_bfs(lp),
     }
 
 
@@ -6791,6 +6792,50 @@ l0 AS MATERIALIZED (SELECT DISTINCT v FROM nb)"""]
 
 
 QUERIES["host_kcore"] = q_host_kcore
+
+
+BFS_ROUNDS = 6
+
+
+def q_host_bfs(sf_dir: str):
+    """BFS levels from the lexicographically smallest host over the
+    undirected host link graph — see stages/graph.host_bfs (per-round
+    frontier broadcast + driver merge; the twin is the fixed
+    MATERIALIZED-CTE frontier chain)."""
+    from nacc_form_validator_ray.stages.graph import host_bfs
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["url", "links"])
+    return host_bfs(ds, rounds=BFS_ROUNDS)
+
+
+def sql_host_bfs(path: str, rounds: int = BFS_ROUNDS) -> str:
+    host_u = _SQL_URL_NORM.format(u="url")
+    host_l = _SQL_URL_NORM.format(u="lk")
+    ctes = [f"""p AS (SELECT url, unnest(links) AS lk
+           FROM read_parquet('{path}')),
+h AS (SELECT coalesce({host_u}, '') AS src,
+             coalesce({host_l}, '') AS dst FROM p),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM h WHERE src <> dst),
+nb AS MATERIALIZED (
+  SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e),
+d0 AS MATERIALIZED (
+  SELECT v AS host, 0 AS dist
+  FROM (SELECT min(v) AS v FROM nb) WHERE v IS NOT NULL)"""]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""d{i} AS MATERIALIZED (
+  SELECT host, dist FROM d{i-1}
+  UNION ALL
+  SELECT DISTINCT nb.w AS host, {i} AS dist
+  FROM nb JOIN d{i-1} f ON nb.v = f.host AND f.dist = {i-1}
+  WHERE nb.w NOT IN (SELECT host FROM d{i-1}))""")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT host, CAST(dist AS BIGINT) AS dist "
+            f"FROM d{rounds}")
+
+
+QUERIES["host_bfs"] = q_host_bfs
 
 
 def q_running_distinct_types(sf_dir: str):

@@ -629,3 +629,72 @@ def host_kcore(ds, k: int = 4, rounds: int = 6,
     # float64 and break dtype parity with the VARCHAR twin
     return pd.DataFrame({"host": pd.Series(sorted(live),
                                            dtype=object)})
+
+
+def host_bfs(ds, rounds: int = 6,
+             url_column: str = "url", links_column: str = "links",
+             num_partitions: int = 32):
+    """Single-source BFS levels over the undirected host link graph —
+    the reachability/shortest-path member of the graph family (beside
+    PageRank/HITS value propagation, k-core peeling, triangles).
+
+    Source = the lexicographically smallest host among edge endpoints
+    (deterministic and SQL-expressible). Each round broadcasts the
+    (visited -> level) map and the current frontier via ``ray.put``
+    (hosts are this module's documented small side); edge batches emit
+    their frontier neighbors minus the visited set; the driver merges
+    O(new hosts) rows and assigns the round's level. An empty frontier
+    ends the walk — idempotent for the DuckDB twin, whose fixed
+    MATERIALIZED-CTE chain likewise adds nothing once the frontier
+    drains. Returns {host, dist} for hosts within ``rounds`` hops.
+
+    Scale shape mirrors host_kcore: the lean edge list is materialized
+    ONCE by a single (a, b) exchange; each round is one broadcast + one
+    map pass + a driver merge of per-batch-unique new hosts — no
+    per-round exchange."""
+    import pandas as pd
+    import ray
+
+    edges = _host_edge_list(ds, url_column, links_column,
+                            num_partitions)
+
+    def min_partial(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return pd.DataFrame({"h": pd.Series([], dtype=object)})
+        return pd.DataFrame({"h": pd.Series(
+            [min(part["a"].min(), part["b"].min())], dtype=object)})
+
+    empty = pd.DataFrame({"host": pd.Series([], dtype=object),
+                          "dist": pd.Series([], dtype=np.int64)})
+    mins = edges.map_batches(min_partial,
+                             batch_format="pandas").to_pandas()
+    if mins.empty or "h" not in mins.columns:
+        return empty
+
+    dist = {mins["h"].min(): 0}
+    for rnd in range(1, rounds + 1):
+        frontier = frozenset(h for h, d in dist.items()
+                             if d == rnd - 1)
+        if not frontier:
+            break
+        ref = ray.put((frozenset(dist), frontier))
+
+        def expand(part: pd.DataFrame, ref=ref) -> pd.DataFrame:
+            seen, front = ray.get(ref)
+            na = part.loc[part["a"].isin(front), "b"]
+            nb = part.loc[part["b"].isin(front), "a"]
+            new = [h for h in pd.unique(pd.concat([na, nb]))
+                   if h not in seen]
+            return pd.DataFrame({"host": pd.Series(new, dtype=object)})
+
+        found = edges.map_batches(expand,
+                                  batch_format="pandas").to_pandas()
+        if found.empty or "host" not in found.columns:
+            continue
+        for h in pd.unique(found["host"]):
+            dist.setdefault(h, rnd)
+
+    hosts = sorted(dist)
+    return pd.DataFrame({
+        "host": pd.Series(hosts, dtype=object),
+        "dist": pd.Series([dist[h] for h in hosts], dtype=np.int64)})

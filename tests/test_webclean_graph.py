@@ -613,3 +613,36 @@ def test_host_kcore_empty_core_keeps_object_dtype():
     out = host_kcore(rd.from_pandas(df), k=5, rounds=3)
     assert len(out) == 0
     assert out["host"].dtype == object
+
+
+def test_host_bfs_crafted_levels():
+    """Path a - b - c - d plus an unreachable island x - y: levels
+    count from the lexicographically smallest host; the island never
+    appears."""
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.graph import host_bfs
+    df = pd.DataFrame({
+        "url": ["https://a.com/p", "https://b.com/p",
+                "https://c.com/p", "https://x.com/p"],
+        "links": [["https://b.com/x"], ["https://c.com/x"],
+                  ["https://d.com/x"], ["https://y.com/x"]],
+    })
+    out = host_bfs(rd.from_pandas(df), rounds=6)
+    got = dict(zip(out["host"], out["dist"]))
+    assert got == {"a.com": 0, "b.com": 1, "c.com": 2, "d.com": 3}
+
+
+def test_host_bfs_rounds_cap_and_empty_graph():
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.graph import host_bfs
+    df = pd.DataFrame({
+        "url": [f"https://h{i}.com/p" for i in range(5)],
+        "links": [[f"https://h{i+1}.com/x"] for i in range(4)] + [[]],
+    })
+    out = host_bfs(rd.from_pandas(df), rounds=2)
+    assert out["dist"].max() == 2 and len(out) == 3
+    # edgeless graph (self-loop only) -> empty frame, stable dtypes
+    df2 = pd.DataFrame({"url": ["https://a.com/p"],
+                        "links": [["https://a.com/x"]]})
+    out2 = host_bfs(rd.from_pandas(df2))
+    assert len(out2) == 0 and out2["dist"].dtype == "int64"
