@@ -396,6 +396,15 @@ def bench_queries(sf_dir: str):
             Q.QUERIES["hopping_window_events"](sf_dir)),
         "host_triangles": lambda: consume(
             Q.QUERIES["host_triangles"](sf_dir)),
+        # round-4 continued: string-similarity join, profiling scan,
+        # graph reachability, dominance frontier
+        "fuzzy_name_pairs": lambda: consume(
+            Q.QUERIES["fuzzy_name_pairs"](sf_dir)),
+        "column_profile_events": lambda: consume(
+            Q.QUERIES["column_profile_events"](sf_dir)),
+        "host_bfs": lambda: consume(Q.QUERIES["host_bfs"](sf_dir)),
+        "pareto_parts": lambda: consume(
+            Q.QUERIES["pareto_parts"](sf_dir)),
     }
 
 
