@@ -683,3 +683,203 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 
 ADV_QUERIES["fuzzy_name_pairs"] = q_fuzzy_name_pairs
 ADV_ORACLE_SQL["fuzzy_name_pairs"] = SQL_FUZZY_NAME_PAIRS
+
+
+# --------------------------------------------------------------------------
+# Time-series gap fill + trailing window over the event stream
+# --------------------------------------------------------------------------
+
+def q_gap_fill_hourly_purchases(sf_dir: str) -> pd.DataFrame:
+    """Time-series densification: hourly purchase counts with EVERY
+    hour between the first and last purchase present (gap hours
+    zero-filled), plus the trailing 24-hour rolling total — the
+    monitoring/feature-engineering op plain grouped aggregation can't
+    express (missing slots simply don't exist in the grouped output).
+
+    Shape: per-batch (hour, n) combiner partials ride to the driver
+    (the merge is CALENDAR-sized — hours in the observed range — no
+    matter how many events), the zero-filled axis is one np.arange,
+    and the rolling sum is a cumsum difference. At 100 TB the heavy
+    side stays in the combiners; only bounded (hour, count) rows
+    move."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df.loc[df["event_type"] == "purchase", "ts"]
+        hr = (sel.to_numpy().astype("datetime64[us]").view(np.int64)
+              // np.int64(3_600_000_000))
+        u, c = np.unique(hr, return_counts=True)
+        return pd.DataFrame({"hr": u, "n": c.astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "hr" not in parts.columns:
+        return pd.DataFrame({"hr": pd.Series([], dtype=np.int64),
+                             "n": pd.Series([], dtype=np.int64),
+                             "n_24h": pd.Series([], dtype=np.int64)})
+    g = parts.groupby("hr")["n"].sum()
+    lo, hi = int(g.index.min()), int(g.index.max())
+    axis = np.arange(lo, hi + 1, dtype=np.int64)
+    n = np.zeros(len(axis), dtype=np.int64)
+    n[g.index.to_numpy(np.int64) - lo] = g.to_numpy(np.int64)
+    cum = np.cumsum(n)
+    n_24h = cum - np.concatenate([np.zeros(min(24, len(cum)),
+                                           dtype=np.int64),
+                                  cum[:-24] if len(cum) > 24 else
+                                  np.zeros(0, dtype=np.int64)])
+    return pd.DataFrame({"hr": axis, "n": n, "n_24h": n_24h})
+
+
+SQL_GAP_FILL_HOURLY = """
+WITH h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+cal AS (
+  SELECT unnest(generate_series((SELECT min(hr) FROM h),
+                                (SELECT max(hr) FROM h))) AS hr),
+f AS (
+  SELECT cal.hr, CAST(coalesce(h.n, 0) AS BIGINT) AS n
+  FROM cal LEFT JOIN h ON cal.hr = h.hr)
+SELECT hr, n,
+       CAST(sum(n) OVER (ORDER BY hr
+                         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_24h
+FROM f
+"""
+
+ADV_QUERIES["gap_fill_hourly_purchases"] = q_gap_fill_hourly_purchases
+ADV_ORACLE_SQL["gap_fill_hourly_purchases"] = SQL_GAP_FILL_HOURLY
+
+
+# --------------------------------------------------------------------------
+# Key-skew report: exact distributed top-k by frequency
+# --------------------------------------------------------------------------
+
+SKEW_TOP_K = 10
+
+
+def q_key_skew_report(sf_dir: str) -> pd.DataFrame:
+    """Partition-key skew diagnosis: the ``SKEW_TOP_K`` heaviest
+    user_id keys of the event stream with exact counts and permille
+    share — the report an engineer reads before choosing exchange keys
+    (the engine's ``isolate_heavy_frac`` consumes exactly this
+    signal). heavy_hitters is the sketched estimate; this is the exact
+    distributed top-k-by-frequency.
+
+    Shape: per-batch (key, n) combiners, ONE hash exchange on key for
+    the global sums, per-partition LOCAL top-k (lean k rows each), and
+    a k x P driver merge with the deterministic (n DESC, key) tie
+    order. Total row count comes from parquet metadata (no extra
+    pass)."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id"])
+    total = ds.count()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(df["user_id"].to_numpy(np.int64),
+                         return_counts=True)
+        return pd.DataFrame({"key": u, "n": c.astype(np.int64)})
+
+    def local_topk(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("key", as_index=False)["n"].sum()
+        g = g.sort_values(["n", "key"], ascending=[False, True],
+                          kind="stable")
+        return g.head(SKEW_TOP_K)
+
+    cand = grouped_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["key"], local_topk, num_partitions=16).to_pandas()
+    cand = cand.sort_values(["n", "key"], ascending=[False, True],
+                            kind="stable").head(SKEW_TOP_K)
+    n = cand["n"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "key": cand["key"].to_numpy(np.int64),
+        "n": n,
+        "permille": n * np.int64(1000) // np.int64(max(total, 1))})
+
+
+SQL_KEY_SKEW_REPORT = f"""
+WITH c AS (
+  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
+SELECT key, n, CAST(n * 1000 // total AS BIGINT) AS permille
+FROM c, t
+ORDER BY n DESC, key
+LIMIT {SKEW_TOP_K}
+"""
+
+ADV_QUERIES["key_skew_report"] = q_key_skew_report
+ADV_ORACLE_SQL["key_skew_report"] = SQL_KEY_SKEW_REPORT
+
+
+# --------------------------------------------------------------------------
+# Per-group NTILE: value quartiles within each user's events
+# --------------------------------------------------------------------------
+
+def q_user_value_quartiles(sf_dir: str) -> pd.DataFrame:
+    """Per-GROUP NTILE(4): each event's value quartile WITHIN its
+    user's history — the grouped variant of the global ntile_docs
+    (SQL: NTILE(4) OVER (PARTITION BY user_id ORDER BY value_c,
+    event_id)). ONE user_id hash exchange, then a single lexsort per
+    partition assigns every user's tiles arithmetically (the first
+    n%k tiles hold ceil(n/k) rows) — no per-user loop."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "value_c": np.floor(df["value"].to_numpy(np.float64) * 100
+                                + 0.5).astype(np.int64)})
+        return out
+
+    def assign(part: pd.DataFrame) -> pd.DataFrame:
+        uid = part["user_id"].to_numpy(np.int64)
+        val = part["value_c"].to_numpy(np.int64)
+        eid = part["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, val, uid))
+        u_s, v_s, e_s = uid[order], val[order], eid[order]
+        new = np.empty(len(u_s), dtype=bool)
+        if len(u_s):
+            new[0] = True
+            new[1:] = u_s[1:] != u_s[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(u_s)))
+        grp_start = np.repeat(starts, sizes)
+        n = np.repeat(sizes, sizes).astype(np.int64)
+        r = np.arange(len(u_s), dtype=np.int64) - grp_start
+        k = np.int64(4)
+        q, rem = n // k, n % k
+        cut = rem * (q + 1)
+        tile = np.where(r < cut, r // (q + 1),
+                        rem + (r - cut) // np.maximum(q, 1))
+        return pd.DataFrame({"event_id": e_s, "user_id": u_s,
+                             "value_c": v_s,
+                             "tile": (tile + 1).astype(np.int64)})
+
+    return grouped_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["user_id"], assign, num_partitions=16)
+
+
+SQL_USER_VALUE_QUARTILES = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+  FROM events)
+SELECT event_id, user_id, value_c,
+       CAST(ntile(4) OVER (PARTITION BY user_id
+                           ORDER BY value_c, event_id) AS BIGINT)
+           AS tile
+FROM e
+"""
+
+ADV_QUERIES["user_value_quartiles"] = q_user_value_quartiles
+ADV_ORACLE_SQL["user_value_quartiles"] = SQL_USER_VALUE_QUARTILES

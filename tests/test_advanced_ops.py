@@ -217,3 +217,78 @@ def test_fuzzy_pipeline_variable_lengths(tmp_path):
                     "ed": np.int64}),
         want.astype({"id_a": np.int64, "id_b": np.int64,
                      "ed": np.int64}))
+
+
+# ------------------------- gap fill / ntile --------------------------
+
+def test_gap_fill_zero_hours_and_rolling(tmp_path):
+    """Synthetic events with a guaranteed 3-hour hole: the filled axis
+    is contiguous, hole hours carry 0, and the trailing 24h total
+    matches a brute-force window."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    hrs = [0, 1, 5, 5, 5, 30]
+    ts = [base + np.timedelta64(h, "h") for h in hrs]
+    t = pa.table({
+        "event_id": pa.array(range(len(hrs)), type=pa.int64()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "user_id": pa.array([1] * len(hrs), type=pa.int64()),
+        "event_type": pa.array(["purchase"] * len(hrs)),
+        "value": pa.array([1.0] * len(hrs)),
+        "props": pa.array(["{}"] * len(hrs))})
+    d = tmp_path / "gf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+
+    from nacc_form_validator_ray.pipelines.advanced import \
+        q_gap_fill_hourly_purchases
+    out = q_gap_fill_hourly_purchases(str(d))
+    assert len(out) == 31                      # hours 0..30 inclusive
+    assert (np.diff(out["hr"].to_numpy()) == 1).all()
+    n = out["n"].to_numpy()
+    assert n[0] == 1 and n[5] == 3 and n[2] == 0 and n[30] == 1
+    want_24h = [n[max(0, i - 23):i + 1].sum() for i in range(31)]
+    np.testing.assert_array_equal(out["n_24h"].to_numpy(), want_24h)
+
+
+def test_user_quartile_formula_matches_ntile_semantics():
+    """The arithmetic tile assignment matches SQL NTILE: first n%k
+    tiles get ceil(n/k) rows, including groups smaller than k."""
+    import duckdb
+    rng = np.random.RandomState(2)
+    n = 300
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 9, n).astype(np.int64),
+        "value_c": rng.randint(0, 50, n).astype(np.int64)})
+    want = duckdb.sql("""
+        SELECT event_id,
+               CAST(ntile(4) OVER (PARTITION BY user_id
+                                   ORDER BY value_c, event_id)
+                    AS BIGINT) AS tile
+        FROM df ORDER BY event_id""").df()
+
+    uid = df["user_id"].to_numpy()
+    val = df["value_c"].to_numpy()
+    eid = df["event_id"].to_numpy()
+    order = np.lexsort((eid, val, uid))
+    u_s, e_s = uid[order], eid[order]
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = u_s[1:] != u_s[:-1]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, n))
+    grp_start = np.repeat(starts, sizes)
+    gsz = np.repeat(sizes, sizes).astype(np.int64)
+    r = np.arange(n, dtype=np.int64) - grp_start
+    k = np.int64(4)
+    q, rem = gsz // k, gsz % k
+    cut = rem * (q + 1)
+    tile = np.where(r < cut, r // (q + 1),
+                    rem + (r - cut) // np.maximum(q, 1)) + 1
+    got = pd.DataFrame({"event_id": e_s, "tile": tile}) \
+        .sort_values("event_id").reset_index(drop=True)
+    np.testing.assert_array_equal(got["tile"].to_numpy(),
+                                  want["tile"].to_numpy())

@@ -36,7 +36,8 @@ FAST_QUERIES = [
     "q21_waiting_suppliers", "q22_sales_opportunity",
     "pareto_parts", "top_event_type_per_user",
     "column_profile_events", "hll_user_registers",
-    "fuzzy_name_pairs",
+    "fuzzy_name_pairs", "gap_fill_hourly_purchases",
+    "key_skew_report", "user_value_quartiles",
 ]
 
 
