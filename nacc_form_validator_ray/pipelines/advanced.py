@@ -883,3 +883,160 @@ FROM e
 
 ADV_QUERIES["user_value_quartiles"] = q_user_value_quartiles
 ADV_ORACLE_SQL["user_value_quartiles"] = SQL_USER_VALUE_QUARTILES
+
+
+# --------------------------------------------------------------------------
+# Journey-prefix funnel mining (grouped ordered string_agg + top-k)
+# --------------------------------------------------------------------------
+
+JOURNEY_PREFIX = 3
+JOURNEY_TOP_K = 20
+
+
+def q_top_user_journeys(sf_dir: str) -> pd.DataFrame:
+    """Journey pattern mining: each user's first ``JOURNEY_PREFIX``
+    event types joined in time order ('click>view>purchase'), counted
+    across users, top ``JOURNEY_TOP_K`` paths — the ordered
+    string_agg family (grouped concatenation in a deterministic
+    order) plus funnel-prefix analytics.
+
+    ONE user_id hash exchange; inside each partition a single lexsort
+    ranks every user's events, the prefix rows are picked by
+    group-relative rank (no per-user loop until the inherently
+    output-sized string joins), and only (journey, count) partials —
+    bounded by users per partition — reach the driver's top-k
+    merge."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def journeys(part: pd.DataFrame) -> pd.DataFrame:
+        uid = part["user_id"].to_numpy(np.int64)
+        ts = part["ts"].to_numpy().astype("datetime64[us]") \
+            .view(np.int64)
+        eid = part["event_id"].to_numpy(np.int64)
+        typ = part["event_type"].to_numpy(object)
+        order = np.lexsort((eid, ts, uid))
+        u_s, t_s = uid[order], typ[order]
+        new = np.empty(len(u_s), dtype=bool)
+        if len(u_s) == 0:
+            return pd.DataFrame({
+                "journey": pd.Series([], dtype=object),
+                "n_users": pd.Series([], dtype=np.int64)})
+        new[0] = True
+        new[1:] = u_s[1:] != u_s[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(u_s)))
+        r = np.arange(len(u_s)) - np.repeat(starts, sizes)
+        sel = r < JOURNEY_PREFIX
+        j = pd.DataFrame({"u": u_s[sel], "t": t_s[sel]}) \
+            .groupby("u", sort=False)["t"].agg(">".join)
+        g = j.value_counts()
+        return pd.DataFrame({"journey": g.index.to_numpy(object),
+                             "n_users": g.to_numpy(np.int64)})
+
+    parts = grouped_apply(ds, ["user_id"], journeys,
+                          num_partitions=16).to_pandas()
+    if parts.empty or "journey" not in parts.columns:
+        return pd.DataFrame({"journey": pd.Series([], dtype=object),
+                             "n_users": pd.Series([], dtype=np.int64)})
+    g = parts.groupby("journey", as_index=False)["n_users"].sum()
+    g = g.sort_values(["n_users", "journey"],
+                      ascending=[False, True], kind="stable")
+    return g.head(JOURNEY_TOP_K).reset_index(drop=True)
+
+
+SQL_TOP_USER_JOURNEYS = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+j AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY rn) AS journey
+  FROM r WHERE rn <= {JOURNEY_PREFIX} GROUP BY user_id)
+SELECT journey, CAST(count(*) AS BIGINT) AS n_users
+FROM j GROUP BY 1
+ORDER BY n_users DESC, journey
+LIMIT {JOURNEY_TOP_K}
+"""
+
+ADV_QUERIES["top_user_journeys"] = q_top_user_journeys
+ADV_ORACLE_SQL["top_user_journeys"] = SQL_TOP_USER_JOURNEYS
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day active users (sliding-window COUNT DISTINCT)
+# --------------------------------------------------------------------------
+
+WAU_WINDOW = 7
+
+
+def q_rolling_active_users(sf_dir: str) -> pd.DataFrame:
+    """Rolling weekly-active-users: for every OBSERVED day, the exact
+    count of distinct users active in the trailing ``WAU_WINDOW``-day
+    window — the sliding-window COUNT(DISTINCT) no plain window
+    function expresses (DuckDB's twin needs a range self-join).
+
+    Shape: ONE hash exchange on user_id co-locates each user's
+    activity, so global (day, user) dedup, the 7x window expansion
+    and the (window-day, user) dedup are all partition-local; only
+    per-partition (day, n) partials — calendar x partitions rows —
+    reach the driver, which sums them and intersects with the
+    observed-day set (a tiny per-batch unique pre-pass). The heavy
+    stream is touched twice, streaming both times."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    US_PER_DAY = np.int64(86_400_000_000)
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].to_numpy().astype("datetime64[us]")
+               .view(np.int64) // US_PER_DAY)
+        return pd.DataFrame({"day": np.unique(day)})
+
+    observed = np.unique(
+        ds.map_batches(day_partial, batch_format="pandas")
+        .to_pandas()["day"].to_numpy(np.int64))
+
+    def window_counts(part: pd.DataFrame) -> pd.DataFrame:
+        uid = part["user_id"].to_numpy(np.int64)
+        day = (part["ts"].to_numpy().astype("datetime64[us]")
+               .view(np.int64) // US_PER_DAY)
+        du = pd.DataFrame({"u": uid, "d": day}).drop_duplicates()
+        k = np.arange(WAU_WINDOW, dtype=np.int64)
+        wday = (du["d"].to_numpy(np.int64)[:, None] + k).ravel()
+        wu = np.repeat(du["u"].to_numpy(np.int64), WAU_WINDOW)
+        wdu = pd.DataFrame({"d": wday, "u": wu}).drop_duplicates()
+        g = wdu.groupby("d", as_index=False).size()
+        return pd.DataFrame({"day": g["d"].to_numpy(np.int64),
+                             "wau": g["size"].to_numpy(np.int64)})
+
+    parts = grouped_apply(ds, ["user_id"], window_counts,
+                          num_partitions=16).to_pandas()
+    if parts.empty or "day" not in parts.columns:
+        return pd.DataFrame({"day": pd.Series([], dtype=np.int64),
+                             "wau": pd.Series([], dtype=np.int64)})
+    g = parts.groupby("day", as_index=False)["wau"].sum()
+    g = g[g["day"].isin(observed)]
+    return g.sort_values("day", kind="stable").reset_index(drop=True)
+
+
+SQL_ROLLING_ACTIVE_USERS = f"""
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+  FROM events),
+cal AS (SELECT DISTINCT day FROM du)
+SELECT cal.day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+FROM cal JOIN du
+  ON du.day BETWEEN cal.day - {WAU_WINDOW - 1} AND cal.day
+GROUP BY cal.day
+"""
+
+ADV_QUERIES["rolling_active_users"] = q_rolling_active_users
+ADV_ORACLE_SQL["rolling_active_users"] = SQL_ROLLING_ACTIVE_USERS

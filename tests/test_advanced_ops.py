@@ -292,3 +292,38 @@ def test_user_quartile_formula_matches_ntile_semantics():
         .sort_values("event_id").reset_index(drop=True)
     np.testing.assert_array_equal(got["tile"].to_numpy(),
                                   want["tile"].to_numpy())
+
+
+def test_rolling_wau_counts_each_user_once_per_window(tmp_path):
+    """A user active twice in one window still counts once; windows
+    slide per-day; only observed days are emitted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = np.datetime64("2024-03-01T12:00:00", "us")
+    rows = [  # (day offset, user)
+        (0, 1), (0, 1), (1, 2), (8, 1), (8, 3)]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array([base + np.timedelta64(d, "D")
+                        for d, _ in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([u for _, u in rows], type=pa.int64()),
+        "event_type": pa.array(["click"] * len(rows)),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows))})
+    d = tmp_path / "wau"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+
+    from nacc_form_validator_ray.pipelines.advanced import \
+        q_rolling_active_users
+    out = q_rolling_active_users(str(d))
+    day0 = int(np.datetime64("2024-03-01").astype(
+        "datetime64[D]").astype(np.int64))
+    got = dict(zip(out["day"] - day0, out["wau"]))
+    # observed days: 0, 1, 8. windows: d0={u1}, d1={u1,u2},
+    # d8={u1(day8),u3,u2(day1 in window? 8-6=2 no)} -> {1,3} + u2? day1
+    # is outside [2..8] -> {1,3}=2... but u1 day0 also outside; u1
+    # counted via day8 activity.
+    assert got == {0: 1, 1: 2, 8: 2}
+    assert set(out["day"] - day0) == {0, 1, 8}

@@ -38,6 +38,7 @@ FAST_QUERIES = [
     "column_profile_events", "hll_user_registers",
     "fuzzy_name_pairs", "gap_fill_hourly_purchases",
     "key_skew_report", "user_value_quartiles",
+    "top_user_journeys", "rolling_active_users",
 ]
 
 
