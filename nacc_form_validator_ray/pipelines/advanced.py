@@ -1040,3 +1040,145 @@ GROUP BY cal.day
 
 ADV_QUERIES["rolling_active_users"] = q_rolling_active_users
 ADV_ORACLE_SQL["rolling_active_users"] = SQL_ROLLING_ACTIVE_USERS
+
+
+# --------------------------------------------------------------------------
+# Exact embedding Gram matrix (the PCA / whitening precursor)
+# --------------------------------------------------------------------------
+
+GRAM_QUANT = 4096  # 2^12 — the repo's embedding quantization grid
+
+
+def q_embedding_gram(sf_dir: str) -> pd.DataFrame:
+    """Exact second-moment (Gram) matrix of the embeddings table on
+    the repo's 2^12 quantization grid — the distributed precursor of
+    PCA/whitening/covariance estimation: X^T X as d(d+1)/2 integer
+    cells (centering needs only the per-dim sums label_centroids
+    already computes; the eigensolve is a driver-side O(d^3) afterthought
+    on 64x64 numbers).
+
+    Shape: each batch contributes ONE d x d int64 matmul (V^T V) — the
+    partial is always d(d+1)/2 rows no matter how many vectors — and
+    the driver sums O(cells x blocks) rows. No exchange at all; this
+    is the vector-space sibling of value_regression_events'
+    exact-moments combiners."""
+    import pyarrow as pa
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])
+
+    def gram_partial(t: "pa.Table") -> pd.DataFrame:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False)
+        n = len(col)
+        if n == 0:
+            return pd.DataFrame({"i": pd.Series([], dtype=np.int64),
+                                 "j": pd.Series([], dtype=np.int64),
+                                 "sum_xy": pd.Series([],
+                                                     dtype=np.int64)})
+        d = len(flat) // n
+        v = np.floor(flat.astype(np.float64) * GRAM_QUANT
+                     + 0.5).astype(np.int64).reshape(n, d)
+        m = v.T @ v
+        iu, ju = np.triu_indices(d)
+        return pd.DataFrame({"i": (iu + 1).astype(np.int64),
+                             "j": (ju + 1).astype(np.int64),
+                             "sum_xy": m[iu, ju]})
+
+    parts = ds.map_batches(gram_partial,
+                           batch_format="pyarrow").to_pandas()
+    if parts.empty or "i" not in parts.columns:
+        return pd.DataFrame({"i": pd.Series([], dtype=np.int64),
+                             "j": pd.Series([], dtype=np.int64),
+                             "sum_xy": pd.Series([], dtype=np.int64)})
+    g = parts.groupby(["i", "j"], as_index=False)["sum_xy"].sum()
+    return g.sort_values(["i", "j"], kind="stable") \
+        .reset_index(drop=True)
+
+
+SQL_EMBEDDING_GRAM = f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(floor(unnest(embedding) * {GRAM_QUANT} + 0.5)
+              AS BIGINT) AS v
+  FROM embeddings)
+SELECT a.i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS sum_xy
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+"""
+
+ADV_QUERIES["embedding_gram"] = q_embedding_gram
+ADV_ORACLE_SQL["embedding_gram"] = SQL_EMBEDDING_GRAM
+
+
+# --------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov chain)
+# --------------------------------------------------------------------------
+
+def q_event_type_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition counts over each user's
+    time-ordered event stream: how often type A is IMMEDIATELY
+    followed by type B within the same user — the sequence-analytics
+    op behind next-action prediction features (the LAG family's
+    aggregate counterpart).
+
+    ONE user_id hash exchange; inside each partition a single lexsort
+    orders every user's events, adjacent same-user positions form the
+    transition pairs (one shifted comparison — no per-user loop), and
+    only (from, to, n) partials — at most |types|^2 rows each — reach
+    the driver merge."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "event_id",
+                                     "event_type"])
+
+    def transitions(part: pd.DataFrame) -> pd.DataFrame:
+        uid = part["user_id"].to_numpy(np.int64)
+        ts = part["ts"].to_numpy().astype("datetime64[us]") \
+            .view(np.int64)
+        eid = part["event_id"].to_numpy(np.int64)
+        typ = part["event_type"].to_numpy(object)
+        if len(uid) < 2:
+            return pd.DataFrame({
+                "from_type": pd.Series([], dtype=object),
+                "to_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64)})
+        order = np.lexsort((eid, ts, uid))
+        u_s, t_s = uid[order], typ[order]
+        same = u_s[1:] == u_s[:-1]
+        g = pd.DataFrame({"from_type": t_s[:-1][same],
+                          "to_type": t_s[1:][same]}) \
+            .groupby(["from_type", "to_type"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    parts = grouped_apply(ds, ["user_id"], transitions,
+                          num_partitions=16).to_pandas()
+    if parts.empty or "from_type" not in parts.columns:
+        return pd.DataFrame({
+            "from_type": pd.Series([], dtype=object),
+            "to_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64)})
+    g = parts.groupby(["from_type", "to_type"], as_index=False)["n"] \
+        .sum()
+    g["n"] = g["n"].astype(np.int64)
+    return g.sort_values(["from_type", "to_type"], kind="stable") \
+        .reset_index(drop=True)
+
+
+SQL_EVENT_TYPE_TRANSITIONS = """
+WITH r AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT prev AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM r WHERE prev IS NOT NULL
+GROUP BY 1, 2
+"""
+
+ADV_QUERIES["event_type_transitions"] = q_event_type_transitions
+ADV_ORACLE_SQL["event_type_transitions"] = SQL_EVENT_TYPE_TRANSITIONS

@@ -39,6 +39,7 @@ FAST_QUERIES = [
     "fuzzy_name_pairs", "gap_fill_hourly_purchases",
     "key_skew_report", "user_value_quartiles",
     "top_user_journeys", "rolling_active_users",
+    "embedding_gram", "event_type_transitions",
 ]
 
 
