@@ -149,8 +149,11 @@ def q_top_event_type_per_user(sf_dir: str) -> pd.DataFrame:
                             columns=["user_id", "event_type"])
 
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        # null-typed events are excluded by contract (the twin filters
+        # them too); pandas groupby drops NaN keys, dropna makes it
+        # explicit
         g = df.groupby(["user_id", "event_type"], as_index=False,
-                       sort=False).size()
+                       sort=False, dropna=True).size()
         return g.rename(columns={"size": "n_events"})
 
     def pick_mode(part: pd.DataFrame) -> pd.DataFrame:
@@ -172,7 +175,7 @@ def q_top_event_type_per_user(sf_dir: str) -> pd.DataFrame:
 SQL_TOP_EVENT_TYPE = """
 WITH c AS (
   SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
 r AS (
   SELECT *, row_number() OVER (
       PARTITION BY user_id
@@ -195,8 +198,15 @@ def _profile_views(t) -> Dict[str, tuple]:
     micros — the repo's bit-stable numeric contract."""
     views = {}
     for col in ("event_id", "user_id"):
-        views[col] = (t[col].to_numpy(zero_copy_only=False)
-                      .astype(np.int64), None)
+        c = t[col]
+        mask = (c.is_null().to_numpy(zero_copy_only=False)
+                if c.null_count > 0 else None)
+        vals = c.to_numpy(zero_copy_only=False)
+        if mask is not None:
+            # null ids surface as NaN floats; zero them before the
+            # int cast so garbage never reaches min/distinct
+            vals = np.where(mask, 0, vals)
+        views[col] = (vals.astype(np.int64), mask)
     ty = t["event_type"]
     ty_null = ty.null_count > 0
     views["event_type"] = (
@@ -245,7 +255,9 @@ def q_column_profile_events(sf_dir: str) -> pd.DataFrame:
     # consumed twice (stats pass + distinct pass): each consumption
     # re-executes the pruned streaming read — the 100-TB shape (a
     # mid-pipeline materialize would pin the table in the object store)
-    ds = _rd().read_parquet(f"{sf_dir}/events.parquet")
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value", "ts"])
 
     def stats_partial(t: "pa.Table") -> pd.DataFrame:
         rows = []
@@ -290,10 +302,22 @@ def q_column_profile_events(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(melt_unique, batch_format="pyarrow"),
         ["col", "v"], count_distinct, num_partitions=16).to_pandas()
 
+    # None-filtering object min/max: a batch whose string column is
+    # all-null emits min_s=None, and pandas' object min cannot mix the
+    # NaN it becomes with real strings (groups here are 5 x blocks
+    # rows, so the Python filter is free)
+    def _omin(s):
+        v = [x for x in s if isinstance(x, str)]
+        return min(v) if v else None
+
+    def _omax(s):
+        v = [x for x in s if isinstance(x, str)]
+        return max(v) if v else None
+
     merged = stats.groupby("col", as_index=False).agg(
         n_rows=("n", "sum"), n_null=("n_null", "sum"),
         min_i=("min_i", "min"), max_i=("max_i", "max"),
-        min_s=("min_s", "min"), max_s=("max_s", "max"))
+        min_s=("min_s", _omin), max_s=("max_s", _omax))
     nd = nd_parts.groupby("col", as_index=False)["nd"].sum() \
         if not nd_parts.empty and "col" in nd_parts.columns \
         else pd.DataFrame({"col": [], "nd": []})
@@ -913,6 +937,9 @@ def q_top_user_journeys(sf_dir: str) -> pd.DataFrame:
                                      "event_type"])
 
     def journeys(part: pd.DataFrame) -> pd.DataFrame:
+        # null-typed events are excluded BEFORE ranking (contract
+        # shared with the twin's WHERE; a None would crash the join)
+        part = part[part["event_type"].notna()]
         uid = part["user_id"].to_numpy(np.int64)
         ts = part["ts"].to_numpy().astype("datetime64[us]") \
             .view(np.int64)
@@ -953,7 +980,7 @@ WITH r AS (
   SELECT user_id, event_type,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY ts, event_id) AS rn
-  FROM events),
+  FROM events WHERE event_type IS NOT NULL),
 j AS (
   SELECT user_id,
          string_agg(event_type, '>' ORDER BY rn) AS journey
@@ -1068,19 +1095,16 @@ def q_embedding_gram(sf_dir: str) -> pd.DataFrame:
                             columns=["embedding"])
 
     def gram_partial(t: "pa.Table") -> pd.DataFrame:
-        col = t["embedding"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        flat = col.values.to_numpy(zero_copy_only=False)
-        n = len(col)
-        if n == 0:
+        from nacc_form_validator_ray.stages.similarity import \
+            _matrix_from_arrow
+        x = _matrix_from_arrow(t["embedding"])
+        if x.shape[0] == 0:
             return pd.DataFrame({"i": pd.Series([], dtype=np.int64),
                                  "j": pd.Series([], dtype=np.int64),
                                  "sum_xy": pd.Series([],
                                                      dtype=np.int64)})
-        d = len(flat) // n
-        v = np.floor(flat.astype(np.float64) * GRAM_QUANT
-                     + 0.5).astype(np.int64).reshape(n, d)
+        d = x.shape[1]
+        v = np.floor(x * GRAM_QUANT + 0.5).astype(np.int64)
         m = v.T @ v
         iu, ju = np.triu_indices(d)
         return pd.DataFrame({"i": (iu + 1).astype(np.int64),
@@ -1136,6 +1160,8 @@ def q_event_type_transitions(sf_dir: str) -> pd.DataFrame:
                                      "event_type"])
 
     def transitions(part: pd.DataFrame) -> pd.DataFrame:
+        # null-typed events excluded before adjacency (twin contract)
+        part = part[part["event_type"].notna()]
         uid = part["user_id"].to_numpy(np.int64)
         ts = part["ts"].to_numpy().astype("datetime64[us]") \
             .view(np.int64)
@@ -1173,7 +1199,7 @@ WITH r AS (
   SELECT user_id, event_type,
          lag(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev
-  FROM events)
+  FROM events WHERE event_type IS NOT NULL)
 SELECT prev AS from_type, event_type AS to_type,
        CAST(count(*) AS BIGINT) AS n
 FROM r WHERE prev IS NOT NULL

@@ -31,12 +31,15 @@ def main() -> None:
         "Regenerate with `python scripts/gen_query_index.py`.",
         "",
     ]
+    import os
     for name in sorted(QUERIES):
         doc = first_sentence(QUERIES[name].__doc__ or "")
         # strip the trailing period for mid-line enumerations kept
         # as-is; the sentence itself already carries punctuation
         lines.append(f"- **{name}** — {doc}")
-    with open("docs/QUERY_INDEX.md", "w") as f:
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "..", "docs", "QUERY_INDEX.md")
+    with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote docs/QUERY_INDEX.md ({len(QUERIES)} queries)")
 

@@ -327,3 +327,45 @@ def test_rolling_wau_counts_each_user_once_per_window(tmp_path):
     # counted via day8 activity.
     assert got == {0: 1, 1: 2, 8: 2}
     assert set(out["day"] - day0) == {0, 1, 8}
+
+
+def test_event_type_ops_tolerate_null_types(tmp_path):
+    """The three event_type operators and the profiler share the
+    null contract: null-typed events are excluded (profiled columns
+    report them as nulls instead of garbage) and every output still
+    matches its DuckDB twin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = np.datetime64("2024-05-01T00:00:00", "us")
+    types = ["click", None, "view", "click", None, "buy"]
+    t = pa.table({
+        "event_id": pa.array(range(6), type=pa.int64()),
+        "ts": pa.array([base + np.timedelta64(i, "h")
+                        for i in range(6)], type=pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2, 2], type=pa.int64()),
+        "event_type": pa.array(types, type=pa.string()),
+        "value": pa.array([1.0] * 6),
+        "props": pa.array(["{}"] * 6)})
+    d = tmp_path / "nulls"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+
+    from nacc_form_validator_ray.pipelines.advanced import (
+        ADV_ORACLE_SQL, ADV_QUERIES)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')")
+    for name in ("top_event_type_per_user", "top_user_journeys",
+                 "event_type_transitions", "column_profile_events"):
+        got = ADV_QUERIES[name](str(d))
+        if hasattr(got, "to_pandas"):
+            got = got.to_pandas()
+        want = con.sql(ADV_ORACLE_SQL[name]).df()
+        cols = sorted(got.columns)
+        got = got[cols].astype(str).sort_values(cols) \
+            .reset_index(drop=True)
+        want = want[cols].astype(str).sort_values(cols) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want), name
