@@ -405,6 +405,12 @@ def bench_queries(sf_dir: str):
         "host_bfs": lambda: consume(Q.QUERIES["host_bfs"](sf_dir)),
         "pareto_parts": lambda: consume(
             Q.QUERIES["pareto_parts"](sf_dir)),
+        "top_user_journeys": lambda: consume(
+            Q.QUERIES["top_user_journeys"](sf_dir)),
+        "rolling_active_users": lambda: consume(
+            Q.QUERIES["rolling_active_users"](sf_dir)),
+        "embedding_gram": lambda: consume(
+            Q.QUERIES["embedding_gram"](sf_dir)),
     }
 
 
