@@ -1088,7 +1088,11 @@ def q_embedding_gram(sf_dir: str) -> pd.DataFrame:
     partial is always d(d+1)/2 rows no matter how many vectors — and
     the driver sums O(cells x blocks) rows. No exchange at all; this
     is the vector-space sibling of value_regression_events'
-    exact-moments combiners."""
+    exact-moments combiners. Bound: the driver merge is
+    O(d^2 x blocks) rows (d = 64 here -> 2080 cells, the repo's
+    low-cardinality-merge class); past d ~ 512 or very large block
+    counts, route the partials through one (i, j) grouped exchange
+    first — same result, d^2 total rows on the driver."""
     import pyarrow as pa
 
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
