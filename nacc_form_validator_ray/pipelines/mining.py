@@ -1,0 +1,473 @@
+"""Data-mining / curation operators, batch 5: weighted priority
+sampling, an exact correlation matrix, unpivot (melt) profiling,
+connected components + reciprocal pairs over the host link graph, and
+within-window event-pair counting.
+
+Same contract as ``pipelines/advanced.py``: every operator is a
+Ray-Data-native pipeline (per-batch combiners + at most one lean hash
+exchange, or the graph family's broadcast-loop shape) paired with a
+DuckDB oracle that reproduces column names, dtypes and values
+bit-for-bit. These extend the engine's curation toolkit (the reference
+nacc-form-validator has no sampling/graph/correlation surface at all —
+its scope is quality_check.py rule validation).
+
+Float discipline (repo convention, see q_value_regression_events):
+every double that crosses the oracle boundary is produced by
+correctly-rounded IEEE ops (div / sqrt / mul) over exact integers, in
+the same expression order on both engines — never libm transcendentals
+(log/exp), whose last-ulp behavior differs between numpy and DuckDB.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+
+MIN_QUERIES: Dict[str, object] = {}
+MIN_ORACLE_SQL: Dict[str, str] = {}
+
+#: linked-page queries registered here get their path-parameterized
+#: twins through queries.flagship_oracles (same as host_pagerank etc.)
+MIN_LINKED_SQL: Dict[str, object] = {}
+
+
+def _rd():
+    import ray.data as rd
+    return rd
+
+
+# --------------------------------------------------------------------------
+# priority sampling over documents (Duffield, Lund & Thorup 2004)
+# --------------------------------------------------------------------------
+
+#: Knuth multiplicative constant; modulus = the Mersenne prime 2^31-1.
+#: Both engines evaluate (doc_id * KNUTH) % MOD exactly in int64
+#: (doc_id * KNUTH < 2^63 up to doc_id ~ 3.4e9 — beyond that, fold the
+#: id first; the fixture ids are far inside).
+_PS_KNUTH = 2654435761
+_PS_MOD = 2147483647
+_PS_K = 100
+
+
+def q_priority_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Weighted sample WITHOUT replacement of k=100 documents by
+    priority sampling (Duffield-Lund-Thorup): priority q_i = w_i / u_i
+    with weight w_i = n_chars and u_i a deterministic pseudo-uniform in
+    (0, 1] derived from an explicit integer hash of doc_id — take the
+    top-k priorities. Heavy documents are favored proportionally to
+    weight; the estimator behind it is unbiased for any subset-sum.
+
+    Exactness: q = double(w * 2^31) / double(h + 1). w * 2^31 <= ~1.2e12
+    is exactly representable in a double, h + 1 <= 2^31 likewise; ONE
+    correctly-rounded division produces the priority, so numpy and
+    DuckDB agree bit-for-bit (no log/exp — see module docstring; this is
+    why priorities w/u rather than the Efraimidis-Skarlatidis u^(1/w)
+    exponential-keys formulation: same marginal semantics, exact
+    arithmetic).
+
+    Scale shape: per-batch top-k partials (argpartition, no full sort),
+    driver merges k x blocks candidate rows and applies the same
+    selection once — no exchange at all, any corpus size streams."""
+    import pyarrow as pa
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+
+    def local_topk(t: "pa.Table") -> pd.DataFrame:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = w > 0
+        did, w = did[keep], w[keep]
+        h = (did * np.int64(_PS_KNUTH)) % np.int64(_PS_MOD)
+        q = (w * np.int64(1 << 31)).astype(np.float64) \
+            / (h + 1).astype(np.float64)
+        if len(q) > _PS_K:
+            part = np.argpartition(-q, _PS_K - 1)[:_PS_K]
+            did, w, q = did[part], w[part], q[part]
+        return pd.DataFrame({"doc_id": did, "n_chars": w, "priority": q})
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "n_chars": pd.Series([], dtype=np.int64),
+                             "priority": pd.Series([], dtype=np.float64)})
+    # same tiebreak as the twin's ORDER BY priority DESC, doc_id
+    cand = cand.sort_values(["priority", "doc_id"],
+                            ascending=[False, True], kind="stable")
+    return cand.head(_PS_K).reset_index(drop=True)
+
+
+MIN_QUERIES["priority_sample_docs"] = q_priority_sample_docs
+MIN_ORACLE_SQL["priority_sample_docs"] = f"""
+WITH w AS (
+  SELECT doc_id, n_chars,
+         (doc_id * {_PS_KNUTH}) % {_PS_MOD} AS h
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, n_chars,
+       CAST(n_chars * {1 << 31} AS DOUBLE) / CAST(h + 1 AS DOUBLE)
+           AS priority
+FROM w
+ORDER BY priority DESC, doc_id
+LIMIT {_PS_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# exact Pearson correlation matrix over lineitem measures
+# --------------------------------------------------------------------------
+
+#: (output name, column, grid multiplier). extendedprice uses the
+#: DOLLAR grid (not cents) so per-batch int64 moment sums stay exact:
+#: max xx on this grid is ~1e10, safe past 10^8 rows per batch; the
+#: twin's HUGEINT sums and the driver's Python-int merge are unbounded.
+_CORR_MEASURES = [("quantity_c", "l_quantity", 100),
+                  ("price_d", "l_extendedprice", 1),
+                  ("discount_c", "l_discount", 100),
+                  ("tax_c", "l_tax", 100)]
+
+
+def q_corr_matrix_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation matrix across the four lineitem measures on
+    their integer grids — the exact-moments way (repo convention, see
+    value_regression_events): per-batch combiners accumulate int64
+    cross-moments for each of the 6 column pairs, the driver merges
+    them in arbitrary-precision Python ints (one row per pair per
+    block — bounded), and each correlation is ONE deterministic double
+    expression over exact integers. Degenerate (zero-variance) pairs
+    are pinned to 0.0 on both engines with INTEGER guards."""
+    import pyarrow as pa
+
+    cols = [c for _, c, _ in _CORR_MEASURES]
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    names = [n for n, _, _ in _CORR_MEASURES]
+    pairs = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        g = [np.floor(t[c].to_numpy(zero_copy_only=False) * m + 0.5)
+             .astype(np.int64) for _, c, m in _CORR_MEASURES]
+        rows = []
+        for i, j in pairs:
+            x, y = g[i], g[j]
+            rows.append((names[i], names[j], len(x),
+                         int(x.sum()), int(y.sum()), int((x * x).sum()),
+                         int((x * y).sum()), int((y * y).sum())))
+        return pd.DataFrame(rows, columns=[
+            "col_a", "col_b", "n", "sx", "sy", "sxx", "sxy", "syy"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for (ca, cb), grp in parts.groupby(["col_a", "col_b"], sort=True):
+        # Python-int merge: immune to int64 overflow at any row count
+        n = int(sum(int(v) for v in grp["n"]))
+        sx = sum(int(v) for v in grp["sx"])
+        sy = sum(int(v) for v in grp["sy"])
+        sxx = sum(int(v) for v in grp["sxx"])
+        sxy = sum(int(v) for v in grp["sxy"])
+        syy = sum(int(v) for v in grp["syy"])
+        zx = n * sxx - sx * sx == 0
+        zy = n * syy - sy * sy == 0
+        if zx or zy:
+            corr = 0.0
+        else:
+            # identical expression order as the twin: double products
+            # of exactly-converted moments, one sqrt, one division
+            num = float(n) * float(sxy) - float(sx) * float(sy)
+            den = math.sqrt(
+                (float(n) * float(sxx) - float(sx) * float(sx))
+                * (float(n) * float(syy) - float(sy) * float(sy)))
+            corr = num / den
+        out_rows.append((ca, cb, n, corr))
+    return pd.DataFrame(out_rows,
+                        columns=["col_a", "col_b", "n", "corr"]) \
+        .astype({"n": np.int64, "corr": np.float64})
+
+
+def _sql_corr_pair(ca: str, cb: str) -> str:
+    grid = {n: (c, m) for n, c, m in _CORR_MEASURES}
+    (xc, xm), (yc, ym) = grid[ca], grid[cb]
+    return f"""
+SELECT '{ca}' AS col_a, '{cb}' AS col_b,
+       CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+            THEN 0.0 ELSE
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END
+           AS corr
+FROM (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM (SELECT CAST(floor({xc} * {xm} + 0.5) AS BIGINT) AS x,
+               CAST(floor({yc} * {ym} + 0.5) AS BIGINT) AS y
+        FROM lineitem))
+"""
+
+
+MIN_QUERIES["corr_matrix_lineitem"] = q_corr_matrix_lineitem
+MIN_ORACLE_SQL["corr_matrix_lineitem"] = "\nUNION ALL\n".join(
+    _sql_corr_pair(a, b)
+    for i, (a, _, _) in enumerate(_CORR_MEASURES)
+    for b in [n for n, _, _ in _CORR_MEASURES[i + 1:]])
+
+
+# --------------------------------------------------------------------------
+# unpivot (melt) + per-measure profile over lineitem
+# --------------------------------------------------------------------------
+
+
+def q_unpivot_lineitem_measures(sf_dir: str) -> pd.DataFrame:
+    """Unpivot (melt) the four lineitem measures into long form and
+    profile each: row count, grid sum, min, max. The melt happens
+    INSIDE the per-batch combiner (``pd.melt`` on the grid-integer
+    frame), so only 4 partial rows per batch reach the driver — the
+    wide-to-long reshape never rides an exchange. Sum-overflow bound:
+    the twin's CAST(sum AS BIGINT) fails loudly past ~9e11 price
+    dollars-at-cents-grid; shard the merge hierarchically beyond."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
+
+    cols = [c for _, c, _ in _CORR_MEASURES]
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        grid = pd.DataFrame({
+            n: np.floor(t[c].to_numpy(zero_copy_only=False) * m + 0.5)
+                 .astype(np.int64)
+            for n, c, m in _CORR_MEASURES})
+        long = grid.melt(var_name="measure", value_name="v")
+        agg = long.groupby("measure", as_index=False)["v"] \
+            .agg(n_rows="size", sum_g="sum", min_g="min", max_g="max")
+        return agg
+
+    out = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["measure"], {"n_rows": "sum", "sum_g": "sum",
+                      "min_g": "min", "max_g": "max"})
+    out = out.astype({c: np.int64
+                      for c in ["n_rows", "sum_g", "min_g", "max_g"]})
+    return out.sort_values("measure").reset_index(drop=True)
+
+
+MIN_QUERIES["unpivot_lineitem_measures"] = q_unpivot_lineitem_measures
+MIN_ORACLE_SQL["unpivot_lineitem_measures"] = "\nUNION ALL\n".join(f"""
+SELECT '{n}' AS measure, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(min(g) AS BIGINT) AS min_g,
+       CAST(max(g) AS BIGINT) AS max_g
+FROM (SELECT CAST(floor({c} * {m} + 0.5) AS BIGINT) AS g
+      FROM lineitem)""" for n, c, m in _CORR_MEASURES)
+
+
+# --------------------------------------------------------------------------
+# event pairs within a time window (A -> B sequential-pattern join)
+# --------------------------------------------------------------------------
+
+_PAIR_A = "click"
+_PAIR_B = "purchase"
+_PAIR_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def _count_pairs_part(part: pd.DataFrame,
+                      window_us: int = _PAIR_WINDOW_US) -> pd.DataFrame:
+    """Per-partition vectorized in-window pair count (see
+    q_event_pairs_within_hour). Module-level so tests can drive both
+    the composite-key fast path and the wide-span fallback."""
+    W = np.int64(window_us)
+    empty = pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                          "n_pairs": pd.Series([], dtype=np.int64)})
+    if part.empty:
+        return empty
+    a = part.loc[~part["is_b"]]
+    b = part.loc[part["is_b"]]
+    if a.empty or b.empty:
+        return empty
+    codes, _ = pd.factorize(
+        pd.concat([a["user_id"], b["user_id"]], ignore_index=True))
+    ga = codes[:len(a)].astype(np.int64)
+    gb = codes[len(a):].astype(np.int64)
+    t0 = min(int(a["ts"].min()), int(b["ts"].min()))
+    ta = a["ts"].to_numpy(np.int64) - t0
+    tb = b["ts"].to_numpy(np.int64) - t0
+    span = max(int(ta.max()), int(tb.max()))
+    shift = span + int(W) + 2
+    n_users = int(codes.max()) + 1
+    if n_users * shift >= (1 << 62):  # composite axis would wrap
+        cnt = np.zeros(n_users, dtype=np.int64)
+        order = np.argsort(ga, kind="stable")
+        ga_s, ta_s = ga[order], ta[order]
+        starts = np.searchsorted(ga_s, np.arange(n_users), "left")
+        ends = np.searchsorted(ga_s, np.arange(n_users), "right")
+        for g, t_b in pd.Series(tb).groupby(gb):
+            lo, hi = starts[g], ends[g]
+            if lo == hi:
+                continue
+            arr = np.sort(ta_s[lo:hi])
+            v = t_b.to_numpy(np.int64)
+            cnt[g] = int(
+                (np.searchsorted(arr, v, "left")
+                 - np.searchsorted(arr, np.maximum(v - W, 0),
+                                   "left")).sum())
+    else:
+        s = np.int64(shift)
+        key_a = np.sort(ga * s + ta)
+        lo = np.searchsorted(key_a, gb * s + np.maximum(tb - W, 0),
+                             "left")
+        hi = np.searchsorted(key_a, gb * s + tb, "left")
+        cnt = np.bincount(gb, weights=hi - lo,
+                          minlength=n_users).astype(np.int64)
+    uid_of = np.empty(n_users, dtype=np.int64)
+    uid_of[ga] = a["user_id"].to_numpy(np.int64)
+    uid_of[gb] = b["user_id"].to_numpy(np.int64)
+    nz = np.flatnonzero(cnt)
+    return pd.DataFrame({"user_id": uid_of[nz],
+                         "n_pairs": cnt[nz]})
+
+
+def q_event_pairs_within_hour(sf_dir: str) -> pd.DataFrame:
+    """Per-user count of (click -> purchase) event pairs with
+    0 < t_purchase - t_click <= 1 hour — the sequential-pattern /
+    temporal-band self-join (SQL: an interval-band self-join; engines
+    without band joins do this with an O(n^2) theta join).
+
+    Shape: ONE hash exchange on user_id, then a fully vectorized
+    per-partition count. Within a partition, click timestamps are
+    encoded onto a composite (user_code * SHIFT + rebased_ts) int64
+    axis where SHIFT > max_rebased_ts + window, so one sorted array +
+    two np.searchsorted calls per purchase batch count every user's
+    in-window clicks at once — no per-user loop, no pair
+    materialization. SHIFT overflow (user_count x time_span too wide
+    for int64) falls back to a per-user-group loop, documented, never
+    wrong."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"])
+
+    def project(t: "pa.Table") -> pd.DataFrame:
+        import pyarrow.compute as pc
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array([_PAIR_A, _PAIR_B]))
+        t = t.filter(keep)
+        return pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            "is_b": pc.equal(t["event_type"], _PAIR_B)
+                .to_numpy(zero_copy_only=False).astype(bool),
+            "ts": t["ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+
+    return grouped_apply(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["user_id"], _count_pairs_part, num_partitions=32)
+
+
+MIN_QUERIES["event_pairs_within_hour"] = q_event_pairs_within_hour
+MIN_ORACLE_SQL["event_pairs_within_hour"] = f"""
+WITH a AS (SELECT user_id, ts FROM events
+           WHERE event_type = '{_PAIR_A}'),
+b AS (SELECT user_id, ts FROM events
+      WHERE event_type = '{_PAIR_B}')
+SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+FROM a JOIN b ON b.user_id = a.user_id
+             AND b.ts > a.ts
+             AND b.ts <= a.ts + INTERVAL 1 HOUR
+GROUP BY a.user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# host-graph additions over the linked-page fixture
+# --------------------------------------------------------------------------
+
+
+def q_host_components(sf_dir: str) -> pd.DataFrame:
+    """Connected components of the host link graph (see
+    stages/graph.host_components: min-label propagation with pointer
+    jumping, fixed idempotent rounds, per-round broadcast + driver
+    merge — no per-round exchange)."""
+    from nacc_form_validator_ray.pipelines.queries import \
+        _linked_pages_path
+    from nacc_form_validator_ray.stages.graph import host_components
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["url", "links"])
+    return host_components(ds, rounds=6)
+
+
+def q_mutual_host_links(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal host pairs of the directed link graph (see
+    stages/graph.mutual_host_links: one canonical-pair exchange)."""
+    from nacc_form_validator_ray.pipelines.queries import \
+        _linked_pages_path
+    from nacc_form_validator_ray.stages.graph import mutual_host_links
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["url", "links"])
+    return mutual_host_links(ds)
+
+
+def sql_host_components(path: str, rounds: int = 6,
+                        sql_url_norm: str | None = None) -> str:
+    """Twin: the SAME fixed-round shortcutted update
+    lbl' = least(lbl, min neighbor lbl, lbl(lbl)) as chained
+    MATERIALIZED CTEs."""
+    host_url = sql_url_norm.format(u="url")
+    host_lk = sql_url_norm.format(u="lk")
+    iters = []
+    for k in range(1, rounds + 1):
+        iters.append(f"""
+l{k} AS MATERIALIZED (
+  SELECT n.host,
+         least(n.lbl,
+               coalesce(min(l2.lbl), n.lbl),
+               coalesce(min(l3.lbl), n.lbl)) AS lbl
+  FROM l{k - 1} n
+  LEFT JOIN nb ON nb.u = n.host
+  LEFT JOIN l{k - 1} l2 ON l2.host = nb.v
+  LEFT JOIN l{k - 1} l3 ON l3.host = n.lbl
+  GROUP BY n.host, n.lbl
+)""")
+    return f"""
+WITH pg AS (SELECT url, links FROM read_parquet('{path}')),
+e0 AS (SELECT {host_url} AS src, unnest(links) AS lk FROM pg),
+e1 AS (SELECT src, {host_lk} AS dst FROM e0 WHERE src <> {host_lk}),
+ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM e1),
+nodes AS (SELECT DISTINCT {host_url} AS host FROM pg
+          UNION SELECT a FROM ed UNION SELECT b FROM ed),
+nb AS (SELECT a AS u, b AS v FROM ed
+       UNION ALL SELECT b AS u, a AS v FROM ed),
+l0 AS MATERIALIZED (SELECT host, host AS lbl FROM nodes),
+{','.join(iters)}
+SELECT host, lbl AS component FROM l{rounds}
+"""
+
+
+def sql_mutual_host_links(path: str,
+                          sql_url_norm: str | None = None) -> str:
+    host_url = sql_url_norm.format(u="url")
+    host_lk = sql_url_norm.format(u="lk")
+    return f"""
+WITH pg AS (SELECT url, links FROM read_parquet('{path}')),
+e0 AS (SELECT {host_url} AS src, unnest(links) AS lk FROM pg),
+e1 AS (SELECT DISTINCT src, {host_lk} AS dst FROM e0
+       WHERE src <> {host_lk}),
+m AS (SELECT x.src AS a, x.dst AS b
+      FROM e1 x JOIN e1 y ON y.src = x.dst AND y.dst = x.src
+      WHERE x.src < x.dst)
+SELECT a, b FROM m
+"""
+
+
+MIN_QUERIES["host_components"] = q_host_components
+MIN_QUERIES["mutual_host_links"] = q_mutual_host_links
+MIN_LINKED_SQL["host_components"] = sql_host_components
+MIN_LINKED_SQL["mutual_host_links"] = sql_mutual_host_links

@@ -2250,7 +2250,18 @@ def flagship_oracles(sf_dir: str) -> Dict[str, str]:
         "host_triangles": sql_host_triangles(lp),
         "host_kcore": sql_host_kcore(lp),
         "host_bfs": sql_host_bfs(lp),
+        **{name: fn(lp, sql_url_norm=_SQL_URL_NORM)
+           for name, fn in _min_linked_sql().items()},
     }
+
+
+def _min_linked_sql():
+    """Late import: pipelines.mining imports helpers from this module,
+    so its registry is resolved lazily here (the module-bottom
+    ``MIN_LINKED_SQL`` import has already run by the time any caller
+    invokes flagship_oracles)."""
+    from nacc_form_validator_ray.pipelines.mining import MIN_LINKED_SQL
+    return MIN_LINKED_SQL
 
 
 # --------------------------------------------------------------------------
@@ -7048,3 +7059,15 @@ from nacc_form_validator_ray.pipelines.advanced import (ADV_ORACLE_SQL,
 
 QUERIES.update(ADV_QUERIES)
 ORACLE_SQL.update(ADV_ORACLE_SQL)
+
+# --------------------------------------------------------------------------
+# Mining batch (priority sampling / correlation matrix / unpivot /
+# host components / reciprocal links / in-window pairs) —
+# pipelines.mining
+# --------------------------------------------------------------------------
+
+from nacc_form_validator_ray.pipelines.mining import (MIN_ORACLE_SQL,
+                                                      MIN_QUERIES)
+
+QUERIES.update(MIN_QUERIES)
+ORACLE_SQL.update(MIN_ORACLE_SQL)

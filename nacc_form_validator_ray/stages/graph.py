@@ -698,3 +698,140 @@ def host_bfs(ds, rounds: int = 6,
     return pd.DataFrame({
         "host": pd.Series(hosts, dtype=object),
         "dist": pd.Series([dist[h] for h in hosts], dtype=np.int64)})
+
+
+def host_components(ds, rounds: int = 6,
+                    url_column: str = "url", links_column: str = "links",
+                    num_partitions: int = 32):
+    """Connected components of the undirected host link graph by
+    min-label propagation WITH pointer jumping — the label-convergence
+    member of the graph family (vs. BFS's single-source levels).
+
+    Update rule, identical on both engines, per round::
+
+        lbl'(v) = least(lbl(v), min_{u in N(v)} lbl(u), lbl(lbl(v)))
+
+    The third term is one pointer-jump (labels are always vertex names
+    — the min of vertex names is a vertex name — so ``lbl(lbl(v))`` is
+    always defined), which turns the linear-diameter plain propagation
+    into O(log d) convergence (Shiloach-Vishkin-style shortcutting).
+    Exactly ``rounds`` rounds run on BOTH engines: the update is
+    idempotent at the fixpoint, so parity never depends on
+    termination detection, and the partial fixpoint is bit-identical
+    even before convergence. The vertex set is page hosts UNION edge
+    endpoints (external link targets form components too).
+
+    Scale shape mirrors host_kcore: the lean undirected edge list is
+    built by ONE (a, b) exchange and materialized once; each round
+    broadcasts the label map (hosts are this module's documented small
+    side) via ``ray.put``, edge batches emit per-batch (host,
+    min-neighbor-label) partials, and the driver merges O(hosts) rows
+    — no per-round exchange. Returns {host, component} (component =
+    the lexicographically smallest reachable host after ``rounds``
+    shortcutted rounds), sorted by host."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    edges = _host_edge_list(ds, url_column, links_column,
+                            num_partitions)
+
+    def page_hosts(t: "pa.Table") -> pd.DataFrame:
+        h = _host_of(t[url_column], pc).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"h": pd.unique(pd.Series(h, dtype=object))})
+
+    hosts_df = ds.map_batches(page_hosts,
+                              batch_format="pyarrow").to_pandas()
+    edges_df_heads = edges.map_batches(
+        lambda p: pd.DataFrame({
+            "h": pd.unique(pd.concat([p["a"], p["b"]], ignore_index=True))
+        }) if len(p) else pd.DataFrame({"h": pd.Series([], dtype=object)}),
+        batch_format="pandas").to_pandas()
+    vs: list = []
+    for frame in (hosts_df, edges_df_heads):
+        if not frame.empty and "h" in frame.columns:
+            vs.extend(frame["h"].tolist())
+    vertices = sorted(set(vs))
+    lbl = {v: v for v in vertices}
+
+    for _ in range(rounds):
+        ref = ray.put(lbl)
+
+        def nbr_min(part: pd.DataFrame, ref=ref) -> pd.DataFrame:
+            if part.empty:
+                return pd.DataFrame({"host": pd.Series([], dtype=object),
+                                     "m": pd.Series([], dtype=object)})
+            cur = ray.get(ref)
+            la = part["a"].map(cur)
+            lb = part["b"].map(cur)
+            cand = pd.DataFrame({
+                "host": pd.concat([part["a"], part["b"]],
+                                  ignore_index=True),
+                "m": pd.concat([lb, la], ignore_index=True)})
+            # per-batch combiner: one row per host
+            return cand.groupby("host", as_index=False)["m"].min()
+
+        partials = edges.map_batches(nbr_min,
+                                     batch_format="pandas").to_pandas()
+        nbr = {}
+        if not partials.empty and "host" in partials.columns:
+            nbr = partials.groupby("host")["m"].min().to_dict()
+        lbl = {v: min(l, nbr.get(v, l), lbl[l])
+               for v, l in lbl.items()}
+
+    return pd.DataFrame({
+        "host": pd.Series(vertices, dtype=object),
+        "component": pd.Series([lbl[v] for v in vertices],
+                               dtype=object)})
+
+
+def mutual_host_links(ds, url_column: str = "url",
+                      links_column: str = "links",
+                      num_partitions: int = 32):
+    """Reciprocal host pairs of the DIRECTED link graph: (a, b) with
+    a < b where host a links host b AND host b links host a — the
+    mutual-citation signal (link-farm detection uses exactly this).
+
+    ONE exchange: batches emit locally-distinct directed edges tagged
+    with their orientation against the canonical (min, max) key; the
+    partition dedups directed edges globally (same canonical pair
+    always lands together) and keeps pairs with both orientations.
+    Returns {a, b} sorted."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    def directed(t: "pa.Table") -> pd.DataFrame:
+        links = t[links_column]
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        parent = pc.list_parent_indices(links).to_numpy(
+            zero_copy_only=False)
+        src_all = _host_of(t[url_column], pc) \
+            .to_numpy(zero_copy_only=False)
+        dst = _host_of(pc.list_flatten(links), pc) \
+            .to_numpy(zero_copy_only=False)
+        src = src_all[parent]
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        a = np.where(src < dst, src, dst)
+        b = np.where(src < dst, dst, src)
+        return pd.DataFrame({"a": a, "b": b,
+                             "fwd": src < dst}).drop_duplicates()
+
+    def both_ways(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype=object),
+                              "b": pd.Series([], dtype=object)})
+        if part.empty:
+            return empty
+        part = part.drop_duplicates(["a", "b", "fwd"])
+        g = part.groupby(["a", "b"], as_index=False)["fwd"].nunique()
+        out = g.loc[g["fwd"] == 2, ["a", "b"]]
+        return out if len(out) else empty
+
+    return grouped_apply(
+        ds.map_batches(directed, batch_format="pyarrow"),
+        ["a", "b"], both_ways, num_partitions=num_partitions)

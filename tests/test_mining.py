@@ -1,0 +1,251 @@
+"""Unit tests for pipelines/mining.py and the host-graph additions:
+in-window pair counting (both the composite-key fast path and the
+wide-span fallback), priority-sample selection semantics, correlation
+vs numpy, melt profiling vs pandas, connected components with pointer
+jumping, and reciprocal link detection."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from nacc_form_validator_ray.pipelines.mining import (_PAIR_WINDOW_US,
+                                                      _count_pairs_part)
+
+
+def _pairs_naive(part: pd.DataFrame, w: int) -> dict:
+    out = {}
+    a = part.loc[~part["is_b"]]
+    b = part.loc[part["is_b"]]
+    for _, rb in b.iterrows():
+        for _, ra in a.iterrows():
+            if ra["user_id"] != rb["user_id"]:
+                continue
+            d = rb["ts"] - ra["ts"]
+            if 0 < d <= w:
+                out[rb["user_id"]] = out.get(rb["user_id"], 0) + 1
+    return out
+
+
+def _mk_part(rows):
+    return pd.DataFrame(rows, columns=["user_id", "is_b", "ts"]) \
+        .astype({"user_id": np.int64, "is_b": bool, "ts": np.int64})
+
+
+def test_count_pairs_matches_naive_random():
+    rng = np.random.RandomState(11)
+    w = 100
+    for _ in range(25):
+        n = rng.randint(2, 80)
+        part = _mk_part([(rng.randint(0, 6), bool(rng.randint(2)),
+                          rng.randint(0, 500)) for _ in range(n)])
+        got = _count_pairs_part(part, window_us=w)
+        want = _pairs_naive(part, w)
+        assert dict(zip(got["user_id"], got["n_pairs"])) == want
+
+
+def test_count_pairs_window_boundaries():
+    # d == w counts, d == 0 and d == w+1 don't
+    part = _mk_part([(1, False, 100), (1, True, 100),
+                     (1, True, 200), (1, True, 201)])
+    got = _count_pairs_part(part, window_us=100)
+    assert dict(zip(got["user_id"], got["n_pairs"])) == {1: 1}
+
+
+def test_count_pairs_wide_span_fallback_matches():
+    # a time span so wide the composite axis would overflow int64:
+    # the fallback must produce identical counts to the naive check
+    w = 1000
+    part = _mk_part([
+        (1, False, 0), (1, True, 500),
+        (2, False, (1 << 61)), (2, True, (1 << 61) + 999),
+        (2, True, (1 << 61) + 1001),
+        (3, False, (1 << 62)), (3, True, (1 << 62) + 2000)])
+    span = (1 << 62)
+    assert 2 * (span + w + 2) >= (1 << 62)  # fallback really engages
+    got = _count_pairs_part(part, window_us=w)
+    assert dict(zip(got["user_id"], got["n_pairs"])) == {1: 1, 2: 1}
+
+
+def test_count_pairs_empty_sides():
+    assert _count_pairs_part(_mk_part([])).empty
+    assert _count_pairs_part(_mk_part([(1, False, 5)])).empty
+    assert _count_pairs_part(_mk_part([(1, True, 5)])).empty
+
+
+# ------------------------- priority sampling -------------------------
+
+def test_priority_sample_is_topk_of_exact_priorities(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import (
+        _PS_K, _PS_KNUTH, _PS_MOD, q_priority_sample_docs)
+
+    rng = np.random.RandomState(3)
+    n = 400
+    doc_id = np.arange(1, n + 1, dtype=np.int64)
+    n_chars = rng.randint(0, 600, n).astype(np.int64)  # some zeros
+    pq.write_table(pa.table({
+        "doc_id": doc_id, "text": [""] * n,
+        "lang": ["en"] * n, "source": ["t"] * n,
+        "n_chars": n_chars}), tmp_path / "documents.parquet")
+
+    got = q_priority_sample_docs(str(tmp_path))
+    keep = n_chars > 0
+    h = (doc_id[keep] * _PS_KNUTH) % _PS_MOD
+    q = (n_chars[keep] * float(1 << 31)) / (h + 1).astype(np.float64)
+    ref = pd.DataFrame({"doc_id": doc_id[keep],
+                        "n_chars": n_chars[keep], "priority": q}) \
+        .sort_values(["priority", "doc_id"], ascending=[False, True]) \
+        .head(_PS_K).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
+    assert (got["n_chars"] > 0).all()
+
+
+# ------------------------ correlation matrix ------------------------
+
+def test_corr_matrix_matches_numpy(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_corr_matrix_lineitem
+
+    rng = np.random.RandomState(5)
+    n = 300
+    qty = rng.randint(1, 50, n).astype(np.float64)
+    price = (qty * rng.uniform(900, 1100, n)).round(2)
+    disc = rng.choice(np.arange(0, 0.11, 0.01), n)
+    tax = rng.choice(np.arange(0, 0.09, 0.01), n)
+    pq.write_table(pa.table({
+        "l_orderkey": np.arange(n, dtype=np.int64),
+        "l_quantity": qty, "l_extendedprice": price,
+        "l_discount": disc, "l_tax": tax}),
+        tmp_path / "lineitem.parquet")
+
+    got = q_corr_matrix_lineitem(str(tmp_path))
+    assert len(got) == 6
+    grids = {"quantity_c": np.floor(qty * 100 + 0.5),
+             "price_d": np.floor(price + 0.5),
+             "discount_c": np.floor(disc * 100 + 0.5),
+             "tax_c": np.floor(tax * 100 + 0.5)}
+    for _, row in got.iterrows():
+        want = np.corrcoef(grids[row["col_a"]],
+                           grids[row["col_b"]])[0, 1]
+        assert row["n"] == n
+        assert row["corr"] == pytest.approx(want, rel=1e-9)
+    # qty and extendedprice are strongly correlated by construction
+    r = got.set_index(["col_a", "col_b"])
+    assert r.loc[("price_d", "quantity_c")
+                 if ("price_d", "quantity_c") in r.index
+                 else ("quantity_c", "price_d"), "corr"] > 0.9
+
+
+def test_corr_matrix_degenerate_pinned_zero(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_corr_matrix_lineitem
+
+    n = 10
+    pq.write_table(pa.table({
+        "l_quantity": np.full(n, 7.0),
+        "l_extendedprice": np.arange(n, dtype=np.float64),
+        "l_discount": np.zeros(n), "l_tax": np.zeros(n)}),
+        tmp_path / "lineitem.parquet")
+    got = q_corr_matrix_lineitem(str(tmp_path))
+    # every pair involving a constant column is exactly 0.0
+    assert (got["corr"] == 0.0).all()
+
+
+# --------------------------- unpivot/melt ---------------------------
+
+def test_unpivot_profile_matches_pandas(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_unpivot_lineitem_measures
+
+    rng = np.random.RandomState(9)
+    n = 257
+    qty = rng.randint(1, 50, n).astype(np.float64)
+    price = rng.uniform(10, 9000, n).round(2)
+    disc = rng.choice(np.arange(0, 0.11, 0.01), n)
+    tax = rng.choice(np.arange(0, 0.09, 0.01), n)
+    pq.write_table(pa.table({
+        "l_quantity": qty, "l_extendedprice": price,
+        "l_discount": disc, "l_tax": tax}),
+        tmp_path / "lineitem.parquet")
+    got = q_unpivot_lineitem_measures(str(tmp_path)) \
+        .set_index("measure")
+    grids = {"quantity_c": np.floor(qty * 100 + 0.5).astype(np.int64),
+             "price_d": np.floor(price + 0.5).astype(np.int64),
+             "discount_c": np.floor(disc * 100 + 0.5).astype(np.int64),
+             "tax_c": np.floor(tax * 100 + 0.5).astype(np.int64)}
+    assert sorted(got.index) == sorted(grids)
+    for m, g in grids.items():
+        assert got.loc[m, "n_rows"] == n
+        assert got.loc[m, "sum_g"] == g.sum()
+        assert got.loc[m, "min_g"] == g.min()
+        assert got.loc[m, "max_g"] == g.max()
+
+
+# ----------------------- host graph additions -----------------------
+
+def _page_ds(pages):
+    import ray.data as rd
+    return rd.from_pandas(pd.DataFrame(pages,
+                                       columns=["url", "links"]))
+
+
+def test_host_components_two_clusters_and_isolate():
+    from nacc_form_validator_ray.stages.graph import host_components
+
+    ds = _page_ds([
+        ("https://a.com/1", ["https://b.com/x"]),
+        ("https://b.com/1", ["https://c.com/x"]),
+        ("https://c.com/1", []),
+        ("https://x.org/1", ["https://y.org/p"]),
+        ("https://y.org/1", []),
+        ("https://lonely.net/1", []),
+    ])
+    got = host_components(ds, rounds=4)
+    comp = dict(zip(got["host"], got["component"]))
+    assert comp["a.com"] == comp["b.com"] == comp["c.com"] == "a.com"
+    assert comp["x.org"] == comp["y.org"] == "x.org"
+    assert comp["lonely.net"] == "lonely.net"
+
+
+def test_host_components_long_chain_pointer_jumping():
+    # a 12-host chain: plain propagation needs 11 rounds; pointer
+    # jumping reaches distance 2^(k-1) after k rounds (1,2,4,8,16),
+    # so 5 rounds cover the 11-hop chain
+    from nacc_form_validator_ray.stages.graph import host_components
+
+    hosts = [f"h{i:02d}.com" for i in range(12)]
+    pages = [(f"https://{hosts[i]}/p", [f"https://{hosts[i + 1]}/x"])
+             for i in range(11)]
+    pages.append((f"https://{hosts[11]}/p", []))
+    four = host_components(_page_ds(pages), rounds=4)
+    assert set(four["component"]) != {"h00.com"}  # 8 < 11: not yet
+    got = host_components(_page_ds(pages), rounds=5)
+    assert set(got["component"]) == {"h00.com"}
+
+
+def test_mutual_host_links_detects_reciprocal_only():
+    from nacc_form_validator_ray.stages.graph import mutual_host_links
+
+    ds = _page_ds([
+        # a <-> b reciprocal (via different pages)
+        ("https://a.com/1", ["https://b.com/x"]),
+        ("https://b.com/1", ["https://a.com/y", "https://c.com/z"]),
+        # c -> a one-way only
+        ("https://c.com/1", ["https://a.com/q"]),
+        # self-links are dropped
+        ("https://d.com/1", ["https://d.com/other"]),
+    ])
+    got = mutual_host_links(ds).to_pandas()
+    pairs = set(zip(got["a"], got["b"]))
+    assert pairs == {("a.com", "b.com")}
