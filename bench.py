@@ -411,6 +411,14 @@ def bench_queries(sf_dir: str):
             Q.QUERIES["rolling_active_users"](sf_dir)),
         "embedding_gram": lambda: consume(
             Q.QUERIES["embedding_gram"](sf_dir)),
+        # mining batch (r4, session 5): pointer-jumped component loop,
+        # interval-band self-join, weighted top-k sample
+        "host_components": lambda: consume(
+            Q.QUERIES["host_components"](sf_dir)),
+        "event_pairs_within_hour": lambda: consume(
+            Q.QUERIES["event_pairs_within_hour"](sf_dir)),
+        "priority_sample_docs": lambda: consume(
+            Q.QUERIES["priority_sample_docs"](sf_dir)),
     }
 
 
