@@ -471,3 +471,466 @@ MIN_QUERIES["host_components"] = q_host_components
 MIN_QUERIES["mutual_host_links"] = q_mutual_host_links
 MIN_LINKED_SQL["host_components"] = sql_host_components
 MIN_LINKED_SQL["mutual_host_links"] = sql_mutual_host_links
+
+
+# --------------------------------------------------------------------------
+# shingle containment pairs over linked pages (doc-inside-doc detection)
+# --------------------------------------------------------------------------
+
+_CONT_THRESHOLD_NUM = 3  # containment >= 3/10 via integer cross-mult
+_CONT_THRESHOLD_DEN = 10
+_CONT_MAX_BLOCK = 4096
+
+
+def q_containment_pairs_pages(sf_dir: str):
+    """Asymmetric shingle-containment near-dup pairs over the
+    linked-page fixture: ordered (contained, container) doc pairs on
+    the SAME host with |S(a) ∩ S(b)| / |S(a)| >= 0.3 over word-3-gram
+    shingle sets — the doc-inside-doc signal Jaccard misses by
+    construction (a page embedded in a much longer one has low Jaccard
+    but containment ~1; Broder 1997's two resemblance measures).
+
+    Unlike blocked_jaccard_pairs there is NO length bucketing — length
+    asymmetry is exactly the signal — so the block is the host alone,
+    capped at the ``max_block`` smallest doc_ids (overflow logged).
+    ONE hash exchange on host; shingle sets are the engine's exact
+    mod-P31 content hashes (same family the jaccard twin reproduces
+    with string shingles). The threshold gate is integer
+    cross-multiplication (inter * 10 >= 3 * |S(a)|); the reported
+    ratio is one exact division."""
+    import logging
+
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.queries import \
+        _linked_pages_path
+    from nacc_form_validator_ray.stages.dedup import _shingle_hashes
+    from nacc_form_validator_ray.stages.graph import _host_of
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    log = logging.getLogger(__name__)
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["doc_id", "url", "text"])
+
+    def project(t) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            "host": _host_of(t["url"], pc)
+                .to_numpy(zero_copy_only=False),
+            "text": t["text"].to_pandas()})
+
+    empty = pd.DataFrame({
+        "id_contained": pd.Series([], dtype=np.int64),
+        "id_container": pd.Series([], dtype=np.int64),
+        "containment": pd.Series([], dtype=np.float64)})
+
+    def host_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for host, g in part.groupby("host", sort=False):
+            g = g.sort_values("doc_id")
+            if len(g) > _CONT_MAX_BLOCK:
+                log.warning(
+                    "containment block %r overflows max_block=%d "
+                    "(%d rows); keeping the %d smallest ids",
+                    host, _CONT_MAX_BLOCK, len(g), _CONT_MAX_BLOCK)
+                g = g.head(_CONT_MAX_BLOCK)
+            n = len(g)
+            if n < 2:
+                continue
+            doc_idx, hashes = _shingle_hashes(g["text"], 3, n)
+            sets = [set() for _ in range(n)]
+            for d, h in zip(doc_idx, hashes):
+                sets[d].add(int(h))
+            ids = g["doc_id"].to_numpy(np.int64)
+            for i in range(n):
+                for j in range(i + 1, n):
+                    si, sj = sets[i], sets[j]
+                    if not si and not sj:
+                        continue
+                    inter = len(si & sj)
+                    for x, y in ((i, j), (j, i)):
+                        na = len(sets[x])
+                        if na > 0 and inter * _CONT_THRESHOLD_DEN \
+                                >= na * _CONT_THRESHOLD_NUM:
+                            outs.append((ids[x], ids[y], inter / na))
+        if not outs:
+            return empty
+        return pd.DataFrame(outs, columns=["id_contained",
+                                           "id_container",
+                                           "containment"]) \
+            .astype({"id_contained": np.int64,
+                     "id_container": np.int64,
+                     "containment": np.float64})
+
+    out = grouped_apply(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["host"], host_pairs, num_partitions=32).to_pandas()
+    # schemaless-empty guard (repo trap): an all-empty exchange loses
+    # its column schema on the pandas conversion
+    if "id_contained" not in out.columns:
+        return empty
+    return out
+
+
+def sql_containment_pairs_pages(path: str,
+                                sql_url_norm: str | None = None) -> str:
+    host = sql_url_norm.format(u="url")
+    return f"""
+WITH pg AS (SELECT doc_id, url, text FROM read_parquet('{path}')),
+h AS (SELECT doc_id, {host} AS host,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM pg),
+capped AS (
+  SELECT doc_id, host, toks,
+         row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+  FROM h),
+d AS (
+  SELECT doc_id, host,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM capped WHERE rn <= {_CONT_MAX_BLOCK}),
+pr AS (
+  SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+         len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na
+  FROM d a JOIN d b ON a.host = b.host AND a.doc_id <> b.doc_id)
+SELECT CAST(id_contained AS BIGINT) AS id_contained,
+       CAST(id_container AS BIGINT) AS id_container,
+       CAST(inter AS DOUBLE) / na AS containment
+FROM pr
+WHERE na > 0 AND inter * {_CONT_THRESHOLD_DEN} >=
+      na * {_CONT_THRESHOLD_NUM}
+"""
+
+
+MIN_QUERIES["containment_pairs_pages"] = q_containment_pairs_pages
+MIN_LINKED_SQL["containment_pairs_pages"] = sql_containment_pairs_pages
+
+
+# --------------------------------------------------------------------------
+# per-host document cap (deterministic hash-order keep-k)
+# --------------------------------------------------------------------------
+
+_CAP_K = 3
+
+
+def q_cap_docs_per_host(sf_dir: str):
+    """Per-host document cap: keep at most k=3 pages per host, chosen
+    by deterministic hash order (the anti-SEO-spam / host-balance
+    operator every web corpus applies before training; choosing by
+    hash rather than doc_id avoids crawl-order bias while staying
+    reproducible).
+
+    Shape: per-batch combiner keeps its local k-by-(h, doc_id) per
+    host, ONE hash exchange on host, the partition applies the same
+    selection — the exchange moves at most k rows per (host, batch)."""
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.queries import \
+        _linked_pages_path
+    from nacc_form_validator_ray.stages.graph import _host_of
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["doc_id", "url"])
+
+    def local_cap(t) -> pd.DataFrame:
+        did = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        host = _host_of(t["url"], pc).to_numpy(zero_copy_only=False)
+        h = (did * np.int64(_PS_KNUTH)) % np.int64(_PS_MOD)
+        df = pd.DataFrame({"host": host, "doc_id": did, "h": h})
+        df = df.sort_values(["host", "h", "doc_id"], kind="stable")
+        return df.groupby("host", sort=False).head(_CAP_K)
+
+    def final_cap(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return pd.DataFrame({
+                "host": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "h": pd.Series([], dtype=np.int64)})
+        part = part.sort_values(["host", "h", "doc_id"], kind="stable")
+        return part.groupby("host", sort=False).head(_CAP_K)
+
+    return grouped_apply(ds.map_batches(local_cap,
+                                        batch_format="pyarrow"),
+                         ["host"], final_cap, num_partitions=32)
+
+
+def sql_cap_docs_per_host(path: str,
+                          sql_url_norm: str | None = None) -> str:
+    host = sql_url_norm.format(u="url")
+    return f"""
+WITH pg AS (SELECT doc_id, {host} AS host,
+                   (doc_id * {_PS_KNUTH}) % {_PS_MOD} AS h
+            FROM read_parquet('{path}')),
+rk AS (SELECT host, doc_id, h,
+              row_number() OVER (PARTITION BY host
+                                 ORDER BY h, doc_id) AS rn
+       FROM pg)
+SELECT host, doc_id, CAST(h AS BIGINT) AS h
+FROM rk WHERE rn <= {_CAP_K}
+"""
+
+
+MIN_QUERIES["cap_docs_per_host"] = q_cap_docs_per_host
+MIN_LINKED_SQL["cap_docs_per_host"] = sql_cap_docs_per_host
+
+
+# --------------------------------------------------------------------------
+# URL structural profile per host
+# --------------------------------------------------------------------------
+
+
+def q_url_structure_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-host URL structure profile over the linked-page fixture:
+    page count, pages with a query string, total and average path
+    depth ('/' count in the path component) — the crawl-frontier
+    diagnostic (deep/parameterized URL farms are a classic spam
+    signal). Vectorized Arrow regex/count kernels in the per-batch
+    combiner; hosts are the small side, so the driver merge is
+    O(hosts x blocks); avg is one exact division."""
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.queries import (
+        _linked_pages_path, _merge_partials)
+    from nacc_form_validator_ray.stages.graph import _host_of
+
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["url"])
+
+    def partial(t) -> pd.DataFrame:
+        url = pc.fill_null(t["url"], "")
+        host = _host_of(url, pc).to_numpy(zero_copy_only=False)
+        tail = pc.replace_substring_regex(
+            url, r"^(?i:https?)://[^/?#]+", "")
+        import pyarrow as pa
+        ext = pc.extract_regex(tail, r"^(?P<p>[^?#]*)")
+        if isinstance(ext, pa.ChunkedArray):
+            ext = ext.combine_chunks()
+        path = pc.struct_field(ext, "p")
+        depth = pc.count_substring(path, "/") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        has_q = (pc.find_substring(url, "?").to_numpy(
+            zero_copy_only=False) >= 0).astype(np.int64)
+        df = pd.DataFrame({"host": host, "n_pages": 1,
+                           "n_query": has_q, "sum_depth": depth})
+        return df.groupby("host", as_index=False).sum()
+
+    out = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["host"], {"n_pages": "sum", "n_query": "sum",
+                   "sum_depth": "sum"})
+    out = out.astype({c: np.int64
+                      for c in ["n_pages", "n_query", "sum_depth"]})
+    out["avg_depth"] = out["sum_depth"].to_numpy(np.float64) \
+        / out["n_pages"].to_numpy(np.float64)
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def sql_url_structure_stats(path: str,
+                            sql_url_norm: str | None = None) -> str:
+    host = sql_url_norm.format(u="url")
+    return f"""
+WITH pg AS (SELECT coalesce(url, '') AS url
+            FROM read_parquet('{path}')),
+s AS (SELECT {host} AS host,
+             regexp_extract(regexp_replace(url,
+                 '^(?i:https?)://[^/?#]+', ''), '^[^?#]*') AS path,
+             CASE WHEN contains(url, '?') THEN 1 ELSE 0 END AS hq
+      FROM pg),
+m AS (SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+             CAST(sum(hq) AS BIGINT) AS n_query,
+             CAST(sum(len(path) - len(replace(path, '/', '')))
+                  AS BIGINT) AS sum_depth
+      FROM s GROUP BY host)
+SELECT host, n_pages, n_query, sum_depth,
+       CAST(sum_depth AS DOUBLE) / CAST(n_pages AS DOUBLE) AS avg_depth
+FROM m
+"""
+
+
+MIN_QUERIES["url_structure_stats"] = q_url_structure_stats
+MIN_LINKED_SQL["url_structure_stats"] = sql_url_structure_stats
+
+
+# --------------------------------------------------------------------------
+# host degree assortativity
+# --------------------------------------------------------------------------
+
+
+def q_host_degree_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity of the host link graph (see
+    stages/graph.host_degree_assortativity)."""
+    from nacc_form_validator_ray.pipelines.queries import \
+        _linked_pages_path
+    from nacc_form_validator_ray.stages.graph import \
+        host_degree_assortativity
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["url", "links"])
+    return host_degree_assortativity(ds)
+
+
+def sql_host_degree_assortativity(path: str,
+                                  sql_url_norm: str | None = None) -> str:
+    host_url = sql_url_norm.format(u="url")
+    host_lk = sql_url_norm.format(u="lk")
+    return f"""
+WITH pg AS (SELECT url, links FROM read_parquet('{path}')),
+e0 AS (SELECT {host_url} AS src, unnest(links) AS lk FROM pg),
+e1 AS (SELECT src, {host_lk} AS dst FROM e0 WHERE src <> {host_lk}),
+ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM e1),
+deg AS (SELECT h, CAST(count(*) AS BIGINT) AS d FROM (
+          SELECT a AS h FROM ed UNION ALL SELECT b AS h FROM ed)
+        GROUP BY h),
+pairs AS (
+  SELECT da.d AS x, db.d AS y FROM ed
+    JOIN deg da ON da.h = ed.a JOIN deg db ON db.h = ed.b
+  UNION ALL
+  SELECT db.d AS x, da.d AS y FROM ed
+    JOIN deg da ON da.h = ed.a JOIN deg db ON db.h = ed.b),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM pairs)
+SELECT n AS n_pairs,
+       CASE WHEN n = 0 OR n * sxx - sx * sx = 0 THEN 0.0 ELSE
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END
+           AS assortativity
+FROM m
+"""
+
+
+MIN_QUERIES["host_degree_assortativity"] = q_host_degree_assortativity
+MIN_LINKED_SQL["host_degree_assortativity"] = \
+    sql_host_degree_assortativity
+
+
+# --------------------------------------------------------------------------
+# time to first purchase (per-user event-time KPI)
+# --------------------------------------------------------------------------
+
+
+def q_time_to_first_purchase(sf_dir: str):
+    """Per-user signup-to-first-purchase delay: min signup ts, min
+    purchase ts, and their microsecond difference, for users whose
+    first purchase is not before their first signup — the canonical
+    event-time KPI (activation latency). ONE hash exchange on user_id
+    over the two-type projection; mins and the int64 diff are exact."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "ts"])
+
+    def project(t: "pa.Table") -> pd.DataFrame:
+        import pyarrow.compute as pc
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["signup", "purchase"]))
+        t = t.filter(keep)
+        return pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            "is_purchase": pc.equal(t["event_type"], "purchase")
+                .to_numpy(zero_copy_only=False).astype(bool),
+            "ts_us": t["ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+
+    def per_user(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "signup_ts": pd.Series([], dtype="datetime64[us]"),
+            "first_purchase_ts": pd.Series([], dtype="datetime64[us]"),
+            "delay_us": pd.Series([], dtype=np.int64)})
+        if part.empty:
+            return empty
+        s = part.loc[~part["is_purchase"]] \
+            .groupby("user_id")["ts_us"].min()
+        p = part.loc[part["is_purchase"]] \
+            .groupby("user_id")["ts_us"].min()
+        both = s.index.intersection(p.index)
+        if not len(both):
+            return empty
+        sv = s.loc[both].to_numpy(np.int64)
+        pv = p.loc[both].to_numpy(np.int64)
+        ok = pv >= sv
+        return pd.DataFrame({
+            "user_id": both.to_numpy(np.int64)[ok],
+            "signup_ts": sv[ok].astype("datetime64[us]"),
+            "first_purchase_ts": pv[ok].astype("datetime64[us]"),
+            "delay_us": (pv - sv)[ok]})
+
+    return grouped_apply(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["user_id"], per_user, num_partitions=32)
+
+
+MIN_QUERIES["time_to_first_purchase"] = q_time_to_first_purchase
+MIN_ORACLE_SQL["time_to_first_purchase"] = """
+WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT user_id, min(ts) AS first_purchase_ts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+       CAST(epoch_us(p.first_purchase_ts) - epoch_us(s.signup_ts)
+            AS BIGINT) AS delay_us
+FROM s JOIN p ON p.user_id = s.user_id
+WHERE p.first_purchase_ts >= s.signup_ts
+"""
+
+
+# --------------------------------------------------------------------------
+# language-ID confusion matrix (classifier evaluation)
+# --------------------------------------------------------------------------
+
+
+def q_langid_confusion(sf_dir: str) -> pd.DataFrame:
+    """Confusion matrix of the language-ID stage against the corpus
+    labels: (lang, lang_pred, n) — the classifier-evaluation operator
+    (per-class precision/recall derive from these counts). The fused
+    Arrow signal pass predicts, a per-batch combiner counts, and the
+    driver merges the bounded (|langs|^2)-row table."""
+    from nacc_form_validator_ray.pipelines.queries import (
+        _merge_partials)
+    from nacc_form_validator_ray.stages.text_signals import TextStats
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "lang"])
+    pred = ds.map_batches(TextStats(langid=True),
+                          batch_format="pyarrow", batch_size=4096)
+
+    def partial(t) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "lang": t["lang"].to_pandas().fillna(""),
+            "lang_pred": t["lang_pred"].to_pandas()})
+        df["n"] = 1
+        return df.groupby(["lang", "lang_pred"], as_index=False).sum()
+
+    out = _merge_partials(pred.map_batches(partial,
+                                           batch_format="pyarrow"),
+                          ["lang", "lang_pred"], {"n": "sum"})
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+
+
+def _sql_langid_confusion() -> str:
+    from nacc_form_validator_ray.pipelines.queries import SQL_LANGID
+    return f"""
+WITH L AS ({SQL_LANGID})
+SELECT d.lang, L.lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM L JOIN documents d ON d.doc_id = L.doc_id
+GROUP BY d.lang, L.lang_pred
+"""
+
+
+MIN_QUERIES["langid_confusion"] = q_langid_confusion
+# registration at import time: pipelines.queries defines SQL_LANGID
+# before it imports this module at its bottom, so the partial-module
+# import inside _sql_langid_confusion resolves
+MIN_ORACLE_SQL["langid_confusion"] = _sql_langid_confusion()

@@ -835,3 +835,73 @@ def mutual_host_links(ds, url_column: str = "url",
     return grouped_apply(
         ds.map_batches(directed, batch_format="pyarrow"),
         ["a", "b"], both_ways, num_partitions=num_partitions)
+
+
+def host_degree_assortativity(ds, url_column: str = "url",
+                              links_column: str = "links",
+                              num_partitions: int = 32) -> "pd.DataFrame":
+    """Degree assortativity coefficient of the undirected host graph
+    (Newman 2002): the Pearson correlation of (deg u, deg v) over every
+    edge counted in BOTH directions — positive means hubs link hubs,
+    negative means hub-and-spoke (the typical web shape).
+
+    Exact-moments discipline (repo convention): degrees are exact ints
+    (driver merge of per-batch endpoint counts over the ONE-exchange
+    distinct edge list), the degree vector is broadcast via ``ray.put``,
+    edge batches emit int64 moment partials (n, Σx, Σxx, Σxy — x/y
+    symmetric so Σy = Σx, Σyy = Σxx), the driver merges them in
+    arbitrary-precision Python ints, and r is ONE deterministic double
+    expression with INTEGER zero-variance guards pinned to 0.0 (same
+    rationale as value_regression_events). Returns one row
+    {n_pairs, assortativity}."""
+    import pandas as pd
+    import ray
+
+    edges = _host_edge_list(ds, url_column, links_column,
+                            num_partitions)
+
+    def degree_partial(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return pd.DataFrame({"host": pd.Series([], dtype=object),
+                                 "deg": pd.Series([], dtype=np.int64)})
+        vc = pd.concat([part["a"], part["b"]]).value_counts()
+        return pd.DataFrame({"host": vc.index.to_numpy(object),
+                             "deg": vc.to_numpy(np.int64)})
+
+    partials = edges.map_batches(degree_partial,
+                                 batch_format="pandas").to_pandas()
+    if partials.empty or "host" not in partials.columns:
+        return pd.DataFrame({"n_pairs": pd.Series([0], dtype=np.int64),
+                             "assortativity": pd.Series([0.0])})
+    deg = partials.groupby("host")["deg"].sum().to_dict()
+    ref = ray.put(deg)
+
+    def moment_partial(part: pd.DataFrame, ref=ref) -> pd.DataFrame:
+        d = ray.get(ref)
+        if part.empty:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64)
+                 for c in ["n", "sx", "sxx", "sxy"]})
+        du = part["a"].map(d).to_numpy(np.int64)
+        dv = part["b"].map(d).to_numpy(np.int64)
+        # both directions: x gets du and dv once each
+        return pd.DataFrame({
+            "n": [2 * len(part)],
+            "sx": [int(du.sum() + dv.sum())],
+            "sxx": [int((du * du).sum() + (dv * dv).sum())],
+            "sxy": [int(2 * (du * dv).sum())]})
+
+    m = edges.map_batches(moment_partial,
+                          batch_format="pandas").to_pandas()
+    n = int(sum(int(v) for v in m["n"]))
+    sx = sum(int(v) for v in m["sx"])
+    sxx = sum(int(v) for v in m["sxx"])
+    sxy = sum(int(v) for v in m["sxy"])
+    if n == 0 or n * sxx - sx * sx == 0:
+        r = 0.0
+    else:
+        num = float(n) * float(sxy) - float(sx) * float(sx)
+        den = (float(n) * float(sxx) - float(sx) * float(sx))
+        r = num / den
+    return pd.DataFrame({"n_pairs": pd.Series([n], dtype=np.int64),
+                         "assortativity": pd.Series([r])})

@@ -249,3 +249,169 @@ def test_mutual_host_links_detects_reciprocal_only():
     got = mutual_host_links(ds).to_pandas()
     pairs = set(zip(got["a"], got["b"]))
     assert pairs == {("a.com", "b.com")}
+
+
+# ------------------------ batch 6: containment -----------------------
+
+def test_containment_detects_doc_inside_doc(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines import mining
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = ("intro words here. " + small
+           + " plenty of extra unrelated filler tokens follow "
+           + "one two three four five six seven eight nine ten "
+           + "eleven twelve thirteen fourteen fifteen sixteen")
+    # same host: containment(small in big) ~ 1; reverse is low
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "url": ["https://h.com/a", "https://h.com/b"],
+        "text": [small, big],
+        "links": pa.array([[], []], pa.list_(pa.string()))}),
+        tmp_path / "linkpages.parquet")
+
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from nacc_form_validator_ray.stages.dedup import _shingle_hashes
+
+    # drive the partition fn through the real pipeline by monkeypatching
+    # the path resolver
+    import nacc_form_validator_ray.pipelines.queries as Q
+    orig = Q._linked_pages_path
+    Q._linked_pages_path = lambda sf: str(tmp_path / "linkpages.parquet")
+    try:
+        got = mining.q_containment_pairs_pages("ignored")
+    finally:
+        Q._linked_pages_path = orig
+    pairs = {(r.id_contained, r.id_container): r.containment
+             for r in got.itertuples()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.9
+    assert (2, 1) not in pairs  # asymmetry: big is not inside small
+
+
+# ---------------------- batch 6: per-host cap ------------------------
+
+def test_cap_docs_per_host_selection(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines import mining
+    from nacc_form_validator_ray.pipelines.mining import (_CAP_K,
+                                                          _PS_KNUTH,
+                                                          _PS_MOD)
+
+    n = 9
+    doc_id = np.arange(1, n + 1, dtype=np.int64)
+    urls = [f"https://only.com/p{i}" for i in range(n)]
+    pq.write_table(pa.table({
+        "doc_id": doc_id, "url": urls,
+        "text": ["x"] * n,
+        "links": pa.array([[]] * n, pa.list_(pa.string()))}),
+        tmp_path / "lp.parquet")
+
+    import nacc_form_validator_ray.pipelines.queries as Q
+    orig = Q._linked_pages_path
+    Q._linked_pages_path = lambda sf: str(tmp_path / "lp.parquet")
+    try:
+        got = mining.q_cap_docs_per_host("ignored").to_pandas()
+    finally:
+        Q._linked_pages_path = orig
+    h = (doc_id * _PS_KNUTH) % _PS_MOD
+    want = set(doc_id[np.lexsort((doc_id, h))][:_CAP_K])
+    assert len(got) == _CAP_K
+    assert set(got["doc_id"]) == want
+    assert (got["host"] == "only.com").all()
+
+
+# --------------------- batch 6: url structure ------------------------
+
+def test_url_structure_stats_depth_and_query(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines import mining
+
+    urls = ["https://a.com/x/y/z",        # depth 3
+            "https://a.com/p?q=1",         # depth 1, query
+            "https://a.com",               # depth 0
+            "https://b.com/only#frag/x"]   # depth 1: '/' after # excluded
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()), "url": urls,
+        "text": ["x"] * 4,
+        "links": pa.array([[]] * 4, pa.list_(pa.string()))}),
+        tmp_path / "lp.parquet")
+
+    import nacc_form_validator_ray.pipelines.queries as Q
+    orig = Q._linked_pages_path
+    Q._linked_pages_path = lambda sf: str(tmp_path / "lp.parquet")
+    try:
+        got = mining.q_url_structure_stats("ignored") \
+            .set_index("host")
+    finally:
+        Q._linked_pages_path = orig
+    assert got.loc["a.com", "n_pages"] == 3
+    assert got.loc["a.com", "n_query"] == 1
+    assert got.loc["a.com", "sum_depth"] == 4
+    assert got.loc["a.com", "avg_depth"] == pytest.approx(4 / 3)
+    assert got.loc["b.com", "sum_depth"] == 1
+
+
+# -------------------- batch 6: assortativity -------------------------
+
+def test_assortativity_star_is_minus_one_and_cycle_pinned_zero():
+    from nacc_form_validator_ray.stages.graph import \
+        host_degree_assortativity
+
+    # star: hub links 5 leaves -> perfectly disassortative (r = -1)
+    star = _page_ds(
+        [("https://hub.com/p",
+          [f"https://leaf{i}.com/x" for i in range(5)])]
+        + [(f"https://leaf{i}.com/p", []) for i in range(5)])
+    got = host_degree_assortativity(star)
+    assert got.loc[0, "n_pairs"] == 10
+    assert got.loc[0, "assortativity"] == pytest.approx(-1.0)
+
+    # cycle: every degree equal -> zero variance, pinned 0.0
+    hosts = [f"c{i}.com" for i in range(4)]
+    cycle = _page_ds([
+        (f"https://{hosts[i]}/p", [f"https://{hosts[(i + 1) % 4]}/x"])
+        for i in range(4)])
+    got = host_degree_assortativity(cycle)
+    assert got.loc[0, "assortativity"] == 0.0
+
+
+# ----------------- batch 6: time to first purchase -------------------
+
+def test_time_to_first_purchase(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_time_to_first_purchase
+
+    def ts(s):
+        return np.datetime64(f"2026-01-01T00:00:{s:02d}", "us")
+
+    rows = [
+        (1, "signup", ts(1)), (1, "purchase", ts(5)),
+        (1, "purchase", ts(3)),            # first purchase = :03
+        (2, "purchase", ts(2)), (2, "signup", ts(4)),  # before signup
+        (3, "signup", ts(6)),              # never purchased
+        (4, "purchase", ts(7)),            # never signed up
+        (5, "signup", ts(8)), (5, "purchase", ts(8)),  # zero delay
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": [r[1] for r in rows],
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "value": pa.array([0.0] * len(rows)),
+        "props": ["{}"] * len(rows)}), tmp_path / "events.parquet")
+
+    got = q_time_to_first_purchase(str(tmp_path)).to_pandas() \
+        .set_index("user_id")
+    assert sorted(got.index) == [1, 5]
+    assert got.loc[1, "delay_us"] == 2_000_000
+    assert got.loc[5, "delay_us"] == 0
