@@ -424,6 +424,11 @@ def bench_queries(sf_dir: str):
             Q.QUERIES["containment_pairs_pages"](sf_dir)),
         "cap_docs_per_host": lambda: consume(
             Q.QUERIES["cap_docs_per_host"](sf_dir)),
+        # batch 7: token-pair count exchange, two-exchange basket miner
+        "skipgram_counts": lambda: consume(
+            Q.QUERIES["skipgram_counts"](sf_dir)),
+        "copurchase_part_pairs": lambda: consume(
+            Q.QUERIES["copurchase_part_pairs"](sf_dir)),
     }
 
 

@@ -967,3 +967,377 @@ MIN_QUERIES["langid_confusion"] = q_langid_confusion
 # the oracle is registered by pipelines/queries.py itself (it owns
 # SQL_LANGID) — see sql_langid_confusion's docstring for why this
 # module must not resolve it at import time
+
+
+# --------------------------------------------------------------------------
+# market-basket co-purchase pairs over lineitem
+# --------------------------------------------------------------------------
+
+_COP_MIN_COUNT = 2
+_COP_TOPK = 100
+
+
+def q_copurchase_part_pairs(sf_dir: str) -> pd.DataFrame:
+    """Top co-purchased part pairs: parts appearing in the SAME order
+    (distinct per order), counted across orders, support >=
+    ``_COP_MIN_COUNT``, top-100 by (count DESC, p1, p2) — the
+    market-basket pair miner at the item level (the big-cardinality
+    sibling of event_type_cooccurrence's 25-type bitmask trick).
+
+    Shape: per-batch local (order, part) dedup, ONE exchange on
+    orderkey co-locates each basket, a vectorized within-partition
+    self-merge emits p1 < p2 pairs (baskets are small — pair count is
+    sum m_i(m_i-1)/2), a SECOND grouped-sum exchange on the pair key
+    merges supports, and per-partition top-k partials bound the driver
+    merge at k x partitions rows."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+
+    def local_dedup(t: "pa.Table") -> pd.DataFrame:
+        return pd.DataFrame({
+            "o": t["l_orderkey"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            "p": t["l_partkey"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)}).drop_duplicates()
+
+    def basket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"p1": pd.Series([], dtype=np.int64),
+                              "p2": pd.Series([], dtype=np.int64),
+                              "cnt": pd.Series([], dtype=np.int64)})
+        if part.empty:
+            return empty
+        part = part.drop_duplicates()
+        m = part.merge(part, on="o")
+        m = m.loc[m["p_x"] < m["p_y"]]
+        if m.empty:
+            return empty
+        out = m.groupby(["p_x", "p_y"], as_index=False).size()
+        out.columns = ["p1", "p2", "cnt"]
+        return out.astype({"cnt": np.int64})
+
+    pairs = grouped_apply(
+        ds.map_batches(local_dedup, batch_format="pyarrow"),
+        ["o"], basket_pairs, num_partitions=32)
+
+    def topk_part(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return part
+        agg = part.groupby(["p1", "p2"], as_index=False)["cnt"].sum()
+        agg = agg.loc[agg["cnt"] >= _COP_MIN_COUNT]
+        return agg.sort_values(["cnt", "p1", "p2"],
+                               ascending=[False, True, True],
+                               kind="stable").head(_COP_TOPK)
+
+    cand = grouped_apply(pairs, ["p1", "p2"], topk_part,
+                         num_partitions=16).to_pandas()
+    if cand.empty or "p1" not in cand.columns:
+        return pd.DataFrame({"p1": pd.Series([], dtype=np.int64),
+                             "p2": pd.Series([], dtype=np.int64),
+                             "cnt": pd.Series([], dtype=np.int64)})
+    return cand.sort_values(["cnt", "p1", "p2"],
+                            ascending=[False, True, True],
+                            kind="stable").head(_COP_TOPK) \
+        .reset_index(drop=True).astype({"cnt": np.int64})
+
+
+MIN_QUERIES["copurchase_part_pairs"] = q_copurchase_part_pairs
+MIN_ORACLE_SQL["copurchase_part_pairs"] = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem),
+pr AS (SELECT a.p AS p1, b2.p AS p2, CAST(count(*) AS BIGINT) AS cnt
+       FROM b a JOIN b b2 ON b2.o = a.o AND a.p < b2.p
+       GROUP BY a.p, b2.p)
+SELECT p1, p2, cnt FROM pr
+WHERE cnt >= {_COP_MIN_COUNT}
+ORDER BY cnt DESC, p1, p2
+LIMIT {_COP_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# per-user event-type Gini diversity
+# --------------------------------------------------------------------------
+
+
+def q_user_type_gini(sf_dir: str):
+    """Per-user Gini impurity of the event-type distribution
+    (1 - sum_i (c_i/n)^2) — the diversity/concentration metric behind
+    engagement segmentation, in exact arithmetic: integer counts,
+    ONE division of exact doubles (no entropy logs — see module
+    docstring). Per-batch (user, type) count combiner, ONE exchange
+    on user_id, per-partition merge + gini."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            "event_type": t["event_type"].to_pandas().fillna("")})
+        df["c"] = 1
+        return df.groupby(["user_id", "event_type"],
+                          as_index=False).sum()
+
+    def per_user(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "gini": pd.Series([], dtype=np.float64)})
+        c = part.groupby(["user_id", "event_type"],
+                         as_index=False)["c"].sum()
+        c["c2"] = c["c"] * c["c"]
+        g = c.groupby("user_id", as_index=False).agg(
+            n_events=("c", "sum"), sc2=("c2", "sum"))
+        nf = g["n_events"].to_numpy(np.float64)
+        # same expression order as the twin: one division, one subtract
+        g["gini"] = 1.0 - g["sc2"].to_numpy(np.float64) / (nf * nf)
+        return g[["user_id", "n_events", "gini"]] \
+            .astype({"n_events": np.int64})
+
+    return grouped_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"], per_user, num_partitions=32)
+
+
+MIN_QUERIES["user_type_gini"] = q_user_type_gini
+MIN_ORACLE_SQL["user_type_gini"] = """
+WITH c AS (
+  SELECT user_id, coalesce(event_type, '') AS event_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, coalesce(event_type, '')),
+m AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(sum(c * c) AS BIGINT) AS sc2
+  FROM c GROUP BY user_id)
+SELECT user_id, n_events,
+       1.0 - CAST(sc2 AS DOUBLE)
+             / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))
+           AS gini
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# skip-gram co-occurrence counts (word2vec-precursor statistics)
+# --------------------------------------------------------------------------
+
+_SG_WINDOW = 3
+_SG_MIN_COUNT = 3
+_SG_TOPK = 200
+
+
+def q_skipgram_counts(sf_dir: str) -> pd.DataFrame:
+    """Top skip-gram pairs: ordered token pairs (t_i, t_j) with
+    0 < j - i <= 3 within a document, counted over the corpus — the
+    co-occurrence statistic every embedding trainer (word2vec/GloVe)
+    consumes. Same fabric as pmi_bigrams: one tokenizing pass emits
+    dictionary-coded pair-packed int64 partials per distance shift (no
+    Python loop), ONE grouped-sum exchange merges counts, per-partition
+    top-k partials bound the driver merge."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def count_partial(t: "pa.Table") -> "pa.Table":
+        codes, dictionary, tok_doc, _ = arrow_token_codes(t["text"])
+        empty = pa.table({"w1": pa.array([], type=pa.string()),
+                          "w2": pa.array([], type=pa.string()),
+                          "c": pa.array([], type=pa.int64())})
+        if dictionary is None or not len(codes):
+            return empty
+        toks = dictionary.to_numpy(zero_copy_only=False)
+        w1, w2, cs = [], [], []
+        for d in range(1, _SG_WINDOW + 1):
+            if len(codes) <= d:
+                break
+            same_doc = tok_doc[d:] == tok_doc[:-d]
+            if not same_doc.any():
+                continue
+            a = codes[:-d][same_doc].astype(np.int64)
+            b = codes[d:][same_doc].astype(np.int64)
+            pair = (a << 32) | b
+            up, pcnt = np.unique(pair, return_counts=True)
+            w1.append(toks[(up >> 32).astype(np.int64)])
+            w2.append(toks[(up & 0xFFFFFFFF).astype(np.int64)])
+            cs.append(pcnt.astype(np.int64))
+        if not w1:
+            return empty
+        return pa.table({"w1": np.concatenate(w1),
+                         "w2": np.concatenate(w2),
+                         "c": np.concatenate(cs)})
+
+    def topk_part(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return part
+        agg = part.groupby(["w1", "w2"], as_index=False)["c"].sum()
+        agg = agg.loc[agg["c"] >= _SG_MIN_COUNT]
+        return agg.sort_values(["c", "w1", "w2"],
+                               ascending=[False, True, True],
+                               kind="stable").head(_SG_TOPK)
+
+    cand = grouped_apply(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["w1", "w2"], topk_part, num_partitions=32).to_pandas()
+    if cand.empty or "w1" not in cand.columns:
+        return pd.DataFrame({
+            "w1": pd.Series([], dtype=object),
+            "w2": pd.Series([], dtype=object),
+            "c": pd.Series([], dtype=np.int64)})
+    return cand.sort_values(["c", "w1", "w2"],
+                            ascending=[False, True, True],
+                            kind="stable").head(_SG_TOPK) \
+        .reset_index(drop=True).astype({"c": np.int64})
+
+
+MIN_QUERIES["skipgram_counts"] = q_skipgram_counts
+MIN_ORACLE_SQL["skipgram_counts"] = f"""
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks
+  FROM documents),
+pos AS (
+  SELECT toks, unnest(range(1, len(toks) + 1)) AS i FROM t),
+pr AS (
+  SELECT toks[i] AS w1, toks[i + d] AS w2
+  FROM pos, (SELECT unnest(range(1, {_SG_WINDOW} + 1)) AS d)
+  WHERE i + d <= len(toks)),
+c AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+  FROM pr GROUP BY w1, w2)
+SELECT w1, w2, c FROM c
+WHERE c >= {_SG_MIN_COUNT}
+ORDER BY c DESC, w1, w2
+LIMIT {_SG_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# inter-event gap histogram (log2-bucketed latency distribution)
+# --------------------------------------------------------------------------
+
+
+def q_gap_histogram_events(sf_dir: str) -> pd.DataFrame:
+    """Histogram of inter-event gaps per user, log2-bucketed: for each
+    user's time-sorted event stream, bucket every POSITIVE gap between
+    consecutive events at floor(log2(gap_us)) and count — the latency/
+    cadence profile (bot detection, sessionization threshold tuning)
+    in exact integer arithmetic (the advanced-module floor-log2, never
+    float log2, which mis-rounds across power boundaries).
+
+    Tie note: equal timestamps make the consecutive-gap multiset
+    independent of their relative order (their pairwise gaps are 0 and
+    excluded), so neither engine needs a tiebreak. ONE hash exchange on
+    user_id; per-partition sort + diff + bincount partials; the driver
+    merges <= 64 bucket rows."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.pipelines.advanced import \
+        _floor_log2_u64
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def project(t: "pa.Table") -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            "ts_us": t["ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+
+    def bucket_partial(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                              "n": pd.Series([], dtype=np.int64)})
+        if part.empty:
+            return empty
+        part = part.sort_values(["user_id", "ts_us"], kind="stable")
+        u = part["user_id"].to_numpy(np.int64)
+        ts = part["ts_us"].to_numpy(np.int64)
+        same = u[1:] == u[:-1]
+        gap = (ts[1:] - ts[:-1])[same]
+        gap = gap[gap > 0]
+        if not len(gap):
+            return empty
+        b = _floor_log2_u64(gap.astype(np.uint64))
+        ub, cnt = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bucket": ub.astype(np.int64),
+                             "n": cnt.astype(np.int64)})
+
+    parts = grouped_apply(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["user_id"], bucket_partial, num_partitions=32).to_pandas()
+    if parts.empty or "bucket" not in parts.columns:
+        return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                             "n": pd.Series([], dtype=np.int64)})
+    out = parts.groupby("bucket", as_index=False)["n"].sum()
+    return out.sort_values("bucket").reset_index(drop=True) \
+        .astype({"n": np.int64})
+
+
+MIN_QUERIES["gap_histogram_events"] = q_gap_histogram_events
+MIN_ORACLE_SQL["gap_histogram_events"] = """
+WITH g AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+  FROM events),
+d AS (
+  SELECT epoch_us(ts) - epoch_us(pts) AS gap
+  FROM g WHERE pts IS NOT NULL AND ts > pts)
+SELECT CAST(length(bin(gap)) - 1 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup cluster-size distribution
+# --------------------------------------------------------------------------
+
+
+def q_dedup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
+    """Size distribution of the MinHash near-dup clusters: how many
+    clusters have 1, 2, 3... members — the dedup-audit readout
+    (cluster-size tails reveal boilerplate storms). Composes the
+    oracled dedup_clusters labeling; the labels are already the
+    propagate_labels driver merge, so two bounded groupbys finish the
+    histogram (at corpus scale, route the first count through a
+    cluster-key exchange instead)."""
+    from nacc_form_validator_ray.pipelines.queries import QUERIES
+
+    labels = QUERIES["dedup_clusters"](sf_dir)
+    if hasattr(labels, "to_pandas"):
+        labels = labels.to_pandas()
+    sizes = labels.groupby("cluster").size()
+    hist = sizes.value_counts().sort_index()
+    return pd.DataFrame({
+        "size": hist.index.to_numpy(np.int64),
+        "n_clusters": hist.to_numpy(np.int64)})
+
+
+def _sql_dedup_cluster_sizes() -> str:
+    from nacc_form_validator_ray.pipelines.queries import ORACLE_SQL
+    return f"""
+SELECT size, CAST(count(*) AS BIGINT) AS n_clusters FROM (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS size
+  FROM ({ORACLE_SQL["dedup_clusters"]})
+  GROUP BY cluster)
+GROUP BY size
+"""
+
+
+MIN_QUERIES["dedup_cluster_sizes"] = q_dedup_cluster_sizes
+#: resolved by queries.py at its bottom (same registration-order
+#: rationale as langid_confusion)

@@ -7072,6 +7072,12 @@ from nacc_form_validator_ray.pipelines.mining import (MIN_ORACLE_SQL,
 
 QUERIES.update(MIN_QUERIES)
 ORACLE_SQL.update(MIN_ORACLE_SQL)
-# registered here (not in mining) so the entry exists regardless of
-# which module is imported first — SQL_LANGID is defined above
+# registered here (not in mining) so the entries exist regardless of
+# which module is imported first — SQL_LANGID / the dedup_clusters
+# twin are defined above
 ORACLE_SQL["langid_confusion"] = sql_langid_confusion(SQL_LANGID)
+
+from nacc_form_validator_ray.pipelines.mining import \
+    _sql_dedup_cluster_sizes
+
+ORACLE_SQL["dedup_cluster_sizes"] = _sql_dedup_cluster_sizes()

@@ -526,3 +526,114 @@ def test_langid_confusion_null_lang_is_empty_class(tmp_path):
     assert g["lang"].tolist() == w["lang"].tolist()
     assert g["lang_pred"].tolist() == w["lang_pred"].tolist()
     assert g["n"].tolist() == w["n"].astype(np.int64).tolist()
+
+
+# ---------------------------- batch 7 --------------------------------
+
+def test_copurchase_dedups_within_order_and_orders_ties(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_copurchase_part_pairs
+
+    # order 1: parts 10,20,20,30 (20 duplicated -> counts once)
+    # order 2: parts 10,20; order 3: parts 10,20; order 4: parts 10,30
+    rows = [(1, 10), (1, 20), (1, 20), (1, 30),
+            (2, 10), (2, 20), (3, 10), (3, 20), (4, 10), (4, 30)]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64())}),
+        tmp_path / "lineitem.parquet")
+    got = q_copurchase_part_pairs(str(tmp_path))
+    want = [(10, 20, 3), (10, 30, 2)]  # (20,30) support 1 drops
+    assert list(map(tuple, got.to_numpy())) == want
+
+
+def test_user_type_gini_exact():
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile
+    import os
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_user_type_gini
+
+    with tempfile.TemporaryDirectory() as d:
+        # user 1: 3 clicks + 1 view -> 1 - (9+1)/16 = 0.375
+        # user 2: 4 purchases -> 0.0 (pure)
+        types = ["click"] * 3 + ["view"] + ["purchase"] * 4
+        users = [1] * 4 + [2] * 4
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(8), pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": types,
+            "ts": pa.array([np.datetime64("2026-01-01", "us")] * 8,
+                           pa.timestamp("us")),
+            "value": pa.array([0.0] * 8), "props": ["{}"] * 8}),
+            os.path.join(d, "events.parquet"))
+        got = q_user_type_gini(d).to_pandas().set_index("user_id")
+        assert got.loc[1, "gini"] == 0.375
+        assert got.loc[2, "gini"] == 0.0
+        assert got.loc[1, "n_events"] == 4
+
+
+def test_skipgram_counts_match_bruteforce(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import re
+    from collections import Counter
+
+    from nacc_form_validator_ray.pipelines import mining
+    from nacc_form_validator_ray.pipelines.mining import (
+        _SG_WINDOW, q_skipgram_counts)
+
+    texts = ["the cat sat on the mat the cat ran"] * 3 + \
+            ["a b c d e f a b c d"] * 2 + ["Zz yy! zz YY zz"] * 4
+    n = len(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()), "text": texts,
+        "lang": ["en"] * n, "source": ["t"] * n,
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        tmp_path / "documents.parquet")
+
+    want = Counter()
+    for t in texts:
+        toks = re.findall(r"[a-z]+", t.lower())
+        for i in range(len(toks)):
+            for d in range(1, _SG_WINDOW + 1):
+                if i + d < len(toks):
+                    want[(toks[i], toks[i + d])] += 1
+    # apply the same min-count filter
+    want = {k: v for k, v in want.items()
+            if v >= mining._SG_MIN_COUNT}
+    got = q_skipgram_counts(str(tmp_path))
+    got_d = {(r.w1, r.w2): r.c for r in got.itertuples()}
+    assert got_d == want
+
+
+def test_gap_histogram_power_boundaries(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_gap_histogram_events
+
+    base = np.int64(1_600_000_000_000_000)
+    # user 1 gaps: 1 (bucket 0), 7 (bucket 2), 8 (bucket 3),
+    # user 2 gaps: 0 (excluded), 2**40 - 1 (bucket 39), 2**40 (40)
+    t1 = [0, 1, 8, 16]
+    t2 = [100, 100, 100 + (1 << 40) - 1, 100 + 2 * (1 << 40) - 1]
+    ts = [base + v for v in t1] + [base + v for v in t2]
+    users = [1] * 4 + [2] * 4
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(8), pa.int64()),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": ["click"] * 8,
+        "ts": pa.array(np.array(ts, dtype="datetime64[us]"),
+                       pa.timestamp("us")),
+        "value": pa.array([0.0] * 8), "props": ["{}"] * 8}),
+        tmp_path / "events.parquet")
+    got = q_gap_histogram_events(str(tmp_path))
+    hist = dict(zip(got["bucket"], got["n"]))
+    assert hist == {0: 1, 2: 1, 3: 1, 39: 1, 40: 1}
