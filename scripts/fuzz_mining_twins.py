@@ -1,0 +1,216 @@
+"""Randomized differential sweep over the mining twins
+(pipelines/mining.py): priority sampling, correlation matrix, unpivot
+profile, in-window pairs, activation delay, Gini diversity, gap
+histogram, co-purchase pairs, skip-grams, langid confusion, plus the
+linked-page family (containment, host caps, URL structure, components,
+mutual links, assortativity) over randomized page tables.
+
+Adversarial shapes per round: empty tables, zero/negative measures,
+duplicate timestamps, null event types and langs, messy URLs (scheme
+case, www/ports, missing scheme -> '' host), self-links, boilerplate
+text repeated across pages, tied priorities.
+
+Usage: FUZZ_SEED=123 FUZZ_ROUNDS=5 PYTHONPATH=/root/repo \
+    python scripts/fuzz_mining_twins.py
+"""
+import os
+import shutil
+import sys
+import tempfile
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import ray  # noqa: E402
+
+ray.init(address="local", num_cpus=8, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext  # noqa: E402
+
+DataContext.get_current().enable_progress_bars = False
+
+import nacc_form_validator_ray.pipelines.queries as Q  # noqa: E402
+from nacc_form_validator_ray.pipelines.mining import (  # noqa: E402
+    MIN_LINKED_SQL, MIN_ORACLE_SQL, MIN_QUERIES)
+
+rng = np.random.default_rng(int(os.environ.get("FUZZ_SEED", "4242")))
+ROUNDS = int(os.environ.get("FUZZ_ROUNDS", "5"))
+
+WORDS = np.array(["the", "and", "cat", "dog", "alpha", "beta",
+                  "gamma", "la", "que", "der", "und", "zz"],
+                 dtype=object)
+
+
+def canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype(np.int64)
+        elif str(df[c].dtype) == "float32":
+            df[c] = df[c].astype(np.float64)
+    return df.sort_values(list(df.columns), kind="stable") \
+        .reset_index(drop=True)
+
+
+def _text(n_words_max=40):
+    k = int(rng.integers(0, n_words_max))
+    return " ".join(rng.choice(WORDS, k)) if k else ""
+
+
+def gen_tables(d: str) -> None:
+    # documents
+    n_doc = int(rng.integers(0, 400))
+    doc_id = np.sort(rng.choice(np.arange(1, 5000, dtype=np.int64),
+                                n_doc, replace=False))
+    langs = rng.choice(np.array(["en", "es", "de", None], dtype=object),
+                       n_doc)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(doc_id),
+        "text": pa.array([_text() for _ in range(n_doc)],
+                         type=pa.string()),
+        "lang": pa.array(list(langs), type=pa.string()),
+        "source": pa.array(["s"] * n_doc),
+        "n_chars": pa.array(
+            rng.integers(0, 700, n_doc).astype(np.int64))}),
+        os.path.join(d, "documents.parquet"))
+
+    # lineitem (zero rows sometimes; negatives stress the grid floor)
+    n_li = int(rng.integers(0, 800))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(
+            rng.integers(0, max(n_li // 3, 1), n_li).astype(np.int64)),
+        "l_partkey": pa.array(
+            rng.integers(0, 40, n_li).astype(np.int64)),
+        "l_quantity": pa.array(
+            rng.integers(-5, 50, n_li).astype(np.float64)),
+        "l_extendedprice": pa.array(np.round(
+            rng.uniform(-100, 90000, n_li), 2).astype(np.float64)),
+        "l_discount": pa.array(np.round(
+            rng.integers(0, 11, n_li) / 100.0, 2).astype(np.float64)),
+        "l_tax": pa.array(np.round(
+            rng.integers(0, 9, n_li) / 100.0, 2).astype(np.float64))}),
+        os.path.join(d, "lineitem.parquet"))
+
+    # events (duplicate ts on purpose; null types)
+    n_ev = int(rng.integers(0, 1200))
+    n_users = int(rng.integers(1, 30))
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    raw = rng.integers(0, 10 * 86_400_000_000, n_ev)
+    dup = rng.random(n_ev) < 0.2
+    raw[dup] = (raw[dup] // 1_000_000) * 1_000_000  # force ties
+    ts = base + raw.astype("timedelta64[us]")
+    types = rng.choice(np.array(
+        ["click", "view", "purchase", "signup", "error"],
+        dtype=object), n_ev)
+    types = np.where(rng.random(n_ev) < 0.05, None, types)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n_ev, dtype=np.int64)),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "user_id": pa.array(
+            rng.integers(0, n_users, n_ev).astype(np.int64)),
+        "event_type": pa.array(list(types), type=pa.string()),
+        "value": pa.array(
+            np.round(rng.normal(0, 40, n_ev), 3).astype(np.float64)),
+        "props": pa.array(["{}"] * n_ev)}),
+        os.path.join(d, "events.parquet"))
+
+    # linked pages: messy urls, self/external links, boilerplate text
+    n_pg = int(rng.integers(0, 150))
+    hosts = [f"h{i}.com" for i in range(int(rng.integers(1, 8)))]
+    boiler = _text(12)
+    urls, links, texts = [], [], []
+    for i in range(n_pg):
+        h = rng.choice(hosts)
+        scheme = rng.choice(["https://", "HTTP://", "http://WWW.", ""])
+        port = rng.choice(["", ":80", ":443"])
+        q = rng.choice(["", "?utm=x", "?a=1&b=2"])
+        urls.append(f"{scheme}{h}{port}/p/{i}{q}")
+        k = int(rng.integers(0, 4))
+        links.append([f"https://{rng.choice(hosts)}/x/{j}"
+                      for j in range(k)])
+        texts.append((boiler + " ") * int(rng.integers(0, 3))
+                     + _text(25))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(1, n_pg + 1, dtype=np.int64)),
+        "url": pa.array(urls, type=pa.string()),
+        "text": pa.array(texts, type=pa.string()),
+        "links": pa.array(links, type=pa.list_(pa.string()))}),
+        os.path.join(d, "linkpages.parquet"))
+
+
+#: mining queries fuzzable over the standard tables
+TABLE_QUERIES = ["priority_sample_docs", "corr_matrix_lineitem",
+                 "unpivot_lineitem_measures", "event_pairs_within_hour",
+                 "time_to_first_purchase", "user_type_gini",
+                 "gap_histogram_events", "copurchase_part_pairs",
+                 "skipgram_counts", "langid_confusion"]
+#: linked-page family (twins are path-parameterized)
+LINKED_QUERIES = ["containment_pairs_pages", "cap_docs_per_host",
+                  "url_structure_stats", "host_components",
+                  "mutual_host_links", "host_degree_assortativity"]
+
+
+def compare(name, got, want, rnd, d):
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    g, w = canon(got), canon(want)
+    if len(g) == 0 and len(w) == 0:
+        return True  # empty-vs-empty: schemaless pandas conversion
+    if (len(g) != len(w) or list(g.columns) != list(w.columns)
+            or not g.equals(w)):
+        print(f"MISMATCH {name} round={rnd} dir={d}")
+        print("ray:", g.head(4).to_dict("records"))
+        print("sql:", w.head(4).to_dict("records"))
+        return False
+    return True
+
+
+def main() -> int:
+    bad = 0
+    oracle = dict(MIN_ORACLE_SQL)
+    oracle["langid_confusion"] = \
+        Q.ORACLE_SQL["langid_confusion"]
+    oracle["dedup_cluster_sizes"] = Q.ORACLE_SQL["dedup_cluster_sizes"]
+    for rnd in range(ROUNDS):
+        d = tempfile.mkdtemp(prefix="fuzz_min_")
+        gen_tables(d)
+        con = duckdb.connect()
+        for t in ("documents", "lineitem", "events"):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{d}/{t}.parquet')")
+        clean = True
+        for name in TABLE_QUERIES:
+            got = MIN_QUERIES[name](d)
+            want = con.sql(oracle[name]).df()
+            clean &= compare(name, got, want, rnd, d)
+        lp = os.path.join(d, "linkpages.parquet")
+        orig = Q._linked_pages_path
+        Q._linked_pages_path = lambda sf: lp
+        try:
+            for name in LINKED_QUERIES:
+                got = MIN_QUERIES[name](d)
+                want = con.sql(MIN_LINKED_SQL[name](
+                    lp, sql_url_norm=Q._SQL_URL_NORM)).df()
+                clean &= compare(name, got, want, rnd, d)
+        finally:
+            Q._linked_pages_path = orig
+        con.close()
+        if not clean:
+            bad += 1
+        else:
+            shutil.rmtree(d, ignore_errors=True)
+        print(f"round {rnd}: {'clean' if clean else 'BAD'}")
+    print("FUZZ", "FAIL" if bad else "PASS")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
