@@ -429,6 +429,9 @@ def bench_queries(sf_dir: str):
             Q.QUERIES["skipgram_counts"](sf_dir)),
         "copurchase_part_pairs": lambda: consume(
             Q.QUERIES["copurchase_part_pairs"](sf_dir)),
+        # batch 8: string-heavy line exchange over pages
+        "host_boilerplate_frac": lambda: consume(
+            Q.QUERIES["host_boilerplate_frac"](sf_dir)),
     }
 
 

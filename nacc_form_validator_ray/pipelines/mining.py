@@ -1341,3 +1341,290 @@ GROUP BY size
 MIN_QUERIES["dedup_cluster_sizes"] = q_dedup_cluster_sizes
 #: resolved by queries.py at its bottom (same registration-order
 #: rationale as langid_confusion)
+
+
+# --------------------------------------------------------------------------
+# IVF ANN recall evaluation (brute-force kNN as ground truth)
+# --------------------------------------------------------------------------
+
+
+def q_ivf_recall_eval(sf_dir: str) -> pd.DataFrame:
+    """Recall@10 of the IVF approximate-nearest-neighbor path against
+    the exact brute-force kNN, per query vector — the ANN quality
+    audit every index deployment needs (recall tells you whether
+    n_probe / n_centroids are tuned). Composes two oracled pipelines;
+    the intersection and the /10 division are exact."""
+    from nacc_form_validator_ray.pipelines.queries import QUERIES
+    bf = QUERIES["knn_embeddings"](sf_dir)
+    iv = QUERIES["ivf_knn_embeddings"](sf_dir)
+    bf = bf.to_pandas() if hasattr(bf, "to_pandas") else bf
+    iv = iv.to_pandas() if hasattr(iv, "to_pandas") else iv
+    hit = bf.merge(iv, on=["query_id", "neighbor_id"])
+    n_hit = hit.groupby("query_id").size()
+    qs = np.sort(bf["query_id"].unique()).astype(np.int64)
+    nh = np.asarray([int(n_hit.get(q, 0)) for q in qs],
+                    dtype=np.int64)
+    return pd.DataFrame({
+        "query_id": qs, "n_hit": nh,
+        "recall": nh.astype(np.float64) / 10.0})
+
+
+def sql_ivf_recall_eval(knn_sql: str, ivf_sql: str) -> str:
+    return f"""
+WITH bf AS ({knn_sql}),
+iv AS ({ivf_sql}),
+h AS (SELECT bf.query_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM bf JOIN iv ON iv.query_id = bf.query_id
+                     AND iv.neighbor_id = bf.neighbor_id
+      GROUP BY bf.query_id),
+qs AS (SELECT DISTINCT query_id FROM bf)
+SELECT qs.query_id, coalesce(h.n_hit, 0) AS n_hit,
+       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 10.0 AS recall
+FROM qs LEFT JOIN h ON h.query_id = qs.query_id
+"""
+
+
+MIN_QUERIES["ivf_recall_eval"] = q_ivf_recall_eval
+
+
+# --------------------------------------------------------------------------
+# MinHash candidate verification (estimated pairs vs exact Jaccard)
+# --------------------------------------------------------------------------
+
+
+def q_minhash_verify_pairs(sf_dir: str) -> pd.DataFrame:
+    """The verify stage of candidate-based near-dedup as a first-class
+    audit: every MinHash band-collision pair joined with its EXACT
+    shingle-set Jaccard — (id_a, id_b, n_bands, jaccard). Reading it
+    tells you the banding's false-positive rate before you act on the
+    pairs. The candidate set is dup-rate-bounded, so pulling it to the
+    driver and fetching ONLY the involved documents (pushed-down is_in
+    filter) is the lean plan; at corpus scale swap the driver join for
+    a hash join on id (stages/joins.py) — same semantics."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.stages.dedup import (
+        _shingle_hashes, minhash_candidate_pairs)
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    pairs = minhash_candidate_pairs(docs, threshold=0.5).to_pandas()
+    empty = pd.DataFrame({
+        "id_a": pd.Series([], dtype=np.int64),
+        "id_b": pd.Series([], dtype=np.int64),
+        "n_bands": pd.Series([], dtype=np.int64),
+        "jaccard": pd.Series([], dtype=np.float64)})
+    if pairs.empty or "id_a" not in pairs.columns:
+        return empty
+    ids = np.unique(np.concatenate([pairs["id_a"].to_numpy(np.int64),
+                                    pairs["id_b"].to_numpy(np.int64)]))
+    involved = docs.map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"],
+                                    value_set=pa.array(ids))),
+        batch_format="pyarrow").to_pandas()
+    n = len(involved)
+    doc_idx, hashes = _shingle_hashes(involved["text"], 3, n)
+    sets = {int(d): set() for d in involved["doc_id"]}
+    did = involved["doc_id"].to_numpy(np.int64)
+    for d, h in zip(doc_idx, hashes):
+        sets[int(did[d])].add(int(h))
+    ja = []
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        sa, sb = sets[int(a)], sets[int(b)]
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        ja.append(inter / union if union else 0.0)
+    out = pairs[["id_a", "id_b", "n_bands"]].copy() \
+        .astype({"id_a": np.int64, "id_b": np.int64,
+                 "n_bands": np.int64})
+    out["jaccard"] = np.asarray(ja, dtype=np.float64)
+    return out.reset_index(drop=True)
+
+
+def sql_minhash_verify_pairs(minhash_sql: str) -> str:
+    inter = "len(list_intersect(a.s, b.s))"
+    union = f"(len(a.s) + len(b.s) - {inter})"
+    return f"""
+WITH mp AS ({minhash_sql}),
+t AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+d AS (SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(
+                       range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' '
+                            || toks[i+2]))
+                  ELSE CAST([] AS VARCHAR[]) END AS s
+      FROM t)
+SELECT mp.id_a, mp.id_b, mp.n_bands,
+       CASE WHEN {union} = 0 THEN 0.0
+            ELSE CAST({inter} AS DOUBLE) / {union} END AS jaccard
+FROM mp JOIN d a ON a.doc_id = mp.id_a
+        JOIN d b ON b.doc_id = mp.id_b
+"""
+
+
+MIN_QUERIES["minhash_verify_pairs"] = q_minhash_verify_pairs
+
+
+# --------------------------------------------------------------------------
+# per-host boilerplate (duplicated-line) fraction
+# --------------------------------------------------------------------------
+
+
+def q_host_boilerplate_frac(sf_dir: str):
+    """Per-host boilerplate score: the fraction of (non-blank) line
+    occurrences on a host whose line text appears 2+ times within that
+    host — the template-detection diagnostic behind C4/CCNet-style
+    line filtering, aggregated where the decision is made (per host).
+    ONE exchange on host carrying per-batch (host, line, count)
+    combiner rows (at 100-TB hash the line like line_dedup_docs);
+    per-partition merge, exact division."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.queries import \
+        _linked_pages_path
+    from nacc_form_validator_ray.stages.graph import _host_of
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["url", "text"])
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        host = _host_of(t["url"], pc)
+        lines = pc.split_pattern(pc.fill_null(t["text"], ""), "\n")
+        counts = pc.list_value_length(lines).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lines).to_numpy(zero_copy_only=False)
+        hrep = host.to_numpy(zero_copy_only=False)[
+            np.repeat(np.arange(len(t), dtype=np.int64), counts)]
+        df = pd.DataFrame({"host": hrep, "line": flat})
+        df = df.loc[df["line"] != ""]
+        df["c"] = 1
+        return df.groupby(["host", "line"], as_index=False).sum()
+
+    def per_host(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "host": pd.Series([], dtype=object),
+            "n_lines": pd.Series([], dtype=np.int64),
+            "n_dup_lines": pd.Series([], dtype=np.int64),
+            "dup_frac": pd.Series([], dtype=np.float64)})
+        if part.empty:
+            return empty
+        c = part.groupby(["host", "line"], as_index=False)["c"].sum()
+        c["dup"] = np.where(c["c"] >= 2, c["c"], 0)
+        g = c.groupby("host", as_index=False).agg(
+            n_lines=("c", "sum"), n_dup_lines=("dup", "sum"))
+        g["dup_frac"] = g["n_dup_lines"].to_numpy(np.float64) \
+            / g["n_lines"].to_numpy(np.float64)
+        return g.astype({"n_lines": np.int64,
+                         "n_dup_lines": np.int64})
+
+    return grouped_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["host"], per_host, num_partitions=32)
+
+
+def sql_host_boilerplate_frac(path: str,
+                              sql_url_norm: str | None = None) -> str:
+    host = sql_url_norm.format(u="url")
+    return f"""
+WITH pg AS (SELECT {host} AS host,
+                   string_split(coalesce(text, ''), chr(10)) AS ls
+            FROM read_parquet('{path}')),
+lns AS (SELECT host, unnest(ls) AS ln FROM pg),
+c AS (SELECT host, ln, CAST(count(*) AS BIGINT) AS c
+      FROM lns WHERE ln <> '' GROUP BY host, ln),
+m AS (SELECT host, CAST(sum(c) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                 AS n_dup_lines
+      FROM c GROUP BY host)
+SELECT host, n_lines, n_dup_lines,
+       CAST(n_dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+           AS dup_frac
+FROM m
+"""
+
+
+MIN_QUERIES["host_boilerplate_frac"] = q_host_boilerplate_frac
+MIN_LINKED_SQL["host_boilerplate_frac"] = sql_host_boilerplate_frac
+
+
+# --------------------------------------------------------------------------
+# sequence-packing efficiency audit
+# --------------------------------------------------------------------------
+
+_PACK_SEQ_LEN = 512
+
+
+def q_pack_efficiency(sf_dir: str) -> pd.DataFrame:
+    """Packing-efficiency audit over the pack_sequences manifest: how
+    many 512-token sequences exist, how many are exactly full, total
+    packed tokens, and the aggregate fill fraction — the readout that
+    tells you whether the packer wastes context window. Per-batch
+    (seq_id, token) partials ride ONE exchange on seq_id (a sequence's
+    spans can straddle batches); per-partition summary partials leave
+    3 ints each; the driver merge and the fill division are exact."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    from nacc_form_validator_ray.pipelines.queries import QUERIES
+    manifest = QUERIES["pack_sequences"](sf_dir)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("seq_id", as_index=False)["n_tokens_span"] \
+            .sum()
+
+    def per_seq(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "n_seqs": pd.Series([], dtype=np.int64),
+            "n_full": pd.Series([], dtype=np.int64),
+            "total_tokens": pd.Series([], dtype=np.int64)})
+        if part.empty:
+            return empty
+        tok = part.groupby("seq_id")["n_tokens_span"].sum()
+        return pd.DataFrame({
+            "n_seqs": [np.int64(len(tok))],
+            "n_full": [np.int64(int((tok == _PACK_SEQ_LEN).sum()))],
+            "total_tokens": [np.int64(int(tok.sum()))]})
+
+    parts = grouped_apply(
+        manifest.map_batches(partial, batch_format="pandas"),
+        ["seq_id"], per_seq, num_partitions=16).to_pandas()
+    if parts.empty or "n_seqs" not in parts.columns:
+        n_seqs = n_full = total = 0
+    else:
+        n_seqs = int(parts["n_seqs"].sum())
+        n_full = int(parts["n_full"].sum())
+        total = int(parts["total_tokens"].sum())
+    fill = (float(total) / float(n_seqs * _PACK_SEQ_LEN)
+            if n_seqs else 0.0)
+    return pd.DataFrame({
+        "n_seqs": pd.Series([n_seqs], dtype=np.int64),
+        "n_full": pd.Series([n_full], dtype=np.int64),
+        "total_tokens": pd.Series([total], dtype=np.int64),
+        "fill_frac": pd.Series([fill], dtype=np.float64)})
+
+
+def sql_pack_efficiency(pack_sql: str) -> str:
+    return f"""
+WITH m AS ({pack_sql}),
+s AS (SELECT seq_id, CAST(sum(n_tokens_span) AS BIGINT) AS tok
+      FROM m GROUP BY seq_id),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_seqs,
+             CAST(sum(CASE WHEN tok = {_PACK_SEQ_LEN} THEN 1 ELSE 0
+                      END) AS BIGINT) AS n_full,
+             CAST(coalesce(sum(tok), 0) AS BIGINT) AS total_tokens
+      FROM s)
+SELECT n_seqs, n_full, total_tokens,
+       CASE WHEN n_seqs = 0 THEN 0.0
+            ELSE CAST(total_tokens AS DOUBLE)
+                 / CAST(n_seqs * {_PACK_SEQ_LEN} AS DOUBLE) END
+           AS fill_frac
+FROM a
+"""
+
+
+MIN_QUERIES["pack_efficiency"] = q_pack_efficiency

@@ -2250,9 +2250,19 @@ def flagship_oracles(sf_dir: str) -> Dict[str, str]:
         "host_triangles": sql_host_triangles(lp),
         "host_kcore": sql_host_kcore(lp),
         "host_bfs": sql_host_bfs(lp),
+        "ivf_recall_eval": _sql_ivf_recall(sf_dir),
         **{name: fn(lp, sql_url_norm=_SQL_URL_NORM)
            for name, fn in _min_linked_sql().items()},
     }
+
+
+def _sql_ivf_recall(sf_dir: str) -> str:
+    """ANN recall twin: composes the static brute-force kNN twin with
+    the sf-dependent IVF twin (which embeds the persisted centroid
+    model as literals)."""
+    from nacc_form_validator_ray.pipelines.mining import \
+        sql_ivf_recall_eval
+    return sql_ivf_recall_eval(SQL_KNN, sql_ivf_knn(sf_dir))
 
 
 def _min_linked_sql():
@@ -7077,7 +7087,12 @@ ORACLE_SQL.update(MIN_ORACLE_SQL)
 # twin are defined above
 ORACLE_SQL["langid_confusion"] = sql_langid_confusion(SQL_LANGID)
 
-from nacc_form_validator_ray.pipelines.mining import \
-    _sql_dedup_cluster_sizes
+from nacc_form_validator_ray.pipelines.mining import (
+    _sql_dedup_cluster_sizes, sql_minhash_verify_pairs,
+    sql_pack_efficiency)
 
 ORACLE_SQL["dedup_cluster_sizes"] = _sql_dedup_cluster_sizes()
+ORACLE_SQL["minhash_verify_pairs"] = \
+    sql_minhash_verify_pairs(ORACLE_SQL["minhash_pairs"])
+ORACLE_SQL["pack_efficiency"] = \
+    sql_pack_efficiency(SQL_PACK_SEQUENCES)

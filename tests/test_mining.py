@@ -637,3 +637,34 @@ def test_gap_histogram_power_boundaries(tmp_path):
     got = q_gap_histogram_events(str(tmp_path))
     hist = dict(zip(got["bucket"], got["n"]))
     assert hist == {0: 1, 2: 1, 3: 1, 39: 1, 40: 1}
+
+
+# ---------------------------- batch 8 --------------------------------
+
+def test_host_boilerplate_frac_counts_dup_occurrences(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines import mining
+
+    # host a: lines x,x,y (x duplicated -> 2 of 3 occurrences)
+    # host b: all distinct; blank lines never count
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "url": ["https://a.com/1", "https://a.com/2",
+                "https://b.com/1"],
+        "text": ["x\n\nx", "y", "p\nq"],
+        "links": pa.array([[]] * 3, pa.list_(pa.string()))}),
+        tmp_path / "lp.parquet")
+    import nacc_form_validator_ray.pipelines.queries as Q
+    orig = Q._linked_pages_path
+    Q._linked_pages_path = lambda sf: str(tmp_path / "lp.parquet")
+    try:
+        got = mining.q_host_boilerplate_frac("ignored").to_pandas() \
+            .set_index("host")
+    finally:
+        Q._linked_pages_path = orig
+    assert got.loc["a.com", "n_lines"] == 3
+    assert got.loc["a.com", "n_dup_lines"] == 2
+    assert got.loc["a.com", "dup_frac"] == pytest.approx(2 / 3)
+    assert got.loc["b.com", "n_dup_lines"] == 0
