@@ -973,6 +973,41 @@ MIN_QUERIES["langid_confusion"] = q_langid_confusion
 # market-basket co-purchase pairs over lineitem
 # --------------------------------------------------------------------------
 
+
+def _grouped_topk(partials_ds, key_cols, count_col, min_count, k,
+                  empty_dtypes, num_partitions=16):
+    """Shared tail of the count-then-top-k family (co-purchase,
+    skip-grams): ONE grouped-sum exchange on ``key_cols`` merges the
+    per-batch count partials, each partition applies the min-count
+    filter and keeps its local top-k by (count DESC, keys ASC) — the
+    twin's exact ORDER BY — and the driver re-applies the same
+    selection to the k x partitions candidates. Factored once so a
+    tie-break or empty-contract fix cannot drift between operators
+    (review finding)."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    order_cols = [count_col] + list(key_cols)
+    ascending = [False] + [True] * len(key_cols)
+
+    def topk_part(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return part
+        agg = part.groupby(list(key_cols),
+                           as_index=False)[count_col].sum()
+        agg = agg.loc[agg[count_col] >= min_count]
+        return agg.sort_values(order_cols, ascending=ascending,
+                               kind="stable").head(k)
+
+    cand = grouped_apply(partials_ds, list(key_cols), topk_part,
+                         num_partitions=num_partitions).to_pandas()
+    if cand.empty or key_cols[0] not in cand.columns:
+        return pd.DataFrame({c: pd.Series([], dtype=dt)
+                             for c, dt in empty_dtypes.items()})
+    return cand.sort_values(order_cols, ascending=ascending,
+                            kind="stable").head(k) \
+        .reset_index(drop=True).astype({count_col: np.int64})
+
+
 _COP_MIN_COUNT = 2
 _COP_TOPK = 100
 
@@ -1023,25 +1058,9 @@ def q_copurchase_part_pairs(sf_dir: str) -> pd.DataFrame:
         ds.map_batches(local_dedup, batch_format="pyarrow"),
         ["o"], basket_pairs, num_partitions=32)
 
-    def topk_part(part: pd.DataFrame) -> pd.DataFrame:
-        if part.empty:
-            return part
-        agg = part.groupby(["p1", "p2"], as_index=False)["cnt"].sum()
-        agg = agg.loc[agg["cnt"] >= _COP_MIN_COUNT]
-        return agg.sort_values(["cnt", "p1", "p2"],
-                               ascending=[False, True, True],
-                               kind="stable").head(_COP_TOPK)
-
-    cand = grouped_apply(pairs, ["p1", "p2"], topk_part,
-                         num_partitions=16).to_pandas()
-    if cand.empty or "p1" not in cand.columns:
-        return pd.DataFrame({"p1": pd.Series([], dtype=np.int64),
-                             "p2": pd.Series([], dtype=np.int64),
-                             "cnt": pd.Series([], dtype=np.int64)})
-    return cand.sort_values(["cnt", "p1", "p2"],
-                            ascending=[False, True, True],
-                            kind="stable").head(_COP_TOPK) \
-        .reset_index(drop=True).astype({"cnt": np.int64})
+    return _grouped_topk(
+        pairs, ["p1", "p2"], "cnt", _COP_MIN_COUNT, _COP_TOPK,
+        {"p1": np.int64, "p2": np.int64, "cnt": np.int64})
 
 
 MIN_QUERIES["copurchase_part_pairs"] = q_copurchase_part_pairs
@@ -1145,7 +1164,6 @@ def q_skipgram_counts(sf_dir: str) -> pd.DataFrame:
     top-k partials bound the driver merge."""
     import pyarrow as pa
 
-    from nacc_form_validator_ray.stages.partition import grouped_apply
     from nacc_form_validator_ray.stages.text_signals import \
         arrow_token_codes
 
@@ -1180,27 +1198,11 @@ def q_skipgram_counts(sf_dir: str) -> pd.DataFrame:
                          "w2": np.concatenate(w2),
                          "c": np.concatenate(cs)})
 
-    def topk_part(part: pd.DataFrame) -> pd.DataFrame:
-        if part.empty:
-            return part
-        agg = part.groupby(["w1", "w2"], as_index=False)["c"].sum()
-        agg = agg.loc[agg["c"] >= _SG_MIN_COUNT]
-        return agg.sort_values(["c", "w1", "w2"],
-                               ascending=[False, True, True],
-                               kind="stable").head(_SG_TOPK)
-
-    cand = grouped_apply(
+    return _grouped_topk(
         ds.map_batches(count_partial, batch_format="pyarrow"),
-        ["w1", "w2"], topk_part, num_partitions=32).to_pandas()
-    if cand.empty or "w1" not in cand.columns:
-        return pd.DataFrame({
-            "w1": pd.Series([], dtype=object),
-            "w2": pd.Series([], dtype=object),
-            "c": pd.Series([], dtype=np.int64)})
-    return cand.sort_values(["c", "w1", "w2"],
-                            ascending=[False, True, True],
-                            kind="stable").head(_SG_TOPK) \
-        .reset_index(drop=True).astype({"c": np.int64})
+        ["w1", "w2"], "c", _SG_MIN_COUNT, _SG_TOPK,
+        {"w1": object, "w2": object, "c": np.int64},
+        num_partitions=32)
 
 
 MIN_QUERIES["skipgram_counts"] = q_skipgram_counts
@@ -1400,12 +1402,20 @@ def q_minhash_verify_pairs(sf_dir: str) -> pd.DataFrame:
     pairs. The candidate set is dup-rate-bounded, so pulling it to the
     driver and fetching ONLY the involved documents (pushed-down is_in
     filter) is the lean plan; at corpus scale swap the driver join for
-    a hash join on id (stages/joins.py) — same semantics."""
+    a hash join on id (stages/joins.py) — same semantics.
+
+    The Jaccard here is computed over the true shingle STRING sets of
+    the (bounded) involved documents, not the engine's mod-P31 hash
+    sets — a hash collision would silently shrink a set and diverge
+    from both the twin and the real value (review finding); the
+    verify stage is exactly where that shortcut is not acceptable."""
+    import re
+
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from nacc_form_validator_ray.stages.dedup import (
-        _shingle_hashes, minhash_candidate_pairs)
+    from nacc_form_validator_ray.stages.dedup import \
+        minhash_candidate_pairs
 
     docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                               columns=["doc_id", "text"])
@@ -1423,12 +1433,12 @@ def q_minhash_verify_pairs(sf_dir: str) -> pd.DataFrame:
         lambda t: t.filter(pc.is_in(t["doc_id"],
                                     value_set=pa.array(ids))),
         batch_format="pyarrow").to_pandas()
-    n = len(involved)
-    doc_idx, hashes = _shingle_hashes(involved["text"], 3, n)
-    sets = {int(d): set() for d in involved["doc_id"]}
-    did = involved["doc_id"].to_numpy(np.int64)
-    for d, h in zip(doc_idx, hashes):
-        sets[int(did[d])].add(int(h))
+    tok_re = re.compile(r"[a-z0-9]+")
+    sets = {}
+    for did_v, text in zip(involved["doc_id"], involved["text"]):
+        toks = tok_re.findall((text or "").lower())
+        sets[int(did_v)] = {" ".join(toks[i:i + 3])
+                            for i in range(len(toks) - 2)}
     ja = []
     for a, b in zip(pairs["id_a"], pairs["id_b"]):
         sa, sb = sets[int(a)], sets[int(b)]
@@ -1614,8 +1624,9 @@ WITH m AS ({pack_sql}),
 s AS (SELECT seq_id, CAST(sum(n_tokens_span) AS BIGINT) AS tok
       FROM m GROUP BY seq_id),
 a AS (SELECT CAST(count(*) AS BIGINT) AS n_seqs,
-             CAST(sum(CASE WHEN tok = {_PACK_SEQ_LEN} THEN 1 ELSE 0
-                      END) AS BIGINT) AS n_full,
+             CAST(coalesce(sum(CASE WHEN tok = {_PACK_SEQ_LEN}
+                                    THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_full,
              CAST(coalesce(sum(tok), 0) AS BIGINT) AS total_tokens
       FROM s)
 SELECT n_seqs, n_full, total_tokens,

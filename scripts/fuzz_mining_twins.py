@@ -151,7 +151,9 @@ TABLE_QUERIES = ["priority_sample_docs", "corr_matrix_lineitem",
                  "unpivot_lineitem_measures", "event_pairs_within_hour",
                  "time_to_first_purchase", "user_type_gini",
                  "gap_histogram_events", "copurchase_part_pairs",
-                 "skipgram_counts", "langid_confusion"]
+                 "skipgram_counts", "langid_confusion",
+                 "dedup_cluster_sizes", "minhash_verify_pairs",
+                 "pack_efficiency"]
 #: linked-page family (twins are path-parameterized)
 LINKED_QUERIES = ["containment_pairs_pages", "cap_docs_per_host",
                   "url_structure_stats", "host_components",
@@ -176,9 +178,11 @@ def compare(name, got, want, rnd, d):
 def main() -> int:
     bad = 0
     oracle = dict(MIN_ORACLE_SQL)
-    oracle["langid_confusion"] = \
-        Q.ORACLE_SQL["langid_confusion"]
-    oracle["dedup_cluster_sizes"] = Q.ORACLE_SQL["dedup_cluster_sizes"]
+    # these four are registered at queries.py's bottom (they wrap SQL
+    # constants owned by that module)
+    for k in ("langid_confusion", "dedup_cluster_sizes",
+              "minhash_verify_pairs", "pack_efficiency"):
+        oracle[k] = Q.ORACLE_SQL[k]
     for rnd in range(ROUNDS):
         d = tempfile.mkdtemp(prefix="fuzz_min_")
         gen_tables(d)
