@@ -1639,3 +1639,327 @@ FROM a
 
 
 MIN_QUERIES["pack_efficiency"] = q_pack_efficiency
+
+
+# --------------------------------------------------------------------------
+# Pareto revenue cut (ABC analysis over parts)
+# --------------------------------------------------------------------------
+
+
+def q_pareto_revenue_cut(sf_dir: str) -> pd.DataFrame:
+    """ABC / Pareto analysis: how many parts (by descending revenue)
+    cover half of total revenue. Revenue rides the repo's TPC-H money
+    grid (price_c * (100 - disc_c), exact int64). The per-part
+    aggregation is ONE partkey exchange of per-batch partials; the
+    part-level table is then pulled (bounded by |parts|; at larger
+    part universes run the cumsum on stages/ranking.py's ONE range
+    exchange instead) and the prefix statistic computed once.
+
+    ``n_parts_half`` is DEFINED as (# prefix positions with
+    2*cum < total) + 1 over the (revenue DESC, partkey) order, capped
+    at the part count — identical on both engines even when negative
+    fuzz revenues make the cumsum non-monotonic (then it is an upper
+    bound of the minimal crossing prefix, not the minimum itself)."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        price_c = np.floor(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        disc_c = np.floor(t["l_discount"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"l_partkey": pk,
+                           "rev": price_c * (100 - disc_c)})
+        return df.groupby("l_partkey", as_index=False).sum()
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return pd.DataFrame({
+                "l_partkey": pd.Series([], dtype=np.int64),
+                "rev": pd.Series([], dtype=np.int64)})
+        return part.groupby("l_partkey", as_index=False)["rev"].sum()
+
+    parts = grouped_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_partkey"], per_part, num_partitions=16).to_pandas()
+    if parts.empty or "l_partkey" not in parts.columns:
+        return pd.DataFrame({
+            "n_parts_half": pd.Series([0], dtype=np.int64),
+            "n_parts_total": pd.Series([0], dtype=np.int64),
+            "total_rev": pd.Series([0], dtype=np.int64)})
+    parts = parts.sort_values(["rev", "l_partkey"],
+                              ascending=[False, True], kind="stable")
+    rev = parts["rev"].to_numpy(np.int64)
+    total = int(rev.sum())
+    cum = np.cumsum(rev)
+    k = int((2 * cum < total).sum()) + 1
+    k = min(k, len(rev))
+    return pd.DataFrame({
+        "n_parts_half": pd.Series([k], dtype=np.int64),
+        "n_parts_total": pd.Series([len(rev)], dtype=np.int64),
+        "total_rev": pd.Series([total], dtype=np.int64)})
+
+
+MIN_QUERIES["pareto_revenue_cut"] = q_pareto_revenue_cut
+MIN_ORACLE_SQL["pareto_revenue_cut"] = """
+WITH r AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                AS BIGINT))) AS BIGINT) AS rev
+  FROM lineitem GROUP BY l_partkey),
+t AS (SELECT CAST(coalesce(sum(rev), 0) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS np FROM r),
+c AS (SELECT rev,
+             sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM r)
+SELECT CASE WHEN t.np = 0 THEN CAST(0 AS BIGINT)
+            ELSE least(CAST((SELECT count(*) FROM c, t
+                             WHERE 2 * c.cum < t.total) AS BIGINT)
+                       + 1, t.np) END AS n_parts_half,
+       t.np AS n_parts_total, t.total AS total_rev
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# next-word top-1 (grouped argmax over bigram counts)
+# --------------------------------------------------------------------------
+
+_NW_MIN_COUNT = 5
+
+
+def q_next_word_top1(sf_dir: str) -> pd.DataFrame:
+    """Most frequent next word per word (the autocomplete/bigram-LM
+    argmax): for each w1, the w2 with the highest adjacent-bigram
+    count, ties broken lexicographically, kept where the winning count
+    >= 5. The grouped-argmax shape: per-batch dictionary-coded bigram
+    count partials, ONE exchange on w1 ALONE (so every w2 for a word
+    co-locates), per-partition merge + stable argmax."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def count_partial(t: "pa.Table") -> "pa.Table":
+        codes, dictionary, tok_doc, _ = arrow_token_codes(t["text"])
+        empty = pa.table({"w1": pa.array([], type=pa.string()),
+                          "w2": pa.array([], type=pa.string()),
+                          "c": pa.array([], type=pa.int64())})
+        if dictionary is None or len(codes) < 2:
+            return empty
+        toks = dictionary.to_numpy(zero_copy_only=False)
+        same_doc = tok_doc[1:] == tok_doc[:-1]
+        if not same_doc.any():
+            return empty
+        a = codes[:-1][same_doc].astype(np.int64)
+        b = codes[1:][same_doc].astype(np.int64)
+        pair = (a << 32) | b
+        up, pcnt = np.unique(pair, return_counts=True)
+        return pa.table({"w1": toks[(up >> 32).astype(np.int64)],
+                         "w2": toks[(up & 0xFFFFFFFF).astype(np.int64)],
+                         "c": pcnt.astype(np.int64)})
+
+    def argmax_part(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"w1": pd.Series([], dtype=object),
+                              "w2": pd.Series([], dtype=object),
+                              "c": pd.Series([], dtype=np.int64)})
+        if part.empty:
+            return empty
+        agg = part.groupby(["w1", "w2"], as_index=False)["c"].sum()
+        agg = agg.sort_values(["w1", "c", "w2"],
+                              ascending=[True, False, True],
+                              kind="stable")
+        top = agg.drop_duplicates("w1", keep="first")
+        top = top.loc[top["c"] >= _NW_MIN_COUNT]
+        return top if len(top) else empty
+
+    out = grouped_apply(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["w1"], argmax_part, num_partitions=32).to_pandas()
+    if out.empty or "w1" not in out.columns:
+        return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                             "w2": pd.Series([], dtype=object),
+                             "c": pd.Series([], dtype=np.int64)})
+    return out.sort_values("w1").reset_index(drop=True) \
+        .astype({"c": np.int64})
+
+
+MIN_QUERIES["next_word_top1"] = q_next_word_top1
+MIN_ORACLE_SQL["next_word_top1"] = f"""
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '[a-z]+') AS toks
+  FROM documents),
+bg AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+       FROM bg GROUP BY w1, w2),
+rk AS (SELECT w1, w2, c,
+              row_number() OVER (PARTITION BY w1
+                                 ORDER BY c DESC, w2) AS rn
+       FROM bc)
+SELECT w1, w2, c FROM rk WHERE rn = 1 AND c >= {_NW_MIN_COUNT}
+"""
+
+
+# --------------------------------------------------------------------------
+# per-type percent rank of event values
+# --------------------------------------------------------------------------
+
+
+def q_value_percent_rank_events(sf_dir: str):
+    """PERCENT_RANK of every event's value within its event type:
+    (rank - 1) / (n - 1) with rank = 1 + count of strictly smaller
+    values (SQL min-rank tie semantics), single-row groups pinned to
+    0.0. Values are compared as raw parquet doubles (no arithmetic —
+    comparison is exact); nulls are a defined 0.0 class on both
+    engines. ONE hash exchange on event_type; per-partition sort +
+    searchsorted ranks every row of a type at once. Partitions are
+    whole types by construction (percentiles need the full group);
+    for high-cardinality value axes at scale, the range-exchange
+    global-ranking fabric (stages/ranking.py) is the alternative."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+
+    def project(t: "pa.Table") -> pd.DataFrame:
+        import pyarrow.compute as pc
+        return pd.DataFrame({
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            "event_type": t["event_type"].to_pandas().fillna(""),
+            "value": pc.fill_null(t["value"], 0.0)
+                .to_numpy(zero_copy_only=False).astype(np.float64)})
+
+    def per_type(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype=np.int64),
+            "event_type": pd.Series([], dtype=object),
+            "pct_rank": pd.Series([], dtype=np.float64)})
+        if part.empty:
+            return empty
+        outs = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g["value"].to_numpy(np.float64)
+            n = len(v)
+            sv = np.sort(v)
+            if n == 1:
+                pr = np.zeros(1)
+            else:
+                rk = np.searchsorted(sv, v, "left").astype(np.int64)
+                pr = rk.astype(np.float64) / np.float64(n - 1)
+            outs.append(pd.DataFrame({
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "event_type": et, "pct_rank": pr}))
+        return pd.concat(outs, ignore_index=True)
+
+    return grouped_apply(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["event_type"], per_type, num_partitions=8)
+
+
+MIN_QUERIES["value_percent_rank_events"] = q_value_percent_rank_events
+MIN_ORACLE_SQL["value_percent_rank_events"] = """
+WITH e AS (SELECT event_id, coalesce(event_type, '') AS event_type,
+                  coalesce(value, 0.0) AS v
+           FROM events),
+r AS (SELECT event_id, event_type,
+             rank() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e)
+SELECT event_id, event_type,
+       CASE WHEN n = 1 THEN 0.0
+            ELSE CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END
+           AS pct_rank
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# URL query-parameter key profile per host
+# --------------------------------------------------------------------------
+
+
+def q_query_param_keys(sf_dir: str) -> pd.DataFrame:
+    """Per-host URL query-parameter key counts: for each host, how
+    often each parameter key appears across its page URLs — the
+    crawl-parameterization profile (session ids and tracking params
+    surface here before URL canonicalization rules are written).
+    Fully Arrow: slice the query string, split on '&', strip '=...';
+    per-batch combiner rows ride the driver merge (hosts x keys is
+    the small side)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.queries import (
+        _linked_pages_path, _merge_partials)
+    from nacc_form_validator_ray.stages.graph import _host_of
+
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["url"])
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        url = pc.fill_null(t["url"], "")
+        host = _host_of(url, pc).to_numpy(zero_copy_only=False)
+        ext = pc.extract_regex(url, r"\?(?P<q>[^#]*)")
+        if isinstance(ext, pa.ChunkedArray):
+            ext = ext.combine_chunks()
+        q = pc.fill_null(pc.struct_field(ext, "q"), "")
+        parts = pc.split_pattern(q, "&")
+        counts = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(parts)
+        keys = pc.replace_substring_regex(flat, r"=.*$", "") \
+            .to_numpy(zero_copy_only=False)
+        hrep = host[np.repeat(np.arange(len(t), dtype=np.int64),
+                              counts)]
+        df = pd.DataFrame({"host": hrep, "param_key": keys})
+        df = df.loc[df["param_key"] != ""]
+        df["n"] = 1
+        return df.groupby(["host", "param_key"], as_index=False).sum()
+
+    out = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["host", "param_key"], {"n": "sum"})
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["host", "param_key"]) \
+        .reset_index(drop=True)
+
+
+def sql_query_param_keys(path: str,
+                         sql_url_norm: str | None = None) -> str:
+    host = sql_url_norm.format(u="url")
+    return f"""
+WITH pg AS (SELECT coalesce(url, '') AS url
+            FROM read_parquet('{path}')),
+s AS (SELECT {host} AS host,
+             coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS q
+      FROM pg),
+ks AS (SELECT host,
+              regexp_replace(unnest(string_split(q, '&')),
+                             '=.*$', '') AS param_key
+       FROM s),
+c AS (SELECT host, param_key, CAST(count(*) AS BIGINT) AS n
+      FROM ks WHERE param_key <> '' GROUP BY host, param_key)
+SELECT host, param_key, n FROM c
+"""
+
+
+MIN_QUERIES["query_param_keys"] = q_query_param_keys
+MIN_LINKED_SQL["query_param_keys"] = sql_query_param_keys

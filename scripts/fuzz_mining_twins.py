@@ -153,11 +153,13 @@ TABLE_QUERIES = ["priority_sample_docs", "corr_matrix_lineitem",
                  "gap_histogram_events", "copurchase_part_pairs",
                  "skipgram_counts", "langid_confusion",
                  "dedup_cluster_sizes", "minhash_verify_pairs",
-                 "pack_efficiency"]
+                 "pack_efficiency", "pareto_revenue_cut",
+                 "next_word_top1", "value_percent_rank_events"]
 #: linked-page family (twins are path-parameterized)
 LINKED_QUERIES = ["containment_pairs_pages", "cap_docs_per_host",
                   "url_structure_stats", "host_components",
-                  "mutual_host_links", "host_degree_assortativity"]
+                  "mutual_host_links", "host_degree_assortativity",
+                  "host_boilerplate_frac", "query_param_keys"]
 
 
 def compare(name, got, want, rnd, d):

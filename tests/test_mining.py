@@ -668,3 +668,78 @@ def test_host_boilerplate_frac_counts_dup_occurrences(tmp_path):
     assert got.loc["a.com", "n_dup_lines"] == 2
     assert got.loc["a.com", "dup_frac"] == pytest.approx(2 / 3)
     assert got.loc["b.com", "n_dup_lines"] == 0
+
+
+# ---------------------------- batch 9 --------------------------------
+
+def test_pareto_revenue_cut_known_split(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_pareto_revenue_cut
+
+    # parts revenue (price*100-grid, no discount): 50, 30, 15, 5 ->
+    # total 100: prefix sums 50,80 -> 2*50 >= 100 already, k = 1
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "l_extendedprice": pa.array([50.0, 30.0, 15.0, 5.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0])}),
+        tmp_path / "lineitem.parquet")
+    got = q_pareto_revenue_cut(str(tmp_path))
+    assert got.loc[0, "n_parts_half"] == 1
+    assert got.loc[0, "n_parts_total"] == 4
+    assert got.loc[0, "total_rev"] == 100 * 100 * 100  # cents * (100-0)
+
+
+def test_percent_rank_ties_and_singletons(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_value_percent_rank_events
+
+    rows = [(1, "a", 5.0), (2, "a", 5.0), (3, "a", 9.0),
+            (4, "b", 1.0)]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([0] * 4, pa.int64()),
+        "event_type": [r[1] for r in rows],
+        "ts": pa.array([np.datetime64("2026-01-01", "us")] * 4,
+                       pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows]),
+        "props": ["{}"] * 4}), tmp_path / "events.parquet")
+    got = q_value_percent_rank_events(str(tmp_path)).to_pandas() \
+        .set_index("event_id")
+    # ties share the min rank: both 5.0 rows get (1-1)/(3-1) = 0.0
+    assert got.loc[1, "pct_rank"] == 0.0
+    assert got.loc[2, "pct_rank"] == 0.0
+    assert got.loc[3, "pct_rank"] == 1.0
+    assert got.loc[4, "pct_rank"] == 0.0  # singleton group pinned
+
+
+def test_query_param_keys_parsing(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines import mining
+
+    urls = ["https://a.com/p?id=1&utm=x",
+            "https://a.com/q?id=2",
+            "https://a.com/r",          # no query
+            "https://b.com/s?flag"]     # bare key without '='
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()), "url": urls,
+        "text": ["x"] * 4,
+        "links": pa.array([[]] * 4, pa.list_(pa.string()))}),
+        tmp_path / "lp.parquet")
+    import nacc_form_validator_ray.pipelines.queries as Q
+    orig = Q._linked_pages_path
+    Q._linked_pages_path = lambda sf: str(tmp_path / "lp.parquet")
+    try:
+        got = mining.q_query_param_keys("ignored")
+    finally:
+        Q._linked_pages_path = orig
+    d = {(r.host, r.param_key): r.n for r in got.itertuples()}
+    assert d == {("a.com", "id"): 2, ("a.com", "utm"): 1,
+                 ("b.com", "flag"): 1}
