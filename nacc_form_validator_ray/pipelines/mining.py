@@ -1963,3 +1963,252 @@ SELECT host, param_key, n FROM c
 
 MIN_QUERIES["query_param_keys"] = q_query_param_keys
 MIN_LINKED_SQL["query_param_keys"] = sql_query_param_keys
+
+
+# --------------------------------------------------------------------------
+# weighted median price (quantity-weighted, cumulative-weight crossing)
+# --------------------------------------------------------------------------
+
+
+def q_weighted_median_price(sf_dir: str) -> pd.DataFrame:
+    """Quantity-weighted median of the dollar-grid extended price:
+    the smallest price whose cumulative weight reaches half the total
+    — the robust price statistic (plain median ignores volume).
+    Weights are quantity cents clamped at 0 (negative fuzz quantities
+    would make the cumulative axis non-monotonic), so the crossing
+    rule ``first price with 2*cum >= total`` is identical and exact
+    on both engines; ``total <= 0`` pins the median to 0.
+
+    Shape: per-batch (price, weight) grouped partials; the distinct
+    dollar-grid price axis is the bounded side, so the driver merges
+    it directly (route through a price exchange if the grid ever
+    outgrows the driver)."""
+    import pyarrow as pa
+
+    ds = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_extendedprice", "l_quantity"])
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        price_d = np.floor(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) + 0.5).astype(np.int64)
+        qc = np.floor(t["l_quantity"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        w = np.maximum(qc, 0)
+        df = pd.DataFrame({"price_d": price_d, "w": w})
+        return df.groupby("price_d", as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame({
+        "weighted_median_price_d": pd.Series([0], dtype=np.int64),
+        "total_weight": pd.Series([0], dtype=np.int64)})
+    if parts.empty or "price_d" not in parts.columns:
+        return empty
+    g = parts.groupby("price_d", as_index=True)["w"].sum().sort_index()
+    total = int(g.sum())
+    if total <= 0:
+        return empty
+    cum = np.cumsum(g.to_numpy(np.int64))
+    idx = int(np.searchsorted(2 * cum, total, "left"))
+    med = int(g.index.to_numpy(np.int64)[idx])
+    return pd.DataFrame({
+        "weighted_median_price_d": pd.Series([med], dtype=np.int64),
+        "total_weight": pd.Series([total], dtype=np.int64)})
+
+
+MIN_QUERIES["weighted_median_price"] = q_weighted_median_price
+MIN_ORACLE_SQL["weighted_median_price"] = """
+WITH p AS (
+  SELECT CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS price_d,
+         greatest(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT), 0)
+             AS w
+  FROM lineitem),
+g AS (SELECT price_d, CAST(sum(w) AS BIGINT) AS w
+      FROM p GROUP BY price_d),
+t AS (SELECT CAST(coalesce(sum(w), 0) AS BIGINT) AS total FROM g),
+c AS (SELECT price_d,
+             sum(w) OVER (ORDER BY price_d
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM g)
+SELECT CASE WHEN t.total <= 0 THEN CAST(0 AS BIGINT)
+            ELSE (SELECT min(price_d) FROM c
+                  WHERE 2 * c.cum >= t.total) END
+           AS weighted_median_price_d,
+       CASE WHEN t.total <= 0 THEN CAST(0 AS BIGINT)
+            ELSE t.total END AS total_weight
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# MAD outliers per event type (robust statistics)
+# --------------------------------------------------------------------------
+
+
+def q_mad_outliers_events(sf_dir: str):
+    """Robust outlier detection per event type: flag events whose
+    cent-grid value deviates from the type's median by more than
+    3x the median absolute deviation — the robust-statistics sibling
+    of z-score outliers (user_outlier_events), immune to the outliers
+    it hunts. Both medians are the LOWER median (sorted value at
+    1-indexed position (n+1)//2) so everything stays integer-exact;
+    the 3*MAD gate is an integer comparison. ONE hash exchange on
+    event_type; each partition holds whole types (order statistics
+    need the full group) and ranks a type with two sorts."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type", "value"])
+
+    def project(t: "pa.Table") -> pd.DataFrame:
+        import pyarrow.compute as pc
+        return pd.DataFrame({
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            "event_type": t["event_type"].to_pandas().fillna(""),
+            "value_c": np.floor(
+                pc.fill_null(t["value"], 0.0)
+                .to_numpy(zero_copy_only=False) * 100 + 0.5)
+                .astype(np.int64)})
+
+    def per_type(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype=np.int64),
+            "event_type": pd.Series([], dtype=object),
+            "value_c": pd.Series([], dtype=np.int64),
+            "med_c": pd.Series([], dtype=np.int64),
+            "mad_c": pd.Series([], dtype=np.int64)})
+        if part.empty:
+            return empty
+        outs = []
+        for et, g in part.groupby("event_type", sort=False):
+            v = g["value_c"].to_numpy(np.int64)
+            n = len(v)
+            med = int(np.sort(v)[(n + 1) // 2 - 1])
+            dev = np.abs(v - med)
+            mad = int(np.sort(dev)[(n + 1) // 2 - 1])
+            keep = dev > 3 * mad
+            if not keep.any():
+                continue
+            outs.append(pd.DataFrame({
+                "event_id": g["event_id"].to_numpy(np.int64)[keep],
+                "event_type": et,
+                "value_c": v[keep],
+                "med_c": np.int64(med), "mad_c": np.int64(mad)}))
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
+
+    return grouped_apply(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["event_type"], per_type, num_partitions=8)
+
+
+MIN_QUERIES["mad_outliers_events"] = q_mad_outliers_events
+MIN_ORACLE_SQL["mad_outliers_events"] = """
+WITH e AS (
+  SELECT event_id, coalesce(event_type, '') AS event_type,
+         CAST(floor(coalesce(value, 0.0) * 100 + 0.5) AS BIGINT) AS v
+  FROM events),
+m AS (
+  SELECT event_type, v AS med FROM (
+    SELECT event_type, v,
+           row_number() OVER (PARTITION BY event_type ORDER BY v)
+               AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM e) WHERE rn = (n + 1) // 2),
+d AS (
+  SELECT e.event_id, e.event_type, e.v, m.med,
+         abs(e.v - m.med) AS dev
+  FROM e JOIN m ON m.event_type = e.event_type),
+md AS (
+  SELECT event_type, dev AS mad FROM (
+    SELECT event_type, dev,
+           row_number() OVER (PARTITION BY event_type ORDER BY dev)
+               AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM d) WHERE rn = (n + 1) // 2)
+SELECT d.event_id, d.event_type, d.v AS value_c,
+       d.med AS med_c, md.mad AS mad_c
+FROM d JOIN md ON md.event_type = d.event_type
+WHERE d.dev > 3 * md.mad
+"""
+
+
+# --------------------------------------------------------------------------
+# session-length histogram
+# --------------------------------------------------------------------------
+
+
+def q_session_length_histogram(sf_dir: str) -> pd.DataFrame:
+    """Distribution of session sizes: how many 30-min-gap sessions
+    contain 1, 2, 3... events — the engagement-shape readout over the
+    oracled sessionization (its output is one row per session; the
+    histogram is two bounded groupbys, exchange-routed at corpus
+    scale like dedup_cluster_sizes)."""
+    from nacc_form_validator_ray.pipelines.queries import QUERIES
+
+    sessions = QUERIES["user_sessions"](sf_dir)
+    if hasattr(sessions, "to_pandas"):
+        sessions = sessions.to_pandas()
+    if sessions.empty or "n_events" not in sessions.columns:
+        return pd.DataFrame({
+            "n_events": pd.Series([], dtype=np.int64),
+            "n_sessions": pd.Series([], dtype=np.int64)})
+    hist = sessions.groupby("n_events").size().sort_index()
+    return pd.DataFrame({
+        "n_events": hist.index.to_numpy(np.int64),
+        "n_sessions": hist.to_numpy(np.int64)})
+
+
+def sql_session_length_histogram(sessions_sql: str) -> str:
+    return f"""
+WITH s AS ({sessions_sql})
+SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions
+FROM s GROUP BY n_events
+"""
+
+
+MIN_QUERIES["session_length_histogram"] = q_session_length_histogram
+
+
+# --------------------------------------------------------------------------
+# host reciprocity (see stages/graph.host_reciprocity)
+# --------------------------------------------------------------------------
+
+
+def q_host_reciprocity(sf_dir: str) -> pd.DataFrame:
+    from nacc_form_validator_ray.pipelines.queries import \
+        _linked_pages_path
+    from nacc_form_validator_ray.stages.graph import host_reciprocity
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["url", "links"])
+    return host_reciprocity(ds)
+
+
+def sql_host_reciprocity(path: str,
+                         sql_url_norm: str | None = None) -> str:
+    host_url = sql_url_norm.format(u="url")
+    host_lk = sql_url_norm.format(u="lk")
+    return f"""
+WITH pg AS (SELECT url, links FROM read_parquet('{path}')),
+e0 AS (SELECT {host_url} AS src, unnest(links) AS lk FROM pg),
+e1 AS (SELECT DISTINCT src, {host_lk} AS dst FROM e0
+       WHERE src <> {host_lk}),
+ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM e1),
+mu AS (SELECT CAST(count(*) AS BIGINT) AS n_mutual
+       FROM e1 x JOIN e1 y ON y.src = x.dst AND y.dst = x.src
+       WHERE x.src < x.dst),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM ed)
+SELECT np.n_pairs, mu.n_mutual,
+       CASE WHEN np.n_pairs = 0 THEN 0.0
+            ELSE CAST(mu.n_mutual AS DOUBLE)
+                 / CAST(np.n_pairs AS DOUBLE) END AS reciprocity
+FROM np, mu
+"""
+
+
+MIN_QUERIES["host_reciprocity"] = q_host_reciprocity
+MIN_LINKED_SQL["host_reciprocity"] = sql_host_reciprocity

@@ -7096,3 +7096,9 @@ ORACLE_SQL["minhash_verify_pairs"] = \
     sql_minhash_verify_pairs(ORACLE_SQL["minhash_pairs"])
 ORACLE_SQL["pack_efficiency"] = \
     sql_pack_efficiency(SQL_PACK_SEQUENCES)
+
+from nacc_form_validator_ray.pipelines.mining import \
+    sql_session_length_histogram
+
+ORACLE_SQL["session_length_histogram"] = \
+    sql_session_length_histogram(SQL_USER_SESSIONS)

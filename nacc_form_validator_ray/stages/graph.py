@@ -902,3 +902,48 @@ def host_degree_assortativity(ds, url_column: str = "url",
         r = num / den
     return pd.DataFrame({"n_pairs": pd.Series([n], dtype=np.int64),
                          "assortativity": pd.Series([r])})
+
+
+def host_reciprocity(ds, url_column: str = "url",
+                     links_column: str = "links",
+                     num_partitions: int = 32) -> "pd.DataFrame":
+    """Link reciprocity of the directed host graph: the fraction of
+    undirected host pairs with edges in BOTH directions — the global
+    scalar behind mutual_host_links (link-farm corpora score high).
+    ONE canonical-pair exchange carrying orientation flags; each
+    partition emits a 2-int partial (pairs seen, mutual pairs); the
+    driver sum and the ratio division are exact. Empty graphs return
+    the defined (0, 0, 0.0) row."""
+    import pandas as pd
+
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    def count_part(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return pd.DataFrame({
+                "n_pairs": pd.Series([], dtype=np.int64),
+                "n_mutual": pd.Series([], dtype=np.int64)})
+        part = part.drop_duplicates(["a", "b", "fwd"])
+        g = part.groupby(["a", "b"])["fwd"].nunique()
+        return pd.DataFrame({
+            "n_pairs": [np.int64(len(g))],
+            "n_mutual": [np.int64(int((g == 2).sum()))]})
+
+    parts = grouped_apply(
+        ds.map_batches(
+            lambda t: _canonical_edge_frame(t, url_column,
+                                            links_column,
+                                            with_orientation=True),
+            batch_format="pyarrow"),
+        ["a", "b"], count_part,
+        num_partitions=num_partitions).to_pandas()
+    if parts.empty or "n_pairs" not in parts.columns:
+        n_pairs = n_mutual = 0
+    else:
+        n_pairs = int(parts["n_pairs"].sum())
+        n_mutual = int(parts["n_mutual"].sum())
+    rec = (float(n_mutual) / float(n_pairs)) if n_pairs else 0.0
+    return pd.DataFrame({
+        "n_pairs": pd.Series([n_pairs], dtype=np.int64),
+        "n_mutual": pd.Series([n_mutual], dtype=np.int64),
+        "reciprocity": pd.Series([rec], dtype=np.float64)})

@@ -154,12 +154,15 @@ TABLE_QUERIES = ["priority_sample_docs", "corr_matrix_lineitem",
                  "skipgram_counts", "langid_confusion",
                  "dedup_cluster_sizes", "minhash_verify_pairs",
                  "pack_efficiency", "pareto_revenue_cut",
-                 "next_word_top1", "value_percent_rank_events"]
+                 "next_word_top1", "value_percent_rank_events",
+                 "weighted_median_price", "mad_outliers_events",
+                 "session_length_histogram"]
 #: linked-page family (twins are path-parameterized)
 LINKED_QUERIES = ["containment_pairs_pages", "cap_docs_per_host",
                   "url_structure_stats", "host_components",
                   "mutual_host_links", "host_degree_assortativity",
-                  "host_boilerplate_frac", "query_param_keys"]
+                  "host_boilerplate_frac", "query_param_keys",
+                  "host_reciprocity"]
 
 
 def compare(name, got, want, rnd, d):
@@ -183,7 +186,8 @@ def main() -> int:
     # these four are registered at queries.py's bottom (they wrap SQL
     # constants owned by that module)
     for k in ("langid_confusion", "dedup_cluster_sizes",
-              "minhash_verify_pairs", "pack_efficiency"):
+              "minhash_verify_pairs", "pack_efficiency",
+              "session_length_histogram"):
         oracle[k] = Q.ORACLE_SQL[k]
     for rnd in range(ROUNDS):
         d = tempfile.mkdtemp(prefix="fuzz_min_")

@@ -743,3 +743,74 @@ def test_query_param_keys_parsing(tmp_path):
     d = {(r.host, r.param_key): r.n for r in got.itertuples()}
     assert d == {("a.com", "id"): 2, ("a.com", "utm"): 1,
                  ("b.com", "flag"): 1}
+
+
+# ---------------------------- batch 10 -------------------------------
+
+def test_weighted_median_crossing(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_weighted_median_price
+
+    # prices 10,20,30 with quantity weights 1,1,3 (cents 100,100,300):
+    # cum = 100,200,500; total 500 -> 2*cum: 200,400,1000 — the
+    # half-weight point (250) falls in 30's block, so 30 is the
+    # weighted median
+    pq.write_table(pa.table({
+        "l_extendedprice": pa.array([10.0, 20.0, 30.0]),
+        "l_quantity": pa.array([1.0, 1.0, 3.0])}),
+        tmp_path / "lineitem.parquet")
+    got = q_weighted_median_price(str(tmp_path))
+    assert got.loc[0, "weighted_median_price_d"] == 30
+    assert got.loc[0, "total_weight"] == 500
+    # balanced case: weights 1,2,1 -> 2*cum: 200,600,800 vs total 400
+    # crosses at the middle price
+    import pyarrow.parquet as pq2
+    pq2.write_table(pa.table({
+        "l_extendedprice": pa.array([10.0, 20.0, 30.0]),
+        "l_quantity": pa.array([1.0, 2.0, 1.0])}),
+        tmp_path / "lineitem.parquet")
+    got = q_weighted_median_price(str(tmp_path))
+    assert got.loc[0, "weighted_median_price_d"] == 20
+
+
+def test_mad_outliers_lower_median_and_gate(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_mad_outliers_events
+
+    # type 'a' values (cents): 100,100,102,104,1000
+    # lower median = 102; devs = 2,2,0,2,898; MAD (lower median of
+    # sorted devs 0,2,2,2,898) = 2; gate 3*2=6 -> only 1000 flagged
+    vals = [1.0, 1.0, 1.02, 1.04, 10.0]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "user_id": pa.array([0] * 5, pa.int64()),
+        "event_type": ["a"] * 5,
+        "ts": pa.array([np.datetime64("2026-01-01", "us")] * 5,
+                       pa.timestamp("us")),
+        "value": pa.array(vals), "props": ["{}"] * 5}),
+        tmp_path / "events.parquet")
+    got = q_mad_outliers_events(str(tmp_path)).to_pandas()
+    assert list(got["event_id"]) == [4]
+    assert got.loc[0, "med_c"] == 102
+    assert got.loc[0, "mad_c"] == 2
+
+
+def test_host_reciprocity_counts():
+    from nacc_form_validator_ray.stages.graph import host_reciprocity
+
+    ds = _page_ds([
+        ("https://a.com/1", ["https://b.com/x", "https://c.com/x"]),
+        ("https://b.com/1", ["https://a.com/y"]),
+        ("https://c.com/1", []),
+    ])
+    got = host_reciprocity(ds)
+    # pairs: (a,b) mutual, (a,c) one-way -> 1 of 2
+    assert got.loc[0, "n_pairs"] == 2
+    assert got.loc[0, "n_mutual"] == 1
+    assert got.loc[0, "reciprocity"] == 0.5
