@@ -440,13 +440,32 @@ def q_mutual_host_links(sf_dir: str) -> pd.DataFrame:
     return mutual_host_links(ds)
 
 
+def _sql_edge_ctes(path: str, sql_url_norm: str,
+                   distinct_directed: bool = False) -> str:
+    """Shared pg/e0/e1/ed CTE prologue of every host-graph twin
+    (host normalization, link flattening, self-loop drop, canonical
+    undirected pairs) — factored once so an edge-semantics fix cannot
+    drift between the four graph twins (review finding).
+    ``distinct_directed`` dedups e1 (mutual/reciprocity join on it;
+    the aggregate twins don't need the extra distinct)."""
+    host_url = sql_url_norm.format(u="url")
+    host_lk = sql_url_norm.format(u="lk")
+    dis = "DISTINCT " if distinct_directed else ""
+    return f"""
+WITH pg AS (SELECT url, links FROM read_parquet('{path}')),
+e0 AS (SELECT {host_url} AS src, unnest(links) AS lk FROM pg),
+e1 AS (SELECT {dis}src, {host_lk} AS dst FROM e0
+       WHERE src <> {host_lk}),
+ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM e1)"""
+
+
 def sql_host_components(path: str, rounds: int = 6,
                         sql_url_norm: str | None = None) -> str:
     """Twin: the SAME fixed-round shortcutted update
     lbl' = least(lbl, min neighbor lbl, lbl(lbl)) as chained
     MATERIALIZED CTEs."""
     host_url = sql_url_norm.format(u="url")
-    host_lk = sql_url_norm.format(u="lk")
     iters = []
     for k in range(1, rounds + 1):
         iters.append(f"""
@@ -462,11 +481,7 @@ l{k} AS MATERIALIZED (
   GROUP BY n.host, n.lbl
 )""")
     return f"""
-WITH pg AS (SELECT url, links FROM read_parquet('{path}')),
-e0 AS (SELECT {host_url} AS src, unnest(links) AS lk FROM pg),
-e1 AS (SELECT src, {host_lk} AS dst FROM e0 WHERE src <> {host_lk}),
-ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-       FROM e1),
+{_sql_edge_ctes(path, sql_url_norm)},
 nodes AS (SELECT DISTINCT {host_url} AS host FROM pg
           UNION SELECT a FROM ed UNION SELECT b FROM ed),
 nb AS (SELECT a AS u, b AS v FROM ed
@@ -479,13 +494,8 @@ SELECT host, lbl AS component FROM l{rounds}
 
 def sql_mutual_host_links(path: str,
                           sql_url_norm: str | None = None) -> str:
-    host_url = sql_url_norm.format(u="url")
-    host_lk = sql_url_norm.format(u="lk")
     return f"""
-WITH pg AS (SELECT url, links FROM read_parquet('{path}')),
-e0 AS (SELECT {host_url} AS src, unnest(links) AS lk FROM pg),
-e1 AS (SELECT DISTINCT src, {host_lk} AS dst FROM e0
-       WHERE src <> {host_lk}),
+{_sql_edge_ctes(path, sql_url_norm, distinct_directed=True)},
 m AS (SELECT x.src AS a, x.dst AS b
       FROM e1 x JOIN e1 y ON y.src = x.dst AND y.dst = x.src
       WHERE x.src < x.dst)
@@ -801,14 +811,8 @@ def q_host_degree_assortativity(sf_dir: str) -> pd.DataFrame:
 
 def sql_host_degree_assortativity(path: str,
                                   sql_url_norm: str | None = None) -> str:
-    host_url = sql_url_norm.format(u="url")
-    host_lk = sql_url_norm.format(u="lk")
     return f"""
-WITH pg AS (SELECT url, links FROM read_parquet('{path}')),
-e0 AS (SELECT {host_url} AS src, unnest(links) AS lk FROM pg),
-e1 AS (SELECT src, {host_lk} AS dst FROM e0 WHERE src <> {host_lk}),
-ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-       FROM e1),
+{_sql_edge_ctes(path, sql_url_norm)},
 deg AS (SELECT h, CAST(count(*) AS BIGINT) AS d FROM (
           SELECT a AS h FROM ed UNION ALL SELECT b AS h FROM ed)
         GROUP BY h),
@@ -2144,22 +2148,36 @@ WHERE d.dev > 3 * md.mad
 def q_session_length_histogram(sf_dir: str) -> pd.DataFrame:
     """Distribution of session sizes: how many 30-min-gap sessions
     contain 1, 2, 3... events — the engagement-shape readout over the
-    oracled sessionization (its output is one row per session; the
-    histogram is two bounded groupbys, exchange-routed at corpus
-    scale like dedup_cluster_sizes)."""
-    from nacc_form_validator_ray.pipelines.queries import QUERIES
+    oracled sessionization. The session table is one row per SESSION
+    (O(events) worst case), so it never reaches the driver whole:
+    per-batch histogram partials ride the documented low-cardinality
+    ``_merge_partials`` path (distinct session lengths x blocks)."""
+    from nacc_form_validator_ray.pipelines.queries import (
+        QUERIES, _merge_partials)
 
     sessions = QUERIES["user_sessions"](sf_dir)
-    if hasattr(sessions, "to_pandas"):
-        sessions = sessions.to_pandas()
-    if sessions.empty or "n_events" not in sessions.columns:
+    empty = pd.DataFrame({
+        "n_events": pd.Series([], dtype=np.int64),
+        "n_sessions": pd.Series([], dtype=np.int64)})
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty or "n_events" not in b.columns:
+            return empty
+        h = b.groupby("n_events").size()
         return pd.DataFrame({
-            "n_events": pd.Series([], dtype=np.int64),
-            "n_sessions": pd.Series([], dtype=np.int64)})
-    hist = sessions.groupby("n_events").size().sort_index()
-    return pd.DataFrame({
-        "n_events": hist.index.to_numpy(np.int64),
-        "n_sessions": hist.to_numpy(np.int64)})
+            "n_events": h.index.to_numpy(np.int64),
+            "n_sessions": h.to_numpy(np.int64)})
+
+    if hasattr(sessions, "map_batches"):
+        parts = sessions.map_batches(partial, batch_format="pandas")
+        out = _merge_partials(parts, ["n_events"],
+                              {"n_sessions": "sum"})
+    else:  # already a bounded DataFrame
+        out = partial(sessions)
+    if out.empty or "n_events" not in out.columns:
+        return empty
+    return out.sort_values("n_events").reset_index(drop=True) \
+        .astype({"n_events": np.int64, "n_sessions": np.int64})
 
 
 def sql_session_length_histogram(sessions_sql: str) -> str:
@@ -2179,6 +2197,9 @@ MIN_QUERIES["session_length_histogram"] = q_session_length_histogram
 
 
 def q_host_reciprocity(sf_dir: str) -> pd.DataFrame:
+    """Mutual-link rate of the directed host graph (see
+    stages/graph.host_reciprocity: one canonical-pair exchange with
+    orientation flags, 2-int partials, exact ratio)."""
     from nacc_form_validator_ray.pipelines.queries import \
         _linked_pages_path
     from nacc_form_validator_ray.stages.graph import host_reciprocity
@@ -2189,15 +2210,8 @@ def q_host_reciprocity(sf_dir: str) -> pd.DataFrame:
 
 def sql_host_reciprocity(path: str,
                          sql_url_norm: str | None = None) -> str:
-    host_url = sql_url_norm.format(u="url")
-    host_lk = sql_url_norm.format(u="lk")
     return f"""
-WITH pg AS (SELECT url, links FROM read_parquet('{path}')),
-e0 AS (SELECT {host_url} AS src, unnest(links) AS lk FROM pg),
-e1 AS (SELECT DISTINCT src, {host_lk} AS dst FROM e0
-       WHERE src <> {host_lk}),
-ed AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-       FROM e1),
+{_sql_edge_ctes(path, sql_url_norm, distinct_directed=True)},
 mu AS (SELECT CAST(count(*) AS BIGINT) AS n_mutual
        FROM e1 x JOIN e1 y ON y.src = x.dst AND y.dst = x.src
        WHERE x.src < x.dst),

@@ -183,7 +183,7 @@ def compare(name, got, want, rnd, d):
 def main() -> int:
     bad = 0
     oracle = dict(MIN_ORACLE_SQL)
-    # these four are registered at queries.py's bottom (they wrap SQL
+    # these are registered at queries.py's bottom (they wrap SQL
     # constants owned by that module)
     for k in ("langid_confusion", "dedup_cluster_sizes",
               "minhash_verify_pairs", "pack_efficiency",

@@ -767,8 +767,7 @@ def test_weighted_median_crossing(tmp_path):
     assert got.loc[0, "total_weight"] == 500
     # balanced case: weights 1,2,1 -> 2*cum: 200,600,800 vs total 400
     # crosses at the middle price
-    import pyarrow.parquet as pq2
-    pq2.write_table(pa.table({
+    pq.write_table(pa.table({
         "l_extendedprice": pa.array([10.0, 20.0, 30.0]),
         "l_quantity": pa.array([1.0, 2.0, 1.0])}),
         tmp_path / "lineitem.parquet")
