@@ -432,6 +432,11 @@ def bench_queries(sf_dir: str):
         # batch 8: string-heavy line exchange over pages
         "host_boilerplate_frac": lambda: consume(
             Q.QUERIES["host_boilerplate_frac"](sf_dir)),
+        # batches 9/10: order statistics per type (full-group ranks)
+        "value_percent_rank_events": lambda: consume(
+            Q.QUERIES["value_percent_rank_events"](sf_dir)),
+        "mad_outliers_events": lambda: consume(
+            Q.QUERIES["mad_outliers_events"](sf_dir)),
     }
 
 
