@@ -661,22 +661,34 @@ def _mem_capacity(workers: int, sec: float = 2.5) -> float:
     return total / sec
 
 
-def run_flagship_only(sf_dir: str, num_cpus: int) -> dict:
+def run_flagship_only(sf_dir: str, num_cpus: int,
+                      reps: int = BENCH_REPS) -> dict:
+    """Standalone flagship timing — best-of-N like every other bench
+    line (the first rep in a fresh Ray session runs ~2x slow from
+    scheduler/actor warmup; a cold single run under-reports the
+    engine by that factor). The scaling legs inherit this, so every
+    published docs/sec pair is warm-vs-warm."""
     _init_ray(num_cpus)
     pages_dir()
-    t0 = time.perf_counter()
-    n_pages = run_quality_filter_pages(sf_dir)
-    sec = time.perf_counter() - t0
+    per_rep = []
+    n_pages = 0
+    for _ in range(max(reps, 1)):
+        t0 = time.perf_counter()
+        n_pages = run_quality_filter_pages(sf_dir)
+        per_rep.append(round(time.perf_counter() - t0, 3))
+    sec = min(per_rep)
     import ray
     ray.shutdown()
     return {
-        "metric": "flagship quality-filter seconds",
+        "metric": "flagship quality-filter seconds (best-of-%d)"
+                  % max(reps, 1),
         "value": round(sec, 3),
         "unit": "sec",
         "queries": {"quality_filter_pages": round(sec, 3)},
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "pages": n_pages,
+        "per_rep": per_rep,
         "docs_per_sec": round(n_pages / sec, 1),
     }
 
