@@ -2226,3 +2226,179 @@ FROM np, mu
 
 MIN_QUERIES["host_reciprocity"] = q_host_reciprocity
 MIN_LINKED_SQL["host_reciprocity"] = sql_host_reciprocity
+
+
+# --------------------------------------------------------------------------
+# HLL raw estimate + error readout (completes the sketch family)
+# --------------------------------------------------------------------------
+
+
+def q_hll_estimate_users(sf_dir: str) -> pd.DataFrame:
+    """The HyperLogLog ESTIMATE over the oracled register sketch
+    (advanced.hll_user_registers), plus the exact distinct-user count
+    and relative error — the accuracy readout of the sketch family.
+
+    Exact-arithmetic harmonic mean: the indicator sum
+    D = sum_j 2^(-rho_j) is computed as the INTEGER
+    sum_j 2^(64 - rho_j) over all 64 buckets (missing buckets carry
+    rho = 0), so the estimate alpha * m^2 / D becomes ONE division of
+    two exactly-convertible big integers —
+    float(709 * m^2 * 2^64) / float(1000 * D) with alpha_64 = 0.709
+    as the exact rational 709/1000. A float accumulation of 2^-rho
+    terms would be ORDER-SENSITIVE past 53 bits of exponent spread
+    (2^0 + 2^-60 rounds), which is why the integer form is the only
+    oracle-safe one. No small/large-range corrections: they need
+    ln(), the un-oracleable op (module docstring) — raw estimate
+    only. Accuracy caveat (measured): the register hash is the bare
+    Knuth multiplicative mix (advanced.HLL_MULT) with NO avalanche
+    step, and on dense sequential id spaces its leading-zero
+    statistics bias the raw estimate high (~+70% at ~1.8k distinct
+    ids); advanced.hll_estimate adds the linear-counting correction
+    for the small range, and a production deployment should swap an
+    avalanching hash into BOTH twins before trusting the raw path at
+    mid range. This query's value is the exact-parity estimate +
+    error READOUT, which makes that bias visible per corpus."""
+    from nacc_form_validator_ray.pipelines.advanced import (HLL_M,
+                                                            ADV_QUERIES)
+
+    regs = ADV_QUERIES["hll_user_registers"](sf_dir)
+    if hasattr(regs, "to_pandas"):
+        regs = regs.to_pandas()
+    rho = np.zeros(HLL_M, dtype=np.int64)
+    if not regs.empty and "bucket" in regs.columns:
+        rho[regs["bucket"].to_numpy(np.int64)] = \
+            regs["rho"].to_numpy(np.int64)
+    D = sum(1 << (64 - int(r)) for r in rho)
+    num = 709 * HLL_M * HLL_M * (1 << 64)
+    est = float(num) / float(1000 * D)
+    n_exact = _exact_distinct_users(sf_dir)
+    rel_err = (est - float(n_exact)) / float(n_exact) \
+        if n_exact else 0.0
+    return pd.DataFrame({
+        "raw_estimate": pd.Series([est], dtype=np.float64),
+        "n_exact": pd.Series([n_exact], dtype=np.int64),
+        "rel_err": pd.Series([rel_err], dtype=np.float64)})
+
+
+def _exact_distinct_users(sf_dir: str) -> int:
+    """Exact distinct user count: per-batch unique partials, ONE
+    driver merge of the bounded user-id side."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id"])
+    parts = ds.map_batches(
+        lambda t: pd.DataFrame({
+            "u": pc.unique(t["user_id"]).to_numpy(
+                zero_copy_only=False).astype(np.int64)}),
+        batch_format="pyarrow").to_pandas()
+    if parts.empty or "u" not in parts.columns:
+        return 0
+    return int(parts["u"].nunique())
+
+
+def sql_hll_estimate_users(registers_sql: str, hll_m: int) -> str:
+    return f"""
+WITH regs AS ({registers_sql}),
+allb AS (
+  SELECT b.bucket, coalesce(regs.rho, 0) AS rho
+  FROM (SELECT unnest(range(0, {hll_m})) AS bucket) b
+  LEFT JOIN regs ON regs.bucket = b.bucket),
+d AS (SELECT CAST(sum(CAST(power(2, 64 - rho) AS HUGEINT))
+              AS HUGEINT) AS D FROM allb),
+x AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events)
+SELECT CAST(CAST(709 * {hll_m} * {hll_m} AS HUGEINT)
+            * CAST(power(2, 64) AS HUGEINT) AS DOUBLE)
+       / CAST(1000 * d.D AS DOUBLE) AS raw_estimate,
+       x.n_exact,
+       CASE WHEN x.n_exact = 0 THEN 0.0 ELSE
+       (CAST(CAST(709 * {hll_m} * {hll_m} AS HUGEINT)
+             * CAST(power(2, 64) AS HUGEINT) AS DOUBLE)
+        / CAST(1000 * d.D AS DOUBLE)
+        - CAST(x.n_exact AS DOUBLE)) / CAST(x.n_exact AS DOUBLE) END
+           AS rel_err
+FROM d, x
+"""
+
+
+MIN_QUERIES["hll_estimate_users"] = q_hll_estimate_users
+
+
+# --------------------------------------------------------------------------
+# top terms per language (grouped top-k over the token axis)
+# --------------------------------------------------------------------------
+
+_TTL_K = 10
+
+
+def q_top_terms_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Top-10 tokens per corpus language — the per-GROUP top-k shape
+    (vs the global top-k of skipgram_counts): per-batch (lang, token)
+    count combiners, ONE hash exchange on (lang, token) — every
+    token's counts merge fully inside one partition, so each
+    partition's per-lang top-10 is a sound candidate set — and the
+    driver re-selects over k x partitions rows per lang. Null langs
+    are the defined '' class."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["text", "lang"])
+
+    def count_partial(t: "pa.Table") -> pd.DataFrame:
+        import pyarrow.compute as pc
+        codes, dictionary, tok_doc, _ = arrow_token_codes(t["text"])
+        empty = pd.DataFrame({"lang": pd.Series([], dtype=object),
+                              "tok": pd.Series([], dtype=object),
+                              "c": pd.Series([], dtype=np.int64)})
+        if dictionary is None or not len(codes):
+            return empty
+        langs = pc.fill_null(t["lang"], "").to_numpy(
+            zero_copy_only=False)
+        toks = dictionary.to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"lang": langs[tok_doc],
+                           "tok": toks[codes], "c": 1})
+        return df.groupby(["lang", "tok"], as_index=False).sum()
+
+    def topk_part(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return part
+        agg = part.groupby(["lang", "tok"], as_index=False)["c"].sum()
+        agg = agg.sort_values(["lang", "c", "tok"],
+                              ascending=[True, False, True],
+                              kind="stable")
+        return agg.groupby("lang", sort=False).head(_TTL_K)
+
+    cand = grouped_apply(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["lang", "tok"], topk_part, num_partitions=16).to_pandas()
+    if cand.empty or "lang" not in cand.columns:
+        return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                             "tok": pd.Series([], dtype=object),
+                             "c": pd.Series([], dtype=np.int64)})
+    cand = cand.sort_values(["lang", "c", "tok"],
+                            ascending=[True, False, True],
+                            kind="stable")
+    out = cand.groupby("lang", sort=False).head(_TTL_K)
+    return out.reset_index(drop=True).astype({"c": np.int64})
+
+
+MIN_QUERIES["top_terms_per_lang"] = q_top_terms_per_lang
+MIN_ORACLE_SQL["top_terms_per_lang"] = f"""
+WITH t AS (
+  SELECT coalesce(lang, '') AS lang,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents),
+c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+      FROM t GROUP BY lang, tok),
+rk AS (SELECT lang, tok, c,
+              row_number() OVER (PARTITION BY lang
+                                 ORDER BY c DESC, tok) AS rn
+       FROM c)
+SELECT lang, tok, c FROM rk WHERE rn <= {_TTL_K}
+"""

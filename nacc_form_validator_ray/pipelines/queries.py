@@ -7102,3 +7102,11 @@ from nacc_form_validator_ray.pipelines.mining import \
 
 ORACLE_SQL["session_length_histogram"] = \
     sql_session_length_histogram(SQL_USER_SESSIONS)
+
+from nacc_form_validator_ray.pipelines.advanced import (  # noqa: E402
+    HLL_M, SQL_HLL_USER_REGISTERS)
+from nacc_form_validator_ray.pipelines.mining import \
+    sql_hll_estimate_users
+
+ORACLE_SQL["hll_estimate_users"] = \
+    sql_hll_estimate_users(SQL_HLL_USER_REGISTERS, HLL_M)

@@ -156,7 +156,8 @@ TABLE_QUERIES = ["priority_sample_docs", "corr_matrix_lineitem",
                  "pack_efficiency", "pareto_revenue_cut",
                  "next_word_top1", "value_percent_rank_events",
                  "weighted_median_price", "mad_outliers_events",
-                 "session_length_histogram"]
+                 "session_length_histogram", "hll_estimate_users",
+                 "top_terms_per_lang"]
 #: linked-page family (twins are path-parameterized)
 LINKED_QUERIES = ["containment_pairs_pages", "cap_docs_per_host",
                   "url_structure_stats", "host_components",
@@ -187,7 +188,7 @@ def main() -> int:
     # constants owned by that module)
     for k in ("langid_confusion", "dedup_cluster_sizes",
               "minhash_verify_pairs", "pack_efficiency",
-              "session_length_histogram"):
+              "session_length_histogram", "hll_estimate_users"):
         oracle[k] = Q.ORACLE_SQL[k]
     for rnd in range(ROUNDS):
         d = tempfile.mkdtemp(prefix="fuzz_min_")

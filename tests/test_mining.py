@@ -813,3 +813,58 @@ def test_host_reciprocity_counts():
     assert got.loc[0, "n_pairs"] == 2
     assert got.loc[0, "n_mutual"] == 1
     assert got.loc[0, "reciprocity"] == 0.5
+
+
+# ---------------------------- batch 11 -------------------------------
+
+def test_hll_estimate_within_expected_error(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_hll_estimate_users
+
+    n = 5000
+    rng = np.random.RandomState(17)
+    users = rng.choice(np.arange(1, 2001, dtype=np.int64), n)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(users),
+        "event_type": ["click"] * n,
+        "ts": pa.array([np.datetime64("2026-01-01", "us")] * n,
+                       pa.timestamp("us")),
+        "value": pa.array(np.zeros(n)), "props": ["{}"] * n}),
+        tmp_path / "events.parquet")
+    got = q_hll_estimate_users(str(tmp_path))
+    n_exact = int(got.loc[0, "n_exact"])
+    assert n_exact == len(np.unique(users))
+    # order-of-magnitude sanity: the RAW estimator over the bare
+    # Knuth-multiplicative hash biases high on dense sequential ids
+    # (~+70% here — no avalanche step; documented in the query), so
+    # this pins sanity, not the 13% ideal-hash sigma
+    assert 0.25 < got.loc[0, "raw_estimate"] / n_exact < 2.0
+    assert got.loc[0, "raw_estimate"] > 0
+
+
+def test_top_terms_per_lang_selection(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_top_terms_per_lang
+
+    docs = [("en", "aa bb aa cc aa bb"), ("en", "aa dd"),
+            ("es", "xx yy xx"), (None, "zz zz qq")]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": [d[1] for d in docs],
+        "lang": pa.array([d[0] for d in docs], pa.string()),
+        "source": ["t"] * len(docs),
+        "n_chars": pa.array([9] * len(docs), pa.int64())}),
+        tmp_path / "documents.parquet")
+    got = q_top_terms_per_lang(str(tmp_path))
+    en = got.loc[got["lang"] == "en"]
+    assert list(en["tok"])[:2] == ["aa", "bb"]  # 4x, 2x
+    assert en.iloc[0]["c"] == 4
+    # null lang is the '' class
+    assert set(got.loc[got["lang"] == "", "tok"]) == {"zz", "qq"}
