@@ -429,19 +429,8 @@ def q_hll_user_registers(sf_dir: str) -> pd.DataFrame:
     def partial_regs(t: "pa.Table") -> pd.DataFrame:
         ids = t["user_id"].to_numpy(zero_copy_only=False) \
             .astype(np.uint64)
-        with np.errstate(over="ignore"):
-            h = ids * np.uint64(HLL_MULT)
-        bucket = (h & np.uint64(HLL_M - 1)).astype(np.int64)
-        w = h >> np.uint64(6)
-        rho = np.where(w == 0, np.int64(_HLL_WBITS + 1),
-                       np.int64(_HLL_WBITS) - _floor_log2_u64(w))
-        reg = np.zeros(HLL_M, dtype=np.int64)
-        np.maximum.at(reg, bucket, rho)
-        hit = np.zeros(HLL_M, dtype=bool)
-        hit[bucket] = True
-        idx = np.flatnonzero(hit)
-        return pd.DataFrame({"bucket": idx.astype(np.int64),
-                             "rho": reg[idx]})
+        idx, reg = hll_fold_registers(ids)
+        return pd.DataFrame({"bucket": idx, "rho": reg})
 
     parts = ds.map_batches(partial_regs,
                            batch_format="pyarrow").to_pandas()
@@ -451,6 +440,24 @@ def q_hll_user_registers(sf_dir: str) -> pd.DataFrame:
     out = parts.groupby("bucket", as_index=False)["rho"].max()
     return out.sort_values("bucket", kind="stable") \
         .reset_index(drop=True)
+
+
+def hll_fold_registers(ids: np.ndarray):
+    """Fold a uint64 id array into its HIT register cells:
+    (bucket_idx, rho) arrays — the per-batch combiner shared by the
+    register query and the estimate query's fused single pass."""
+    with np.errstate(over="ignore"):
+        h = ids * np.uint64(HLL_MULT)
+    bucket = (h & np.uint64(HLL_M - 1)).astype(np.int64)
+    w = h >> np.uint64(6)
+    rho = np.where(w == 0, np.int64(_HLL_WBITS + 1),
+                   np.int64(_HLL_WBITS) - _floor_log2_u64(w))
+    reg = np.zeros(HLL_M, dtype=np.int64)
+    np.maximum.at(reg, bucket, rho)
+    hit = np.zeros(HLL_M, dtype=bool)
+    hit[bucket] = True
+    idx = np.flatnonzero(hit)
+    return idx.astype(np.int64), reg[idx]
 
 
 def hll_estimate(registers: pd.DataFrame, m: int = HLL_M) -> float:

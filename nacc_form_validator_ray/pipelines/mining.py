@@ -2241,61 +2241,72 @@ def q_hll_estimate_users(sf_dir: str) -> pd.DataFrame:
     Exact-arithmetic harmonic mean: the indicator sum
     D = sum_j 2^(-rho_j) is computed as the INTEGER
     sum_j 2^(64 - rho_j) over all 64 buckets (missing buckets carry
-    rho = 0), so the estimate alpha * m^2 / D becomes ONE division of
-    two exactly-convertible big integers —
-    float(709 * m^2 * 2^64) / float(1000 * D) with alpha_64 = 0.709
-    as the exact rational 709/1000. A float accumulation of 2^-rho
-    terms would be ORDER-SENSITIVE past 53 bits of exponent spread
-    (2^0 + 2^-60 rounds), which is why the integer form is the only
-    oracle-safe one. No small/large-range corrections: they need
-    ln(), the un-oracleable op (module docstring) — raw estimate
+    rho = 0), and the estimate alpha * m^2 / D is reported as the
+    INTEGER floor quotient (709 * m^2 * 2^64) // (1000 * D), with
+    alpha_64 = 0.709 as the exact rational 709/1000 — Python // and
+    DuckDB HUGEINT // are the same operation. Two float temptations
+    are rejected as un-oracleable (review-confirmed): accumulating
+    2^-rho in doubles is ORDER-SENSITIVE past 53 bits of exponent
+    spread, and dividing the big integers as doubles breaks on
+    DuckDB's HUGEINT->DOUBLE cast, which double-rounds (upper*2^64 +
+    lower) and lands 1 ulp off Python's correctly-rounded float(int)
+    for ~1% of valid register vectors. No small/large-range
+    corrections: they need ln() (module docstring) — raw estimate
     only. Accuracy caveat (measured): the register hash is the bare
-    Knuth multiplicative mix (advanced.HLL_MULT) with NO avalanche
-    step, and on dense sequential id spaces its leading-zero
-    statistics bias the raw estimate high (~+70% at ~1.8k distinct
-    ids); advanced.hll_estimate adds the linear-counting correction
-    for the small range, and a production deployment should swap an
-    avalanching hash into BOTH twins before trusting the raw path at
-    mid range. This query's value is the exact-parity estimate +
-    error READOUT, which makes that bias visible per corpus."""
-    from nacc_form_validator_ray.pipelines.advanced import (HLL_M,
-                                                            ADV_QUERIES)
+    Knuth multiplicative mix with NO avalanche step, and on dense
+    sequential id spaces its leading-zero statistics bias the raw
+    estimate high (~+70% at ~1.8k distinct ids);
+    advanced.hll_estimate adds the linear-counting correction for
+    the small range, and a production deployment should swap an
+    avalanching hash into BOTH twins before trusting the raw path.
+    This query's value is the exact-parity estimate + error READOUT,
+    which makes that bias visible per corpus.
 
-    regs = ADV_QUERIES["hll_user_registers"](sf_dir)
-    if hasattr(regs, "to_pandas"):
-        regs = regs.to_pandas()
-    rho = np.zeros(HLL_M, dtype=np.int64)
-    if not regs.empty and "bucket" in regs.columns:
-        rho[regs["bucket"].to_numpy(np.int64)] = \
-            regs["rho"].to_numpy(np.int64)
-    D = sum(1 << (64 - int(r)) for r in rho)
-    num = 709 * HLL_M * HLL_M * (1 << 64)
-    est = float(num) / float(1000 * D)
-    n_exact = _exact_distinct_users(sf_dir)
-    rel_err = (est - float(n_exact)) / float(n_exact) \
-        if n_exact else 0.0
-    return pd.DataFrame({
-        "raw_estimate": pd.Series([est], dtype=np.float64),
-        "n_exact": pd.Series([n_exact], dtype=np.int64),
-        "rel_err": pd.Series([rel_err], dtype=np.float64)})
-
-
-def _exact_distinct_users(sf_dir: str) -> int:
-    """Exact distinct user count: per-batch unique partials, ONE
-    driver merge of the bounded user-id side."""
+    ONE fused pass: each batch emits the 64-cell register partial AND
+    its unique user ids (tagged rows on the same partial frame), so
+    the events table is scanned once, not twice."""
     import pyarrow as pa
-    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.advanced import (
+        HLL_M, hll_fold_registers)
 
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
                             columns=["user_id"])
-    parts = ds.map_batches(
-        lambda t: pd.DataFrame({
-            "u": pc.unique(t["user_id"]).to_numpy(
-                zero_copy_only=False).astype(np.int64)}),
-        batch_format="pyarrow").to_pandas()
-    if parts.empty or "u" not in parts.columns:
-        return 0
-    return int(parts["u"].nunique())
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        import pyarrow.compute as pc
+        ids = t["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        idx, reg = hll_fold_registers(ids.astype(np.uint64))
+        uniq = pc.unique(t["user_id"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # tag: kind 0 = register cell, kind 1 = unique user id
+        return pd.DataFrame({
+            "kind": np.concatenate([np.zeros(len(idx), np.int64),
+                                    np.ones(len(uniq), np.int64)]),
+            "k": np.concatenate([idx, uniq]),
+            "v": np.concatenate([reg, np.zeros(len(uniq),
+                                               np.int64)])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rho = np.zeros(HLL_M, dtype=np.int64)
+    n_exact = 0
+    if not parts.empty and "kind" in parts.columns:
+        regp = parts.loc[parts["kind"] == 0]
+        if len(regp):
+            merged = regp.groupby("k")["v"].max()
+            rho[merged.index.to_numpy(np.int64)] = \
+                merged.to_numpy(np.int64)
+        n_exact = int(parts.loc[parts["kind"] == 1, "k"].nunique())
+    D = sum(1 << (64 - int(r)) for r in rho)
+    num = 709 * HLL_M * HLL_M * (1 << 64)
+    est_i = num // (1000 * D)
+    rel_err = (float(est_i) - float(n_exact)) / float(n_exact) \
+        if n_exact else 0.0
+    return pd.DataFrame({
+        "raw_estimate": pd.Series([est_i], dtype=np.int64),
+        "n_exact": pd.Series([n_exact], dtype=np.int64),
+        "rel_err": pd.Series([rel_err], dtype=np.float64)})
 
 
 def sql_hll_estimate_users(registers_sql: str, hll_m: int) -> str:
@@ -2307,19 +2318,17 @@ allb AS (
   LEFT JOIN regs ON regs.bucket = b.bucket),
 d AS (SELECT CAST(sum(CAST(power(2, 64 - rho) AS HUGEINT))
               AS HUGEINT) AS D FROM allb),
+e AS (SELECT CAST((CAST(709 * {hll_m} * {hll_m} AS HUGEINT)
+                   * CAST(power(2, 64) AS HUGEINT))
+                  // (1000 * d.D) AS BIGINT) AS raw_estimate
+      FROM d),
 x AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
       FROM events)
-SELECT CAST(CAST(709 * {hll_m} * {hll_m} AS HUGEINT)
-            * CAST(power(2, 64) AS HUGEINT) AS DOUBLE)
-       / CAST(1000 * d.D AS DOUBLE) AS raw_estimate,
-       x.n_exact,
+SELECT e.raw_estimate, x.n_exact,
        CASE WHEN x.n_exact = 0 THEN 0.0 ELSE
-       (CAST(CAST(709 * {hll_m} * {hll_m} AS HUGEINT)
-             * CAST(power(2, 64) AS HUGEINT) AS DOUBLE)
-        / CAST(1000 * d.D AS DOUBLE)
-        - CAST(x.n_exact AS DOUBLE)) / CAST(x.n_exact AS DOUBLE) END
-           AS rel_err
-FROM d, x
+       (CAST(e.raw_estimate AS DOUBLE) - CAST(x.n_exact AS DOUBLE))
+       / CAST(x.n_exact AS DOUBLE) END AS rel_err
+FROM e, x
 """
 
 

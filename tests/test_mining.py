@@ -843,6 +843,10 @@ def test_hll_estimate_within_expected_error(tmp_path):
     # (~+70% here — no avalanche step; documented in the query), so
     # this pins sanity, not the 13% ideal-hash sigma
     assert 0.25 < got.loc[0, "raw_estimate"] / n_exact < 2.0
+    # the estimate is the exact integer floor quotient (review: both
+    # float routes are un-oracleable — order-sensitive sums and
+    # DuckDB's double-rounding HUGEINT->DOUBLE cast)
+    assert got["raw_estimate"].dtype == np.int64
     assert got.loc[0, "raw_estimate"] > 0
 
 
