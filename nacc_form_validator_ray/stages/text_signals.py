@@ -97,7 +97,7 @@ def _seg_counts(mask: np.ndarray, off: np.ndarray) -> np.ndarray:
     return out
 
 
-def arrow_token_runs(text, include_digits: bool = False):
+def arrow_token_runs(text, include_digits: bool = False, _pre=None):
     """Byte-run tokenizer core: maximal ``[a-z]`` (or ``[a-z0-9]``) runs
     of the lowercased text, gathered into ONE packed buffer — no regex,
     no Python strings.
@@ -105,61 +105,132 @@ def arrow_token_runs(text, include_digits: bool = False):
     Returns ``(flat_tok, tok_doc, n_tokens)``: the flat token
     StringArray (None when there are no tokens), each token's document
     index (int32, ascending) and per-document token counts.
+
+    Pure-ASCII batches (the common case for web English) take a fast
+    path that never materializes the lowered text: runs are found on the
+    ORIGINAL buffer with a case-insensitive mask and only the packed
+    token bytes are lowercased in place (``| 0x20`` — exact for ASCII
+    letters, a no-op for digits). Any batch containing a byte >= 0x80
+    falls back to the full unicode path, because case folding can cross
+    into ``[a-z]`` (e.g. U+212A KELVIN SIGN lowers to ``k``) and the SQL
+    oracle's ``lower()`` must stay bit-matched. ``_pre`` lets TextStats
+    hand over its already-computed ``(buf, offsets, letter_mask,
+    digit_mask)`` so the two passes share one LUT scan.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
     n = len(text)
     empty = (None, np.empty(0, dtype=np.int32),
              np.zeros(n, dtype=np.int64))
+    if _pre is not None:
+        obuf, ooff, alpha_m, digit_m = _pre
+    else:
+        if getattr(text, "null_count", 0):
+            text = pc.fill_null(text, "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        obuf, ooff = _buffer_view(text)
+        alpha_m = digit_m = None
+    if not len(obuf):
+        return empty
+    if int(obuf.max()) < 0x80:
+        if alpha_m is None:
+            alpha_m = ((obuf >= 65) & (obuf <= 90)) | \
+                      ((obuf >= 97) & (obuf <= 122))
+        if include_digits:
+            mask = alpha_m | (((obuf >= 48) & (obuf <= 57))
+                              if digit_m is None else digit_m)
+        else:
+            mask = alpha_m
+        return _runs_from_mask(obuf, ooff, mask, n, lower_packed=True)
+    return _token_runs_unicode(text, n, include_digits)
+
+
+def _token_runs_unicode(text, n: int, include_digits: bool):
+    """Full unicode path: lowercase first (case folding may change byte
+    lengths and cross into [a-z]), then run-find on the lowered buffer."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    empty = (None, np.empty(0, dtype=np.int32),
+             np.zeros(n, dtype=np.int64))
     lower = pc.utf8_lower(pc.fill_null(text, ""))
     if isinstance(lower, pa.ChunkedArray):
         lower = lower.combine_chunks()
     lbuf, loff = _buffer_view(lower)
-    llens = np.diff(loff)
-    total_l = len(lbuf)
-    if not total_l:
+    if not len(lbuf):
         return empty
     lalpha = (lbuf >= 97) & (lbuf <= 122)
     if include_digits:
         lalpha |= (lbuf >= 48) & (lbuf <= 57)
-    lfirst = np.zeros(total_l, dtype=bool)
-    lfirst[loff[:-1][llens > 0]] = True
-    llast = np.zeros(total_l, dtype=bool)
-    llast[loff[1:][llens > 0] - 1] = True
-    prev_a = np.empty(total_l, dtype=bool)
-    prev_a[0] = False
-    prev_a[1:] = lalpha[:-1]
-    nxt_a = np.empty(total_l, dtype=bool)
-    nxt_a[-1] = False
-    nxt_a[:-1] = lalpha[1:]
+    return _runs_from_mask(lbuf, loff, lalpha, n, lower_packed=False)
+
+
+def _runs_from_mask(buf: np.ndarray, off: np.ndarray, mask: np.ndarray,
+                    n: int, lower_packed: bool):
+    """Maximal True-runs of ``mask``, split at document boundaries, each
+    run gathered into one packed utf8 buffer.
+
+    Boundary runs are fixed up in TOKEN space: raw starts/ends ignore
+    document edges (two shifted-compare temps instead of the four
+    full-buffer boundary masks this replaced), then the <= n-1 runs that
+    straddle an offset are split with an O(tokens + splits) insert.
+    """
+    import pyarrow as pa
+    empty = (None, np.empty(0, dtype=np.int32),
+             np.zeros(n, dtype=np.int64))
+    total = len(buf)
+    # ONE aligned xor pass marks every run edge; its nonzeros alternate
+    # start, end+1, start, end+1, ... (aligned out= buffer: boolean ops
+    # on byte-shifted views lose SIMD and measured ~2x slower here)
+    edge = np.empty(total, dtype=bool)
+    edge[0] = mask[0]
+    np.not_equal(mask[1:], mask[:-1], out=edge[1:])
+    bnd = np.flatnonzero(edge)
+    if not len(bnd):
+        return empty
+    if len(bnd) & 1:
+        bnd = np.concatenate([bnd, np.full(1, total, dtype=bnd.dtype)])
     # token-space arrays are int32 throughout: a batch's text is far
     # below 2 GB, and on this bandwidth-bound box the int64 versions of
     # these (one 8-byte element per token, ~8 arrays) out-weighed the
     # text itself several times over
-    s_idx = np.flatnonzero(lalpha & (~prev_a | lfirst)).astype(np.int32)
-    if not len(s_idx):
-        return empty
-    e_idx = np.flatnonzero(lalpha & (~nxt_a | llast)).astype(np.int32)
+    s_idx = bnd[0::2].astype(np.int32)
+    e_idx = bnd[1::2].astype(np.int32) - np.int32(1)
+    # split runs that straddle a document boundary: boundary b belongs
+    # to the RIGHT doc, so [s, e] with s < b <= e becomes [s, b-1], [b, e]
+    if n > 1:
+        bs = off[1:-1]
+        bs = bs[(bs > 0) & (bs < total)]  # empty edge docs: no straddle
+        cross = np.unique(bs[mask[bs] & mask[bs - 1]]).astype(np.int32)
+        if len(cross):
+            # run j holds b (s_idx[j] < b <= e_idx[j]): the new start b
+            # goes AFTER s_idx[j], the new end b-1 BEFORE e_idx[j]
+            ins = np.searchsorted(s_idx, cross).astype(np.int64)
+            s_idx = np.insert(s_idx, ins, cross)
+            e_idx = np.insert(e_idx, ins - 1, cross - np.int32(1))
     tok_lens = e_idx - s_idx + np.int32(1)
-    # ownership via binary search over the (n+1) offsets — no per-byte
-    # ownership array
-    tok_doc = (np.searchsorted(loff, s_idx, side="right") - 1) \
-        .astype(np.int32)
-    n_tokens = np.bincount(tok_doc, minlength=n).astype(np.int64)
-    m = int(tok_lens.sum())
+    # per-doc counts via n+1 binary searches of the SORTED starts (not
+    # one search per token): tokens never straddle a doc after the split
+    cum = np.searchsorted(s_idx, off, side="left")
+    n_tokens = np.diff(cum).astype(np.int64)
+    tok_doc = np.repeat(np.arange(n, dtype=np.int32),
+                        n_tokens).astype(np.int32, copy=False)
     toff = np.empty(len(s_idx) + 1, dtype=np.int32)
     toff[0] = 0
     np.cumsum(tok_lens, out=toff[1:])
-    shift = np.repeat(s_idx - toff[:-1], tok_lens)
-    packed = np.ascontiguousarray(
-        lbuf[np.arange(m, dtype=np.int32) + shift])
+    # the packed token bytes are exactly the masked bytes in buffer
+    # order (splits change token BOUNDARIES, not byte membership) — a
+    # single boolean gather, no shift/arange fancy-index
+    packed = buf[mask]
+    if lower_packed:
+        packed |= np.uint8(0x20)  # ASCII lowercase; digits unchanged
     flat_tok = pa.Array.from_buffers(
         pa.utf8(), len(s_idx),
         [None, pa.py_buffer(toff), pa.py_buffer(packed)])
     return flat_tok, tok_doc, n_tokens
 
 
-def arrow_token_codes(text, include_digits: bool = False):
+def arrow_token_codes(text, include_digits: bool = False, _pre=None):
     """Tokenize an Arrow string array without regex or Python strings.
 
     Tokens are maximal [a-z] (or, with ``include_digits``, [a-z0-9])
@@ -175,7 +246,7 @@ def arrow_token_codes(text, include_digits: bool = False):
     import pyarrow.compute as pc
     n = len(text)
     flat_tok, tok_doc, n_tokens = arrow_token_runs(
-        text, include_digits=include_digits)
+        text, include_digits=include_digits, _pre=_pre)
     if flat_tok is None:
         return (np.empty(0, dtype=np.int64), None,
                 np.empty(0, dtype=np.int64),
@@ -276,7 +347,10 @@ class TextStats:
         # empty strings, without the regex scan; counts run on the
         # ORIGINAL buffer above so unicode case folding that changes
         # byte lengths cannot skew them)
-        codes, dictionary, tok_doc, n_tokens = arrow_token_codes(text)
+        # share this pass's buffer view + LUT masks with the tokenizer
+        # (one scan instead of two on the ASCII fast path)
+        codes, dictionary, tok_doc, n_tokens = arrow_token_codes(
+            text, _pre=(obuf, ooff, alpha, digit))
         total = np.zeros(n, dtype=np.int64)
         distinct = np.zeros(n, dtype=np.int64)
         sw_counts = np.zeros((len(LANG_ORDER), n), dtype=np.int64)
@@ -394,29 +468,41 @@ def _rep_3gram_counts(codes: np.ndarray, dictionary, doc_id: np.ndarray,
     if m < 3:
         return total, distinct
     vocab = len(dictionary)
-    # codes/doc_id may arrive int32 (the token arrays' storage dtype);
-    # the packing shifts need 64-bit width
-    c0 = codes[:-2].astype(np.int64)
-    c1 = codes[1:-1].astype(np.int64)
-    c2 = codes[2:].astype(np.int64)
     same_doc = doc_id[:-2] == doc_id[2:]
-    g_doc = doc_id[:-2][same_doc].astype(np.int64)
+    g_doc = doc_id[:-2][same_doc]
     total = np.bincount(g_doc, minlength=n).astype(np.int64)
 
     bits_v = max(int(vocab - 1).bit_length(), 1)
     bits_d = max(int(n - 1).bit_length(), 1)
     if 3 * bits_v + bits_d <= 63:
         # pack (doc, w0, w1, w2) into ONE int64 — a single-key np.sort is
-        # several times faster than a two-key lexsort
-        key = (((c0 << bits_v) | c1) << bits_v | c2)[same_doc]
-        packed = (g_doc << np.int64(3 * bits_v)) | key
-        sp = np.sort(packed)
-        new = np.ones(len(sp), dtype=bool)
-        new[1:] = sp[1:] != sp[:-1]
-        distinct = np.bincount(sp[new] >> np.int64(3 * bits_v),
+        # several times faster than a two-key lexsort. Built with
+        # in-place buffered ufuncs: ONE int64 allocation instead of the
+        # five full-width temps of the expression form (this function is
+        # allocation-traffic-bound, not compute-bound)
+        key = codes[:-2].astype(np.int64)
+        np.left_shift(key, bits_v, out=key)
+        np.bitwise_or(key, codes[1:-1], out=key)
+        np.left_shift(key, bits_v, out=key)
+        np.bitwise_or(key, codes[2:], out=key)
+        np.bitwise_or(key, doc_id[:-2].astype(np.int64)
+                      << np.int64(3 * bits_v), out=key)
+        packed = key[same_doc]
+        if not len(packed):
+            return total, distinct
+        packed.sort()
+        new = np.empty(len(packed), dtype=bool)
+        new[0] = True
+        np.not_equal(packed[1:], packed[:-1], out=new[1:])
+        distinct = np.bincount(packed[new] >> np.int64(3 * bits_v),
                                minlength=n).astype(np.int64)
         return total, distinct
 
+    # slow-branch temps (the fast branch above never builds these)
+    c0 = codes[:-2].astype(np.int64)
+    c1 = codes[1:-1].astype(np.int64)
+    c2 = codes[2:].astype(np.int64)
+    g_doc = g_doc.astype(np.int64)
     if vocab >= (1 << 21):
         raise ValueError("batch vocabulary too large for 3-gram packing; "
                          "lower batch_size")
