@@ -54,10 +54,10 @@ def stopword_pattern(lang: str) -> str:
     return r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
 
 
-#: ASCII whitespace bytes — exactly RE2's default (non-unicode) ``\s``
-#: class, which is also what the DuckDB oracle's regexes match
-_WS_LUT = np.zeros(256, dtype=bool)
-_WS_LUT[[9, 10, 11, 12, 13, 32]] = True
+#: the whitespace class used throughout is ASCII bytes 9-13 and 32 —
+#: exactly RE2's default (non-unicode) ``\s``, which is also what the
+#: DuckDB oracle's regexes match (masks are built inline as SIMD
+#: compare chains; a 256-entry LUT gather measured ~4x slower)
 
 
 def _buffer_view(arr):
@@ -135,11 +135,14 @@ def arrow_token_runs(text, include_digits: bool = False, _pre=None):
         return empty
     if int(obuf.max()) < 0x80:
         if alpha_m is None:
-            alpha_m = ((obuf >= 65) & (obuf <= 90)) | \
-                      ((obuf >= 97) & (obuf <= 122))
+            o20 = obuf | np.uint8(0x20)
+            alpha_m = o20 >= 97
+            np.logical_and(alpha_m, o20 <= 122, out=alpha_m)
         if include_digits:
-            mask = alpha_m | (((obuf >= 48) & (obuf <= 57))
-                              if digit_m is None else digit_m)
+            if digit_m is None:
+                digit_m = obuf >= 48
+                np.logical_and(digit_m, obuf <= 57, out=digit_m)
+            mask = alpha_m | digit_m
         else:
             mask = alpha_m
         return _runs_from_mask(obuf, ooff, mask, n, lower_packed=True)
@@ -322,10 +325,17 @@ class TextStats:
         # pass replaces three full regex scans (the round-1 hot spot).
         obuf, ooff = _buffer_view(text)
         olens = np.diff(ooff)
-        ws = _WS_LUT[obuf]
-        digit = (obuf >= 48) & (obuf <= 57)
-        alpha = ((obuf >= 65) & (obuf <= 90)) | \
-                ((obuf >= 97) & (obuf <= 122))
+        # class masks as in-place SIMD compare chains (a 256-entry LUT
+        # gather measured ~2x SLOWER than range compares here — numpy
+        # fancy-index gathers don't vectorize)
+        ws = (obuf >= 9) & (obuf <= 13)
+        np.bitwise_or(ws, obuf == 32, out=ws)
+        digit = obuf >= 48
+        np.logical_and(digit, obuf <= 57, out=digit)
+        o20 = obuf | np.uint8(0x20)   # ASCII case-fold: [A-Za-z]->[a-z]
+        alpha = o20 >= 97
+        np.logical_and(alpha, o20 <= 122, out=alpha)
+        del o20
         n_space = _seg_counts(ws, ooff)
         n_digit = _seg_counts(digit, ooff)
         n_alpha = _seg_counts(alpha, ooff)
@@ -333,13 +343,15 @@ class TextStats:
         n_words = np.zeros(n, dtype=np.int64)
         if total_b:
             # a word (\S+ run) starts at a non-ws byte preceded by ws or
-            # by a document boundary
-            first = np.zeros(total_b, dtype=bool)
-            first[ooff[:-1][olens > 0]] = True
-            prev_ws = np.empty(total_b, dtype=bool)
-            prev_ws[0] = True
-            prev_ws[1:] = ws[:-1]
-            wstart = ~ws & (prev_ws | first)
+            # by a document boundary: one aligned shifted compare
+            # (ws[i-1] > ws[i] <=> ws-to-non-ws edge), then overwrite
+            # the n document-start positions — no full-buffer first/
+            # prev_ws temporaries
+            wstart = np.empty(total_b, dtype=bool)
+            wstart[0] = ~ws[0]
+            np.greater(ws[:-1], ws[1:], out=wstart[1:])
+            sd = ooff[:-1][olens > 0]
+            wstart[sd] = ~ws[sd]
             n_words = _seg_counts(wstart, ooff)
 
         # ---- tokens: maximal [a-z] byte runs of the lowercased text --
