@@ -437,6 +437,16 @@ def bench_queries(sf_dir: str):
             Q.QUERIES["value_percent_rank_events"](sf_dir)),
         "mad_outliers_events": lambda: consume(
             Q.QUERIES["mad_outliers_events"](sf_dir)),
+        # batch 12: per-vertex triangles, cross-host line sharing,
+        # byte-level sentence runs, rule-attribution report
+        "host_clustering": lambda: consume(
+            Q.QUERIES["host_clustering"](sf_dir)),
+        "cross_host_dup_report": lambda: consume(
+            Q.QUERIES["cross_host_dup_report"](sf_dir)),
+        "sentence_stats_docs": lambda: consume(
+            Q.QUERIES["sentence_stats_docs"](sf_dir)),
+        "rule_attribution_docs": lambda: consume(
+            Q.QUERIES["rule_attribution_docs"](sf_dir)),
     }
 
 

@@ -2411,3 +2411,229 @@ rk AS (SELECT lang, tok, c,
        FROM c)
 SELECT lang, tok, c FROM rk WHERE rn <= {_TTL_K}
 """
+
+
+# --------------------------------------------------------------------------
+# batch 12: per-host clustering coefficient, cross-host duplicate
+# reporting, and sentence-level text statistics
+# --------------------------------------------------------------------------
+
+
+def q_host_clustering(sf_dir: str) -> pd.DataFrame:
+    """Per-host local clustering coefficient — see
+    stages/graph.host_clustering (forward node-iterator triangles with
+    per-vertex attribution; five lean string-keyed exchanges)."""
+    from nacc_form_validator_ray.pipelines.queries import \
+        _linked_pages_path
+    from nacc_form_validator_ray.stages.graph import host_clustering
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["url", "links"])
+    return host_clustering(ds)
+
+
+def sql_host_clustering(path: str,
+                        sql_url_norm: str | None = None) -> str:
+    """Twin: triangles {x<y<z} by the same lex orientation, attributed
+    to all three corners; the coefficient is ONE double division of
+    exact int64 products (2*n_tri and deg*(deg-1)) — identical
+    expression order to the engine."""
+    return f"""
+{_sql_edge_ctes(path, sql_url_norm)},
+deg AS (SELECT v AS host, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT a AS v FROM ed UNION ALL SELECT b AS v FROM ed)
+        GROUP BY v),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM ed e1
+        JOIN ed e2 ON e2.a = e1.a AND e1.b < e2.b
+        JOIN ed e3 ON e3.a = e1.b AND e3.b = e2.b),
+pv AS (SELECT v AS host, CAST(count(*) AS BIGINT) AS n_tri
+       FROM (SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+             UNION ALL SELECT z AS v FROM tri)
+       GROUP BY v)
+SELECT d.host, d.degree,
+       CAST(coalesce(pv.n_tri, 0) AS BIGINT) AS n_tri,
+       CASE WHEN d.degree >= 2
+            THEN CAST(2 * coalesce(pv.n_tri, 0) AS DOUBLE)
+                 / (d.degree * (d.degree - 1))
+            ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN pv ON pv.host = d.host
+"""
+
+
+MIN_QUERIES["host_clustering"] = q_host_clustering
+MIN_LINKED_SQL["host_clustering"] = sql_host_clustering
+
+
+#: minimum shared-text count for a host pair to be reported
+_XHD_MIN_SHARED = 2
+
+
+def q_cross_host_dup_report(sf_dir: str) -> pd.DataFrame:
+    """Mirror/boilerplate syndication detection: pairs of hosts sharing
+    >= ``_XHD_MIN_SHARED`` DISTINCT identical non-blank LINES (whole
+    pages never collide across hosts in real crawls — template lines
+    do, which is what CCNet-style line filtering keys on). The wide
+    step is ONE exchange keyed on the line (per-batch distinct
+    (host, line) combiners first, like line_dedup_docs); each line
+    group emits its sorted-host pairs, pre-aggregated per partition,
+    then one tiny (host_a, host_b) count merge. At 100 TB key the
+    first exchange on a 64-bit line hash and verify within group (the
+    dup_ngram_spans_hashed pattern); pair fan-out per line is bounded
+    by hosts-per-line squared — boilerplate shared by EVERY host is
+    the worst case and exactly what the report exists to surface."""
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.queries import \
+        _linked_pages_path
+    from nacc_form_validator_ray.stages.graph import _host_of
+    from nacc_form_validator_ray.stages.partition import (grouped_agg_sum,
+                                                          grouped_apply)
+
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["url", "text"])
+
+    def partial(t) -> pd.DataFrame:
+        host = _host_of(t["url"], pc).to_numpy(zero_copy_only=False)
+        lines = pc.split_pattern(pc.fill_null(t["text"], ""), "\n")
+        counts = pc.list_value_length(lines).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lines).to_numpy(zero_copy_only=False)
+        hrep = host[np.repeat(np.arange(len(t), dtype=np.int64),
+                              counts)]
+        df = pd.DataFrame({"host": hrep, "line": flat})
+        return df.loc[df["line"] != ""].drop_duplicates()
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "host_a": pd.Series([], dtype=object),
+            "host_b": pd.Series([], dtype=object),
+            "n_shared": pd.Series([], dtype=np.int64)})
+        if part.empty:
+            return empty
+        part = part.drop_duplicates()   # across-batch (host, line) dups
+        xs, ys = [], []
+        for _, g in part.groupby("line", sort=False):
+            hosts = np.unique(g["host"].to_numpy(object))
+            if len(hosts) < 2:
+                continue
+            i, j = np.triu_indices(len(hosts), k=1)
+            xs.append(hosts[i])
+            ys.append(hosts[j])
+        if not xs:
+            return empty
+        df = pd.DataFrame({"host_a": np.concatenate(xs),
+                           "host_b": np.concatenate(ys)})
+        df["n_shared"] = np.int64(1)
+        return df.groupby(["host_a", "host_b"], as_index=False).sum()
+
+    cand = grouped_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["line"], pairs, num_partitions=16)
+    merged = grouped_agg_sum(cand, ["host_a", "host_b"], ["n_shared"],
+                             num_partitions=8).to_pandas()
+    empty = pd.DataFrame({"host_a": pd.Series([], dtype=object),
+                          "host_b": pd.Series([], dtype=object),
+                          "n_shared": pd.Series([], dtype=np.int64)})
+    if merged.empty or "host_a" not in merged.columns:
+        return empty
+    out = merged.loc[merged["n_shared"] >= _XHD_MIN_SHARED]
+    return out.sort_values(["host_a", "host_b"], kind="stable") \
+        .reset_index(drop=True).astype({"n_shared": np.int64})
+
+
+def sql_cross_host_dup_report(path: str,
+                              sql_url_norm: str | None = None) -> str:
+    host = sql_url_norm.format(u="url")
+    return f"""
+WITH t AS (SELECT {host} AS host,
+                  unnest(split(coalesce(text, ''), chr(10))) AS line
+           FROM read_parquet('{path}')),
+tl AS (SELECT DISTINCT host, line FROM t WHERE line <> ''),
+p AS (SELECT x.host AS host_a, y.host AS host_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM tl x JOIN tl y ON y.line = x.line AND x.host < y.host
+      GROUP BY x.host, y.host)
+SELECT host_a, host_b, n_shared FROM p
+WHERE n_shared >= {_XHD_MIN_SHARED}
+"""
+
+
+MIN_QUERIES["cross_host_dup_report"] = q_cross_host_dup_report
+MIN_LINKED_SQL["cross_host_dup_report"] = sql_cross_host_dup_report
+
+
+def q_sentence_stats_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-document sentence statistics: sentences are the maximal
+    ``[^.!?]+`` runs of the text that contain at least one
+    non-whitespace codepoint; reports the count and the mean sentence
+    length in CODEPOINTS. Entirely byte-level over the Arrow buffer
+    (the shared run machinery of stages/text_signals): terminator /
+    whitespace masks are SIMD compare chains, codepoints are bytes
+    with ``(b & 0xC0) != 0x80``, and every per-run reduction is one
+    ``np.add.reduceat``. The mean is ONE double division of exact
+    int64 sums, mirrored in the twin."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.stages.text_signals import (
+        _buffer_view, _mask_runs)
+
+    def stats(t: "pa.Table") -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        text = pc.fill_null(t["text"], "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(text)
+        n_sent = np.zeros(n, dtype=np.int64)
+        mean_len = np.zeros(n, dtype=np.float64)
+        buf, off = _buffer_view(text)
+        if len(buf):
+            term = buf == 46                       # '.'
+            np.bitwise_or(term, buf == 33, out=term)   # '!'
+            np.bitwise_or(term, buf == 63, out=term)   # '?'
+            seg = ~term
+            s_idx, e_idx, run_doc, _ = _mask_runs(buf, off, seg, n)
+            if len(s_idx):
+                ws = (buf >= 9) & (buf <= 13)
+                np.bitwise_or(ws, buf == 32, out=ws)
+                content = seg & ~ws
+                # reduceat segments span [s_k, s_{k+1}); inter-run gap
+                # bytes are terminators (or doc edges), where both
+                # masks below are False — they contribute nothing
+                has = np.add.reduceat(content, s_idx) > 0
+                cp = seg & ((buf & np.uint8(0xC0)) != 0x80)
+                cps = np.add.reduceat(cp.astype(np.int64), s_idx)
+                n_sent = np.bincount(run_doc[has],
+                                     minlength=n).astype(np.int64)
+                sum_cp = np.bincount(run_doc[has], weights=cps[has],
+                                     minlength=n)
+                nz = n_sent > 0
+                mean_len[nz] = sum_cp[nz] / n_sent[nz]
+        return pd.DataFrame({"doc_id": ids, "n_sentences": n_sent,
+                             "mean_sentence_chars": mean_len})
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(stats, batch_format="pyarrow",
+                          batch_size=4096)
+
+
+MIN_QUERIES["sentence_stats_docs"] = q_sentence_stats_docs
+MIN_ORACLE_SQL["sentence_stats_docs"] = r"""
+WITH s AS (SELECT doc_id,
+                  unnest(regexp_extract_all(coalesce(text, ''),
+                                            '[^.!?]+')) AS seg
+           FROM documents),
+q AS (SELECT doc_id, length(seg) AS L
+      FROM s WHERE regexp_matches(seg, '[^ \t\n\r\f\v]')),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
+               CAST(sum(L) AS BIGINT) AS sum_chars
+        FROM q GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_sentences, 0) AS BIGINT) AS n_sentences,
+       CASE WHEN coalesce(a.n_sentences, 0) > 0
+            THEN CAST(a.sum_chars AS DOUBLE) / a.n_sentences
+            ELSE 0.0 END AS mean_sentence_chars
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""

@@ -39,6 +39,13 @@ def _merge_partials(partials_ds, keys, agg: Dict[str, str]) -> pd.DataFrame:
     Ray-native groupby/aggregate over a handful of rows costs seconds of
     all-to-all machinery that dwarfs the work."""
     df = partials_ds.to_pandas()
+    if df.empty or any(k not in df.columns for k in keys):
+        # an exchange whose every block is empty loses its schema
+        # (repo-wide trap): pin the contract dtypes explicitly
+        return pd.DataFrame({**{k: pd.Series([], dtype=object)
+                                for k in keys},
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in agg}})
     return df.groupby(keys, as_index=False).agg(
         **{c: (c, how) for c, how in agg.items()})
 
@@ -7110,3 +7117,112 @@ from nacc_form_validator_ray.pipelines.mining import \
 
 ORACLE_SQL["hll_estimate_users"] = \
     sql_hll_estimate_users(SQL_HLL_USER_REGISTERS, HLL_M)
+
+
+# --------------------------------------------------------------------------
+# rule-hit attribution report over the documents quality filter
+# --------------------------------------------------------------------------
+
+#: DOC_RULES field list in the report's (sorted) output order
+_ATTR_FIELDS = ["lang_pred", "mean_word_len", "n_words",
+                "rep_3gram_ratio", "stop_ratio"]
+
+
+def q_rule_attribution_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-rule drop attribution for the ``quality_filter_docs``
+    schema (DOC_RULES): for each rule field, how many documents
+    violate it (``n_violations``) and for how many it is the ONLY
+    violated field (``n_sole`` — the documents that would be kept if
+    just that rule were removed). The report a corpus curator reads
+    before loosening a threshold.
+
+    Engine shape: the fused TextStats signal pass, then per-batch
+    (field, n_violations, n_sole) combiner rows — the driver merges
+    O(5 x batches) scalars; no exchange at all. Fields with zero
+    violations still appear (pinned rows, like the global-aggregate
+    twins)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(TextStats(langid=True), batch_format="pyarrow",
+                        batch_size=4096)
+
+    def partial(t) -> pd.DataFrame:
+        import pyarrow.compute as pc
+        nw = t["n_words"].to_numpy(zero_copy_only=False)
+        mwl = t["mean_word_len"].to_numpy(zero_copy_only=False)
+        rep = t["rep_3gram_ratio"].to_numpy(zero_copy_only=False)
+        stop = t["stop_ratio"].to_numpy(zero_copy_only=False)
+        lang = t["lang_pred"].to_numpy(zero_copy_only=False)
+        flags = {
+            "lang_pred": lang != "en",
+            "mean_word_len": (mwl < 4.0) | (mwl > 5.0),
+            "n_words": (nw < 25) | (nw > 90),
+            "rep_3gram_ratio": rep > 0.05,
+            "stop_ratio": stop < 0.01,
+        }
+        nf = np.zeros(len(t), dtype=np.int64)
+        for v in flags.values():
+            nf += v
+        sole = nf == 1
+        return pd.DataFrame({
+            "field": _ATTR_FIELDS,
+            "n_violations": [int(flags[f].sum()) for f in _ATTR_FIELDS],
+            "n_sole": [int((flags[f] & sole).sum())
+                       for f in _ATTR_FIELDS]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("field", as_index=False)[
+        ["n_violations", "n_sole"]].sum()
+    out = out.set_index("field").reindex(_ATTR_FIELDS, fill_value=0) \
+        .reset_index()
+    return out.astype({"n_violations": np.int64, "n_sole": np.int64})
+
+
+#: the sig/lp CTE prologue is shared verbatim with SQL_QUALITY_FILTER
+#: (same thresholds, same signal definitions) — the twin only swaps the
+#: error SUM for per-field flags + sole-violation attribution
+SQL_RULE_ATTRIBUTION = SQL_QUALITY_FILTER[
+    :SQL_QUALITY_FILTER.index("), err AS (")] + """
+), f AS (
+  SELECT sig.doc_id,
+         (lang_pred != 'en') AS v_lang_pred,
+         (mean_word_len < 4.0 OR mean_word_len > 5.0)
+             AS v_mean_word_len,
+         (n_words < 25 OR n_words > 90) AS v_n_words,
+         (rep_3gram_ratio > 0.05) AS v_rep_3gram_ratio,
+         (stop_ratio < 0.01) AS v_stop_ratio
+  FROM sig JOIN lp ON sig.doc_id = lp.doc_id
+), nf AS (
+  SELECT *,
+         CAST(v_lang_pred AS INT) + CAST(v_mean_word_len AS INT)
+         + CAST(v_n_words AS INT) + CAST(v_rep_3gram_ratio AS INT)
+         + CAST(v_stop_ratio AS INT) AS n_fields
+  FROM f
+)
+SELECT 'lang_pred' AS field,
+       CAST(count(*) FILTER (v_lang_pred) AS BIGINT) AS n_violations,
+       CAST(count(*) FILTER (v_lang_pred AND n_fields = 1) AS BIGINT)
+           AS n_sole FROM nf
+UNION ALL
+SELECT 'mean_word_len',
+       CAST(count(*) FILTER (v_mean_word_len) AS BIGINT),
+       CAST(count(*) FILTER (v_mean_word_len AND n_fields = 1)
+            AS BIGINT) FROM nf
+UNION ALL
+SELECT 'n_words',
+       CAST(count(*) FILTER (v_n_words) AS BIGINT),
+       CAST(count(*) FILTER (v_n_words AND n_fields = 1) AS BIGINT)
+       FROM nf
+UNION ALL
+SELECT 'rep_3gram_ratio',
+       CAST(count(*) FILTER (v_rep_3gram_ratio) AS BIGINT),
+       CAST(count(*) FILTER (v_rep_3gram_ratio AND n_fields = 1)
+            AS BIGINT) FROM nf
+UNION ALL
+SELECT 'stop_ratio',
+       CAST(count(*) FILTER (v_stop_ratio) AS BIGINT),
+       CAST(count(*) FILTER (v_stop_ratio AND n_fields = 1) AS BIGINT)
+       FROM nf
+"""
+
+QUERIES["rule_attribution_docs"] = q_rule_attribution_docs
+ORACLE_SQL["rule_attribution_docs"] = SQL_RULE_ATTRIBUTION

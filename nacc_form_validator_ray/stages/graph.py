@@ -585,6 +585,117 @@ def host_triangles(ds, url_column: str = "url",
                          "n_triangles": [np.int64(n_tri)]})
 
 
+def host_clustering(ds, url_column: str = "url",
+                    links_column: str = "links",
+                    num_partitions: int = 32):
+    """Per-host LOCAL clustering coefficient over the host link graph:
+    ``2 * n_tri(v) / (deg(v) * (deg(v) - 1))`` (0.0 for deg < 2).
+
+    Same forward node-iterator core as :func:`host_triangles`, but the
+    verify phase attributes each confirmed triangle {p, q, r} to ALL
+    THREE vertices (the triad candidate carries its generating vertex
+    ``p`` through the side-tagged exchange), so the exchanges stay the
+    same three plus one (vertex, n_tri) count merge and one degree
+    count — five lean string-keyed exchanges total, no per-vertex
+    neighborhood intersection.
+
+    Float discipline: the coefficient is ONE correctly-rounded double
+    division of two exact int64 products, mirrored verbatim in the SQL
+    twin (pipelines/mining.sql_host_clustering). Returns one row per
+    host (including triangle-free and isolated-in-edge-list hosts):
+    ``(host, degree, n_tri, clustering)``."""
+    import pandas as pd
+
+    from nacc_form_validator_ray.stages.partition import (grouped_agg_sum,
+                                                          grouped_apply)
+
+    edges = _host_edge_list(ds, url_column, links_column,
+                            num_partitions)
+    empty = pd.DataFrame({
+        "host": pd.Series([], dtype=object),
+        "degree": pd.Series([], dtype=np.int64),
+        "n_tri": pd.Series([], dtype=np.int64),
+        "clustering": pd.Series([], dtype=np.float64)})
+    if edges.count() == 0:
+        return empty
+
+    def deg_partial(part: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat([part["a"], part["b"]])
+        vc = both.value_counts()
+        return pd.DataFrame({"host": vc.index.to_numpy(object),
+                             "degree": vc.to_numpy(np.int64)})
+
+    deg = grouped_agg_sum(
+        edges.map_batches(deg_partial, batch_format="pandas"),
+        ["host"], ["degree"], num_partitions=num_partitions).to_pandas()
+
+    def triads(part: pd.DataFrame) -> pd.DataFrame:
+        ps, xs, ys = [], [], []
+        for p, g in part.groupby("a", sort=False):
+            nb = np.sort(g["b"].to_numpy())
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            ps.append(np.full(len(i), p, dtype=object))
+            xs.append(nb[i])
+            ys.append(nb[j])
+        if not xs:
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object),
+                                 "p": pd.Series([], dtype=object),
+                                 "side": pd.Series([], dtype=np.int8)})
+        return pd.DataFrame({"a": np.concatenate(xs),
+                             "b": np.concatenate(ys),
+                             "p": np.concatenate(ps),
+                             "side": np.int8(0)})
+
+    cands = grouped_apply(edges, ["a"], triads,
+                          num_partitions=num_partitions)
+
+    def tag_edges(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.copy()
+        part["p"] = ""          # schema-align with candidates
+        part["side"] = np.int8(1)
+        return part
+
+    tagged = edges.map_batches(tag_edges, batch_format="pandas")
+
+    def vertex_partial(part: pd.DataFrame) -> pd.DataFrame:
+        e = part.loc[part["side"] == 1, ["a", "b"]]
+        c = part.loc[part["side"] == 0, ["a", "b", "p"]]
+        out = pd.DataFrame({"host": pd.Series([], dtype=object),
+                            "n_tri": pd.Series([], dtype=np.int64)})
+        if len(e) == 0 or len(c) == 0:
+            return out
+        hit = c.merge(e.drop_duplicates(), on=["a", "b"], how="inner")
+        if not len(hit):
+            return out
+        verts = pd.concat([hit["p"], hit["a"], hit["b"]])
+        vc = verts.value_counts()
+        return pd.DataFrame({"host": vc.index.to_numpy(object),
+                             "n_tri": vc.to_numpy(np.int64)})
+
+    tri_partials = grouped_apply(cands.union(tagged), ["a", "b"],
+                                 vertex_partial,
+                                 num_partitions=num_partitions)
+    tri = grouped_agg_sum(tri_partials, ["host"], ["n_tri"],
+                          num_partitions=num_partitions).to_pandas()
+    if "host" not in tri.columns:   # all-empty exchange loses schema
+        tri = pd.DataFrame({"host": pd.Series([], dtype=object),
+                            "n_tri": pd.Series([], dtype=np.int64)})
+    out = deg.merge(tri, on="host", how="left")
+    nt = out["n_tri"].fillna(0).to_numpy(np.int64)
+    dg = out["degree"].to_numpy(np.int64)
+    denom = dg * (dg - 1)
+    cc = np.zeros(len(out), dtype=np.float64)
+    nz = denom > 0
+    cc[nz] = (2 * nt[nz]) / denom[nz]
+    return pd.DataFrame({"host": out["host"].to_numpy(object),
+                         "degree": dg, "n_tri": nt,
+                         "clustering": cc}) \
+        .sort_values("host", kind="stable").reset_index(drop=True)
+
+
 def host_kcore(ds, k: int = 4, rounds: int = 6,
                url_column: str = "url", links_column: str = "links",
                num_partitions: int = 32):

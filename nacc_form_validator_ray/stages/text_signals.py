@@ -168,19 +168,19 @@ def _token_runs_unicode(text, n: int, include_digits: bool):
     return _runs_from_mask(lbuf, loff, lalpha, n, lower_packed=False)
 
 
-def _runs_from_mask(buf: np.ndarray, off: np.ndarray, mask: np.ndarray,
-                    n: int, lower_packed: bool):
-    """Maximal True-runs of ``mask``, split at document boundaries, each
-    run gathered into one packed utf8 buffer.
+def _mask_runs(buf: np.ndarray, off: np.ndarray, mask: np.ndarray,
+               n: int):
+    """Maximal True-runs of ``mask``, split at document boundaries.
 
-    Boundary runs are fixed up in TOKEN space: raw starts/ends ignore
-    document edges (two shifted-compare temps instead of the four
-    full-buffer boundary masks this replaced), then the <= n-1 runs that
-    straddle an offset are split with an O(tokens + splits) insert.
+    Returns ``(s_idx, e_idx, run_doc, n_runs)``: inclusive int32 run
+    bounds, each run's document index (int32, ascending) and the
+    per-document run counts. Boundary runs are fixed up in RUN space:
+    raw starts/ends ignore document edges (two shifted-compare temps
+    instead of four full-buffer boundary masks), then the <= n-1 runs
+    that straddle an offset are split with an O(runs + splits) insert.
     """
-    import pyarrow as pa
-    empty = (None, np.empty(0, dtype=np.int32),
-             np.zeros(n, dtype=np.int64))
+    empty = (np.empty(0, dtype=np.int32), np.empty(0, dtype=np.int32),
+             np.empty(0, dtype=np.int32), np.zeros(n, dtype=np.int64))
     total = len(buf)
     # ONE aligned xor pass marks every run edge; its nonzeros alternate
     # start, end+1, start, end+1, ... (aligned out= buffer: boolean ops
@@ -211,13 +211,25 @@ def _runs_from_mask(buf: np.ndarray, off: np.ndarray, mask: np.ndarray,
             ins = np.searchsorted(s_idx, cross).astype(np.int64)
             s_idx = np.insert(s_idx, ins, cross)
             e_idx = np.insert(e_idx, ins - 1, cross - np.int32(1))
-    tok_lens = e_idx - s_idx + np.int32(1)
     # per-doc counts via n+1 binary searches of the SORTED starts (not
-    # one search per token): tokens never straddle a doc after the split
+    # one search per token): runs never straddle a doc after the split
     cum = np.searchsorted(s_idx, off, side="left")
     n_tokens = np.diff(cum).astype(np.int64)
     tok_doc = np.repeat(np.arange(n, dtype=np.int32),
                         n_tokens).astype(np.int32, copy=False)
+    return s_idx, e_idx, tok_doc, n_tokens
+
+
+def _runs_from_mask(buf: np.ndarray, off: np.ndarray, mask: np.ndarray,
+                    n: int, lower_packed: bool):
+    """:func:`_mask_runs` plus the packed-utf8 token materialization
+    (one boolean gather)."""
+    import pyarrow as pa
+    s_idx, e_idx, tok_doc, n_tokens = _mask_runs(buf, off, mask, n)
+    if not len(s_idx):
+        return (None, np.empty(0, dtype=np.int32),
+                np.zeros(n, dtype=np.int64))
+    tok_lens = e_idx - s_idx + np.int32(1)
     toff = np.empty(len(s_idx) + 1, dtype=np.int32)
     toff[0] = 0
     np.cumsum(tok_lens, out=toff[1:])

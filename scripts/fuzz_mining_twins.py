@@ -43,7 +43,10 @@ rng = np.random.default_rng(int(os.environ.get("FUZZ_SEED", "4242")))
 ROUNDS = int(os.environ.get("FUZZ_ROUNDS", "5"))
 
 WORDS = np.array(["the", "and", "cat", "dog", "alpha", "beta",
-                  "gamma", "la", "que", "der", "und", "zz"],
+                  "gamma", "la", "que", "der", "und", "zz",
+                  # sentence terminators / unicode (sentence_stats +
+                  # the tokenizer's non-ASCII fallback path)
+                  "end.", "huh?!", "a.b.c", "...", "¡sí", "Énd."],
                  dtype=object)
 
 
@@ -136,7 +139,8 @@ def gen_tables(d: str) -> None:
         k = int(rng.integers(0, 4))
         links.append([f"https://{rng.choice(hosts)}/x/{j}"
                       for j in range(k)])
-        texts.append((boiler + " ") * int(rng.integers(0, 3))
+        sep = rng.choice([" ", "\n"])  # newline boiler => shared LINES
+        texts.append((boiler + sep) * int(rng.integers(0, 3))
                      + _text(25))
     pq.write_table(pa.table({
         "doc_id": pa.array(np.arange(1, n_pg + 1, dtype=np.int64)),
@@ -157,13 +161,15 @@ TABLE_QUERIES = ["priority_sample_docs", "corr_matrix_lineitem",
                  "next_word_top1", "value_percent_rank_events",
                  "weighted_median_price", "mad_outliers_events",
                  "session_length_histogram", "hll_estimate_users",
-                 "top_terms_per_lang"]
+                 "top_terms_per_lang", "sentence_stats_docs",
+                 "rule_attribution_docs"]
 #: linked-page family (twins are path-parameterized)
 LINKED_QUERIES = ["containment_pairs_pages", "cap_docs_per_host",
                   "url_structure_stats", "host_components",
                   "mutual_host_links", "host_degree_assortativity",
                   "host_boilerplate_frac", "query_param_keys",
-                  "host_reciprocity"]
+                  "host_reciprocity", "host_clustering",
+                  "cross_host_dup_report"]
 
 
 def compare(name, got, want, rnd, d):
@@ -188,7 +194,8 @@ def main() -> int:
     # constants owned by that module)
     for k in ("langid_confusion", "dedup_cluster_sizes",
               "minhash_verify_pairs", "pack_efficiency",
-              "session_length_histogram", "hll_estimate_users"):
+              "session_length_histogram", "hll_estimate_users",
+              "rule_attribution_docs"):
         oracle[k] = Q.ORACLE_SQL[k]
     for rnd in range(ROUNDS):
         d = tempfile.mkdtemp(prefix="fuzz_min_")
@@ -199,7 +206,8 @@ def main() -> int:
                     f"read_parquet('{d}/{t}.parquet')")
         clean = True
         for name in TABLE_QUERIES:
-            got = MIN_QUERIES[name](d)
+            fn = MIN_QUERIES.get(name) or Q.QUERIES[name]
+            got = fn(d)
             want = con.sql(oracle[name]).df()
             clean &= compare(name, got, want, rnd, d)
         lp = os.path.join(d, "linkpages.parquet")

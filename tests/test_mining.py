@@ -872,3 +872,123 @@ def test_top_terms_per_lang_selection(tmp_path):
     assert en.iloc[0]["c"] == 4
     # null lang is the '' class
     assert set(got.loc[got["lang"] == "", "tok"]) == {"zz", "qq"}
+
+
+# ------------- batch 12: clustering / cross-host dups / sentences ----
+
+def _with_linkpages(tmp_path, table, fn):
+    import pyarrow.parquet as pq
+
+    import nacc_form_validator_ray.pipelines.queries as Q
+    pq.write_table(table, tmp_path / "lp12.parquet")
+    orig = Q._linked_pages_path
+    Q._linked_pages_path = lambda sf: str(tmp_path / "lp12.parquet")
+    try:
+        return fn("ignored")
+    finally:
+        Q._linked_pages_path = orig
+
+
+def test_host_clustering_triangle_plus_pendant(tmp_path):
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.pipelines import mining
+
+    # hosts a,b,c form a triangle; d hangs off a (degree 1)
+    table = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "url": ["https://a.com/1", "https://b.com/1",
+                "https://c.com/1", "https://d.com/1"],
+        "text": ["", "", "", ""],
+        "links": pa.array([["https://b.com/x", "https://c.com/x",
+                            "https://d.com/x"],
+                           ["https://c.com/x"], [], []],
+                          pa.list_(pa.string()))})
+    got = _with_linkpages(tmp_path, table, mining.q_host_clustering)
+    rows = {r.host: (r.degree, r.n_tri, r.clustering)
+            for r in got.itertuples()}
+    assert rows["a.com"] == (3, 1, pytest.approx(1 / 3))
+    assert rows["b.com"] == (2, 1, 1.0)
+    assert rows["c.com"] == (2, 1, 1.0)
+    assert rows["d.com"] == (1, 0, 0.0)
+
+
+def test_host_clustering_edgeless(tmp_path):
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.pipelines import mining
+
+    table = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "url": ["https://a.com/1"], "text": [""],
+        "links": pa.array([[]], pa.list_(pa.string()))})
+    got = _with_linkpages(tmp_path, table, mining.q_host_clustering)
+    assert len(got) == 0
+
+
+def test_cross_host_dup_shared_lines(tmp_path):
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.pipelines import mining
+
+    # a.com and b.com share two distinct lines (one of them repeated —
+    # distinctness must dedup it); b.com/c.com share only one line
+    table = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "url": ["https://a.com/1", "https://b.com/1",
+                "https://c.com/1"],
+        "text": ["common one\ncommon two\ncommon one\nunique a",
+                 "common one\ncommon two\nonly bc",
+                 "only bc\nunique c\n\n"],
+        "links": pa.array([[], [], []], pa.list_(pa.string()))})
+    got = _with_linkpages(tmp_path, table,
+                          mining.q_cross_host_dup_report)
+    rows = {(r.host_a, r.host_b): r.n_shared for r in got.itertuples()}
+    # threshold 2: only (a, b) qualifies
+    assert rows == {("a.com", "b.com"): 2}
+
+
+def test_sentence_stats_edge_cases(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_sentence_stats_docs
+
+    docs = ["One two. Three! Four?",    # 3 sentences: 7, 6, 5 chars
+            "...",                       # terminators only: 0
+            "",                          # empty: 0
+            " . ! ? ",                   # ws-only segments: 0
+            "É.",                        # unicode: 1 sentence, 1 char
+            "no terminator at all",      # 1 sentence (to end of doc)
+            "a.b"]                       # 2 sentences: 1 + 1
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+        "text": pa.array(docs, pa.string()),
+        "lang": pa.array(["en"] * len(docs)),
+        "source": pa.array(["s"] * len(docs)),
+        "n_chars": pa.array([len(d) for d in docs], pa.int64())}),
+        tmp_path / "documents.parquet")
+    got = q_sentence_stats_docs(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["n_sentences"].tolist() == [3, 0, 0, 0, 1, 1, 2]
+    assert got["mean_sentence_chars"].tolist() == pytest.approx(
+        [(7 + 6 + 5) / 3, 0.0, 0.0, 0.0, 1.0,
+         len("no terminator at all"), 1.0])
+
+
+def test_rule_attribution_consistency():
+    from nacc_form_validator_ray.pipelines.queries import (
+        q_quality_filter, q_rule_attribution_docs)
+
+    sf = "/root/testdata/sf0.001"
+    attr = q_rule_attribution_docs(sf)
+    qf = q_quality_filter(sf).to_pandas()
+    # DOC_RULES' min/max pairs are mutually exclusive per field, so
+    # n_errors == number of violated FIELDS: sole-violation totals must
+    # match the docs with exactly one error
+    assert int(attr["n_sole"].sum()) == int((qf["n_errors"] == 1).sum())
+    assert (attr["n_sole"] <= attr["n_violations"]).all()
+    assert int(attr["n_violations"].sum()) >= \
+        int((~qf["passed"]).sum())
+    assert sorted(attr["field"]) == attr["field"].tolist()
