@@ -447,6 +447,11 @@ def bench_queries(sf_dir: str):
             Q.QUERIES["sentence_stats_docs"](sf_dir)),
         "rule_attribution_docs": lambda: consume(
             Q.QUERIES["rule_attribution_docs"](sf_dir)),
+        # batch 13: directed-graph mining + per-host language mix
+        "host_cocitation": lambda: consume(
+            Q.QUERIES["host_cocitation"](sf_dir)),
+        "host_lang_gini": lambda: consume(
+            Q.QUERIES["host_lang_gini"](sf_dir)),
     }
 
 

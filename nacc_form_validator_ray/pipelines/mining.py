@@ -2637,3 +2637,329 @@ SELECT d.doc_id,
             ELSE 0.0 END AS mean_sentence_chars
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# batch 13: co-citation, per-host language diversity, token-length
+# histogram, dangling hosts
+# --------------------------------------------------------------------------
+
+#: minimum common citing hosts for a co-citation pair to be reported
+_COCIT_MIN = 2
+
+
+def _directed_host_edges(sf_dir: str):
+    """Distinct DIRECTED host edges (src, dst) of the link graph:
+    per-batch flatten + normalize + local dedup, ONE (src, dst)
+    exchange for global distinctness."""
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.queries import \
+        _linked_pages_path
+    from nacc_form_validator_ray.stages.graph import _host_of
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["url", "links"])
+
+    def partial(t) -> pd.DataFrame:
+        import pyarrow as pa
+        links = t["links"]
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        flat = pc.list_flatten(links)
+        parent = pc.list_parent_indices(links).to_numpy(
+            zero_copy_only=False)
+        src_all = _host_of(t["url"], pc).to_numpy(zero_copy_only=False)
+        dst = _host_of(flat, pc).to_numpy(zero_copy_only=False)
+        src = src_all[parent]
+        keep = src != dst
+        return pd.DataFrame({"src": src[keep],
+                             "dst": dst[keep]}).drop_duplicates()
+
+    return grouped_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["src", "dst"], lambda p: p.drop_duplicates(),
+        num_partitions=16)
+
+
+def q_host_cocitation(sf_dir: str) -> pd.DataFrame:
+    """Co-citation pairs over the directed host graph: hosts (a < b)
+    linked FROM >= ``_COCIT_MIN`` common source hosts — the classic
+    related-site signal (Small 1973). Exchanges: one (src, dst)
+    distinctness pass, one group-by-src pair emission (pre-aggregated
+    per partition), one tiny (a, b) count merge. Pair fan-out per
+    source is out-degree squared; the host graph is the engine's
+    documented small side (same bound as host_triangles' triad
+    volume)."""
+    from nacc_form_validator_ray.stages.partition import (grouped_agg_sum,
+                                                          grouped_apply)
+
+    edges = _directed_host_edges(sf_dir)
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "host_a": pd.Series([], dtype=object),
+            "host_b": pd.Series([], dtype=object),
+            "n_common": pd.Series([], dtype=np.int64)})
+        if part.empty or "src" not in part.columns:
+            return empty
+        xs, ys = [], []
+        for _, g in part.groupby("src", sort=False):
+            nb = np.unique(g["dst"].to_numpy(object))
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            xs.append(nb[i])
+            ys.append(nb[j])
+        if not xs:
+            return empty
+        df = pd.DataFrame({"host_a": np.concatenate(xs),
+                           "host_b": np.concatenate(ys)})
+        df["n_common"] = np.int64(1)
+        return df.groupby(["host_a", "host_b"], as_index=False).sum()
+
+    cand = grouped_apply(edges, ["src"], pairs, num_partitions=16)
+    merged = grouped_agg_sum(cand, ["host_a", "host_b"], ["n_common"],
+                             num_partitions=8).to_pandas()
+    empty = pd.DataFrame({"host_a": pd.Series([], dtype=object),
+                          "host_b": pd.Series([], dtype=object),
+                          "n_common": pd.Series([], dtype=np.int64)})
+    if merged.empty or "host_a" not in merged.columns:
+        return empty
+    out = merged.loc[merged["n_common"] >= _COCIT_MIN]
+    return out.sort_values(["host_a", "host_b"], kind="stable") \
+        .reset_index(drop=True).astype({"n_common": np.int64})
+
+
+def sql_host_cocitation(path: str,
+                        sql_url_norm: str | None = None) -> str:
+    return f"""
+{_sql_edge_ctes(path, sql_url_norm, distinct_directed=True)},
+p AS (SELECT x.dst AS host_a, y.dst AS host_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM e1 x JOIN e1 y ON y.src = x.src AND x.dst < y.dst
+      GROUP BY x.dst, y.dst)
+SELECT host_a, host_b, n_common FROM p
+WHERE n_common >= {_COCIT_MIN}
+"""
+
+
+MIN_QUERIES["host_cocitation"] = q_host_cocitation
+MIN_LINKED_SQL["host_cocitation"] = sql_host_cocitation
+
+
+def q_dangling_hosts(sf_dir: str) -> pd.DataFrame:
+    """PageRank's dangling set: hosts (page hosts or link targets)
+    with >= 0 inlinks and NO outgoing edge, with their distinct-inlink
+    counts. The rank-leak diagnostic a crawl curator checks before
+    running host_pagerank. One (src, dst) distinctness exchange plus a
+    per-batch page-host combiner; the host-level edge list is the
+    module's documented small side, merged on the driver."""
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.queries import \
+        _linked_pages_path
+    from nacc_form_validator_ray.stages.graph import _host_of
+
+    edges = _directed_host_edges(sf_dir).to_pandas()
+
+    def hosts_partial(t) -> pd.DataFrame:
+        h = _host_of(t["url"], pc).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"host": pd.unique(h)})
+
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["url"])
+    page_hosts = ds.map_batches(hosts_partial,
+                                batch_format="pyarrow").to_pandas()
+    if edges.empty or "src" not in edges.columns:
+        nodes = (set(page_hosts["host"])
+                 if "host" in page_hosts.columns else set())
+        srcs: set = set()
+        inl: Dict[str, int] = {}
+    else:
+        nodes = set(page_hosts.get("host", [])) \
+            | set(edges["src"]) | set(edges["dst"])
+        srcs = set(edges["src"])
+        inl = edges.groupby("dst").size().to_dict()
+    dang = sorted(nodes - srcs)
+    return pd.DataFrame({
+        "host": pd.Series(dang, dtype=object),
+        "n_inlinks": pd.Series([int(inl.get(h, 0)) for h in dang],
+                               dtype=np.int64)})
+
+
+def sql_dangling_hosts(path: str,
+                       sql_url_norm: str | None = None) -> str:
+    host_url = sql_url_norm.format(u="url")
+    return f"""
+{_sql_edge_ctes(path, sql_url_norm, distinct_directed=True)},
+nodes AS (SELECT DISTINCT {host_url} AS h FROM pg
+          UNION SELECT src FROM e1 UNION SELECT dst FROM e1),
+outs AS (SELECT DISTINCT src FROM e1),
+inl AS (SELECT dst, CAST(count(*) AS BIGINT) AS n FROM e1
+        GROUP BY dst)
+SELECT n.h AS host, CAST(coalesce(inl.n, 0) AS BIGINT) AS n_inlinks
+FROM nodes n
+LEFT JOIN outs o ON o.src = n.h
+LEFT JOIN inl ON inl.dst = n.h
+WHERE o.src IS NULL
+"""
+
+
+MIN_QUERIES["dangling_hosts"] = q_dangling_hosts
+MIN_LINKED_SQL["dangling_hosts"] = sql_dangling_hosts
+
+
+def q_host_lang_gini(sf_dir: str) -> pd.DataFrame:
+    """Per-host language diversity: Gini impurity of the PREDICTED
+    language distribution over a host's pages,
+    ``1 - sum(c_l^2) / n^2`` — computed as the exact integer
+    ``(n^2 - sum(c_l^2)) / n^2`` with ONE double division (the
+    user_type_gini convention; entropy would need libm). Pipeline:
+    the fused TextStats langid pass per batch, (host, lang_pred)
+    count combiners, ONE grouped-sum exchange, per-host merge on the
+    driver (host universe = the module's small side)."""
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.queries import \
+        _linked_pages_path
+    from nacc_form_validator_ray.stages.graph import _host_of
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
+    from nacc_form_validator_ray.stages.text_signals import TextStats
+
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["url", "text"])
+    ds = ds.map_batches(TextStats(langid=True), batch_format="pyarrow",
+                        batch_size=4096)
+
+    def partial(t) -> pd.DataFrame:
+        host = _host_of(t["url"], pc).to_numpy(zero_copy_only=False)
+        pred = t["lang_pred"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"host": host, "lang_pred": pred})
+        df["c"] = np.int64(1)
+        return df.groupby(["host", "lang_pred"], as_index=False).sum()
+
+    counts = grouped_agg_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["host", "lang_pred"], ["c"], num_partitions=8).to_pandas()
+    if counts.empty or "host" not in counts.columns:
+        return pd.DataFrame({"host": pd.Series([], dtype=object),
+                             "n_pages": pd.Series([], dtype=np.int64),
+                             "lang_gini": pd.Series([],
+                                                    dtype=np.float64)})
+    g = counts.groupby("host")["c"].agg(
+        n="sum", s2=lambda c: int((c.to_numpy(np.int64) ** 2).sum()))
+    n = g["n"].to_numpy(np.int64)
+    s2 = g["s2"].to_numpy(np.int64)
+    gini = np.zeros(len(g), dtype=np.float64)
+    nz = n > 0
+    gini[nz] = (n[nz] * n[nz] - s2[nz]) / (n[nz] * n[nz])
+    return pd.DataFrame({"host": g.index.to_numpy(object),
+                         "n_pages": n, "lang_gini": gini}) \
+        .sort_values("host", kind="stable").reset_index(drop=True)
+
+
+def sql_host_lang_gini(path: str,
+                       sql_url_norm: str | None = None) -> str:
+    from nacc_form_validator_ray.pipelines.queries import _sql_sw
+    host = sql_url_norm.format(u="url")
+    return f"""
+WITH c AS (
+  SELECT {host} AS host,
+         {_sql_sw('en')} AS sw_en, {_sql_sw('es')} AS sw_es,
+         {_sql_sw('de')} AS sw_de, {_sql_sw('fr')} AS sw_fr,
+         {_sql_sw('zh')} AS sw_zh
+  FROM read_parquet('{path}')),
+lpred AS (
+  SELECT host,
+         CASE WHEN greatest(sw_en, sw_es, sw_de, sw_fr, sw_zh) = 0
+                  THEN 'und'
+              WHEN sw_en >= greatest(sw_es, sw_de, sw_fr, sw_zh)
+                  THEN 'en'
+              WHEN sw_es >= greatest(sw_de, sw_fr, sw_zh) THEN 'es'
+              WHEN sw_de >= greatest(sw_fr, sw_zh) THEN 'de'
+              WHEN sw_fr >= sw_zh THEN 'fr'
+              ELSE 'zh' END AS lang_pred
+  FROM c),
+g AS (SELECT host, lang_pred, CAST(count(*) AS BIGINT) AS c
+      FROM lpred GROUP BY host, lang_pred),
+h AS (SELECT host, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM g GROUP BY host)
+SELECT host, n AS n_pages,
+       CASE WHEN n > 0
+            THEN CAST(n * n - s2 AS DOUBLE) / (n * n)
+            ELSE 0.0 END AS lang_gini
+FROM h
+"""
+
+
+MIN_QUERIES["host_lang_gini"] = q_host_lang_gini
+MIN_LINKED_SQL["host_lang_gini"] = sql_host_lang_gini
+
+
+def q_token_length_histogram(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide token-length distribution (tokenizer health
+    diagnostic): counts of ``[a-z]+`` tokens by byte length. Per-batch
+    bincount over the shared run machinery's (e - s + 1) lengths —
+    no token strings materialized at all; O(max_len x batches)
+    combiner rows merged on the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
+    from nacc_form_validator_ray.stages.text_signals import (
+        _buffer_view, _mask_runs)
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "token_len": pd.Series([], dtype=np.int64),
+            "n": pd.Series([], dtype=np.int64)})
+        text = pc.fill_null(t["text"], "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        buf, off = _buffer_view(text)
+        if not len(buf):
+            return empty
+        if int(buf.max()) < 0x80:
+            o20 = buf | np.uint8(0x20)
+            mask = o20 >= 97
+            np.logical_and(mask, o20 <= 122, out=mask)
+            s_idx, e_idx, _, _ = _mask_runs(buf, off, mask, len(text))
+            lens = (e_idx - s_idx + np.int32(1)).astype(np.int64)
+        else:
+            # unicode fallback: lengths via the packed token array
+            from nacc_form_validator_ray.stages.text_signals import \
+                arrow_token_runs
+            flat, _, _ = arrow_token_runs(text)
+            if flat is None:
+                return empty
+            lens = pc.binary_length(flat).to_numpy() \
+                .astype(np.int64, copy=False)
+        if not len(lens):
+            return empty
+        counts = np.bincount(lens)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame({"token_len": nz.astype(np.int64),
+                             "n": counts[nz].astype(np.int64)})
+
+    out = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["token_len"], {"n": "sum"})
+    return out.sort_values("token_len").reset_index(drop=True) \
+        .astype({"token_len": np.int64, "n": np.int64})
+
+
+MIN_QUERIES["token_length_histogram"] = q_token_length_histogram
+MIN_ORACLE_SQL["token_length_histogram"] = """
+WITH t AS (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                            '[a-z]+')) AS tok
+           FROM documents)
+SELECT CAST(strlen(tok) AS BIGINT) AS token_len,
+       CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY strlen(tok)
+"""

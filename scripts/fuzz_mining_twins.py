@@ -162,14 +162,15 @@ TABLE_QUERIES = ["priority_sample_docs", "corr_matrix_lineitem",
                  "weighted_median_price", "mad_outliers_events",
                  "session_length_histogram", "hll_estimate_users",
                  "top_terms_per_lang", "sentence_stats_docs",
-                 "rule_attribution_docs"]
+                 "rule_attribution_docs", "token_length_histogram"]
 #: linked-page family (twins are path-parameterized)
 LINKED_QUERIES = ["containment_pairs_pages", "cap_docs_per_host",
                   "url_structure_stats", "host_components",
                   "mutual_host_links", "host_degree_assortativity",
                   "host_boilerplate_frac", "query_param_keys",
                   "host_reciprocity", "host_clustering",
-                  "cross_host_dup_report"]
+                  "cross_host_dup_report", "host_cocitation",
+                  "dangling_hosts", "host_lang_gini"]
 
 
 def compare(name, got, want, rnd, d):

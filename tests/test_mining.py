@@ -992,3 +992,95 @@ def test_rule_attribution_consistency():
     assert int(attr["n_violations"].sum()) >= \
         int((~qf["passed"]).sum())
     assert sorted(attr["field"]) == attr["field"].tolist()
+
+
+# ----------------- batch 13: co-citation / diversity / dangling ------
+
+def test_host_cocitation_known_graph(tmp_path):
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.pipelines import mining
+
+    # s1 and s2 both link to {x, y}; s1 also links z (x,y co-cited by
+    # 2 sources; x,z and y,z only by 1 -> below threshold)
+    table = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "url": ["https://s1.com/a", "https://s2.com/a"],
+        "text": ["", ""],
+        "links": pa.array(
+            [["https://x.com/1", "https://y.com/1", "https://z.com/1"],
+             ["https://x.com/2", "https://y.com/2"]],
+            pa.list_(pa.string()))})
+    got = _with_linkpages(tmp_path, table, mining.q_host_cocitation)
+    rows = {(r.host_a, r.host_b): r.n_common for r in got.itertuples()}
+    assert rows == {("x.com", "y.com"): 2}
+
+
+def test_dangling_hosts_known_graph(tmp_path):
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.pipelines import mining
+
+    # a links to b twice (distinct pages) and to c; b links back to a;
+    # c and the linkless page host d have no out-edges -> dangling
+    table = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "url": ["https://a.com/1", "https://a.com/2",
+                "https://b.com/1", "https://d.com/1"],
+        "text": ["", "", "", ""],
+        "links": pa.array(
+            [["https://b.com/x"], ["https://b.com/y",
+                                   "https://c.com/x"],
+             ["https://a.com/z"], []],
+            pa.list_(pa.string()))})
+    got = _with_linkpages(tmp_path, table, mining.q_dangling_hosts)
+    rows = {r.host: r.n_inlinks for r in got.itertuples()}
+    # distinct DIRECTED edges: a->b, a->c, b->a; dangling = c (1
+    # inlink) and d (0)
+    assert rows == {"c.com": 1, "d.com": 0}
+
+
+def test_host_lang_gini_mixed_host(tmp_path):
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.pipelines import mining
+
+    en = "the cat and the dog was at it for the day"
+    es = "de la que el en y los del se las por un para"
+    table = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "url": ["https://m.com/1", "https://m.com/2",
+                "https://m.com/3", "https://p.com/1"],
+        "text": [en, en, es, en],
+        "links": pa.array([[], [], [], []], pa.list_(pa.string()))})
+    got = _with_linkpages(tmp_path, table, mining.q_host_lang_gini)
+    rows = {r.host: (r.n_pages, r.lang_gini) for r in got.itertuples()}
+    # m.com: 2 en + 1 es -> 1 - (4+1)/9 = 4/9; p.com pure -> 0
+    assert rows["m.com"] == (3, pytest.approx(4 / 9))
+    assert rows["p.com"] == (1, 0.0)
+
+
+def test_token_length_histogram_matches_naive(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import re
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_token_length_histogram
+
+    docs = ["aa bbb C dddd", "", "ü über x", "zzzzzzzzzz a"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+        "text": pa.array(docs, pa.string()),
+        "lang": pa.array(["en"] * len(docs)),
+        "source": pa.array(["s"] * len(docs)),
+        "n_chars": pa.array([len(d) for d in docs], pa.int64())}),
+        tmp_path / "documents.parquet")
+    got = q_token_length_histogram(str(tmp_path))
+    want: dict = {}
+    for d in docs:
+        for tok in re.findall("[a-z]+", d.lower()):
+            # BYTE length (ü lowers to 2 utf-8 bytes but is not [a-z])
+            L = len(tok.encode())
+            want[L] = want.get(L, 0) + 1
+    assert dict(zip(got["token_len"], got["n"])) == want
