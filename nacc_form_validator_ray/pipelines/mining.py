@@ -2648,34 +2648,45 @@ FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 _COCIT_MIN = 2
 
 
-def _directed_host_edges(sf_dir: str):
+def _directed_host_edges(sf_dir: str, emit_page_hosts: bool = False):
     """Distinct DIRECTED host edges (src, dst) of the link graph:
-    per-batch flatten + normalize + local dedup, ONE (src, dst)
-    exchange for global distinctness."""
+    per-batch :func:`stages.graph._canonical_edge_frame` (the module's
+    ONE copy of the flatten/normalize/self-loop/dedup edge semantics;
+    direction recovered from its ``fwd`` flag), then ONE (src, dst)
+    exchange for global distinctness.
+
+    ``emit_page_hosts`` additionally rides each batch's distinct page
+    hosts through the same read and exchange as ``(h, h)`` marker rows
+    (unambiguous — self-loops never appear as edges), so node-universe
+    consumers need no second scan of the corpus."""
     import pyarrow.compute as pc
 
     from nacc_form_validator_ray.pipelines.queries import \
         _linked_pages_path
-    from nacc_form_validator_ray.stages.graph import _host_of
+    from nacc_form_validator_ray.stages.graph import (_canonical_edge_frame,
+                                                      _host_of)
     from nacc_form_validator_ray.stages.partition import grouped_apply
 
     ds = _rd().read_parquet(_linked_pages_path(sf_dir),
                             columns=["url", "links"])
 
     def partial(t) -> pd.DataFrame:
-        import pyarrow as pa
-        links = t["links"]
-        if isinstance(links, pa.ChunkedArray):
-            links = links.combine_chunks()
-        flat = pc.list_flatten(links)
-        parent = pc.list_parent_indices(links).to_numpy(
-            zero_copy_only=False)
-        src_all = _host_of(t["url"], pc).to_numpy(zero_copy_only=False)
-        dst = _host_of(flat, pc).to_numpy(zero_copy_only=False)
-        src = src_all[parent]
-        keep = src != dst
-        return pd.DataFrame({"src": src[keep],
-                             "dst": dst[keep]}).drop_duplicates()
+        e = _canonical_edge_frame(t, "url", "links",
+                                  with_orientation=True)
+        fwd = e["fwd"].to_numpy(bool)
+        a = e["a"].to_numpy(object)
+        b = e["b"].to_numpy(object)
+        df = pd.DataFrame({"src": np.where(fwd, a, b),
+                           "dst": np.where(fwd, b, a)}) \
+            .drop_duplicates()
+        if emit_page_hosts:
+            hosts = pd.unique(_host_of(t["url"], pc)
+                              .to_numpy(zero_copy_only=False))
+            df = pd.concat([df, pd.DataFrame({"host": hosts})
+                           .rename(columns={"host": "src"})
+                           .assign(dst=lambda x: x["src"])],
+                           ignore_index=True)
+        return df
 
     return grouped_apply(
         ds.map_batches(partial, batch_format="pyarrow"),
@@ -2753,33 +2764,20 @@ def q_dangling_hosts(sf_dir: str) -> pd.DataFrame:
     """PageRank's dangling set: hosts (page hosts or link targets)
     with >= 0 inlinks and NO outgoing edge, with their distinct-inlink
     counts. The rank-leak diagnostic a crawl curator checks before
-    running host_pagerank. One (src, dst) distinctness exchange plus a
-    per-batch page-host combiner; the host-level edge list is the
-    module's documented small side, merged on the driver."""
-    import pyarrow.compute as pc
-
-    from nacc_form_validator_ray.pipelines.queries import \
-        _linked_pages_path
-    from nacc_form_validator_ray.stages.graph import _host_of
-
-    edges = _directed_host_edges(sf_dir).to_pandas()
-
-    def hosts_partial(t) -> pd.DataFrame:
-        h = _host_of(t["url"], pc).to_numpy(zero_copy_only=False)
-        return pd.DataFrame({"host": pd.unique(h)})
-
-    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
-                            columns=["url"])
-    page_hosts = ds.map_batches(hosts_partial,
-                                batch_format="pyarrow").to_pandas()
-    if edges.empty or "src" not in edges.columns:
-        nodes = (set(page_hosts["host"])
-                 if "host" in page_hosts.columns else set())
+    running host_pagerank. ONE corpus read and one (src, dst)
+    distinctness exchange (page hosts ride it as (h, h) marker rows);
+    the host-level edge list is the module's documented small side,
+    merged on the driver."""
+    rows = _directed_host_edges(sf_dir,
+                                emit_page_hosts=True).to_pandas()
+    if rows.empty or "src" not in rows.columns:
+        nodes: set = set()
         srcs: set = set()
         inl: Dict[str, int] = {}
     else:
-        nodes = set(page_hosts.get("host", [])) \
-            | set(edges["src"]) | set(edges["dst"])
+        marker = rows["src"] == rows["dst"]
+        edges = rows.loc[~marker]
+        nodes = set(rows["src"]) | set(edges["dst"])
         srcs = set(edges["src"])
         inl = edges.groupby("dst").size().to_dict()
     dang = sorted(nodes - srcs)
@@ -2862,7 +2860,8 @@ def q_host_lang_gini(sf_dir: str) -> pd.DataFrame:
 
 def sql_host_lang_gini(path: str,
                        sql_url_norm: str | None = None) -> str:
-    from nacc_form_validator_ray.pipelines.queries import _sql_sw
+    from nacc_form_validator_ray.pipelines.queries import (_SQL_LANG_PRED,
+                                                           _sql_sw)
     host = sql_url_norm.format(u="url")
     return f"""
 WITH c AS (
@@ -2872,15 +2871,7 @@ WITH c AS (
          {_sql_sw('zh')} AS sw_zh
   FROM read_parquet('{path}')),
 lpred AS (
-  SELECT host,
-         CASE WHEN greatest(sw_en, sw_es, sw_de, sw_fr, sw_zh) = 0
-                  THEN 'und'
-              WHEN sw_en >= greatest(sw_es, sw_de, sw_fr, sw_zh)
-                  THEN 'en'
-              WHEN sw_es >= greatest(sw_de, sw_fr, sw_zh) THEN 'es'
-              WHEN sw_de >= greatest(sw_fr, sw_zh) THEN 'de'
-              WHEN sw_fr >= sw_zh THEN 'fr'
-              ELSE 'zh' END AS lang_pred
+  SELECT host, {_SQL_LANG_PRED} AS lang_pred
   FROM c),
 g AS (SELECT host, lang_pred, CAST(count(*) AS BIGINT) AS c
       FROM lpred GROUP BY host, lang_pred),
@@ -2906,11 +2897,10 @@ def q_token_length_histogram(sf_dir: str) -> pd.DataFrame:
     no token strings materialized at all; O(max_len x batches)
     combiner rows merged on the driver."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     from nacc_form_validator_ray.pipelines.queries import _merge_partials
-    from nacc_form_validator_ray.stages.text_signals import (
-        _buffer_view, _mask_runs)
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_lens
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["text"])
@@ -2919,27 +2909,7 @@ def q_token_length_histogram(sf_dir: str) -> pd.DataFrame:
         empty = pd.DataFrame({
             "token_len": pd.Series([], dtype=np.int64),
             "n": pd.Series([], dtype=np.int64)})
-        text = pc.fill_null(t["text"], "")
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        buf, off = _buffer_view(text)
-        if not len(buf):
-            return empty
-        if int(buf.max()) < 0x80:
-            o20 = buf | np.uint8(0x20)
-            mask = o20 >= 97
-            np.logical_and(mask, o20 <= 122, out=mask)
-            s_idx, e_idx, _, _ = _mask_runs(buf, off, mask, len(text))
-            lens = (e_idx - s_idx + np.int32(1)).astype(np.int64)
-        else:
-            # unicode fallback: lengths via the packed token array
-            from nacc_form_validator_ray.stages.text_signals import \
-                arrow_token_runs
-            flat, _, _ = arrow_token_runs(text)
-            if flat is None:
-                return empty
-            lens = pc.binary_length(flat).to_numpy() \
-                .astype(np.int64, copy=False)
+        lens = arrow_token_lens(t["text"])
         if not len(lens):
             return empty
         counts = np.bincount(lens)

@@ -194,6 +194,19 @@ def _sql_sw(lang: str) -> str:
             f"'[A-Za-z]+'), x -> x IN ({bank}))) AS BIGINT)")
 
 
+#: the lang_pred argmax + tie-break over columns sw_en..sw_zh — ONE
+#: copy of the oracle contract with TextStats' argmax order (first
+#: language in LANG_ORDER wins on >=; 'und' when every bank is empty).
+#: Every twin that predicts a language MUST use this constant.
+_SQL_LANG_PRED = """CASE
+              WHEN greatest(sw_en, sw_es, sw_de, sw_fr, sw_zh) = 0
+                  THEN 'und'
+              WHEN sw_en >= greatest(sw_es, sw_de, sw_fr, sw_zh) THEN 'en'
+              WHEN sw_es >= greatest(sw_de, sw_fr, sw_zh) THEN 'es'
+              WHEN sw_de >= greatest(sw_fr, sw_zh) THEN 'de'
+              WHEN sw_fr >= sw_zh THEN 'fr'
+              ELSE 'zh' END"""
+
 SQL_LANGID = f"""
 WITH c AS (
   SELECT doc_id,
@@ -205,13 +218,7 @@ WITH c AS (
   FROM documents
 )
 SELECT doc_id,
-       CASE WHEN greatest(sw_en, sw_es, sw_de, sw_fr, sw_zh) = 0
-                THEN 'und'
-            WHEN sw_en >= greatest(sw_es, sw_de, sw_fr, sw_zh) THEN 'en'
-            WHEN sw_es >= greatest(sw_de, sw_fr, sw_zh) THEN 'es'
-            WHEN sw_de >= greatest(sw_fr, sw_zh) THEN 'de'
-            WHEN sw_fr >= sw_zh THEN 'fr'
-            ELSE 'zh' END AS lang_pred,
+       {_SQL_LANG_PRED} AS lang_pred,
        sw_en, sw_es, sw_de, sw_fr, sw_zh
 FROM c
 """
@@ -258,13 +265,7 @@ SQL_QUALITY_FILTER = _TOKS_CTE + """
   FROM documents
 ), lp AS (
   SELECT doc_id,
-         CASE WHEN greatest(sw_en, sw_es, sw_de, sw_fr, sw_zh) = 0
-                  THEN 'und'
-              WHEN sw_en >= greatest(sw_es, sw_de, sw_fr, sw_zh) THEN 'en'
-              WHEN sw_es >= greatest(sw_de, sw_fr, sw_zh) THEN 'es'
-              WHEN sw_de >= greatest(sw_fr, sw_zh) THEN 'de'
-              WHEN sw_fr >= sw_zh THEN 'fr'
-              ELSE 'zh' END AS lang_pred,
+         {LANG_PRED} AS lang_pred,
          CAST(greatest(sw_en, sw_es, sw_de, sw_fr, sw_zh) AS DOUBLE)
              / greatest(n_words, 1) AS stop_ratio
   FROM lid JOIN sig USING (doc_id)
@@ -285,7 +286,8 @@ FROM err
    .replace("{SW_ES}", _sql_sw("es")) \
    .replace("{SW_DE}", _sql_sw("de")) \
    .replace("{SW_FR}", _sql_sw("fr")) \
-   .replace("{SW_ZH}", _sql_sw("zh"))
+   .replace("{SW_ZH}", _sql_sw("zh")) \
+   .replace("{LANG_PRED}", _SQL_LANG_PRED)
 
 
 def q_pii_scrub(sf_dir: str):
@@ -1453,13 +1455,7 @@ t AS (
 ), lp AS (
   SELECT url, n_words, mean_word_len, symbol_ratio, digit_ratio,
          rep_3gram_ratio,
-         CASE WHEN greatest(sw_en, sw_es, sw_de, sw_fr, sw_zh) = 0
-                  THEN 'und'
-              WHEN sw_en >= greatest(sw_es, sw_de, sw_fr, sw_zh) THEN 'en'
-              WHEN sw_es >= greatest(sw_de, sw_fr, sw_zh) THEN 'es'
-              WHEN sw_de >= greatest(sw_fr, sw_zh) THEN 'de'
-              WHEN sw_fr >= sw_zh THEN 'fr'
-              ELSE 'zh' END AS lang_pred,
+         {_SQL_LANG_PRED} AS lang_pred,
          CAST(greatest(sw_en, sw_es, sw_de, sw_fr, sw_zh) AS DOUBLE)
              / greatest(n_words, 1) AS stop_ratio
   FROM sig

@@ -133,20 +133,54 @@ def arrow_token_runs(text, include_digits: bool = False, _pre=None):
         alpha_m = digit_m = None
     if not len(obuf):
         return empty
-    if int(obuf.max()) < 0x80:
-        if alpha_m is None:
-            o20 = obuf | np.uint8(0x20)
-            alpha_m = o20 >= 97
-            np.logical_and(alpha_m, o20 <= 122, out=alpha_m)
-        if include_digits:
-            if digit_m is None:
-                digit_m = obuf >= 48
-                np.logical_and(digit_m, obuf <= 57, out=digit_m)
-            mask = alpha_m | digit_m
-        else:
-            mask = alpha_m
+    mask = _ascii_token_mask(obuf, include_digits, alpha_m, digit_m)
+    if mask is not None:
         return _runs_from_mask(obuf, ooff, mask, n, lower_packed=True)
     return _token_runs_unicode(text, n, include_digits)
+
+
+def _ascii_token_mask(buf: np.ndarray, include_digits: bool = False,
+                      alpha_m=None, digit_m=None):
+    """The ASCII fast-path dispatch in ONE place: the ``[a-z]`` (or
+    ``[a-z0-9]``) token mask of the ORIGINAL buffer when it is pure
+    ASCII, else ``None`` (any byte >= 0x80 forces the unicode-lower
+    path — case folding can cross into ``[a-z]``, e.g. U+212A)."""
+    if len(buf) and int(buf.max()) >= 0x80:
+        return None
+    if alpha_m is None:
+        o20 = buf | np.uint8(0x20)
+        alpha_m = o20 >= 97
+        np.logical_and(alpha_m, o20 <= 122, out=alpha_m)
+    if include_digits:
+        if digit_m is None:
+            digit_m = buf >= 48
+            np.logical_and(digit_m, buf <= 57, out=digit_m)
+        return alpha_m | digit_m
+    return alpha_m
+
+
+def arrow_token_lens(text, include_digits: bool = False) -> np.ndarray:
+    """Token BYTE lengths only — no packed strings, no dictionary.
+    Same token definition and ASCII/unicode dispatch as
+    :func:`arrow_token_runs` (one copy of both rules)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    if getattr(text, "null_count", 0):
+        text = pc.fill_null(text, "")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    buf, off = _buffer_view(text)
+    if not len(buf):
+        return np.empty(0, dtype=np.int64)
+    mask = _ascii_token_mask(buf, include_digits)
+    if mask is not None:
+        s_idx, e_idx, _, _ = _mask_runs(buf, off, mask, len(text))
+        return (e_idx - s_idx + np.int32(1)).astype(np.int64)
+    flat, _, _ = _token_runs_unicode(text, len(text), include_digits)
+    if flat is None:
+        return np.empty(0, dtype=np.int64)
+    return pc.binary_length(flat).to_numpy().astype(np.int64,
+                                                    copy=False)
 
 
 def _token_runs_unicode(text, n: int, include_digits: bool):
