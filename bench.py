@@ -452,6 +452,9 @@ def bench_queries(sf_dir: str):
             Q.QUERIES["host_cocitation"](sf_dir)),
         "host_lang_gini": lambda: consume(
             Q.QUERIES["host_lang_gini"](sf_dir)),
+        # batch 14: triple-ranked RFM (three range exchanges)
+        "customer_rfm": lambda: consume(
+            Q.QUERIES["customer_rfm"](sf_dir)),
     }
 
 

@@ -2933,3 +2933,317 @@ SELECT CAST(strlen(tok) AS BIGINT) AS token_len,
        CAST(count(*) AS BIGINT) AS n
 FROM t GROUP BY strlen(tok)
 """
+
+
+# --------------------------------------------------------------------------
+# batch 14: customer RFM, daily count deltas, per-dim embedding range,
+# monthly revenue moving average
+# --------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+
+def q_customer_rfm(sf_dir: str) -> pd.DataFrame:
+    """Classic RFM segmentation over orders: per ordering customer the
+    recency (days since last order, against the corpus-max order date),
+    frequency (order count), monetary value (exact cents), and the
+    NTILE(4) quartile of each — tile 1 = best — plus the combined
+    3-digit rfm_score.
+
+    Shape: ONE (custkey) combiner exchange builds the per-customer
+    aggregate; the global anchor is a driver scalar off that SMALL
+    dataset (no second corpus scan); each quartile is the exact
+    arithmetic NTILE of stages/ranking.global_rank — three range
+    exchanges over the per-customer table (which is the corpus's
+    distinct-customer universe, not the order stream)."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+    from nacc_form_validator_ray.stages.ranking import global_rank
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        g = pd.DataFrame({
+            "custkey": df["o_custkey"].to_numpy(np.int64),
+            "n_orders": np.int64(1),
+            "monetary_cents": cents,
+            "last_us": df["o_orderdate"].astype("int64").to_numpy()})
+        return g.groupby("custkey", as_index=False).agg(
+            n_orders=("n_orders", "sum"),
+            monetary_cents=("monetary_cents", "sum"),
+            last_us=("last_us", "max"))
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return part
+        return part.groupby("custkey", as_index=False).agg(
+            n_orders=("n_orders", "sum"),
+            monetary_cents=("monetary_cents", "sum"),
+            last_us=("last_us", "max"))
+
+    agg = grouped_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["custkey"], merge, num_partitions=16).materialize()
+    if agg.count() == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("custkey", "recency_days",
+                                       "n_orders", "monetary_cents",
+                                       "r_tile", "f_tile", "m_tile",
+                                       "rfm_score")})
+    from ray.data.aggregate import Max
+    anchor = int(agg.aggregate(Max("last_us", alias_name="a"))["a"])
+
+    ranked = global_rank(agg, "last_us", tie_cols=["custkey"],
+                         descending=True, num_partitions=8, ntile=4,
+                         ntile_col="r_tile")
+    ranked = ranked.drop_columns(["rank"])
+    ranked = global_rank(ranked, "n_orders", tie_cols=["custkey"],
+                         descending=True, num_partitions=8, ntile=4,
+                         ntile_col="f_tile")
+    ranked = ranked.drop_columns(["rank"])
+    ranked = global_rank(ranked, "monetary_cents",
+                         tie_cols=["custkey"], descending=True,
+                         num_partitions=8, ntile=4,
+                         ntile_col="m_tile")
+
+    def finish(t) -> pd.DataFrame:
+        last = t["last_us"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        out = pd.DataFrame({
+            "custkey": t["custkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "recency_days": (anchor - last) // _US_PER_DAY,
+            "n_orders": t["n_orders"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "monetary_cents": t["monetary_cents"]
+            .to_numpy(zero_copy_only=False).astype(np.int64)})
+        for c in ("r_tile", "f_tile", "m_tile"):
+            out[c] = t[c].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+        out["rfm_score"] = (out["r_tile"] * 100 + out["f_tile"] * 10
+                            + out["m_tile"])
+        return out
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+MIN_QUERIES["customer_rfm"] = q_customer_rfm
+MIN_ORACLE_SQL["customer_rfm"] = f"""
+WITH agg AS (
+  SELECT o_custkey AS custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS monetary_cents,
+         max(o_orderdate) AS last_dt
+  FROM orders GROUP BY o_custkey),
+anchor AS (SELECT max(last_dt) AS a FROM agg),
+tiled AS (
+  SELECT custkey,
+         CAST((epoch_us(an.a) - epoch_us(last_dt)) // {_US_PER_DAY}
+              AS BIGINT) AS recency_days,
+         n_orders, monetary_cents,
+         NTILE(4) OVER (ORDER BY last_dt DESC, custkey) AS r_tile,
+         NTILE(4) OVER (ORDER BY n_orders DESC, custkey) AS f_tile,
+         NTILE(4) OVER (ORDER BY monetary_cents DESC, custkey)
+             AS m_tile
+  FROM agg, anchor an)
+SELECT custkey, recency_days, n_orders, monetary_cents,
+       CAST(r_tile AS BIGINT) AS r_tile,
+       CAST(f_tile AS BIGINT) AS f_tile,
+       CAST(m_tile AS BIGINT) AS m_tile,
+       CAST(r_tile * 100 + f_tile * 10 + m_tile AS BIGINT)
+           AS rfm_score
+FROM tiled
+"""
+
+
+def q_daily_count_delta(sf_dir: str) -> pd.DataFrame:
+    """Day-over-day movement per event type: daily counts plus the
+    delta vs the type's PREVIOUS PRESENT day (LAG semantics — no
+    calendar gap fill; gap_fill_hourly_purchases covers that shape).
+    Null event types are excluded by explicit contract in BOTH engines
+    (pandas groupby and SQL GROUP BY disagree on NULL groups). One
+    (day, type) combiner exchange, then a per-type sort + diff inside
+    one more lean exchange keyed on the type."""
+    from nacc_form_validator_ray.stages.partition import (grouped_agg_sum,
+                                                          grouped_apply)
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["event_type"].notna()]
+        day = df["ts"].dt.normalize()
+        g = pd.DataFrame({"day": day,
+                          "event_type": df["event_type"],
+                          "n": np.int64(1)})
+        return g.groupby(["day", "event_type"], as_index=False).sum()
+
+    counts = grouped_agg_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["day", "event_type"], ["n"], num_partitions=16)
+
+    def delta(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "day": pd.Series([], dtype="datetime64[ns]"),
+            "event_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64),
+            "delta": pd.Series([], dtype=np.int64)})
+        if part.empty or "event_type" not in part.columns:
+            return empty
+        part = part.sort_values(["event_type", "day"], kind="stable")
+        n = part["n"].to_numpy(np.int64)
+        prev = np.empty_like(n)
+        prev[0] = 0
+        prev[1:] = n[:-1]
+        et = part["event_type"].to_numpy(object)
+        first = np.ones(len(part), dtype=bool)
+        first[1:] = et[1:] != et[:-1]
+        prev[first] = 0
+        return pd.DataFrame({"day": part["day"].to_numpy(),
+                             "event_type": et, "n": n,
+                             "delta": n - prev})
+
+    return grouped_apply(counts, ["event_type"], delta,
+                         num_partitions=8)
+
+
+MIN_QUERIES["daily_count_delta"] = q_daily_count_delta
+MIN_ORACLE_SQL["daily_count_delta"] = """
+WITH c AS (
+  SELECT date_trunc('day', ts) AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY day, event_type)
+SELECT day, event_type, n,
+       CAST(n - coalesce(lag(n) OVER (PARTITION BY event_type
+                                      ORDER BY day), 0) AS BIGINT)
+           AS delta
+FROM c
+"""
+
+
+def q_embedding_dim_minmax(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension min / max / range over the embedding column —
+    the quantization-prep profile (int8 scale/offset derivation).
+    Exact by construction: min and max are order-insensitive (unlike
+    float sums, which the repo's float discipline forbids across
+    engines); the range is one correctly-rounded float64 subtraction
+    of exactly-cast float32 values. Per-batch (d,) reductions over the
+    zero-copy matrix view, O(dims x batches) combiner rows merged on
+    the driver."""
+    from nacc_form_validator_ray.stages.similarity import \
+        _matrix_from_arrow
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])
+
+    def partial(t) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "dim": pd.Series([], dtype=np.int64),
+            "vmin": pd.Series([], dtype=np.float64),
+            "vmax": pd.Series([], dtype=np.float64)})
+        if t.num_rows == 0:
+            return empty
+        m = _matrix_from_arrow(t["embedding"])
+        if m.size == 0:
+            return empty
+        return pd.DataFrame({
+            "dim": np.arange(1, m.shape[1] + 1, dtype=np.int64),
+            "vmin": m.min(axis=0), "vmax": m.max(axis=0)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty or "dim" not in parts.columns:
+        return pd.DataFrame({"dim": pd.Series([], dtype=np.int64),
+                             "vmin": pd.Series([], dtype=np.float64),
+                             "vmax": pd.Series([], dtype=np.float64),
+                             "vrange": pd.Series([],
+                                                 dtype=np.float64)})
+    out = parts.groupby("dim", as_index=False).agg(
+        vmin=("vmin", "min"), vmax=("vmax", "max"))
+    out["vrange"] = out["vmax"] - out["vmin"]
+    return out.sort_values("dim").reset_index(drop=True)
+
+
+MIN_QUERIES["embedding_dim_minmax"] = q_embedding_dim_minmax
+MIN_ORACLE_SQL["embedding_dim_minmax"] = """
+WITH x AS (SELECT unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1) AS dim
+           FROM embeddings)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(min(v) AS DOUBLE) AS vmin,
+       CAST(max(v) AS DOUBLE) AS vmax,
+       CAST(max(v) AS DOUBLE) - CAST(min(v) AS DOUBLE) AS vrange
+FROM x GROUP BY dim
+"""
+
+
+def q_monthly_revenue_ma3(sf_dir: str) -> pd.DataFrame:
+    """Monthly shipped revenue with its 3-month moving average
+    (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW over present months —
+    LAG-family semantics, no calendar fill). Revenue in the repo's
+    exact revenue_ch units (cents x (100 - discount_hundredths));
+    the average is ONE double division of the exact int64 window sum
+    by the window row count. One (month) combiner exchange; the
+    month table is O(years x 12) and the rolling pass is a driver
+    formality."""
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["l_shipdate"]
+        month = (d.dt.year * 100 + d.dt.month).to_numpy(np.int64)
+        cents = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        disc_h = np.floor(
+            df["l_discount"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        g = pd.DataFrame({"ship_month": month,
+                          "revenue_ch": cents * (100 - disc_h)})
+        return g.groupby("ship_month", as_index=False).sum()
+
+    months = grouped_agg_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["ship_month"], ["revenue_ch"], num_partitions=8).to_pandas()
+    if months.empty or "ship_month" not in months.columns:
+        return pd.DataFrame({
+            "ship_month": pd.Series([], dtype=np.int64),
+            "revenue_ch": pd.Series([], dtype=np.int64),
+            "ma3": pd.Series([], dtype=np.float64)})
+    months = months.sort_values("ship_month").reset_index(drop=True)
+    rev = months["revenue_ch"].to_numpy(np.int64)
+    n = len(rev)
+    csum = np.concatenate([[0], np.cumsum(rev)])
+    lo = np.maximum(np.arange(n) - 2, 0)
+    wsum = csum[1:] - csum[lo]
+    wcnt = np.arange(n) - lo + 1
+    return pd.DataFrame({
+        "ship_month": months["ship_month"].to_numpy(np.int64),
+        "revenue_ch": rev,
+        "ma3": wsum.astype(np.float64) / wcnt})
+
+
+MIN_QUERIES["monthly_revenue_ma3"] = q_monthly_revenue_ma3
+MIN_ORACLE_SQL["monthly_revenue_ma3"] = """
+WITH m AS (
+  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+             AS ship_month,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                AS BIGINT))) AS BIGINT) AS revenue_ch
+  FROM lineitem GROUP BY 1)
+SELECT ship_month, revenue_ch,
+       CAST(CAST(sum(revenue_ch) OVER w AS BIGINT) AS DOUBLE)
+           / count(*) OVER w AS ma3
+FROM m
+WINDOW w AS (ORDER BY ship_month
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""

@@ -99,8 +99,43 @@ def gen_tables(d: str) -> None:
         "l_discount": pa.array(np.round(
             rng.integers(0, 11, n_li) / 100.0, 2).astype(np.float64)),
         "l_tax": pa.array(np.round(
-            rng.integers(0, 9, n_li) / 100.0, 2).astype(np.float64))}),
+            rng.integers(0, 9, n_li) / 100.0, 2).astype(np.float64)),
+        "l_shipdate": pa.array(
+            np.datetime64("2023-01-01T00:00:00", "us")
+            + (rng.integers(0, 400, n_li)
+               * 86_400_000_000).astype("timedelta64[us]"),
+            type=pa.timestamp("us"))}),
         os.path.join(d, "lineitem.parquet"))
+
+    # orders (ties in dates/counts/totals stress the NTILE tie-break)
+    n_ord = int(rng.integers(0, 500))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+        "o_custkey": pa.array(
+            rng.integers(1, max(n_ord // 4, 2), n_ord)
+            .astype(np.int64)),
+        "o_orderdate": pa.array(
+            np.datetime64("2023-01-01T00:00:00", "us")
+            + (rng.integers(0, 90, n_ord)
+               * 86_400_000_000).astype("timedelta64[us]"),
+            type=pa.timestamp("us")),
+        "o_totalprice": pa.array(np.round(
+            rng.uniform(-50, 30000, n_ord), 2).astype(np.float64)),
+        "o_orderstatus": pa.array(["O"] * n_ord),
+        "o_orderpriority": pa.array(["1-URGENT"] * n_ord)}),
+        os.path.join(d, "orders.parquet"))
+
+    # embeddings (fixed small dim; occasionally empty table)
+    n_emb = int(rng.integers(0, 200))
+    dim = 8
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n_emb, dtype=np.int64)),
+        "embedding": pa.array(
+            [rng.standard_normal(dim).astype(np.float32).tolist()
+             for _ in range(n_emb)],
+            type=pa.list_(pa.float32())),
+        "label": pa.array(["x"] * n_emb)}),
+        os.path.join(d, "embeddings.parquet"))
 
     # events (duplicate ts on purpose; null types)
     n_ev = int(rng.integers(0, 1200))
@@ -162,7 +197,9 @@ TABLE_QUERIES = ["priority_sample_docs", "corr_matrix_lineitem",
                  "weighted_median_price", "mad_outliers_events",
                  "session_length_histogram", "hll_estimate_users",
                  "top_terms_per_lang", "sentence_stats_docs",
-                 "rule_attribution_docs", "token_length_histogram"]
+                 "rule_attribution_docs", "token_length_histogram",
+                 "customer_rfm", "daily_count_delta",
+                 "embedding_dim_minmax", "monthly_revenue_ma3"]
 #: linked-page family (twins are path-parameterized)
 LINKED_QUERIES = ["containment_pairs_pages", "cap_docs_per_host",
                   "url_structure_stats", "host_components",
@@ -202,7 +239,8 @@ def main() -> int:
         d = tempfile.mkdtemp(prefix="fuzz_min_")
         gen_tables(d)
         con = duckdb.connect()
-        for t in ("documents", "lineitem", "events"):
+        for t in ("documents", "lineitem", "events", "orders",
+                  "embeddings"):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{d}/{t}.parquet')")
         clean = True

@@ -1084,3 +1084,117 @@ def test_token_length_histogram_matches_naive(tmp_path):
             L = len(tok.encode())
             want[L] = want.get(L, 0) + 1
     assert dict(zip(got["token_len"], got["n"])) == want
+
+
+# --------- batch 14: RFM / deltas / embedding range / moving avg -----
+
+def test_customer_rfm_known_orders(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import q_customer_rfm
+
+    day = 86_400_000_000
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    # c1: 3 orders, newest, richest; c2: 2 orders; c3: 1 old cheap;
+    # c4: 1 oldest
+    rows = [(1, 0), (1, 5), (1, 10), (2, 3), (2, 7), (3, 2), (4, 1)]
+    price = [100.0, 100.0, 100.0, 50.0, 50.0, 10.0, 5.0]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(len(rows), dtype=np.int64)),
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_orderdate": pa.array(
+            [base + r[1] * np.timedelta64(1, "D") for r in rows],
+            pa.timestamp("us")),
+        "o_totalprice": pa.array(price, pa.float64()),
+        "o_orderstatus": pa.array(["O"] * len(rows)),
+        "o_orderpriority": pa.array(["1"] * len(rows))}),
+        tmp_path / "orders.parquet")
+    got = q_customer_rfm(str(tmp_path)).to_pandas() \
+        .sort_values("custkey").reset_index(drop=True)
+    r = got.set_index("custkey")
+    assert r.loc[1, "recency_days"] == 0          # anchor = day 10
+    assert r.loc[2, "recency_days"] == 3
+    assert r.loc[4, "recency_days"] == 9
+    assert r.loc[1, "n_orders"] == 3
+    assert r.loc[1, "monetary_cents"] == 30000
+    # 4 customers -> each NTILE(4) bucket holds exactly one
+    assert r.loc[1, "r_tile"] == 1 and r.loc[4, "r_tile"] == 4
+    assert r.loc[1, "f_tile"] == 1
+    assert r.loc[1, "rfm_score"] == 111
+
+
+def test_daily_count_delta_lag_semantics(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_daily_count_delta
+
+    base = np.datetime64("2024-03-01T10:00:00", "us")
+    day = np.timedelta64(1, "D")
+    ts = [base, base, base + day, base + 3 * day,  # click: 2,1,1 (gap)
+          base, base + day]                        # view: 1,1
+    types = ["click", "click", "click", "click", "view", None]
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(len(ts), dtype=np.int64)),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * len(ts), pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array([0.0] * len(ts)),
+        "props": pa.array(["{}"] * len(ts))}),
+        tmp_path / "events.parquet")
+    got = q_daily_count_delta(str(tmp_path)).to_pandas()
+    got = got.sort_values(["event_type", "day"]).reset_index(drop=True)
+    # null type excluded; click day4 delta vs day2 (LAG over PRESENT
+    # days, no calendar fill)
+    assert got["event_type"].tolist() == ["click"] * 3 + ["view"]
+    assert got["n"].tolist() == [2, 1, 1, 1]
+    assert got["delta"].tolist() == [2, -1, 0, 1]
+
+
+def test_embedding_dim_minmax_exact(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_embedding_dim_minmax
+
+    vecs = np.array([[1.5, -2.0], [0.5, 3.25], [-1.0, 0.0]],
+                    dtype=np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(3, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(["a", "b", "c"])}),
+        tmp_path / "embeddings.parquet")
+    got = q_embedding_dim_minmax(str(tmp_path))
+    assert got["dim"].tolist() == [1, 2]
+    assert got["vmin"].tolist() == [-1.0, -2.0]
+    assert got["vmax"].tolist() == [1.5, 3.25]
+    assert got["vrange"].tolist() == [2.5, 5.25]
+
+
+def test_monthly_revenue_ma3_window(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_monthly_revenue_ma3
+
+    # four months, revenue_ch = cents * (100 - disc_h)
+    months = ["2023-01-15", "2023-02-15", "2023-03-15", "2023-04-15"]
+    price = [10.0, 20.0, 30.0, 40.0]
+    pq.write_table(pa.table({
+        "l_shipdate": pa.array(
+            [np.datetime64(m + "T00:00:00", "us") for m in months],
+            pa.timestamp("us")),
+        "l_extendedprice": pa.array(price, pa.float64()),
+        "l_discount": pa.array([0.0, 0.0, 0.10, 0.0], pa.float64())}),
+        tmp_path / "lineitem.parquet")
+    got = q_monthly_revenue_ma3(str(tmp_path))
+    rev = [100000, 200000, 270000, 400000]
+    assert got["revenue_ch"].tolist() == rev
+    assert got["ma3"].tolist() == pytest.approx([
+        rev[0] / 1, (rev[0] + rev[1]) / 2,
+        sum(rev[:3]) / 3, sum(rev[1:]) / 3])
