@@ -3247,3 +3247,399 @@ FROM m
 WINDOW w AS (ORDER BY ship_month
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
+
+
+# --------------------------------------------------------------------------
+# batch 15 — readability, multi-pattern filters, change detection,
+# dense-rank ties, embedding norm profile
+# --------------------------------------------------------------------------
+
+def q_flesch_pages(sf_dir: str):
+    """Exact Flesch reading-ease scoring over the linked-page fixture
+    — the classic readability gate corpus pipelines apply alongside
+    Gopher rules (reference semantics: the 206.835 - 1.015 W/S -
+    84.6 Y/W formula; deviation: "syllables" are vowel-group runs,
+    the standard regex proxy, and both engines share it).
+
+    Map-only corpus pass: word / sentence / syllable counts are three
+    RE2 kernels (``pc.count_substring_regex``) over the Arrow column —
+    no exchange, no Python rows. The score is kept EXACT by clearing
+    denominators: ``flesch_num = 206835*S*W - 1015*W^2 - 84600*Y*S``
+    (int64; milli-scaled so no decimal appears) with the reported
+    double being the ONE terminal division num/(1000*S*W). Pages with
+    zero words or zero sentences pin flesch = 0.0 in both engines
+    (the num column still carries its exact value)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.queries import \
+        _linked_pages_path
+
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["doc_id", "text"])
+
+    def score(t: "pa.Table") -> "pa.Table":
+        txt = pc.fill_null(t["text"], "")
+        w = pc.count_substring_regex(txt, "[A-Za-z]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pc.count_substring_regex(txt, "[.!?]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        y = pc.count_substring_regex(txt, "[AEIOUYaeiouy]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        num = 206835 * s * w - 1015 * w * w - 84600 * y * s
+        den = 1000 * s * w
+        ok = den > 0
+        flesch = np.zeros(len(w), dtype=np.float64)
+        flesch[ok] = num[ok].astype(np.float64) \
+            / den[ok].astype(np.float64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(w, pa.int64()),
+            "n_sents": pa.array(s, pa.int64()),
+            "n_syll": pa.array(y, pa.int64()),
+            "flesch_num": pa.array(num, pa.int64()),
+            "flesch": pa.array(flesch, pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def sql_flesch_pages(path: str, sql_url_norm: str | None = None) -> str:
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+             AS n_words,
+         CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+             AS n_sents,
+         CAST(len(regexp_extract_all(text, '[AEIOUYaeiouy]+'))
+              AS BIGINT) AS n_syll
+  FROM read_parquet('{path}'))
+SELECT doc_id, n_words, n_sents, n_syll,
+       CAST(206835 * n_sents * n_words - 1015 * n_words * n_words
+            - 84600 * n_syll * n_sents AS BIGINT) AS flesch_num,
+       CASE WHEN n_sents * n_words > 0
+            THEN CAST(206835 * n_sents * n_words
+                      - 1015 * n_words * n_words
+                      - 84600 * n_syll * n_sents AS DOUBLE)
+                 / CAST(1000 * n_sents * n_words AS DOUBLE)
+            ELSE 0.0 END AS flesch
+FROM c
+"""
+
+
+MIN_QUERIES["flesch_pages"] = q_flesch_pages
+MIN_LINKED_SQL["flesch_pages"] = sql_flesch_pages
+
+
+#: banned-phrase inventory for the multi-pattern content filter —
+#: drawn from the documents fixture's vocabulary so every SF has hits
+BAD_PHRASES = ("table scan", "hash join", "sort merge", "key order")
+
+
+def q_bad_phrase_docs(sf_dir: str) -> pd.DataFrame:
+    """Multi-pattern banned-phrase audit over the documents corpus —
+    the literal-blocklist content filter (profanity / boilerplate /
+    contamination strings) every web pipeline runs before training:
+    per (source, phrase), how many documents contain the phrase and
+    how many total occurrences appear.
+
+    Map-only combiner pass: each batch computes per-phrase occurrence
+    counts with ``pc.count_substring`` (vectorized literal matching —
+    the Aho-Corasick seam; swap in a compiled multi-pattern matcher
+    for large phrase lists) and emits at most |sources| x |phrases|
+    partial rows; the driver merges those bounded partials. The twin
+    counts occurrences with the replace-length trick — identical for
+    non-self-overlapping phrases (all of BAD_PHRASES)."""
+    import pyarrow.compute as pc
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+
+    def partial(t) -> pd.DataFrame:
+        txt = pc.fill_null(t["text"], "")
+        src = t["source"].to_numpy(zero_copy_only=False)
+        frames = []
+        for p in BAD_PHRASES:
+            occ = pc.count_substring(txt, p) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            frames.append(pd.DataFrame({
+                "source": src, "phrase": p, "n_docs_hit":
+                    (occ > 0).astype(np.int64), "n_occurrences": occ}))
+        allp = pd.concat(frames, ignore_index=True)
+        return allp.groupby(["source", "phrase"], as_index=False).sum()
+
+    from nacc_form_validator_ray.pipelines.queries import \
+        _merge_partials
+    out = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "phrase"],
+        {"n_docs_hit": "sum", "n_occurrences": "sum"})
+    return out.sort_values(["source", "phrase"]) \
+        .reset_index(drop=True)
+
+
+MIN_QUERIES["bad_phrase_docs"] = q_bad_phrase_docs
+MIN_ORACLE_SQL["bad_phrase_docs"] = "\nUNION ALL\n".join(f"""
+SELECT source, '{p}' AS phrase,
+       CAST(count(*) FILTER (WHERE occ > 0) AS BIGINT) AS n_docs_hit,
+       CAST(sum(occ) AS BIGINT) AS n_occurrences
+FROM (SELECT source,
+             (length(text) - length(replace(text, '{p}', '')))
+                 // {len(p)} AS occ
+      FROM documents)
+GROUP BY source""" for p in BAD_PHRASES)
+
+
+def q_cusum_max_events(sf_dir: str) -> pd.DataFrame:
+    """CUSUM change-point peak per event type: over each type's
+    (ts, event_id)-ordered value stream, the maximum absolute centered
+    cumulative deviation — the classic drift/level-shift detector —
+    kept EXACT by clearing the mean's denominator:
+    ``dev_k = |n * prefix_k - k * total|`` in int64 milli-units
+    (value <= ~1e3 and n <= ~1e6 keep n*prefix < 2^62; document the
+    rescale knob past that). Ties at the peak resolve to the earliest
+    position, matching the twin's ``ORDER BY dev DESC, k ASC`` pick.
+
+    ONE hash exchange on event_type; each partition lexsorts once and
+    computes every type's prefix scan vectorized; one row per type
+    reaches the driver. Null event_type rides the repo's '' contract
+    (coalesce in the twin, fillna in the engine)."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "event_type",
+                                     "value"])
+
+    def _coalesce_type(t):
+        # BEFORE the exchange: a null key and a real '' key must land
+        # in the same partition or the driver sees duplicate '' rows
+        import pyarrow.compute as pc
+        i = t.schema.get_field_index("event_type")
+        return t.set_column(i, "event_type",
+                            pc.fill_null(t["event_type"], ""))
+
+    ds = ds.map_batches(_coalesce_type, batch_format="pyarrow")
+
+    empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype=object),
+        "n": pd.Series([], dtype=np.int64),
+        "total_milli": pd.Series([], dtype=np.int64),
+        "max_dev": pd.Series([], dtype=np.int64),
+        "at_k": pd.Series([], dtype=np.int64)})
+
+    def peaks(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return empty
+        et = part["event_type"].fillna("").to_numpy()
+        ts = part["ts"].to_numpy()
+        eid = part["event_id"].to_numpy(np.int64)
+        vm = np.floor(
+            part["value"].to_numpy(np.float64) * 1000.0) \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts, et))
+        et, vm = et[order], vm[order]
+        n_all = len(et)
+        first = np.ones(n_all, dtype=bool)
+        first[1:] = et[1:] != et[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n_all)
+        rows = []
+        csum = np.cumsum(vm)
+        for s, e in zip(starts, ends):
+            n = np.int64(e - s)
+            base = csum[s - 1] if s > 0 else np.int64(0)
+            pre = csum[s:e] - base
+            tot = pre[-1]
+            k = np.arange(1, n + 1, dtype=np.int64)
+            dev = np.abs(n * pre - k * tot)
+            at = int(np.argmax(dev))  # first occurrence on ties
+            rows.append((et[s], int(n), int(tot), int(dev[at]),
+                         at + 1))
+        return pd.DataFrame(rows, columns=["event_type", "n",
+                                           "total_milli", "max_dev",
+                                           "at_k"]) \
+            .astype({"n": np.int64, "total_milli": np.int64,
+                     "max_dev": np.int64, "at_k": np.int64})
+
+    out = grouped_apply(ds, ["event_type"], peaks,
+                        num_partitions=8).to_pandas()
+    if out.empty or "event_type" not in out.columns:
+        return empty
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+MIN_QUERIES["cusum_max_events"] = q_cusum_max_events
+MIN_ORACLE_SQL["cusum_max_events"] = """
+WITH e AS (
+  SELECT coalesce(event_type, '') AS event_type, ts, event_id,
+         CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events),
+t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vm) AS BIGINT) AS tot
+      FROM e GROUP BY 1),
+c AS (SELECT event_type, CAST(row_number() OVER w AS BIGINT) AS k,
+             CAST(sum(vm) OVER w AS BIGINT) AS pre
+      FROM e WINDOW w AS (PARTITION BY event_type
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING)),
+d AS (SELECT c.event_type, c.k,
+             abs(t.n * c.pre - c.k * t.tot) AS dev
+      FROM c JOIN t USING (event_type)),
+r AS (SELECT event_type, k, dev,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY dev DESC, k ASC) AS rn
+      FROM d)
+SELECT r.event_type, t.n, t.tot AS total_milli,
+       CAST(r.dev AS BIGINT) AS max_dev, r.k AS at_k
+FROM r JOIN t USING (event_type)
+WHERE rn = 1
+ORDER BY event_type
+"""
+
+
+def q_dense_rank_top_prices(sf_dir: str) -> pd.DataFrame:
+    """Top-2 price LEVELS per brand with ALL ties kept — the
+    DENSE_RANK counterpart of the repo's row-bounded top-k family
+    (``topk_lineitems_per_order`` keeps k rows; this keeps k distinct
+    VALUES, however many rows share them).
+
+    Superset argument: a row whose cents price is among its brand's
+    global top-2 distinct values is necessarily among its BATCH's
+    top-2 distinct values (at most one distinct global value exceeds
+    it), so per-batch dense-rank<=2 filtering is a lossless combiner;
+    the driver re-ranks the bounded candidate set. Both rank passes
+    are the same vectorized lexsort + run-boundary cumsum — no
+    per-group loop. Prices ride the repo's cents grid."""
+
+    ds = _rd().read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_brand", "p_partkey",
+                                     "p_retailprice"])
+
+    def dense_top2(brand: np.ndarray, key: np.ndarray,
+                   cents: np.ndarray):
+        order = np.lexsort((-cents, brand))
+        b, k, c = brand[order], key[order], cents[order]
+        n = len(b)
+        newb = np.ones(n, dtype=bool)
+        newb[1:] = b[1:] != b[:-1]
+        newp = newb.copy()
+        newp[1:] |= c[1:] != c[:-1]
+        dense = np.cumsum(newp)
+        gstart = np.flatnonzero(newb)
+        gid = np.cumsum(newb) - 1
+        drk = dense - dense[gstart[gid]] + 1
+        keep = drk <= 2
+        return b[keep], k[keep], c[keep], drk[keep]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "p_brand": pd.Series([], dtype=object),
+                "p_partkey": pd.Series([], dtype=np.int64),
+                "price_cents": pd.Series([], dtype=np.int64)})
+        cents = np.floor(
+            df["p_retailprice"].to_numpy(np.float64) * 100 + 0.5) \
+            .astype(np.int64)
+        b, k, c, _ = dense_top2(df["p_brand"].to_numpy(),
+                                df["p_partkey"].to_numpy(np.int64),
+                                cents)
+        return pd.DataFrame({"p_brand": b, "p_partkey": k,
+                             "price_cents": c})
+
+    cand = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if cand.empty or "p_brand" not in cand.columns:
+        return pd.DataFrame({
+            "p_brand": pd.Series([], dtype=object),
+            "p_partkey": pd.Series([], dtype=np.int64),
+            "price_cents": pd.Series([], dtype=np.int64),
+            "drk": pd.Series([], dtype=np.int64)})
+    b, k, c, drk = dense_top2(cand["p_brand"].to_numpy(),
+                              cand["p_partkey"].to_numpy(np.int64),
+                              cand["price_cents"].to_numpy(np.int64))
+    out = pd.DataFrame({"p_brand": b, "p_partkey": k,
+                        "price_cents": c,
+                        "drk": drk.astype(np.int64)})
+    return out.sort_values(["p_brand", "drk", "p_partkey"]) \
+        .reset_index(drop=True)
+
+
+MIN_QUERIES["dense_rank_top_prices"] = q_dense_rank_top_prices
+MIN_ORACLE_SQL["dense_rank_top_prices"] = """
+SELECT p_brand, p_partkey, price_cents, CAST(drk AS BIGINT) AS drk
+FROM (
+  SELECT p_brand, p_partkey,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+             AS price_cents,
+         DENSE_RANK() OVER (
+             PARTITION BY p_brand
+             ORDER BY CAST(floor(p_retailprice * 100 + 0.5)
+                           AS BIGINT) DESC) AS drk
+  FROM part)
+WHERE drk <= 2
+"""
+
+
+def q_embedding_norm_histogram(sf_dir: str) -> pd.DataFrame:
+    """Per-label histogram of embedding squared norms on the repo's
+    2^12 quantization grid, bucketed at floor(log2(1 + ||v||^2)) —
+    the norm-profile audit run before cosine pipelines (un-normalized
+    vectors silently break inner-product ANN; a bucket spread wider
+    than ~2 octaves per label flags them).
+
+    Map-only combiner: each batch is ONE (rows x d) int64 square-sum,
+    buckets via the exact integer floor-log2 (never float log2, which
+    mis-rounds across power boundaries), and at most
+    |labels| x 64 partial rows; driver merges. The twin rides
+    DuckDB's length(bin(x))-1 floor-log2 idiom over an unnest
+    aggregation."""
+    from nacc_form_validator_ray.pipelines.advanced import (
+        GRAM_QUANT, _floor_log2_u64)
+    from nacc_form_validator_ray.pipelines.queries import \
+        _merge_partials
+    from nacc_form_validator_ray.stages.similarity import \
+        _matrix_from_arrow
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding", "label"])
+
+    def partial(t) -> pd.DataFrame:
+        x = _matrix_from_arrow(t["embedding"])
+        if x.shape[0] == 0:
+            return pd.DataFrame({
+                "label": pd.Series([], dtype=np.int64),
+                "bucket": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64)})
+        v = np.floor(x * GRAM_QUANT + 0.5).astype(np.int64)
+        s = np.einsum("ij,ij->i", v, v)
+        bucket = _floor_log2_u64((s + 1).astype(np.uint64)) \
+            .astype(np.int64)
+        # label dtype rides through untouched (int32 in the fixture;
+        # the twin's any_value(label) matches whatever the table holds)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"label": lab, "bucket": bucket,
+                          "n": np.int64(1)})
+        return g.groupby(["label", "bucket"], as_index=False).sum()
+
+    out = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "bucket"], {"n": "sum"})
+    out = out.astype({"bucket": np.int64, "n": np.int64})
+    return out.sort_values(["label", "bucket"]).reset_index(drop=True)
+
+
+MIN_QUERIES["embedding_norm_histogram"] = q_embedding_norm_histogram
+MIN_ORACLE_SQL["embedding_norm_histogram"] = f"""
+WITH q AS (
+  SELECT vec_id, any_value(label) AS label,
+         CAST(sum(v * v) AS BIGINT) AS s
+  FROM (SELECT vec_id, label,
+               CAST(floor(unnest(embedding) * {{gq}} + 0.5)
+                    AS BIGINT) AS v
+        FROM embeddings)
+  GROUP BY vec_id)
+SELECT label, CAST(length(bin(s + 1)) - 1 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM q GROUP BY 1, 2
+ORDER BY 1, 2
+""".replace("{gq}", "4096")

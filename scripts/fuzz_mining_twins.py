@@ -44,6 +44,10 @@ ROUNDS = int(os.environ.get("FUZZ_ROUNDS", "5"))
 
 WORDS = np.array(["the", "and", "cat", "dog", "alpha", "beta",
                   "gamma", "la", "que", "der", "und", "zz",
+                  # BAD_PHRASES vocabulary (bad_phrase_docs needs
+                  # random adjacency to form real phrase hits)
+                  "table", "scan", "hash", "join", "sort", "merge",
+                  "key", "order",
                   # sentence terminators / unicode (sentence_stats +
                   # the tokenizer's non-ASCII fallback path)
                   "end.", "huh?!", "a.b.c", "...", "¡sí", "Énd."],
@@ -137,6 +141,22 @@ def gen_tables(d: str) -> None:
         "label": pa.array(["x"] * n_emb)}),
         os.path.join(d, "embeddings.parquet"))
 
+    # part (coarse price grid -> heavy dense-rank ties)
+    n_pt = int(rng.integers(0, 300))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(np.arange(n_pt, dtype=np.int64)),
+        "p_name": pa.array(["p"] * n_pt),
+        "p_brand": pa.array([f"B{i}" for i in
+                             rng.integers(0, 6, n_pt)]),
+        "p_type": pa.array(["t"] * n_pt),
+        "p_size": pa.array(
+            rng.integers(1, 9, n_pt).astype(np.int32)),
+        "p_retailprice": pa.array(np.round(
+            rng.integers(-3, 8, n_pt) / 1.0
+            + rng.integers(0, 3, n_pt) / 4.0, 2)
+            .astype(np.float64))}),
+        os.path.join(d, "part.parquet"))
+
     # events (duplicate ts on purpose; null types)
     n_ev = int(rng.integers(0, 1200))
     n_users = int(rng.integers(1, 30))
@@ -199,7 +219,9 @@ TABLE_QUERIES = ["priority_sample_docs", "corr_matrix_lineitem",
                  "top_terms_per_lang", "sentence_stats_docs",
                  "rule_attribution_docs", "token_length_histogram",
                  "customer_rfm", "daily_count_delta",
-                 "embedding_dim_minmax", "monthly_revenue_ma3"]
+                 "embedding_dim_minmax", "monthly_revenue_ma3",
+                 "bad_phrase_docs", "cusum_max_events",
+                 "dense_rank_top_prices", "embedding_norm_histogram"]
 #: linked-page family (twins are path-parameterized)
 LINKED_QUERIES = ["containment_pairs_pages", "cap_docs_per_host",
                   "url_structure_stats", "host_components",
@@ -207,7 +229,8 @@ LINKED_QUERIES = ["containment_pairs_pages", "cap_docs_per_host",
                   "host_boilerplate_frac", "query_param_keys",
                   "host_reciprocity", "host_clustering",
                   "cross_host_dup_report", "host_cocitation",
-                  "dangling_hosts", "host_lang_gini"]
+                  "dangling_hosts", "host_lang_gini",
+                  "flesch_pages"]
 
 
 def compare(name, got, want, rnd, d):
@@ -240,7 +263,7 @@ def main() -> int:
         gen_tables(d)
         con = duckdb.connect()
         for t in ("documents", "lineitem", "events", "orders",
-                  "embeddings"):
+                  "embeddings", "part"):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{d}/{t}.parquet')")
         clean = True

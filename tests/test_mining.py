@@ -1198,3 +1198,167 @@ def test_monthly_revenue_ma3_window(tmp_path):
     assert got["ma3"].tolist() == pytest.approx([
         rev[0] / 1, (rev[0] + rev[1]) / 2,
         sum(rev[:3]) / 3, sum(rev[1:]) / 3])
+
+
+# --------------------------------------------------------------------------
+# batch 15 — flesch, bad phrases, CUSUM, dense-rank ties, norm histogram
+# --------------------------------------------------------------------------
+
+def _write_docs(tmp_path, texts, sources=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    n = len(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(sources or ["s0"] * n),
+        "n_chars": pa.array([len(t or "") for t in texts],
+                            pa.int64())}),
+        tmp_path / "documents.parquet")
+
+
+def test_flesch_pages_formula_and_degenerate(tmp_path, monkeypatch):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines import queries as Q
+    from nacc_form_validator_ray.pipelines.mining import q_flesch_pages
+
+    texts = ["The cat sat. It purred!",   # W=6 S=2 Y=6
+             "no punctuation here",        # S=0 -> flesch pinned 0.0
+             "",                           # W=S=Y=0
+             "bcd fgh."]                   # Y=0 (no vowels)
+    lp = str(tmp_path / "linked.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "url": pa.array(["https://h.example.org/doc/%d" % i
+                         for i in range(len(texts))]),
+        "text": pa.array(texts, pa.string()),
+        "links": pa.array([[]] * len(texts),
+                          pa.list_(pa.string()))}), lp)
+    monkeypatch.setattr(Q, "_linked_pages_path", lambda sf: lp)
+    got = q_flesch_pages(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    def ref(text):
+        import re
+        w = len(re.findall(r"[A-Za-z]+", text))
+        s = len(re.findall(r"[.!?]+", text))
+        y = len(re.findall(r"[AEIOUYaeiouy]+", text))
+        num = 206835 * s * w - 1015 * w * w - 84600 * y * s
+        fl = num / (1000.0 * s * w) if s * w > 0 else 0.0
+        return w, s, y, num, fl
+
+    for i, t in enumerate(texts):
+        w, s, y, num, fl = ref(t)
+        row = got.iloc[i]
+        assert (row["n_words"], row["n_sents"], row["n_syll"]) \
+            == (w, s, y)
+        assert row["flesch_num"] == num
+        assert row["flesch"] == fl
+    # sanity: the first text is the classic short-sentence case
+    assert got.iloc[0]["flesch"] > 90
+
+
+def test_bad_phrase_docs_counts(tmp_path):
+    from nacc_form_validator_ray.pipelines.mining import (
+        BAD_PHRASES, q_bad_phrase_docs)
+
+    _write_docs(tmp_path, [
+        "a table scan then another table scan",   # 2 occurrences
+        "hash join here",                          # 1
+        None,                                      # null text -> 0
+        "nothing relevant",
+    ], sources=["a", "a", "b", "b"])
+    got = q_bad_phrase_docs(str(tmp_path))
+    idx = {(r.source, r.phrase): (r.n_docs_hit, r.n_occurrences)
+           for r in got.itertuples()}
+    assert idx[("a", "table scan")] == (1, 2)
+    assert idx[("a", "hash join")] == (1, 1)
+    assert idx[("b", "table scan")] == (0, 0)
+    # every (source, phrase) cell is present, zeros included
+    assert len(got) == 2 * len(BAD_PHRASES)
+
+
+def test_cusum_max_events_level_shift(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_cusum_max_events
+
+    # type "shift": 4 low then 4 high values -> peak at k=4;
+    # type "flat": constant -> every dev 0, ties resolve to k=1
+    vals = [1.0, 1.0, 1.0, 1.0, 9.0, 9.0, 9.0, 9.0] + [5.0] * 3
+    types = ["shift"] * 8 + ["flat"] * 3
+    n = len(vals)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array([base + np.timedelta64(i, "s")
+                        for i in range(n)], pa.timestamp("us")),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array(types),
+        "value": pa.array(vals),
+        "props": pa.array(["{}"] * n)}),
+        tmp_path / "events.parquet")
+    got = q_cusum_max_events(str(tmp_path)) \
+        .set_index("event_type")
+    # brute force for "shift": vm = value*1000
+    vm = (np.array(vals[:8]) * 1000).astype(np.int64)
+    pre = np.cumsum(vm)
+    dev = np.abs(8 * pre - np.arange(1, 9) * pre[-1])
+    assert got.loc["shift", "max_dev"] == dev.max()
+    assert got.loc["shift", "at_k"] == int(np.argmax(dev)) + 1 == 4
+    assert got.loc["flat", "max_dev"] == 0
+    assert got.loc["flat", "at_k"] == 1
+
+
+def test_dense_rank_top_prices_keeps_all_ties(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_dense_rank_top_prices
+
+    # brand A: top price 9.00 twice (both kept, drk=1), then 8.00
+    # (drk=2), then 7.00 (dropped). brand B: single row.
+    rows = [("A", 1, 9.00), ("A", 2, 9.00), ("A", 3, 8.00),
+            ("A", 4, 7.00), ("B", 5, 1.23)]
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        "p_name": pa.array(["x"] * 5),
+        "p_brand": pa.array([r[0] for r in rows]),
+        "p_type": pa.array(["t"] * 5),
+        "p_size": pa.array([1] * 5, pa.int32()),
+        "p_retailprice": pa.array([r[2] for r in rows])}),
+        tmp_path / "part.parquet")
+    got = q_dense_rank_top_prices(str(tmp_path))
+    assert got["p_partkey"].tolist() == [1, 2, 3, 5]
+    assert got["drk"].tolist() == [1, 1, 2, 1]
+    assert got["price_cents"].tolist() == [900, 900, 800, 123]
+
+
+def test_embedding_norm_histogram_buckets(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_embedding_norm_histogram
+
+    # label 0: zero vector -> s=0 -> bucket floor_log2(1) = 0
+    # label 1: unit vector -> s=4096^2 -> bucket 24
+    vecs = [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]]
+    labels = [0, 1, 1]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(3, dtype=np.int64)),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32())}),
+        tmp_path / "embeddings.parquet")
+    got = q_embedding_norm_histogram(str(tmp_path))
+    idx = {(r.label, r.bucket): r.n for r in got.itertuples()}
+    assert idx[(0, 0)] == 1
+    assert idx[(1, 24)] == 1          # floor_log2(4096^2 + 1) = 24
+    assert idx[(1, 25)] == 1          # 2 * 4096^2 + 1 -> 25
+    assert got["n"].sum() == 3
