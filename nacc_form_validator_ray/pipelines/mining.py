@@ -3643,3 +3643,482 @@ SELECT label, CAST(length(bin(s + 1)) - 1 AS BIGINT) AS bucket,
 FROM q GROUP BY 1, 2
 ORDER BY 1, 2
 """.replace("{gq}", "4096")
+
+
+# --------------------------------------------------------------------------
+# batch 16 — out-of-order arrival audit, source-priority dedup,
+# inverted-index construction, distinctive terms, neighbor-set Jaccard
+# --------------------------------------------------------------------------
+
+def q_late_events_audit(sf_dir: str) -> pd.DataFrame:
+    """Out-of-order arrival audit per user: treating ``event_id`` as
+    arrival order and ``ts`` as event time, count events that arrive
+    AFTER a later-timestamped event has already been seen (the
+    watermark-lateness measurement every streaming ingest runs before
+    choosing window allowed-lateness), plus the worst lateness in
+    exact integer microseconds.
+
+    ONE hash exchange on user_id; each partition lexsorts once by
+    (user_id, event_id) and computes the per-user running max with a
+    grouped int64 cummax — prev-max compare, lateness and per-user
+    maxima are all vectorized (maximum.reduceat over user segments),
+    never a float (a NaN-introducing shift would round timestamps past
+    2^53)."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id"])
+
+    empty = pd.DataFrame({
+        "user_id": pd.Series([], dtype=np.int64),
+        "n_events": pd.Series([], dtype=np.int64),
+        "n_late": pd.Series([], dtype=np.int64),
+        "max_late_us": pd.Series([], dtype=np.int64)})
+
+    def audit(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return empty
+        uid = part["user_id"].to_numpy(np.int64)
+        eid = part["event_id"].to_numpy(np.int64)
+        tsu = part["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        order = np.lexsort((eid, uid))
+        uid, tsu = uid[order], tsu[order]
+        n = len(uid)
+        first = np.ones(n, dtype=bool)
+        first[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(first)
+        # grouped running max (int64-exact): pandas cummax per user
+        run = pd.Series(tsu).groupby(uid, sort=False).cummax() \
+            .to_numpy(np.int64)
+        prev = np.empty(n, dtype=np.int64)
+        prev[1:] = run[:-1]
+        prev[starts] = np.iinfo(np.int64).min   # no predecessor
+        late = prev > tsu
+        lateness = np.where(late, prev - tsu, 0)
+        counts = np.diff(np.append(starts, n))
+        out = pd.DataFrame({
+            "user_id": uid[starts],
+            "n_events": counts.astype(np.int64),
+            "n_late": np.add.reduceat(
+                late.astype(np.int64), starts),
+            "max_late_us": np.maximum.reduceat(lateness, starts)})
+        return out
+
+    out = grouped_apply(ds, ["user_id"], audit,
+                        num_partitions=8).to_pandas()
+    if out.empty or "user_id" not in out.columns:
+        return empty
+    return out.sort_values("user_id").reset_index(drop=True) \
+        .astype({c: np.int64 for c in out.columns})
+
+
+MIN_QUERIES["late_events_audit"] = q_late_events_audit
+MIN_ORACLE_SQL["late_events_audit"] = """
+WITH w AS (
+  SELECT user_id, epoch_us(ts) AS tsu,
+         max(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (WHERE pm > tsu) AS BIGINT) AS n_late,
+       CAST(coalesce(max(CASE WHEN pm > tsu THEN pm - tsu END), 0)
+            AS BIGINT) AS max_late_us
+FROM w GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q_source_priority_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup with SOURCE PREFERENCE: per content hash keep the
+    copy from the lexicographically-first source (tiebreak min doc_id)
+    — the curation variant of ``dedup_exact`` every pretrain mix
+    applies when the same page arrives from multiple crawls/dumps and
+    one source is trusted more (keep-min-id alone would keep whichever
+    dump was ingested first).
+
+    Same decision shape as q_dedup_exact: normalize + md5 per batch,
+    ONE hash exchange on the content hash, per-partition vectorized
+    argmin over (source, doc_id). Null sources ride the '' contract."""
+    import hashlib
+
+    from nacc_form_validator_ray.stages.dedup import normalize_ws_arrow
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source", "text"])
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        norm = normalize_ws_arrow(batch["text"]) \
+            .to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "content_hash": [hashlib.md5(t.encode()).hexdigest()
+                             for t in norm],
+            "source": batch["source"].fillna(""),
+            "doc_id": batch["doc_id"].astype(np.int64)})
+
+    def keep_best(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return part
+        part = part.sort_values(["content_hash", "source", "doc_id"],
+                                kind="stable")
+        return part.drop_duplicates("content_hash", keep="first")
+
+    out = grouped_apply(ds.map_batches(add_hash, batch_format="pandas"),
+                        ["content_hash"], keep_best).to_pandas()
+    if out.empty or "content_hash" not in out.columns:
+        return pd.DataFrame({
+            "content_hash": pd.Series([], dtype=object),
+            "source": pd.Series([], dtype=object),
+            "doc_id": pd.Series([], dtype=np.int64)})
+    return out.sort_values("content_hash").reset_index(drop=True) \
+        .astype({"doc_id": np.int64})
+
+
+MIN_QUERIES["source_priority_dedup"] = q_source_priority_dedup
+MIN_ORACLE_SQL["source_priority_dedup"] = r"""
+WITH h AS (
+  SELECT md5(lower(trim(regexp_replace(coalesce(text, ''),
+                                       '\s+', ' ', 'g'))))
+             AS content_hash,
+         coalesce(source, '') AS source, doc_id
+  FROM documents),
+rk AS (SELECT *, row_number() OVER (PARTITION BY content_hash
+                                    ORDER BY source, doc_id) AS rn
+       FROM h)
+SELECT content_hash, source, CAST(doc_id AS BIGINT) AS doc_id
+FROM rk WHERE rn = 1
+ORDER BY content_hash
+"""
+
+
+#: posting-list prefix length surfaced by the inverted index
+_INV_PREFIX_K = 8
+
+
+def q_inverted_index_prefix(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index construction over the documents corpus: per
+    token its document frequency, total occurrence count, and the
+    first 8 posting doc_ids (ascending) — the index-build operator
+    behind bm25_search (which only consumes per-batch stats; this one
+    actually materializes the per-term posting heads a serving index
+    ships).
+
+    Per-batch: one arrow_token_codes pass, then (tok, doc) pairs
+    dedup'd via a single int64-keyed np.unique (each doc lives in
+    exactly one batch row, so per-batch pairs are globally distinct).
+    ONE hash exchange on tok co-locates every term's postings; the
+    per-partition pass is a lexsort + run-boundary reduceat for df/tot
+    and a head-8 string join for the prefix."""
+    import pyarrow.compute as pc  # noqa: F401  (tokenizer dependency)
+
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    empty_pairs = pd.DataFrame({
+        "tok": pd.Series([], dtype=object),
+        "doc_id": pd.Series([], dtype=np.int64),
+        "occ": pd.Series([], dtype=np.int64)})
+
+    def pairs(t) -> pd.DataFrame:
+        codes, dictionary, tok_doc, _ = arrow_token_codes(t["text"])
+        if dictionary is None or not len(codes):
+            return empty_pairs
+        n = t.num_rows
+        key = codes.astype(np.int64) * np.int64(n) + tok_doc
+        uk, occ = np.unique(key, return_counts=True)
+        toks = dictionary.to_numpy(zero_copy_only=False)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "tok": toks[(uk // n).astype(np.int64)],
+            "doc_id": doc_ids[(uk % n).astype(np.int64)],
+            "occ": occ.astype(np.int64)})
+
+    def postings(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "tok": pd.Series([], dtype=object),
+            "df": pd.Series([], dtype=np.int64),
+            "tot": pd.Series([], dtype=np.int64),
+            "posting_prefix": pd.Series([], dtype=object)})
+        if part.empty:
+            return empty
+        part = part.sort_values(["tok", "doc_id"], kind="stable")
+        tok = part["tok"].to_numpy(object)
+        occ = part["occ"].to_numpy(np.int64)
+        n = len(tok)
+        first = np.ones(n, dtype=bool)
+        first[1:] = tok[1:] != tok[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, n))
+        head = part.groupby("tok", sort=False).head(_INV_PREFIX_K)
+        prefix = head.groupby("tok", sort=False)["doc_id"].agg(
+            lambda s: ",".join(map(str, s)))
+        return pd.DataFrame({
+            "tok": tok[starts],
+            "df": counts.astype(np.int64),
+            "tot": np.add.reduceat(occ, starts),
+            "posting_prefix": prefix.loc[tok[starts]].to_numpy(object)})
+
+    out = grouped_apply(ds.map_batches(pairs, batch_format="pyarrow"),
+                        ["tok"], postings,
+                        num_partitions=16).to_pandas()
+    if out.empty or "tok" not in out.columns:
+        return pd.DataFrame({
+            "tok": pd.Series([], dtype=object),
+            "df": pd.Series([], dtype=np.int64),
+            "tot": pd.Series([], dtype=np.int64),
+            "posting_prefix": pd.Series([], dtype=object)})
+    return out.sort_values("tok").reset_index(drop=True) \
+        .astype({"df": np.int64, "tot": np.int64})
+
+
+MIN_QUERIES["inverted_index_prefix"] = q_inverted_index_prefix
+MIN_ORACLE_SQL["inverted_index_prefix"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents),
+pairs AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS occ
+          FROM t GROUP BY 1, 2),
+rk AS (SELECT tok, doc_id, occ,
+              row_number() OVER (PARTITION BY tok
+                                 ORDER BY doc_id) AS rn
+       FROM pairs)
+SELECT tok, CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(occ) AS BIGINT) AS tot,
+       string_agg(CASE WHEN rn <= {_INV_PREFIX_K}
+                       THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS posting_prefix
+FROM rk GROUP BY tok
+ORDER BY tok
+"""
+
+
+#: distinctive-terms output size per source
+_DT_K = 5
+
+
+def q_distinctive_terms(sf_dir: str) -> pd.DataFrame:
+    """Top-5 tokens most OVER-represented in each source vs the rest
+    of the corpus — the domain-signature / contamination-probe audit
+    (which boilerplate tokens does this crawl contribute?). The score
+    is the chi-square numerator kept EXACT by clearing both rate
+    denominators: ``dev = n_rest * c_src - n_src * c_rest`` (int64;
+    positive = over-represented; products stay under 2^63 up to
+    ~3e9-token corpora — rescale the counts past that).
+
+    Two-level plan: per-batch (source, tok, c) combiners are
+    materialized ONCE (lean, batch-vocab-bounded); per-source token
+    totals merge on the driver (|sources| rows) and ride into the ONE
+    tok-keyed exchange as a broadcast dict, so each partition scores
+    its tokens and emits only per-source top-5 candidates (full
+    (dev DESC, tok) tiebreak makes the per-partition head lossless)."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+
+    empty = pd.DataFrame({
+        "source": pd.Series([], dtype=object),
+        "tok": pd.Series([], dtype=object),
+        "c": pd.Series([], dtype=np.int64),
+        "dev": pd.Series([], dtype=np.int64)})
+
+    def count_partial(t) -> pd.DataFrame:
+        import pyarrow.compute as pc
+        codes, dictionary, tok_doc, _ = arrow_token_codes(t["text"])
+        if dictionary is None or not len(codes):
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "tok": pd.Series([], dtype=object),
+                "c": pd.Series([], dtype=np.int64)})
+        src = pc.fill_null(t["source"], "").to_numpy(
+            zero_copy_only=False)
+        toks = dictionary.to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"source": src[tok_doc],
+                           "tok": toks[codes], "c": np.int64(1)})
+        return df.groupby(["source", "tok"], as_index=False).sum()
+
+    partials = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .materialize()
+    tot = partials.to_pandas()
+    if tot.empty or "source" not in tot.columns:
+        return empty
+    n_src = tot.groupby("source")["c"].sum().to_dict()
+    n_all = int(sum(n_src.values()))
+
+    def score_part(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return empty
+        agg = part.groupby(["source", "tok"], as_index=False)["c"] \
+            .sum()
+        ctot = agg.groupby("tok")["c"].transform("sum") \
+            .to_numpy(np.int64)
+        c_s = agg["c"].to_numpy(np.int64)
+        ns = agg["source"].map(n_src).to_numpy(np.int64)
+        dev = (n_all - ns) * c_s - ns * (ctot - c_s)
+        agg["dev"] = dev
+        agg = agg.sort_values(["source", "dev", "tok"],
+                              ascending=[True, False, True],
+                              kind="stable")
+        return agg.groupby("source", sort=False).head(_DT_K)
+
+    cand = grouped_apply(partials, ["tok"], score_part,
+                         num_partitions=16).to_pandas()
+    if cand.empty or "source" not in cand.columns:
+        return empty
+    cand = cand.sort_values(["source", "dev", "tok"],
+                            ascending=[True, False, True],
+                            kind="stable")
+    out = cand.groupby("source", sort=False).head(_DT_K)
+    return out.reset_index(drop=True) \
+        .astype({"c": np.int64, "dev": np.int64})
+
+
+MIN_QUERIES["distinctive_terms"] = q_distinctive_terms
+MIN_ORACLE_SQL["distinctive_terms"] = f"""
+WITH t AS (
+  SELECT coalesce(source, '') AS source,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents),
+ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+       FROM t GROUP BY 1),
+nt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM t),
+c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM t GROUP BY 1, 2),
+ct AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ctot FROM c GROUP BY 1),
+d AS (SELECT c.source, c.tok, c.c,
+             (nt.nn - ns.n) * c.c - ns.n * (ct.ctot - c.c) AS dev
+      FROM c JOIN ns USING (source) JOIN ct USING (tok)
+      CROSS JOIN nt),
+rk AS (SELECT source, tok, c, dev,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY dev DESC, tok) AS rn
+       FROM d)
+SELECT source, tok, c, CAST(dev AS BIGINT) AS dev
+FROM rk WHERE rn <= {_DT_K}
+"""
+
+
+#: minimum shared in-neighbors for a host pair to surface
+_HNJ_MIN = 2
+
+
+def q_host_neighbor_jaccard(sf_dir: str) -> pd.DataFrame:
+    """In-neighbor-set Jaccard between host pairs — the mirror/
+    template-network detector: hosts linked from nearly the same set
+    of source hosts are one property. Pairs ride the SAFE co-citation
+    orientation (grouped by SOURCE, fan-out bounded by out-degree
+    squared — never by the fixture's heavy doc-host in-degrees);
+    in-degrees are a lean bounded aggregate merged on the driver; the
+    Jaccard is the ONE terminal double division of exact int64 counts
+    ``shared / (in_a + in_b - shared)`` in identical expression order
+    to the twin."""
+    from nacc_form_validator_ray.pipelines.queries import \
+        _merge_partials
+    from nacc_form_validator_ray.stages.partition import (grouped_agg_sum,
+                                                          grouped_apply)
+
+    edges = _directed_host_edges(sf_dir)
+
+    empty = pd.DataFrame({
+        "host_a": pd.Series([], dtype=object),
+        "host_b": pd.Series([], dtype=object),
+        "n_shared": pd.Series([], dtype=np.int64),
+        "in_a": pd.Series([], dtype=np.int64),
+        "in_b": pd.Series([], dtype=np.int64),
+        "jacc": pd.Series([], dtype=np.float64)})
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame({
+            "host_a": pd.Series([], dtype=object),
+            "host_b": pd.Series([], dtype=object),
+            "n_shared": pd.Series([], dtype=np.int64)})
+        if part.empty or "src" not in part.columns:
+            return e
+        xs, ys = [], []
+        for _, g in part.groupby("src", sort=False):
+            nb = np.unique(g["dst"].to_numpy(object))
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            xs.append(nb[i])
+            ys.append(nb[j])
+        if not xs:
+            return e
+        df = pd.DataFrame({"host_a": np.concatenate(xs),
+                           "host_b": np.concatenate(ys)})
+        df["n_shared"] = np.int64(1)
+        return df.groupby(["host_a", "host_b"], as_index=False).sum()
+
+    def indeg_partial(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty or "dst" not in part.columns:
+            return pd.DataFrame({
+                "dst": pd.Series([], dtype=object),
+                "d": pd.Series([], dtype=np.int64)})
+        g = part.groupby("dst", as_index=False).size() \
+            .rename(columns={"size": "d"})
+        g["d"] = g["d"].astype(np.int64)
+        return g
+
+    # edges is a hash_exchange product — re-executing it would repeat
+    # the corpus read; pin the lean (src, dst) table once for both
+    # consumers (pairs and in-degrees)
+    edges = edges.materialize()
+
+    cand = grouped_apply(edges, ["src"], pairs, num_partitions=16)
+    merged = grouped_agg_sum(cand, ["host_a", "host_b"], ["n_shared"],
+                             num_partitions=8).to_pandas()
+    if merged.empty or "host_a" not in merged.columns:
+        return empty
+    pairs_df = merged.loc[merged["n_shared"] >= _HNJ_MIN].copy()
+    if pairs_df.empty:
+        return empty
+
+    indeg = _merge_partials(
+        edges.map_batches(indeg_partial, batch_format="pandas"),
+        ["dst"], {"d": "sum"})
+    dmap = dict(zip(indeg["dst"], indeg["d"].astype(np.int64)))
+    ia = pairs_df["host_a"].map(dmap).to_numpy(np.int64)
+    ib = pairs_df["host_b"].map(dmap).to_numpy(np.int64)
+    ns = pairs_df["n_shared"].to_numpy(np.int64)
+    pairs_df["in_a"] = ia
+    pairs_df["in_b"] = ib
+    pairs_df["jacc"] = ns.astype(np.float64) \
+        / (ia + ib - ns).astype(np.float64)
+    return pairs_df.sort_values(["host_a", "host_b"], kind="stable") \
+        .reset_index(drop=True) \
+        .astype({"n_shared": np.int64, "in_a": np.int64,
+                 "in_b": np.int64})
+
+
+def sql_host_neighbor_jaccard(path: str,
+                              sql_url_norm: str | None = None) -> str:
+    return f"""
+{_sql_edge_ctes(path, sql_url_norm, distinct_directed=True)},
+ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS d FROM e1 GROUP BY 1),
+p AS (SELECT x.dst AS host_a, y.dst AS host_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM e1 x JOIN e1 y ON y.src = x.src AND x.dst < y.dst
+      GROUP BY 1, 2)
+SELECT host_a, host_b, n_shared,
+       ia.d AS in_a, ib.d AS in_b,
+       CAST(n_shared AS DOUBLE)
+           / CAST(ia.d + ib.d - n_shared AS DOUBLE) AS jacc
+FROM p JOIN ind ia ON ia.dst = host_a
+       JOIN ind ib ON ib.dst = host_b
+WHERE n_shared >= {_HNJ_MIN}
+"""
+
+
+MIN_QUERIES["host_neighbor_jaccard"] = q_host_neighbor_jaccard
+MIN_LINKED_SQL["host_neighbor_jaccard"] = sql_host_neighbor_jaccard

@@ -79,12 +79,20 @@ def gen_tables(d: str) -> None:
                                 n_doc, replace=False))
     langs = rng.choice(np.array(["en", "es", "de", None], dtype=object),
                        n_doc)
+    texts = [_text() for _ in range(n_doc)]
+    # force exact-duplicate classes (source_priority_dedup needs
+    # cross-source dup groups; whitespace variants hit the normalizer)
+    for i in range(n_doc):
+        if i and rng.random() < 0.15:
+            j = int(rng.integers(0, i))
+            texts[i] = texts[j] + (" " if rng.random() < 0.5 else "")
+    sources = rng.choice(np.array(["s", "web", "wiki", "cc"],
+                                  dtype=object), n_doc)
     pq.write_table(pa.table({
         "doc_id": pa.array(doc_id),
-        "text": pa.array([_text() for _ in range(n_doc)],
-                         type=pa.string()),
+        "text": pa.array(texts, type=pa.string()),
         "lang": pa.array(list(langs), type=pa.string()),
-        "source": pa.array(["s"] * n_doc),
+        "source": pa.array(list(sources), type=pa.string()),
         "n_chars": pa.array(
             rng.integers(0, 700, n_doc).astype(np.int64))}),
         os.path.join(d, "documents.parquet"))
@@ -221,7 +229,9 @@ TABLE_QUERIES = ["priority_sample_docs", "corr_matrix_lineitem",
                  "customer_rfm", "daily_count_delta",
                  "embedding_dim_minmax", "monthly_revenue_ma3",
                  "bad_phrase_docs", "cusum_max_events",
-                 "dense_rank_top_prices", "embedding_norm_histogram"]
+                 "dense_rank_top_prices", "embedding_norm_histogram",
+                 "late_events_audit", "source_priority_dedup",
+                 "inverted_index_prefix", "distinctive_terms"]
 #: linked-page family (twins are path-parameterized)
 LINKED_QUERIES = ["containment_pairs_pages", "cap_docs_per_host",
                   "url_structure_stats", "host_components",
@@ -230,7 +240,7 @@ LINKED_QUERIES = ["containment_pairs_pages", "cap_docs_per_host",
                   "host_reciprocity", "host_clustering",
                   "cross_host_dup_report", "host_cocitation",
                   "dangling_hosts", "host_lang_gini",
-                  "flesch_pages"]
+                  "flesch_pages", "host_neighbor_jaccard"]
 
 
 def compare(name, got, want, rnd, d):

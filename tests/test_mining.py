@@ -1362,3 +1362,140 @@ def test_embedding_norm_histogram_buckets(tmp_path):
     assert idx[(1, 24)] == 1          # floor_log2(4096^2 + 1) = 24
     assert idx[(1, 25)] == 1          # 2 * 4096^2 + 1 -> 25
     assert got["n"].sum() == 3
+
+
+# --------------------------------------------------------------------------
+# batch 16 — late arrivals, source-priority dedup, inverted index,
+# distinctive terms, neighbor-set Jaccard
+# --------------------------------------------------------------------------
+
+def test_late_events_audit_known_stream(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_late_events_audit
+
+    # user 1 arrival order (event_id): ts = 10, 30, 20, 25, 40
+    #   -> events at ts 20 (late by 10) and 25 (late by 5) arrive
+    #      after the running max 30; user 2 is monotone
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts1 = [10, 30, 20, 25, 40]
+    ts2 = [1, 2, 3]
+    ts = [base + np.timedelta64(t, "s") for t in ts1 + ts2]
+    n = len(ts)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * 5 + [2] * 3, pa.int64()),
+        "event_type": pa.array(["t"] * n),
+        "value": pa.array(np.zeros(n)),
+        "props": pa.array(["{}"] * n)}),
+        tmp_path / "events.parquet")
+    got = q_late_events_audit(str(tmp_path)).set_index("user_id")
+    assert got.loc[1, "n_events"] == 5
+    assert got.loc[1, "n_late"] == 2
+    assert got.loc[1, "max_late_us"] == 10 * 1_000_000
+    assert got.loc[2, "n_late"] == 0
+    assert got.loc[2, "max_late_us"] == 0
+
+
+def test_source_priority_dedup_prefers_first_source(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_source_priority_dedup
+
+    # same normalized content from sources c, a, b -> 'a' copy wins;
+    # whitespace variants collapse to one hash; unique doc survives
+    texts = ["Hello   world", "hello world", "HELLO WORLD ", "other"]
+    srcs = ["c", "a", "b", "z"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(srcs),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        tmp_path / "documents.parquet")
+    got = q_source_priority_dedup(str(tmp_path))
+    assert len(got) == 2
+    kept = {(r.source, r.doc_id) for r in got.itertuples()}
+    assert kept == {("a", 11), ("z", 13)}
+
+
+def test_inverted_index_prefix_truncates_at_8(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_inverted_index_prefix
+
+    # "zz" appears in 10 docs (prefix keeps first 8 ids), twice in
+    # doc 0; "rare" in one doc only
+    texts = ["zz zz rare"] + ["zz"] * 9
+    n = len(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["s"] * n),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        tmp_path / "documents.parquet")
+    got = q_inverted_index_prefix(str(tmp_path)).set_index("tok")
+    assert got.loc["zz", "df"] == 10
+    assert got.loc["zz", "tot"] == 11
+    assert got.loc["zz", "posting_prefix"] == "0,1,2,3,4,5,6,7"
+    assert got.loc["rare", "df"] == 1
+    assert got.loc["rare", "posting_prefix"] == "0"
+
+
+def test_distinctive_terms_flags_exclusive_token(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_distinctive_terms
+
+    # "spam" only in source b; shared filler tokens everywhere
+    texts = ["the cat", "the dog", "spam spam the", "spam the"]
+    srcs = ["a", "a", "b", "b"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(srcs),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
+        tmp_path / "documents.parquet")
+    got = q_distinctive_terms(str(tmp_path))
+    top_b = got[got["source"] == "b"].iloc[0]
+    assert top_b["tok"] == "spam"
+    # n_a=4 n_b=5 N=9: dev = (9-5)*3 - 5*0 = 12
+    assert top_b["dev"] == 12
+    assert top_b["c"] == 3
+
+
+def test_host_neighbor_jaccard_known_graph(tmp_path):
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.pipelines import mining
+
+    # in-neighbor sets: x <- {s1, s2, s3}; y <- {s1, s2};
+    # pair (x, y): shared=2, jacc = 2 / (3 + 2 - 2) = 2/3
+    table = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "url": ["https://s1.com/a", "https://s2.com/a",
+                "https://s3.com/a"],
+        "text": ["", "", ""],
+        "links": pa.array(
+            [["https://x.com/1", "https://y.com/1"],
+             ["https://x.com/2", "https://y.com/2"],
+             ["https://x.com/3"]],
+            pa.list_(pa.string()))})
+    got = _with_linkpages(tmp_path, table, mining.q_host_neighbor_jaccard)
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["host_a"], r["host_b"]) == ("x.com", "y.com")
+    assert r["n_shared"] == 2
+    assert (r["in_a"], r["in_b"]) == (3, 2)
+    assert r["jacc"] == 2.0 / 3.0
