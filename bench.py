@@ -165,6 +165,22 @@ def run_url_blocklist() -> int:
     return url_blocklist_filter(ds).count()
 
 
+def run_flesch_pages() -> int:
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.text_signals import flesch_scores
+    ds = rd.read_parquet(linked_pages_dir(), columns=["doc_id", "text"])
+    return flesch_scores(ds).count()
+
+
+def run_host_neighbor_jaccard() -> int:
+    import ray.data as rd
+    from nacc_form_validator_ray.pipelines.mining import (
+        directed_host_edges_from_ds, host_neighbor_jaccard_from_edges)
+    ds = rd.read_parquet(linked_pages_dir(), columns=["url", "links"])
+    return len(host_neighbor_jaccard_from_edges(
+        directed_host_edges_from_ds(ds)))
+
+
 def run_incremental_ingest() -> int:
     """Delta-vs-corpus recrawl dedup over the bench linked corpus —
     anti-join + election fused into one norm_url exchange."""
@@ -455,6 +471,17 @@ def bench_queries(sf_dir: str):
         # batch 14: triple-ranked RFM (three range exchanges)
         "customer_rfm": lambda: consume(
             Q.QUERIES["customer_rfm"](sf_dir)),
+        # batch 15/16: triple-regex readability pass, posting-list
+        # build (tok exchange), md5 + content-hash exchange,
+        # out-degree-squared pair fan-out + degree merge (flesch and
+        # the jaccard run bench-local over the 120k linked corpus —
+        # the registered sf fixtures are correctness-scale)
+        "flesch_pages": run_flesch_pages,
+        "inverted_index_prefix": lambda: consume(
+            Q.QUERIES["inverted_index_prefix"](sf_dir)),
+        "source_priority_dedup": lambda: consume(
+            Q.QUERIES["source_priority_dedup"](sf_dir)),
+        "host_neighbor_jaccard": run_host_neighbor_jaccard,
     }
 
 

@@ -2649,6 +2649,17 @@ _COCIT_MIN = 2
 
 
 def _directed_host_edges(sf_dir: str, emit_page_hosts: bool = False):
+    """Distinct DIRECTED host edges of the fixture link graph — reads
+    the linked-page table for ``sf_dir`` and delegates to
+    :func:`directed_host_edges_from_ds`."""
+    from nacc_form_validator_ray.pipelines.queries import \
+        _linked_pages_path
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["url", "links"])
+    return directed_host_edges_from_ds(ds, emit_page_hosts)
+
+
+def directed_host_edges_from_ds(ds, emit_page_hosts: bool = False):
     """Distinct DIRECTED host edges (src, dst) of the link graph:
     per-batch :func:`stages.graph._canonical_edge_frame` (the module's
     ONE copy of the flatten/normalize/self-loop/dedup edge semantics;
@@ -2661,14 +2672,9 @@ def _directed_host_edges(sf_dir: str, emit_page_hosts: bool = False):
     consumers need no second scan of the corpus."""
     import pyarrow.compute as pc
 
-    from nacc_form_validator_ray.pipelines.queries import \
-        _linked_pages_path
     from nacc_form_validator_ray.stages.graph import (_canonical_edge_frame,
                                                       _host_of)
     from nacc_form_validator_ray.stages.partition import grouped_apply
-
-    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
-                            columns=["url", "links"])
 
     def partial(t) -> pd.DataFrame:
         e = _canonical_edge_frame(t, "url", "links",
@@ -3268,40 +3274,17 @@ def q_flesch_pages(sf_dir: str):
     (int64; milli-scaled so no decimal appears) with the reported
     double being the ONE terminal division num/(1000*S*W). Pages with
     zero words or zero sentences pin flesch = 0.0 in both engines
-    (the num column still carries its exact value)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
+    (the num column still carries its exact value). Engine body lives
+    in stages/text_signals.flesch_scores (shared with bench.py's
+    120k-page line)."""
     from nacc_form_validator_ray.pipelines.queries import \
         _linked_pages_path
+    from nacc_form_validator_ray.stages.text_signals import \
+        flesch_scores
 
     ds = _rd().read_parquet(_linked_pages_path(sf_dir),
                             columns=["doc_id", "text"])
-
-    def score(t: "pa.Table") -> "pa.Table":
-        txt = pc.fill_null(t["text"], "")
-        w = pc.count_substring_regex(txt, "[A-Za-z]+") \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        s = pc.count_substring_regex(txt, "[.!?]+") \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        y = pc.count_substring_regex(txt, "[AEIOUYaeiouy]+") \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        num = 206835 * s * w - 1015 * w * w - 84600 * y * s
-        den = 1000 * s * w
-        ok = den > 0
-        flesch = np.zeros(len(w), dtype=np.float64)
-        flesch[ok] = num[ok].astype(np.float64) \
-            / den[ok].astype(np.float64)
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "n_words": pa.array(w, pa.int64()),
-            "n_sents": pa.array(s, pa.int64()),
-            "n_syll": pa.array(y, pa.int64()),
-            "flesch_num": pa.array(num, pa.int64()),
-            "flesch": pa.array(flesch, pa.float64()),
-        })
-
-    return ds.map_batches(score, batch_format="pyarrow")
+    return flesch_scores(ds)
 
 
 def sql_flesch_pages(path: str, sql_url_norm: str | None = None) -> str:
@@ -4023,12 +4006,17 @@ def q_host_neighbor_jaccard(sf_dir: str) -> pd.DataFrame:
     Jaccard is the ONE terminal double division of exact int64 counts
     ``shared / (in_a + in_b - shared)`` in identical expression order
     to the twin."""
+    return host_neighbor_jaccard_from_edges(_directed_host_edges(sf_dir))
+
+
+def host_neighbor_jaccard_from_edges(edges) -> pd.DataFrame:
+    """Pair mining + degree merge over a distinct (src, dst) host edge
+    Dataset — split from :func:`q_host_neighbor_jaccard` so bench.py
+    can drive it over the 120k-page corpus."""
     from nacc_form_validator_ray.pipelines.queries import \
         _merge_partials
     from nacc_form_validator_ray.stages.partition import (grouped_agg_sum,
                                                           grouped_apply)
-
-    edges = _directed_host_edges(sf_dir)
 
     empty = pd.DataFrame({
         "host_a": pd.Series([], dtype=object),

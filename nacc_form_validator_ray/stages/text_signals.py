@@ -965,3 +965,40 @@ def chunk_documents(ds, chunk_tokens: int = 256, stride: int = 192,
                 "chunk_text": chunk_text}
 
     return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def flesch_scores(ds, id_column: str = "doc_id",
+                  text_column: str = "text"):
+    """Exact Flesch reading-ease per document (see
+    pipelines/mining.q_flesch_pages for the oracle contract): word /
+    sentence / vowel-group counts are three RE2 kernels over the Arrow
+    column; the score clears denominators into an exact int64
+    ``flesch_num`` with ONE terminal double division. Zero-word or
+    zero-sentence docs pin flesch = 0.0."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def score(t: "pa.Table") -> "pa.Table":
+        txt = pc.fill_null(t[text_column], "")
+        w = pc.count_substring_regex(txt, "[A-Za-z]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pc.count_substring_regex(txt, "[.!?]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        y = pc.count_substring_regex(txt, "[AEIOUYaeiouy]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        num = 206835 * s * w - 1015 * w * w - 84600 * y * s
+        den = 1000 * s * w
+        ok = den > 0
+        flesch = np.zeros(len(w), dtype=np.float64)
+        flesch[ok] = num[ok].astype(np.float64) \
+            / den[ok].astype(np.float64)
+        return pa.table({
+            id_column: t[id_column],
+            "n_words": pa.array(w, pa.int64()),
+            "n_sents": pa.array(s, pa.int64()),
+            "n_syll": pa.array(y, pa.int64()),
+            "flesch_num": pa.array(num, pa.int64()),
+            "flesch": pa.array(flesch, pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
