@@ -4110,3 +4110,251 @@ WHERE n_shared >= {_HNJ_MIN}
 
 MIN_QUERIES["host_neighbor_jaccard"] = q_host_neighbor_jaccard
 MIN_LINKED_SQL["host_neighbor_jaccard"] = sql_host_neighbor_jaccard
+
+
+# --------------------------------------------------------------------------
+# batch 17 — Benford first-digit audit, referential-integrity orphans,
+# share-of-parent revenue rollup
+# --------------------------------------------------------------------------
+
+def q_benford_order_totals(sf_dir: str) -> pd.DataFrame:
+    """Benford first-significant-digit profile of order totals — the
+    classic bulk data-forgery / synthetic-data audit (real transaction
+    amounts lean on digit 1; a flat profile flags generated or
+    truncated feeds). Exact digit extraction: cents on the repo's
+    grid, |cents| reduced by vectorized integer division (at most 19
+    halving passes — never float log10, which mis-rounds at powers of
+    ten); zero pins digit 0.
+
+    Map-only combiner: <= 10 partial rows per batch, driver merge;
+    the share is the ONE terminal double division n/total in twin
+    expression order."""
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "digit": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64)})
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100 + 0.5) \
+            .astype(np.int64)
+        a = np.abs(cents)
+        while (a >= 10).any():
+            big = a >= 10
+            a[big] //= 10
+        g = pd.DataFrame({"digit": a, "n": np.int64(1)})
+        return g.groupby("digit", as_index=False).sum()
+
+    from nacc_form_validator_ray.pipelines.queries import \
+        _merge_partials
+    out = _merge_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["digit"], {"n": "sum"})
+    if out.empty:
+        return pd.DataFrame({
+            "digit": pd.Series([], dtype=np.int64),
+            "n": pd.Series([], dtype=np.int64),
+            "share": pd.Series([], dtype=np.float64)})
+    out = out.astype({"digit": np.int64, "n": np.int64})
+    tot = int(out["n"].sum())
+    out["share"] = out["n"].to_numpy(np.float64) / np.float64(tot)
+    return out.sort_values("digit").reset_index(drop=True)
+
+
+MIN_QUERIES["benford_order_totals"] = q_benford_order_totals
+MIN_ORACLE_SQL["benford_order_totals"] = """
+WITH c AS (
+  SELECT abs(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS a
+  FROM orders),
+d AS (SELECT CASE WHEN a = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(left(CAST(a AS VARCHAR), 1) AS BIGINT)
+             END AS digit
+      FROM c),
+t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM d)
+SELECT digit, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+FROM d CROSS JOIN t
+GROUP BY digit, t.tot
+ORDER BY digit
+"""
+
+
+#: FK edges audited by fk_orphans: (label, child table, child key,
+#: parent table, parent key)
+_FK_EDGES = (
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("orders.o_custkey", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+)
+
+
+def q_fk_orphans(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity audit across the star schema's FK edges:
+    per edge, total child rows and rows whose key has NO parent — the
+    pre-flight every multi-table pipeline runs before joins silently
+    drop rows (an inner join on a dirty edge under-reports revenue
+    with no error anywhere).
+
+    Per edge: child batches pre-aggregate to (key, n) partials and
+    parent batches emit distinct keys; ONE tag-union hash exchange on
+    the key per edge (the anti-join shape, but counting — full child
+    rows never move), then a one-row partial per partition and a
+    driver sum. Keys are non-null int64 in every audited edge (null
+    keys would need the groupby(dropna=False) variant)."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    rows = []
+    for label, child_t, child_k, parent_t, parent_k in _FK_EDGES:
+        child = _rd().read_parquet(f"{sf_dir}/{child_t}.parquet",
+                                   columns=[child_k])
+        parent = _rd().read_parquet(f"{sf_dir}/{parent_t}.parquet",
+                                    columns=[parent_k])
+
+        def child_partial(df: pd.DataFrame, k=child_k) -> pd.DataFrame:
+            g = df.groupby(k, as_index=False).size() \
+                .rename(columns={k: "key", "size": "n"})
+            # int32 dims (c_nationkey) must match the parent side's
+            # int64 or the exchange's concat_tables rejects the blocks
+            g["key"] = g["key"].astype(np.int64)
+            g["n"] = g["n"].astype(np.int64)
+            g["side"] = np.int64(0)
+            return g
+
+        def parent_partial(df: pd.DataFrame, k=parent_k) -> pd.DataFrame:
+            return pd.DataFrame({
+                "key": df[k].drop_duplicates().to_numpy(np.int64),
+                "n": np.int64(0), "side": np.int64(1)})
+
+        def count_orphans(part: pd.DataFrame) -> pd.DataFrame:
+            if part.empty:
+                return pd.DataFrame({"n_child": pd.Series([], np.int64),
+                                     "n_orphan": pd.Series([], np.int64)})
+            kids = part[part["side"] == 0]
+            parents = part.loc[part["side"] == 1, "key"]
+            orphan = ~kids["key"].isin(parents)
+            return pd.DataFrame({
+                "n_child": [np.int64(kids["n"].sum())],
+                "n_orphan": [np.int64(kids.loc[orphan, "n"].sum())]})
+
+        tagged = child.map_batches(child_partial, batch_format="pandas") \
+            .union(parent.map_batches(parent_partial,
+                                      batch_format="pandas"))
+        p = grouped_apply(tagged, ["key"], count_orphans,
+                          num_partitions=8).to_pandas()
+        n_child = int(p["n_child"].sum()) if "n_child" in p.columns \
+            else 0
+        n_orphan = int(p["n_orphan"].sum()) if "n_orphan" in p.columns \
+            else 0
+        rows.append((label, n_child, n_orphan))
+    return pd.DataFrame(rows, columns=["edge", "n_child", "n_orphan"]) \
+        .astype({"n_child": np.int64, "n_orphan": np.int64}) \
+        .sort_values("edge").reset_index(drop=True)
+
+
+MIN_QUERIES["fk_orphans"] = q_fk_orphans
+MIN_ORACLE_SQL["fk_orphans"] = "\nUNION ALL\n".join(f"""
+SELECT '{label}' AS edge,
+       CAST(count(*) AS BIGINT) AS n_child,
+       CAST(count(*) FILTER (WHERE p.{pk} IS NULL) AS BIGINT)
+           AS n_orphan
+FROM {ct} c LEFT JOIN (SELECT DISTINCT {pk} FROM {pt}) p
+  ON c.{ck} = p.{pk}""" for label, ct, ck, pt, pk in _FK_EDGES) \
+    + "\nORDER BY edge"
+
+
+def q_nation_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """Share-of-parent rollup: each nation's order revenue as a share
+    of its REGION's total — the hierarchical contribution report
+    (window SUM OVER parent in SQL terms). Orders pre-aggregate per
+    custkey inside each batch, ONE fact-fact hash-join exchange with
+    customer (never a broadcast — customer scales with the dataset),
+    lean (nationkey, cents) partials merge on the driver, and the
+    nation/region dimension tables (fixed 25/5 rows) resolve names
+    driver-side. Shares are ONE double division of exact int64 cents
+    per row, twin expression order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.queries import \
+        _merge_partials
+    from nacc_form_validator_ray.stages.joins import hash_join
+
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_totalprice"])
+
+    def pre_agg(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100 + 0.5) \
+            .astype(np.int64)
+        g = pd.DataFrame({"c_custkey": df["o_custkey"].to_numpy(np.int64),
+                          "rev_cents": cents})
+        return g.groupby("c_custkey", as_index=False).sum()
+
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_custkey", "c_nationkey"])
+    joined = hash_join(orders.map_batches(pre_agg,
+                                          batch_format="pandas"),
+                       cust, on="c_custkey")
+
+    def per_nation(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_nationkey", as_index=False)["rev_cents"].sum()
+        g["rev_cents"] = g["rev_cents"].astype(np.int64)
+        return g
+
+    nat_rev = _merge_partials(
+        joined.map_batches(per_nation, batch_format="pandas"),
+        ["c_nationkey"], {"rev_cents": "sum"})
+
+    empty = pd.DataFrame({
+        "r_name": pd.Series([], dtype=object),
+        "n_name": pd.Series([], dtype=object),
+        "rev_cents": pd.Series([], dtype=np.int64),
+        "region_cents": pd.Series([], dtype=np.int64),
+        "share": pd.Series([], dtype=np.float64)})
+    if nat_rev.empty:
+        return empty
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name",
+                                    "n_regionkey"]).to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"]).to_pandas()
+    df = nat_rev.merge(nation, left_on="c_nationkey",
+                       right_on="n_nationkey") \
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    reg_tot = df.groupby("r_name")["rev_cents"].transform("sum") \
+        .to_numpy(np.int64)
+    df["region_cents"] = reg_tot
+    df["share"] = df["rev_cents"].to_numpy(np.int64).astype(np.float64) \
+        / reg_tot.astype(np.float64)
+    out = df[["r_name", "n_name", "rev_cents", "region_cents", "share"]]
+    return out.sort_values(["r_name", "n_name"], kind="stable") \
+        .reset_index(drop=True) \
+        .astype({"rev_cents": np.int64, "region_cents": np.int64})
+
+
+MIN_QUERIES["nation_revenue_share"] = q_nation_revenue_share
+MIN_ORACLE_SQL["nation_revenue_share"] = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+nr AS (SELECT n.n_regionkey, n.n_name,
+              CAST(sum(o.cents) AS BIGINT) AS rev_cents
+       FROM o JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN nation n ON n.n_nationkey = c.c_nationkey
+       GROUP BY 1, 2)
+SELECT r.r_name, nr.n_name, nr.rev_cents,
+       CAST(sum(nr.rev_cents) OVER (PARTITION BY r.r_name) AS BIGINT)
+           AS region_cents,
+       CAST(nr.rev_cents AS DOUBLE)
+           / CAST(sum(nr.rev_cents) OVER (PARTITION BY r.r_name)
+                  AS DOUBLE) AS share
+FROM nr JOIN region r ON r.r_regionkey = nr.n_regionkey
+ORDER BY r.r_name, nr.n_name
+"""

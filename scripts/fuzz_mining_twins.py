@@ -165,6 +165,30 @@ def gen_tables(d: str) -> None:
             .astype(np.float64))}),
         os.path.join(d, "part.parquet"))
 
+    # customer / nation / region (sparse keys -> natural FK orphans;
+    # nationkeys deliberately exceed the nation table's range)
+    n_cust = int(rng.integers(0, 120))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.sort(rng.choice(
+            np.arange(1, 400, dtype=np.int64), n_cust,
+            replace=False))),
+        "c_name": pa.array(["c"] * n_cust),
+        "c_nationkey": pa.array(
+            rng.integers(0, 8, n_cust).astype(np.int32)),
+        "c_mktsegment": pa.array(["BUILDING"] * n_cust)}),
+        os.path.join(d, "customer.parquet"))
+    n_nat = int(rng.integers(0, 6))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(np.arange(n_nat, dtype=np.int32)),
+        "n_name": pa.array([f"N{i}" for i in range(n_nat)]),
+        "n_regionkey": pa.array(
+            rng.integers(0, 2, n_nat).astype(np.int32))}),
+        os.path.join(d, "nation.parquet"))
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array(np.arange(2, dtype=np.int32)),
+        "r_name": pa.array(["R0", "R1"])}),
+        os.path.join(d, "region.parquet"))
+
     # events (duplicate ts on purpose; null types)
     n_ev = int(rng.integers(0, 1200))
     n_users = int(rng.integers(1, 30))
@@ -231,7 +255,9 @@ TABLE_QUERIES = ["priority_sample_docs", "corr_matrix_lineitem",
                  "bad_phrase_docs", "cusum_max_events",
                  "dense_rank_top_prices", "embedding_norm_histogram",
                  "late_events_audit", "source_priority_dedup",
-                 "inverted_index_prefix", "distinctive_terms"]
+                 "inverted_index_prefix", "distinctive_terms",
+                 "benford_order_totals", "fk_orphans",
+                 "nation_revenue_share"]
 #: linked-page family (twins are path-parameterized)
 LINKED_QUERIES = ["containment_pairs_pages", "cap_docs_per_host",
                   "url_structure_stats", "host_components",
@@ -273,7 +299,8 @@ def main() -> int:
         gen_tables(d)
         con = duckdb.connect()
         for t in ("documents", "lineitem", "events", "orders",
-                  "embeddings", "part"):
+                  "embeddings", "part", "customer", "nation",
+                  "region"):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{d}/{t}.parquet')")
         clean = True

@@ -1499,3 +1499,105 @@ def test_host_neighbor_jaccard_known_graph(tmp_path):
     assert r["n_shared"] == 2
     assert (r["in_a"], r["in_b"]) == (3, 2)
     assert r["jacc"] == 2.0 / 3.0
+
+
+# --------------------------------------------------------------------------
+# batch 17 — Benford audit, FK orphans, share-of-parent rollup
+# --------------------------------------------------------------------------
+
+def _write_orders(tmp_path, totals, custkeys=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    n = len(totals)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+        "o_custkey": pa.array(custkeys or [1] * n, pa.int64()),
+        "o_orderdate": pa.array(
+            [np.datetime64("2024-01-01", "us")] * n, pa.timestamp("us")),
+        "o_totalprice": pa.array(totals, pa.float64()),
+        "o_orderstatus": pa.array(["O"] * n),
+        "o_orderpriority": pa.array(["1-URGENT"] * n)}),
+        tmp_path / "orders.parquet")
+
+
+def test_benford_first_digits(tmp_path):
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_benford_order_totals
+
+    # cents: 12345, 999, -50 (digit 5 via abs), 0.004 -> 0 cents
+    _write_orders(tmp_path, [123.45, 9.99, -0.50, 0.004])
+    got = q_benford_order_totals(str(tmp_path)).set_index("digit")
+    assert got.loc[1, "n"] == 1     # 12345
+    assert got.loc[9, "n"] == 1     # 999
+    assert got.loc[5, "n"] == 1     # |-50|
+    assert got.loc[0, "n"] == 1     # zero cents pins digit 0
+    assert got["share"].sum() == pytest.approx(1.0)
+
+
+def test_fk_orphans_counts(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import q_fk_orphans
+
+    # orders 0,1 exist; lineitem rows point at 0, 0, 7 (one orphan key,
+    # two clean); order custkeys 1 (exists), 9 (orphan);
+    # customer nationkeys 0 (exists), 3 (orphan)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([0, 0, 7], pa.int64()),
+        "l_partkey": pa.array([1, 1, 1], pa.int64()),
+        "l_quantity": pa.array([1.0, 1.0, 1.0]),
+        "l_extendedprice": pa.array([1.0, 1.0, 1.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0]),
+        "l_tax": pa.array([0.0, 0.0, 0.0]),
+        "l_shipdate": pa.array(
+            [np.datetime64("2024-01-01", "us")] * 3,
+            pa.timestamp("us"))}), tmp_path / "lineitem.parquet")
+    _write_orders(tmp_path, [10.0, 20.0], custkeys=[1, 9])
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_name": pa.array(["a", "b"]),
+        "c_nationkey": pa.array([0, 3], pa.int32()),
+        "c_mktsegment": pa.array(["BUILDING"] * 2)}),
+        tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0], pa.int32()),
+        "n_name": pa.array(["ALGERIA"]),
+        "n_regionkey": pa.array([0], pa.int32())}),
+        tmp_path / "nation.parquet")
+    got = q_fk_orphans(str(tmp_path)).set_index("edge")
+    assert got.loc["lineitem.l_orderkey", "n_child"] == 3
+    assert got.loc["lineitem.l_orderkey", "n_orphan"] == 1
+    assert got.loc["orders.o_custkey", "n_orphan"] == 1
+    assert got.loc["customer.c_nationkey", "n_orphan"] == 1
+
+
+def test_nation_revenue_share_hierarchy(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_nation_revenue_share
+
+    # region R0 holds nations A (30.00) and B (10.00): shares .75/.25
+    _write_orders(tmp_path, [30.0, 10.0], custkeys=[1, 2])
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_name": pa.array(["a", "b"]),
+        "c_nationkey": pa.array([0, 1], pa.int32()),
+        "c_mktsegment": pa.array(["BUILDING"] * 2)}),
+        tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int32()),
+        "n_name": pa.array(["A", "B"]),
+        "n_regionkey": pa.array([0, 0], pa.int32())}),
+        tmp_path / "nation.parquet")
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0], pa.int32()),
+        "r_name": pa.array(["R0"])}),
+        tmp_path / "region.parquet")
+    got = q_nation_revenue_share(str(tmp_path))
+    assert got["n_name"].tolist() == ["A", "B"]
+    assert got["rev_cents"].tolist() == [3000, 1000]
+    assert got["region_cents"].tolist() == [4000, 4000]
+    assert got["share"].tolist() == [0.75, 0.25]
