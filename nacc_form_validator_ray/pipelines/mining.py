@@ -3291,11 +3291,14 @@ def sql_flesch_pages(path: str, sql_url_norm: str | None = None) -> str:
     return f"""
 WITH c AS (
   SELECT doc_id,
-         CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+         CAST(len(regexp_extract_all(coalesce(text, ''),
+                                     '[A-Za-z]+')) AS BIGINT)
              AS n_words,
-         CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+         CAST(len(regexp_extract_all(coalesce(text, ''),
+                                     '[.!?]+')) AS BIGINT)
              AS n_sents,
-         CAST(len(regexp_extract_all(text, '[AEIOUYaeiouy]+'))
+         CAST(len(regexp_extract_all(coalesce(text, ''),
+                                     '[AEIOUYaeiouy]+'))
               AS BIGINT) AS n_syll
   FROM read_parquet('{path}'))
 SELECT doc_id, n_words, n_sents, n_syll,
@@ -3333,7 +3336,8 @@ def q_bad_phrase_docs(sf_dir: str) -> pd.DataFrame:
     for large phrase lists) and emits at most |sources| x |phrases|
     partial rows; the driver merges those bounded partials. The twin
     counts occurrences with the replace-length trick — identical for
-    non-self-overlapping phrases (all of BAD_PHRASES)."""
+    non-self-overlapping phrases (all of BAD_PHRASES). Null sources
+    ride the repo's '' contract."""
     import pyarrow.compute as pc
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
@@ -3341,7 +3345,8 @@ def q_bad_phrase_docs(sf_dir: str) -> pd.DataFrame:
 
     def partial(t) -> pd.DataFrame:
         txt = pc.fill_null(t["text"], "")
-        src = t["source"].to_numpy(zero_copy_only=False)
+        src = pc.fill_null(t["source"], "").to_numpy(
+            zero_copy_only=False)
         frames = []
         for p in BAD_PHRASES:
             occ = pc.count_substring(txt, p) \
@@ -3367,8 +3372,9 @@ MIN_ORACLE_SQL["bad_phrase_docs"] = "\nUNION ALL\n".join(f"""
 SELECT source, '{p}' AS phrase,
        CAST(count(*) FILTER (WHERE occ > 0) AS BIGINT) AS n_docs_hit,
        CAST(sum(occ) AS BIGINT) AS n_occurrences
-FROM (SELECT source,
-             (length(text) - length(replace(text, '{p}', '')))
+FROM (SELECT coalesce(source, '') AS source,
+             (length(coalesce(text, ''))
+              - length(replace(coalesce(text, ''), '{p}', '')))
                  // {len(p)} AS occ
       FROM documents)
 GROUP BY source""" for p in BAD_PHRASES)
@@ -3598,7 +3604,10 @@ def q_embedding_norm_histogram(sf_dir: str) -> pd.DataFrame:
         bucket = _floor_log2_u64((s + 1).astype(np.uint64)) \
             .astype(np.int64)
         # label dtype rides through untouched (int32 in the fixture;
-        # the twin's any_value(label) matches whatever the table holds)
+        # the twin's any_value(label) matches whatever the table
+        # holds). NULL-label vectors are EXCLUDED by contract (the
+        # pandas groupby drops them; the twin filters them) — a
+        # type-generic sentinel would collide on int labels
         lab = t["label"].to_numpy(zero_copy_only=False)
         g = pd.DataFrame({"label": lab, "bucket": bucket,
                           "n": np.int64(1)})
@@ -3611,21 +3620,25 @@ def q_embedding_norm_histogram(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["label", "bucket"]).reset_index(drop=True)
 
 
+from nacc_form_validator_ray.pipelines.advanced import \
+    GRAM_QUANT as _NORM_HIST_QUANT  # single-source the grid (review)
+
 MIN_QUERIES["embedding_norm_histogram"] = q_embedding_norm_histogram
 MIN_ORACLE_SQL["embedding_norm_histogram"] = f"""
 WITH q AS (
   SELECT vec_id, any_value(label) AS label,
          CAST(sum(v * v) AS BIGINT) AS s
   FROM (SELECT vec_id, label,
-               CAST(floor(unnest(embedding) * {{gq}} + 0.5)
+               CAST(floor(unnest(embedding) * {_NORM_HIST_QUANT} + 0.5)
                     AS BIGINT) AS v
-        FROM embeddings)
+        FROM embeddings
+        WHERE label IS NOT NULL)
   GROUP BY vec_id)
 SELECT label, CAST(length(bin(s + 1)) - 1 AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n
 FROM q GROUP BY 1, 2
 ORDER BY 1, 2
-""".replace("{gq}", "4096")
+"""
 
 
 # --------------------------------------------------------------------------
@@ -3795,7 +3808,6 @@ def q_inverted_index_prefix(sf_dir: str) -> pd.DataFrame:
     ONE hash exchange on tok co-locates every term's postings; the
     per-partition pass is a lexsort + run-boundary reduceat for df/tot
     and a head-8 string join for the prefix."""
-    import pyarrow.compute as pc  # noqa: F401  (tokenizer dependency)
 
     from nacc_form_validator_ray.stages.partition import grouped_apply
     from nacc_form_validator_ray.stages.text_signals import \
@@ -3933,11 +3945,23 @@ def q_distinctive_terms(sf_dir: str) -> pd.DataFrame:
 
     partials = ds.map_batches(count_partial, batch_format="pyarrow") \
         .materialize()
-    tot = partials.to_pandas()
-    if tot.empty or "source" not in tot.columns:
+
+    def totals_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # |sources| rows per BLOCK — the driver merge is
+        # sources x blocks, never the vocab-scale partial table
+        # (review: tot = partials.to_pandas() pulled the whole thing)
+        return df.groupby("source", as_index=False)["c"].sum()
+
+    from nacc_form_validator_ray.pipelines.queries import \
+        _merge_partials
+    totals = _merge_partials(
+        partials.map_batches(totals_partial, batch_format="pandas"),
+        ["source"], {"c": "sum"})
+    if totals.empty:
         return empty
-    n_src = tot.groupby("source")["c"].sum().to_dict()
-    n_all = int(sum(n_src.values()))
+    n_src = dict(zip(totals["source"],
+                     totals["c"].astype(np.int64)))
+    n_all = int(totals["c"].sum())
 
     def score_part(part: pd.DataFrame) -> pd.DataFrame:
         if part.empty:

@@ -1270,15 +1270,18 @@ def test_bad_phrase_docs_counts(tmp_path):
         "hash join here",                          # 1
         None,                                      # null text -> 0
         "nothing relevant",
-    ], sources=["a", "a", "b", "b"])
+        "sort merge",                              # null source -> ''
+    ], sources=["a", "a", "b", "b", None])
     got = q_bad_phrase_docs(str(tmp_path))
     idx = {(r.source, r.phrase): (r.n_docs_hit, r.n_occurrences)
            for r in got.itertuples()}
     assert idx[("a", "table scan")] == (1, 2)
     assert idx[("a", "hash join")] == (1, 1)
     assert idx[("b", "table scan")] == (0, 0)
+    # null source rides the '' contract (review finding)
+    assert idx[("", "sort merge")] == (1, 1)
     # every (source, phrase) cell is present, zeros included
-    assert len(got) == 2 * len(BAD_PHRASES)
+    assert len(got) == 3 * len(BAD_PHRASES)
 
 
 def test_cusum_max_events_level_shift(tmp_path):
