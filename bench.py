@@ -482,6 +482,15 @@ def bench_queries(sf_dir: str):
         "source_priority_dedup": lambda: consume(
             Q.QUERIES["source_priority_dedup"](sf_dir)),
         "host_neighbor_jaccard": run_host_neighbor_jaccard,
+        # batch 18: filter-audit combiners — a second fused
+        # signals+langid pass (co-occurrence), a BPE train+encode with
+        # source passthrough, and the scrubber with volume rollup
+        "rule_cooccurrence_docs": lambda: consume(
+            Q.QUERIES["rule_cooccurrence_docs"](sf_dir)),
+        "fertility_by_source": lambda: consume(
+            Q.QUERIES["fertility_by_source"](sf_dir)),
+        "scrub_volume_by_source": lambda: consume(
+            Q.QUERIES["scrub_volume_by_source"](sf_dir)),
     }
 
 

@@ -59,10 +59,14 @@ def _docs(sf_dir: str, columns=None):
 # text analysis over `documents`
 # --------------------------------------------------------------------------
 
+#: null-text contract (engine: TextStats fill_null -> ''): a null text
+#: behaves exactly like an empty string — zero tokens, zero lengths —
+#: never a NULL that silently drops the row from FILTER counts
 _TOKS_CTE = """
 WITH t AS (
-  SELECT doc_id, text,
-         regexp_extract_all(lower(text), '[A-Za-z]+') AS toks
+  SELECT doc_id, coalesce(text, '') AS text,
+         regexp_extract_all(lower(coalesce(text, '')), '[A-Za-z]+')
+             AS toks
   FROM documents
 ), g AS (
   SELECT doc_id, text, toks,
@@ -262,7 +266,7 @@ SQL_QUALITY_FILTER = _TOKS_CTE + """
   SELECT doc_id,
          {SW_EN} AS sw_en, {SW_ES} AS sw_es, {SW_DE} AS sw_de,
          {SW_FR} AS sw_fr, {SW_ZH} AS sw_zh
-  FROM documents
+  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
 ), lp AS (
   SELECT doc_id,
          {LANG_PRED} AS lang_pred,
@@ -7124,6 +7128,27 @@ _ATTR_FIELDS = ["lang_pred", "mean_word_len", "n_words",
                 "rep_3gram_ratio", "stop_ratio"]
 
 
+def _doc_rule_flags(t) -> Dict[str, np.ndarray]:
+    """Per-document violation flags for the five DOC_RULES fields over
+    a ``TextStats(langid=True)`` output batch — the ONE copy of the
+    thresholds shared by ``rule_attribution_docs``,
+    ``rule_cooccurrence_docs`` and ``keep_rate_by_length`` (mirrors the
+    CASE arms of ``SQL_QUALITY_FILTER``; a doc is kept iff every flag
+    is False, i.e. ``quality_filter_docs.passed``)."""
+    nw = t["n_words"].to_numpy(zero_copy_only=False)
+    mwl = t["mean_word_len"].to_numpy(zero_copy_only=False)
+    rep = t["rep_3gram_ratio"].to_numpy(zero_copy_only=False)
+    stop = t["stop_ratio"].to_numpy(zero_copy_only=False)
+    lang = t["lang_pred"].to_numpy(zero_copy_only=False)
+    return {
+        "lang_pred": lang != "en",
+        "mean_word_len": (mwl < 4.0) | (mwl > 5.0),
+        "n_words": (nw < 25) | (nw > 90),
+        "rep_3gram_ratio": rep > 0.05,
+        "stop_ratio": stop < 0.01,
+    }
+
+
 def q_rule_attribution_docs(sf_dir: str) -> pd.DataFrame:
     """Per-rule drop attribution for the ``quality_filter_docs``
     schema (DOC_RULES): for each rule field, how many documents
@@ -7142,19 +7167,7 @@ def q_rule_attribution_docs(sf_dir: str) -> pd.DataFrame:
                         batch_size=4096)
 
     def partial(t) -> pd.DataFrame:
-        import pyarrow.compute as pc
-        nw = t["n_words"].to_numpy(zero_copy_only=False)
-        mwl = t["mean_word_len"].to_numpy(zero_copy_only=False)
-        rep = t["rep_3gram_ratio"].to_numpy(zero_copy_only=False)
-        stop = t["stop_ratio"].to_numpy(zero_copy_only=False)
-        lang = t["lang_pred"].to_numpy(zero_copy_only=False)
-        flags = {
-            "lang_pred": lang != "en",
-            "mean_word_len": (mwl < 4.0) | (mwl > 5.0),
-            "n_words": (nw < 25) | (nw > 90),
-            "rep_3gram_ratio": rep > 0.05,
-            "stop_ratio": stop < 0.01,
-        }
+        flags = _doc_rule_flags(t)
         nf = np.zeros(len(t), dtype=np.int64)
         for v in flags.values():
             nf += v
@@ -7222,3 +7235,323 @@ SELECT 'stop_ratio',
 
 QUERIES["rule_attribution_docs"] = q_rule_attribution_docs
 ORACLE_SQL["rule_attribution_docs"] = SQL_RULE_ATTRIBUTION
+
+
+# --------------------------------------------------------------------------
+# filter-audit reports (batch 18): the readouts a curator runs against
+# the flagship quality-filter / tokenizer / scrubber stages themselves —
+# rule co-occurrence, keep-rate calibration by length, per-source langid
+# drift, tokenizer fertility and scrub volume. All five are the
+# combiner shape: per-batch bounded partials (pairs / buckets /
+# sources), one tiny driver merge, NO exchange.
+# --------------------------------------------------------------------------
+
+#: unordered DOC_RULES field pairs in (sorted, sorted) output order
+_RULE_PAIRS = [(a, b) for i, a in enumerate(_ATTR_FIELDS)
+               for b in _ATTR_FIELDS[i + 1:]]
+
+
+def q_rule_cooccurrence_docs(sf_dir: str) -> pd.DataFrame:
+    """Rule CO-OCCURRENCE matrix for the ``quality_filter_docs``
+    schema: for each unordered pair of DOC_RULES fields, how many
+    documents violate BOTH — the companion report to
+    ``rule_attribution_docs`` (attribution says which single rule to
+    loosen; co-occurrence says which rules are redundant because their
+    violation sets overlap — reference analog: the per-record error
+    VECTOR, which exists precisely so downstream can study error
+    correlation rather than one code at a time).
+
+    All 10 pairs always appear (zero-filled pinned rows)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(TextStats(langid=True), batch_format="pyarrow",
+                        batch_size=4096)
+
+    def partial(t) -> pd.DataFrame:
+        flags = _doc_rule_flags(t)
+        return pd.DataFrame({
+            "field_a": [a for a, _ in _RULE_PAIRS],
+            "field_b": [b for _, b in _RULE_PAIRS],
+            "n_both": [int((flags[a] & flags[b]).sum())
+                       for a, b in _RULE_PAIRS]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["field_a", "field_b"], as_index=False)[
+        "n_both"].sum()
+    idx = pd.MultiIndex.from_tuples(_RULE_PAIRS,
+                                    names=["field_a", "field_b"])
+    out = out.set_index(["field_a", "field_b"]).reindex(
+        idx, fill_value=0).reset_index()
+    return out.astype({"n_both": np.int64})
+
+
+#: shared flags prologue: SQL_RULE_ATTRIBUTION up to (excluding) its nf
+#: CTE — the qualityfilter signal chain plus the per-field v_* flags
+_SQL_FLAGS_PROLOGUE = SQL_RULE_ATTRIBUTION[
+    :SQL_RULE_ATTRIBUTION.index("), nf AS (")] + ")"
+
+SQL_RULE_COOCCURRENCE = _SQL_FLAGS_PROLOGUE + "\n" + "\nUNION ALL\n".join(
+    f"SELECT '{a}' AS field_a, '{b}' AS field_b,\n"
+    f"       CAST(count(*) FILTER (v_{a} AND v_{b}) AS BIGINT) AS n_both\n"
+    f"FROM f" for a, b in _RULE_PAIRS)
+
+
+def q_keep_rate_by_length(sf_dir: str) -> pd.DataFrame:
+    """Keep-rate calibration curve of the quality filter by document
+    length: per ``floor(log2(1 + n_chars))`` bucket, document count,
+    kept count and keep rate — the report that shows whether the filter
+    is silently a length filter (a common failure mode of heuristic
+    rule stacks; Gopher's authors publish exactly this curve).
+
+    Exactness: counts are int64 sums; ``keep_rate`` is the single
+    correctly-rounded int64/int64 double division (repo convention)."""
+    import pyarrow.compute as pc
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(TextStats(langid=True), batch_format="pyarrow",
+                        batch_size=4096)
+
+    def partial(t) -> pd.DataFrame:
+        from nacc_form_validator_ray.pipelines.advanced import \
+            _floor_log2_u64
+        flags = _doc_rule_flags(t)
+        viol = np.zeros(t.num_rows, dtype=bool)
+        for v in flags.values():
+            viol |= v
+        nch = pc.utf8_length(pc.fill_null(t["text"], "")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = _floor_log2_u64((1 + nch).astype(np.uint64)) \
+            .astype(np.int64)
+        df = pd.DataFrame({"bucket": bucket,
+                           "n_docs": np.ones(len(bucket), dtype=np.int64),
+                           "n_kept": (~viol).astype(np.int64)})
+        return df.groupby("bucket", as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = _merge_partials(parts, ["bucket"],
+                          {"n_docs": "sum", "n_kept": "sum"})
+    if out.empty:
+        return pd.DataFrame({"bucket": pd.Series([], dtype=np.int64),
+                             "n_docs": pd.Series([], dtype=np.int64),
+                             "n_kept": pd.Series([], dtype=np.int64),
+                             "keep_rate": pd.Series([], dtype=np.float64)})
+    out = out.astype({"bucket": np.int64})
+    out["keep_rate"] = out["n_kept"].to_numpy(dtype=np.float64) \
+        / out["n_docs"].to_numpy(dtype=np.float64)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+SQL_KEEP_RATE_BY_LENGTH = _SQL_FLAGS_PROLOGUE + """
+, b AS (
+  SELECT f.doc_id,
+         length(bin(1 + length(coalesce(d.text, '')))) - 1 AS bucket,
+         NOT (v_lang_pred OR v_mean_word_len OR v_n_words
+              OR v_rep_3gram_ratio OR v_stop_ratio) AS kept
+  FROM f JOIN documents d ON d.doc_id = f.doc_id
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (kept) AS DOUBLE) / count(*) AS keep_rate
+FROM b GROUP BY bucket
+"""
+
+
+def q_langid_mismatch_by_source(sf_dir: str) -> pd.DataFrame:
+    """Language-ID drift per source: how often the predicted language
+    disagrees with the crawl's declared ``lang`` label, per source —
+    the per-feed counterpart of the corpus-wide ``langid_confusion``
+    (a feed whose mismatch rate jumps is mislabeled or compromised;
+    null labels count as '' and therefore as mismatches)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang", "source"])
+    ds = ds.map_batches(TextStats(langid=True), batch_format="pyarrow",
+                        batch_size=4096)
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        lang = pc.fill_null(t["lang"], "").to_numpy(zero_copy_only=False)
+        pred = t["lang_pred"].to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "source": pc.fill_null(t["source"], "").combine_chunks()
+            if isinstance(t["source"], pa.ChunkedArray)
+            else pc.fill_null(t["source"], ""),
+            "n_docs": np.ones(t.num_rows, dtype=np.int64),
+            "n_mismatch": (lang != pred).astype(np.int64)})
+        return _pa_grouped_agg(g, ["source"],
+                               [("n_docs", "sum"), ("n_mismatch", "sum")],
+                               ["n_docs", "n_mismatch"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = _merge_partials(parts, ["source"],
+                          {"n_docs": "sum", "n_mismatch": "sum"})
+    out["mismatch_rate"] = np.asarray(out["n_mismatch"],
+                                      dtype=np.float64) \
+        / np.maximum(np.asarray(out["n_docs"], dtype=np.float64), 1.0)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+#: null-text contract (shared with the engine's TextStats fill_null):
+#: a null text has EMPTY stopword banks -> 'und', never a NULL that
+#: would fall through the argmax CASE to 'zh'
+SQL_LANGID_MISMATCH = f"""
+WITH d0 AS (
+  SELECT doc_id, coalesce(text, '') AS text, lang, source
+  FROM documents
+), c AS (
+  SELECT doc_id, coalesce(lang, '') AS lang,
+         coalesce(source, '') AS source,
+         {_sql_sw('en')} AS sw_en,
+         {_sql_sw('es')} AS sw_es,
+         {_sql_sw('de')} AS sw_de,
+         {_sql_sw('fr')} AS sw_fr,
+         {_sql_sw('zh')} AS sw_zh
+  FROM d0
+), p AS (
+  SELECT source, lang, {_SQL_LANG_PRED} AS lang_pred FROM c
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (lang != lang_pred) AS BIGINT) AS n_mismatch,
+       CAST(count(*) FILTER (lang != lang_pred) AS DOUBLE)
+           / greatest(count(*), 1) AS mismatch_rate
+FROM p GROUP BY source
+"""
+
+
+def q_fertility_by_source(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer fertility per source: subwords-per-word of the
+    10-merge BPE tokenizer, aggregated by feed — the tokenizer-audit
+    metric (a source whose fertility is high is paying more sequence
+    length per word: code, non-Latin scripts, or noise). Train once,
+    broadcast the merge table, encode with ``source`` passed through,
+    then per-batch (source, sums) partials and one driver merge."""
+    from nacc_form_validator_ray.stages.bpe import bpe_encode, bpe_merges
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    m = bpe_merges(_docs(sf_dir, columns=["text"]),
+                   n_merges=10).to_pandas()
+    docs = _docs(sf_dir, columns=["doc_id", "text", "source"])
+    enc = bpe_encode(docs, list(zip(m["pair"], m["merged"])),
+                     passthrough=["source"])
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        g = pa.table({"source": pc.fill_null(src, ""),
+                      "n_docs": np.ones(t.num_rows, dtype=np.int64),
+                      "n_words": t["n_words"].combine_chunks(),
+                      "n_subwords": t["n_subwords"].combine_chunks()})
+        return _pa_grouped_agg(
+            g, ["source"],
+            [("n_docs", "sum"), ("n_words", "sum"), ("n_subwords", "sum")],
+            ["n_docs", "n_words", "n_subwords"])
+
+    parts = enc.map_batches(partial, batch_format="pyarrow")
+    out = _merge_partials(parts, ["source"],
+                          {"n_docs": "sum", "n_words": "sum",
+                           "n_subwords": "sum"})
+    nw = np.asarray(out["n_words"], dtype=np.float64)
+    out["fertility"] = np.where(
+        nw > 0, np.asarray(out["n_subwords"], dtype=np.float64)
+        / np.maximum(nw, 1.0), 0.0)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _sql_fertility_by_source(n_merges: int = 10) -> str:
+    # the per-doc encode CTEs are _sql_bpe_encode_docs's, re-grouped by
+    # source; docs with zero [a-z]+ words contribute zero rows to dw
+    # and therefore zeros via the LEFT JOIN (sources never vanish)
+    body, _ = _bpe_cte_chain(n_merges)
+    return f"""
+WITH {body},
+dw AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+      AS word
+  FROM documents
+),
+de AS (
+  SELECT dw.doc_id, len(string_split(v.seq, '.')) - 2 AS n_sub
+  FROM dw JOIN v{n_merges} v ON v.word = dw.word
+),
+da AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(n_sub) AS BIGINT) AS n_subwords
+  FROM de GROUP BY doc_id
+)
+SELECT coalesce(d.source, '') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(coalesce(a.n_words, 0)) AS BIGINT) AS n_words,
+       CAST(sum(coalesce(a.n_subwords, 0)) AS BIGINT) AS n_subwords,
+       CASE WHEN sum(coalesce(a.n_words, 0)) > 0
+            THEN CAST(sum(coalesce(a.n_subwords, 0)) AS DOUBLE)
+                 / greatest(sum(coalesce(a.n_words, 0)), 1)
+            ELSE 0.0 END AS fertility
+FROM documents d LEFT JOIN da a ON a.doc_id = d.doc_id
+GROUP BY coalesce(d.source, '')
+"""
+
+
+def q_scrub_volume_by_source(sf_dir: str) -> pd.DataFrame:
+    """PII/toxicity scrub volume per source: documents touched, total
+    redactions and net characters removed by the ``pii_scrub`` pattern
+    bank — the compliance report a curator files per feed (a feed whose
+    scrub volume spikes is leaking PII upstream). ``chars_removed`` is
+    the NET length delta (replacement tokens can exceed short matches,
+    so per-doc deltas may be negative)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    ds = _docs(sf_dir, columns=["doc_id", "text", "source"])
+    ds = ds.map_batches(Scrubber(), batch_format="pyarrow",
+                        batch_size=4096)
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        red = t["n_redactions"].to_numpy(zero_copy_only=False)
+        orig = pc.utf8_length(pc.fill_null(t["text"], "")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        scr = pc.utf8_length(t["scrubbed_text"]) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        g = pa.table({"source": pc.fill_null(src, ""),
+                      "n_docs": np.ones(t.num_rows, dtype=np.int64),
+                      "n_touched": (red > 0).astype(np.int64),
+                      "n_redactions": red.astype(np.int64),
+                      "chars_removed": orig - scr})
+        return _pa_grouped_agg(
+            g, ["source"],
+            [("n_docs", "sum"), ("n_touched", "sum"),
+             ("n_redactions", "sum"), ("chars_removed", "sum")],
+            ["n_docs", "n_touched", "n_redactions", "chars_removed"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = _merge_partials(parts, ["source"],
+                          {"n_docs": "sum", "n_touched": "sum",
+                           "n_redactions": "sum", "chars_removed": "sum"})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _sql_scrub_volume() -> str:
+    defs, last, total = _scrub_ctes("documents", "doc_id")
+    return f"""WITH {defs}
+SELECT coalesce(d.source, '') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (coalesce({total}, 0) > 0) AS BIGINT)
+           AS n_touched,
+       CAST(sum(coalesce({total}, 0)) AS BIGINT) AS n_redactions,
+       CAST(sum(length(coalesce(d.text, ''))
+                - length(coalesce(s.t, ''))) AS BIGINT) AS chars_removed
+FROM documents d JOIN {last} s ON s.doc_id = d.doc_id
+GROUP BY coalesce(d.source, '')
+"""
+
+
+QUERIES["rule_cooccurrence_docs"] = q_rule_cooccurrence_docs
+ORACLE_SQL["rule_cooccurrence_docs"] = SQL_RULE_COOCCURRENCE
+QUERIES["keep_rate_by_length"] = q_keep_rate_by_length
+ORACLE_SQL["keep_rate_by_length"] = SQL_KEEP_RATE_BY_LENGTH
+QUERIES["langid_mismatch_by_source"] = q_langid_mismatch_by_source
+ORACLE_SQL["langid_mismatch_by_source"] = SQL_LANGID_MISMATCH
+QUERIES["fertility_by_source"] = q_fertility_by_source
+ORACLE_SQL["fertility_by_source"] = _sql_fertility_by_source()
+QUERIES["scrub_volume_by_source"] = q_scrub_volume_by_source
+ORACLE_SQL["scrub_volume_by_source"] = _sql_scrub_volume()

@@ -218,14 +218,17 @@ def bpe_merges(ds, text_column: str = "text", n_merges: int = 10,
 
 
 def bpe_encode(ds, merges, id_column: str = "doc_id",
-               text_column: str = "text"):
+               text_column: str = "text", passthrough=None):
     """Apply learned BPE merges to the corpus and report per-document
     subword statistics: ``n_words`` ([a-z]+ tokens), ``n_chars``
     (alphabetic characters) and ``n_subwords`` (symbols after applying
     ``merges`` in rank order, reference-exact list semantics).
 
     ``merges`` is the (pair, merged) list from :func:`bpe_merges`
-    (broadcast-sized: one small list of dotted patterns). Scale shape:
+    (broadcast-sized: one small list of dotted patterns).
+    ``passthrough`` names extra input columns to carry into the output
+    (row-aligned — e.g. ``["source"]`` for per-source fertility
+    rollups). Scale shape:
     map-only — merges are applied to each batch's word DICTIONARY
     (unique words), not to every token occurrence, so the merge cost is
     vocabulary-bounded per batch; per-token subword counts are gathered
@@ -246,9 +249,10 @@ def bpe_encode(ds, merges, id_column: str = "doc_id",
             text = text.combine_chunks()
         n = batch.num_rows
         codes, dictionary, tok_doc, n_tokens = arrow_token_codes(text)
+        extra = {c: batch[c] for c in (passthrough or [])}
         if dictionary is None:
             z = pa.array(np.zeros(n, dtype=np.int64))
-            return pa.table({id_column: batch[id_column],
+            return pa.table({id_column: batch[id_column], **extra,
                              "n_words": z, "n_chars": z,
                              "n_subwords": z})
         flat, owner, symbols = _symbolize(dictionary)
@@ -272,7 +276,7 @@ def bpe_encode(ds, merges, id_column: str = "doc_id",
         n_chr = np.bincount(tok_doc, weights=chars_per_word[codes],
                             minlength=n).astype(np.int64)
         return pa.table({
-            id_column: batch[id_column],
+            id_column: batch[id_column], **extra,
             "n_words": pa.array(n_tokens.astype(np.int64)),
             "n_chars": pa.array(n_chr),
             "n_subwords": pa.array(n_sub),

@@ -8,10 +8,25 @@ import subprocess
 import sys
 
 
+#: stderr signatures of the known-transient ray 2.49 local-mode crash
+#: (task_manager.cc CHECK race on session teardown) — always clean on
+#: an immediate re-run, so the helper retries instead of flaking.
+_TRANSIENT = ("task_manager.cc", "Check failed", "RaySystemError",
+              "Segmentation fault", "core dumped")
+
+
 def run_cli(*args):
-    return subprocess.run(
-        [sys.executable, "-m", "nacc_form_validator_ray.cli", *args],
-        capture_output=True, text=True, cwd="/root/repo")
+    for attempt in range(3):
+        proc = subprocess.run(
+            [sys.executable, "-m", "nacc_form_validator_ray.cli", *args],
+            capture_output=True, text=True, cwd="/root/repo")
+        # returncode 1 without a crash signature is the legitimate
+        # "validation failures present" exit; only a nonzero exit
+        # whose stderr carries a crash signature is retried.
+        if proc.returncode == 0 or not any(
+                s in proc.stderr for s in _TRANSIENT):
+            return proc
+    return proc
 
 
 def test_cli_validate_csv(tmp_path):
