@@ -181,6 +181,20 @@ def run_host_neighbor_jaccard() -> int:
         directed_host_edges_from_ds(ds)))
 
 
+def run_outlink_stats() -> int:
+    """Outlink-diversity rollup over the 120k linked corpus — the
+    double host-level exchange (dst-keyed known filter, src-keyed
+    rollup) at bench scale."""
+    import ray.data as rd
+
+    from nacc_form_validator_ray.stages.graph import outlink_stats
+    ds = rd.read_parquet(linked_pages_dir(), columns=["url", "links"])
+    n = 0
+    for b in outlink_stats(ds).iter_batches(batch_format="pyarrow"):
+        n += b.num_rows
+    return n
+
+
 def run_incremental_ingest() -> int:
     """Delta-vs-corpus recrawl dedup over the bench linked corpus —
     anti-join + election fused into one norm_url exchange."""
@@ -491,6 +505,11 @@ def bench_queries(sf_dir: str):
             Q.QUERIES["fertility_by_source"](sf_dir)),
         "scrub_volume_by_source": lambda: consume(
             Q.QUERIES["scrub_volume_by_source"](sf_dir)),
+        # batch 19: user-keyed searchsorted sweep, double host-level
+        # exchange over the 120k linked corpus
+        "burst_users": lambda: consume(
+            Q.QUERIES["burst_users"](sf_dir)),
+        "outlink_stats": run_outlink_stats,
     }
 
 

@@ -4382,3 +4382,297 @@ SELECT r.r_name, nr.n_name, nr.rev_cents,
 FROM nr JOIN region r ON r.r_regionkey = nr.n_regionkey
 ORDER BY r.r_name, nr.n_name
 """
+
+
+# --------------------------------------------------------------------------
+# batch 19: operations monitoring — exact-σ anomaly days, sliding-window
+# burst users, outlink diversity, TLD keep-rate calibration, and the
+# PageRank convergence audit
+# --------------------------------------------------------------------------
+
+#: burst window / threshold (events fixture is sparse: a 24 h window
+#: with >= 8 events splits the user population non-degenerately)
+_BURST_WINDOW_S = 86_400
+_BURST_K = 8
+
+
+def q_daily_anomaly_events(sf_dir: str) -> pd.DataFrame:
+    """Days whose event count deviates more than 2σ from the corpus's
+    mean daily count — the volume-anomaly monitor every ingestion
+    pipeline runs (a feed that doubles overnight is a crawler loop; one
+    that halves is an outage). EXACT: with m days, s = Σn and
+    ss = Σn², the test ``(n_i - μ)² > 4σ²`` cross-multiplies to the
+    all-integer ``(m·n_i - s)² > 4·(m·ss - s²)`` — Python ints on the
+    driver, HUGEINT in the twin, no float σ anywhere (repo convention,
+    see value_regression_events).
+
+    Engine shape: per-batch (day, n) combiner partials, one tiny driver
+    merge (day cardinality is bounded), driver-side integer test."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"day": df["ts"].dt.normalize(),
+                          "n": np.int64(1)})
+        return g.groupby("day", as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "day": pd.Series([], dtype="datetime64[us]"),
+            "n_events": pd.Series([], dtype=np.int64),
+            "is_anomaly": pd.Series([], dtype=bool)})
+    c = parts.groupby("day", as_index=False)["n"].sum() \
+        .sort_values("day").reset_index(drop=True)
+    n = [int(v) for v in c["n"]]
+    m, s, ss = len(n), sum(n), sum(v * v for v in n)
+    rhs = 4 * (m * ss - s * s)
+    flag = [(m * v - s) ** 2 > rhs for v in n]
+    return pd.DataFrame({"day": c["day"],
+                         "n_events": np.asarray(n, dtype=np.int64),
+                         "is_anomaly": np.asarray(flag, dtype=bool)})
+
+
+MIN_QUERIES["daily_anomaly_events"] = q_daily_anomaly_events
+MIN_ORACLE_SQL["daily_anomaly_events"] = """
+WITH c AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY day),
+g AS (
+  SELECT CAST(count(*) AS HUGEINT) AS m,
+         CAST(sum(n) AS HUGEINT) AS s,
+         CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS ss
+  FROM c)
+SELECT day, n AS n_events,
+       (m * n - s) * (m * n - s) > 4 * (m * ss - s * s) AS is_anomaly
+FROM c, g
+"""
+
+
+def q_burst_users(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window burst detection per user: the maximum number of
+    events inside any window ``[t, t + 24h]`` anchored at an event, and
+    the ``is_burst`` flag at >= 8 — the rate-limit / bot-account audit
+    (SQL: a RANGE-frame window max; engines without interval frames do
+    exactly this two-searchsorted sweep).
+
+    Engine shape: ONE hash exchange on user_id, then a per-partition
+    lexsort and two vectorized searchsorteds over a composite
+    (user_rank << span) + ts axis — with an exact per-user-segment
+    fallback when the composite would overflow int64. RANGE-frame peer
+    semantics (duplicate timestamps all count) fall out of the
+    left/right searchsorted pair."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+    w_us = np.int64(_BURST_WINDOW_S) * 1_000_000
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "max_burst": pd.Series([], dtype=np.int64),
+            "is_burst": pd.Series([], dtype=bool)})
+        if part.empty or "user_id" not in part.columns:
+            return empty
+        part = part.sort_values(["user_id", "ts"], kind="stable")
+        uid = part["user_id"].to_numpy(np.int64)
+        ts = part["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        ts = ts - ts.min()
+        codes = np.empty(len(uid), dtype=np.int64)
+        first = np.ones(len(uid), dtype=bool)
+        first[1:] = uid[1:] != uid[:-1]
+        np.cumsum(first, out=codes)
+        span = int(ts.max()) + int(w_us) + 2
+        if int(codes[-1]) * span < np.iinfo(np.int64).max // 2:
+            axis = codes * np.int64(span) + ts
+            lo = np.searchsorted(axis, axis, side="left")
+            hi = np.searchsorted(axis, axis + w_us, side="right")
+        else:  # exact fallback: per-user segments
+            lo = np.empty(len(ts), dtype=np.int64)
+            hi = np.empty(len(ts), dtype=np.int64)
+            bounds = np.flatnonzero(first).tolist() + [len(ts)]
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                seg = ts[a:b]
+                lo[a:b] = a + np.searchsorted(seg, seg, side="left")
+                hi[a:b] = a + np.searchsorted(seg, seg + w_us,
+                                              side="right")
+        burst = hi - lo
+        out = pd.DataFrame({"user_id": uid, "b": burst}) \
+            .groupby("user_id", as_index=False)["b"].max() \
+            .rename(columns={"b": "max_burst"})
+        out["is_burst"] = out["max_burst"] >= _BURST_K
+        return out.astype({"user_id": np.int64, "max_burst": np.int64})
+
+    return grouped_apply(ds, ["user_id"], per_part, num_partitions=16)
+
+
+MIN_QUERIES["burst_users"] = q_burst_users
+MIN_ORACLE_SQL["burst_users"] = f"""
+WITH b AS (
+  SELECT user_id,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN CURRENT ROW
+             AND INTERVAL {_BURST_WINDOW_S} SECONDS FOLLOWING) AS c
+  FROM events)
+SELECT user_id, CAST(max(c) AS BIGINT) AS max_burst,
+       max(c) >= {_BURST_K} AS is_burst
+FROM b GROUP BY user_id
+"""
+
+
+def q_outlink_stats(sf_dir: str):
+    """Per-host outlink diversity over the linked-page fixture — see
+    stages/graph.outlink_stats (two lean host-level exchanges; the
+    known-host restriction rides the dst exchange partition-locally)."""
+    from nacc_form_validator_ray.pipelines.queries import \
+        _linked_pages_path
+    from nacc_form_validator_ray.stages.graph import outlink_stats
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["url", "links"])
+    return outlink_stats(ds)
+
+
+def sql_outlink_stats(path: str, sql_url_norm: str) -> str:
+    host_url = sql_url_norm.format(u="url")
+    host_lk = sql_url_norm.format(u="lk")
+    return f"""
+WITH pg AS (SELECT url, links FROM read_parquet('{path}')),
+e0 AS (SELECT {host_url} AS src, unnest(links) AS lk FROM pg),
+e1 AS (SELECT src, {host_lk} AS dst FROM e0),
+nodes AS (SELECT DISTINCT {host_url} AS host FROM pg),
+k AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+      FROM e1 WHERE dst IN (SELECT host FROM nodes)
+      GROUP BY src, dst),
+agg AS (
+  SELECT src AS host, CAST(sum(cnt) AS BIGINT) AS n_outlinks,
+         CAST(count(*) AS BIGINT) AS n_dst_hosts,
+         CAST(coalesce(sum(cnt) FILTER (dst = src), 0) AS BIGINT)
+             AS n_self
+  FROM k GROUP BY src)
+SELECT n.host, coalesce(a.n_outlinks, 0) AS n_outlinks,
+       coalesce(a.n_dst_hosts, 0) AS n_dst_hosts,
+       coalesce(a.n_self, 0) AS n_self,
+       CASE WHEN coalesce(a.n_outlinks, 0) > 0
+            THEN CAST(a.n_dst_hosts AS DOUBLE)
+                 / CAST(a.n_outlinks AS DOUBLE)
+            ELSE 0.0 END AS diversity
+FROM nodes n LEFT JOIN agg a ON a.host = n.host
+"""
+
+
+MIN_QUERIES["outlink_stats"] = q_outlink_stats
+MIN_LINKED_SQL["outlink_stats"] = sql_outlink_stats
+
+
+def q_tld_keep_rate(sf_dir: str) -> pd.DataFrame:
+    """C4 keep-rate per top-level domain (the last dot-label of the
+    normalized host): page count, kept count and keep rate — the
+    calibration report that shows whether the heuristic filter encodes
+    a TLD prejudice (the per-DOMAIN variant is domain_filter_docs; this
+    is its coarse audit rollup). Combiner shape: the C4 pass runs with
+    ``url`` passed through, per-batch (tld, n, kept) partials, one tiny
+    driver merge."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.queries import (
+        _linked_pages_path, _merge_partials)
+    from nacc_form_validator_ray.stages.graph import _host_of
+    from nacc_form_validator_ray.stages.webclean import c4_line_filter
+
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["doc_id", "url", "text"])
+    ds = c4_line_filter(ds, passthrough=("url",))
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        host = _host_of(t["url"], pc)
+        m = pc.extract_regex(pc.fill_null(host, ""), r"(?P<t>[^.]*)$")
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        tld = pc.fill_null(pc.struct_field(m, "t"), "")
+        keep = t["keep"].to_numpy(zero_copy_only=False)
+        from nacc_form_validator_ray.stages.partition import \
+            pa_grouped_agg
+        g = pa.table({"tld": tld,
+                      "n_pages": np.ones(t.num_rows, dtype=np.int64),
+                      "n_kept": keep.astype(np.int64)})
+        return pa_grouped_agg(g, ["tld"],
+                              [("n_pages", "sum"), ("n_kept", "sum")],
+                              ["n_pages", "n_kept"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = _merge_partials(parts, ["tld"],
+                          {"n_pages": "sum", "n_kept": "sum"})
+    out["keep_rate"] = np.asarray(out["n_kept"], dtype=np.float64) \
+        / np.maximum(np.asarray(out["n_pages"], dtype=np.float64), 1.0)
+    return out.sort_values("tld").reset_index(drop=True)
+
+
+def sql_tld_keep_rate(path: str, sql_url_norm: str) -> str:
+    from nacc_form_validator_ray.pipelines.queries import \
+        sql_c4_filter_pages
+    host = sql_url_norm.format(u="url")
+    return f"""
+WITH c4 AS ({sql_c4_filter_pages(path)}),
+u AS (SELECT doc_id,
+             coalesce(regexp_extract({host}, '([^.]*)$', 1), '') AS tld
+      FROM read_parquet('{path}')),
+j AS (SELECT u.tld, c4.keep FROM u JOIN c4 ON c4.doc_id = u.doc_id)
+SELECT tld, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (keep) AS DOUBLE)
+           / greatest(count(*), 1) AS keep_rate
+FROM j GROUP BY tld
+"""
+
+
+MIN_QUERIES["tld_keep_rate"] = q_tld_keep_rate
+MIN_LINKED_SQL["tld_keep_rate"] = sql_tld_keep_rate
+
+
+def q_pagerank_convergence(sf_dir: str) -> pd.DataFrame:
+    """PageRank convergence audit: per host, the fixed-point rank after
+    4 and after 5 power iterations and the absolute movement between
+    them — the readout that says whether the iteration budget was
+    enough (movers near zero => converged; the fixed-round design makes
+    the pre-convergence state itself exact and oracle-checkable, see
+    stages/graph.host_pagerank / host_kcore for the same discipline).
+
+    Engine shape: two fixed-round PageRank runs over the shared Pregel
+    fabric; the joinable outputs are host-level (model-sized), so the
+    final diff is one driver merge."""
+    from nacc_form_validator_ray.pipelines.queries import \
+        _linked_pages_path
+    from nacc_form_validator_ray.stages.graph import host_pagerank
+
+    path = _linked_pages_path(sf_dir)
+    cols = ["url", "links"]
+    a = host_pagerank(_rd().read_parquet(path, columns=cols),
+                      iterations=4).to_pandas()
+    b = host_pagerank(_rd().read_parquet(path, columns=cols),
+                      iterations=5).to_pandas()
+    m = a[["host", "rank_fp"]].rename(columns={"rank_fp": "rank_fp_4"}) \
+        .merge(b[["host", "rank_fp"]]
+               .rename(columns={"rank_fp": "rank_fp_5"}), on="host")
+    m["delta_fp"] = (m["rank_fp_5"] - m["rank_fp_4"]).abs() \
+        .astype(np.int64)
+    m["delta"] = m["delta_fp"].to_numpy(np.float64) / float(2 ** 40)
+    return m.sort_values("host").reset_index(drop=True) \
+        .astype({"rank_fp_4": np.int64, "rank_fp_5": np.int64})
+
+
+def sql_pagerank_convergence(path: str, sql_url_norm: str) -> str:
+    from nacc_form_validator_ray.pipelines.queries import \
+        sql_host_pagerank
+    return f"""
+WITH a AS ({sql_host_pagerank(path, iterations=4)}),
+b AS ({sql_host_pagerank(path, iterations=5)})
+SELECT a.host, a.rank_fp AS rank_fp_4, b.rank_fp AS rank_fp_5,
+       CAST(abs(b.rank_fp - a.rank_fp) AS BIGINT) AS delta_fp,
+       CAST(abs(b.rank_fp - a.rank_fp) AS DOUBLE)
+           / CAST(1099511627776 AS DOUBLE) AS delta
+FROM a JOIN b ON b.host = a.host
+"""
+
+
+MIN_QUERIES["pagerank_convergence"] = q_pagerank_convergence
+MIN_LINKED_SQL["pagerank_convergence"] = sql_pagerank_convergence

@@ -120,6 +120,117 @@ def inlink_stats(ds, url_column: str = "url",
                          fn_format="pyarrow")
 
 
+def outlink_stats(ds, url_column: str = "url",
+                  links_column: str = "links",
+                  num_partitions: int = 32):
+    """Per-host OUTLINK statistics — the outlink-diversity / SEO-spam
+    profile mirroring :func:`inlink_stats`: total outbound links whose
+    target is itself a known page host, distinct target hosts,
+    self-link count (target == source) and the diversity ratio
+    ``n_dst_hosts / n_outlinks`` (0.0 for hosts with no qualifying
+    outlinks).
+
+    Scale shape: pass 1 pre-aggregates (src, dst, cnt) per batch and
+    exchanges on DST, where the known-host restriction is
+    partition-local (node rows ride the same exchange, exactly like
+    inlink_stats — the check never needs a broadcast host set); the
+    surviving lean (src, dst, cnt) rows plus one presence marker per
+    known host then ride a SECOND lean exchange on SRC for the rollup.
+    Both exchanges carry host-level rows only, never page payloads.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.stages.partition import (grouped_apply,
+                                                          pa_grouped_agg)
+
+    def edge_pairs(batch: "pa.Table") -> "pa.Table":
+        src = _host_of(batch[url_column], pc)
+        links = batch[links_column]
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        counts = pc.list_value_length(links).to_numpy() \
+            .astype(np.int64, copy=False)
+        dst = _host_of(pc.list_flatten(links), pc)
+        src_rep = src.take(pa.array(np.repeat(
+            np.arange(len(batch), dtype=np.int64), counts)))
+        pairs = pa_grouped_agg(
+            pa.table({"src": src_rep, "dst": dst}),
+            ["src", "dst"], [([], "count_all")], ["cnt"])
+        nodes = pc.unique(src)
+        return pa.concat_tables([
+            pairs,
+            pa.table({"src": pa.nulls(len(nodes), pa.string()),
+                      "dst": nodes,
+                      "cnt": pa.nulls(len(nodes), pa.int64())})])
+
+    def per_dst(part: "pa.Table") -> "pa.Table":
+        src = part["src"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        is_node = pc.is_null(src).to_numpy(zero_copy_only=False)
+        known = pc.unique(part["dst"].filter(pa.array(is_node)))
+        edges = part.filter(pa.array(~is_node))
+        edges = edges.filter(pc.is_in(edges["dst"], value_set=known))
+        merged = pa_grouped_agg(edges, ["src", "dst"],
+                                [("cnt", "sum")], ["cnt"])
+        # presence markers: every known host must reach the src
+        # exchange even with zero qualifying outlinks
+        return pa.concat_tables([
+            merged,
+            pa.table({"src": known,
+                      "dst": pa.nulls(len(known), pa.string()),
+                      "cnt": pa.nulls(len(known), pa.int64())})])
+
+    def per_src(part: "pa.Table") -> "pa.Table":
+        dst = part["dst"]
+        if isinstance(dst, pa.ChunkedArray):
+            dst = dst.combine_chunks()
+        is_marker = pc.is_null(dst).to_numpy(zero_copy_only=False)
+        hosts = pc.unique(part["src"].filter(pa.array(is_marker)))
+        edges = part.filter(pa.array(~is_marker))
+        is_self = pc.equal(edges["src"], edges["dst"])
+        cnt = edges["cnt"]
+        if isinstance(cnt, pa.ChunkedArray):
+            cnt = cnt.combine_chunks()
+        cnt_np = cnt.to_numpy(zero_copy_only=False).astype(np.int64)
+        self_np = np.where(
+            is_self.combine_chunks().to_numpy(zero_copy_only=False)
+            if isinstance(is_self, pa.ChunkedArray)
+            else is_self.to_numpy(zero_copy_only=False),
+            cnt_np, np.int64(0))
+        agg = pa_grouped_agg(
+            pa.table({"src": edges["src"], "cnt": pa.array(cnt_np),
+                      "one": np.ones(edges.num_rows, dtype=np.int64),
+                      "self": pa.array(self_np)}),
+            ["src"],
+            [("cnt", "sum"), ("one", "sum"), ("self", "sum")],
+            ["n_outlinks", "n_dst_hosts", "n_self"])
+        missing = hosts.filter(pc.invert(
+            pc.is_in(hosts, value_set=agg["src"].combine_chunks())))
+        zeros = np.zeros(len(missing), dtype=np.int64)
+        agg = pa.concat_tables([agg, pa.table({
+            "src": missing, "n_outlinks": pa.array(zeros),
+            "n_dst_hosts": pa.array(zeros), "n_self": pa.array(zeros)})])
+        n_out = agg["n_outlinks"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n_dst = agg["n_dst_hosts"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        div = np.where(n_out > 0, n_dst / np.maximum(n_out, 1.0), 0.0)
+        return agg.rename_columns(
+            ["host", "n_outlinks", "n_dst_hosts", "n_self"]) \
+            .append_column("diversity", pa.array(div))
+
+    pass1 = grouped_apply(ds.map_batches(edge_pairs,
+                                         batch_format="pyarrow"),
+                          ["dst"], per_dst,
+                          num_partitions=num_partitions,
+                          fn_format="pyarrow")
+    return grouped_apply(pass1, ["src"], per_src,
+                         num_partitions=num_partitions,
+                         fn_format="pyarrow")
+
+
 def host_pagerank(ds, url_column: str = "url",
                   links_column: str = "links",
                   iterations: int = 5, num_partitions: int = 32):

@@ -257,7 +257,8 @@ TABLE_QUERIES = ["priority_sample_docs", "corr_matrix_lineitem",
                  "late_events_audit", "source_priority_dedup",
                  "inverted_index_prefix", "distinctive_terms",
                  "benford_order_totals", "fk_orphans",
-                 "nation_revenue_share"]
+                 "nation_revenue_share", "daily_anomaly_events",
+                 "burst_users"]
 #: linked-page family (twins are path-parameterized)
 LINKED_QUERIES = ["containment_pairs_pages", "cap_docs_per_host",
                   "url_structure_stats", "host_components",
@@ -266,7 +267,9 @@ LINKED_QUERIES = ["containment_pairs_pages", "cap_docs_per_host",
                   "host_reciprocity", "host_clustering",
                   "cross_host_dup_report", "host_cocitation",
                   "dangling_hosts", "host_lang_gini",
-                  "flesch_pages", "host_neighbor_jaccard"]
+                  "flesch_pages", "host_neighbor_jaccard",
+                  "outlink_stats", "tld_keep_rate",
+                  "pagerank_convergence"]
 
 
 def compare(name, got, want, rnd, d):
