@@ -4448,7 +4448,7 @@ FROM c, g
 """
 
 
-def q_burst_users(sf_dir: str) -> pd.DataFrame:
+def q_burst_users(sf_dir: str, num_partitions: int = 16) -> pd.DataFrame:
     """Sliding-window burst detection per user: the maximum number of
     events inside any window ``[t, t + 24h]`` anchored at an event, and
     the ``is_burst`` flag at >= 8 — the rate-limit / bot-account audit
@@ -4502,7 +4502,8 @@ def q_burst_users(sf_dir: str) -> pd.DataFrame:
         out["is_burst"] = out["max_burst"] >= _BURST_K
         return out.astype({"user_id": np.int64, "max_burst": np.int64})
 
-    return grouped_apply(ds, ["user_id"], per_part, num_partitions=16)
+    return grouped_apply(ds, ["user_id"], per_part,
+                         num_partitions=num_partitions)
 
 
 MIN_QUERIES["burst_users"] = q_burst_users
@@ -4637,22 +4638,30 @@ def q_pagerank_convergence(sf_dir: str) -> pd.DataFrame:
     the pre-convergence state itself exact and oracle-checkable, see
     stages/graph.host_pagerank / host_kcore for the same discipline).
 
-    Engine shape: two fixed-round PageRank runs over the shared Pregel
-    fabric; the joinable outputs are host-level (model-sized), so the
-    final diff is one driver merge."""
+    Engine shape: ONE fixed-round PageRank run over the shared Pregel
+    fabric — the driver already holds the full rank vector between
+    rounds, so round 4 is a free ``history`` snapshot (row order equals
+    the returned sorted-host order); the diff is a column zip, not a
+    join (review finding: the two-run version paid a second read,
+    graph build and 4 redundant iterations)."""
     from nacc_form_validator_ray.pipelines.queries import \
         _linked_pages_path
     from nacc_form_validator_ray.stages.graph import host_pagerank
 
     path = _linked_pages_path(sf_dir)
-    cols = ["url", "links"]
-    a = host_pagerank(_rd().read_parquet(path, columns=cols),
-                      iterations=4).to_pandas()
-    b = host_pagerank(_rd().read_parquet(path, columns=cols),
-                      iterations=5).to_pandas()
-    m = a[["host", "rank_fp"]].rename(columns={"rank_fp": "rank_fp_4"}) \
-        .merge(b[["host", "rank_fp"]]
-               .rename(columns={"rank_fp": "rank_fp_5"}), on="host")
+    hist: dict = {}
+    b = host_pagerank(_rd().read_parquet(path, columns=["url", "links"]),
+                      iterations=5, history=hist).to_pandas()
+    if b.empty:
+        return pd.DataFrame({
+            "host": pd.Series([], dtype=object),
+            "rank_fp_4": pd.Series([], dtype=np.int64),
+            "rank_fp_5": pd.Series([], dtype=np.int64),
+            "delta_fp": pd.Series([], dtype=np.int64),
+            "delta": pd.Series([], dtype=np.float64)})
+    m = pd.DataFrame({"host": b["host"],
+                      "rank_fp_4": hist[4].astype(np.int64),
+                      "rank_fp_5": b["rank_fp"].to_numpy(np.int64)})
     m["delta_fp"] = (m["rank_fp_5"] - m["rank_fp_4"]).abs() \
         .astype(np.int64)
     m["delta"] = m["delta_fp"].to_numpy(np.float64) / float(2 ** 40)

@@ -37,6 +37,19 @@ PR_SCALE = 1 << 40
 HOST_RE = r"^(?i:https?)://([^/?#]+)"
 
 
+def _gather_hosts(nodes) -> "np.ndarray":
+    """Sorted dense host universe from a distinct-host exchange; safe
+    on an EMPTY corpus (np.concatenate over zero batches raises, and a
+    downstream ``PR_SCALE // n_nodes`` would divide by zero — the
+    schemaless-empty trap's graph-shaped cousin)."""
+    batches = [b["host"].to_numpy(zero_copy_only=False)
+               for b in nodes.iter_batches(batch_format="pyarrow",
+                                           batch_size=65536)]
+    if not batches:
+        return np.array([], dtype=object)
+    return np.sort(np.concatenate(batches))
+
+
 def _host_of(url_arr, pc):
     """Normalized host of a url column: lowercase, strip www./ports."""
     import pyarrow as pa
@@ -233,7 +246,8 @@ def outlink_stats(ds, url_column: str = "url",
 
 def host_pagerank(ds, url_column: str = "url",
                   links_column: str = "links",
-                  iterations: int = 5, num_partitions: int = 32):
+                  iterations: int = 5, num_partitions: int = 32,
+                  history: dict | None = None):
     """PageRank over the host graph induced by ``links``.
 
     Nodes are the distinct (normalized) hosts of the page URLs; edges
@@ -282,11 +296,14 @@ def host_pagerank(ds, url_column: str = "url",
                           fn_format="pyarrow").materialize()
     # intern hosts to dense ids (sorted for determinism). The host
     # universe is the bounded dimension side — broadcast once.
-    hosts = np.sort(np.concatenate(
-        [b["host"].to_numpy(zero_copy_only=False)
-         for b in nodes.iter_batches(batch_format="pyarrow",
-                                     batch_size=65536)]))
+    hosts = _gather_hosts(nodes)
     n_nodes = int(len(hosts))
+    if n_nodes == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "host": pa.array([], pa.string()),
+            "rank_fp": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.float64())}))
     host_index = pd.Index(hosts)
     idx_ref = ray.put(host_index)
 
@@ -340,7 +357,7 @@ def host_pagerank(ds, url_column: str = "url",
     ranks = np.full(n_nodes, r_init, dtype=np.int64)
     deg_ref = ray.put(outdeg)
 
-    for _ in range(iterations):
+    for _it in range(iterations):
         rank_ref = ray.put(ranks)
 
         def contrib(batch: "pa.Table") -> "pa.Table":
@@ -373,6 +390,12 @@ def host_pagerank(ds, url_column: str = "url",
                       b["dst_id"].to_numpy(zero_copy_only=False),
                       b["part"].to_numpy(zero_copy_only=False))
         ranks = nxt
+        if history is not None:
+            # intermediate fixed-point snapshots (host order == the
+            # sorted ``hosts`` array == the returned row order) — the
+            # convergence audit reads round k and k+1 from ONE run
+            # instead of paying a second full pipeline
+            history[_it + 1] = ranks.copy()
 
     final = pa.table({
         "host": pa.array(hosts),
@@ -434,11 +457,16 @@ def host_hits(ds, url_column: str = "url",
                           ["host"], distinct_hosts,
                           num_partitions=num_partitions,
                           fn_format="pyarrow").materialize()
-    hosts = np.sort(np.concatenate(
-        [b["host"].to_numpy(zero_copy_only=False)
-         for b in nodes.iter_batches(batch_format="pyarrow",
-                                     batch_size=65536)]))
+    hosts = _gather_hosts(nodes)
     n_nodes = int(len(hosts))
+    if n_nodes == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "host": pa.array([], pa.string()),
+            "auth_fp": pa.array([], pa.int64()),
+            "hub_fp": pa.array([], pa.int64()),
+            "auth": pa.array([], pa.float64()),
+            "hub": pa.array([], pa.float64())}))
     host_index = pd.Index(hosts)
     idx_ref = ray.put(host_index)
 

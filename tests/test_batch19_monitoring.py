@@ -67,11 +67,12 @@ def test_burst_users_vs_naive_random(tmp_path):
     n = 400
     users = rng.integers(0, 12, size=n)
     base = pd.Timestamp("2022-01-01").value // 1000
-    # dense bursts + duplicated timestamps (RANGE peer semantics)
     tss = pd.to_datetime(
-        base + rng.integers(0, 5 * 86_400, size=n) * 1_000_000
-        - (rng.integers(0, 3, size=n) == 0) * 0, unit="us")
-    tss = tss.where(rng.random(n) > 0.1, tss[0])  # 10% exact dups
+        base + rng.integers(0, 5 * 86_400, size=n) * 1_000_000,
+        unit="us")
+    # ~10% of events pile onto one identical timestamp (several per
+    # user), exercising RANGE-frame peer semantics in both engines
+    tss = tss.where(rng.random(n) > 0.1, tss[0])
     got = q_burst_users(_write_events(tmp_path, users, tss)) \
         .to_pandas().set_index("user_id")["max_burst"].to_dict()
     want = _naive_burst(users, tss, _BURST_WINDOW_S)
@@ -85,15 +86,17 @@ def test_burst_users_overflow_fallback(tmp_path):
                                                           q_burst_users)
     rng = np.random.default_rng(7)
     users, tss = [], []
-    # ~300-year span in us ~ 1e16; with >1000 users the composite
-    # overflows and the fallback runs
+    # ~250-year span in us ~ 7.9e15; with all 1200 users forced into
+    # ONE partition codes[-1]*span ~ 9.5e18 > int64_max//2, so the
+    # composite guard trips and the per-segment fallback runs
     for u in range(1200):
         for _ in range(int(rng.integers(1, 4))):
             users.append(u)
             tss.append(pd.Timestamp("1700-01-01")
                        + pd.Timedelta(days=int(rng.integers(0, 365 * 250)),
                                       seconds=int(rng.integers(0, 86400))))
-    got = q_burst_users(_write_events(tmp_path, users, tss)) \
+    got = q_burst_users(_write_events(tmp_path, users, tss),
+                        num_partitions=1) \
         .to_pandas().set_index("user_id")["max_burst"].to_dict()
     want = _naive_burst(users, tss, _BURST_WINDOW_S)
     assert got == want
@@ -159,3 +162,35 @@ def test_pagerank_convergence_columns():
     # exact single-division contract
     assert (out["delta"].to_numpy()
             == out["delta_fp"].to_numpy(np.float64) / 2 ** 40).all()
+
+
+def test_empty_linked_corpus_graph_guards(tmp_path, monkeypatch):
+    """Empty linked-page corpus: pagerank / HITS / the convergence
+    audit return pinned-schema empty results instead of crashing on
+    np.concatenate-of-nothing or PR_SCALE // 0 (review finding — the
+    fuzz generator emits n_pg=0 fixtures)."""
+    import ray.data as rd
+
+    import nacc_form_validator_ray.pipelines.queries as Q
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_pagerank_convergence
+    from nacc_form_validator_ray.stages.graph import (host_hits,
+                                                      host_pagerank)
+    lp = str(tmp_path / "linkpages.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "url": pa.array([], pa.string()),
+        "text": pa.array([], pa.string()),
+        "links": pa.array([], pa.list_(pa.string()))}), lp)
+    # ray 2.49's Dataset.to_pandas() drops columns on a zero-row
+    # dataset, so the schema contract is asserted at the Dataset level
+    pr = host_pagerank(rd.read_parquet(lp))
+    assert pr.schema().names == ["host", "rank_fp", "rank"]
+    assert pr.count() == 0
+    ht = host_hits(rd.read_parquet(lp))
+    assert "auth_fp" in ht.schema().names and ht.count() == 0
+    monkeypatch.setattr(Q, "_linked_pages_path", lambda sf: lp)
+    cv = q_pagerank_convergence("ignored")
+    assert len(cv) == 0
+    assert list(cv.columns) == ["host", "rank_fp_4", "rank_fp_5",
+                                "delta_fp", "delta"]

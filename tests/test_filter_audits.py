@@ -79,7 +79,7 @@ def test_fertility_passthrough_matches_per_doc_encode(tmp_path):
         .sort_values("source").reset_index(drop=True)
     assert fert["n_words"].tolist() == want["n_words"].tolist()
     assert fert["n_subwords"].tolist() == want["n_subwords"].tolist()
-    assert (fert["fertility"] >= 1.0).all() | (fert["n_words"] == 0).any()
+    assert ((fert["fertility"] >= 1.0) | (fert["n_words"] == 0)).all()
 
 
 def test_fertility_zero_word_source(tmp_path):
