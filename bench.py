@@ -510,6 +510,9 @@ def bench_queries(sf_dir: str):
         "burst_users": lambda: consume(
             Q.QUERIES["burst_users"](sf_dir)),
         "outlink_stats": run_outlink_stats,
+        # batch 20: md5 content-hash exchange with per-source rollup
+        "dedup_survivors_by_source": lambda: consume(
+            Q.QUERIES["dedup_survivors_by_source"](sf_dir)),
     }
 
 

@@ -4685,3 +4685,324 @@ FROM a JOIN b ON b.host = a.host
 
 MIN_QUERIES["pagerank_convergence"] = q_pagerank_convergence
 MIN_LINKED_SQL["pagerank_convergence"] = sql_pagerank_convergence
+
+
+# --------------------------------------------------------------------------
+# batch 20: margin/outlier/agreement audits — runner-up gap per type,
+# per-source length outliers via exact integer bounds, kNN label
+# agreement, dedup survivorship by source
+# --------------------------------------------------------------------------
+
+
+def q_top2_gap_per_type(sf_dir: str) -> pd.DataFrame:
+    """Winner / runner-up margin per event type: the two largest
+    DISTINCT values and their gap — the margin audit behind alerting
+    thresholds (a tiny gap means the max is not an outlier; a huge one
+    means it is). Types with fewer than two distinct non-null values
+    are omitted; null event types are excluded by explicit contract
+    (daily_count_delta convention). No arithmetic beyond one float
+    subtraction of untouched input doubles — exact in both engines.
+
+    Engine shape: per-batch top-2-distinct partials per type (tiny),
+    one driver merge of partial top-2 sets."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["event_type"].notna() & df["value"].notna()]
+        if df.empty:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "value": pd.Series([], dtype=np.float64)})
+        return df.drop_duplicates() \
+            .sort_values(["event_type", "value"],
+                         ascending=[True, False], kind="stable") \
+            .groupby("event_type", as_index=False).head(2)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "max_value": pd.Series([], dtype=np.float64),
+            "second_value": pd.Series([], dtype=np.float64),
+            "gap": pd.Series([], dtype=np.float64)})
+    top2 = parts.drop_duplicates() \
+        .sort_values(["event_type", "value"],
+                     ascending=[True, False], kind="stable") \
+        .groupby("event_type", as_index=False).head(2)
+    counts = top2.groupby("event_type")["value"].transform("size")
+    top2 = top2.loc[counts >= 2]
+    g = top2.groupby("event_type")["value"]
+    out = pd.DataFrame({"event_type": g.max().index,
+                        "max_value": g.max().to_numpy(),
+                        "second_value": g.min().to_numpy()})
+    out["gap"] = out["max_value"] - out["second_value"]
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+MIN_QUERIES["top2_gap_per_type"] = q_top2_gap_per_type
+MIN_ORACLE_SQL["top2_gap_per_type"] = """
+WITH d AS (
+  SELECT DISTINCT event_type, value FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC) AS rn
+  FROM d)
+SELECT event_type,
+       max(CASE WHEN rn = 1 THEN value END) AS max_value,
+       max(CASE WHEN rn = 2 THEN value END) AS second_value,
+       max(CASE WHEN rn = 1 THEN value END)
+           - max(CASE WHEN rn = 2 THEN value END) AS gap
+FROM r WHERE rn <= 2
+GROUP BY event_type HAVING count(*) = 2
+"""
+
+
+def q_length_outlier_docs(sf_dir: str) -> pd.DataFrame:
+    """Documents whose ``n_chars`` sits more than 2σ from their
+    SOURCE's mean length — the per-feed truncation/concatenation-bug
+    detector (a feed that suddenly ships 10x-length pages corrupts
+    packing budgets downstream). EXACT per-group σ-test: with m docs
+    in the source, s = Σx and ss = Σx², the test ``(x-μ)² > 4σ²``
+    cross-multiplies to ``(m·x - s)² > 4·(m·ss - s²)``; the driver
+    converts it to closed-form integer BOUNDS via isqrt — outlier iff
+    ``|m·x - s| >= isqrt(4·(m·ss - s²)) + 1`` iff
+    ``x >= ceil((s+T)/m)`` or ``x <= floor((s-T)/m)`` — so the per-doc
+    pass is two plain int64 comparisons against a broadcast
+    (source -> lo, hi) table; no big-int arithmetic ever touches the
+    hot path (the twin states the HUGEINT inequality directly).
+
+    Engine shape: one combiner pass for the per-source moments
+    (Python-int driver merge), one re-read flag pass."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def moments(t: "pa.Table") -> pd.DataFrame:
+        src = pc.fill_null(t["source"], "").to_numpy(
+            zero_copy_only=False)
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"source": src, "m": np.int64(1), "s": x,
+                           "ss": x * x})
+        return df.groupby("source", as_index=False).sum()
+
+    parts = _rd().read_parquet(path, columns=["source", "n_chars"]) \
+        .map_batches(moments, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame({
+        "doc_id": pd.Series([], dtype=np.int64),
+        "source": pd.Series([], dtype=object),
+        "n_chars": pd.Series([], dtype=np.int64)})
+    if parts.empty:
+        return empty
+    stats = parts.groupby("source", as_index=False).sum()
+    bounds = {}
+    for _, r in stats.iterrows():
+        m, s, ss = int(r["m"]), int(r["s"]), int(r["ss"])
+        t = math.isqrt(4 * (m * ss - s * s)) + 1
+        # ceil/floor divisions of possibly-negative ints: use // math
+        hi = -((-(s + t)) // m)          # ceil((s+t)/m)
+        lo = (s - t) // m                # floor((s-t)/m)
+        bounds[str(r["source"])] = (lo, hi)
+
+    def flag(t: "pa.Table") -> pd.DataFrame:
+        src = pc.fill_null(t["source"], "").to_numpy(
+            zero_copy_only=False)
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.fromiter((bounds[s][0] for s in src), dtype=np.int64,
+                         count=len(src))
+        hi = np.fromiter((bounds[s][1] for s in src), dtype=np.int64,
+                         count=len(src))
+        keep = (x <= lo) | (x >= hi)
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)[keep],
+            "source": src[keep],
+            "n_chars": x[keep]})
+
+    out = _rd().read_parquet(path,
+                             columns=["doc_id", "source", "n_chars"]) \
+        .map_batches(flag, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": np.int64, "n_chars": np.int64})
+
+
+MIN_QUERIES["length_outlier_docs"] = q_length_outlier_docs
+MIN_ORACLE_SQL["length_outlier_docs"] = """
+WITH g AS (
+  SELECT coalesce(source, '') AS src,
+         CAST(count(*) AS HUGEINT) AS m,
+         CAST(sum(n_chars) AS HUGEINT) AS s,
+         CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS ss
+  FROM documents GROUP BY coalesce(source, ''))
+SELECT d.doc_id, coalesce(d.source, '') AS source, d.n_chars
+FROM documents d JOIN g ON g.src = coalesce(d.source, '')
+WHERE (g.m * d.n_chars - g.s) * (g.m * d.n_chars - g.s)
+      > 4 * (g.m * g.ss - g.s * g.s)
+"""
+
+
+def q_knn_label_agreement(sf_dir: str) -> pd.DataFrame:
+    """Label agreement of exact kNN: for each of the standard query
+    vectors, the majority label among its 5 nearest neighbors (ties to
+    the smaller label) vs its own label — the embedding-space sanity
+    eval (low agreement means the labels and the geometry disagree:
+    bad embeddings or bad labels). Composes the established
+    brute-force kNN contract (broadcast query matrix, per-batch local
+    top-k, k x blocks driver merge); the neighbor/query label lookups
+    are pushdown-filtered reads of the tiny id set."""
+    from nacc_form_validator_ray.pipelines.queries import q_knn
+    knn = q_knn(sf_dir)
+    if hasattr(knn, "to_pandas"):
+        knn = knn.to_pandas()
+    if knn.empty or "rank" not in knn.columns:
+        # single-vector / empty corpus: no neighbors, no eval rows
+        return pd.DataFrame({
+            "query_id": pd.Series([], dtype=np.int64),
+            "label": pd.Series([], dtype=np.int64),
+            "label_pred": pd.Series([], dtype=np.int64),
+            "correct": pd.Series([], dtype=bool)})
+    knn = knn.loc[knn["rank"] <= 5]
+    ids = sorted(set(knn["query_id"]) | set(knn["neighbor_id"]))
+    import pyarrow.dataset as pads
+    lab = _rd().read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"],
+        filter=pads.field("vec_id").isin(ids)).to_pandas()
+    lmap = dict(zip(lab["vec_id"].astype(np.int64),
+                    lab["label"].astype(np.int64)))
+    nb = knn.assign(label=[lmap[int(i)] for i in knn["neighbor_id"]])
+    votes = nb.groupby(["query_id", "label"], as_index=False) \
+        .size().rename(columns={"size": "c"})
+    votes = votes.sort_values(["query_id", "c", "label"],
+                              ascending=[True, False, True],
+                              kind="stable")
+    pred = votes.groupby("query_id", as_index=False).head(1)
+    out = pd.DataFrame({
+        "query_id": pred["query_id"].to_numpy(np.int64),
+        "label": np.asarray([lmap[int(q)] for q in pred["query_id"]],
+                            dtype=np.int64),
+        "label_pred": pred["label"].to_numpy(np.int64)})
+    out["correct"] = out["label"] == out["label_pred"]
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
+def _sql_knn_label_agreement(sql_knn: str) -> str:
+    return f"""
+WITH knn AS ({sql_knn}),
+nb AS (
+  SELECT k.query_id, CAST(e.label AS BIGINT) AS label
+  FROM knn k JOIN embeddings e ON e.vec_id = k.neighbor_id
+  WHERE k.rank <= 5),
+votes AS (
+  SELECT query_id, label, count(*) AS c FROM nb GROUP BY 1, 2),
+pred AS (
+  SELECT query_id, label AS label_pred,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, label ASC) AS rn
+  FROM votes)
+SELECT p.query_id, CAST(eq.label AS BIGINT) AS label,
+       p.label_pred, CAST(eq.label AS BIGINT) = p.label_pred AS correct
+FROM pred p JOIN embeddings eq ON eq.vec_id = p.query_id
+WHERE p.rn = 1
+"""
+
+
+#: the engine side registers here; the twin composes queries.SQL_KNN,
+#: so it is registered at queries.py's BOTTOM (registration-order
+#: contract: entries needing queries' SQL constants must not race the
+#: ORACLE_SQL.update snapshot — see the subprocess import-order test)
+MIN_QUERIES["knn_label_agreement"] = q_knn_label_agreement
+
+
+def q_dedup_survivors_by_source(sf_dir: str) -> pd.DataFrame:
+    """Dedup survivorship per source: documents, exact-dedup survivors
+    (min doc_id per normalized-content hash wins, the dedup_exact
+    election) and the duplicate rate — the report that shows WHICH
+    feed is shipping the copies (the corpus-wide count alone can't).
+    One content-hash exchange carrying (hash, doc_id, source); the
+    per-source totals and survivor counts are tiny combiner partials
+    merged on the driver."""
+    import hashlib
+
+    from nacc_form_validator_ray.stages.dedup import normalize_ws_arrow
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "source"])
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        norm = normalize_ws_arrow(batch["text"]) \
+            .to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"].fillna(""),
+            "content_hash": [hashlib.md5(t.encode()).hexdigest()
+                             for t in norm]})
+
+    def survivors(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source": pd.Series([], dtype=object),
+                              "n_survivors": pd.Series([],
+                                                       dtype=np.int64)})
+        if part.empty or "content_hash" not in part.columns:
+            return empty
+        keep = part.sort_values("doc_id", kind="stable") \
+            .groupby("content_hash", as_index=False).head(1)
+        return keep.groupby("source", as_index=False) \
+            .size().rename(columns={"size": "n_survivors"})
+
+    kept = grouped_apply(ds.map_batches(add_hash, batch_format="pandas"),
+                         ["content_hash"], survivors,
+                         num_partitions=16).to_pandas()
+
+    def totals(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"source": df["source"].fillna(""),
+                          "n_docs": np.int64(1)})
+        return g.groupby("source", as_index=False).sum()
+
+    tot = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["source"]) \
+        .map_batches(totals, batch_format="pandas").to_pandas()
+    empty = pd.DataFrame({
+        "source": pd.Series([], dtype=object),
+        "n_docs": pd.Series([], dtype=np.int64),
+        "n_survivors": pd.Series([], dtype=np.int64),
+        "dup_rate": pd.Series([], dtype=np.float64)})
+    if tot.empty:
+        return empty
+    tot = tot.groupby("source", as_index=False)["n_docs"].sum()
+    if kept.empty or "source" not in kept.columns:
+        surv = pd.DataFrame({"source": pd.Series([], dtype=object),
+                             "n_survivors": pd.Series([],
+                                                      dtype=np.int64)})
+    else:
+        surv = kept.groupby("source", as_index=False)[
+            "n_survivors"].sum()
+    out = tot.merge(surv, on="source", how="left")
+    out["n_survivors"] = out["n_survivors"].fillna(0).astype(np.int64)
+    out["dup_rate"] = (out["n_docs"] - out["n_survivors"]) \
+        .to_numpy(np.float64) / np.maximum(
+        out["n_docs"].to_numpy(np.float64), 1.0)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+MIN_QUERIES["dedup_survivors_by_source"] = q_dedup_survivors_by_source
+MIN_ORACLE_SQL["dedup_survivors_by_source"] = """
+WITH h AS (
+  SELECT doc_id, coalesce(source, '') AS source,
+         md5(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ',
+                                       'g')))) AS ch
+  FROM documents),
+k AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn
+  FROM h)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_survivors,
+       CAST(count(*) FILTER (rn > 1) AS DOUBLE)
+           / greatest(count(*), 1) AS dup_rate
+FROM k GROUP BY source
+"""

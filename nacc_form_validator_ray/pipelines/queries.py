@@ -7094,6 +7094,11 @@ ORACLE_SQL.update(MIN_ORACLE_SQL)
 # twin are defined above
 ORACLE_SQL["langid_confusion"] = sql_langid_confusion(SQL_LANGID)
 
+from nacc_form_validator_ray.pipelines.mining import \
+    _sql_knn_label_agreement
+
+ORACLE_SQL["knn_label_agreement"] = _sql_knn_label_agreement(SQL_KNN)
+
 from nacc_form_validator_ray.pipelines.mining import (
     _sql_dedup_cluster_sizes, sql_minhash_verify_pairs,
     sql_pack_efficiency)

@@ -78,5 +78,42 @@ for trial in range(8):
         print(bad.head())
     else:
         print(f"dsir trial {trial}: ok n={nd} tgt={tgt} reps={reps}")
+# --- knn label agreement (composes SQL_KNN; labels must be the real
+# fixture's integer dtype, which the mining fuzzer's string labels
+# can't provide)
+import os as _os
+import tempfile as _tf
+
+import pyarrow.parquet as _pq
+
+from nacc_form_validator_ray.pipelines.queries import ORACLE_SQL as _OS
+from nacc_form_validator_ray.pipelines.queries import QUERIES as _Q
+
+for trial in range(8):
+    n = int(rng.integers(1, 120)); d = int(rng.integers(2, 16))
+    vecs = rng.normal(scale=rng.uniform(0.1, 2.0),
+                      size=(n, d)).astype(np.float32)
+    labels = rng.integers(0, 4, size=n).astype(np.int32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32())})
+    tmp = _tf.mkdtemp(prefix="fuzz_knnlab_")
+    _pq.write_table(tbl, _os.path.join(tmp, "embeddings.parquet"))
+    got = canon(_Q["knn_label_agreement"](tmp))
+    con = duckdb.connect(); con.register("emb", tbl)
+    con.sql("CREATE VIEW embeddings AS SELECT * FROM emb")
+    want = canon(con.sql(_OS["knn_label_agreement"]).df())
+    if len(got) != len(want) or not got.equals(want):
+        fails += 1
+        print("KNN_LABEL MISMATCH", trial, n, d)
+        print(got.head(4).to_dict("records"))
+        print(want.head(4).to_dict("records"))
+    else:
+        print(f"knn_label trial {trial}: ok n={n} d={d} rows={len(got)}")
+
 print("FAILS:", fails)
 ray.shutdown()
+import sys as _sys
+_sys.exit(1 if fails else 0)

@@ -258,7 +258,8 @@ TABLE_QUERIES = ["priority_sample_docs", "corr_matrix_lineitem",
                  "inverted_index_prefix", "distinctive_terms",
                  "benford_order_totals", "fk_orphans",
                  "nation_revenue_share", "daily_anomaly_events",
-                 "burst_users"]
+                 "burst_users", "top2_gap_per_type",
+                 "length_outlier_docs", "dedup_survivors_by_source"]
 #: linked-page family (twins are path-parameterized)
 LINKED_QUERIES = ["containment_pairs_pages", "cap_docs_per_host",
                   "url_structure_stats", "host_components",
