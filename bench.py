@@ -241,12 +241,14 @@ def run_incremental_ingest() -> int:
 
 
 def run_dup_ngram_spans() -> int:
-    # the registry/stage default (hashed two-phase: 62-bit keys +
-    # exact verify on the flagged subset). NOTE: the linked fixture is
-    # adversarially duplicative (boilerplate on every page), so the
-    # flagged subset is most of the corpus and hashed pays ~2x the
-    # exact path HERE; at a real web corpus's dup rate the exchange
-    # payload shrinks by the dup fraction instead
+    # the registry/stage default (via="auto": a sampled prefix picks
+    # exact-vs-hashed by measured duplication rate). The linked
+    # fixture is adversarially duplicative (boilerplate on every
+    # page), so auto routes to the exact single exchange here —
+    # hashed's verify phase would rebuild nearly every string and was
+    # measured ~2x slower on THIS corpus; dup_ngram_spans_exact below
+    # pins the exact path for comparison, and low-dup corpora route
+    # to hashed (the 100-TB shape)
     import ray.data as rd
     from nacc_form_validator_ray.stages.dedup import dup_ngram_spans
     ds = rd.read_parquet(linked_pages_dir(), columns=["doc_id", "text"])
@@ -513,6 +515,11 @@ def bench_queries(sf_dir: str):
         # batch 20: md5 content-hash exchange with per-source rollup
         "dedup_survivors_by_source": lambda: consume(
             Q.QUERIES["dedup_survivors_by_source"](sf_dir)),
+        # batch 21: two corpus passes — a token-count exchange with
+        # exact top-K tie handling, then a broadcast-vocab pricing
+        # combiner
+        "oov_rate_by_source": lambda: consume(
+            Q.QUERIES["oov_rate_by_source"](sf_dir)),
     }
 
 

@@ -5006,3 +5006,330 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            / greatest(count(*), 1) AS dup_rate
 FROM k GROUP BY source
 """
+
+
+# --------------------------------------------------------------------------
+# batch 21: vocabulary coverage, sketch-overlap audit, multimodal frame
+# dedup
+# --------------------------------------------------------------------------
+
+#: oov_rate_by_source vocabulary size (top-K corpus tokens by count,
+#: ties to the lexicographically smaller token)
+_OOV_VOCAB_K = 256
+
+
+def q_oov_rate_by_source(sf_dir: str) -> pd.DataFrame:
+    """Out-of-vocabulary rate per source against the corpus's own
+    top-256 token vocabulary — the vocabulary-coverage audit run before
+    fixing a tokenizer/vocab (a source with a high OOV rate will
+    shatter into bytes/unknowns and waste sequence length). Exact
+    top-K: per-partition (token, count) sums ride ONE exchange, each
+    partition emits its local top-K WITH all rows tied at the k-th
+    count (a bare head(k) keeps an arbitrary tied subset — repo top-k
+    contract), and the driver applies the full (count DESC, token ASC)
+    order once; the broadcast vocab then prices every doc in a second
+    combiner pass."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.stages.partition import (grouped_apply,
+                                                          pa_grouped_agg)
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    path = f"{sf_dir}/documents.parquet"
+
+    def token_counts(t: "pa.Table") -> "pa.Table":
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        codes, dic, _, _ = arrow_token_codes(text)
+        if dic is None:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        cnt = np.bincount(codes, minlength=len(dic)).astype(np.int64)
+        return pa.table({"token": dic, "n": pa.array(cnt)})
+
+    def local_topk(part: "pa.Table") -> pd.DataFrame:
+        if part.num_rows == 0:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        agg = pa_grouped_agg(part, ["token"], [("n", "sum")], ["n"]) \
+            .to_pandas()
+        agg = agg.sort_values(["n", "token"], ascending=[False, True],
+                              kind="stable")
+        if len(agg) > _OOV_VOCAB_K:
+            kth = agg["n"].iloc[_OOV_VOCAB_K - 1]
+            agg = agg.loc[agg["n"] >= kth]  # keep ALL k-th ties
+        return agg.reset_index(drop=True)
+
+    parts = _rd().read_parquet(path, columns=["text"]) \
+        .map_batches(token_counts, batch_format="pyarrow")
+    local = grouped_apply(parts, ["token"], local_topk,
+                          num_partitions=8, fn_format="pyarrow") \
+        .to_pandas()
+    if local.empty or "token" not in local.columns:
+        vocab = set()
+    else:
+        local = local.sort_values(["n", "token"],
+                                  ascending=[False, True], kind="stable")
+        vocab = set(local["token"].head(_OOV_VOCAB_K))
+
+    def price(t: "pa.Table") -> "pa.Table":
+        src = pc.fill_null(t["source"], "")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        codes, dic, tok_doc, n_tokens = arrow_token_codes(text)
+        if dic is None:
+            n_tok = np.zeros(t.num_rows, dtype=np.int64)
+            n_oov = n_tok
+        else:
+            in_vocab = np.fromiter(
+                (d in vocab for d in dic.to_pylist()), dtype=bool,
+                count=len(dic))
+            oov_tok = ~in_vocab[codes]
+            n_oov = np.bincount(tok_doc, weights=oov_tok,
+                                minlength=t.num_rows).astype(np.int64)
+            n_tok = n_tokens.astype(np.int64)
+        g = pa.table({"source": src,
+                      "n_docs": np.ones(t.num_rows, dtype=np.int64),
+                      "n_tokens": pa.array(n_tok),
+                      "n_oov": pa.array(n_oov)})
+        return pa_grouped_agg(g, ["source"],
+                              [("n_docs", "sum"), ("n_tokens", "sum"),
+                               ("n_oov", "sum")],
+                              ["n_docs", "n_tokens", "n_oov"])
+
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
+    pr = _rd().read_parquet(path, columns=["text", "source"]) \
+        .map_batches(price, batch_format="pyarrow")
+    out = _merge_partials(pr, ["source"],
+                          {"n_docs": "sum", "n_tokens": "sum",
+                           "n_oov": "sum"})
+    out["oov_rate"] = np.asarray(out["n_oov"], dtype=np.float64) \
+        / np.maximum(np.asarray(out["n_tokens"], dtype=np.float64), 1.0)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+MIN_QUERIES["oov_rate_by_source"] = q_oov_rate_by_source
+MIN_ORACLE_SQL["oov_rate_by_source"] = f"""
+WITH tok AS (
+  SELECT coalesce(source, '') AS source, doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                   '[a-z]+')) AS token
+  FROM documents),
+vc AS (
+  SELECT token, count(*) AS n FROM tok GROUP BY token
+  ORDER BY n DESC, token ASC LIMIT {_OOV_VOCAB_K}),
+per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(*) FILTER (token NOT IN (SELECT token FROM vc))
+              AS BIGINT) AS n_oov
+  FROM tok GROUP BY source),
+docs AS (
+  SELECT coalesce(source, '') AS source,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY coalesce(source, ''))
+SELECT d.source, d.n_docs, coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.n_oov, 0) AS n_oov,
+       CAST(coalesce(p.n_oov, 0) AS DOUBLE)
+           / greatest(coalesce(p.n_tokens, 0), 1) AS oov_rate
+FROM docs d LEFT JOIN per p ON p.source = d.source
+"""
+
+
+def q_kmv_type_overlap(sf_dir: str) -> pd.DataFrame:
+    """Sketch-overlap audit between the 'click' and 'purchase' user
+    sets: per-side KMV estimates, the union sketch's estimate, the
+    inclusion-exclusion intersection estimate, AND the exact distinct
+    counts/Jaccard beside them — the estimator-error readout
+    (hll_estimate_users is the single-set version; overlap is where
+    KMV sketches actually earn their keep, and where they go wrong).
+    Exactness: the sketch is the repo's integer KMV (distinct_users_kmv
+    constants); the exact side is one per-user flag exchange; the only
+    float is the final Jaccard division."""
+    from nacc_form_validator_ray.pipelines.queries import (KMV_A, KMV_B,
+                                                           KMV_K, KMV_P,
+                                                           KMV_ROUNDS)
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for side, tname in (("a", "click"), ("b", "purchase")):
+            u = df.loc[df["event_type"] == tname, "user_id"] \
+                .to_numpy(np.int64)
+            h = u
+            for _ in range(KMV_ROUNDS):
+                h = (KMV_A * h + KMV_B) % KMV_P
+            h = np.unique(h)[:KMV_K]
+            rows.append(pd.DataFrame({
+                "side": side, "h": h.astype(np.int64),
+                "user_id": np.zeros(len(h), dtype=np.int64)}))
+        # exact flags ride the same partial stream: distinct
+        # (user, side) pairs
+        ex = df.loc[df["event_type"].isin(["click", "purchase"])]
+        exact = pd.DataFrame({
+            "side": np.where(ex["event_type"] == "click", "xa", "xb"),
+            "h": np.int64(0),
+            "user_id": ex["user_id"].to_numpy(np.int64)}) \
+            .drop_duplicates()
+        return pd.concat(rows + [exact], ignore_index=True)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+
+    def kmv_est(h: np.ndarray) -> int:
+        h = np.unique(h)[:KMV_K]
+        if len(h) == 0:
+            return 0
+        if len(h) < KMV_K:
+            return int(len(h))
+        return (KMV_K - 1) * KMV_P // int(h[KMV_K - 1])
+
+    if parts.empty:
+        ha = hb = np.empty(0, dtype=np.int64)
+        ua = ub = set()
+    else:
+        ha = parts.loc[parts["side"] == "a", "h"].to_numpy(np.int64)
+        hb = parts.loc[parts["side"] == "b", "h"].to_numpy(np.int64)
+        ua = set(parts.loc[parts["side"] == "xa", "user_id"])
+        ub = set(parts.loc[parts["side"] == "xb", "user_id"])
+    est_a, est_b = kmv_est(ha), kmv_est(hb)
+    est_union = kmv_est(np.concatenate([ha, hb]))
+    n_a, n_b = len(ua), len(ub)
+    n_inter = len(ua & ub)
+    n_union = n_a + n_b - n_inter
+    return pd.DataFrame({
+        "k": np.int64([KMV_K]),
+        "est_a": np.int64([est_a]), "est_b": np.int64([est_b]),
+        "est_union": np.int64([est_union]),
+        "est_intersection": np.int64([est_a + est_b - est_union]),
+        "exact_a": np.int64([n_a]), "exact_b": np.int64([n_b]),
+        "exact_intersection": np.int64([n_inter]),
+        "exact_jaccard": np.float64(
+            [n_inter / n_union if n_union else 0.0])})
+
+
+def _sql_kmv_type_overlap() -> str:
+    from nacc_form_validator_ray.pipelines.queries import (KMV_A, KMV_B,
+                                                           KMV_K, KMV_P)
+    hexpr = "user_id"
+    for _ in range(3):
+        hexpr = f"({KMV_A} * ({hexpr}) + {KMV_B}) % {KMV_P}"
+    return f"""
+WITH ha AS (SELECT DISTINCT {hexpr} AS h FROM events
+            WHERE event_type = 'click'),
+hb AS (SELECT DISTINCT {hexpr} AS h FROM events
+       WHERE event_type = 'purchase'),
+ka AS (SELECT h FROM ha ORDER BY h LIMIT {KMV_K}),
+kb AS (SELECT h FROM hb ORDER BY h LIMIT {KMV_K}),
+ku AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+       ORDER BY h LIMIT {KMV_K}),
+ea AS (SELECT CASE WHEN count(*) < {KMV_K} THEN count(*)
+            ELSE CAST({KMV_K} - 1 AS BIGINT) * {KMV_P} // max(h) END
+            AS e FROM ka),
+eb AS (SELECT CASE WHEN count(*) < {KMV_K} THEN count(*)
+            ELSE CAST({KMV_K} - 1 AS BIGINT) * {KMV_P} // max(h) END
+            AS e FROM kb),
+eu AS (SELECT CASE WHEN count(*) < {KMV_K} THEN count(*)
+            ELSE CAST({KMV_K} - 1 AS BIGINT) * {KMV_P} // max(h) END
+            AS e FROM ku),
+xa AS (SELECT count(DISTINCT user_id) AS n FROM events
+       WHERE event_type = 'click'),
+xb AS (SELECT count(DISTINCT user_id) AS n FROM events
+       WHERE event_type = 'purchase'),
+xi AS (SELECT count(*) AS n FROM (
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT DISTINCT user_id FROM events
+         WHERE event_type = 'purchase'))
+SELECT CAST({KMV_K} AS BIGINT) AS k,
+       CAST(ea.e AS BIGINT) AS est_a, CAST(eb.e AS BIGINT) AS est_b,
+       CAST(eu.e AS BIGINT) AS est_union,
+       CAST(ea.e + eb.e - eu.e AS BIGINT) AS est_intersection,
+       CAST(xa.n AS BIGINT) AS exact_a, CAST(xb.n AS BIGINT) AS exact_b,
+       CAST(xi.n AS BIGINT) AS exact_intersection,
+       CASE WHEN xa.n + xb.n - xi.n > 0
+            THEN CAST(xi.n AS DOUBLE)
+                 / CAST(xa.n + xb.n - xi.n AS DOUBLE)
+            ELSE 0.0 END AS exact_jaccard
+FROM ea, eb, eu, xa, xb, xi
+"""
+
+
+#: engine side registers here; the twin embeds queries' KMV constants,
+#: so it is registered at queries.py's BOTTOM (registration-order
+#: contract, same as knn_label_agreement)
+MIN_QUERIES["kmv_type_overlap"] = q_kmv_type_overlap
+
+
+def q_frame_dedup(sf_dir: str) -> pd.DataFrame:
+    """Cross-document duplicate FRAMES: sampled fixed-size payload
+    slices (the frame_sample plumbing) that appear in >= 2 distinct
+    documents — the multimodal flavor of line dedup (watermark/intro
+    frames repeated across videos; here payloads are document bytes).
+    One exchange on the frame bytes; per-batch (frame, doc) pre-dedup
+    keeps the exchange lean."""
+    from nacc_form_validator_ray.stages.multimodal import FrameSampler
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _docs_tbl(sf_dir)
+
+    def to_payload(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "media_id": batch["doc_id"],
+            "payload": [t.encode("utf-8")
+                        for t in batch["text"].fillna("")]})
+
+    ds = ds.map_batches(to_payload, batch_format="pandas")
+    ds = ds.map_batches(FrameSampler(frame_bytes=256, every_nth=4),
+                        batch_format="pandas", batch_size=256)
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "frame_text": [b.decode("utf-8")
+                           for b in batch["frame_payload"]],
+            "media_id": batch["media_id"].astype(np.int64),
+        }).drop_duplicates()
+
+    frames = ds.map_batches(pre, batch_format="pandas")
+
+    def per_frame(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "frame_text": pd.Series([], dtype=object),
+            "n_docs": pd.Series([], dtype=np.int64),
+            "n_occurrences": pd.Series([], dtype=np.int64)})
+        if part.empty or "frame_text" not in part.columns:
+            return empty
+        g = part.groupby("frame_text").agg(
+            n_docs=("media_id", "nunique"),
+            n_occurrences=("media_id", "size")).reset_index()
+        g = g.loc[g["n_docs"] >= 2]
+        return g.astype({"n_docs": np.int64,
+                         "n_occurrences": np.int64})
+
+    return grouped_apply(frames, ["frame_text"], per_frame,
+                         num_partitions=16)
+
+
+def _docs_tbl(sf_dir: str):
+    return _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+
+
+MIN_QUERIES["frame_dedup"] = q_frame_dedup
+MIN_ORACLE_SQL["frame_dedup"] = """
+WITH fr AS (
+  SELECT DISTINCT doc_id AS media_id,
+         substring(text, CAST(f * 256 + 1 AS INT), 256) AS frame_text
+  FROM documents,
+       unnest(range(0, greatest(length(text) // 256, 1), 4)) AS t(f)
+)
+SELECT frame_text, CAST(count(DISTINCT media_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM fr GROUP BY frame_text HAVING count(DISTINCT media_id) >= 2
+"""

@@ -2169,16 +2169,19 @@ def q_dup_ngram_spans(sf_dir: str):
     (linked-page fixture — its boilerplate lines guarantee real
     cross-document spans).
 
-    Registered DEFAULT is ``via="hashed"`` (round-3 VERDICT #1): the
-    heavy exchange carries 62-bit shingle keys and an exact-string
-    verify pass over the flagged (dup-rate-bounded) subset removes
-    every collision — identical rows to the exact-string path, which
-    remains available as the ``dup_ngram_spans_exact`` registry entry /
-    the verify path."""
+    Registered DEFAULT is ``via="auto"`` (cost-based exchange
+    selection): a sampled prefix measures the cross-doc duplication
+    rate; low-dup corpora ride the hashed two-phase (62-bit keys +
+    exact-string verify over the flagged subset — the 100-TB shape,
+    round-3 VERDICT #1), while boilerplate-heavy corpora (where the
+    flagged subset ≈ the corpus and hashed pays both phases for
+    nothing) route to the exact single exchange. All paths return
+    identical rows; ``dup_ngram_spans_exact`` / ``_hashed`` pin each
+    path explicitly."""
     from nacc_form_validator_ray.stages.dedup import dup_ngram_spans
     ds = _rd().read_parquet(_linked_pages_path(sf_dir),
                             columns=["doc_id", "text"])
-    return dup_ngram_spans(ds, k=3, min_docs=2, via="hashed")
+    return dup_ngram_spans(ds, k=3, min_docs=2, via="auto")
 
 
 def q_dup_ngram_spans_exact(sf_dir: str):
@@ -7094,10 +7097,11 @@ ORACLE_SQL.update(MIN_ORACLE_SQL)
 # twin are defined above
 ORACLE_SQL["langid_confusion"] = sql_langid_confusion(SQL_LANGID)
 
-from nacc_form_validator_ray.pipelines.mining import \
-    _sql_knn_label_agreement
+from nacc_form_validator_ray.pipelines.mining import (
+    _sql_kmv_type_overlap, _sql_knn_label_agreement)
 
 ORACLE_SQL["knn_label_agreement"] = _sql_knn_label_agreement(SQL_KNN)
+ORACLE_SQL["kmv_type_overlap"] = _sql_kmv_type_overlap()
 
 from nacc_form_validator_ray.pipelines.mining import (
     _sql_dedup_cluster_sizes, sql_minhash_verify_pairs,

@@ -44,6 +44,12 @@ BAND_FOLD_MULTS = (8_191, 524_287)
 #: signature value for docs with no shingles (all real minima < P31)
 EMPTY_SIG = P31
 
+#: dup_ngram_spans via="auto": sampled-prefix size and the
+#: within-sample cross-doc duplication rate above which the
+#: exact-string single exchange beats hashed's two phases
+AUTO_SAMPLE_DOCS = 2048
+AUTO_EXACT_THRESHOLD = 0.30
+
 
 def minhash_params(k: int = 128,
                    seed: int = 13) -> Tuple[np.ndarray, np.ndarray]:
@@ -1064,7 +1070,7 @@ def _pos_keys(doc_ids: np.ndarray, pos: np.ndarray) -> np.ndarray:
 def dup_ngram_spans(ds, id_column: str = "doc_id",
                     text_column: str = "text", k: int = 3,
                     min_docs: int = 2, num_partitions: int = 32,
-                    via: str = "hashed"):
+                    via: str = "auto"):
     """Bounded exact-substring duplication audit (the k-gram core of
     suffix-array substring dedup, Lee et al. 2022 "Deduplicating
     Training Data Makes Language Models Better"): find every k-token
@@ -1095,7 +1101,13 @@ def dup_ngram_spans(ds, id_column: str = "doc_id",
     64-bit hashes (collisions only ADD candidates), then the exact
     strings of the flagged positions alone — bounded by the duplicated
     subset — ride a small verify exchange that removes every
-    collision. Both variants return identical rows.
+    collision. ``via="auto"`` (default) samples a bounded prefix,
+    measures the cross-doc duplication rate with the same 62-bit keys
+    and picks: high-duplication corpora (boilerplate-heavy crawls,
+    where hashed's verify phase would rebuild nearly every string)
+    route to exact, everything else to hashed — cost-based exchange
+    selection; needs a re-readable input. All variants return
+    identical rows.
 
     Output: ``doc_id, n_tokens, n_shingles, n_dup, dup_cov, dup_frac``.
     """
@@ -1231,6 +1243,84 @@ def dup_ngram_spans(ds, id_column: str = "doc_id",
             "n_shingles": pa.array(np.maximum(n_tokens - k + 1, 0)),
         })
 
+    # phase A of the hashed path AND the auto-mode estimator: 62-bit
+    # shingle keys (TWO independent mod-P31 folds over
+    # DICTIONARY-hashed tokens — a single 31-bit fold saturates at
+    # 10^15 shingles and the "candidates ≈ duplicates" bound
+    # collapses); no shingle string is ever built here. Candidate dup
+    # positions fall out exactly as in the exact path (collisions only
+    # ADD candidates; phase B removes every one)
+    def emit_hashes(batch: "pa.Table") -> "pa.Table":
+        from nacc_form_validator_ray.stages.text_signals import \
+            arrow_token_codes
+        empty = pa.table({
+            "h": pa.array([], pa.int64()),
+            id_column: pa.array([], id_type),
+            "pos": pa.array([], pa.int64())})
+        text = batch[text_column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ids = batch[id_column].to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        codes, dictionary, tok_doc, n_tokens = \
+            arrow_token_codes(text)
+        if dictionary is None:
+            return empty
+        m = len(codes)
+        if m < k:
+            return empty
+        t1 = _fold_hash_strings(dictionary,
+                                TOKEN_FOLD_MULT)[codes]
+        t2 = _fold_hash_strings(dictionary,
+                                TOKEN_FOLD_MULT2)[codes]
+        w = m - k + 1
+        h1, h2 = t1[:w].copy(), t2[:w].copy()
+        for i in range(1, k):
+            h1 = (h1 * SHINGLE_FOLD_MULT + t1[i:w + i]) % P31
+            h2 = (h2 * SHINGLE_FOLD_MULT2 + t2[i:w + i]) % P31
+        d0 = tok_doc[:w].astype(np.int64, copy=False)
+        valid = d0 == tok_doc[k - 1:].astype(np.int64, copy=False)
+        if not valid.any():
+            return empty
+        starts = np.zeros(batch.num_rows, dtype=np.int64)
+        np.cumsum(n_tokens[:-1], out=starts[1:])
+        idx = np.flatnonzero(valid)
+        dsel = d0[idx]
+        return pa.table({
+            "h": pa.array(h1[idx] * P31 + h2[idx]),
+            id_column: pa.array(ids[dsel]),
+            "pos": pa.array(idx - starts[dsel])})
+
+    if via == "auto":
+        # Cost-based exchange selection: sample a bounded prefix and
+        # measure the within-sample cross-doc shingle-duplication rate
+        # with the same 62-bit keys. Above the threshold the flagged
+        # subset ≈ the whole corpus, so hashed's verify phase would
+        # rebuild nearly every shingle string anyway — exact's single
+        # exchange wins (measured 5.3 s vs 10.6 s on the adversarially
+        # boilerplated 120k linked corpus). Below it, the hashed
+        # two-phase keeps the heavy exchange at 8 B/shingle — the
+        # 100-TB default. Splitting pairs across the sample boundary
+        # only UNDERESTIMATES the rate, which errs toward hashed (the
+        # scale-safe side). Requires a re-readable input (parquet),
+        # like isolate_heavy_frac.
+        hs, dd = [], []
+        for b in ds.limit(AUTO_SAMPLE_DOCS) \
+                .map_batches(emit_hashes, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow", batch_size=65536):
+            hs.append(b["h"].to_numpy(zero_copy_only=False))
+            dd.append(b[id_column].to_numpy(zero_copy_only=False))
+        rate = 0.0
+        if hs:
+            h = np.concatenate(hs)
+            d = np.concatenate(dd)
+            if len(h):
+                codes = np.unique(h, return_inverse=True)[1]
+                order, starts = run_boundaries([codes, d])
+                nd = np.bincount(codes[order][starts])
+                rate = float((nd >= min_docs)[codes].mean())
+        via = "exact" if rate >= AUTO_EXACT_THRESHOLD else "hashed"
+
     if via == "exact":
         shingles = ds.map_batches(emit_shingles,
                                   batch_format="pyarrow")
@@ -1238,54 +1328,6 @@ def dup_ngram_spans(ds, id_column: str = "doc_id",
                                 num_partitions=num_partitions,
                                 fn_format="pyarrow")
     elif via == "hashed":
-        # phase A: the heavy exchange carries 62-bit shingle keys
-        # (TWO independent mod-P31 folds over DICTIONARY-hashed tokens
-        # — a single 31-bit fold saturates at 10^15 shingles and the
-        # "candidates ≈ duplicates" bound collapses); no shingle
-        # string is ever built in this phase. Candidate dup positions
-        # fall out exactly as in the exact path (collisions only ADD
-        # candidates; phase B removes every one)
-        def emit_hashes(batch: "pa.Table") -> "pa.Table":
-            from nacc_form_validator_ray.stages.text_signals import \
-                arrow_token_codes
-            empty = pa.table({
-                "h": pa.array([], pa.int64()),
-                id_column: pa.array([], id_type),
-                "pos": pa.array([], pa.int64())})
-            text = batch[text_column]
-            if isinstance(text, pa.ChunkedArray):
-                text = text.combine_chunks()
-            ids = batch[id_column].to_numpy(zero_copy_only=False) \
-                .astype(np.int64, copy=False)
-            codes, dictionary, tok_doc, n_tokens = \
-                arrow_token_codes(text)
-            if dictionary is None:
-                return empty
-            m = len(codes)
-            if m < k:
-                return empty
-            t1 = _fold_hash_strings(dictionary,
-                                    TOKEN_FOLD_MULT)[codes]
-            t2 = _fold_hash_strings(dictionary,
-                                    TOKEN_FOLD_MULT2)[codes]
-            w = m - k + 1
-            h1, h2 = t1[:w].copy(), t2[:w].copy()
-            for i in range(1, k):
-                h1 = (h1 * SHINGLE_FOLD_MULT + t1[i:w + i]) % P31
-                h2 = (h2 * SHINGLE_FOLD_MULT2 + t2[i:w + i]) % P31
-            d0 = tok_doc[:w].astype(np.int64, copy=False)
-            valid = d0 == tok_doc[k - 1:].astype(np.int64, copy=False)
-            if not valid.any():
-                return empty
-            starts = np.zeros(batch.num_rows, dtype=np.int64)
-            np.cumsum(n_tokens[:-1], out=starts[1:])
-            idx = np.flatnonzero(valid)
-            dsel = d0[idx]
-            return pa.table({
-                "h": pa.array(h1[idx] * P31 + h2[idx]),
-                id_column: pa.array(ids[dsel]),
-                "pos": pa.array(idx - starts[dsel])})
-
         def dup_hash_positions(part: "pa.Table") -> "pa.Table":
             hv = part["h"].to_numpy(zero_copy_only=False)
             docs = part[id_column].to_numpy(zero_copy_only=False) \

@@ -226,7 +226,17 @@ def _reduce_partition(fn, fn_format: str, extra, *chunks):
     Always returns a pyarrow.Table block."""
     import pyarrow as pa
     live = [c for c in chunks if c.num_rows]
-    part = live[0] if len(live) == 1 else pa.concat_tables(live)
+    if not live:
+        # the all-empty-exchange call: one typed zero-row partition so
+        # fn's output block carries a schema; prefer the widest slice
+        # (fully-filtered upstream blocks may lack the input columns).
+        # If no slice carries any columns the input was schemaless to
+        # begin with — return it untouched rather than crash fn.
+        part = max(chunks, key=lambda c: c.num_columns).slice(0, 0)
+        if part.num_columns == 0:
+            return part
+    else:
+        part = live[0] if len(live) == 1 else pa.concat_tables(live)
     kwargs = extra or {}
     if fn_format == "pandas":
         out = fn(part.to_pandas(), **kwargs)
@@ -346,8 +356,16 @@ def _task_exchange(ds, route, fn: Callable, num_partitions: int,
     if not out_refs:
         if route[0] != "hash":
             return rd.from_items([])
-        return _grouped_apply_sort(ds.limit(0), route[1], fn,
-                                   num_partitions, fn_format)
+        # every partition is empty: run fn ONCE on an empty TYPED
+        # partition so the result keeps a schema — the sort-path
+        # fallback used here before produced a schemaless empty
+        # dataset, which downstream joins crash on (the repo-wide
+        # schemaless-empty trap). All partition-0 slices ship so the
+        # reduce can pick one that still carries the input columns
+        # (fully-filtered upstream blocks may lack them)
+        out_refs = [_REDUCE_TASK.remote(fn, fn_format, None,
+                                        *[blk[0]
+                                          for blk in slice_refs])]
     return rd.from_arrow_refs(out_refs)
 
 

@@ -259,7 +259,9 @@ TABLE_QUERIES = ["priority_sample_docs", "corr_matrix_lineitem",
                  "benford_order_totals", "fk_orphans",
                  "nation_revenue_share", "daily_anomaly_events",
                  "burst_users", "top2_gap_per_type",
-                 "length_outlier_docs", "dedup_survivors_by_source"]
+                 "length_outlier_docs", "dedup_survivors_by_source",
+                 "oov_rate_by_source", "frame_dedup",
+                 "kmv_type_overlap"]
 #: linked-page family (twins are path-parameterized)
 LINKED_QUERIES = ["containment_pairs_pages", "cap_docs_per_host",
                   "url_structure_stats", "host_components",
@@ -296,7 +298,7 @@ def main() -> int:
     for k in ("langid_confusion", "dedup_cluster_sizes",
               "minhash_verify_pairs", "pack_efficiency",
               "session_length_histogram", "hll_estimate_users",
-              "rule_attribution_docs"):
+              "rule_attribution_docs", "kmv_type_overlap"):
         oracle[k] = Q.ORACLE_SQL[k]
     for rnd in range(ROUNDS):
         d = tempfile.mkdtemp(prefix="fuzz_min_")

@@ -553,3 +553,71 @@ def test_pretrain_default_pin_materializes_only_lean_sets(tmp_path,
     for cols in calls:
         assert "text" not in cols and "scrubbed_text" not in cols, \
             f"full corpus materialized: {cols}"
+
+
+def test_dup_ngram_auto_routes_and_matches(tmp_path):
+    """via='auto' must pick exact on a boilerplate-heavy corpus and
+    hashed on a unique-text corpus, and in BOTH cases return rows
+    identical to both pinned paths (cost-based exchange selection is
+    a performance decision, never a semantic one)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nacc_form_validator_ray.stages import dedup as D
+
+    def rows(ds_via):
+        return sorted(map(tuple, ds_via.to_pandas().to_numpy().tolist()))
+
+    # high-dup: the same boilerplate sentence on every doc
+    boiler = [("the quick brown fox jumps over the lazy dog number %d"
+               % i) + " shared boilerplate tail appears everywhere"
+              for i in range(60)]
+    # low-dup: globally unique ALPHABETIC token streams (the corpus
+    # tokenizer is [a-z]+ — digits would split every token into the
+    # same letter runs and fake a 100% dup rate)
+    import string
+
+    def alpha(n):
+        s = ""
+        while True:
+            s += string.ascii_lowercase[n % 26]
+            n //= 26
+            if n == 0:
+                return s
+
+    uniq = [" ".join(alpha(i * 997 + j * 31 + 7) + alpha(j + i * 53)
+                     for j in range(30))
+            for i in range(60)]
+    from nacc_form_validator_ray.stages import partition as P
+    for texts, expect_key in ((boiler, "s"), (uniq, "h")):
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts)})
+        ds = rd.from_arrow(t).repartition(3)
+        # spy on the exchange key: the exact path's first grouped
+        # exchange is keyed on the shingle STRING column "s", the
+        # hashed path's on the 62-bit key column "h" — which one ran
+        # IS the routing decision
+        seen = []
+        orig_ga = P.grouped_apply
+
+        def spy(ds_, key_cols, *a, **kw):
+            seen.append(tuple(key_cols))
+            return orig_ga(ds_, key_cols, *a, **kw)
+
+        P.grouped_apply = spy
+        try:
+            got_auto = rows(D.dup_ngram_spans(ds, k=3, min_docs=2,
+                                              via="auto",
+                                              num_partitions=4))
+        finally:
+            P.grouped_apply = orig_ga
+        assert (expect_key,) in seen, (expect_key, seen)
+        got_exact = rows(D.dup_ngram_spans(
+            rd.from_arrow(t).repartition(3), k=3, min_docs=2,
+            via="exact", num_partitions=4))
+        got_hashed = rows(D.dup_ngram_spans(
+            rd.from_arrow(t).repartition(3), k=3, min_docs=2,
+            via="hashed", num_partitions=4))
+        assert got_auto == got_exact == got_hashed
+    assert 0.0 < D.AUTO_EXACT_THRESHOLD < 1.0
