@@ -5074,6 +5074,9 @@ def q_oov_rate_by_source(sf_dir: str) -> pd.DataFrame:
         local = local.sort_values(["n", "token"],
                                   ascending=[False, True], kind="stable")
         vocab = set(local["token"].head(_OOV_VOCAB_K))
+    # broadcast value set for the pricing pass: pc.is_in stays in C —
+    # never a Python membership loop over each batch's dictionary
+    vocab_arr = pa.array(sorted(vocab), pa.string())
 
     def price(t: "pa.Table") -> "pa.Table":
         src = pc.fill_null(t["source"], "")
@@ -5087,9 +5090,8 @@ def q_oov_rate_by_source(sf_dir: str) -> pd.DataFrame:
             n_tok = np.zeros(t.num_rows, dtype=np.int64)
             n_oov = n_tok
         else:
-            in_vocab = np.fromiter(
-                (d in vocab for d in dic.to_pylist()), dtype=bool,
-                count=len(dic))
+            in_vocab = pc.is_in(dic, value_set=vocab_arr) \
+                .to_numpy(zero_copy_only=False)
             oov_tok = ~in_vocab[codes]
             n_oov = np.bincount(tok_doc, weights=oov_tok,
                                 minlength=t.num_rows).astype(np.int64)
@@ -5216,9 +5218,10 @@ def q_kmv_type_overlap(sf_dir: str) -> pd.DataFrame:
 
 def _sql_kmv_type_overlap() -> str:
     from nacc_form_validator_ray.pipelines.queries import (KMV_A, KMV_B,
-                                                           KMV_K, KMV_P)
+                                                           KMV_K, KMV_P,
+                                                           KMV_ROUNDS)
     hexpr = "user_id"
-    for _ in range(3):
+    for _ in range(KMV_ROUNDS):
         hexpr = f"({KMV_A} * ({hexpr}) + {KMV_B}) % {KMV_P}"
     return f"""
 WITH ha AS (SELECT DISTINCT {hexpr} AS h FROM events
@@ -5267,67 +5270,102 @@ FROM ea, eb, eu, xa, xb, xi
 MIN_QUERIES["kmv_type_overlap"] = q_kmv_type_overlap
 
 
-def q_frame_dedup(sf_dir: str) -> pd.DataFrame:
-    """Cross-document duplicate FRAMES: sampled fixed-size payload
-    slices (the frame_sample plumbing) that appear in >= 2 distinct
-    documents — the multimodal flavor of line dedup (watermark/intro
-    frames repeated across videos; here payloads are document bytes).
-    One exchange on the frame bytes; per-batch (frame, doc) pre-dedup
-    keeps the exchange lean."""
-    from nacc_form_validator_ray.stages.multimodal import FrameSampler
-    from nacc_form_validator_ray.stages.partition import grouped_apply
+#: frame_dedup frame geometry (chars per frame; every Nth sampled) —
+#: mirrors q_frame_sample's FrameSampler(256, 4)
+_FRAME_CHARS, _FRAME_NTH = 256, 4
 
-    ds = _docs_tbl(sf_dir)
 
-    def to_payload(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "media_id": batch["doc_id"],
-            "payload": [t.encode("utf-8")
-                        for t in batch["text"].fillna("")]})
+def q_frame_dedup(sf_dir: str):
+    """Cross-document duplicate FRAMES: fixed-size sampled payload
+    slices that appear in >= 2 distinct documents — the multimodal
+    flavor of line dedup (watermark/intro frames repeated across
+    videos). Frames here are CODEPOINT slices
+    (``pc.utf8_slice_codeunits``, vectorized — a few slice kernels per
+    batch, never a per-row decode loop) so the DuckDB ``substring()``
+    twin is exact on ANY unicode text and null text rides the null==''
+    contract; ``q_frame_sample`` keeps the byte-true FrameSampler
+    plumbing with its documented ASCII parity caveat (a byte-sliced
+    frame that splits a multibyte char cannot even be decoded, let
+    alone matched char-wise). One exchange on the frame text;
+    per-batch (frame, doc) pre-dedup keeps the exchange lean."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    ds = ds.map_batches(to_payload, batch_format="pandas")
-    ds = ds.map_batches(FrameSampler(frame_bytes=256, every_nth=4),
-                        batch_format="pandas", batch_size=256)
+    from nacc_form_validator_ray.pipelines.queries import _docs
+    from nacc_form_validator_ray.stages.partition import (grouped_apply,
+                                                          pa_grouped_agg)
 
-    def pre(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "frame_text": [b.decode("utf-8")
-                           for b in batch["frame_payload"]],
-            "media_id": batch["media_id"].astype(np.int64),
-        }).drop_duplicates()
+    W, NTH = _FRAME_CHARS, _FRAME_NTH
 
-    frames = ds.map_batches(pre, batch_format="pandas")
+    def pre(t: "pa.Table") -> "pa.Table":
+        text = pc.fill_null(t["text"], "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        n = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        # frame indices f in range(0, max(n_chars // W, 1), NTH):
+        # every doc emits frame 0 (even empty text), long docs every
+        # NTH full window — identical to the twin's unnest(range(...))
+        nf = np.maximum(n // W, 1)
+        fr_texts, fr_ids = [], []
+        max_nf = int(nf.max()) if len(nf) else 0
+        for f in range(0, max_nf, NTH):
+            mask = nf > f
+            sel = text if mask.all() else text.filter(pa.array(mask))
+            sl = pc.utf8_slice_codeunits(sel, start=f * W,
+                                         stop=(f + 1) * W)
+            if isinstance(sl, pa.ChunkedArray):
+                sl = sl.combine_chunks()
+            fr_texts.append(sl)
+            fr_ids.append(ids[mask])
+        if not fr_texts:
+            return pa.table({
+                "frame_text": pa.array([], pa.string()),
+                "media_id": pa.array([], pa.int64())})
+        tbl = pa.table({
+            "frame_text": pa.concat_arrays(fr_texts),
+            "media_id": pa.array(np.concatenate(fr_ids))})
+        # per-batch (frame, doc) dedup keeps the exchange lean
+        return pa_grouped_agg(tbl, ["frame_text", "media_id"],
+                              [("media_id", "count")],
+                              ["_n"]).drop_columns(["_n"])
 
-    def per_frame(part: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            "frame_text": pd.Series([], dtype=object),
-            "n_docs": pd.Series([], dtype=np.int64),
-            "n_occurrences": pd.Series([], dtype=np.int64)})
-        if part.empty or "frame_text" not in part.columns:
-            return empty
-        g = part.groupby("frame_text").agg(
-            n_docs=("media_id", "nunique"),
-            n_occurrences=("media_id", "size")).reset_index()
-        g = g.loc[g["n_docs"] >= 2]
-        return g.astype({"n_docs": np.int64,
-                         "n_occurrences": np.int64})
+    def per_frame(part: "pa.Table") -> "pa.Table":
+        if "frame_text" not in part.column_names:
+            # zero-row corpus: Ray skips the UDF on empty input blocks,
+            # so the exchange's all-empty fallback hands fn a 0-column
+            # table — this guard is what lets the result BLOCK keep the
+            # three typed columns (schemaless-empty trap). Note Ray
+            # 2.49's ``to_pandas()`` still flattens any zero-row
+            # dataset to a bare DataFrame; ``schema()`` / iter_batches
+            # / write_parquet see the typed columns.
+            return pa.table({
+                "frame_text": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_occurrences": pa.array([], pa.int64())})
+        g = pa_grouped_agg(part, ["frame_text"],
+                           [("media_id", "count_distinct"),
+                            ("media_id", "count")],
+                           ["n_docs", "n_occurrences"])
+        return g.filter(pc.greater_equal(g["n_docs"], 2))
 
+    frames = _docs(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(pre, batch_format="pyarrow")
     return grouped_apply(frames, ["frame_text"], per_frame,
-                         num_partitions=16)
-
-
-def _docs_tbl(sf_dir: str):
-    return _rd().read_parquet(f"{sf_dir}/documents.parquet",
-                              columns=["doc_id", "text"])
+                         num_partitions=16, fn_format="pyarrow")
 
 
 MIN_QUERIES["frame_dedup"] = q_frame_dedup
 MIN_ORACLE_SQL["frame_dedup"] = """
 WITH fr AS (
   SELECT DISTINCT doc_id AS media_id,
-         substring(text, CAST(f * 256 + 1 AS INT), 256) AS frame_text
+         substring(coalesce(text, ''), CAST(f * 256 + 1 AS INT),
+                   256) AS frame_text
   FROM documents,
-       unnest(range(0, greatest(length(text) // 256, 1), 4)) AS t(f)
+       unnest(range(0, greatest(length(coalesce(text, '')) // 256, 1),
+                    4)) AS t(f)
 )
 SELECT frame_text, CAST(count(DISTINCT media_id) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_occurrences

@@ -3983,9 +3983,11 @@ def q_frame_sample(sf_dir: str):
 
 SQL_FRAME_SAMPLE = """
 SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_index,
-       substring(text, CAST(f * 256 + 1 AS INT), 256) AS frame_text
+       substring(coalesce(text, ''), CAST(f * 256 + 1 AS INT),
+                 256) AS frame_text
 FROM documents,
-     unnest(range(0, greatest(length(text) // 256, 1), 4)) AS t(f)
+     unnest(range(0, greatest(length(coalesce(text, '')) // 256, 1),
+                  4)) AS t(f)
 """
 
 QUERIES["frame_sample"] = q_frame_sample

@@ -219,6 +219,20 @@ def _split_arrow_block(route, num_partitions: int,
     return (*outs, stats if agg_cols else stats[:, 0])
 
 
+def _run_reduce_fn(fn, fn_format: str, extra, part):
+    import pyarrow as pa
+    kwargs = extra or {}
+    if fn_format == "pandas":
+        out = fn(part.to_pandas(), **kwargs)
+    else:
+        out = fn(part, **kwargs)
+    if isinstance(out, pa.Table):
+        return out
+    if isinstance(out, dict):  # dict-of-arrays, as map_groups allows
+        return pa.table(out)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _reduce_partition(fn, fn_format: str, extra, *chunks):
     """One reduce-side shuffle task: concat a partition's chunks and run
     the partition callable once (with ``**extra`` kwargs when the
@@ -230,23 +244,22 @@ def _reduce_partition(fn, fn_format: str, extra, *chunks):
         # the all-empty-exchange call: one typed zero-row partition so
         # fn's output block carries a schema; prefer the widest slice
         # (fully-filtered upstream blocks may lack the input columns).
-        # If no slice carries any columns the input was schemaless to
-        # begin with — return it untouched rather than crash fn.
+        # If NO slice carries columns (Ray skips the UDF on empty
+        # input blocks and emits 0-column blocks, so a zero-row corpus
+        # arrives schemaless), still TRY fn — partition fns that guard
+        # the missing-column case (the repo's ``col not in columns``
+        # pattern) recover their output schema here; for the rest,
+        # fall back to the untouched schemaless empty rather than
+        # crash.
         part = max(chunks, key=lambda c: c.num_columns).slice(0, 0)
         if part.num_columns == 0:
-            return part
+            try:
+                return _run_reduce_fn(fn, fn_format, extra, part)
+            except Exception:
+                return part
     else:
         part = live[0] if len(live) == 1 else pa.concat_tables(live)
-    kwargs = extra or {}
-    if fn_format == "pandas":
-        out = fn(part.to_pandas(), **kwargs)
-    else:
-        out = fn(part, **kwargs)
-    if isinstance(out, pa.Table):
-        return out
-    if isinstance(out, dict):  # dict-of-arrays, as map_groups allows
-        return pa.table(out)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _run_reduce_fn(fn, fn_format, extra, part)
 
 
 def hash_exchange(ds, key_cols: Sequence[str], fn: Callable,
