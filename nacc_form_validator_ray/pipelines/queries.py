@@ -2263,6 +2263,8 @@ def flagship_oracles(sf_dir: str) -> Dict[str, str]:
         "ivf_recall_eval": _sql_ivf_recall(sf_dir),
         **{name: fn(lp, sql_url_norm=_SQL_URL_NORM)
            for name, fn in _min_linked_sql().items()},
+        **{name: fn(lp, sql_url_norm=_SQL_URL_NORM)
+           for name, fn in _cur_linked_sql().items()},
     }
 
 
@@ -2282,6 +2284,13 @@ def _min_linked_sql():
     invokes flagship_oracles)."""
     from nacc_form_validator_ray.pipelines.mining import MIN_LINKED_SQL
     return MIN_LINKED_SQL
+
+
+def _cur_linked_sql():
+    """Late import twin of ``_min_linked_sql`` for pipelines.curation."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        CUR_LINKED_SQL
+    return CUR_LINKED_SQL
 
 
 # --------------------------------------------------------------------------
@@ -7566,3 +7575,15 @@ QUERIES["fertility_by_source"] = q_fertility_by_source
 ORACLE_SQL["fertility_by_source"] = _sql_fertility_by_source()
 QUERIES["scrub_volume_by_source"] = q_scrub_volume_by_source
 ORACLE_SQL["scrub_volume_by_source"] = _sql_scrub_volume()
+
+
+# --------------------------------------------------------------------------
+# Curation / numerics batch (PCA power iteration, SQ8 quantization
+# audit, MMR diversity selection, dyadic EWMA) — pipelines.curation
+# --------------------------------------------------------------------------
+
+from nacc_form_validator_ray.pipelines.curation import (CUR_ORACLE_SQL,
+                                                        CUR_QUERIES)
+
+QUERIES.update(CUR_QUERIES)
+ORACLE_SQL.update(CUR_ORACLE_SQL)
