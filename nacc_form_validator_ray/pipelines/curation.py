@@ -488,3 +488,381 @@ FROM v a JOIN v b
  AND b.rn BETWEEN a.rn - {_EWMA_W - 1} AND a.rn
 GROUP BY a.event_id, a.event_type, a.value_c, a.rn
 """
+
+
+# --------------------------------------------------------------------------
+# batch 23: vocabulary frequency spectrum, shard-balance audit,
+# Bloom false-positive audit, recrawl change detection
+# --------------------------------------------------------------------------
+
+#: Knuth multiplicative hash constants (same family as mining's
+#: priority sampling; doc_id * KNUTH < 2^63 up to doc_id ~ 3.4e9 —
+#: beyond that fold the id first, fixture ids are far inside)
+_CUR_KNUTH = 2654435761
+_CUR_MOD = 2147483647
+_SHARD_P = 32
+
+
+def q_vocab_freq_spectrum(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary frequency-of-frequencies spectrum (the Zipf / Heaps
+    profile): how many distinct ``[a-z]+`` tokens occur with corpus
+    count in each ``floor(log2(count))`` bucket, plus the occurrence
+    mass per bucket — the tokenizer/vocab-sizing diagnostic (a healthy
+    Zipf corpus shows geometrically decaying bucket populations; a
+    bucket spike reveals templated spam or a truncated crawl).
+
+    Scale shape: per-batch (token, c) combiners (dictionary-encoded,
+    no Python loop), ONE hash exchange on token so each token's counts
+    merge fully inside one partition, then <= 64-row (bucket, tokens,
+    occurrences) partials merged on the driver. The floor-log2 is the
+    integer bit-length (advanced._floor_log2_u64), never float log2."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.pipelines.advanced import \
+        _floor_log2_u64
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    empty = pd.DataFrame({
+        "bucket": pd.Series([], dtype=np.int64),
+        "n_tokens": pd.Series([], dtype=np.int64),
+        "n_occurrences": pd.Series([], dtype=np.int64)})
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["text"])
+
+    def count_partial(t: "pa.Table") -> pd.DataFrame:
+        codes, dictionary, _, _ = arrow_token_codes(t["text"])
+        if dictionary is None or not len(codes):
+            return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.int64)})
+        cnt = np.bincount(codes, minlength=len(dictionary))
+        nz = np.flatnonzero(cnt)
+        toks = dictionary.to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"tok": toks[nz],
+                             "c": cnt[nz].astype(np.int64)})
+
+    def spectrum_partial(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return empty
+        tot = part.groupby("tok", as_index=False)["c"].sum()
+        c = tot["c"].to_numpy(np.int64)
+        b = _floor_log2_u64(c.astype(np.uint64))
+        df = pd.DataFrame({"bucket": b.astype(np.int64),
+                           "n_tokens": 1, "n_occurrences": c})
+        return df.groupby("bucket", as_index=False).sum()
+
+    parts = grouped_apply(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["tok"], spectrum_partial, num_partitions=32).to_pandas()
+    if parts.empty or "bucket" not in parts.columns:
+        return empty
+    out = parts.groupby("bucket", as_index=False).sum()
+    return out.sort_values("bucket").reset_index(drop=True).astype({
+        "bucket": np.int64, "n_tokens": np.int64,
+        "n_occurrences": np.int64})
+
+
+CUR_QUERIES["vocab_freq_spectrum"] = q_vocab_freq_spectrum
+CUR_ORACLE_SQL["vocab_freq_spectrum"] = """
+WITH t AS (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                            '[a-z]+')) AS tok
+           FROM documents),
+c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY tok)
+SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(c) AS BIGINT) AS n_occurrences
+FROM c GROUP BY bucket
+"""
+
+
+def q_shard_balance_report(sf_dir: str) -> pd.DataFrame:
+    """Planned-output-shard balance audit: route every document to its
+    ``hash(doc_id) % 32`` shard and report each shard's document count
+    and character mass — the report read BEFORE a 100-TB write to
+    catch partition skew while it is still cheap (a shard holding 10x
+    the mean chars will straggle the whole write; the fix is salting
+    or a different key, and this table is the evidence).
+
+    Scale shape: map-only per-batch combiners (32 rows each), driver
+    merge of O(32 x blocks) rows — no exchange, no data movement; the
+    audit costs one pruned column scan."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.pipelines.queries import \
+        _merge_partials
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        did = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if not len(did):
+            return pd.DataFrame({
+                "shard": pd.Series([], dtype=np.int64),
+                "n_docs": pd.Series([], dtype=np.int64),
+                "n_chars_total": pd.Series([], dtype=np.int64)})
+        shard = ((did * np.int64(_CUR_KNUTH)) % np.int64(_CUR_MOD)) \
+            % np.int64(_SHARD_P)
+        df = pd.DataFrame({
+            "shard": shard,
+            "n_docs": np.ones(len(did), dtype=np.int64),
+            "n_chars_total": t["n_chars"].to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        return df.groupby("shard", as_index=False).sum()
+
+    out = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["shard"], {"n_docs": "sum", "n_chars_total": "sum"})
+    return out.sort_values("shard").reset_index(drop=True).astype({
+        "shard": np.int64, "n_docs": np.int64,
+        "n_chars_total": np.int64})
+
+
+CUR_QUERIES["shard_balance_report"] = q_shard_balance_report
+CUR_ORACLE_SQL["shard_balance_report"] = f"""
+SELECT ((doc_id * {_CUR_KNUTH}) % {_CUR_MOD}) % {_SHARD_P} AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+FROM documents GROUP BY shard
+"""
+
+
+#: audit-bloom geometry: deliberately small so the false-positive rate
+#: is observable (and its growth with corpus size visible across SFs);
+#: the production filter (stages/bloom.py) uses 2^23 bits and content
+#: hashes — this audit models its math with SQL-reproducible hashes
+_BF_BITS = 4096
+_BF_MIXERS = (31337, 271829, 524287)
+
+
+def q_bloom_fp_audit(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filter false-positive audit: build a k=3 filter from the
+    EVEN doc_ids, probe it with the ODD doc_ids (disjoint by
+    construction, so every hit is a false positive) and report the
+    measured fp rate plus the bitmap load — the calibration readout
+    behind stages/bloom.anti_join_bloom's shuffle-savings claim (fp
+    rate is the fraction of non-matching rows that still ride the
+    exact exchange; when the bitmap saturates, the prefilter stops
+    paying).
+
+    Hashes here are the SQL-reproducible Knuth family (the production
+    filter's multiply-shift mixes work on raw string hashes DuckDB
+    can't see); positions are ``(h * mixer) % n_bits`` over int64-safe
+    ranges.
+
+    Scale shape: build pass emits per-batch DISTINCT positions (<=
+    n_bits rows); probe pass broadcasts the n_bits/8-byte bitmap in
+    the closure and emits 2-int partials. Both passes stream; the
+    driver state is the bitmap, never the keys."""
+    import pyarrow as pa
+
+    empty = pd.DataFrame({
+        "n_build": pd.Series([], dtype=np.int64),
+        "n_probe": pd.Series([], dtype=np.int64),
+        "n_bits_set": pd.Series([], dtype=np.int64),
+        "n_hits": pd.Series([], dtype=np.int64),
+        "fp_rate": pd.Series([], dtype=np.float64)})
+
+    def _h(did: np.ndarray) -> np.ndarray:
+        return (did * np.int64(_CUR_KNUTH)) % np.int64(_CUR_MOD)
+
+    def _pos(h: np.ndarray) -> np.ndarray:
+        """(k, n) positions."""
+        return np.stack([(h * np.int64(m)) % np.int64(_BF_BITS)
+                         for m in _BF_MIXERS])
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+
+    def build_partial(t: "pa.Table") -> pd.DataFrame:
+        did = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        did = did[did % 2 == 0]
+        pos = (np.unique(_pos(_h(did))) if len(did) else
+               np.empty(0, dtype=np.int64))
+        return pd.DataFrame({"pos": pos.astype(np.int64),
+                             "nb": np.full(len(pos), 0, dtype=np.int64)
+                             }).assign(nb=lambda d: d["nb"].where(
+                                 d.index != 0, len(did)))
+
+    built = ds.map_batches(build_partial,
+                           batch_format="pyarrow").to_pandas()
+    bitmap = np.zeros(_BF_BITS, dtype=bool)
+    n_build = 0
+    if len(built) and "pos" in built.columns:
+        bitmap[built["pos"].to_numpy(np.int64)] = True
+        n_build = int(built["nb"].sum())
+    n_bits_set = int(bitmap.sum())
+
+    def probe_partial(t: "pa.Table") -> pd.DataFrame:
+        did = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        did = did[did % 2 == 1]
+        if not len(did):
+            return pd.DataFrame({"n_probe": [0], "n_hits": [0]})
+        hits = bitmap[_pos(_h(did))].all(axis=0)
+        return pd.DataFrame({"n_probe": [int(len(did))],
+                             "n_hits": [int(hits.sum())]})
+
+    pr = ds.map_batches(probe_partial, batch_format="pyarrow") \
+        .to_pandas()
+    n_probe = int(pr["n_probe"].sum()) if len(pr) else 0
+    n_hits = int(pr["n_hits"].sum()) if len(pr) else 0
+    fp = float(n_hits) / float(n_probe) if n_probe else 0.0
+    return pd.DataFrame({
+        "n_build": [n_build], "n_probe": [n_probe],
+        "n_bits_set": [n_bits_set], "n_hits": [n_hits],
+        "fp_rate": [fp]}).astype({
+            "n_build": np.int64, "n_probe": np.int64,
+            "n_bits_set": np.int64, "n_hits": np.int64,
+            "fp_rate": np.float64})
+
+
+def _sql_bloom_fp() -> str:
+    h = f"((doc_id * {_CUR_KNUTH}) % {_CUR_MOD})"
+    pos_b = "\nUNION\n".join(
+        f"SELECT (h * {m}) % {_BF_BITS} AS p FROM b"
+        for m in _BF_MIXERS)
+    probe_hit = " AND ".join(
+        f"(h * {m}) % {_BF_BITS} IN (SELECT p FROM pos)"
+        for m in _BF_MIXERS)
+    return f"""
+WITH b AS MATERIALIZED (SELECT {h} AS h FROM documents
+                        WHERE doc_id % 2 = 0),
+pos AS MATERIALIZED ({pos_b}),
+pr AS MATERIALIZED (SELECT {h} AS h FROM documents
+                    WHERE doc_id % 2 = 1),
+hits AS (SELECT count(*) AS n FROM pr WHERE {probe_hit})
+SELECT CAST((SELECT count(*) FROM b) AS BIGINT) AS n_build,
+       CAST((SELECT count(*) FROM pr) AS BIGINT) AS n_probe,
+       CAST((SELECT count(*) FROM pos) AS BIGINT) AS n_bits_set,
+       CAST(hits.n AS BIGINT) AS n_hits,
+       CASE WHEN (SELECT count(*) FROM pr) = 0 THEN 0.0
+            ELSE CAST(hits.n AS DOUBLE)
+                 / CAST((SELECT count(*) FROM pr) AS DOUBLE)
+       END AS fp_rate
+FROM hits
+"""
+
+
+CUR_QUERIES["bloom_fp_audit"] = q_bloom_fp_audit
+CUR_ORACLE_SQL["bloom_fp_audit"] = _sql_bloom_fp()
+
+
+def q_recrawl_change_report(sf_dir: str) -> pd.DataFrame:
+    """Recrawl change detection per host: treat even doc_ids as crawl
+    snapshot A and odd doc_ids as the recrawl B (the incremental_ingest
+    convention); for every canonical URL present in BOTH snapshots,
+    elect each side's min-doc_id representative and compare their page
+    text — the change-rate report a crawler reads to schedule refresh
+    frequency per site (a host whose pages never change can be
+    recrawled monthly; a news host daily).
+
+    Scale shape: ONE hash exchange on canonical URL (both snapshots
+    ride it side-tagged — no broadcast, the corpus-sized side never
+    ships twice), per-partition representative election + text compare
+    emitting lean (host, both, changed) rows, then a tiny host-keyed
+    grouped sum. Exactness: text comparison is byte equality; the
+    change_rate is ONE exact-int division."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.queries import \
+        _linked_pages_path
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+    from nacc_form_validator_ray.stages.webclean import \
+        _normalize_url_array
+
+    empty = pd.DataFrame({
+        "host": pd.Series([], dtype=object),
+        "n_urls_both": pd.Series([], dtype=np.int64),
+        "n_changed": pd.Series([], dtype=np.int64),
+        "change_rate": pd.Series([], dtype=np.float64)})
+
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["doc_id", "url", "text"])
+
+    def add_norm(batch: "pa.Table") -> "pa.Table":
+        url = batch["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "norm_url": _normalize_url_array(url, pc),
+            "text": pc.fill_null(batch["text"], "")})
+
+    def compare(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return pd.DataFrame({
+                "host": pd.Series([], dtype=object),
+                "n_urls_both": pd.Series([], dtype=np.int64),
+                "n_changed": pd.Series([], dtype=np.int64)})
+        part = part.assign(side=part["doc_id"].to_numpy(np.int64) % 2)
+        # representative = min doc_id per (norm_url, side)
+        rep = part.sort_values("doc_id", kind="stable") \
+            .drop_duplicates(["norm_url", "side"], keep="first")
+        a = rep[rep["side"] == 0][["norm_url", "text"]]
+        b = rep[rep["side"] == 1][["norm_url", "text"]]
+        both = a.merge(b, on="norm_url", suffixes=("_a", "_b"))
+        if both.empty:
+            return pd.DataFrame({
+                "host": pd.Series([], dtype=object),
+                "n_urls_both": pd.Series([], dtype=np.int64),
+                "n_changed": pd.Series([], dtype=np.int64)})
+        # host is embedded in the canonical url: https://<host><rest>
+        host = both["norm_url"].str.extract(r"^https://([^/]*)",
+                                            expand=False).fillna("")
+        changed = (both["text_a"] != both["text_b"]).astype(np.int64)
+        df = pd.DataFrame({"host": host, "n_urls_both": 1,
+                           "n_changed": changed})
+        return df.groupby("host", as_index=False).sum()
+
+    parts = grouped_apply(
+        ds.map_batches(add_norm, batch_format="pyarrow"),
+        ["norm_url"], compare, num_partitions=32).to_pandas()
+    if parts.empty or "host" not in parts.columns:
+        return empty
+    g = parts.groupby("host", as_index=False).sum()
+    g["change_rate"] = g["n_changed"].to_numpy(np.float64) \
+        / g["n_urls_both"].to_numpy(np.float64)
+    return g.sort_values("host", kind="stable") \
+        .reset_index(drop=True).astype({
+            "n_urls_both": np.int64, "n_changed": np.int64,
+            "change_rate": np.float64})
+
+
+def sql_recrawl_change_report(path: str,
+                              sql_url_norm: str | None = None) -> str:
+    from nacc_form_validator_ray.pipelines.queries import \
+        _sql_url_chain
+    host = sql_url_norm.format(u="u")
+    return f"""
+WITH p AS (SELECT doc_id, coalesce(text, '') AS text,
+                  {_sql_url_chain('url')} AS u
+           FROM read_parquet('{path}')),
+n AS (SELECT doc_id, text, doc_id % 2 AS side,
+             'https://' || {host} ||
+             regexp_replace(u, '^(?i:https?)://[^/?#]+', '')
+                 AS norm_url
+      FROM p),
+rep AS (SELECT side, norm_url,
+               min_by(text, doc_id) AS text
+        FROM n GROUP BY side, norm_url),
+pairs AS (SELECT a.norm_url, a.text AS ta, b.text AS tb
+          FROM rep a JOIN rep b ON a.norm_url = b.norm_url
+          WHERE a.side = 0 AND b.side = 1)
+SELECT coalesce(regexp_extract(norm_url, '^https://([^/]*)', 1), '')
+           AS host,
+       CAST(count(*) AS BIGINT) AS n_urls_both,
+       CAST(count(*) FILTER (ta <> tb) AS BIGINT) AS n_changed,
+       CAST(count(*) FILTER (ta <> tb) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS change_rate
+FROM pairs GROUP BY host
+"""
+
+
+CUR_QUERIES["recrawl_change_report"] = q_recrawl_change_report
+CUR_LINKED_SQL["recrawl_change_report"] = sql_recrawl_change_report

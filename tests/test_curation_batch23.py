@@ -1,0 +1,153 @@
+"""Batch-23: vocabulary frequency spectrum, shard-balance audit,
+Bloom false-positive audit, recrawl change detection."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, texts, ids=None):
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    n = len(texts)
+    ids = ids if ids is not None else list(range(n))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["s"] * n, pa.string()),
+        "n_chars": pa.array([len(t) if t else 0 for t in texts],
+                            pa.int64())}), tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+# ------------------------------------------------------------- spectrum
+
+
+def test_vocab_spectrum_buckets(tmp_path):
+    """aa x1 -> bucket 0; bb x2, cc x3 -> bucket 1; dd x4 -> bucket 2."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_vocab_freq_spectrum
+    d = _write_docs(tmp_path, ["aa bb bb cc cc", "cc dd dd dd dd"])
+    out = q_vocab_freq_spectrum(d).set_index("bucket")
+    assert out.loc[0, "n_tokens"] == 1
+    assert out.loc[0, "n_occurrences"] == 1
+    assert out.loc[1, "n_tokens"] == 2
+    assert out.loc[1, "n_occurrences"] == 5
+    assert out.loc[2, "n_tokens"] == 1
+    assert out.loc[2, "n_occurrences"] == 4
+
+
+def test_vocab_spectrum_mass_conservation():
+    """Bucket occurrence mass must sum to the corpus token count."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_vocab_freq_spectrum
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_token_length_histogram
+    spec = q_vocab_freq_spectrum(SF)
+    hist = q_token_length_histogram(SF)
+    assert spec["n_occurrences"].sum() == hist["n"].sum()
+
+
+# ------------------------------------------------------------- sharding
+
+
+def test_shard_balance_totals(tmp_path):
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_shard_balance_report
+    d = _write_docs(tmp_path, [f"doc {i}" for i in range(100)])
+    out = q_shard_balance_report(d)
+    assert out["n_docs"].sum() == 100
+    assert out["shard"].between(0, 31).all()
+    # Knuth hash spreads 100 sequential ids over >= 25 shards
+    assert len(out) >= 25
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def test_bloom_fp_audit_counts(tmp_path):
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_bloom_fp_audit
+    d = _write_docs(tmp_path, ["x"] * 10)  # ids 0..9: 5 even, 5 odd
+    out = q_bloom_fp_audit(d)
+    r = out.iloc[0]
+    assert r["n_build"] == 5 and r["n_probe"] == 5
+    assert 1 <= r["n_bits_set"] <= 15          # 5 keys x 3 probes
+    assert 0 <= r["n_hits"] <= r["n_probe"]
+    assert r["fp_rate"] == r["n_hits"] / r["n_probe"]
+
+
+def test_bloom_fp_grows_with_load():
+    """The sf fixture's fp rate must exceed a tiny build's (the bitmap
+    is fixed at 4096 bits, so more keys -> more false positives)."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_bloom_fp_audit
+    big = q_bloom_fp_audit(SF).iloc[0]
+    assert big["n_build"] > 100
+    assert big["n_bits_set"] <= 4096
+    # saturating bitmap: load factor at least bits/keys-bound sanity
+    assert big["n_bits_set"] >= big["n_build"]  # k=3, few collisions
+
+
+# -------------------------------------------------------------- recrawl
+
+
+def test_recrawl_change_detection(tmp_path, monkeypatch):
+    """Hand-built linked-page table: url shared by both snapshots with
+    DIFFERENT text counts as changed; identical text does not; a url
+    on one side only is ignored."""
+    import nacc_form_validator_ray.pipelines.queries as Q
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_recrawl_change_report
+
+    rows = [
+        # (doc_id, url, text)
+        (0, "https://a.example.org/p1", "old text"),
+        (1, "https://a.example.org/p1", "new text"),     # changed
+        (2, "https://a.example.org/p2", "same"),
+        (3, "https://a.example.org/p2", "same"),          # unchanged
+        (4, "https://b.example.org/q", "only snapshot A"),  # A-only
+        (6, "https://A.EXAMPLE.ORG/p3", "x"),
+        (7, "https://www.a.example.org/p3", "y"),  # canonicalizes equal
+    ]
+    tmp = tmp_path / "lp"
+    tmp.mkdir(parents=True)
+    path = str(tmp / "pages.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "url": pa.array([r[1] for r in rows], pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.string())}), path)
+    monkeypatch.setattr(Q, "_linked_pages_path", lambda sf: path)
+    out = q_recrawl_change_report("ignored").set_index("host")
+    assert out.loc["a.example.org", "n_urls_both"] == 3
+    assert out.loc["a.example.org", "n_changed"] == 2  # p1 + p3
+    assert out.loc["a.example.org", "change_rate"] == 2 / 3
+    assert "b.example.org" not in out.index
+
+
+def test_recrawl_min_doc_representative(tmp_path, monkeypatch):
+    """Duplicate urls within a snapshot: the MIN doc_id copy is the
+    representative on both sides."""
+    import nacc_form_validator_ray.pipelines.queries as Q
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_recrawl_change_report
+    rows = [
+        (2, "https://h.example.org/x", "v1"),
+        (4, "https://h.example.org/x", "junk later copy"),
+        (1, "https://h.example.org/x", "v1"),   # min odd rep
+        (3, "https://h.example.org/x", "junk"),
+    ]
+    tmp = tmp_path / "lp2"
+    tmp.mkdir(parents=True)
+    path = str(tmp / "pages.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "url": pa.array([r[1] for r in rows], pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.string())}), path)
+    monkeypatch.setattr(Q, "_linked_pages_path", lambda sf: path)
+    out = q_recrawl_change_report("ignored")
+    # rep A = doc 2 ("v1"), rep B = doc 1 ("v1") -> unchanged
+    assert out.iloc[0]["n_changed"] == 0
