@@ -866,3 +866,201 @@ FROM pairs GROUP BY host
 
 CUR_QUERIES["recrawl_change_report"] = q_recrawl_change_report
 CUR_LINKED_SQL["recrawl_change_report"] = sql_recrawl_change_report
+
+
+# --------------------------------------------------------------------------
+# batch 24: MinHash estimator-accuracy audit, winsorization report
+# --------------------------------------------------------------------------
+
+#: signature length of the engine's MinHash family (stages/dedup)
+_MH_K = 128
+
+
+def q_minhash_estimate_error(sf_dir: str) -> pd.DataFrame:
+    """MinHash ESTIMATOR accuracy audit: for every band-collision
+    candidate pair, the signature-agreement estimate
+    ``n_match / 128`` beside the EXACT shingle-set Jaccard and the
+    absolute error — the readout that validates the near-dedup
+    threshold choice (the banding collision count says *candidate*;
+    this says how tight the underlying estimator actually is on YOUR
+    corpus, which is what the threshold math assumes).
+
+    Composes the oracled ``minhash_verify_pairs`` (exact Jaccard per
+    candidate) with a signature pass over the involved documents only
+    (pushed-down is_in filter — the candidate set is dup-rate-bounded,
+    same plan note as the verify query). est and err are exact IEEE
+    ops over exact ints (one division by 128, one subtraction), in the
+    same order as the twin."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_minhash_verify_pairs
+    from nacc_form_validator_ray.stages.dedup import MinHasher
+
+    empty = pd.DataFrame({
+        "id_a": pd.Series([], dtype=np.int64),
+        "id_b": pd.Series([], dtype=np.int64),
+        "n_bands": pd.Series([], dtype=np.int64),
+        "jaccard": pd.Series([], dtype=np.float64),
+        "n_match": pd.Series([], dtype=np.int64),
+        "est_jaccard": pd.Series([], dtype=np.float64),
+        "abs_err": pd.Series([], dtype=np.float64)})
+
+    ver = q_minhash_verify_pairs(sf_dir)
+    if ver.empty:
+        return empty
+    ids = np.unique(np.concatenate([ver["id_a"].to_numpy(np.int64),
+                                    ver["id_b"].to_numpy(np.int64)]))
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    hasher = MinHasher(k=_MH_K)
+
+    def sigs(t: "pa.Table") -> pd.DataFrame:
+        t = t.filter(pc.is_in(t["doc_id"], value_set=pa.array(ids)))
+        df = t.to_pandas()
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "minhash": pd.Series([], dtype=object)})
+        sig = hasher.signatures(df["text"])
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "minhash": list(sig)})
+
+    inv = docs.map_batches(sigs, batch_format="pyarrow").to_pandas()
+    sig_of = {int(r["doc_id"]): np.asarray(r["minhash"], dtype=np.int64)
+              for _, r in inv.iterrows()}
+    n_match = np.array(
+        [int((sig_of[a] == sig_of[b]).sum())
+         for a, b in zip(ver["id_a"].to_numpy(np.int64),
+                         ver["id_b"].to_numpy(np.int64))],
+        dtype=np.int64)
+    est = n_match.astype(np.float64) / float(_MH_K)
+    out = ver.copy()
+    out["n_match"] = n_match
+    out["est_jaccard"] = est
+    out["abs_err"] = np.abs(est - ver["jaccard"].to_numpy(np.float64))
+    return out.astype({"n_match": np.int64,
+                       "est_jaccard": np.float64,
+                       "abs_err": np.float64})
+
+
+def _sql_minhash_estimate_error() -> str:
+    from nacc_form_validator_ray.pipelines.queries import (
+        _sql_minhash_ctes, _sql_minhash_pairs, sql_minhash_verify_pairs)
+    defs, pairs = _sql_minhash_ctes("documents", "doc_id",
+                                    threshold=0.5)
+    ver = sql_minhash_verify_pairs(_sql_minhash_pairs())
+    return f"""
+WITH {defs},
+cand AS (SELECT CAST(id_a AS BIGINT) AS id_a,
+                CAST(id_b AS BIGINT) AS id_b
+         FROM {pairs}),
+mtch AS (SELECT c.id_a, c.id_b,
+                CAST(count(*) FILTER (sa.m = sb.m) AS BIGINT)
+                    AS n_match
+         FROM cand c
+         JOIN mh_sig sa ON sa.mh_id = c.id_a
+         JOIN mh_sig sb ON sb.mh_id = c.id_b AND sb.j = sa.j
+         GROUP BY c.id_a, c.id_b),
+ver AS ({ver})
+SELECT v.id_a, v.id_b, v.n_bands, v.jaccard, m.n_match,
+       CAST(m.n_match AS DOUBLE) / {float(_MH_K)} AS est_jaccard,
+       abs(CAST(m.n_match AS DOUBLE) / {float(_MH_K)} - v.jaccard)
+           AS abs_err
+FROM ver v JOIN mtch m ON m.id_a = v.id_a AND m.id_b = v.id_b
+"""
+
+
+CUR_QUERIES["minhash_estimate_error"] = q_minhash_estimate_error
+CUR_ORACLE_SQL["minhash_estimate_error"] = _sql_minhash_estimate_error()
+
+
+def q_winsorize_events(sf_dir: str) -> pd.DataFrame:
+    """Winsorization report per event type: the exact p05/p95 cents
+    (index semantics of event_value_quantiles: sorted value at
+    ``floor(q * (n-1))``), how many values each tail clips, and the
+    winsorized sum — the robust-preprocessing readout (a type whose
+    clipped mass is large is outlier-driven; feeding its raw mean to a
+    model or alert is wrong).
+
+    Scale shape: ONE hash exchange on event_type, per-partition sort +
+    two index picks + vectorized clip aggregates (the quantile and the
+    clip happen in the SAME partition pass — no second exchange, no
+    broadcast-back; contrast user_outlier_events, whose z-score needs
+    the two-pass stats broadcast because users number millions while
+    event types stay bounded)."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "value"])
+
+    def to_cents(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            batch["value"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame({"event_type": batch["event_type"],
+                             "cents": cents})
+
+    def report(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, g in part.groupby("event_type", sort=False):
+            v = np.sort(g["cents"].to_numpy(np.int64))
+            n = len(v)
+            lo = int(v[int(np.floor(5 / 100.0 * (n - 1)))])
+            hi = int(v[int(np.floor(95 / 100.0 * (n - 1)))])
+            rows.append((etype, n, lo, hi,
+                         int((v < lo).sum()), int((v > hi).sum()),
+                         int(np.clip(v, lo, hi).sum())))
+        return pd.DataFrame(rows, columns=[
+            "event_type", "n", "p05_c", "p95_c", "n_clipped_lo",
+            "n_clipped_hi", "winsorized_sum_c"])
+
+    lean = ds.map_batches(to_cents, batch_format="pandas")
+    out = grouped_apply(lean, ["event_type"], report,
+                        num_partitions=4).to_pandas()
+    if out.empty or "event_type" not in out.columns:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64),
+            "p05_c": pd.Series([], dtype=np.int64),
+            "p95_c": pd.Series([], dtype=np.int64),
+            "n_clipped_lo": pd.Series([], dtype=np.int64),
+            "n_clipped_hi": pd.Series([], dtype=np.int64),
+            "winsorized_sum_c": pd.Series([], dtype=np.int64)})
+    return out.astype({
+        "n": np.int64, "p05_c": np.int64, "p95_c": np.int64,
+        "n_clipped_lo": np.int64, "n_clipped_hi": np.int64,
+        "winsorized_sum_c": np.int64})
+
+
+CUR_QUERIES["winsorize_events"] = q_winsorize_events
+CUR_ORACLE_SQL["winsorize_events"] = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM c
+), q AS (
+  SELECT event_type,
+         min(cents) FILTER (rn - 1 = CAST(floor(0.05 * (cnt - 1))
+                                          AS BIGINT)) AS lo,
+         min(cents) FILTER (rn - 1 = CAST(floor(0.95 * (cnt - 1))
+                                          AS BIGINT)) AS hi
+  FROM r GROUP BY event_type
+)
+SELECT c.event_type, CAST(count(*) AS BIGINT) AS n,
+       q.lo AS p05_c, q.hi AS p95_c,
+       CAST(count(*) FILTER (c.cents < q.lo) AS BIGINT)
+           AS n_clipped_lo,
+       CAST(count(*) FILTER (c.cents > q.hi) AS BIGINT)
+           AS n_clipped_hi,
+       CAST(sum(least(greatest(c.cents, q.lo), q.hi)) AS BIGINT)
+           AS winsorized_sum_c
+FROM c JOIN q ON c.event_type = q.event_type
+GROUP BY c.event_type, q.lo, q.hi
+"""

@@ -151,3 +151,47 @@ def test_recrawl_min_doc_representative(tmp_path, monkeypatch):
     out = q_recrawl_change_report("ignored")
     # rep A = doc 2 ("v1"), rep B = doc 1 ("v1") -> unchanged
     assert out.iloc[0]["n_changed"] == 0
+
+
+# ------------------------------------------------- batch 24: estimator
+
+
+def test_minhash_estimator_bounds():
+    """est in [0,1]; identical docs estimate 1.0 with zero error; the
+    mean abs error over candidates stays inside the k=128 Chernoff
+    envelope (~3 sigma of 1/sqrt(128))."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_minhash_estimate_error
+    out = q_minhash_estimate_error(SF)
+    assert len(out) > 0
+    assert out["est_jaccard"].between(0, 1).all()
+    assert (out["n_match"] <= 128).all()
+    exact_dups = out[out["jaccard"] == 1.0]
+    if len(exact_dups):
+        assert (exact_dups["n_match"] == 128).all()
+        assert (exact_dups["abs_err"] == 0.0).all()
+    assert out["abs_err"].mean() < 3 / np.sqrt(128)
+
+
+def test_winsorize_report_semantics(tmp_path):
+    """21 values 0..20: p05 = v[1] = 1, p95 = v[19] = 19; one value
+    clips low (0) and one high (20); winsorized sum replaces them."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_winsorize_events
+    rows = [(i, i * 1_000_000, "t", float(i)) for i in range(21)]
+    tmp = tmp_path / "ev"
+    tmp.mkdir(parents=True, exist_ok=True)
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())}),
+        tmp / "events.parquet")
+    out = q_winsorize_events(str(tmp)).iloc[0]
+    assert out["n"] == 21
+    assert out["p05_c"] == 100 and out["p95_c"] == 1900
+    assert out["n_clipped_lo"] == 1 and out["n_clipped_hi"] == 1
+    # raw sum 21000 cents; 0 -> 100 (+100), 2000 -> 1900 (-100)
+    assert out["winsorized_sum_c"] == 21000
