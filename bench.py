@@ -520,6 +520,18 @@ def bench_queries(sf_dir: str):
         # combiner
         "oov_rate_by_source": lambda: consume(
             Q.QUERIES["oov_rate_by_source"](sf_dir)),
+        # batch 22-24: the Gram pass + driver eigensolve, the
+        # event_type exchange + int64 convolve, the token exchange +
+        # log2 spectrum, and the side-tagged canonical-URL exchange
+        # over the 120k linked corpus
+        "pca_power_embeddings": lambda: consume(
+            Q.QUERIES["pca_power_embeddings"](sf_dir)),
+        "ewma_value_events": lambda: consume(
+            Q.QUERIES["ewma_value_events"](sf_dir)),
+        "vocab_freq_spectrum": lambda: consume(
+            Q.QUERIES["vocab_freq_spectrum"](sf_dir)),
+        "recrawl_change_report": lambda: consume(
+            Q.QUERIES["recrawl_change_report"](sf_dir)),
     }
 
 

@@ -89,6 +89,16 @@ def q_pca_power_embeddings(sf_dir: str) -> pd.DataFrame:
                           "component": pd.Series([], dtype=np.int64)})
     if g.empty:
         return empty
+    _, v = _power_iterate(g)
+    return pd.DataFrame({"dim": np.arange(1, len(v) + 1,
+                                          dtype=np.int64),
+                         "component": np.array(v, dtype=np.int64)})
+
+
+def _dense_gram(g: pd.DataFrame) -> List[List[int]]:
+    """Upper-triangle (i, j, sum_xy) rows -> dense symmetric Python-int
+    matrix (the driver-side model state; d is bounded, see the scale
+    note on q_pca_power_embeddings)."""
     d = int(g["j"].max())
     G: List[List[int]] = [[0] * d for _ in range(d)]
     for i, j, s in zip(g["i"].to_numpy(np.int64),
@@ -96,6 +106,15 @@ def q_pca_power_embeddings(sf_dir: str) -> pd.DataFrame:
                        g["sum_xy"].to_numpy(np.int64)):
         G[i - 1][j - 1] = int(s)
         G[j - 1][i - 1] = int(s)
+    return G
+
+
+def _power_iterate(g: pd.DataFrame):
+    """The exact _PCA_ROUNDS-round iteration shared by
+    pca_power_embeddings and pca_explained_ratio (single-sourced so
+    the two queries and their twins can never drift)."""
+    G = _dense_gram(g)
+    d = len(G)
     v: List[int] = [1] * d
     for _ in range(_PCA_ROUNDS):
         w = [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
@@ -104,8 +123,7 @@ def q_pca_power_embeddings(sf_dir: str) -> pd.DataFrame:
             v = w
             continue
         v = [_floor_div_signed(x, m) for x in w]
-    return pd.DataFrame({"dim": np.arange(1, d + 1, dtype=np.int64),
-                         "component": np.array(v, dtype=np.int64)})
+    return G, v
 
 
 def _sql_pca_power() -> str:
@@ -1063,4 +1081,160 @@ SELECT c.event_type, CAST(count(*) AS BIGINT) AS n,
            AS winsorized_sum_c
 FROM c JOIN q ON c.event_type = q.event_type
 GROUP BY c.event_type, q.lo, q.hi
+"""
+
+
+# --------------------------------------------------------------------------
+# batch 25: PCA explained-variance ratio, deterministic A/B lift report
+# --------------------------------------------------------------------------
+
+
+def q_pca_explained_ratio(sf_dir: str) -> pd.DataFrame:
+    """Explained-variance readout of the top principal direction: the
+    Rayleigh quotient of the converged power-iteration vector against
+    the Gram trace — ``(v'Gv / v'v) / trace(G)`` is the fraction of
+    total second-moment mass the top component carries. The
+    embedding-collapse alarm (a healthy 64-dim embedding spreads mass;
+    explained >> 1/d means the space degenerated).
+
+    Exactness: v'Gv, v'v and trace(G) are exact integers (the shared
+    ``_power_iterate`` state); each fits BIGINT while
+    n x (4096 x max|x|)^2 x 4096^2 x d stays under 2^63 (fixture-safe;
+    past ~10^7 rows re-scale the grid or return the ints unscaled and
+    divide offline — the twin's HUGEINT sums are cast to BIGINT at the
+    same boundary, keeping the DOUBLE conversions correctly rounded on
+    both engines: DuckDB's HUGEINT->DOUBLE cast double-rounds, its
+    BIGINT->DOUBLE does not). The ratio is
+    ``double(v'Gv) / (double(v'v) * double(trace))`` in that order.
+
+    Scale shape: identical to pca_power_embeddings (ONE Gram pass, no
+    exchange, bounded driver model); the extra aggregates are O(d^2)
+    driver arithmetic."""
+    from nacc_form_validator_ray.pipelines.advanced import \
+        q_embedding_gram
+
+    empty = pd.DataFrame({
+        "rayleigh_num": pd.Series([], dtype=np.int64),
+        "v_norm": pd.Series([], dtype=np.int64),
+        "trace": pd.Series([], dtype=np.int64),
+        "explained_ratio": pd.Series([], dtype=np.float64)})
+    g = q_embedding_gram(sf_dir)
+    if g.empty:
+        return empty
+    G, v = _power_iterate(g)
+    d = len(G)
+    num = sum(v[i] * G[i][j] * v[j]
+              for i in range(d) for j in range(d))
+    vnorm = sum(x * x for x in v)
+    trace = sum(G[i][i] for i in range(d))
+    ratio = (float(num) / (float(vnorm) * float(trace))
+             if vnorm and trace else 0.0)
+    return pd.DataFrame({
+        "rayleigh_num": [num], "v_norm": [vnorm], "trace": [trace],
+        "explained_ratio": [ratio]}).astype({
+            "rayleigh_num": np.int64, "v_norm": np.int64,
+            "trace": np.int64, "explained_ratio": np.float64})
+
+
+def _sql_pca_explained() -> str:
+    base = _sql_pca_power()
+    # strip the final SELECT; keep the WITH chain
+    chain = base[:base.rindex("\nSELECT dim")]
+    t = _PCA_ROUNDS
+    return f"""{chain},
+agg AS MATERIALIZED (
+  SELECT CAST(sum(a.val * CAST(gs.sum_xy AS HUGEINT) * b.val)
+              AS BIGINT) AS rayleigh_num
+  FROM gs JOIN v{t} a ON gs.i = a.dim
+          JOIN v{t} b ON gs.j = b.dim),
+vn AS (SELECT CAST(sum(val * val) AS BIGINT) AS v_norm FROM v{t}),
+tr AS (SELECT CAST(sum(sum_xy) AS BIGINT) AS trace
+       FROM gram WHERE i = j)
+SELECT agg.rayleigh_num, vn.v_norm, tr.trace,
+       CASE WHEN vn.v_norm = 0 OR tr.trace = 0 THEN 0.0
+            ELSE CAST(agg.rayleigh_num AS DOUBLE)
+                 / (CAST(vn.v_norm AS DOUBLE)
+                    * CAST(tr.trace AS DOUBLE))
+       END AS explained_ratio
+FROM agg, vn, tr
+"""
+
+
+CUR_QUERIES["pca_explained_ratio"] = q_pca_explained_ratio
+CUR_ORACLE_SQL["pca_explained_ratio"] = _sql_pca_explained()
+
+
+def q_ab_lift_report(sf_dir: str) -> pd.DataFrame:
+    """Deterministic A/B experiment readout: users split 50/50 by the
+    Knuth hash of user_id (content-stable — the same user lands in the
+    same arm on every run and cluster size, the train_val_test_split
+    property), then per arm: distinct users, events, purchases and the
+    purchases-per-user rate — the canonical online-experiment summary
+    (arm lift = rate_1/rate_0 - 1 derives off the two rows).
+
+    Scale shape: ONE streaming pass with per-batch combiners for the
+    event/purchase counts (2 rows each) plus per-batch DISTINCT
+    (group, user) partials for the user counts — lean because the
+    fixture's user universe is bounded; at 10^8+ users route the
+    distinct through a user_id hash exchange (new_users_by_day's
+    shape) — same result, |users| rows on the wire instead of the
+    driver."""
+    import pyarrow as pa
+
+    empty = pd.DataFrame({
+        "arm": pd.Series([], dtype=np.int64),
+        "n_users": pd.Series([], dtype=np.int64),
+        "n_events": pd.Series([], dtype=np.int64),
+        "n_purchases": pd.Series([], dtype=np.int64),
+        "purchases_per_user": pd.Series([], dtype=np.float64)})
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        uid = t["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if not len(uid):
+            return pd.DataFrame({
+                "arm": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "n_purchases": pd.Series([], dtype=np.int64)})
+        arm = ((uid * np.int64(_CUR_KNUTH)) % np.int64(_CUR_MOD)) % 2
+        purch = (t["event_type"].to_numpy(zero_copy_only=False)
+                 == "purchase").astype(np.int64)
+        df = pd.DataFrame({"arm": arm, "user_id": uid,
+                           "n_events": 1, "n_purchases": purch})
+        return df.groupby(["arm", "user_id"], as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty or "arm" not in parts.columns:
+        return empty
+    per_user = parts.groupby(["arm", "user_id"], as_index=False).sum()
+    g = per_user.groupby("arm", as_index=False).agg(
+        n_users=("user_id", "size"),
+        n_events=("n_events", "sum"),
+        n_purchases=("n_purchases", "sum"))
+    g["purchases_per_user"] = g["n_purchases"].to_numpy(np.float64) \
+        / g["n_users"].to_numpy(np.float64)
+    return g.sort_values("arm").reset_index(drop=True).astype({
+        "arm": np.int64, "n_users": np.int64, "n_events": np.int64,
+        "n_purchases": np.int64, "purchases_per_user": np.float64})
+
+
+CUR_QUERIES["ab_lift_report"] = q_ab_lift_report
+CUR_ORACLE_SQL["ab_lift_report"] = f"""
+WITH u AS (
+  SELECT ((user_id * {_CUR_KNUTH}) % {_CUR_MOD}) % 2 AS arm,
+         user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+             AS n_purchases
+  FROM events GROUP BY 1, 2)
+SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(sum(n_purchases) AS BIGINT) AS n_purchases,
+       CAST(sum(n_purchases) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS purchases_per_user
+FROM u GROUP BY arm
 """

@@ -195,3 +195,62 @@ def test_winsorize_report_semantics(tmp_path):
     assert out["n_clipped_lo"] == 1 and out["n_clipped_hi"] == 1
     # raw sum 21000 cents; 0 -> 100 (+100), 2000 -> 1900 (-100)
     assert out["winsorized_sum_c"] == 21000
+
+
+# --------------------------------------------- batch 25: pca explained
+
+
+def test_pca_explained_dominant_axis(tmp_path):
+    """All variance on one axis -> explained_ratio ~ 1.0."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_pca_explained_ratio
+    tmp = tmp_path / "emb"
+    tmp.mkdir(parents=True, exist_ok=True)
+    vecs = [(1.0, 0.0), (-1.0, 0.0), (0.5, 0.0)]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(3, dtype=np.int64)),
+        "embedding": pa.array([list(v) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0], pa.int32())}),
+        tmp / "embeddings.parquet")
+    out = q_pca_explained_ratio(str(tmp)).iloc[0]
+    assert out["explained_ratio"] > 0.999
+    assert out["trace"] > 0
+
+
+def test_pca_explained_real_fixture_range():
+    """64 healthy dims: the top component explains a few percent —
+    well above 1/d (structure exists) and far from collapse."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_pca_explained_ratio
+    r = q_pca_explained_ratio(SF).iloc[0]
+    assert 1 / 64 < r["explained_ratio"] < 0.5
+
+
+def test_ab_lift_arms_partition_users(tmp_path):
+    """Every user lands in exactly one arm; totals conserve."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_ab_lift_report
+    rows = []
+    for uid in range(20):
+        rows.append((uid * 2, uid * 1_000, uid, "click", 1.0))
+        if uid % 3 == 0:
+            rows.append((uid * 2 + 1, uid * 1_000 + 1, uid,
+                         "purchase", 5.0))
+    tmp = tmp_path / "ev2"
+    tmp.mkdir(parents=True, exist_ok=True)
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())}),
+        tmp / "events.parquet")
+    out = q_ab_lift_report(str(tmp))
+    assert out["n_users"].sum() == 20
+    assert out["n_events"].sum() == len(rows)
+    assert out["n_purchases"].sum() == 7
+    assert set(out["arm"]) <= {0, 1}
+    for _, r in out.iterrows():
+        assert r["purchases_per_user"] == r["n_purchases"] / r["n_users"]
