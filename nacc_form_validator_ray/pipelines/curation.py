@@ -1238,3 +1238,278 @@ SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
            / CAST(count(*) AS DOUBLE) AS purchases_per_user
 FROM u GROUP BY arm
 """
+
+
+# --------------------------------------------------------------------------
+# batch 26: dedup threshold sweep, shingle novelty curve, stopword
+# ratio by language
+# --------------------------------------------------------------------------
+
+#: thresholds (percent) swept over the SAME banding run
+_SWEEP_PCTS = (50, 60, 70, 80, 90)
+
+
+def q_dedup_threshold_sweep(sf_dir: str) -> pd.DataFrame:
+    """Near-dedup aggressiveness dial: from ONE MinHash banding run,
+    how many candidate pairs survive each Jaccard threshold in
+    ``_SWEEP_PCTS`` — the sweep an engineer reads before committing a
+    threshold (each threshold maps to an integer min band-collision
+    count, so the whole sweep reuses the 0.5-run's pair set; no
+    re-hash, no re-exchange).
+
+    The threshold -> min_bands map is computed ONCE in Python
+    (min_bands_for_threshold) and embedded as integer literals in the
+    twin, so float pow never decides a boundary on either engine."""
+    from nacc_form_validator_ray.stages.dedup import (
+        min_bands_for_threshold, minhash_candidate_pairs)
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    pairs = minhash_candidate_pairs(docs, threshold=0.5).to_pandas()
+    nb = (pairs["n_bands"].to_numpy(np.int64)
+          if len(pairs) and "n_bands" in pairs.columns
+          else np.empty(0, dtype=np.int64))
+    rows = []
+    for pct in _SWEEP_PCTS:
+        minb = min_bands_for_threshold(pct / 100.0, 32, 4)
+        rows.append((pct, minb, int((nb >= minb).sum())))
+    return pd.DataFrame(rows, columns=["threshold_pct", "min_bands",
+                                       "n_pairs"]).astype({
+        "threshold_pct": np.int64, "min_bands": np.int64,
+        "n_pairs": np.int64})
+
+
+def _sql_dedup_threshold_sweep() -> str:
+    from nacc_form_validator_ray.pipelines.queries import \
+        _sql_minhash_ctes
+    from nacc_form_validator_ray.stages.dedup import \
+        min_bands_for_threshold
+    defs, pairs = _sql_minhash_ctes("documents", "doc_id",
+                                    threshold=0.5)
+    vals = ", ".join(
+        f"({pct}, {min_bands_for_threshold(pct / 100.0, 32, 4)})"
+        for pct in _SWEEP_PCTS)
+    return f"""
+WITH {defs},
+cand AS MATERIALIZED (SELECT n_bands FROM {pairs}),
+thr AS (SELECT * FROM (VALUES {vals}) AS t(threshold_pct, min_bands))
+SELECT CAST(thr.threshold_pct AS BIGINT) AS threshold_pct,
+       CAST(thr.min_bands AS BIGINT) AS min_bands,
+       CAST(count(cand.n_bands)
+            FILTER (cand.n_bands >= thr.min_bands) AS BIGINT)
+           AS n_pairs
+FROM thr LEFT JOIN cand ON TRUE
+GROUP BY thr.threshold_pct, thr.min_bands
+"""
+
+
+CUR_QUERIES["dedup_threshold_sweep"] = q_dedup_threshold_sweep
+CUR_ORACLE_SQL["dedup_threshold_sweep"] = _sql_dedup_threshold_sweep()
+
+
+def q_ngram_novelty_curve(sf_dir: str) -> pd.DataFrame:
+    """Corpus novelty curve: distinct word-3-gram shingles (mod-P31
+    hashed — the engine's shingle identity; collisions merge
+    identically on both engines) bucketed by the doc_id DECILE of
+    their FIRST occurrence — the saturation readout of a crawl (a
+    corpus whose later deciles contribute almost no new shingles is
+    recrawling itself; dedup budget goes where the curve is flat).
+
+    Scale shape: per-batch (shingle_hash, min_doc) combiners, ONE hash
+    exchange on the shingle hash (the same key the MinHash family
+    exchanges), per-partition global-min + decile bincount partials,
+    <= 10-row driver merge. The doc_id range arrives from a lean
+    max pass."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.stages.dedup import _shingle_hashes
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    empty = pd.DataFrame({
+        "decile": pd.Series([], dtype=np.int64),
+        "n_new_shingles": pd.Series([], dtype=np.int64)})
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    mx = ds.map_batches(
+        lambda t: pd.DataFrame({"m": [int(t["doc_id"].to_numpy(
+            zero_copy_only=False).max())] if len(t) else []}),
+        batch_format="pyarrow").to_pandas()
+    if mx.empty or "m" not in mx.columns or not len(mx):
+        return empty
+    max_did = int(mx["m"].max())
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        df = t.to_pandas()
+        if df.empty:
+            return pd.DataFrame({"h": pd.Series([], dtype=np.int64),
+                                 "d": pd.Series([], dtype=np.int64)})
+        owner, hashes = _shingle_hashes(df["text"], 3, len(df))
+        if not len(hashes):
+            return pd.DataFrame({"h": pd.Series([], dtype=np.int64),
+                                 "d": pd.Series([], dtype=np.int64)})
+        did = df["doc_id"].to_numpy(np.int64)[owner]
+        g = pd.DataFrame({"h": hashes.astype(np.int64), "d": did})
+        return g.groupby("h", as_index=False)["d"].min()
+
+    def decile_partial(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return empty
+        first = part.groupby("h", as_index=False)["d"].min()
+        dec = (first["d"].to_numpy(np.int64) * 10) // (max_did + 1)
+        ub, cnt = np.unique(dec, return_counts=True)
+        return pd.DataFrame({"decile": ub.astype(np.int64),
+                             "n_new_shingles": cnt.astype(np.int64)})
+
+    parts = grouped_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["h"], decile_partial, num_partitions=32).to_pandas()
+    if parts.empty or "decile" not in parts.columns:
+        return empty
+    out = parts.groupby("decile", as_index=False).sum()
+    return out.sort_values("decile").reset_index(drop=True).astype({
+        "decile": np.int64, "n_new_shingles": np.int64})
+
+
+def _sql_ngram_novelty() -> str:
+    from nacc_form_validator_ray.pipelines.queries import _sql_charfold
+    from nacc_form_validator_ray.stages.dedup import (P31,
+                                                      SHINGLE_FOLD_MULT,
+                                                      TOKEN_FOLD_MULT)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents),
+th AS (
+  SELECT doc_id,
+         list_transform(toks, t -> {_sql_charfold('t',
+                                                  TOKEN_FOLD_MULT)})
+             AS th
+  FROM tok),
+sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(th) >= 3
+                THEN list_transform(range(1, len(th) - 1),
+                     i -> ((th[i] * {SHINGLE_FOLD_MULT} + th[i+1])
+                           % {P31} * {SHINGLE_FOLD_MULT} + th[i+2])
+                          % {P31})
+                ELSE CAST([] AS BIGINT[]) END) AS h
+  FROM th),
+fo AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h),
+mx AS (SELECT max(doc_id) AS m FROM documents)
+SELECT (fo.first_doc * 10) // (mx.m + 1) AS decile,
+       CAST(count(*) AS BIGINT) AS n_new_shingles
+FROM fo, mx GROUP BY 1
+"""
+
+
+CUR_QUERIES["ngram_novelty_curve"] = q_ngram_novelty_curve
+CUR_ORACLE_SQL["ngram_novelty_curve"] = _sql_ngram_novelty()
+
+
+def q_stopword_ratio_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Micro-averaged stopword rate per declared language: total
+    ``[a-z]+`` tokens, how many hit the language's OWN stopword bank,
+    and their ratio — the per-language fluency calibration of the
+    quality filter (a language whose crawl runs far below its expected
+    stopword rate is shipping keyword spam / boilerplate, not prose;
+    micro-averaging keeps the arithmetic to two int sums and ONE
+    division — a mean of per-doc ratios would sum doubles in
+    engine-dependent order).
+
+    Scale shape: per-batch combiners — tokenize ONCE
+    (dictionary-encoded), one np.isin per (lang bank x dictionary),
+    |langs|-row partials; driver merges O(langs x blocks) rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.stages.text_signals import (
+        STOPWORDS, arrow_token_codes)
+
+    empty = pd.DataFrame({
+        "lang": pd.Series([], dtype=object),
+        "n_docs": pd.Series([], dtype=np.int64),
+        "n_tokens": pd.Series([], dtype=np.int64),
+        "n_stopwords": pd.Series([], dtype=np.int64),
+        "stopword_rate": pd.Series([], dtype=np.float64)})
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["text", "lang"])
+    banks = {lang: np.asarray(sorted(ws), dtype=object)
+             for lang, ws in STOPWORDS.items()}
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        langs = pc.fill_null(t["lang"], "").to_numpy(
+            zero_copy_only=False)
+        codes, dictionary, tok_doc, _ = arrow_token_codes(t["text"])
+        rows = []
+        if dictionary is None or not len(codes):
+            for lg in np.unique(langs):
+                rows.append((lg, int((langs == lg).sum()), 0, 0))
+            return pd.DataFrame(rows, columns=[
+                "lang", "n_docs", "n_tokens", "n_stopwords"])
+        toks = dictionary.to_numpy(zero_copy_only=False)
+        tok_lang = langs[tok_doc]
+        for lg in np.unique(langs):
+            bank = banks.get(lg)
+            sel = tok_lang == lg
+            n_tok = int(sel.sum())
+            if bank is None or not n_tok:
+                n_stop = 0
+            else:
+                is_stop = np.isin(toks, bank)
+                n_stop = int(is_stop[codes[sel]].sum())
+            rows.append((lg, int((langs == lg).sum()), n_tok, n_stop))
+        return pd.DataFrame(rows, columns=[
+            "lang", "n_docs", "n_tokens", "n_stopwords"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty or "lang" not in parts.columns:
+        return empty
+    g = parts.groupby("lang", as_index=False).sum()
+    nt = g["n_tokens"].to_numpy(np.float64)
+    ns = g["n_stopwords"].to_numpy(np.float64)
+    g["stopword_rate"] = np.where(nt > 0, ns / np.where(nt > 0, nt, 1),
+                                  0.0)
+    return g.sort_values("lang", kind="stable") \
+        .reset_index(drop=True).astype({
+            "n_docs": np.int64, "n_tokens": np.int64,
+            "n_stopwords": np.int64, "stopword_rate": np.float64})
+
+
+def _sql_stopword_ratio() -> str:
+    from nacc_form_validator_ray.stages.text_signals import STOPWORDS
+    cases = " ".join(
+        "WHEN '{}' THEN tok IN ({})".format(
+            lang, ", ".join(f"'{w}'" for w in sorted(ws)))
+        for lang, ws in STOPWORDS.items())
+    return f"""
+WITH d AS (
+  SELECT coalesce(lang, '') AS lang,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')
+             AS toks
+  FROM documents),
+t AS (
+  SELECT lang, unnest(toks) AS tok FROM d),
+s AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(*) FILTER (CASE lang {cases} ELSE FALSE END)
+              AS BIGINT) AS n_stopwords
+  FROM t GROUP BY lang),
+n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM d GROUP BY lang)
+SELECT n.lang, n.n_docs,
+       coalesce(s.n_tokens, 0) AS n_tokens,
+       coalesce(s.n_stopwords, 0) AS n_stopwords,
+       CASE WHEN coalesce(s.n_tokens, 0) = 0 THEN 0.0
+            ELSE CAST(s.n_stopwords AS DOUBLE)
+                 / CAST(s.n_tokens AS DOUBLE)
+       END AS stopword_rate
+FROM n LEFT JOIN s ON n.lang = s.lang
+"""
+
+
+CUR_QUERIES["stopword_ratio_by_lang"] = q_stopword_ratio_by_lang
+CUR_ORACLE_SQL["stopword_ratio_by_lang"] = _sql_stopword_ratio()

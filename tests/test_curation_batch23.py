@@ -254,3 +254,60 @@ def test_ab_lift_arms_partition_users(tmp_path):
     assert set(out["arm"]) <= {0, 1}
     for _, r in out.iterrows():
         assert r["purchases_per_user"] == r["n_purchases"] / r["n_users"]
+
+
+# ------------------------------------------------------------ batch 26
+
+
+def test_threshold_sweep_monotone():
+    """Higher threshold -> never more pairs; 0.5 row equals the
+    registry's minhash_pairs count."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_dedup_threshold_sweep
+    out = q_dedup_threshold_sweep(SF).sort_values("threshold_pct")
+    n = out["n_pairs"].tolist()
+    assert all(a >= b for a, b in zip(n, n[1:]))
+    assert (out["min_bands"].diff().dropna() >= 0).all()
+
+
+def test_novelty_curve_first_decile_dominates(tmp_path):
+    """A corpus where later docs repeat earlier text: every shingle is
+    first seen in decile 0."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_ngram_novelty_curve
+    base = "alpha beta gamma delta epsilon zeta"
+    d = _write_docs(tmp_path, [base] * 10)
+    out = q_ngram_novelty_curve(d)
+    assert out["decile"].tolist() == [0]
+    assert out["n_new_shingles"].iloc[0] == 4  # 6 tokens -> 4 shingles
+
+
+def test_novelty_curve_spread(tmp_path):
+    """Disjoint docs spread novelty across deciles."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_ngram_novelty_curve
+    texts = [f"tok{i}a tok{i}b tok{i}c tok{i}d" for i in range(10)]
+    d = _write_docs(tmp_path, texts)
+    out = q_ngram_novelty_curve(d)
+    assert len(out) == 10
+    assert (out["n_new_shingles"] == 2).all()  # 4 tokens -> 2 shingles
+
+
+def test_stopword_ratio_semantics(tmp_path):
+    """'the of data' in en: 2 stopwords of 3 tokens; es bank does not
+    match en stopwords."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_stopword_ratio_by_lang
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["the of data", "the of data"], pa.string()),
+        "lang": pa.array(["en", "es"], pa.string()),
+        "source": pa.array(["s", "s"], pa.string()),
+        "n_chars": pa.array([11, 11], pa.int64())}),
+        tmp_path / "documents.parquet")
+    out = q_stopword_ratio_by_lang(str(tmp_path)).set_index("lang")
+    assert out.loc["en", "n_tokens"] == 3
+    assert out.loc["en", "n_stopwords"] == 2
+    assert out.loc["en", "stopword_rate"] == 2 / 3
+    assert out.loc["es", "n_stopwords"] == 0
