@@ -1513,3 +1513,146 @@ FROM n LEFT JOIN s ON n.lang = s.lang
 
 CUR_QUERIES["stopword_ratio_by_lang"] = q_stopword_ratio_by_lang
 CUR_ORACLE_SQL["stopword_ratio_by_lang"] = _sql_stopword_ratio()
+
+
+# --------------------------------------------------------------------------
+# batch 27: cross-split contamination audit, corpus length Gini
+# --------------------------------------------------------------------------
+
+
+def q_split_leakage_audit(sf_dir: str) -> pd.DataFrame:
+    """Cross-split contamination audit: MinHash near-dup candidate
+    pairs bucketed by the (train/val/test) split of EACH side — the
+    leakage check every eval pipeline needs (a near-duplicate of a
+    test document sitting in train silently inflates benchmarks; the
+    hash split is content-stable, so only DEDUP can fix what this
+    report finds).
+
+    Composes the engine's banding run (threshold 0.5) with the
+    train_val_test_split hash; the candidate set is dup-rate-bounded,
+    so the split tagging is driver arithmetic — at corpus scale tag
+    inside the pair-emitting partitions instead (same integer
+    expression)."""
+    from nacc_form_validator_ray.stages.dedup import \
+        minhash_candidate_pairs
+
+    empty = pd.DataFrame({
+        "split_a": pd.Series([], dtype=object),
+        "split_b": pd.Series([], dtype=object),
+        "n_pairs": pd.Series([], dtype=np.int64)})
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    pairs = minhash_candidate_pairs(docs, threshold=0.5).to_pandas()
+    if pairs.empty or "id_a" not in pairs.columns:
+        return empty
+
+    def split_of(ids: np.ndarray) -> np.ndarray:
+        bucket = ((ids.astype(np.uint64) * np.uint64(2654435761))
+                  % np.uint64(1 << 32)) % np.uint64(10)
+        names = np.array(["train", "val", "test"], dtype=object)
+        return names[np.where(bucket < 8, 0,
+                              np.where(bucket == 8, 1, 2))]
+
+    df = pd.DataFrame({
+        "split_a": split_of(pairs["id_a"].to_numpy(np.int64)),
+        "split_b": split_of(pairs["id_b"].to_numpy(np.int64)),
+        "n_pairs": 1})
+    return df.groupby(["split_a", "split_b"], as_index=False).sum() \
+        .astype({"n_pairs": np.int64})
+
+
+def _sql_split_leakage() -> str:
+    from nacc_form_validator_ray.pipelines.queries import \
+        _sql_minhash_ctes
+    defs, pairs = _sql_minhash_ctes("documents", "doc_id",
+                                    threshold=0.5)
+    split = ("CASE WHEN CAST((CAST({c} AS HUGEINT) * 2654435761) "
+             "% 4294967296 % 10 AS BIGINT) < 8 THEN 'train' "
+             "WHEN CAST((CAST({c} AS HUGEINT) * 2654435761) "
+             "% 4294967296 % 10 AS BIGINT) = 8 THEN 'val' "
+             "ELSE 'test' END")
+    return f"""
+WITH {defs},
+cand AS MATERIALIZED (SELECT id_a, id_b FROM {pairs})
+SELECT {split.format(c='id_a')} AS split_a,
+       {split.format(c='id_b')} AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM cand GROUP BY 1, 2
+"""
+
+
+CUR_QUERIES["split_leakage_audit"] = q_split_leakage_audit
+CUR_ORACLE_SQL["split_leakage_audit"] = _sql_split_leakage()
+
+
+def q_doc_len_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of document length — the corpus-concentration
+    readout (G near 0: uniform page sizes; near 1: a few giant
+    documents carry the char mass — which skews packing, sampling
+    weights and per-shard balance). Uses the classic rank formula
+    ``G = 2*sum(r_i x_i) / (n*sum x) - (n+1)/n`` over the ASCENDING
+    strict order (n_chars, doc_id DESC) — derived exactly from the
+    engine's ONE-exchange global rank (ranked_docs ranks by n_chars
+    DESC, doc_id: ascending rank = n + 1 - rank_desc, so no second
+    sort happens).
+
+    Exactness: n, sum x and sum r*x are exact ints (Python-int driver
+    merge); the Gini is two correctly-rounded divisions and one
+    subtraction in the same order as the twin. BIGINT bound: sum r*x
+    <= n^2 * max_chars — past ~10^8 docs return the ints unscaled
+    (they stay exact) and divide offline."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.pipelines.queries import q_ranked_docs
+
+    empty_row = pd.DataFrame({
+        "n": pd.Series([0], dtype=np.int64),
+        "total_chars": pd.Series([0], dtype=np.int64),
+        "sum_rank_chars": pd.Series([0], dtype=np.int64),
+        "gini": pd.Series([0.0], dtype=np.float64)})
+
+    ranked = q_ranked_docs(sf_dir)
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        x = t["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rd = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pd.DataFrame({"n": [len(x)], "sx": [int(x.sum())],
+                             "srdx": [int((rd * x).sum())]})
+
+    parts = ranked.map_batches(partial,
+                               batch_format="pyarrow").to_pandas()
+    if parts.empty or "n" not in parts.columns:
+        return empty_row
+    n = int(sum(int(v) for v in parts["n"]))
+    sx = sum(int(v) for v in parts["sx"])
+    srdx = sum(int(v) for v in parts["srdx"])
+    if n == 0 or sx == 0:
+        return empty_row
+    srx = (n + 1) * sx - srdx   # ascending-rank weighted sum
+    gini = (float(2 * srx) / float(n * sx)
+            - float(n + 1) / float(n))
+    return pd.DataFrame({
+        "n": [n], "total_chars": [sx], "sum_rank_chars": [srx],
+        "gini": [gini]}).astype({
+            "n": np.int64, "total_chars": np.int64,
+            "sum_rank_chars": np.int64, "gini": np.float64})
+
+
+CUR_QUERIES["doc_len_gini"] = q_doc_len_gini
+CUR_ORACLE_SQL["doc_len_gini"] = """
+WITH r AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id DESC) AS rk
+  FROM documents),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sx,
+             CAST(coalesce(sum(rk * n_chars), 0) AS BIGINT) AS srx
+      FROM r)
+SELECT n, sx AS total_chars, srx AS sum_rank_chars,
+       CASE WHEN n = 0 OR sx = 0 THEN 0.0
+            ELSE CAST(2 * srx AS DOUBLE) / CAST(n * sx AS DOUBLE)
+                 - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)
+       END AS gini
+FROM a
+"""

@@ -311,3 +311,41 @@ def test_stopword_ratio_semantics(tmp_path):
     assert out.loc["en", "n_stopwords"] == 2
     assert out.loc["en", "stopword_rate"] == 2 / 3
     assert out.loc["es", "n_stopwords"] == 0
+
+
+# ------------------------------------------------------------ batch 27
+
+
+def test_split_leakage_conserves_pairs():
+    """Split-tagged pair counts must sum to the registry's full
+    candidate pair count."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_split_leakage_audit
+    from nacc_form_validator_ray.pipelines.queries import QUERIES
+    audit = q_split_leakage_audit(SF)
+    pairs = QUERIES["minhash_pairs"](SF)
+    pairs = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
+    # registry minhash_pairs runs at threshold 0.5 too
+    assert audit["n_pairs"].sum() == len(pairs)
+    assert set(audit["split_a"]) | set(audit["split_b"]) \
+        <= {"train", "val", "test"}
+
+
+def test_gini_uniform_zero(tmp_path):
+    """Equal lengths -> G exactly 0 (rank formula on x_i = c)."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_doc_len_gini
+    d = _write_docs(tmp_path, ["abcd"] * 50)
+    r = q_doc_len_gini(d).iloc[0]
+    assert r["n"] == 50 and r["total_chars"] == 200
+    assert r["gini"] == 0.0
+
+
+def test_gini_concentrated_near_one(tmp_path):
+    """One giant doc among empty-ish docs -> G -> (n-1)/n."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_doc_len_gini
+    texts = ["x" * 10000] + ["y"] * 99
+    d = _write_docs(tmp_path, texts)
+    r = q_doc_len_gini(d).iloc[0]
+    assert r["gini"] > 0.95
