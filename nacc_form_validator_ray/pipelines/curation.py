@@ -1656,3 +1656,113 @@ SELECT n, sx AS total_chars, srx AS sum_rank_chars,
        END AS gini
 FROM a
 """
+
+
+# --------------------------------------------------------------------------
+# batch 28: per-source curation scorecard (the dashboard composition)
+# --------------------------------------------------------------------------
+
+
+def q_source_scorecard(sf_dir: str) -> pd.DataFrame:
+    """Per-source curation scorecard — ONE wide row per feed joining
+    the four per-source audits a curator reads together: quality-filter
+    keep rate, exact-dedup survivorship, language-ID drift and PII
+    scrub volume. The dashboard that decides whether a feed stays in
+    the mix (high dup + high mismatch + low keep = drop the feed, not
+    the documents).
+
+    Composes the oracled machinery: the keep flags are the SAME fused
+    TextStats + rule-flag pass as keep_rate_by_length (grouped by
+    source instead of length bucket); the other three columns come
+    from the registered per-source reports. Each component is its own
+    lean streaming pass; the join is |sources| rows on the driver."""
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_dedup_survivors_by_source
+    from nacc_form_validator_ray.pipelines.queries import (
+        _doc_rule_flags, _docs, _merge_partials,
+        q_langid_mismatch_by_source, q_scrub_volume_by_source)
+    from nacc_form_validator_ray.stages.text_signals import TextStats
+
+    empty = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in [
+        ("source", object), ("n_docs", np.int64),
+        ("n_kept", np.int64), ("keep_rate", np.float64),
+        ("n_survivors", np.int64), ("dup_rate", np.float64),
+        ("n_mismatch", np.int64), ("mismatch_rate", np.float64),
+        ("n_redactions", np.int64), ("chars_removed", np.int64)]})
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "source"])
+    ds = ds.map_batches(TextStats(langid=True), batch_format="pyarrow",
+                        batch_size=4096)
+
+    def keep_partial(t) -> pd.DataFrame:
+        flags = _doc_rule_flags(t)
+        viol = np.zeros(t.num_rows, dtype=bool)
+        for v in flags.values():
+            viol |= v
+        src = pc.fill_null(t["source"], "").to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({"source": src,
+                           "n_docs": np.ones(len(src), dtype=np.int64),
+                           "n_kept": (~viol).astype(np.int64)})
+        return df.groupby("source", as_index=False).sum()
+
+    keep = _merge_partials(ds.map_batches(keep_partial,
+                                          batch_format="pyarrow"),
+                           ["source"], {"n_docs": "sum",
+                                        "n_kept": "sum"})
+    if keep.empty:
+        return empty
+    keep["keep_rate"] = keep["n_kept"].to_numpy(np.float64) \
+        / keep["n_docs"].to_numpy(np.float64)
+
+    surv = q_dedup_survivors_by_source(sf_dir)[
+        ["source", "n_survivors", "dup_rate"]]
+    mis = q_langid_mismatch_by_source(sf_dir)[
+        ["source", "n_mismatch", "mismatch_rate"]]
+    scrub = q_scrub_volume_by_source(sf_dir)[
+        ["source", "n_redactions", "chars_removed"]]
+    out = keep.merge(surv, on="source").merge(mis, on="source") \
+        .merge(scrub, on="source")
+    return out.sort_values("source", kind="stable") \
+        .reset_index(drop=True).astype({
+            "n_docs": np.int64, "n_kept": np.int64,
+            "keep_rate": np.float64, "n_survivors": np.int64,
+            "dup_rate": np.float64, "n_mismatch": np.int64,
+            "mismatch_rate": np.float64, "n_redactions": np.int64,
+            "chars_removed": np.int64})
+
+
+def _sql_source_scorecard() -> str:
+    from nacc_form_validator_ray.pipelines.mining import MIN_ORACLE_SQL
+    from nacc_form_validator_ray.pipelines.queries import (
+        _SQL_FLAGS_PROLOGUE, SQL_LANGID_MISMATCH, _sql_scrub_volume)
+    keep_sql = _SQL_FLAGS_PROLOGUE + """
+, b AS (
+  SELECT f.doc_id, coalesce(d.source, '') AS source,
+         NOT (v_lang_pred OR v_mean_word_len OR v_n_words
+              OR v_rep_3gram_ratio OR v_stop_ratio) AS kept
+  FROM f JOIN documents d ON d.doc_id = f.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (kept) AS DOUBLE) / count(*) AS keep_rate
+FROM b GROUP BY source
+"""
+    return f"""
+SELECT k.source, k.n_docs, k.n_kept, k.keep_rate,
+       s.n_survivors, s.dup_rate,
+       m.n_mismatch, m.mismatch_rate,
+       p.n_redactions, p.chars_removed
+FROM ({keep_sql}) k
+JOIN ({MIN_ORACLE_SQL["dedup_survivors_by_source"]}) s
+  ON s.source = k.source
+JOIN ({SQL_LANGID_MISMATCH}) m ON m.source = k.source
+JOIN ({_sql_scrub_volume()}) p ON p.source = k.source
+"""
+
+
+CUR_QUERIES["source_scorecard"] = q_source_scorecard
+CUR_ORACLE_SQL["source_scorecard"] = _sql_source_scorecard()

@@ -349,3 +349,22 @@ def test_gini_concentrated_near_one(tmp_path):
     d = _write_docs(tmp_path, texts)
     r = q_doc_len_gini(d).iloc[0]
     assert r["gini"] > 0.95
+
+
+# ------------------------------------------------------------ batch 28
+
+
+def test_source_scorecard_consistency():
+    """The wide scorecard must agree column-for-column with the three
+    per-source reports it composes."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_source_scorecard
+    from nacc_form_validator_ray.pipelines.mining import \
+        q_dedup_survivors_by_source
+    sc = q_source_scorecard(SF).set_index("source")
+    surv = q_dedup_survivors_by_source(SF).set_index("source")
+    assert len(sc) == 20
+    assert (sc["n_survivors"] == surv.loc[sc.index, "n_survivors"]).all()
+    assert sc["keep_rate"].between(0, 1).all()
+    assert (sc["n_kept"] <= sc["n_docs"]).all()
+    assert (sc["n_survivors"] <= sc["n_docs"]).all()
