@@ -1766,3 +1766,175 @@ JOIN ({_sql_scrub_volume()}) p ON p.source = k.source
 
 CUR_QUERIES["source_scorecard"] = q_source_scorecard
 CUR_ORACLE_SQL["source_scorecard"] = _sql_source_scorecard()
+
+
+# --------------------------------------------------------------------------
+# batch 29: classifier ROC points (model-vs-heuristic evaluation)
+# --------------------------------------------------------------------------
+
+#: interior decile thresholds swept over the logit distribution
+_ROC_QS = (10, 20, 30, 40, 50, 60, 70, 80, 90)
+
+
+def q_lr_roc_points(sf_dir: str) -> pd.DataFrame:
+    """ROC curve of the LR quality classifier against the heuristic
+    rule-stack labels: at each interior decile of the logit
+    distribution (exact index semantics — the logit value at global
+    rank ``floor(q*(n-1))``), the confusion counts of ``logit >=
+    threshold`` vs the rule verdict, plus TPR/FPR — the
+    model-replaces-heuristics evaluation every curation team runs
+    before swapping a rule stack for a classifier.
+
+    Thresholds are DATA-derived but literal-free: both engines pick
+    them by the same global-rank index, so the twin needs no embedded
+    constants. Scale shape: one lean count pass, one global-rank range
+    exchange over (logit, doc_id), one confusion-combiner pass
+    (9 x 4 ints per batch) — the fused signals+logit map runs once per
+    pass (three total; at corpus scale spill the lean fused projection
+    to parquet once and feed all three from it — the
+    exact_dedup pin pattern)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.queries import (
+        _doc_rule_flags, _docs)
+    from nacc_form_validator_ray.stages.classifier import LRScorer
+    from nacc_form_validator_ray.stages.ranking import global_rank
+    from nacc_form_validator_ray.stages.text_signals import TextStats
+
+    empty = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in [
+        ("q_pct", np.int64), ("threshold_logit", np.int64),
+        ("tp", np.int64), ("fp", np.int64), ("tn", np.int64),
+        ("fn", np.int64), ("tpr", np.float64), ("fpr", np.float64)]})
+
+    def fused_ds():
+        ds = _docs(sf_dir, columns=["doc_id", "text"])
+        ds = ds.map_batches(TextStats(langid=True),
+                            batch_format="pyarrow", batch_size=4096)
+        scorer = LRScorer()
+
+        def fused(t: "pa.Table") -> "pa.Table":
+            flags = _doc_rule_flags(t)
+            viol = np.zeros(t.num_rows, dtype=bool)
+            for v in flags.values():
+                viol |= v
+            scored = scorer(pa.table({"doc_id": t["doc_id"],
+                                      "text": t["text"]}))
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "logit_q10": scored["logit_q10"],
+                "truth": pa.array(~viol)})
+
+        return ds.map_batches(fused, batch_format="pyarrow")
+
+    # pass 1: n
+    cnt = fused_ds().map_batches(
+        lambda t: pd.DataFrame({"n": [t.num_rows]}),
+        batch_format="pyarrow").to_pandas()
+    n = int(cnt["n"].sum()) if len(cnt) else 0
+    if n == 0:
+        return empty
+
+    # pass 2: decile thresholds by exact global-rank index pick
+    targets = {int(np.floor(q / 100.0 * (n - 1))) + 1: q
+               for q in _ROC_QS}
+    tset = np.array(sorted(targets), dtype=np.int64)
+    ranked = global_rank(fused_ds(), "logit_q10", tie_cols=["doc_id"],
+                         descending=False, num_partitions=32)
+
+    def pick(t: "pa.Table") -> pd.DataFrame:
+        rk = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.isin(rk, tset)
+        return pd.DataFrame({
+            "rank": rk[m],
+            "logit": t["logit_q10"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[m]})
+
+    picks = ranked.map_batches(pick, batch_format="pyarrow") \
+        .to_pandas()
+    thr = {targets[int(r["rank"])]: int(r["logit"])
+           for _, r in picks.iterrows()}
+
+    # pass 3: confusion combiners per threshold
+    qs = np.array(sorted(thr), dtype=np.int64)
+    tvals = np.array([thr[int(q)] for q in qs], dtype=np.int64)
+
+    def confusion(t: "pa.Table") -> pd.DataFrame:
+        lg = t["logit_q10"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tr = t["truth"].to_numpy(zero_copy_only=False).astype(bool)
+        pred = lg[None, :] >= tvals[:, None]        # (9, n)
+        tp = (pred & tr[None, :]).sum(axis=1)
+        fp = (pred & ~tr[None, :]).sum(axis=1)
+        fn = (~pred & tr[None, :]).sum(axis=1)
+        tn = (~pred & ~tr[None, :]).sum(axis=1)
+        return pd.DataFrame({
+            "q_pct": qs, "threshold_logit": tvals,
+            "tp": tp.astype(np.int64), "fp": fp.astype(np.int64),
+            "tn": tn.astype(np.int64), "fn": fn.astype(np.int64)})
+
+    parts = fused_ds().map_batches(confusion,
+                                   batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["q_pct", "threshold_logit"],
+                      as_index=False).sum()
+    pos = (g["tp"] + g["fn"]).to_numpy(np.float64)
+    neg = (g["fp"] + g["tn"]).to_numpy(np.float64)
+    g["tpr"] = np.where(pos > 0, g["tp"].to_numpy(np.float64)
+                        / np.where(pos > 0, pos, 1), 0.0)
+    g["fpr"] = np.where(neg > 0, g["fp"].to_numpy(np.float64)
+                        / np.where(neg > 0, neg, 1), 0.0)
+    return g.sort_values("q_pct").reset_index(drop=True).astype({
+        "q_pct": np.int64, "threshold_logit": np.int64,
+        "tp": np.int64, "fp": np.int64, "tn": np.int64,
+        "fn": np.int64, "tpr": np.float64, "fpr": np.float64})
+
+
+def _sql_lr_roc() -> str:
+    from nacc_form_validator_ray.pipelines.queries import (
+        _SQL_FLAGS_PROLOGUE, _sql_lr_score)
+    truth_sql = _SQL_FLAGS_PROLOGUE + """
+SELECT f.doc_id,
+       NOT (v_lang_pred OR v_mean_word_len OR v_n_words
+            OR v_rep_3gram_ratio OR v_stop_ratio) AS truth
+FROM f
+"""
+    qs = ", ".join(f"({q})" for q in _ROC_QS)
+    return f"""
+WITH t AS ({truth_sql}),
+s AS ({_sql_lr_score()}),
+j AS (SELECT s.doc_id, s.logit_q10, t.truth
+      FROM s JOIN t ON t.doc_id = s.doc_id),
+r AS (SELECT logit_q10,
+             row_number() OVER (ORDER BY logit_q10, doc_id) AS rn,
+             count(*) OVER () AS cnt
+      FROM j),
+thr AS (SELECT q.q AS q_pct, min(r.logit_q10) AS threshold_logit
+        FROM r JOIN (VALUES {qs}) AS q(q)
+          ON r.rn - 1 = CAST(floor(q.q / 100.0 * (r.cnt - 1))
+                             AS BIGINT)
+        GROUP BY q.q)
+SELECT thr.q_pct, thr.threshold_logit,
+       CAST(count(*) FILTER (j.truth AND j.logit_q10
+                             >= thr.threshold_logit) AS BIGINT) AS tp,
+       CAST(count(*) FILTER (NOT j.truth AND j.logit_q10
+                             >= thr.threshold_logit) AS BIGINT) AS fp,
+       CAST(count(*) FILTER (NOT j.truth AND j.logit_q10
+                             < thr.threshold_logit) AS BIGINT) AS tn,
+       CAST(count(*) FILTER (j.truth AND j.logit_q10
+                             < thr.threshold_logit) AS BIGINT) AS fn,
+       CASE WHEN count(*) FILTER (j.truth) = 0 THEN 0.0
+            ELSE CAST(count(*) FILTER (j.truth AND j.logit_q10
+                      >= thr.threshold_logit) AS DOUBLE)
+                 / CAST(count(*) FILTER (j.truth) AS DOUBLE)
+       END AS tpr,
+       CASE WHEN count(*) FILTER (NOT j.truth) = 0 THEN 0.0
+            ELSE CAST(count(*) FILTER (NOT j.truth AND j.logit_q10
+                      >= thr.threshold_logit) AS DOUBLE)
+                 / CAST(count(*) FILTER (NOT j.truth) AS DOUBLE)
+       END AS fpr
+FROM j, thr GROUP BY thr.q_pct, thr.threshold_logit
+"""
+
+
+CUR_QUERIES["lr_roc_points"] = q_lr_roc_points
+CUR_ORACLE_SQL["lr_roc_points"] = _sql_lr_roc()

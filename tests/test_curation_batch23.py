@@ -368,3 +368,23 @@ def test_source_scorecard_consistency():
     assert sc["keep_rate"].between(0, 1).all()
     assert (sc["n_kept"] <= sc["n_docs"]).all()
     assert (sc["n_survivors"] <= sc["n_docs"]).all()
+
+
+# ------------------------------------------------------------ batch 29
+
+
+def test_roc_monotone_and_bounded():
+    """Raising the threshold can only shrink TPR and FPR; rates stay
+    in [0,1]; counts partition the corpus at every threshold."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_lr_roc_points
+    out = q_lr_roc_points(SF).sort_values("threshold_logit")
+    assert len(out) == 9
+    n = (out["tp"] + out["fp"] + out["tn"] + out["fn"]).unique()
+    assert len(n) == 1 and n[0] == 500
+    tpr = out["tpr"].tolist()
+    fpr = out["fpr"].tolist()
+    assert all(a >= b for a, b in zip(tpr, tpr[1:]))
+    assert all(a >= b for a, b in zip(fpr, fpr[1:]))
+    assert out["tpr"].between(0, 1).all()
+    assert out["fpr"].between(0, 1).all()
