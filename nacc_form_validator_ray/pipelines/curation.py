@@ -1835,10 +1835,13 @@ def q_lr_roc_points(sf_dir: str) -> pd.DataFrame:
     if n == 0:
         return empty
 
-    # pass 2: decile thresholds by exact global-rank index pick
-    targets = {int(np.floor(q / 100.0 * (n - 1))) + 1: q
+    # pass 2: decile thresholds by exact global-rank index pick.
+    # Keyed q -> rank (not rank -> q): on a tiny corpus several
+    # deciles share one rank, and a rank-keyed dict would silently
+    # drop all but one of them while the twin emits every q row.
+    targets = {q: int(np.floor(q / 100.0 * (n - 1))) + 1
                for q in _ROC_QS}
-    tset = np.array(sorted(targets), dtype=np.int64)
+    tset = np.unique(np.fromiter(targets.values(), dtype=np.int64))
     ranked = global_rank(fused_ds(), "logit_q10", tie_cols=["doc_id"],
                          descending=False, num_partitions=32)
 
@@ -1852,8 +1855,10 @@ def q_lr_roc_points(sf_dir: str) -> pd.DataFrame:
 
     picks = ranked.map_batches(pick, batch_format="pyarrow") \
         .to_pandas()
-    thr = {targets[int(r["rank"])]: int(r["logit"])
-           for _, r in picks.iterrows()}
+    logit_at = {int(r["rank"]): int(r["logit"])
+                for _, r in picks.iterrows()}
+    thr = {q: logit_at[rk] for q, rk in targets.items()
+           if rk in logit_at}
 
     # pass 3: confusion combiners per threshold
     qs = np.array(sorted(thr), dtype=np.int64)

@@ -388,3 +388,17 @@ def test_roc_monotone_and_bounded():
     assert all(a >= b for a, b in zip(fpr, fpr[1:]))
     assert out["tpr"].between(0, 1).all()
     assert out["fpr"].between(0, 1).all()
+
+
+def test_roc_tiny_corpus_keeps_all_deciles(tmp_path):
+    """n=3: several deciles collapse onto the same rank; every q row
+    must still be emitted (regression: a rank-keyed dict dropped all
+    but one q per rank while the twin emits nine rows)."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_lr_roc_points
+    d = _write_docs(tmp_path, ["the data system report world " * 20,
+                               "short",
+                               "market science music house " * 30])
+    out = q_lr_roc_points(d)
+    assert len(out) == 9
+    assert out["q_pct"].tolist() == [10, 20, 30, 40, 50, 60, 70, 80, 90]
