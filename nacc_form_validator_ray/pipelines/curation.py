@@ -701,17 +701,25 @@ def q_bloom_fp_audit(sf_dir: str) -> pd.DataFrame:
         did = did[did % 2 == 0]
         pos = (np.unique(_pos(_h(did))) if len(did) else
                np.empty(0, dtype=np.int64))
-        return pd.DataFrame({"pos": pos.astype(np.int64),
-                             "nb": np.full(len(pos), 0, dtype=np.int64)
-                             }).assign(nb=lambda d: d["nb"].where(
-                                 d.index != 0, len(did)))
+        # one sentinel row (pos = -1) carries this batch's build
+        # count; position rows carry nb = 0. The driver separates
+        # them by VALUE, not frame index, so any future filter/sort
+        # of the partials cannot corrupt n_build (round-4 review)
+        return pd.DataFrame({
+            "pos": np.concatenate(
+                [pos.astype(np.int64),
+                 np.array([-1], dtype=np.int64)]),
+            "nb": np.concatenate(
+                [np.zeros(len(pos), dtype=np.int64),
+                 np.array([len(did)], dtype=np.int64)])})
 
     built = ds.map_batches(build_partial,
                            batch_format="pyarrow").to_pandas()
     bitmap = np.zeros(_BF_BITS, dtype=bool)
     n_build = 0
     if len(built) and "pos" in built.columns:
-        bitmap[built["pos"].to_numpy(np.int64)] = True
+        p = built["pos"].to_numpy(np.int64)
+        bitmap[p[p >= 0]] = True
         n_build = int(built["nb"].sum())
     n_bits_set = int(bitmap.sum())
 
@@ -1533,6 +1541,7 @@ def q_split_leakage_audit(sf_dir: str) -> pd.DataFrame:
     so the split tagging is driver arithmetic — at corpus scale tag
     inside the pair-emitting partitions instead (same integer
     expression)."""
+    from nacc_form_validator_ray.pipelines.queries import split_names_of
     from nacc_form_validator_ray.stages.dedup import \
         minhash_candidate_pairs
 
@@ -1546,36 +1555,26 @@ def q_split_leakage_audit(sf_dir: str) -> pd.DataFrame:
     if pairs.empty or "id_a" not in pairs.columns:
         return empty
 
-    def split_of(ids: np.ndarray) -> np.ndarray:
-        bucket = ((ids.astype(np.uint64) * np.uint64(2654435761))
-                  % np.uint64(1 << 32)) % np.uint64(10)
-        names = np.array(["train", "val", "test"], dtype=object)
-        return names[np.where(bucket < 8, 0,
-                              np.where(bucket == 8, 1, 2))]
-
+    # split mapping single-sourced with train_val_test_split: the
+    # audit must always grade the split the engine actually assigns
     df = pd.DataFrame({
-        "split_a": split_of(pairs["id_a"].to_numpy(np.int64)),
-        "split_b": split_of(pairs["id_b"].to_numpy(np.int64)),
+        "split_a": split_names_of(pairs["id_a"].to_numpy(np.int64)),
+        "split_b": split_names_of(pairs["id_b"].to_numpy(np.int64)),
         "n_pairs": 1})
     return df.groupby(["split_a", "split_b"], as_index=False).sum() \
         .astype({"n_pairs": np.int64})
 
 
 def _sql_split_leakage() -> str:
-    from nacc_form_validator_ray.pipelines.queries import \
-        _sql_minhash_ctes
+    from nacc_form_validator_ray.pipelines.queries import (
+        _sql_minhash_ctes, sql_split_case)
     defs, pairs = _sql_minhash_ctes("documents", "doc_id",
                                     threshold=0.5)
-    split = ("CASE WHEN CAST((CAST({c} AS HUGEINT) * 2654435761) "
-             "% 4294967296 % 10 AS BIGINT) < 8 THEN 'train' "
-             "WHEN CAST((CAST({c} AS HUGEINT) * 2654435761) "
-             "% 4294967296 % 10 AS BIGINT) = 8 THEN 'val' "
-             "ELSE 'test' END")
     return f"""
 WITH {defs},
 cand AS MATERIALIZED (SELECT id_a, id_b FROM {pairs})
-SELECT {split.format(c='id_a')} AS split_a,
-       {split.format(c='id_b')} AS split_b,
+SELECT {sql_split_case('id_a')} AS split_a,
+       {sql_split_case('id_b')} AS split_b,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM cand GROUP BY 1, 2
 """
@@ -1627,11 +1626,17 @@ def q_doc_len_gini(sf_dir: str) -> pd.DataFrame:
     n = int(sum(int(v) for v in parts["n"]))
     sx = sum(int(v) for v in parts["sx"])
     srdx = sum(int(v) for v in parts["srdx"])
-    if n == 0 or sx == 0:
+    if n == 0:
         return empty_row
     srx = (n + 1) * sx - srdx   # ascending-rank weighted sum
-    gini = (float(2 * srx) / float(n * sx)
-            - float(n + 1) / float(n))
+    # n > 0 but zero char mass (all-empty texts): the twin reports the
+    # REAL row count with gini pinned to 0.0 — only the division is
+    # guarded, not the whole row (round-4 review finding)
+    if sx == 0:
+        gini = 0.0
+    else:
+        gini = (float(2 * srx) / float(n * sx)
+                - float(n + 1) / float(n))
     return pd.DataFrame({
         "n": [n], "total_chars": [sx], "sum_rank_chars": [srx],
         "gini": [gini]}).astype({
@@ -1789,10 +1794,11 @@ def q_lr_roc_points(sf_dir: str) -> pd.DataFrame:
     them by the same global-rank index, so the twin needs no embedded
     constants. Scale shape: one lean count pass, one global-rank range
     exchange over (logit, doc_id), one confusion-combiner pass
-    (9 x 4 ints per batch) — the fused signals+logit map runs once per
-    pass (three total; at corpus scale spill the lean fused projection
-    to parquet once and feed all three from it — the
-    exact_dedup pin pattern)."""
+    (9 x 4 ints per batch) — the count comes from parquet metadata
+    (the fused stages are row-preserving), so the fused
+    signals+logit map runs TWICE (rank pass + confusion pass; at
+    corpus scale spill the lean fused projection to parquet once and
+    feed both from it — the exact_dedup pin pattern)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -1827,11 +1833,11 @@ def q_lr_roc_points(sf_dir: str) -> pd.DataFrame:
 
         return ds.map_batches(fused, batch_format="pyarrow")
 
-    # pass 1: n
-    cnt = fused_ds().map_batches(
-        lambda t: pd.DataFrame({"n": [t.num_rows]}),
-        batch_format="pyarrow").to_pandas()
-    n = int(cnt["n"].sum()) if len(cnt) else 0
+    # pass 1: n — the fused stages are row-preserving maps, so the
+    # document count IS n; read it from parquet metadata instead of
+    # running the langid+scorer pipeline a third time (round-4 review
+    # finding)
+    n = int(_docs(sf_dir, columns=["doc_id"]).count())
     if n == 0:
         return empty
 
@@ -1943,3 +1949,24 @@ FROM j, thr GROUP BY thr.q_pct, thr.threshold_logit
 
 CUR_QUERIES["lr_roc_points"] = q_lr_roc_points
 CUR_ORACLE_SQL["lr_roc_points"] = _sql_lr_roc()
+
+
+# --------------------------------------------------------------------------
+# Registry re-push — import-order independence.
+#
+# Several module-level twin builders above (_sql_minhash_estimate_error,
+# _sql_dedup_threshold_sweep, ...) import pipelines.queries at CALL time,
+# so importing THIS module first triggers queries.py to fully execute
+# mid-way through our own initialization. queries.py's bottom-of-module
+# `QUERIES.update(CUR_QUERIES)` then snapshots these dicts while they are
+# only partially populated, silently dropping every query registered
+# after the first such builder. Re-pushing here — after all
+# registrations — makes the merged registry identical regardless of
+# which module is imported first (idempotent when queries imports us).
+# --------------------------------------------------------------------------
+import sys as _sys
+
+_q = _sys.modules.get("nacc_form_validator_ray.pipelines.queries")
+if _q is not None and hasattr(_q, "QUERIES"):
+    _q.QUERIES.update(CUR_QUERIES)
+    _q.ORACLE_SQL.update(CUR_ORACLE_SQL)

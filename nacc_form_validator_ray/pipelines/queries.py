@@ -2680,6 +2680,38 @@ QUERIES["parts_ordered_both_halves"] = q_parts_ordered_both_halves
 ORACLE_SQL["parts_ordered_both_halves"] = SQL_PARTS_ORDERED_BOTH_HALVES
 
 
+def split_bucket_of(ids: "np.ndarray") -> "np.ndarray":
+    """The engine's ONE split-hash definition: Knuth multiplicative
+    bucket ``(doc_id * 2654435761) mod 2^32 mod 10``. Every consumer
+    (split assignment, leakage audits) must route through this helper
+    and :func:`sql_split_case` so the 80/10/10 mapping can never drift
+    between an audit and the split it audits."""
+    return ((ids.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(1 << 32)) % np.uint64(10)
+
+
+_SPLIT_NAMES = np.array(["train", "val", "test"], dtype=object)
+
+
+def split_names_of(ids: "np.ndarray") -> "np.ndarray":
+    """bucket<8 -> train, ==8 -> val, else test (str object array)."""
+    bucket = split_bucket_of(ids)
+    return _SPLIT_NAMES[np.where(bucket < 8, 0,
+                                 np.where(bucket == 8, 1, 2))]
+
+
+def _sql_split_case_from_bucket(bucket: str) -> str:
+    return (f"CASE WHEN {bucket} < 8 THEN 'train' "
+            f"WHEN {bucket} = 8 THEN 'val' ELSE 'test' END")
+
+
+def sql_split_case(col: str) -> str:
+    """DuckDB twin of :func:`split_names_of` for an id column."""
+    bucket = (f"CAST((CAST({col} AS HUGEINT) * 2654435761) "
+              f"% 4294967296 % 10 AS BIGINT)")
+    return _sql_split_case_from_bucket(bucket)
+
+
 def q_train_val_test_split(sf_dir: str):
     """Deterministic train/val/test split assignment (80/10/10) by a
     Knuth multiplicative hash of the doc id — the standard
@@ -2687,26 +2719,23 @@ def q_train_val_test_split(sf_dir: str):
     (map-only, no exchange), reproducible across runs/partitionings,
     and a new document never moves an existing one between splits.
     The bucket is ``(doc_id * 2654435761) mod 2^32 mod 10`` — exact
-    integer arithmetic on both engines."""
+    integer arithmetic on both engines (single-sourced in
+    :func:`split_bucket_of` / :func:`sql_split_case`)."""
     import pyarrow as pa
 
     def split(batch: "pa.Table") -> "pa.Table":
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        bucket = ((ids.astype(np.uint64) * np.uint64(2654435761))
-                  % np.uint64(1 << 32)) % np.uint64(10)
-        names = np.array(["train", "val", "test"], dtype=object)
-        sel = np.where(bucket < 8, 0, np.where(bucket == 8, 1, 2))
         return pa.table({
             "doc_id": batch["doc_id"],
-            "bucket": pa.array(bucket.astype(np.int64)),
-            "split": pa.array(names[sel]),
+            "bucket": pa.array(split_bucket_of(ids).astype(np.int64)),
+            "split": pa.array(split_names_of(ids)),
         })
 
     ds = _docs(sf_dir, columns=["doc_id"])
     return ds.map_batches(split, batch_format="pyarrow")
 
 
-SQL_TRAIN_VAL_TEST_SPLIT = """
+SQL_TRAIN_VAL_TEST_SPLIT = f"""
 WITH b AS (
   SELECT doc_id,
          CAST((CAST(doc_id AS HUGEINT) * 2654435761)
@@ -2714,8 +2743,7 @@ WITH b AS (
   FROM documents
 )
 SELECT doc_id, bucket,
-       CASE WHEN bucket < 8 THEN 'train'
-            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+       {_sql_split_case_from_bucket('bucket')} AS split
 FROM b
 """
 

@@ -402,3 +402,59 @@ def test_roc_tiny_corpus_keeps_all_deciles(tmp_path):
     out = q_lr_roc_points(d)
     assert len(out) == 9
     assert out["q_pct"].tolist() == [10, 20, 30, 40, 50, 60, 70, 80, 90]
+
+
+def test_registry_import_order_independent():
+    """Importing pipelines.curation BEFORE pipelines.queries must yield
+    the identical merged registry. curation's module-level twin
+    builders import queries at call time, which (curation-first) makes
+    queries snapshot the curation dicts mid-initialization; the
+    re-push block at the bottom of curation.py repairs the snapshot.
+    Regression for the round-4 review finding."""
+    import subprocess
+    import sys
+
+    prog = (
+        "import nacc_form_validator_ray.pipelines.{first} as a;"
+        "import nacc_form_validator_ray.pipelines.{second} as b;"
+        "import nacc_form_validator_ray.pipelines.queries as q;"
+        "import nacc_form_validator_ray.pipelines.curation as c;"
+        "missing=[k for k in c.CUR_QUERIES if k not in q.QUERIES];"
+        "missing_o=[k for k in c.CUR_ORACLE_SQL if k not in q.ORACLE_SQL];"
+        "assert not missing, missing;"
+        "assert not missing_o, missing_o;"
+        "print(len(q.QUERIES), len(q.ORACLE_SQL))"
+    )
+    sizes = []
+    for first, second in (("curation", "queries"), ("queries", "curation")):
+        out = subprocess.run(
+            [sys.executable, "-c", prog.format(first=first, second=second)],
+            capture_output=True, text=True)
+        assert out.returncode == 0, out.stderr[-2000:]
+        sizes.append(out.stdout.strip())
+    assert sizes[0] == sizes[1], sizes
+
+
+def test_doc_len_gini_zero_char_mass(tmp_path):
+    """n > 0 but every text empty: the row must report the REAL count
+    (matching the DuckDB twin, which only guards the gini division) —
+    regression for the round-4 review finding."""
+    import duckdb
+
+    from nacc_form_validator_ray.pipelines.curation import (
+        CUR_ORACLE_SQL, q_doc_len_gini)
+
+    d = _write_docs(tmp_path, ["", "", ""])
+    out = q_doc_len_gini(d)
+    assert int(out.loc[0, "n"]) == 3
+    assert int(out.loc[0, "total_chars"]) == 0
+    assert float(out.loc[0, "gini"]) == 0.0
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    ora = con.execute(CUR_ORACLE_SQL["doc_len_gini"]).df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True).astype({"gini": float}),
+        ora.rename(columns=str).reset_index(drop=True)
+        .astype(out.dtypes.to_dict()), check_dtype=False)
