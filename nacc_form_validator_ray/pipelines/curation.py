@@ -1952,6 +1952,491 @@ CUR_ORACLE_SQL["lr_roc_points"] = _sql_lr_roc()
 
 
 # --------------------------------------------------------------------------
+# batch 30: domain-shift KL, rule-vs-model kappa, term burstiness,
+# cross-source near-dup matrix
+# --------------------------------------------------------------------------
+
+_KL_GRID = 1048576.0
+
+
+def q_source_kl_divergence(sf_dir: str) -> pd.DataFrame:
+    """Per-source unigram KL divergence from the whole-corpus unigram
+    distribution, in bits — the domain-shift readout curation mixing
+    decisions key on (a source whose KL is near 0 looks like the
+    corpus; a high-KL source is topically distinct and its mixing
+    weight matters).
+
+    Exactness: KL(s) = sum_w (c_sw/T_s) * log2((c_sw*N)/(T_s*c_w)) is
+    computed as ``(sum_w c_sw * lg_sw) / T_s`` — each ``lg`` rides the
+    2^-20 grid (the perplexity trick), so every addend ``c_sw * lg`` is
+    an exact multiple of 2^-20 and the distributed sum is
+    order-independent; T_s divides ONCE at the end. Int64 bound:
+    ``c_sw * N < 2^63`` (~3e9 tokens) — past that move both engines to
+    the identical scaled formulation.
+
+    Scale shape: one tokenizing pass emits (source, tok, c) partials,
+    ONE grouped exchange merges them; the vocabulary-bounded per-token
+    corpus counts are pulled once and broadcast back (ray.put — the
+    pmi/perplexity-model pattern) while KL accumulation stays
+    distributed; per-source totals are a low-cardinality driver merge.
+    """
+    import ray
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.pipelines.queries import (
+        _docs, _merge_partials)
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    empty = pd.DataFrame({
+        "source": pd.Series([], dtype=object),
+        "n_tokens": pd.Series([], dtype=np.int64),
+        "kl_bits": pd.Series([], dtype=np.float64)})
+
+    def count_partial(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+        codes, dictionary, tok_doc, _ = arrow_token_codes(t["text"])
+        if dictionary is None or not len(codes):
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "tok": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        src = pc.fill_null(t["source"], "")
+        senc = pc.dictionary_encode(src.combine_chunks())
+        scode = senc.indices.to_numpy().astype(np.int64)[tok_doc]
+        pair = (scode << 32) | codes.astype(np.int64)
+        up, cnt = np.unique(pair, return_counts=True)
+        toks = dictionary.to_numpy(zero_copy_only=False)
+        snames = senc.dictionary.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": snames[(up >> 32).astype(np.int64)],
+            "tok": toks[(up & 0xFFFFFFFF).astype(np.int64)],
+            "c": cnt.astype(np.int64)})
+
+    ds = _docs(sf_dir, columns=["source", "text"])
+    merged = grouped_agg_sum(
+        ds.map_batches(count_partial, batch_format="pyarrow",
+                       batch_size=4096), ["source", "tok"], ["c"])
+
+    # vocabulary-bounded corpus table: c_w per token (one more lean
+    # grouped exchange over the merged counts), pulled once
+    corpus = grouped_agg_sum(merged, ["tok"], ["c"]).to_pandas()
+    if corpus.empty or "tok" not in corpus.columns:
+        return empty
+    n_total = np.int64(corpus["c"].sum())
+
+    totals = _merge_partials(
+        merged.map_batches(
+            lambda b: b.groupby("source", as_index=False)
+            .agg(t=("c", "sum")), batch_format="pandas"),
+        ["source"], {"t": "sum"})
+    t_by_source = {str(r["source"]): np.int64(r["t"])
+                   for _, r in totals.iterrows()}
+
+    order = np.argsort(corpus["tok"].to_numpy(dtype=object),
+                       kind="stable")
+    lut_ref = ray.put((corpus["tok"].to_numpy(dtype=object)[order],
+                       corpus["c"].to_numpy(np.int64)[order],
+                       t_by_source, n_total))
+
+    class KLPartial:
+        def __init__(self, ref):
+            self.toks, self.cw, self.t_by_source, self.n = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):
+                return pd.DataFrame({
+                    "source": pd.Series([], dtype=object),
+                    "sv": pd.Series([], dtype=np.float64)})
+            cs = batch["c"].to_numpy(np.int64)
+            cw = self.cw[np.searchsorted(
+                self.toks, batch["tok"].to_numpy(dtype=object))]
+            ts = np.array([self.t_by_source[str(s)]
+                           for s in batch["source"]], dtype=np.int64)
+            ratio = (cs * self.n).astype(np.float64) \
+                / (ts * cw).astype(np.float64)
+            lg = np.floor(np.log2(ratio) * _KL_GRID + 0.5) / _KL_GRID
+            v = cs.astype(np.float64) * lg      # exact 2^-20 multiples
+            out = pd.DataFrame({"source": batch["source"], "sv": v})
+            return out.groupby("source", as_index=False).agg(
+                sv=("sv", "sum"))
+
+    parts = _merge_partials(
+        merged.map_batches(KLPartial, fn_constructor_kwargs={
+            "ref": lut_ref}, batch_format="pandas",
+            concurrency=(1, 8)),
+        ["source"], {"sv": "sum"})
+    parts["n_tokens"] = parts["source"].map(
+        lambda s: int(t_by_source[str(s)])).astype(np.int64)
+    parts["kl_bits"] = parts["sv"].to_numpy(np.float64) \
+        / parts["n_tokens"].to_numpy(np.float64)
+    return parts[["source", "n_tokens", "kl_bits"]] \
+        .sort_values("source").reset_index(drop=True)
+
+
+CUR_QUERIES["source_kl_divergence"] = q_source_kl_divergence
+CUR_ORACLE_SQL["source_kl_divergence"] = """
+WITH tok AS (
+  SELECT coalesce(source, '') AS source,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'))
+             AS tok
+  FROM documents
+), c AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS cs
+  FROM tok GROUP BY 1, 2
+), ts AS (
+  SELECT source, CAST(sum(cs) AS BIGINT) AS t FROM c GROUP BY source
+), cw AS (
+  SELECT tok, CAST(sum(cs) AS BIGINT) AS w FROM c GROUP BY tok
+), n AS (
+  SELECT CAST(sum(cs) AS BIGINT) AS n FROM c
+), term AS (
+  SELECT c.source,
+         c.cs * (floor(log2(CAST(c.cs * n.n AS DOUBLE)
+                            / CAST(ts.t * cw.w AS DOUBLE))
+                       * 1048576.0 + 0.5) / 1048576.0) AS v
+  FROM c
+  CROSS JOIN n
+  JOIN ts ON ts.source = c.source
+  JOIN cw ON cw.tok = c.tok
+)
+SELECT term.source, ts.t AS n_tokens,
+       sum(term.v) / CAST(ts.t AS DOUBLE) AS kl_bits
+FROM term JOIN ts ON ts.source = term.source
+GROUP BY term.source, ts.t
+ORDER BY term.source
+"""
+
+
+def q_rule_classifier_kappa(sf_dir: str) -> pd.DataFrame:
+    """Cohen's kappa between the heuristic rule-stack verdict and the
+    LR classifier's verdict at the median logit — the
+    chance-corrected agreement readout (accuracy alone overstates
+    agreement when keep rates are skewed; kappa is what a curation
+    team quotes before swapping the rule gate for the model).
+
+    The threshold is data-derived but literal-free (the logit value at
+    global rank ``floor(0.5*(n-1))``, same index semantics as
+    lr_roc_points). Exactness: kappa is computed from EXACT integer
+    confusion counts as ``(n*(tp+tn) - E) / (n*n - E)`` with
+    ``E = (tp+fp)*(tp+fn) + (fn+tn)*(fp+tn)`` — one double division of
+    two int64s (bound: n^2 < 2^63), identical in the twin; po/pe are
+    each a single division too.
+
+    Scale shape: metadata count, ONE global-rank range exchange over
+    (logit, doc_id), one 4-int confusion-combiner pass."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.pipelines.queries import (
+        _doc_rule_flags, _docs)
+    from nacc_form_validator_ray.stages.classifier import LRScorer
+    from nacc_form_validator_ray.stages.ranking import global_rank
+    from nacc_form_validator_ray.stages.text_signals import TextStats
+
+    empty = pd.DataFrame({c: pd.Series([], dtype=t) for c, t in [
+        ("n", np.int64), ("threshold_logit", np.int64),
+        ("tp", np.int64), ("fp", np.int64), ("tn", np.int64),
+        ("fn", np.int64), ("po", np.float64), ("pe", np.float64),
+        ("kappa", np.float64)]})
+
+    def fused_ds():
+        ds = _docs(sf_dir, columns=["doc_id", "text"])
+        ds = ds.map_batches(TextStats(langid=True),
+                            batch_format="pyarrow", batch_size=4096)
+        scorer = LRScorer()
+
+        def fused(t: "pa.Table") -> "pa.Table":
+            flags = _doc_rule_flags(t)
+            viol = np.zeros(t.num_rows, dtype=bool)
+            for v in flags.values():
+                viol |= v
+            scored = scorer(pa.table({"doc_id": t["doc_id"],
+                                      "text": t["text"]}))
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "logit_q10": scored["logit_q10"],
+                "truth": pa.array(~viol)})
+
+        return ds.map_batches(fused, batch_format="pyarrow")
+
+    n = int(_docs(sf_dir, columns=["doc_id"]).count())
+    if n == 0:
+        return empty
+    target = int(np.floor(0.5 * (n - 1))) + 1
+
+    ranked = global_rank(fused_ds(), "logit_q10", tie_cols=["doc_id"],
+                         descending=False, num_partitions=32)
+
+    def pick(t: "pa.Table") -> pd.DataFrame:
+        rk = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = rk == target
+        return pd.DataFrame({"logit": t["logit_q10"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[m]})
+
+    picks = ranked.map_batches(pick, batch_format="pyarrow") \
+        .to_pandas()
+    thr = int(picks["logit"].iloc[0])
+
+    def confusion(t: "pa.Table") -> pd.DataFrame:
+        lg = t["logit_q10"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tr = t["truth"].to_numpy(zero_copy_only=False).astype(bool)
+        pred = lg >= thr
+        return pd.DataFrame({
+            "tp": [int((pred & tr).sum())],
+            "fp": [int((pred & ~tr).sum())],
+            "fn": [int((~pred & tr).sum())],
+            "tn": [int((~pred & ~tr).sum())]})
+
+    parts = fused_ds().map_batches(confusion,
+                                   batch_format="pyarrow").to_pandas()
+    tp, fp = int(parts["tp"].sum()), int(parts["fp"].sum())
+    fn, tn = int(parts["fn"].sum()), int(parts["tn"].sum())
+    e = (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
+    po = float(tp + tn) / float(n)
+    pe = float(e) / float(n * n)
+    kappa = (float(n * (tp + tn) - e) / float(n * n - e)
+             if n * n != e else 0.0)
+    return pd.DataFrame({
+        "n": [n], "threshold_logit": [thr], "tp": [tp], "fp": [fp],
+        "tn": [tn], "fn": [fn], "po": [po], "pe": [pe],
+        "kappa": [kappa]}).astype({
+            "n": np.int64, "threshold_logit": np.int64,
+            "tp": np.int64, "fp": np.int64, "tn": np.int64,
+            "fn": np.int64, "po": np.float64, "pe": np.float64,
+            "kappa": np.float64})
+
+
+def _sql_kappa() -> str:
+    from nacc_form_validator_ray.pipelines.queries import (
+        _SQL_FLAGS_PROLOGUE, _sql_lr_score)
+    truth_sql = _SQL_FLAGS_PROLOGUE + """
+SELECT f.doc_id,
+       NOT (v_lang_pred OR v_mean_word_len OR v_n_words
+            OR v_rep_3gram_ratio OR v_stop_ratio) AS truth
+FROM f
+"""
+    return f"""
+WITH t AS ({truth_sql}),
+s AS ({_sql_lr_score()}),
+j AS (SELECT s.doc_id, s.logit_q10, t.truth
+      FROM s JOIN t ON t.doc_id = s.doc_id),
+r AS (SELECT logit_q10,
+             row_number() OVER (ORDER BY logit_q10, doc_id) AS rn,
+             count(*) OVER () AS cnt
+      FROM j),
+thr AS (SELECT min(logit_q10) AS thr FROM r
+        WHERE rn - 1 = CAST(floor(0.5 * (cnt - 1)) AS BIGINT)),
+c AS (SELECT
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(count(*) FILTER (j.truth AND j.logit_q10 >= thr.thr)
+         AS BIGINT) AS tp,
+    CAST(count(*) FILTER (NOT j.truth AND j.logit_q10 >= thr.thr)
+         AS BIGINT) AS fp,
+    CAST(count(*) FILTER (NOT j.truth AND j.logit_q10 < thr.thr)
+         AS BIGINT) AS tn,
+    CAST(count(*) FILTER (j.truth AND j.logit_q10 < thr.thr)
+         AS BIGINT) AS fn,
+    min(thr.thr) AS thr
+  FROM j, thr)
+SELECT n, CAST(thr AS BIGINT) AS threshold_logit, tp, fp, tn, fn,
+       CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+       CAST((tp+fp)*(tp+fn) + (fn+tn)*(fp+tn) AS DOUBLE)
+           / CAST(n * n AS DOUBLE) AS pe,
+       CASE WHEN n*n = (tp+fp)*(tp+fn) + (fn+tn)*(fp+tn) THEN 0.0
+            ELSE CAST(n*(tp+tn) - ((tp+fp)*(tp+fn) + (fn+tn)*(fp+tn))
+                      AS DOUBLE)
+                 / CAST(n*n - ((tp+fp)*(tp+fn) + (fn+tn)*(fp+tn))
+                        AS DOUBLE)
+       END AS kappa
+FROM c
+"""
+
+
+CUR_QUERIES["rule_classifier_kappa"] = q_rule_classifier_kappa
+CUR_ORACLE_SQL["rule_classifier_kappa"] = _sql_kappa()
+
+
+_BURST_K = 30
+
+
+def q_term_burstiness(sf_dir: str) -> pd.DataFrame:
+    """Church-Gale burstiness of the top corpus terms: the
+    variance-to-mean ratio (VMR) of per-document term counts over ALL
+    documents. Function words sit near VMR ~ 1 (Poisson — evenly
+    spread); topical/bursty terms have VMR >> 1 (they pile up in few
+    documents). The readout separates the two regimes — the signal
+    stopword-list builders and keyword extractors key on.
+
+    Exactness: a document lives entirely inside one batch, so per-doc
+    term counts are complete per partial; sx = sum c_dt and
+    sx2 = sum c_dt^2 are exact int64s merged by ONE grouped exchange;
+    ``vmr = (D*sx2 - sx^2) / (D*sx)`` is a single double division of
+    exact int64s (bound: D*sx2 < 2^63). Docs without the term
+    contribute zero to both moments, so D is the metadata row count.
+    Top-K selection is (c DESC, tok) with per-partition top-K before a
+    driver merge — the merged table holds each token exactly once, so
+    the per-partition cut preserves the global top-K."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.pipelines.queries import _docs
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    empty = pd.DataFrame({
+        "tok": pd.Series([], dtype=object),
+        "c": pd.Series([], dtype=np.int64),
+        "sum_sq": pd.Series([], dtype=np.int64),
+        "vmr": pd.Series([], dtype=np.float64)})
+
+    def moment_partial(t: "pa.Table") -> "pa.Table":
+        codes, dictionary, tok_doc, _ = arrow_token_codes(t["text"])
+        if dictionary is None or not len(codes):
+            return pa.table({"tok": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64()),
+                             "c2": pa.array([], type=pa.int64())})
+        pair = (tok_doc.astype(np.int64) << 32) | codes.astype(np.int64)
+        up, cnt = np.unique(pair, return_counts=True)
+        code = (up & 0xFFFFFFFF).astype(np.int64)
+        nv = len(dictionary)
+        sx = np.zeros(nv, dtype=np.int64)
+        sx2 = np.zeros(nv, dtype=np.int64)
+        np.add.at(sx, code, cnt)
+        np.add.at(sx2, code, cnt * cnt)
+        nz = np.flatnonzero(sx)
+        toks = dictionary.to_numpy(zero_copy_only=False)
+        return pa.table({"tok": toks[nz], "c": sx[nz], "c2": sx2[nz]})
+
+    ds = _docs(sf_dir, columns=["text"])
+    n_docs = np.int64(ds.count())
+    merged = grouped_agg_sum(
+        ds.map_batches(moment_partial, batch_format="pyarrow",
+                       batch_size=4096), ["tok"], ["c", "c2"])
+
+    def topk(part: pd.DataFrame) -> pd.DataFrame:
+        return part.sort_values(["c", "tok"],
+                                ascending=[False, True]).head(_BURST_K)
+
+    top = merged.map_batches(topk, batch_format="pandas").to_pandas()
+    if top.empty or "tok" not in top.columns or n_docs == 0:
+        return empty
+    top = top.sort_values(["c", "tok"], ascending=[False, True]) \
+        .head(_BURST_K).reset_index(drop=True)
+    c = top["c"].to_numpy(np.int64)
+    c2 = top["c2"].to_numpy(np.int64)
+    vmr = (n_docs * c2 - c * c).astype(np.float64) \
+        / (n_docs * c).astype(np.float64)
+    return pd.DataFrame({"tok": top["tok"], "c": c, "sum_sq": c2,
+                         "vmr": vmr}).astype({
+                             "c": np.int64, "sum_sq": np.int64,
+                             "vmr": np.float64})
+
+
+CUR_QUERIES["term_burstiness"] = q_term_burstiness
+CUR_ORACLE_SQL["term_burstiness"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'))
+             AS tok
+  FROM documents
+), dt AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2
+), m AS (
+  SELECT tok, CAST(sum(c) AS BIGINT) AS c,
+         CAST(sum(c * c) AS BIGINT) AS sum_sq
+  FROM dt GROUP BY tok
+), d AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd FROM documents
+)
+SELECT tok, c, sum_sq,
+       CAST(nd * sum_sq - c * c AS DOUBLE)
+           / CAST(nd * c AS DOUBLE) AS vmr
+FROM m, d
+ORDER BY c DESC, tok
+LIMIT {_BURST_K}
+"""
+
+
+def q_source_leakage_matrix(sf_dir: str) -> pd.DataFrame:
+    """MinHash near-dup candidate pairs bucketed by the (source_a,
+    source_b) of each side — the cross-feed contamination matrix
+    (which sources re-publish each other; a heavy off-diagonal cell
+    means dedup must run ACROSS those feeds, not per-feed).
+
+    Same banding run as split_leakage_audit (threshold 0.5); the
+    candidate set is dup-rate-bounded. Source tagging streams the
+    corpus once against a broadcast candidate-id set and collects only
+    matching (doc_id, source) rows — never the whole id->source map."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.stages.dedup import \
+        minhash_candidate_pairs
+
+    empty = pd.DataFrame({
+        "source_a": pd.Series([], dtype=object),
+        "source_b": pd.Series([], dtype=object),
+        "n_pairs": pd.Series([], dtype=np.int64)})
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    pairs = minhash_candidate_pairs(docs, threshold=0.5).to_pandas()
+    if pairs.empty or "id_a" not in pairs.columns:
+        return empty
+
+    cand = np.unique(np.concatenate(
+        [pairs["id_a"].to_numpy(np.int64),
+         pairs["id_b"].to_numpy(np.int64)]))
+
+    def tag(t: "pa.Table") -> pd.DataFrame:
+        import pyarrow.compute as pc
+        did = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        idx = np.searchsorted(cand, did)
+        idx[idx >= len(cand)] = 0
+        m = cand[idx] == did
+        src = pc.fill_null(t["source"], "").to_numpy(
+            zero_copy_only=False)
+        return pd.DataFrame({"doc_id": did[m], "source": src[m]})
+
+    srcs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "source"]) \
+        .map_batches(tag, batch_format="pyarrow").to_pandas()
+    lut = dict(zip(srcs["doc_id"].to_numpy(np.int64),
+                   srcs["source"]))
+    df = pd.DataFrame({
+        "source_a": [lut[i] for i in pairs["id_a"].to_numpy(np.int64)],
+        "source_b": [lut[i] for i in pairs["id_b"].to_numpy(np.int64)],
+        "n_pairs": 1})
+    return df.groupby(["source_a", "source_b"], as_index=False) \
+        .sum().astype({"n_pairs": np.int64}) \
+        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+def _sql_source_leakage() -> str:
+    from nacc_form_validator_ray.pipelines.queries import \
+        _sql_minhash_ctes
+    defs, pairs = _sql_minhash_ctes("documents", "doc_id",
+                                    threshold=0.5)
+    return f"""
+WITH {defs},
+cand AS MATERIALIZED (SELECT id_a, id_b FROM {pairs})
+SELECT coalesce(da.source, '') AS source_a,
+       coalesce(db.source, '') AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM cand
+JOIN documents da ON da.doc_id = cand.id_a
+JOIN documents db ON db.doc_id = cand.id_b
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+CUR_QUERIES["source_leakage_matrix"] = q_source_leakage_matrix
+CUR_ORACLE_SQL["source_leakage_matrix"] = _sql_source_leakage()
+
+
+# --------------------------------------------------------------------------
 # Registry re-push — import-order independence.
 #
 # Several module-level twin builders above (_sql_minhash_estimate_error,

@@ -1,0 +1,163 @@
+"""Batch-30: source KL divergence, rule-vs-classifier kappa, term
+burstiness, cross-source near-dup matrix."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, texts, sources=None, langs=None):
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    n = len(texts)
+    sources = sources if sources is not None else ["s"] * n
+    langs = langs if langs is not None else ["en"] * n
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array([len(t) if t else 0 for t in texts],
+                            pa.int64())}), tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def _oracle(sf_dir, name):
+    from nacc_form_validator_ray.pipelines.curation import CUR_ORACLE_SQL
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    return con.execute(CUR_ORACLE_SQL[name]).df()
+
+
+# ------------------------------------------------------------------- KL
+
+
+def test_kl_single_source_is_zero(tmp_path):
+    """One source: p_s == p_corpus for every token, so every grid log
+    is exactly 0 and KL must be exactly 0.0."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_source_kl_divergence
+    d = _write_docs(tmp_path, ["aa bb bb cc", "cc cc dd"])
+    out = q_source_kl_divergence(d)
+    assert len(out) == 1
+    assert int(out.loc[0, "n_tokens"]) == 7
+    assert float(out.loc[0, "kl_bits"]) == 0.0
+
+
+def test_kl_disjoint_sources(tmp_path):
+    """Two sources with disjoint vocab of equal mass: each source's
+    tokens are twice as likely in-source as in-corpus, so KL = 1 bit
+    exactly (log2(2) lands on the grid)."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_source_kl_divergence
+    d = _write_docs(tmp_path, ["aa aa bb bb", "cc cc dd dd"],
+                    sources=["s1", "s2"])
+    out = q_source_kl_divergence(d).set_index("source")
+    assert float(out.loc["s1", "kl_bits"]) == 1.0
+    assert float(out.loc["s2", "kl_bits"]) == 1.0
+
+
+def test_kl_matches_twin(tmp_path):
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_source_kl_divergence
+    d = _write_docs(tmp_path,
+                    ["the cat sat", "the the dog", "frog frog frog",
+                     "the cat ran far away", ""],
+                    sources=["a", "a", "b", "b", "c"])
+    out = q_source_kl_divergence(d)
+    ora = _oracle(d, "source_kl_divergence")
+    # source "c" holds only an empty doc: zero tokens -> no row on
+    # either engine (sum over an empty term set)
+    assert set(out["source"]) == set(ora["source"]) == {"a", "b"}
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True),
+        ora.reset_index(drop=True), check_dtype=False)
+
+
+# ---------------------------------------------------------------- kappa
+
+
+def test_kappa_counts_and_formula():
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_rule_classifier_kappa
+    out = q_rule_classifier_kappa(SF)
+    n = int(out.loc[0, "n"])
+    tp, fp = int(out.loc[0, "tp"]), int(out.loc[0, "fp"])
+    tn, fn = int(out.loc[0, "tn"]), int(out.loc[0, "fn"])
+    assert tp + fp + tn + fn == n == 500
+    e = (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
+    assert float(out.loc[0, "po"]) == (tp + tn) / n
+    assert float(out.loc[0, "pe"]) == e / (n * n)
+    if n * n != e:
+        assert float(out.loc[0, "kappa"]) == \
+            (n * (tp + tn) - e) / (n * n - e)
+    assert -1.0 <= float(out.loc[0, "kappa"]) <= 1.0
+
+
+# ----------------------------------------------------------- burstiness
+
+
+def test_burstiness_poisson_vs_bursty(tmp_path):
+    """'uni' once in each of 4 docs -> VMR = 0 (constant count);
+    'bur' 4 times inside one doc -> VMR = (4*16-16)/(4*4) = 3.0."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_term_burstiness
+    d = _write_docs(tmp_path, ["uni bur bur bur bur", "uni", "uni",
+                               "uni"])
+    out = q_term_burstiness(d).set_index("tok")
+    assert int(out.loc["uni", "c"]) == 4
+    assert int(out.loc["uni", "sum_sq"]) == 4
+    assert float(out.loc["uni", "vmr"]) == 0.0
+    assert int(out.loc["bur", "c"]) == 4
+    assert int(out.loc["bur", "sum_sq"]) == 16
+    assert float(out.loc["bur", "vmr"]) == 3.0
+
+
+def test_burstiness_topk_tiebreak(tmp_path):
+    """More than K tokens with equal counts: selection must be
+    (c DESC, tok ASC) — identical to the twin's ORDER BY ... LIMIT."""
+    from nacc_form_validator_ray.pipelines.curation import (
+        _BURST_K, q_term_burstiness)
+    import itertools
+    letters = "abcdefghij"
+    toks = ["w" + a + b for a, b in
+            itertools.islice(itertools.product(letters, letters),
+                             _BURST_K + 10)]
+    d = _write_docs(tmp_path, [" ".join(toks)])
+    out = q_term_burstiness(d)
+    assert len(out) == _BURST_K
+    assert list(out["tok"]) == sorted(toks)[:_BURST_K]
+    ora = _oracle(d, "term_burstiness")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  ora.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+# ------------------------------------------------------- source matrix
+
+
+def test_source_leakage_matrix_cross_feed(tmp_path):
+    """Two near-identical docs in different sources must produce a
+    cross-source cell; the self-duplicate inside one source lands on
+    the diagonal."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_source_leakage_matrix
+    boiler = ("the quick brown fox jumps over the lazy dog and then "
+              "runs far away into the deep green forest tonight")
+    d = _write_docs(tmp_path,
+                    [boiler, boiler + " extra", "totally different "
+                     "words about completely other topics here now",
+                     boiler + " extra"],
+                    sources=["feedA", "feedB", "feedA", "feedB"])
+    out = q_source_leakage_matrix(d)
+    ora = _oracle(d, "source_leakage_matrix")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  ora.reset_index(drop=True),
+                                  check_dtype=False)
+    cells = {(r["source_a"], r["source_b"]): int(r["n_pairs"])
+             for _, r in out.iterrows()}
+    assert any(a != b for (a, b) in cells), cells
