@@ -2437,6 +2437,591 @@ CUR_ORACLE_SQL["source_leakage_matrix"] = _sql_source_leakage()
 
 
 # --------------------------------------------------------------------------
+# batch 31: longest duplicated-span pairs, hapax ratio, epoch-schedule
+# planner, daily-count autocorrelation, link rot after the C4 filter
+# --------------------------------------------------------------------------
+
+#: a run of >= 3 consecutive shared word-3-gram shingles == a shared
+#: token span of >= 5 tokens — long enough to exclude single shared
+#: boilerplate bigrams, short enough to catch one repeated sentence
+_SPAN_MIN_RUN = 3
+#: same per-host block cap as mining's containment pairs: the pair loop
+#: is O(block^2) worst case, so cap at the smallest doc_ids and log
+_SPAN_MAX_BLOCK = 4096
+
+
+def q_dup_span_runs(sf_dir: str) -> pd.DataFrame:
+    """Longest duplicated token SPAN per same-host page pair — the
+    pairwise exact-substring audit that extends dup_ngram_spans from
+    per-document coverage to per-pair span length (Lee et al. 2022's
+    dedup acts on spans; this reports the longest one per pair, the
+    number a reviewer reads to distinguish a shared sentence from a
+    mirrored page).
+
+    Semantics: tokens are ``[a-z0-9]+`` runs of the lowercased text
+    (the containment-pairs contract); positional word-3-gram shingles
+    match between two docs at offset diagonal ``d = pos_a - pos_b``;
+    the longest run of CONSECUTIVE matching positions on any diagonal
+    is the longest shared token span (``run + 2`` tokens). Pairs on
+    the same normalized host with a run >= 3 shingles (>= 5 tokens)
+    are reported.
+
+    Scale shape: ONE hash exchange on host (grouped_apply), then a
+    per-host inverted index shingle -> (doc, pos) emits only matching
+    position pairs — docs sharing nothing never pair up. Blocks are
+    capped at the ``_SPAN_MAX_BLOCK`` smallest doc_ids (logged), the
+    same guard as containment_pairs_pages; hot hosts route through the
+    exchange's heavy-key isolation if enabled upstream."""
+    import logging
+    import re
+
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.queries import \
+        _linked_pages_path
+    from nacc_form_validator_ray.stages.graph import _host_of
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    log = logging.getLogger(__name__)
+    tok_re = re.compile(r"[a-z0-9]+")
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["doc_id", "url", "text"])
+
+    def project(t) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            "host": _host_of(t["url"], pc)
+                .to_numpy(zero_copy_only=False),
+            "text": t["text"].to_pandas()})
+
+    empty = pd.DataFrame({
+        "id_a": pd.Series([], dtype=np.int64),
+        "id_b": pd.Series([], dtype=np.int64),
+        "max_run_tokens": pd.Series([], dtype=np.int64)})
+
+    def host_spans(part: pd.DataFrame) -> pd.DataFrame:
+        pair_a, pair_b, pair_p = [], [], []
+        for host, g in part.groupby("host", sort=False):
+            g = g.sort_values("doc_id")
+            if len(g) > _SPAN_MAX_BLOCK:
+                log.warning(
+                    "span block %r overflows max_block=%d (%d rows); "
+                    "keeping the %d smallest ids",
+                    host, _SPAN_MAX_BLOCK, len(g), _SPAN_MAX_BLOCK)
+                g = g.head(_SPAN_MAX_BLOCK)
+            if len(g) < 2:
+                continue
+            ids = g["doc_id"].to_numpy(np.int64)
+            # inverted index: shingle -> [(doc_idx, pos)]
+            index: dict = {}
+            for di, txt in enumerate(g["text"]):
+                toks = tok_re.findall((txt or "").lower())
+                for p in range(len(toks) - 2):
+                    sh = f"{toks[p]} {toks[p + 1]} {toks[p + 2]}"
+                    index.setdefault(sh, []).append((di, p))
+            for occ in index.values():
+                if len(occ) < 2:
+                    continue
+                for ai in range(len(occ)):
+                    da, pa_ = occ[ai]
+                    for bi in range(len(occ)):
+                        db, pb = occ[bi]
+                        if da < db:
+                            pair_a.append(ids[da] << 32 | ids[db])
+                            pair_b.append(pa_ - pb)
+                            pair_p.append(pa_)
+        if not pair_a:
+            return empty
+        # islands: sort by (pair, diag, p); a row continues its run iff
+        # the previous row is the same (pair, diag) and p_prev + 1 == p
+        pk = np.asarray(pair_a, dtype=np.int64)
+        dg = np.asarray(pair_b, dtype=np.int64)
+        pp = np.asarray(pair_p, dtype=np.int64)
+        order = np.lexsort((pp, dg, pk))
+        pk, dg, pp = pk[order], dg[order], pp[order]
+        new_run = np.ones(len(pk), dtype=bool)
+        new_run[1:] = ((pk[1:] != pk[:-1]) | (dg[1:] != dg[:-1])
+                       | (pp[1:] != pp[:-1] + 1))
+        starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(starts, len(pk)))
+        run_pair = pk[starts]
+        best = pd.DataFrame({"pair": run_pair, "run": run_len}) \
+            .groupby("pair", as_index=False)["run"].max()
+        best = best[best["run"] >= _SPAN_MIN_RUN]
+        if best.empty:
+            return empty
+        pair = best["pair"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "id_a": (pair >> 32).astype(np.int64),
+            "id_b": (pair & 0xFFFFFFFF).astype(np.int64),
+            "max_run_tokens": (best["run"].to_numpy(np.int64) + 2)})
+
+    out = grouped_apply(
+        ds.map_batches(project, batch_format="pyarrow"),
+        ["host"], host_spans, num_partitions=32).to_pandas()
+    if "id_a" not in out.columns:
+        return empty
+    return out.astype({"id_a": np.int64, "id_b": np.int64,
+                       "max_run_tokens": np.int64})
+
+
+def sql_dup_span_runs(path: str, sql_url_norm: str | None = None) -> str:
+    host = sql_url_norm.format(u="url")
+    return f"""
+WITH pg AS (SELECT doc_id, url, text FROM read_parquet('{path}')),
+h AS (SELECT doc_id, {host} AS host,
+             regexp_extract_all(lower(coalesce(text, '')),
+                                '[a-z0-9]+') AS toks
+      FROM pg),
+capped AS (
+  SELECT doc_id, host, toks,
+         row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+  FROM h),
+s AS (
+  SELECT doc_id, host, t.i AS pos,
+         toks[t.i] || ' ' || toks[t.i + 1] || ' ' || toks[t.i + 2] AS sh
+  FROM capped, unnest(range(1, len(toks) - 1)) AS t(i)
+  WHERE rn <= {_SPAN_MAX_BLOCK}),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.pos - b.pos AS diag, a.pos AS p
+  FROM s a JOIN s b
+    ON a.host = b.host AND a.sh = b.sh AND a.doc_id < b.doc_id),
+r AS (
+  SELECT id_a, id_b,
+         p - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                ORDER BY p) AS grp,
+         diag
+  FROM m),
+runs AS (
+  SELECT id_a, id_b, count(*) AS run
+  FROM r GROUP BY id_a, id_b, diag, grp)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(max(run) + 2 AS BIGINT) AS max_run_tokens
+FROM runs GROUP BY id_a, id_b
+HAVING max(run) >= {_SPAN_MIN_RUN}
+"""
+
+
+CUR_QUERIES["dup_span_runs"] = q_dup_span_runs
+CUR_LINKED_SQL["dup_span_runs"] = sql_dup_span_runs
+
+
+def q_hapax_ratio_by_source(sf_dir: str) -> pd.DataFrame:
+    """Hapax-legomena profile per source: total token occurrences,
+    distinct vocabulary, hapax count (corpus frequency exactly 1
+    WITHIN the source) and the hapax share of the vocabulary — the
+    lexical-richness / OCR-noise audit (a feed whose hapax share
+    spikes is shipping typos, mojibake or unsegmented strings; one
+    whose share collapses is templated spam).
+
+    Scale shape: per-batch dictionary-encoded (source, token, c)
+    combiners (vocab_freq_spectrum's kernel, keyed by source), ONE
+    hash exchange on token so each (source, token)'s counts merge
+    fully inside one partition, then a <= |sources|-row partial per
+    partition merged on the driver. The share is ONE correctly-rounded
+    division over exact int64 (module float discipline)."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    empty = pd.DataFrame({
+        "source": pd.Series([], dtype=object),
+        "n_tokens": pd.Series([], dtype=np.int64),
+        "n_distinct": pd.Series([], dtype=np.int64),
+        "n_hapax": pd.Series([], dtype=np.int64),
+        "hapax_share": pd.Series([], dtype=np.float64)})
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+
+    def count_partial(t: "pa.Table") -> pd.DataFrame:
+        codes, dictionary, tok_doc, _ = arrow_token_codes(t["text"])
+        if dictionary is None or not len(codes):
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "tok": pd.Series([], dtype=object),
+                "c": pd.Series([], dtype=np.int64)})
+        src = t["source"].to_numpy(zero_copy_only=False)
+        # (source_code, token_code) composite counts in one bincount
+        src_codes, src_uniq = pd.factorize(src[tok_doc])
+        comp = src_codes.astype(np.int64) * len(dictionary) \
+            + codes.astype(np.int64)
+        cnt = np.bincount(comp)
+        nz = np.flatnonzero(cnt)
+        toks = dictionary.to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "source": src_uniq[(nz // len(dictionary))],
+            "tok": toks[nz % len(dictionary)],
+            "c": cnt[nz].astype(np.int64)})
+
+    def hapax_partial(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "n_tokens": pd.Series([], dtype=np.int64),
+                "n_distinct": pd.Series([], dtype=np.int64),
+                "n_hapax": pd.Series([], dtype=np.int64)})
+        tot = part.groupby(["source", "tok"], as_index=False)["c"].sum()
+        c = tot["c"].to_numpy(np.int64)
+        df = pd.DataFrame({"source": tot["source"],
+                           "n_tokens": c,
+                           "n_distinct": np.int64(1),
+                           "n_hapax": (c == 1).astype(np.int64)})
+        return df.groupby("source", as_index=False).sum()
+
+    parts = grouped_apply(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["tok"], hapax_partial, num_partitions=32).to_pandas()
+    if parts.empty or "source" not in parts.columns:
+        return empty
+    out = parts.groupby("source", as_index=False).sum() \
+        .sort_values("source").reset_index(drop=True)
+    nd = out["n_distinct"].to_numpy(np.int64)
+    nh = out["n_hapax"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "source": out["source"],
+        "n_tokens": out["n_tokens"].to_numpy(np.int64),
+        "n_distinct": nd,
+        "n_hapax": nh,
+        "hapax_share": nh.astype(np.float64) / nd.astype(np.float64)})
+
+
+CUR_QUERIES["hapax_ratio_by_source"] = q_hapax_ratio_by_source
+CUR_ORACLE_SQL["hapax_ratio_by_source"] = """
+WITH t AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                   '[a-z]+')) AS tok
+  FROM documents),
+c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY source, tok)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS hapax_share
+FROM c GROUP BY source ORDER BY source
+"""
+
+
+#: fixed planning budget (tokens): the mixture planner is exercised at
+#: every scale factor with the same target, so epochs_ppm crosses 1e6
+#: (multi-epoch) on small fixtures and falls below it on larger ones —
+#: both sides of the planner's regime are tested
+_EPOCH_BUDGET = 1_000_000
+
+
+def q_epoch_schedule(sf_dir: str) -> pd.DataFrame:
+    """Data-mixing epoch planner: given a total training token budget
+    and a UNIFORM target mixture over sources, how many epochs of each
+    source does the budget imply?  ``epochs_ppm = floor(share * 1e6 /
+    available)`` — above 1e6 the source must repeat (upsampling, the
+    signal data-constrained scaling laws warn about), below it the
+    source is subsampled.  The budget's integer remainder goes to the
+    lexicographically first sources, so the plan is deterministic and
+    sums exactly to the budget.
+
+    Scale shape: per-batch (source, n_tokens) combiners, a <=
+    |sources|-row driver merge, integer planning on the driver — no
+    exchange at all.  All arithmetic is non-negative int64 floor
+    division (module integer-division discipline)."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        _, dictionary, tok_doc, _ = arrow_token_codes(t["text"])
+        src = t["source"].to_numpy(zero_copy_only=False)
+        if dictionary is None or not len(tok_doc):
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        g = pd.DataFrame({"source": src[tok_doc], "n": np.int64(1)})
+        return g.groupby("source", as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame({
+        "source": pd.Series([], dtype=object),
+        "available_tokens": pd.Series([], dtype=np.int64),
+        "budget_share": pd.Series([], dtype=np.int64),
+        "epochs_ppm": pd.Series([], dtype=np.int64)})
+    if parts.empty:
+        return empty
+    avail = parts.groupby("source", as_index=False)["n"].sum()
+    avail = avail[avail["n"] > 0].sort_values("source") \
+        .reset_index(drop=True)
+    if avail.empty:
+        return empty
+    ns = len(avail)
+    base, rem = _EPOCH_BUDGET // ns, _EPOCH_BUDGET % ns
+    share = np.full(ns, base, dtype=np.int64)
+    share[:rem] += 1
+    av = avail["n"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "source": avail["source"],
+        "available_tokens": av,
+        "budget_share": share,
+        "epochs_ppm": (share * 1_000_000) // av})
+
+
+CUR_QUERIES["epoch_schedule"] = q_epoch_schedule
+CUR_ORACLE_SQL["epoch_schedule"] = f"""
+WITH t AS (
+  SELECT source,
+         len(regexp_extract_all(lower(coalesce(text, '')),
+                                '[a-z]+')) AS n
+  FROM documents),
+a AS (SELECT source, CAST(sum(n) AS BIGINT) AS avail
+      FROM t GROUP BY source HAVING sum(n) > 0),
+s AS (SELECT count(*) AS ns FROM a),
+r AS (SELECT source, avail,
+             row_number() OVER (ORDER BY source) AS rk
+      FROM a)
+SELECT source,
+       avail AS available_tokens,
+       CAST({_EPOCH_BUDGET} // ns
+            + CASE WHEN rk <= {_EPOCH_BUDGET} % ns THEN 1 ELSE 0 END
+            AS BIGINT) AS budget_share,
+       CAST((({_EPOCH_BUDGET} // ns
+              + CASE WHEN rk <= {_EPOCH_BUDGET} % ns THEN 1 ELSE 0 END)
+             * 1000000) // avail AS BIGINT) AS epochs_ppm
+FROM r, s ORDER BY source
+"""
+
+
+#: autocorrelation horizon: one week of daily lags
+_ACF_MAX_LAG = 7
+
+
+def q_acf_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1..7 —
+    the seasonality/trend probe every ingestion monitor runs (a strong
+    lag-7 peak is weekly rhythm; slowly decaying lags are trend or a
+    crawler feedback loop).  Gap days count as ZERO events (the series
+    is densified over [min_day, max_day], the gap_fill convention).
+
+    EXACT: with m days, s = Σx, ss = Σx² and per-lag integer sums
+    sxy/hk/tk, the estimator r_k = Σ(x_i-x̄)(x_{i+k}-x̄) / Σ(x_i-x̄)²
+    cross-multiplies by m² to ``(m²·sxy - m·s·(hk+tk) + (m-k)·s²) /
+    (m·(m·ss - s²))`` — all int64 (< 2^53 up to ~1e6 events/day-scale
+    fixtures), ONE double division at the end, so numpy and DuckDB
+    agree bit-for-bit (module float discipline).
+
+    Scale shape: per-batch (day, n) combiner partials, one tiny driver
+    merge (day cardinality is bounded by the calendar), driver-side
+    integer math over m values."""
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"day": df["ts"].dt.normalize(),
+                          "n": np.int64(1)})
+        return g.groupby("day", as_index=False).sum()
+
+    empty = pd.DataFrame({
+        "lag_k": pd.Series([], dtype=np.int64),
+        "acf": pd.Series([], dtype=np.float64)})
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return empty
+    c = parts.groupby("day", as_index=False)["n"].sum() \
+        .sort_values("day").reset_index(drop=True)
+    full = pd.date_range(c["day"].iloc[0], c["day"].iloc[-1],
+                         freq="D")
+    x = c.set_index("day")["n"].reindex(full, fill_value=0) \
+        .to_numpy(np.int64)
+    xs = [int(v) for v in x]
+    m, s, ss = len(xs), sum(xs), sum(v * v for v in xs)
+    den = m * (m * ss - s * s)
+    rows = []
+    for k in range(1, _ACF_MAX_LAG + 1):
+        if k >= m or den <= 0:
+            continue
+        sxy = sum(xs[i] * xs[i + k] for i in range(m - k))
+        hk, tk = sum(xs[:m - k]), sum(xs[k:])
+        num = m * m * sxy - m * s * (hk + tk) + (m - k) * s * s
+        rows.append((k, float(num) / float(den)))
+    if not rows:
+        return empty
+    return pd.DataFrame({
+        "lag_k": np.asarray([r[0] for r in rows], dtype=np.int64),
+        "acf": np.asarray([r[1] for r in rows], dtype=np.float64)})
+
+
+CUR_QUERIES["acf_daily_events"] = q_acf_daily_events
+CUR_ORACLE_SQL["acf_daily_events"] = f"""
+WITH c AS (
+  SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY day),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+         FROM b),
+x AS (SELECT row_number() OVER (ORDER BY day) - 1 AS i,
+             coalesce(n, 0) AS v
+      FROM days LEFT JOIN c USING (day)),
+g AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(v) AS BIGINT) AS s,
+             CAST(sum(v * v) AS BIGINT) AS ss
+      FROM x),
+l AS (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS k),
+p AS (SELECT l.k,
+             CAST(sum(a.v * b2.v) AS BIGINT) AS sxy,
+             CAST(sum(a.v) AS BIGINT) AS hk,
+             CAST(sum(b2.v) AS BIGINT) AS tk
+      FROM l JOIN x a ON true JOIN x b2 ON b2.i = a.i + l.k
+      GROUP BY l.k)
+SELECT CAST(k AS BIGINT) AS lag_k,
+       CAST(m * m * sxy - m * s * (hk + tk) + (m - k) * s * s
+            AS DOUBLE)
+         / CAST(m * (m * ss - s * s) AS DOUBLE) AS acf
+FROM p, g
+WHERE k < m AND m * ss - s * s > 0
+"""
+
+
+def q_link_rot_after_filter(sf_dir: str) -> pd.DataFrame:
+    """Link rot induced by the quality filter: per source host, how
+    many of its outbound links point at pages the C4 document filter
+    DROPS — the graph-integrity audit run before using link structure
+    (PageRank, harvest ratio) downstream of cleaning (a filter that
+    rots 60% of a host's outlinks starves its neighborhood's rank
+    mass).
+
+    Scale shape: the keep side is the existing c4_line_filter stage
+    projected to lean (doc_id, keep) rows; the link side flat-maps
+    (url, links) to (src_host, target id) with Arrow kernels; ONE
+    tag-union hash exchange joins them (stages.joins.hash_join — both
+    sides are corpus-sized, so no broadcast), then per-batch (host,
+    n, rot) combiners and a bounded driver merge.  The rate is ONE
+    exact division."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.queries import \
+        _linked_pages_path
+    from nacc_form_validator_ray.stages.graph import _host_of
+    from nacc_form_validator_ray.stages.joins import hash_join
+    from nacc_form_validator_ray.stages.webclean import c4_line_filter
+
+    lp = _linked_pages_path(sf_dir)
+
+    keep = c4_line_filter(
+        _rd().read_parquet(lp, columns=["doc_id", "text"])) \
+        .map_batches(
+            lambda t: t.select(["doc_id", "keep"])
+                       .rename_columns(["tgt", "keep"]),
+            batch_format="pyarrow")
+
+    edge_schema = pa.schema([("src_host", pa.string()),
+                             ("tgt", pa.int64())])
+
+    def edges(t: "pa.Table") -> "pa.Table":
+        src = _host_of(t["url"], pc)
+        links = t["links"]
+        if isinstance(links, pa.ChunkedArray):
+            links = links.combine_chunks()
+        flat = links.flatten()
+        if len(flat) == 0:
+            return edge_schema.empty_table()
+        # parent index of each flattened link element
+        counts = np.diff(links.offsets.to_numpy())
+        parent = np.repeat(np.arange(len(links)), counts)
+        tgt_s = pc.extract_regex(flat, r"/doc/(?P<id>[0-9]+)$")
+        ok = pc.is_valid(tgt_s).to_numpy(zero_copy_only=False)
+        if not ok.any():
+            return edge_schema.empty_table()
+        tgt = pc.cast(pc.struct_field(tgt_s.filter(pa.array(ok)), "id"),
+                      pa.int64())
+        src_np = src.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src_host": pa.array(src_np[parent[ok]], type=pa.string()),
+            "tgt": tgt})
+
+    link_ds = _rd().read_parquet(lp, columns=["url", "links"]) \
+        .map_batches(edges, batch_format="pyarrow")
+
+    joined = hash_join(link_ds, keep, on="tgt", how="inner",
+                       num_partitions=32)
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        df = pd.DataFrame({
+            "src_host": t["src_host"].to_numpy(zero_copy_only=False),
+            "n_links": np.int64(1),
+            "n_rot": pc.invert(t["keep"]).to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        return df.groupby("src_host", as_index=False).sum()
+
+    parts = joined.map_batches(partial,
+                               batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame({
+        "src_host": pd.Series([], dtype=object),
+        "n_links": pd.Series([], dtype=np.int64),
+        "n_rot": pd.Series([], dtype=np.int64),
+        "rot_rate": pd.Series([], dtype=np.float64)})
+    if parts.empty or "src_host" not in parts.columns:
+        return empty
+    out = parts.groupby("src_host", as_index=False).sum() \
+        .sort_values("src_host").reset_index(drop=True)
+    nl = out["n_links"].to_numpy(np.int64)
+    nr = out["n_rot"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "src_host": out["src_host"],
+        "n_links": nl, "n_rot": nr,
+        "rot_rate": nr.astype(np.float64) / nl.astype(np.float64)})
+
+
+def sql_link_rot_after_filter(path: str,
+                              sql_url_norm: str | None = None) -> str:
+    host = sql_url_norm.format(u="url")
+    return f"""
+WITH pg AS (SELECT doc_id, url, text, links FROM read_parquet('{path}')),
+lns AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10)))
+             AS ln
+  FROM pg),
+flt AS (
+  SELECT doc_id,
+         (len(regexp_extract_all(ln, '\\S+')) >= 5
+          AND regexp_matches(ln, '[.!?"]$')
+          AND NOT contains(lower(ln), 'javascript')) AS keepln
+  FROM lns),
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN keepln THEN 1 ELSE 0 END) AS n_kept
+  FROM flt GROUP BY doc_id),
+k AS (
+  SELECT pg.doc_id,
+         (coalesce(a.n_kept, 0) >= 3
+          AND NOT contains(lower(pg.text), 'lorem ipsum')
+          AND NOT contains(pg.text, '{{')) AS keep
+  FROM pg JOIN agg a ON a.doc_id = pg.doc_id),
+e AS (
+  SELECT {host} AS src_host,
+         TRY_CAST(regexp_extract(lk, '/doc/([0-9]+)$', 1) AS BIGINT)
+             AS tgt
+  FROM (SELECT url, unnest(links) AS lk FROM pg)),
+j AS (SELECT src_host, keep FROM e JOIN k ON k.doc_id = e.tgt)
+SELECT src_host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_rot,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS rot_rate
+FROM j GROUP BY src_host ORDER BY src_host
+"""
+
+
+CUR_QUERIES["link_rot_after_filter"] = q_link_rot_after_filter
+CUR_LINKED_SQL["link_rot_after_filter"] = sql_link_rot_after_filter
+
+
+# --------------------------------------------------------------------------
 # Registry re-push — import-order independence.
 #
 # Several module-level twin builders above (_sql_minhash_estimate_error,
