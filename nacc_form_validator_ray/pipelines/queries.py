@@ -7615,3 +7615,15 @@ from nacc_form_validator_ray.pipelines.curation import (CUR_ORACLE_SQL,
 
 QUERIES.update(CUR_QUERIES)
 ORACLE_SQL.update(CUR_ORACLE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Statistical-audit batch (Zipf slope, Markov entropy, silhouette,
+# null cosine distribution) — pipelines.stataudit
+# --------------------------------------------------------------------------
+
+from nacc_form_validator_ray.pipelines.stataudit import (ST_ORACLE_SQL,
+                                                         ST_QUERIES)
+
+QUERIES.update(ST_QUERIES)
+ORACLE_SQL.update(ST_ORACLE_SQL)

@@ -1,0 +1,195 @@
+"""Batch-32: Zipf slope per source, Markov next-event entropy,
+k-means silhouette, null cosine histogram — semantic unit tests on
+hand-built fixtures (the bit-exact oracle sweep covers twin parity)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, texts, sources=None):
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    n = len(texts)
+    sources = sources if sources is not None else ["s"] * n
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(sources, pa.string()),
+        "n_chars": pa.array([len(t) if t else 0 for t in texts],
+                            pa.int64())}), tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def _write_events(tmp_path, rows):
+    """rows: list of (event_id, ts, user_id, event_type)."""
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(pd.to_datetime([r[1] for r in rows]),
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())}),
+        tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def _write_embeddings(tmp_path, vecs):
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    n = len(vecs)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * n, pa.int32())}),
+        tmp_path / "embeddings.parquet")
+    return str(tmp_path)
+
+
+# ------------------------------------------------------------- zipf slope
+
+def test_zipf_slope_negative_on_zipfy_counts(tmp_path):
+    """Counts 8/4/2/1 over ranks 1..4 fall in log-log space: the OLS
+    slope must be negative and the fit must use all 4 terms."""
+    from nacc_form_validator_ray.pipelines.stataudit import \
+        q_zipf_slope_by_source
+    d = _write_docs(tmp_path, ["aa " * 8 + "bb " * 4 + "cc " * 2 + "dd"])
+    out = q_zipf_slope_by_source(d)
+    assert list(out["source"]) == ["s"]
+    assert int(out["n_terms"][0]) == 4
+    assert out["zipf_slope"][0] < -0.5
+    # intercept near log2(c_1) = 3 for a head-anchored fit
+    assert 1.0 < out["zipf_intercept"][0] < 4.0
+
+
+def test_zipf_flat_counts_slope_zero(tmp_path):
+    """Equal counts give a constant y: slope must be exactly 0.0."""
+    from nacc_form_validator_ray.pipelines.stataudit import \
+        q_zipf_slope_by_source
+    d = _write_docs(tmp_path, ["aa bb cc dd"])
+    out = q_zipf_slope_by_source(d)
+    assert out["zipf_slope"][0] == 0.0
+    assert out["zipf_intercept"][0] == 0.0  # y==0 for counts of 1
+
+
+def test_zipf_sources_isolated(tmp_path):
+    """Each source gets its own fit over its own counts."""
+    from nacc_form_validator_ray.pipelines.stataudit import \
+        q_zipf_slope_by_source
+    d = _write_docs(tmp_path, ["aa " * 8 + "bb", "cc dd"],
+                    sources=["x", "y"])
+    out = q_zipf_slope_by_source(d)
+    assert list(out["source"]) == ["x", "y"]
+    assert out[out["source"] == "x"]["zipf_slope"].iloc[0] < 0
+    assert out[out["source"] == "y"]["zipf_slope"].iloc[0] == 0.0
+
+
+# -------------------------------------------------------- markov entropy
+
+def test_markov_entropy_uniform_two_way_is_one_bit(tmp_path):
+    """signup -> {click, purchase} equally often: H = 1 bit exactly."""
+    from nacc_form_validator_ray.pipelines.stataudit import \
+        q_markov_entropy_events
+    rows = [(0, "2024-01-01 00:00", 1, "signup"),
+            (1, "2024-01-01 00:01", 1, "click"),
+            (2, "2024-01-01 00:02", 1, "signup"),
+            (3, "2024-01-01 00:03", 1, "purchase")]
+    out = q_markov_entropy_events(_write_events(tmp_path, rows))
+    s = out[out["from_type"] == "signup"].iloc[0]
+    assert int(s["n_out"]) == 2 and int(s["n_next_types"]) == 2
+    assert s["entropy_bits"] == 1.0
+
+
+def test_markov_entropy_deterministic_chain_is_zero(tmp_path):
+    """A -> B always: zero next-step entropy for A."""
+    from nacc_form_validator_ray.pipelines.stataudit import \
+        q_markov_entropy_events
+    rows = [(0, "2024-01-01 00:00", 1, "A"),
+            (1, "2024-01-01 00:01", 1, "B"),
+            (2, "2024-01-01 00:02", 2, "A"),
+            (3, "2024-01-01 00:03", 2, "B")]
+    out = q_markov_entropy_events(_write_events(tmp_path, rows))
+    a = out[out["from_type"] == "A"].iloc[0]
+    assert a["entropy_bits"] == 0.0 and int(a["n_next_types"]) == 1
+
+
+def test_markov_entropy_no_cross_user_adjacency(tmp_path):
+    """The last event of user 1 must not transition into user 2."""
+    from nacc_form_validator_ray.pipelines.stataudit import \
+        q_markov_entropy_events
+    rows = [(0, "2024-01-01 00:00", 1, "A"),
+            (1, "2024-01-01 00:01", 2, "B")]
+    out = q_markov_entropy_events(_write_events(tmp_path, rows))
+    assert out.empty
+
+
+# ------------------------------------------------------------ silhouette
+
+def test_silhouette_perfect_separation(tmp_path):
+    """Two far-apart points, k clamps to 2: each is its own centroid,
+    a = 0 and b > 0, so the silhouette is exactly 1.0 for both."""
+    from nacc_form_validator_ray.pipelines.stataudit import \
+        q_silhouette_embeddings
+    d = _write_embeddings(tmp_path, [(0.9, 0.0), (0.0, 0.9)])
+    out = q_silhouette_embeddings(d)
+    assert list(out["n_members"]) == [1, 1]
+    assert list(out["mean_silhouette"]) == [1.0, 1.0]
+
+
+def test_silhouette_single_vector_empty(tmp_path):
+    """One vector -> one centroid -> no second-nearest: defined empty
+    (mirrors the twin's rn=2 join)."""
+    from nacc_form_validator_ray.pipelines.stataudit import \
+        q_silhouette_embeddings
+    out = q_silhouette_embeddings(_write_embeddings(tmp_path, [(0.5, 0.5)]))
+    assert out.empty
+
+
+def test_silhouette_duplicate_centroids_zero_guarded(tmp_path):
+    """Duplicated points seed DUPLICATE centroids (k clamps to 4, two
+    identical sites twice each): the second-nearest distance b is then
+    0 for every member, and the b=0 guard pins s to exactly 0.0 on
+    both engines instead of a 0/0 NaN."""
+    from nacc_form_validator_ray.pipelines.stataudit import \
+        q_silhouette_embeddings
+    d = _write_embeddings(
+        tmp_path, [(0.0, 0.0), (0.8, 0.0), (0.0, 0.0), (0.8, 0.0)])
+    out = q_silhouette_embeddings(d)
+    assert (out["mean_silhouette"] == 0.0).all()
+    assert int(out["n_members"].sum()) == 4
+
+
+# ----------------------------------------------------- cosine null hist
+
+def test_cosine_null_histogram_extremes(tmp_path):
+    """Pairing is (i, i+N//2): v0~v2 identical -> cos=1 (bucket 32),
+    v1~v3 opposite -> cos=-1 (bucket -32)."""
+    from nacc_form_validator_ray.pipelines.stataudit import \
+        q_cosine_null_histogram
+    d = _write_embeddings(tmp_path, [(0.5, 0.1), (0.3, 0.4),
+                                     (0.5, 0.1), (-0.3, -0.4)])
+    out = q_cosine_null_histogram(d)
+    assert dict(zip(out["bucket"], out["n_pairs"])) == {-32: 1, 32: 1}
+
+
+def test_cosine_null_histogram_odd_middle_unpaired(tmp_path):
+    """N=3, off=1: only the (v0, v1) pair forms; v2 stays unpaired."""
+    from nacc_form_validator_ray.pipelines.stataudit import \
+        q_cosine_null_histogram
+    d = _write_embeddings(tmp_path, [(0.5, 0.0), (0.5, 0.0),
+                                     (0.0, 0.5)])
+    out = q_cosine_null_histogram(d)
+    assert int(out["n_pairs"].sum()) == 1
+    assert list(out["bucket"]) == [32]
+
+
+def test_cosine_null_zero_norm_bucket_zero(tmp_path):
+    """A zero vector in a pair is DEFINED as cos=0 (bucket 0)."""
+    from nacc_form_validator_ray.pipelines.stataudit import \
+        q_cosine_null_histogram
+    d = _write_embeddings(tmp_path, [(0.0, 0.0), (0.5, 0.5)])
+    out = q_cosine_null_histogram(d)
+    assert dict(zip(out["bucket"], out["n_pairs"])) == {0: 1}
