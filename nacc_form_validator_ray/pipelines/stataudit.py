@@ -520,3 +520,333 @@ SELECT CAST(floor(cos * {_COS_BUCKETS!r} + 0.5) AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM c GROUP BY bucket ORDER BY bucket
 """
+
+
+# --------------------------------------------------------------------------
+# Trigram stupid-backoff perplexity
+# --------------------------------------------------------------------------
+
+def q_trigram_backoff_ppl_docs(sf_dir: str):
+    """Trigram stupid-backoff LM perplexity (Brants et al. 2007 — the
+    web-scale scoring scheme that skips normalization): distributed
+    unigram+bigram+trigram count exchange, broadcast artifact,
+    actor-pool scoring (stages/perplexity.BackoffScorer). A document's
+    first token scores on the smoothed unigram, its second on the
+    bigram backoff level, the rest on ``c_tri/c_bi_ctx`` with
+    alpha=0.4 backoff. Log-probs ride the 2^-20 grid, so per-doc sums
+    are exact and order-independent at any partitioning."""
+    from nacc_form_validator_ray.stages.perplexity import (
+        BackoffScorer, train_backoff_model)
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    model = train_backoff_model(ds)
+    scored = ds.map_batches(BackoffScorer,
+                            fn_constructor_kwargs={"model": model},
+                            batch_format="pyarrow", concurrency=(1, 4))
+    return scored.select_columns(["doc_id", "log_ppl", "ppl_tokens",
+                                  "unseen_trigrams"])
+
+
+ST_QUERIES["trigram_backoff_ppl_docs"] = q_trigram_backoff_ppl_docs
+# Twin rebuilds the trigram model in SQL: same token stream, same
+# backoff CASE tree (identical operation order), same 2^-20 grid.
+ST_ORACLE_SQL["trigram_backoff_ppl_docs"] = """
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS tok
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+        FROM documents)
+), uc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok
+), consts AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS total,
+         CAST(count(*) AS BIGINT) AS v
+  FROM uc
+), bc AS (
+  SELECT t1.tok AS w1, t2.tok AS w2, CAST(count(*) AS BIGINT) AS c
+  FROM tok t2
+  JOIN tok t1 ON t1.doc_id = t2.doc_id AND t1.i = t2.i - 1
+  GROUP BY t1.tok, t2.tok
+), tc AS (
+  SELECT t1.tok AS w1, t2.tok AS w2, t3.tok AS w3,
+         CAST(count(*) AS BIGINT) AS c
+  FROM tok t3
+  JOIN tok t2 ON t2.doc_id = t3.doc_id AND t2.i = t3.i - 1
+  JOIN tok t1 ON t1.doc_id = t3.doc_id AND t1.i = t3.i - 2
+  GROUP BY t1.tok, t2.tok, t3.tok
+), lp AS (
+  SELECT t.doc_id,
+    floor(log2(
+      CASE WHEN t.i = 1 THEN
+        (u.c + 0.5) / (consts.total + 0.5 * (consts.v + 1))
+      WHEN t.i = 2 THEN
+        CASE WHEN b.c IS NOT NULL
+             THEN CAST(b.c AS DOUBLE) / CAST(u1.c AS DOUBLE)
+             ELSE 0.4 * ((u.c + 0.5)
+                         / (consts.total + 0.5 * (consts.v + 1))) END
+      ELSE
+        CASE WHEN g.c IS NOT NULL
+             THEN CAST(g.c AS DOUBLE) / CAST(bx.c AS DOUBLE)
+             ELSE 0.4 * (CASE WHEN b.c IS NOT NULL
+                  THEN CAST(b.c AS DOUBLE) / CAST(u1.c AS DOUBLE)
+                  ELSE 0.4 * ((u.c + 0.5)
+                       / (consts.total + 0.5 * (consts.v + 1)))
+                  END) END
+      END) * 1048576.0 + 0.5) / 1048576.0 AS lp,
+    CASE WHEN t.i > 2 AND g.c IS NULL THEN 1 ELSE 0 END AS unseen
+  FROM tok t
+  CROSS JOIN consts
+  JOIN uc u ON u.tok = t.tok
+  LEFT JOIN tok p ON p.doc_id = t.doc_id AND p.i = t.i - 1
+  LEFT JOIN uc u1 ON u1.tok = p.tok
+  LEFT JOIN bc b ON b.w1 = p.tok AND b.w2 = t.tok
+  LEFT JOIN tok p2 ON p2.doc_id = t.doc_id AND p2.i = t.i - 2
+  LEFT JOIN bc bx ON bx.w1 = p2.tok AND bx.w2 = p.tok
+  LEFT JOIN tc g ON g.w1 = p2.tok AND g.w2 = p.tok AND g.w3 = t.tok
+), scored AS (
+  SELECT doc_id, count(*) AS n, sum(lp) AS slp,
+         CAST(sum(unseen) AS BIGINT) AS uns
+  FROM lp GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(-slp / n, 0.0) AS log_ppl,
+       CAST(coalesce(n, 0) AS BIGINT) AS ppl_tokens,
+       coalesce(uns, 0) AS unseen_trigrams
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Next-word top-1 accuracy per source
+# --------------------------------------------------------------------------
+
+def q_next_word_accuracy_by_source(sf_dir: str) -> pd.DataFrame:
+    """Bigram-LM top-1 accuracy per source: the share of adjacent
+    token pairs where the corpus-wide most-frequent continuation of
+    w1 (ties lexicographic — next_word_top1's rule) actually follows —
+    the predictability audit (templated spam scores near 1.0; natural
+    prose sits far lower; a feed whose accuracy jumps between crawls
+    changed its generator).
+
+    Scale shape: per-batch dictionary-coded (source, w1, w2, c)
+    partials, ONE hash exchange on w1 ALONE — every continuation of a
+    word co-locates, so each partition computes BOTH the corpus top-1
+    per w1 and the per-source correctness sums locally; only
+    <= |sources|-row partials reach the driver. The accuracy is ONE
+    double division over exact int64 sums."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.pipelines.queries import \
+        _merge_partials
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    empty = pd.DataFrame({
+        "source": pd.Series([], dtype=object),
+        "n_pairs": pd.Series([], dtype=np.int64),
+        "n_correct": pd.Series([], dtype=np.int64),
+        "accuracy": pd.Series([], dtype=np.float64)})
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+
+    def pair_partial(t: "pa.Table") -> pd.DataFrame:
+        e = pd.DataFrame({"source": pd.Series([], dtype=object),
+                          "w1": pd.Series([], dtype=object),
+                          "w2": pd.Series([], dtype=object),
+                          "c": pd.Series([], dtype=np.int64)})
+        codes, dictionary, tok_doc, _ = arrow_token_codes(t["text"])
+        if dictionary is None or len(codes) < 2:
+            return e
+        toks = dictionary.to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        same = tok_doc[1:] == tok_doc[:-1]
+        if not same.any():
+            return e
+        a = codes[:-1][same].astype(np.int64)
+        b = codes[1:][same].astype(np.int64)
+        sc, su = pd.factorize(src[tok_doc[:-1][same]])
+        D = np.int64(len(toks))
+        comp = (sc.astype(np.int64) * D + a) * D + b
+        up, cnt = np.unique(comp, return_counts=True)
+        return pd.DataFrame({
+            "source": su[(up // (D * D))],
+            "w1": toks[(up // D) % D],
+            "w2": toks[up % D],
+            "c": cnt.astype(np.int64)})
+
+    def acc_part(part: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame({"source": pd.Series([], dtype=object),
+                          "n_pairs": pd.Series([], dtype=np.int64),
+                          "n_correct": pd.Series([], dtype=np.int64)})
+        if part.empty:
+            return e
+        sc = part.groupby(["source", "w1", "w2"],
+                          as_index=False)["c"].sum()
+        bc = sc.groupby(["w1", "w2"], as_index=False)["c"].sum()
+        bc = bc.sort_values(["w1", "c", "w2"],
+                            ascending=[True, False, True],
+                            kind="stable")
+        top1 = bc.drop_duplicates("w1", keep="first") \
+            .set_index("w1")["w2"]
+        hit = sc["w2"].to_numpy(object) \
+            == top1.loc[sc["w1"]].to_numpy(object)
+        out = pd.DataFrame({
+            "source": sc["source"],
+            "n_pairs": sc["c"].to_numpy(np.int64),
+            "n_correct": np.where(hit, sc["c"], 0).astype(np.int64)})
+        return out.groupby("source", as_index=False).sum()
+
+    merged = _merge_partials(
+        grouped_apply(
+            ds.map_batches(pair_partial, batch_format="pyarrow"),
+            ["w1"], acc_part, num_partitions=32),
+        ["source"], {"n_pairs": "sum", "n_correct": "sum"})
+    if merged.empty:
+        return empty
+    npair = merged["n_pairs"].to_numpy(np.int64)
+    ncorr = merged["n_correct"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "source": merged["source"],
+        "n_pairs": npair,
+        "n_correct": ncorr,
+        "accuracy": ncorr.astype(np.float64)
+        / npair.astype(np.float64)}) \
+        .sort_values("source").reset_index(drop=True)
+
+
+ST_QUERIES["next_word_accuracy_by_source"] = \
+    q_next_word_accuracy_by_source
+ST_ORACLE_SQL["next_word_accuracy_by_source"] = """
+WITH t AS (
+  SELECT source, regexp_extract_all(lower(text), '[a-z]+') AS toks
+  FROM documents),
+bg AS (
+  SELECT source, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT source, toks, unnest(range(1, len(toks))) AS i FROM t)),
+sc AS (SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c
+       FROM bg GROUP BY source, w1, w2),
+bc AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c
+       FROM sc GROUP BY w1, w2),
+top1 AS (SELECT w1, w2 FROM (
+           SELECT w1, w2,
+                  row_number() OVER (PARTITION BY w1
+                                     ORDER BY c DESC, w2) AS rn
+           FROM bc) WHERE rn = 1)
+SELECT sc.source,
+       CAST(sum(sc.c) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN sc.w2 = t1.w2 THEN sc.c ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(sum(CASE WHEN sc.w2 = t1.w2 THEN sc.c ELSE 0 END)
+            AS DOUBLE) / CAST(sum(sc.c) AS DOUBLE) AS accuracy
+FROM sc JOIN top1 t1 USING (w1)
+GROUP BY sc.source ORDER BY sc.source
+"""
+
+
+# --------------------------------------------------------------------------
+# Character-distribution entropy per source
+# --------------------------------------------------------------------------
+
+def q_char_entropy_by_source(sf_dir: str) -> pd.DataFrame:
+    """Entropy of the lowercase-letter (a-z, case-SENSITIVE) character
+    distribution per source, in bits — the mojibake/encoding-noise
+    audit at the character level (English prose sits near 4.1 bits;
+    base64 blobs and URL soup push toward log2(26), single-character
+    spam collapses toward 0).
+
+    Scale shape: per-batch byte-level bincount over the zero-copy
+    Arrow string buffer (no per-row loop — one composite
+    (source, letter) bincount per batch), <= 26 x |sources| partial
+    rows merged on the driver, grid-quantized p*log2(p) terms summed
+    exactly (module float discipline)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.queries import \
+        _merge_partials
+    from nacc_form_validator_ray.stages.text_signals import \
+        _buffer_view
+
+    empty = pd.DataFrame({
+        "source": pd.Series([], dtype=object),
+        "n_letters": pd.Series([], dtype=np.int64),
+        "entropy_bits": pd.Series([], dtype=np.float64)})
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        e = pd.DataFrame({"source": pd.Series([], dtype=object),
+                          "ch": pd.Series([], dtype=object),
+                          "n": pd.Series([], dtype=np.int64)})
+        if not t.num_rows:
+            return e
+        arr = pc.fill_null(t["text"], "").combine_chunks()
+        buf, off = _buffer_view(arr)
+        if not len(buf):
+            return e
+        src_codes, su = pd.factorize(
+            t["source"].to_numpy(zero_copy_only=False))
+        rows_b = np.repeat(src_codes.astype(np.int64), np.diff(off))
+        sel = (buf >= 97) & (buf <= 122)
+        if not sel.any():
+            return e
+        comp = rows_b[sel] * 26 + (buf[sel].astype(np.int64) - 97)
+        cnt = np.bincount(comp, minlength=len(su) * 26)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({
+            "source": su[(nz // 26)],
+            "ch": np.array([chr(97 + int(v)) for v in nz % 26],
+                           dtype=object),
+            "n": cnt[nz].astype(np.int64)})
+
+    merged = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "ch"], {"n": "sum"})
+    if merged.empty:
+        return empty
+    tot = merged.groupby("source", as_index=False)["n"].sum() \
+        .rename(columns={"n": "tot"})
+    tmap = dict(zip(tot["source"], tot["tot"]))
+    n = merged["n"].to_numpy(np.int64)
+    tt = np.array([tmap[s] for s in merged["source"]], dtype=np.int64)
+    lg = np.floor(np.log2(n.astype(np.float64) / tt.astype(np.float64))
+                  * _ENT_GRID + 0.5) / _ENT_GRID
+    v = n.astype(np.float64) * lg       # exact 2^-20 multiples
+    sv = pd.DataFrame({"source": merged["source"], "v": v}) \
+        .groupby("source", as_index=False)["v"].sum()
+    out = tot.merge(sv, on="source")
+    ent = -(out["v"].to_numpy(np.float64)
+            / out["tot"].to_numpy(np.float64))
+    return pd.DataFrame({
+        "source": out["source"],
+        "n_letters": out["tot"].to_numpy(np.int64),
+        "entropy_bits": ent}) \
+        .sort_values("source").reset_index(drop=True)
+
+
+ST_QUERIES["char_entropy_by_source"] = q_char_entropy_by_source
+ST_ORACLE_SQL["char_entropy_by_source"] = f"""
+WITH cnt AS (
+  SELECT d.source, chr(CAST(l.x AS INTEGER)) AS ch,
+         CAST(sum(length(coalesce(d.text, ''))
+                  - length(replace(coalesce(d.text, ''),
+                                   chr(CAST(l.x AS INTEGER)), ''))) AS BIGINT) AS n
+  FROM documents d CROSS JOIN range(97, 123) l(x)
+  GROUP BY d.source, chr(CAST(l.x AS INTEGER))),
+nz AS (SELECT * FROM cnt WHERE n > 0),
+t AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot
+      FROM nz GROUP BY source),
+term AS (
+  SELECT nz.source,
+         nz.n * (floor(log2(CAST(nz.n AS DOUBLE)
+                            / CAST(t.tot AS DOUBLE))
+                       * {_ENT_GRID!r} + 0.5) / {_ENT_GRID!r}) AS v
+  FROM nz JOIN t USING (source))
+SELECT t.source, t.tot AS n_letters,
+       -(sum(term.v) / CAST(t.tot AS DOUBLE)) AS entropy_bits
+FROM term JOIN t USING (source)
+GROUP BY t.source, t.tot
+ORDER BY t.source
+"""

@@ -489,3 +489,227 @@ class KNScorer:
         for name, values in cols.items():
             batch[name] = values
         return batch
+
+
+def train_backoff_model(ds, text_column: str = "text",
+                        add_k: float = 0.5, alpha: float = 0.4,
+                        num_partitions: int = 16,
+                        max_entries: int = 2_000_000) -> Dict[str, Any]:
+    """Distributed TRIGRAM stupid-backoff LM (Brants et al. 2007 — the
+    large-LM scoring scheme that skips normalization): per-batch
+    unigram+bigram+trigram count partials through ONE fused exchange
+    (the ``w3 == ""`` / ``w2 == ""`` sentinel scheme of
+    :func:`train_bigram_model`), small JSON-able artifact on the
+    driver. N-grams span adjacent tokens WITHIN a document (no BOS/EOS
+    markers — same simplification as the bigram family: a document's
+    first token scores on the unigram term, its second on the bigram
+    backoff level)."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    def fused_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"w1": pd.Series([], dtype=object),
+                              "w2": pd.Series([], dtype=object),
+                              "w3": pd.Series([], dtype=object),
+                              "count": pd.Series([], dtype=np.int64)})
+        arr = pa.array(batch["text"].fillna(""), type=pa.string())
+        codes, dictionary, tok_doc, _ = arrow_token_codes(arr)
+        if dictionary is None:
+            return empty
+        d = np.asarray(dictionary.to_pylist(), dtype=object)
+        D = np.int64(len(d))
+        # per-batch dictionaries are bounded by the batch's token count
+        # (~1e6 at the largest sane batch size), far under the 2^21
+        # packing bound for the cubic key below
+        assert D < (1 << 21), "per-batch dictionary too large to pack"
+        w1 = [d]
+        w2 = [np.full(len(d), "", dtype=object)]
+        w3 = [np.full(len(d), "", dtype=object)]
+        cnt = [np.bincount(codes, minlength=len(d)).astype(np.int64)]
+        if len(codes) >= 2:
+            same = tok_doc[1:] == tok_doc[:-1]
+            a = codes[:-1][same].astype(np.int64)
+            b = codes[1:][same].astype(np.int64)
+            packed, counts = np.unique(a * D + b, return_counts=True)
+            w1.append(d[(packed // D)])
+            w2.append(d[(packed % D)])
+            w3.append(np.full(len(packed), "", dtype=object))
+            cnt.append(counts.astype(np.int64))
+        if len(codes) >= 3:
+            same3 = (tok_doc[2:] == tok_doc[:-2]) \
+                & (tok_doc[1:-1] == tok_doc[:-2])
+            a = codes[:-2][same3].astype(np.int64)
+            b = codes[1:-1][same3].astype(np.int64)
+            c = codes[2:][same3].astype(np.int64)
+            if len(a):
+                packed, counts = np.unique((a * D + b) * D + c,
+                                           return_counts=True)
+                w1.append(d[(packed // (D * D))])
+                w2.append(d[((packed // D) % D)])
+                w3.append(d[(packed % D)])
+                cnt.append(counts.astype(np.int64))
+        return pd.DataFrame({"w1": np.concatenate(w1),
+                             "w2": np.concatenate(w2),
+                             "w3": np.concatenate(w3),
+                             "count": np.concatenate(cnt)})
+
+    merged = grouped_agg_sum(
+        ds.map_batches(fused_partials, batch_format="pandas"),
+        ["w1", "w2", "w3"], ["count"],
+        num_partitions=num_partitions).to_pandas()
+    is_uni = merged["w2"] == ""
+    is_bi = (~is_uni) & (merged["w3"] == "")
+    uni = merged[is_uni]
+    bi = merged[is_bi]
+    tri = merged[~is_uni & ~is_bi]
+    for name, tbl in (("bi", bi), ("tri", tri)):
+        if len(tbl) > max_entries:
+            tbl = tbl.sort_values(["count", "w1", "w2", "w3"],
+                                  ascending=[False, True, True, True]) \
+                .head(max_entries)
+            if name == "bi":
+                bi = tbl
+            else:
+                tri = tbl
+    return {
+        "uni": dict(zip(uni["w1"], uni["count"].astype(int))),
+        "bi": {f"{a} {b}": int(c) for a, b, c in
+               zip(bi["w1"], bi["w2"], bi["count"].astype(int))},
+        "tri": {f"{a} {b} {c}": int(n) for a, b, c, n in
+                zip(tri["w1"], tri["w2"], tri["w3"],
+                    tri["count"].astype(int))},
+        "add_k": add_k,
+        "alpha": alpha,
+    }
+
+
+class BackoffScorer:
+    """Actor-pool scorer for the trigram stupid-backoff model: per
+    token the score is ``c_tri/c_bi_ctx`` when the trigram was seen,
+    else ``alpha * (c_bi/c_uni_prev)`` when the bigram was seen, else
+    ``alpha^2 * (c_uni+k)/(T+k(V+1))`` (documents' first/second tokens
+    start at the unigram/bigram levels). Each score's log2 rides the
+    2^-20 grid (LOGP_SCALE), so per-doc sums are exact dyadic
+    arithmetic and the DuckDB twin reproduces them bit-for-bit. The
+    model loads ONCE per actor in ``__init__``; lookups resolve only
+    the batch's token dictionary (vocabulary cost), then gather by
+    code."""
+
+    def __init__(self, model: Optional[Dict[str, Any]] = None,
+                 model_path: Optional[str] = None,
+                 text_column: str = "text"):
+        if model is None:
+            if model_path is None:
+                raise ValueError("need model or model_path")
+            with open(model_path) as f:
+                model = json.load(f)
+        self.text_column = text_column
+        self.uni = model["uni"]
+        self.bi = model["bi"]
+        self.tri = model["tri"]
+        self.k = float(model["add_k"])
+        self.alpha = float(model["alpha"])
+        self.T = float(sum(self.uni.values()))
+        self.V = len(self.uni)
+        self.d_uni = self.T + self.k * (self.V + 1)
+
+    def _score(self, text_arr) -> Dict[str, np.ndarray]:
+        from nacc_form_validator_ray.stages.text_signals import \
+            arrow_token_codes
+        n = len(text_arr)
+        codes, dictionary, tok_doc, lens = arrow_token_codes(text_arr)
+        log_ppl = np.zeros(n, dtype=np.float64)
+        unseen = np.zeros(n, dtype=np.int64)
+        if len(codes):
+            d = dictionary.to_pylist()
+            cu_dict = np.array([self.uni.get(t, 0) for t in d],
+                               dtype=np.float64)
+            cu = cu_dict[codes]
+            s_uni = (cu + self.k) / self.d_uni
+            lp = np.floor(np.log2(s_uni) * LOGP_SCALE + 0.5) \
+                / LOGP_SCALE
+            m = len(codes)
+            first = np.ones(m, dtype=bool)
+            first[1:] = tok_doc[1:] != tok_doc[:-1]
+            rest = ~first                       # has a previous token
+            uns_tok = np.zeros(m, dtype=np.int64)
+            if rest.any():
+                prev = np.empty(m, dtype=np.int64)
+                prev[1:] = codes[:-1]
+                prev[0] = 0
+
+                def _pair_counts(table, a_codes, b_codes):
+                    packed = a_codes * len(d) + b_codes
+                    upk, inv = np.unique(packed, return_inverse=True)
+                    vals = np.array(
+                        [table.get(
+                            f"{d[p // len(d)]} {d[p % len(d)]}", 0)
+                         for p in upk], dtype=np.float64)
+                    return vals[inv]
+
+                cbi = _pair_counts(self.bi, prev[rest], codes[rest])
+                cu_prev = cu_dict[prev[rest]]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s2 = np.where(cbi > 0, cbi / cu_prev,
+                                  self.alpha * s_uni[rest])
+                lp[rest] = np.floor(np.log2(s2) * LOGP_SCALE + 0.5) \
+                    / LOGP_SCALE
+                # trigram level: positions with TWO same-doc predecessors
+                third = np.zeros(m, dtype=bool)
+                if m >= 3:
+                    third[2:] = (tok_doc[2:] == tok_doc[:-2]) \
+                        & (tok_doc[1:-1] == tok_doc[:-2])
+                if third.any():
+                    prev2 = np.empty(m, dtype=np.int64)
+                    prev2[2:] = codes[:-2]
+                    prev2[:2] = 0
+                    p2 = prev2[third]
+                    p1 = prev[third]
+                    cur = codes[third]
+                    packed3 = (p2 * len(d) + p1) * len(d) + cur
+                    upk3, inv3 = np.unique(packed3,
+                                           return_inverse=True)
+                    DD = len(d)
+                    ctri = np.array(
+                        [self.tri.get(
+                            f"{d[p // (DD * DD)]} "
+                            f"{d[(p // DD) % DD]} {d[p % DD]}", 0)
+                         for p in upk3], dtype=np.float64)[inv3]
+                    cb_ctx = _pair_counts(self.bi, p2, p1)
+                    # s2 value AT the third-level positions: scatter
+                    # the rest-indexed s2 back to token positions
+                    s2_map = np.empty(m, dtype=np.float64)
+                    s2_map[rest] = s2
+                    with np.errstate(divide="ignore",
+                                     invalid="ignore"):
+                        s3 = np.where(ctri > 0, ctri / cb_ctx,
+                                      self.alpha * s2_map[third])
+                    lp[third] = np.floor(
+                        np.log2(s3) * LOGP_SCALE + 0.5) / LOGP_SCALE
+                    uns_tok[third] = (ctri == 0).astype(np.int64)
+            unseen = np.bincount(tok_doc, weights=uns_tok,
+                                 minlength=n).astype(np.int64)
+            sum_lp = np.bincount(tok_doc, weights=lp, minlength=n)
+            log_ppl = -sum_lp / np.maximum(lens, 1) + 0.0
+        return {"log_ppl": log_ppl, "ppl_tokens": lens,
+                "unseen_trigrams": unseen}
+
+    def __call__(self, batch):
+        import pyarrow as pa
+        if isinstance(batch, pa.Table):
+            col = batch[self.text_column]
+            arr = col.combine_chunks() if isinstance(
+                col, pa.ChunkedArray) else col
+            for name, values in self._score(arr).items():
+                batch = batch.append_column(name, pa.array(values))
+            return batch
+        text_arr = pa.array(batch[self.text_column].fillna(""),
+                            type=pa.string())
+        cols = self._score(text_arr)
+        batch = batch.copy()
+        for name, values in cols.items():
+            batch[name] = values
+        return batch

@@ -193,3 +193,92 @@ def test_cosine_null_zero_norm_bucket_zero(tmp_path):
     d = _write_embeddings(tmp_path, [(0.0, 0.0), (0.5, 0.5)])
     out = q_cosine_null_histogram(d)
     assert dict(zip(out["bucket"], out["n_pairs"])) == {0: 1}
+
+
+# -------------------------------------------------- trigram backoff LM
+
+def test_trigram_backoff_repeated_pattern_seen(tmp_path):
+    """A doc that repeats one trigram pattern has zero unseen trigrams
+    and scores better (lower log_ppl) than a doc of unique words."""
+    from nacc_form_validator_ray.pipelines.stataudit import \
+        q_trigram_backoff_ppl_docs
+    d = _write_docs(tmp_path, ["aa bb cc aa bb cc aa bb cc",
+                               "dd ee ff gg hh ii jj kk ll"])
+    out = q_trigram_backoff_ppl_docs(d).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert int(out["unseen_trigrams"][0]) == 0
+    assert out["log_ppl"][0] < out["log_ppl"][1]
+    assert list(out["ppl_tokens"]) == [9, 9]
+
+
+def test_trigram_backoff_short_docs(tmp_path):
+    """1- and 2-token docs never reach the trigram level: zero unseen
+    trigrams; an empty doc scores 0.0 with zero tokens."""
+    from nacc_form_validator_ray.pipelines.stataudit import \
+        q_trigram_backoff_ppl_docs
+    d = _write_docs(tmp_path, ["aa", "aa bb", ""])
+    out = q_trigram_backoff_ppl_docs(d).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["unseen_trigrams"]) == [0, 0, 0]
+    assert list(out["ppl_tokens"]) == [1, 2, 0]
+    assert out["log_ppl"][2] == 0.0
+
+
+# ------------------------------------------------ next-word accuracy
+
+def test_next_word_accuracy_counts(tmp_path):
+    """'aa bb aa bb aa cc': top1(aa)=bb, top1(bb)=aa -> 4 of 5 pairs
+    match the corpus argmax."""
+    from nacc_form_validator_ray.pipelines.stataudit import \
+        q_next_word_accuracy_by_source
+    d = _write_docs(tmp_path, ["aa bb aa bb aa cc"])
+    out = q_next_word_accuracy_by_source(d)
+    assert int(out["n_pairs"][0]) == 5
+    assert int(out["n_correct"][0]) == 4
+    assert out["accuracy"][0] == 0.8
+
+
+def test_next_word_accuracy_corpus_wide_top1(tmp_path):
+    """The argmax is CORPUS-wide: source y's lone 'cc aa' pair agrees
+    with the corpus top1(cc)=aa even though y alone is tiny."""
+    from nacc_form_validator_ray.pipelines.stataudit import \
+        q_next_word_accuracy_by_source
+    d = _write_docs(tmp_path, ["aa bb aa bb aa cc", "cc aa"],
+                    sources=["x", "y"])
+    out = q_next_word_accuracy_by_source(d)
+    y = out[out["source"] == "y"].iloc[0]
+    assert int(y["n_pairs"]) == 1 and y["accuracy"] == 1.0
+    x = out[out["source"] == "x"].iloc[0]
+    assert x["accuracy"] == 0.8
+
+
+# ------------------------------------------------ char entropy
+
+def test_char_entropy_uniform_two_letters(tmp_path):
+    """Equal a/b mass -> exactly 1 bit; non-letters are ignored."""
+    from nacc_form_validator_ray.pipelines.stataudit import \
+        q_char_entropy_by_source
+    d = _write_docs(tmp_path, ["a1a B!b b"])
+    out = q_char_entropy_by_source(d)
+    assert int(out["n_letters"][0]) == 4  # 'B' is case-sensitive, skipped
+    assert out["entropy_bits"][0] == 1.0
+
+
+def test_char_entropy_single_letter_zero(tmp_path):
+    from nacc_form_validator_ray.pipelines.stataudit import \
+        q_char_entropy_by_source
+    d = _write_docs(tmp_path, ["aaaa aa"])
+    out = q_char_entropy_by_source(d)
+    assert out["entropy_bits"][0] == 0.0
+    assert int(out["n_letters"][0]) == 6
+
+
+def test_char_entropy_sources_isolated(tmp_path):
+    """Each source's distribution is its own: a uniform a/b source and
+    a degenerate all-c source keep their entropies apart."""
+    from nacc_form_validator_ray.pipelines.stataudit import \
+        q_char_entropy_by_source
+    d = _write_docs(tmp_path, ["ab ab", "cccc"], sources=["u", "w"])
+    out = q_char_entropy_by_source(d).set_index("source")
+    assert out.loc["u", "entropy_bits"] == 1.0
+    assert out.loc["w", "entropy_bits"] == 0.0
