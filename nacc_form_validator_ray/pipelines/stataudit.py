@@ -850,3 +850,206 @@ FROM term JOIN t USING (source)
 GROUP BY t.source, t.tot
 ORDER BY t.source
 """
+
+
+# --------------------------------------------------------------------------
+# Weekly churn
+# --------------------------------------------------------------------------
+
+#: integer week key: epoch microseconds // one week (positive epochs,
+#: so numpy floor-division and DuckDB's truncating // agree)
+_WEEK_US = 604_800_000_000
+
+
+def q_churn_by_week(sf_dir: str) -> pd.DataFrame:
+    """Weekly churn: for every epoch-week except the corpus' last, how
+    many distinct users were active, how many of them are NOT active
+    in the following week (churned), and the churn rate — the
+    retention monitor's complement (cohort_retention tracks a cohort
+    forward; churn reads each week's survival edge).
+
+    Scale shape: per-batch DISTINCT (user, week) partials, ONE hash
+    exchange on user_id (each user's week set co-locates, so the
+    week+1 membership test is a local sorted-adjacency check — no
+    self-join shuffle), <= |weeks|-row partials merged on the driver.
+    The corpus' max week is excluded there (its 'next week' is beyond
+    the data, not evidence of churn)."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.pipelines.queries import \
+        _merge_partials
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    empty = pd.DataFrame({
+        "week": pd.Series([], dtype=np.int64),
+        "n_active": pd.Series([], dtype=np.int64),
+        "n_churned": pd.Series([], dtype=np.int64),
+        "churn_rate": pd.Series([], dtype=np.float64)})
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def uw_partial(t: "pa.Table") -> pd.DataFrame:
+        if not t.num_rows:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "w": pd.Series([], dtype=np.int64)})
+        u = t["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64) // _WEEK_US
+        uw = np.unique(np.stack([u, w], axis=1), axis=0)
+        return pd.DataFrame({"user_id": uw[:, 0], "w": uw[:, 1]})
+
+    def churn_part(part: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame({
+            "w": pd.Series([], dtype=np.int64),
+            "n_active": pd.Series([], dtype=np.int64),
+            "n_churned": pd.Series([], dtype=np.int64)})
+        if part.empty:
+            return e
+        uw = part.drop_duplicates(["user_id", "w"])
+        u = uw["user_id"].to_numpy(np.int64)
+        w = uw["w"].to_numpy(np.int64)
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        retained = np.zeros(len(u), dtype=bool)
+        if len(u) > 1:
+            retained[:-1] = (u[1:] == u[:-1]) & (w[1:] == w[:-1] + 1)
+        df = pd.DataFrame({"w": w, "n_active": np.int64(1),
+                           "n_churned":
+                           (~retained).astype(np.int64)})
+        return df.groupby("w", as_index=False).sum()
+
+    merged = _merge_partials(
+        grouped_apply(
+            ds.map_batches(uw_partial, batch_format="pyarrow"),
+            ["user_id"], churn_part, num_partitions=16),
+        ["w"], {"n_active": "sum", "n_churned": "sum"})
+    if merged.empty:
+        return empty
+    merged = merged.sort_values("w").reset_index(drop=True)
+    merged = merged.iloc[:-1]       # the corpus' max week has no next
+    if merged.empty:
+        return empty
+    na = merged["n_active"].to_numpy(np.int64)
+    nc = merged["n_churned"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "week": merged["w"].to_numpy(np.int64),
+        "n_active": na,
+        "n_churned": nc,
+        "churn_rate": nc.astype(np.float64) / na.astype(np.float64)})
+
+
+ST_QUERIES["churn_by_week"] = q_churn_by_week
+ST_ORACLE_SQL["churn_by_week"] = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // {_WEEK_US} AS w
+  FROM events),
+mx AS (SELECT max(w) AS mw FROM uw),
+c AS (
+  SELECT a.user_id, a.w,
+         CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END AS churned
+  FROM uw a LEFT JOIN uw b
+    ON b.user_id = a.user_id AND b.w = a.w + 1)
+SELECT CAST(w AS BIGINT) AS week,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(churned) AS BIGINT) AS n_churned,
+       CAST(sum(churned) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS churn_rate
+FROM c CROSS JOIN mx WHERE w < mw
+GROUP BY w ORDER BY w
+"""
+
+
+# --------------------------------------------------------------------------
+# Keep rate by perplexity decile
+# --------------------------------------------------------------------------
+
+def q_keep_rate_by_ppl_decile(sf_dir: str) -> pd.DataFrame:
+    """Calibration of the heuristic rule stack against the LM signal:
+    documents bucketed into exact NTILE(10) deciles of their
+    interpolated-bigram log-perplexity (ties by doc_id), each decile's
+    quality-filter keep rate — the cross-family audit behind 'is the
+    rule stack just a noisy perplexity threshold?' (a monotone curve
+    says the rules and the LM agree; a U-shape says the rules catch
+    something perplexity misses).
+
+    Scale shape: the bigram-perplexity operator and the rule-stack
+    operator run as-is (each already scale-shaped), meet in ONE
+    doc_id hash join, and the decile assignment is the global-ranking
+    family's ONE range exchange (exact NTILE from the exchange's own
+    stats); <= 10-row partials reach the driver. Twin: both full
+    statements embed as NESTED-WITH subqueries (scopes are isolated,
+    so their CTE names cannot collide) under one NTILE(10) window."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.pipelines.queries import (
+        _merge_partials, q_bigram_perplexity_docs, q_quality_filter)
+    from nacc_form_validator_ray.stages.joins import hash_join
+    from nacc_form_validator_ray.stages.ranking import global_rank
+
+    ppl = q_bigram_perplexity_docs(sf_dir) \
+        .select_columns(["doc_id", "log_ppl"])
+    keep = q_quality_filter(sf_dir).select_columns(["doc_id", "passed"])
+    joined = hash_join(ppl, keep, on="doc_id", num_partitions=16)
+    ranked = global_rank(joined, "log_ppl", tie_cols=["doc_id"],
+                         num_partitions=16, ntile=10,
+                         ntile_col="decile")
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        if not t.num_rows:
+            return pd.DataFrame({
+                "decile": pd.Series([], dtype=np.int64),
+                "n_docs": pd.Series([], dtype=np.int64),
+                "n_kept": pd.Series([], dtype=np.int64)})
+        df = pd.DataFrame({
+            "decile": t["decile"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "n_docs": np.int64(1),
+            "n_kept": t["passed"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        return df.groupby("decile", as_index=False).sum()
+
+    out = _merge_partials(
+        ranked.map_batches(partial, batch_format="pyarrow"),
+        ["decile"], {"n_docs": "sum", "n_kept": "sum"})
+    if out.empty:
+        return pd.DataFrame({
+            "decile": pd.Series([], dtype=np.int64),
+            "n_docs": pd.Series([], dtype=np.int64),
+            "n_kept": pd.Series([], dtype=np.int64),
+            "keep_rate": pd.Series([], dtype=np.float64)})
+    out = out.sort_values("decile").reset_index(drop=True)
+    nd = out["n_docs"].to_numpy(np.int64)
+    nk = out["n_kept"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "decile": out["decile"].to_numpy(np.int64),
+        "n_docs": nd,
+        "n_kept": nk,
+        "keep_rate": nk.astype(np.float64) / nd.astype(np.float64)})
+
+
+def _sql_keep_rate_by_ppl_decile() -> str:
+    from nacc_form_validator_ray.pipelines.queries import (
+        SQL_BIGRAM_PERPLEXITY_DOCS, SQL_QUALITY_FILTER)
+    return f"""
+WITH ppl AS ({SQL_BIGRAM_PERPLEXITY_DOCS}),
+keepv AS ({SQL_QUALITY_FILTER}),
+j AS (
+  SELECT p.doc_id, k.passed,
+         ntile(10) OVER (ORDER BY p.log_ppl, p.doc_id) AS decile
+  FROM ppl p JOIN keepv k USING (doc_id))
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS keep_rate
+FROM j GROUP BY decile ORDER BY decile
+"""
+
+
+ST_QUERIES["keep_rate_by_ppl_decile"] = q_keep_rate_by_ppl_decile
+ST_ORACLE_SQL["keep_rate_by_ppl_decile"] = _sql_keep_rate_by_ppl_decile()

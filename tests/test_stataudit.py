@@ -282,3 +282,61 @@ def test_char_entropy_sources_isolated(tmp_path):
     out = q_char_entropy_by_source(d).set_index("source")
     assert out.loc["u", "entropy_bits"] == 1.0
     assert out.loc["w", "entropy_bits"] == 0.0
+
+
+# ------------------------------------------------------ weekly churn
+
+def test_churn_by_week_basic(tmp_path):
+    """Users 1,2 active in week 0; only user 1 returns in week 1 ->
+    week-0 churn is 1/2. The final week (1) is excluded (no next
+    week in the data)."""
+    from nacc_form_validator_ray.pipelines.stataudit import \
+        q_churn_by_week
+    rows = [(0, "2024-01-01", 1, "click"),
+            (1, "2024-01-02", 2, "click"),
+            (2, "2024-01-08", 1, "click")]
+    out = q_churn_by_week(_write_events(tmp_path, rows))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert int(r["n_active"]) == 2 and int(r["n_churned"]) == 1
+    assert r["churn_rate"] == 0.5
+
+
+def test_churn_gap_week_counts_as_churn(tmp_path):
+    """Active in week 0 and week 2 but not week 1: the week-0 row
+    counts the user as churned (the metric is week-over-week)."""
+    from nacc_form_validator_ray.pipelines.stataudit import \
+        q_churn_by_week
+    rows = [(0, "2024-01-01", 1, "click"),
+            (1, "2024-01-15", 1, "click")]
+    out = q_churn_by_week(_write_events(tmp_path, rows))
+    w0 = out.iloc[0]
+    assert int(w0["n_churned"]) == 1 and w0["churn_rate"] == 1.0
+
+
+def test_churn_single_week_empty(tmp_path):
+    """All activity in one week: the max week is excluded -> empty."""
+    from nacc_form_validator_ray.pipelines.stataudit import \
+        q_churn_by_week
+    rows = [(0, "2024-01-01", 1, "click"),
+            (1, "2024-01-02", 2, "click")]
+    out = q_churn_by_week(_write_events(tmp_path, rows))
+    assert out.empty
+
+
+# -------------------------------------------- keep rate by ppl decile
+
+def test_keep_rate_ppl_decile_shapes(tmp_path):
+    """Deciles partition the corpus: counts sum to N and NTILE(10)
+    sizes differ by at most 1; keep_rate stays within [0, 1]."""
+    from nacc_form_validator_ray.pipelines.stataudit import \
+        q_keep_rate_by_ppl_decile
+    texts = [f"the quick brown fox jumps over dog {i} "
+             * (3 + i % 5) for i in range(30)]
+    d = _write_docs(tmp_path, texts)
+    out = q_keep_rate_by_ppl_decile(d)
+    assert int(out["n_docs"].sum()) == 30
+    sizes = out["n_docs"].to_numpy()
+    assert sizes.max() - sizes.min() <= 1
+    assert ((out["keep_rate"] >= 0) & (out["keep_rate"] <= 1)).all()
+    assert list(out["decile"]) == list(range(1, 11))
