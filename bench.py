@@ -532,6 +532,23 @@ def bench_queries(sf_dir: str):
             Q.QUERIES["vocab_freq_spectrum"](sf_dir)),
         "recrawl_change_report": lambda: consume(
             Q.QUERIES["recrawl_change_report"](sf_dir)),
+        # batches 32-34 (session 7): token exchange + per-source top-K
+        # fit, trigram count exchange + actor-pool backoff scoring,
+        # byte-level bincount pass, user-week exchange, the composed
+        # ppl->rules calibration (two operator pipelines + one join +
+        # one range exchange), and the quantized pair-cosine exchange
+        "zipf_slope_by_source": lambda: consume(
+            Q.QUERIES["zipf_slope_by_source"](sf_dir)),
+        "trigram_backoff_ppl_docs": lambda: consume(
+            Q.QUERIES["trigram_backoff_ppl_docs"](sf_dir)),
+        "char_entropy_by_source": lambda: consume(
+            Q.QUERIES["char_entropy_by_source"](sf_dir)),
+        "churn_by_week": lambda: consume(
+            Q.QUERIES["churn_by_week"](sf_dir)),
+        "keep_rate_by_ppl_decile": lambda: consume(
+            Q.QUERIES["keep_rate_by_ppl_decile"](sf_dir)),
+        "cosine_null_histogram": lambda: consume(
+            Q.QUERIES["cosine_null_histogram"](sf_dir)),
     }
 
 
