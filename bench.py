@@ -549,6 +549,15 @@ def bench_queries(sf_dir: str):
             Q.QUERIES["keep_rate_by_ppl_decile"](sf_dir)),
         "cosine_null_histogram": lambda: consume(
             Q.QUERIES["cosine_null_histogram"](sf_dir)),
+        # batch 35 (session 8): the adapted TPC-H completion — the two
+        # fact-to-fact orderkey joins (q9, q12) and the distinct-count
+        # exchange (q16) are the bench-worthy plans
+        "q9_product_profit": lambda: consume(
+            Q.QUERIES["q9_product_profit"](sf_dir)),
+        "q12_lateness_priority": lambda: consume(
+            Q.QUERIES["q12_lateness_priority"](sf_dir)),
+        "q16_supplier_part_cnt": lambda: consume(
+            Q.QUERIES["q16_supplier_part_cnt"](sf_dir)),
     }
 
 

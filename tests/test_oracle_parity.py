@@ -34,6 +34,8 @@ FAST_QUERIES = [
     "parts_ordered_both_halves",
     "q6_forecast_revenue", "q17_small_quantity_revenue",
     "q21_waiting_suppliers", "q22_sales_opportunity",
+    "q9_product_profit", "q12_lateness_priority",
+    "q16_supplier_part_cnt",
     "pareto_parts", "top_event_type_per_user",
     "column_profile_events", "hll_user_registers",
     "fuzzy_name_pairs", "gap_fill_hourly_purchases",

@@ -75,3 +75,48 @@ def test_registry_has_all_sixteen_tpch_queries():
     }
     assert expected <= set(QUERIES)
     assert expected <= set(ORACLE_SQL)
+
+
+def test_q12_band_day_arithmetic_matches_sql_date_diff():
+    # band boundary: delay == 30 days is FAST, 31 is SLOW; the Ray side
+    # computes delay as date32-int subtraction, the twin as DATE minus
+    # DATE — both count calendar days, leap days included
+    ship = pd.to_datetime(["1997-03-01", "1997-03-02", "1996-02-29"])
+    order = pd.to_datetime(["1997-01-30", "1997-01-30", "1996-01-30"])
+    delay = (ship - order).days if hasattr(ship - order, "days") \
+        else (ship - order).to_numpy().astype("timedelta64[D]").astype(int)
+    band = np.where(np.asarray(delay) <= 30, "FAST", "SLOW")
+    assert list(band) == ["FAST", "SLOW", "FAST"]
+
+
+def test_q20_share_threshold_is_integer_exact():
+    # 4*q > tot  <=>  share > 1/4, no float division: tot=40 -> q=10 is
+    # exactly 1/4 and must NOT pass; q=11 passes
+    per = pd.DataFrame({"p_partkey": [1, 1, 1], "s_suppkey": [7, 8, 9],
+                        "qty": np.array([11, 10, 19], dtype=np.int64)})
+    tot = per.groupby("p_partkey")["qty"].transform("sum")
+    keep = per[per["qty"] * 4 > tot]
+    assert list(keep["s_suppkey"]) == [7, 9]
+
+
+def test_q2_min_cost_keeps_all_tied_suppliers():
+    g = pd.DataFrame({
+        "p_partkey": [1, 1, 1, 2],
+        "s_suppkey": [7, 8, 9, 7],
+        "cost_c": np.array([100, 100, 250, 40], dtype=np.int64)})
+    best = g.groupby("p_partkey")["cost_c"].transform("min")
+    kept = g[g["cost_c"] == best]
+    assert set(map(tuple, kept[["p_partkey", "s_suppkey"]].to_numpy())) \
+        == {(1, 7), (1, 8), (2, 7)}
+
+
+def test_registry_covers_the_full_22_query_family():
+    from nacc_form_validator_ray.pipelines.queries import (ORACLE_SQL,
+                                                           QUERIES)
+    adapted = {
+        "q2_min_cost_supplier", "q9_product_profit",
+        "q11_important_parts", "q12_lateness_priority",
+        "q16_supplier_part_cnt", "q20_dominant_share_suppliers",
+    }
+    assert adapted <= set(QUERIES)
+    assert adapted <= set(ORACLE_SQL)
