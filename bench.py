@@ -558,6 +558,10 @@ def bench_queries(sf_dir: str):
             Q.QUERIES["q12_lateness_priority"](sf_dir)),
         "q16_supplier_part_cnt": lambda: consume(
             Q.QUERIES["q16_supplier_part_cnt"](sf_dir)),
+        # batch 36: PQ trainer + encode audit (two streaming passes
+        # over embeddings with bounded codebook state)
+        "pq_encode_error": lambda: consume(
+            Q.QUERIES["pq_encode_error"](sf_dir)),
     }
 
 

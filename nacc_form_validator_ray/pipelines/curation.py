@@ -3022,6 +3022,260 @@ CUR_LINKED_SQL["link_rot_after_filter"] = sql_link_rot_after_filter
 
 
 # --------------------------------------------------------------------------
+# Product quantization (batch 36): per-subspace codebooks + encode audit
+# --------------------------------------------------------------------------
+
+#: M subspaces x K codes over the d=64 embedding — the standard PQ
+#: geometry (Jegou et al. 2011, "Product Quantization for Nearest
+#: Neighbor Search", IEEE TPAMI — public reference)
+_PQ_M, _PQ_K = 4, 16
+_PQ_SUBD = 16  # 64 // _PQ_M
+
+
+def _pq_quant(t) -> "np.ndarray":
+    """Embedding matrix on the repo 2^12 grid as int64 (shared with the
+    PCA / SQ8 family above)."""
+    from nacc_form_validator_ray.stages.similarity import \
+        _matrix_from_arrow
+    x = _matrix_from_arrow(t["embedding"])
+    return np.floor(x * _PCA_SCALE + 0.5).astype(np.int64)
+
+
+def _pq_seeds(sf_dir: str) -> "tuple[np.ndarray, np.ndarray]":
+    """The K seed vectors = the K SMALLEST vec_ids (deterministic,
+    order-independent): per-batch top-K partials -> driver merge of
+    K x blocks rows — never a full sort, never a full materialize."""
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+
+    def topk(t) -> pd.DataFrame:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        if len(vid) == 0:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64)})
+        q = _pq_quant(t)
+        order = np.argsort(vid, kind="stable")[:_PQ_K]
+        df = pd.DataFrame(q[order],
+                          columns=[f"x{j}" for j in range(q.shape[1])])
+        df.insert(0, "vec_id", vid[order])
+        return df
+
+    parts = ds.map_batches(topk, batch_format="pyarrow").to_pandas()
+    if parts.empty or "x0" not in parts.columns:
+        return np.zeros(0, dtype=np.int64), np.zeros((0, 0), np.int64)
+    parts = parts.nsmallest(_PQ_K, "vec_id").sort_values("vec_id")
+    xcols = [c for c in parts.columns if c.startswith("x")]
+    return (parts["vec_id"].to_numpy(np.int64),
+            parts[xcols].to_numpy(np.int64))
+
+
+def _pq_assign(q: "np.ndarray", cents: "np.ndarray",
+               codes: "np.ndarray") -> "np.ndarray":
+    """argmin squared-L2 per subspace; ``cents`` is (C, subd) for ONE
+    subspace with 1-based code labels ``codes`` sorted ascending, so
+    np.argmin's first-hit tie-break IS the min-code tie-break."""
+    d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return codes[np.argmin(d2, axis=1)]
+
+
+def _pq_rhu(s: "np.ndarray", n: "np.ndarray") -> "np.ndarray":
+    """Round-half-up s/n on SIGNED numerators: floor((2s+n) / (2n)).
+    numpy // floors (matching Python), so this is exact; the SQL twin
+    spells the negative branch with the truncating-division floor
+    identity (module docstring)."""
+    return (2 * s + n) // (2 * n)
+
+
+def _pq_codebook_df(sf_dir: str) -> pd.DataFrame:
+    """One deterministic Lloyd round from the seed vectors: assign every
+    vector's subvector to its nearest seed (tie -> smallest code), then
+    the cluster centroid is the per-dim round-half-up integer mean.
+    Empty clusters (a seed that wins nothing) drop out, as in the SQL
+    GROUP BY. Per-batch partials are (M x K x subd) rows regardless of
+    batch size; the driver merge is d x K keys."""
+    seed_ids, seeds = _pq_seeds(sf_dir)
+    if len(seed_ids) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ["sub", "code", "dim", "comp", "n"]})
+    codes = np.arange(1, len(seed_ids) + 1, dtype=np.int64)
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])
+
+    def partial(t) -> pd.DataFrame:
+        q = _pq_quant(t)
+        if q.shape[0] == 0:
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in ["sub", "code", "dim", "s", "n"]})
+        rows = []
+        for m in range(_PQ_M):
+            sl = slice(m * _PQ_SUBD, (m + 1) * _PQ_SUBD)
+            qa = q[:, sl]
+            asn = _pq_assign(qa, seeds[:, sl], codes)
+            for c in np.unique(asn):
+                sel = qa[asn == c]
+                for j in range(_PQ_SUBD):
+                    rows.append((m + 1, int(c), j + 1,
+                                 int(sel[:, j].sum()), sel.shape[0]))
+        return pd.DataFrame(rows, columns=["sub", "code", "dim",
+                                           "s", "n"])
+
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
+    upd = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["sub", "code", "dim"], {"s": "sum", "n": "sum"})
+    if upd.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ["sub", "code", "dim", "comp", "n"]})
+    upd["comp"] = _pq_rhu(upd["s"].to_numpy(np.int64),
+                          upd["n"].to_numpy(np.int64))
+    out = upd.sort_values(["sub", "code", "dim"]).reset_index(drop=True)
+    return out[["sub", "code", "dim", "comp", "n"]].astype(np.int64)
+
+
+def q_pq_codebooks(sf_dir: str) -> pd.DataFrame:
+    """PQ codebook trainer (one deterministic Lloyd round; Jegou et al.
+    2011): rows (sub, code, dim, comp, n) — M=4 subspaces x K<=16
+    clusters x 16 dims, centroid components on the 2^12 grid.
+
+    Scale shape: seeds are a bounded top-K merge; the train pass is one
+    streaming read with (M*K*subd)-row batch partials and a d*K-key
+    driver merge — the 100-TB version changes only K and the sample."""
+    return _pq_codebook_df(sf_dir)
+
+
+def q_pq_encode_error(sf_dir: str) -> pd.DataFrame:
+    """PQ encode + reconstruction audit: every vector's subvectors are
+    encoded against the trained codebook (nearest centroid, tie ->
+    smallest code) and the audit reports per-subspace exact integer
+    squared error on the grid — the number read before choosing PQ
+    over SQ8 for the ANN index (compare ``mean_sq_err`` against
+    ``sq8_quant_error``'s per-dim errors).
+
+    One extra streaming pass with the d*K-int codebook broadcast in
+    the closure; per-batch partials are M rows; ONE IEEE division per
+    output row (repo float discipline)."""
+    cb = _pq_codebook_df(sf_dir)
+    empty = pd.DataFrame({
+        "sub": pd.Series([], dtype=np.int64),
+        "n_vectors": pd.Series([], dtype=np.int64),
+        "sum_sq_err": pd.Series([], dtype=np.int64),
+        "mean_sq_err": pd.Series([], dtype=np.float64)})
+    if cb.empty:
+        return empty
+    per_sub = {}
+    for m, grp in cb.groupby("sub"):
+        piv = grp.pivot(index="code", columns="dim", values="comp") \
+            .sort_index()
+        per_sub[int(m)] = (piv.index.to_numpy(np.int64),
+                           piv.to_numpy(np.int64))
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])
+
+    def partial(t) -> pd.DataFrame:
+        q = _pq_quant(t)
+        if q.shape[0] == 0:
+            return pd.DataFrame({
+                "sub": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+                "e": pd.Series([], dtype=np.int64)})
+        rows = []
+        for m in range(1, _PQ_M + 1):
+            codes, cents = per_sub[m]
+            sl = slice((m - 1) * _PQ_SUBD, m * _PQ_SUBD)
+            qa = q[:, sl]
+            d2 = ((qa[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            rows.append((m, qa.shape[0], int(d2.min(axis=1).sum())))
+        return pd.DataFrame(rows, columns=["sub", "n", "e"])
+
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
+    parts = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["sub"], {"n": "sum", "e": "sum"})
+    if parts.empty:
+        return empty
+    parts = parts.sort_values("sub").reset_index(drop=True)
+    return pd.DataFrame({
+        "sub": parts["sub"].astype(np.int64),
+        "n_vectors": parts["n"].astype(np.int64),
+        "sum_sq_err": parts["e"].astype(np.int64),
+        "mean_sq_err": parts["e"].astype(np.float64)
+        / parts["n"].astype(np.float64)})
+
+
+#: shared twin prelude: grid subvectors + the one-round codebook
+_PQ_SQL_CODEBOOK = f"""
+v AS (
+  SELECT vec_id,
+         CAST((generate_subscripts(embedding, 1) - 1) // {_PQ_SUBD} + 1
+              AS BIGINT) AS sub,
+         CAST((generate_subscripts(embedding, 1) - 1) % {_PQ_SUBD} + 1
+              AS BIGINT) AS dim,
+         CAST(floor(unnest(embedding) * {_PCA_SCALE} + 0.5) AS BIGINT)
+             AS x
+  FROM embeddings),
+seed_ids AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT)
+             AS code
+  FROM (SELECT DISTINCT vec_id FROM embeddings)
+  ORDER BY vec_id LIMIT {_PQ_K}),
+seeds AS (
+  SELECT s.code, v.sub, v.dim, v.x
+  FROM v JOIN seed_ids s ON v.vec_id = s.vec_id),
+dist AS (
+  SELECT v.vec_id, v.sub, s.code,
+         sum((v.x - s.x) * (v.x - s.x)) AS d2
+  FROM v JOIN seeds s ON v.sub = s.sub AND v.dim = s.dim
+  GROUP BY 1, 2, 3),
+assign AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2, code) AS rk
+    FROM dist) WHERE rk = 1),
+upd AS (
+  SELECT a.sub, a.code, v.dim,
+         CAST(sum(v.x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM assign a JOIN v ON v.vec_id = a.vec_id AND v.sub = a.sub
+  GROUP BY 1, 2, 3),
+cb AS (
+  SELECT sub, code, dim,
+         CASE WHEN 2 * s + n >= 0 THEN (2 * s + n) // (2 * n)
+              ELSE -((-(2 * s + n) + 2 * n - 1) // (2 * n))
+         END AS comp, n
+  FROM upd)
+"""
+
+CUR_QUERIES["pq_codebooks"] = q_pq_codebooks
+CUR_ORACLE_SQL["pq_codebooks"] = f"""
+WITH {_PQ_SQL_CODEBOOK}
+SELECT sub, code, dim, comp, n FROM cb
+ORDER BY sub, code, dim
+"""
+
+CUR_QUERIES["pq_encode_error"] = q_pq_encode_error
+CUR_ORACLE_SQL["pq_encode_error"] = f"""
+WITH {_PQ_SQL_CODEBOOK},
+d2 AS (
+  SELECT v.vec_id, v.sub, cb.code,
+         sum((v.x - cb.comp) * (v.x - cb.comp)) AS d2
+  FROM v JOIN cb ON v.sub = cb.sub AND v.dim = cb.dim
+  GROUP BY 1, 2, 3),
+best AS (
+  SELECT vec_id, sub, d2 FROM (
+    SELECT vec_id, sub, d2,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2, code) AS rk
+    FROM d2) WHERE rk = 1)
+SELECT sub, CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(d2) AS BIGINT) AS sum_sq_err,
+       CAST(CAST(sum(d2) AS BIGINT) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mean_sq_err
+FROM best GROUP BY sub ORDER BY sub
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry re-push — import-order independence.
 #
 # Several module-level twin builders above (_sql_minhash_estimate_error,

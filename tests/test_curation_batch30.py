@@ -161,3 +161,67 @@ def test_source_leakage_matrix_cross_feed(tmp_path):
     cells = {(r["source_a"], r["source_b"]): int(r["n_pairs"])
              for _, r in out.iterrows()}
     assert any(a != b for (a, b) in cells), cells
+
+
+# ------------------------------------------------------------------ batch 36
+
+def test_pq_rhu_signed_matches_sql_identity():
+    """Round-half-up integer mean on signed sums: numpy's flooring //
+    must equal the SQL twin's CASE over truncating division."""
+    import numpy as np
+
+    from nacc_form_validator_ray.pipelines.curation import _pq_rhu
+
+    def sql_side(s, n):
+        num, den = 2 * s + n, 2 * n
+        if num >= 0:
+            return num // den     # truncation == floor when num >= 0
+        return -((-num + den - 1) // den)
+
+    rng = np.random.RandomState(0)
+    s = rng.randint(-10_000, 10_000, size=500).astype(np.int64)
+    n = rng.randint(1, 40, size=500).astype(np.int64)
+    got = _pq_rhu(s, n)
+    want = np.array([sql_side(int(a), int(b)) for a, b in zip(s, n)])
+    assert (got == want).all()
+    # halfway cases round UP (toward +inf) on both engines
+    assert _pq_rhu(np.array([3]), np.array([2]))[0] == 2      # 1.5 -> 2
+    assert _pq_rhu(np.array([-3]), np.array([2]))[0] == -1    # -1.5 -> -1
+
+
+def test_pq_assign_tie_breaks_to_smallest_code():
+    import numpy as np
+
+    from nacc_form_validator_ray.pipelines.curation import _pq_assign
+
+    q = np.array([[0, 0]], dtype=np.int64)
+    cents = np.array([[1, 0], [0, 1]], dtype=np.int64)  # both d2 = 1
+    codes = np.array([3, 7], dtype=np.int64)
+    assert _pq_assign(q, cents, codes)[0] == 3
+
+
+def test_pq_codebook_covers_all_subspaces_and_is_grid_exact(tmp_path):
+    """End-to-end over a tiny synthetic embeddings table: every
+    subspace appears, cluster sizes sum to n per subspace, and each
+    centroid equals the round-half-up mean of its members."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.curation import (
+        _PQ_M, _pq_codebook_df)
+
+    rng = np.random.RandomState(11)
+    n, d = 40, 64
+    emb = rng.uniform(-1, 1, size=(n, d)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "embedding": pa.array(list(emb),
+                                        pa.list_(pa.float32())),
+                  "label": pa.array(np.zeros(n, np.int32))})
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    cb = _pq_codebook_df(str(tmp_path))
+    assert set(cb["sub"]) == set(range(1, _PQ_M + 1))
+    per_sub_n = cb.groupby(["sub", "dim"])["n"].sum()
+    assert (per_sub_n == n).all()
+    assert cb["comp"].abs().max() <= 4096 + 1
