@@ -562,6 +562,12 @@ def bench_queries(sf_dir: str):
         # over embeddings with bounded codebook state)
         "pq_encode_error": lambda: consume(
             Q.QUERIES["pq_encode_error"](sf_dir)),
+        # batch 37: LPA communities (per-round broadcast, no per-round
+        # exchange) + robots prefix filter (zero-exchange streaming)
+        "host_label_propagation": lambda: consume(
+            Q.QUERIES["host_label_propagation"](sf_dir)),
+        "robots_filter_pages": lambda: consume(
+            Q.QUERIES["robots_filter_pages"](sf_dir)),
     }
 
 

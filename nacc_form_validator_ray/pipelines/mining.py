@@ -5371,3 +5371,165 @@ SELECT frame_text, CAST(count(DISTINCT media_id) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_occurrences
 FROM fr GROUP BY frame_text HAVING count(DISTINCT media_id) >= 2
 """
+
+
+# --------------------------------------------------------------------------
+# batch 37: LPA communities + robots-style prefix filter
+# --------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+
+
+def q_host_label_propagation(sf_dir: str) -> pd.DataFrame:
+    """Label-propagation communities of the host link graph (see
+    stages/graph.host_label_propagation: synchronous mode update with
+    min-label tie-break, fixed rounds, per-round broadcast + driver
+    merge — no per-round exchange)."""
+    from nacc_form_validator_ray.pipelines.queries import \
+        _linked_pages_path
+    from nacc_form_validator_ray.stages.graph import \
+        host_label_propagation
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["url", "links"])
+    return host_label_propagation(ds, rounds=_LPA_ROUNDS)
+
+
+def sql_host_label_propagation(path: str,
+                               sql_url_norm: str | None = None) -> str:
+    """Twin: the SAME synchronous mode update as chained MATERIALIZED
+    CTEs — neighbor label counts, then the (count DESC, label ASC)
+    window winner; isolated hosts keep their own label."""
+    host_url = sql_url_norm.format(u="url")
+    iters = []
+    for k in range(1, _LPA_ROUNDS + 1):
+        iters.append(f"""
+c{k} AS MATERIALIZED (
+  SELECT nb.u AS host, l.lbl AS l, CAST(count(*) AS BIGINT) AS c
+  FROM nb JOIN l{k - 1} l ON l.host = nb.v
+  GROUP BY 1, 2),
+l{k} AS MATERIALIZED (
+  SELECT n.host, coalesce(w.l, n.lbl) AS lbl
+  FROM l{k - 1} n
+  LEFT JOIN (SELECT host, l FROM (
+               SELECT host, l, row_number() OVER (
+                   PARTITION BY host ORDER BY c DESC, l) AS rk
+               FROM c{k}) WHERE rk = 1) w
+    ON w.host = n.host)""")
+    return f"""
+{_sql_edge_ctes(path, sql_url_norm)},
+nodes AS (SELECT DISTINCT {host_url} AS host FROM pg
+          UNION SELECT a FROM ed UNION SELECT b FROM ed),
+nb AS (SELECT a AS u, b AS v FROM ed
+       UNION ALL SELECT b AS u, a AS v FROM ed),
+l0 AS MATERIALIZED (SELECT host, host AS lbl FROM nodes),
+{','.join(iters)}
+SELECT host, lbl AS community FROM l{_LPA_ROUNDS} ORDER BY host
+"""
+
+
+MIN_QUERIES["host_label_propagation"] = q_host_label_propagation
+MIN_LINKED_SQL["host_label_propagation"] = sql_host_label_propagation
+
+
+#: robots.txt-style longest-prefix path rules (rule_id, host-or-*,
+#: path prefix, allow). Deterministic synthetic policy over the
+#: linked-page fixture — the plumbing (broadcast rule table,
+#: vectorized prefix match, longest-prefix / deny-first precedence)
+#: is the real crawl-policy operator; swap the table for a parsed
+#: robots.txt corpus in production.
+ROBOTS_RULES = [
+    (0, "*", "/doc/1", False),       # denies /doc/1, /doc/10, /doc/1/x
+    (1, "*", "/doc/12", True),       # longest prefix wins /doc/12* back
+    (2, "host3.example.org", "/", False),   # whole-host deny
+    (3, "*", "/doc/7", False),
+]
+
+
+def q_robots_filter_pages(sf_dir: str) -> pd.DataFrame:
+    """Robots-style URL policy filter: every page resolves against a
+    broadcast prefix-rule table with longest-prefix-wins precedence
+    (ties: deny before allow, then lowest rule id); unmatched pages
+    default to allow with rule_id -1. Returns (doc_id, host, rule_id,
+    allowed) for every page.
+
+    Scale shape: the rule table is model-sized broadcast state; the
+    match is R vectorized ``startswith`` passes per batch in rule
+    precedence order (first hit wins) — one streaming pass, no
+    exchange at all."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.queries import \
+        _linked_pages_path
+    from nacc_form_validator_ray.stages.graph import _host_of
+
+    # precedence: longest prefix, deny before allow, lowest rule id
+    order = sorted(ROBOTS_RULES,
+                   key=lambda r: (-len(r[2]), r[3], r[0]))
+
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["doc_id", "url"])
+
+    def match(t) -> pd.DataFrame:
+        url = pc.fill_null(t["url"], "")
+        host = _host_of(url, pc).to_numpy(zero_copy_only=False)
+        tail = pc.replace_substring_regex(
+            url, r"^(?i:https?)://[^/?#]+", "")
+        ext = pc.extract_regex(tail, r"^(?P<p>[^?#]*)")
+        if isinstance(ext, pa.ChunkedArray):
+            ext = ext.combine_chunks()
+        pth = pc.struct_field(ext, "p").to_numpy(zero_copy_only=False)
+        n = len(pth)
+        rule_id = np.full(n, -1, dtype=np.int64)
+        allowed = np.ones(n, dtype=bool)
+        unset = np.ones(n, dtype=bool)
+        path_s = pd.Series(pth, dtype=object)
+        for rid, rhost, prefix, allow in order:
+            hit = path_s.str.startswith(prefix).to_numpy()
+            if rhost != "*":
+                hit &= host == rhost
+            hit &= unset
+            rule_id[hit] = rid
+            allowed[hit] = allow
+            unset &= ~hit
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "host": host, "rule_id": rule_id, "allowed": allowed})
+
+    out = ds.map_batches(match, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def sql_robots_filter_pages(path: str,
+                            sql_url_norm: str | None = None) -> str:
+    host = sql_url_norm.format(u="url")
+    vals = ", ".join(
+        f"({rid}, '{rhost}', '{prefix}', {str(allow).lower()})"
+        for rid, rhost, prefix, allow in ROBOTS_RULES)
+    return f"""
+WITH pg AS (SELECT doc_id, coalesce(url, '') AS url
+            FROM read_parquet('{path}')),
+s AS (SELECT doc_id, {host} AS host,
+             regexp_extract(regexp_replace(url,
+                 '^(?i:https?)://[^/?#]+', ''), '^[^?#]*') AS path
+      FROM pg),
+rules(rule_id, rhost, prefix, allow) AS (VALUES {vals}),
+m AS (SELECT s.doc_id, r.rule_id, r.allow, len(r.prefix) AS plen
+      FROM s JOIN rules r
+        ON (r.rhost = '*' OR r.rhost = s.host)
+       AND starts_with(s.path, r.prefix)),
+w AS (SELECT doc_id, rule_id, allow FROM (
+        SELECT doc_id, rule_id, allow,
+               row_number() OVER (PARTITION BY doc_id
+                   ORDER BY plen DESC, allow ASC, rule_id) AS rk
+        FROM m) WHERE rk = 1)
+SELECT s.doc_id, s.host,
+       CAST(coalesce(w.rule_id, -1) AS BIGINT) AS rule_id,
+       coalesce(w.allow, true) AS allowed
+FROM s LEFT JOIN w ON w.doc_id = s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+MIN_QUERIES["robots_filter_pages"] = q_robots_filter_pages
+MIN_LINKED_SQL["robots_filter_pages"] = sql_robots_filter_pages

@@ -1049,6 +1049,92 @@ def host_components(ds, rounds: int = 6,
                                dtype=object)})
 
 
+def host_label_propagation(ds, rounds: int = 4,
+                           url_column: str = "url",
+                           links_column: str = "links",
+                           num_partitions: int = 32):
+    """Community detection on the undirected host link graph by
+    SYNCHRONOUS label propagation (Raghavan et al. 2007, public) with
+    a deterministic tie-break. Update rule, identical on both engines,
+    per round::
+
+        lbl'(v) = argmax_l |{u in N(v) : lbl(u) = l}|
+                  (tie -> lexicographically smallest l);
+                  lbl(v) if v has no neighbors
+
+    Exactly ``rounds`` rounds run on BOTH engines — synchronous LPA
+    can oscillate on bipartite structure, so parity comes from the
+    fixed round count (same contract as :func:`host_components`), not
+    from termination detection.
+
+    Scale shape mirrors host_components: the lean undirected edge
+    list is materialized once; each round broadcasts the label map
+    via ``ray.put``, edge batches emit per-batch (host, label, count)
+    partials, and the driver computes the O(hosts)-row mode — no
+    per-round exchange. Returns {host, community} sorted by host."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    edges = _host_edge_list(ds, url_column, links_column,
+                            num_partitions)
+
+    def page_hosts(t):
+        h = _host_of(t[url_column], pc).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"h": pd.unique(pd.Series(h, dtype=object))})
+
+    hosts_df = ds.map_batches(page_hosts,
+                              batch_format="pyarrow").to_pandas()
+    heads = edges.map_batches(
+        lambda p: pd.DataFrame({
+            "h": pd.unique(pd.concat([p["a"], p["b"]],
+                                     ignore_index=True))
+        }) if len(p) else pd.DataFrame({"h": pd.Series([], dtype=object)}),
+        batch_format="pandas").to_pandas()
+    vs: list = []
+    for frame in (hosts_df, heads):
+        if not frame.empty and "h" in frame.columns:
+            vs.extend(frame["h"].tolist())
+    vertices = sorted(set(vs))
+    lbl = {v: v for v in vertices}
+
+    for _ in range(rounds):
+        ref = ray.put(lbl)
+
+        def nbr_counts(part: pd.DataFrame, ref=ref) -> pd.DataFrame:
+            if part.empty:
+                return pd.DataFrame({"host": pd.Series([], dtype=object),
+                                     "l": pd.Series([], dtype=object),
+                                     "c": pd.Series([], dtype=np.int64)})
+            cur = ray.get(ref)
+            la = part["a"].map(cur)
+            lb = part["b"].map(cur)
+            cand = pd.DataFrame({
+                "host": pd.concat([part["a"], part["b"]],
+                                  ignore_index=True),
+                "l": pd.concat([lb, la], ignore_index=True)})
+            out = cand.groupby(["host", "l"], as_index=False).size() \
+                .rename(columns={"size": "c"})
+            out["c"] = out["c"].astype(np.int64)
+            return out
+
+        partials = edges.map_batches(nbr_counts,
+                                     batch_format="pandas").to_pandas()
+        if partials.empty or "host" not in partials.columns:
+            break
+        cnt = partials.groupby(["host", "l"], as_index=False)["c"].sum()
+        # mode with min-label tie-break: sort by (count desc, label asc)
+        cnt = cnt.sort_values(["host", "c", "l"],
+                              ascending=[True, False, True])
+        winner = cnt.drop_duplicates("host").set_index("host")["l"]
+        lbl = {v: winner.get(v, l) for v, l in lbl.items()}
+
+    return pd.DataFrame({
+        "host": pd.Series(vertices, dtype=object),
+        "community": pd.Series([lbl[v] for v in vertices],
+                               dtype=object)})
+
+
 def mutual_host_links(ds, url_column: str = "url",
                       links_column: str = "links",
                       num_partitions: int = 32):

@@ -646,3 +646,52 @@ def test_host_bfs_rounds_cap_and_empty_graph():
                         "links": [["https://a.com/x"]]})
     out2 = host_bfs(rd.from_pandas(df2))
     assert len(out2) == 0 and out2["dist"].dtype == "int64"
+
+
+# ------------------------------------------------------------------ batch 37
+
+def test_lpa_mode_tiebreak_prefers_smallest_label():
+    """The synchronous LPA winner is (count DESC, label ASC) — a 1-1
+    neighbor-label tie must pick the lexicographically smaller one."""
+    import pandas as pd
+
+    cnt = pd.DataFrame({"host": ["x", "x", "y"],
+                        "l": ["b", "a", "z"],
+                        "c": [1, 1, 3]})
+    cnt = cnt.sort_values(["host", "c", "l"],
+                          ascending=[True, False, True])
+    winner = cnt.drop_duplicates("host").set_index("host")["l"]
+    assert winner["x"] == "a" and winner["y"] == "z"
+
+
+def test_lpa_isolated_host_keeps_own_label(ray_session):
+    """A page whose host never appears in any edge keeps itself as its
+    community after every round."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nacc_form_validator_ray.stages.graph import \
+        host_label_propagation
+
+    t = pa.table({
+        "url": ["http://a.example.org/1", "http://b.example.org/1",
+                "http://lonely.example.org/1"],
+        "links": [["http://b.example.org/x"], ["http://a.example.org/y"],
+                  []],
+    })
+    out = host_label_propagation(rd.from_arrow(t), rounds=3)
+    got = dict(zip(out["host"], out["community"]))
+    assert got["lonely.example.org"] == "lonely.example.org"
+    # the a<->b pair oscillates or converges, but stays inside {a, b}
+    assert got["a.example.org"] in {"a.example.org", "b.example.org"}
+
+
+def test_robots_precedence_longest_prefix_then_deny():
+    """Rule precedence: longest prefix first, deny before allow on
+    equal length, lowest rule id last — matches the twin's window."""
+    rules = [(0, "*", "/doc", False), (1, "*", "/doc/12", True),
+             (2, "*", "/doc/12", False)]
+    order = sorted(rules, key=lambda r: (-len(r[2]), r[3], r[0]))
+    # /doc/12 ties on length between rules 1 (allow) and 2 (deny):
+    # deny (False) sorts first
+    assert [r[0] for r in order] == [2, 1, 0]
