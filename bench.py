@@ -568,6 +568,10 @@ def bench_queries(sf_dir: str):
             Q.QUERIES["host_label_propagation"](sf_dir)),
         "robots_filter_pages": lambda: consume(
             Q.QUERIES["robots_filter_pages"](sf_dir)),
+        # batch 38: water-fill allocator (two (source,bucket) exchanges
+        # + driver cap solve)
+        "source_token_waterfill": lambda: consume(
+            Q.QUERIES["source_token_waterfill"](sf_dir)),
     }
 
 

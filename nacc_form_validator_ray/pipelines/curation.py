@@ -3276,6 +3276,122 @@ FROM best GROUP BY sub ORDER BY sub
 
 
 # --------------------------------------------------------------------------
+# batch 38: water-filling per-source token-budget allocation
+# --------------------------------------------------------------------------
+
+#: kept tokens <= total // _WF_DEN (the mix target)
+_WF_DEN = 2
+
+#: shared twin prelude: token counts, per-source totals, the exact
+#: water-level solve (the same segment-max formula as
+#: stages/pack.waterfill_cap), and the within-source running total
+_WF_SQL = f"""
+d AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                     '[a-z]+')) AS BIGINT) AS n
+  FROM documents),
+tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS t
+        FROM d GROUP BY source),
+b AS (SELECT CAST(sum(t) // {_WF_DEN} AS BIGINT) AS budget FROM tot),
+seg AS (
+  SELECT t,
+         CAST(row_number() OVER (ORDER BY t, source) AS BIGINT) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS k,
+         CAST(sum(t) OVER (ORDER BY t, source
+                           ROWS UNBOUNDED PRECEDING) - t AS BIGINT)
+             AS pfx
+  FROM tot),
+cap AS (
+  SELECT CAST(max((b.budget - pfx) // (k - rk + 1)) AS BIGINT) AS c
+  FROM seg, b WHERE pfx <= b.budget),
+cum AS (
+  SELECT doc_id, source, n,
+         CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM d)
+"""
+
+
+def q_source_token_waterfill(sf_dir: str):
+    """Per-document water-fill manifest (see
+    stages/pack.source_token_waterfill): every source capped at the
+    same exact-integer level c*, docs kept in doc_id order while the
+    within-source running token total stays under the cap."""
+    from nacc_form_validator_ray.stages.pack import source_token_waterfill
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source", "text"])
+    return source_token_waterfill(ds, budget_den=_WF_DEN)
+
+
+CUR_QUERIES["source_token_waterfill"] = q_source_token_waterfill
+CUR_ORACLE_SQL["source_token_waterfill"] = f"""
+WITH {_WF_SQL}
+SELECT doc_id, source, n AS n_tokens, cum AS cum_tokens,
+       cum <= (SELECT c FROM cap) AS kept
+FROM cum ORDER BY doc_id
+"""
+
+
+def q_waterfill_mix_report(sf_dir: str) -> pd.DataFrame:
+    """Per-source audit of the water-fill allocation: total vs kept
+    tokens and documents, plus the kept-token share on the exact
+    integer grid (share_ppm = kept * 1e6 // total_kept) — the mix
+    dashboard read before launching a training run.
+
+    One extra driver fold over the manifest's per-source partials
+    (sources are the small side; the manifest itself streams)."""
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
+    manifest = q_source_token_waterfill(sf_dir)
+
+    def partial(t) -> pd.DataFrame:
+        kept = t["kept"].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "tokens_total": n,
+            "tokens_kept": np.where(kept, n, 0),
+            "docs_total": 1,
+            "docs_kept": kept.astype(np.int64)})
+        return df.groupby("source", as_index=False).sum()
+
+    out = _merge_partials(
+        manifest.map_batches(partial, batch_format="pyarrow"),
+        ["source"], {"tokens_total": "sum", "tokens_kept": "sum",
+                     "docs_total": "sum", "docs_kept": "sum"})
+    for c in ["tokens_total", "tokens_kept", "docs_total", "docs_kept"]:
+        out[c] = out[c].astype(np.int64)
+    grand = int(out["tokens_kept"].sum())
+    out["share_ppm"] = (out["tokens_kept"].to_numpy(np.int64)
+                        * 1_000_000) // max(grand, 1)
+    return out.sort_values("source").reset_index(drop=True)[
+        ["source", "tokens_total", "tokens_kept", "docs_total",
+         "docs_kept", "share_ppm"]]
+
+
+CUR_QUERIES["waterfill_mix_report"] = q_waterfill_mix_report
+CUR_ORACLE_SQL["waterfill_mix_report"] = f"""
+WITH {_WF_SQL},
+m AS (
+  SELECT source, n,
+         CASE WHEN cum <= (SELECT c FROM cap) THEN n ELSE 0 END AS nk,
+         CASE WHEN cum <= (SELECT c FROM cap) THEN 1 ELSE 0 END AS dk
+  FROM cum),
+agg AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS tokens_total,
+         CAST(sum(nk) AS BIGINT) AS tokens_kept,
+         CAST(count(*) AS BIGINT) AS docs_total,
+         CAST(sum(dk) AS BIGINT) AS docs_kept
+  FROM m GROUP BY source)
+SELECT source, tokens_total, tokens_kept, docs_total, docs_kept,
+       CAST(tokens_kept * 1000000
+            // greatest((SELECT sum(tokens_kept) FROM agg), 1)
+            AS BIGINT) AS share_ppm
+FROM agg ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry re-push — import-order independence.
 #
 # Several module-level twin builders above (_sql_minhash_estimate_error,

@@ -285,3 +285,122 @@ def shuffle_manifest(ds, id_column: str = "doc_id",
     return grouped_apply(keyed, ["__bucket"], rank,
                          num_partitions=num_partitions,
                          fn_format="pyarrow")
+
+
+def waterfill_cap(totals: "np.ndarray", budget: int) -> int:
+    """Exact-integer water-filling level: the largest integer cap ``c``
+    with ``sum_s min(T_s, c) <= budget``.
+
+    With totals sorted ascending (T_1 <= .. <= T_K, prefix P_i), the
+    optimum is ``max_{i: P_i <= B} (B - P_i) // (K - i)`` over segments
+    i in [0, K): every candidate is feasible (the segment formula
+    upper-bounds the true allocation off-segment on BOTH sides) and the
+    optimum's own segment attains it — so one max, no search. The
+    DuckDB twin (pipelines/curation) evaluates the identical formula
+    with window functions."""
+    t = np.sort(np.asarray(totals, dtype=np.int64))
+    if len(t) == 0:
+        return 0
+    pfx = np.concatenate(([0], np.cumsum(t)[:-1]))  # P_i, i = 0..K-1
+    k_rem = len(t) - np.arange(len(t))              # K - i
+    ok = pfx <= budget
+    if not ok.any():
+        return 0
+    return int(((budget - pfx[ok]) // k_rem[ok]).max())
+
+
+def source_token_waterfill(ds, budget_den: int = 2,
+                           id_column: str = "doc_id",
+                           source_column: str = "source",
+                           text_column: str = "text",
+                           bucket_size: int = 1 << 14,
+                           num_partitions: int = 32):
+    """Per-source token-budget allocation by water-filling: cap every
+    source at the same level ``c*`` chosen so the total kept tokens
+    stay within ``budget = total_tokens // budget_den`` — the standard
+    pretraining-mix balancer (big sources are clipped, small sources
+    survive whole).
+
+    Distributed shape (same bucketed prefix-sum as
+    ``select_token_budget``, partitioned by source):
+
+    1. lean pass: per-batch (source, doc_id-bucket) token sums — the
+       text column never leaves the first map;
+    2. ONE (source, bucket) ``grouped_agg_sum``; the driver holds
+       sources x buckets rows, solves ``c*`` via :func:`waterfill_cap`
+       (exact ints), and broadcasts per-(source, bucket) exclusive
+       bases;
+    3. ONE (source, bucket) co-location exchange: local doc_id sort,
+       global within-source cumsum = base + local cumsum, keep rule
+       ``cum <= c*`` (whole documents only).
+
+    Returns the full per-document manifest (doc_id, source, n_tokens,
+    cum_tokens, kept) as a streaming Dataset."""
+    import pyarrow as pa
+    import ray
+    from nacc_form_validator_ray.stages.partition import (grouped_agg_sum,
+                                                          grouped_apply)
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    def project(batch: pa.Table) -> dict:
+        col = batch[text_column]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        _, _, _, n_tokens = arrow_token_codes(arr)
+        ids = np.asarray(batch[id_column]).astype(np.int64)
+        src = np.asarray(batch[source_column]).astype(object)
+        return {id_column: ids, "source": src,
+                "n_tokens": n_tokens.astype(np.int64),
+                "__bucket": ids // bucket_size}
+
+    counts = ds.map_batches(project, batch_format="pyarrow")
+
+    bucket_tot = grouped_agg_sum(counts, ["source", "__bucket"],
+                                 ["n_tokens"],
+                                 num_partitions=num_partitions) \
+        .to_pandas()
+    if bucket_tot.empty:
+        cap = 0
+        base_map = {}
+    else:
+        bucket_tot = bucket_tot.sort_values(["source", "__bucket"])
+        per_source = bucket_tot.groupby("source")["n_tokens"].sum()
+        budget = int(per_source.sum()) // int(budget_den)
+        cap = waterfill_cap(per_source.to_numpy(np.int64), budget)
+        excl = bucket_tot.groupby("source")["n_tokens"].cumsum() \
+            - bucket_tot["n_tokens"]
+        base_map = dict(zip(
+            zip(bucket_tot["source"], bucket_tot["__bucket"]),
+            excl.astype(np.int64)))
+    base_ref = ray.put((base_map, cap))
+
+    def keep(part) -> dict:
+        bases, c = ray.get(base_ref)
+        ids = np.asarray(part[id_column]).astype(np.int64)
+        src = np.asarray(part["source"]).astype(object)
+        n = np.asarray(part["n_tokens"]).astype(np.int64)
+        bk = np.asarray(part["__bucket"]).astype(np.int64)
+        if not len(ids):
+            return {id_column: np.empty(0, dtype=np.int64),
+                    "source": np.empty(0, dtype=object),
+                    "n_tokens": np.empty(0, dtype=np.int64),
+                    "cum_tokens": np.empty(0, dtype=np.int64),
+                    "kept": np.empty(0, dtype=bool)}
+        order = np.lexsort((ids, bk, src))
+        ids, src, n, bk = ids[order], src[order], n[order], bk[order]
+        csum = np.cumsum(n)
+        excl = np.concatenate(([0], csum[:-1]))
+        first = np.ones(len(ids), dtype=bool)
+        first[1:] = (src[1:] != src[:-1]) | (bk[1:] != bk[:-1])
+        starts = np.flatnonzero(first)
+        runs = np.diff(np.append(starts, len(ids)))
+        base = np.repeat(
+            np.array([bases[(src[i], bk[i])] for i in starts],
+                     dtype=np.int64), runs)
+        cum = base + (excl - np.repeat(excl[first], runs)) + n
+        return {id_column: ids, "source": src, "n_tokens": n,
+                "cum_tokens": cum, "kept": cum <= c}
+
+    return grouped_apply(counts, ["source", "__bucket"], keep,
+                         num_partitions=num_partitions)

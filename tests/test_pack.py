@@ -180,3 +180,68 @@ def test_histogram_quantile_sketch_accuracy_and_merge():
     pd.testing.assert_frame_equal(
         out.sort_values(["g", "q"]).reset_index(drop=True),
         out2.sort_values(["g", "q"]).reset_index(drop=True))
+
+
+# ------------------------------------------------------------------ batch 38
+
+def test_waterfill_cap_matches_brute_force():
+    """The segment-max closed form equals the brute-force maximum cap
+    over random totals and budgets."""
+    import numpy as np
+
+    from nacc_form_validator_ray.stages.pack import waterfill_cap
+
+    rng = np.random.RandomState(7)
+    for _ in range(200):
+        k = rng.randint(1, 8)
+        t = rng.randint(0, 50, size=k).astype(np.int64)
+        budget = int(rng.randint(0, int(t.sum()) + 20))
+        got = waterfill_cap(t, budget)
+        # brute force: alloc is monotone in c, so scan
+        def alloc(c):
+            return int(np.minimum(t, c).sum())
+        assert alloc(got) <= budget
+        assert alloc(got + 1) > budget or got >= int(t.max())
+
+
+def test_waterfill_cap_edges():
+    import numpy as np
+
+    from nacc_form_validator_ray.stages.pack import waterfill_cap
+
+    assert waterfill_cap(np.array([], dtype=np.int64), 100) == 0
+    assert waterfill_cap(np.array([10], dtype=np.int64), 0) == 0
+    # full corpus fits: cap >= max total keeps everything
+    assert waterfill_cap(np.array([5, 10], dtype=np.int64), 15) >= 10
+
+
+def test_source_token_waterfill_keeps_prefix_per_source(ray_session):
+    """Within each source the kept set is a doc_id-prefix under the
+    cap; cum_tokens is the exact within-source running total."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nacc_form_validator_ray.stages.pack import source_token_waterfill
+
+    rng = np.random.RandomState(3)
+    n = 120
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": np.where(np.arange(n) % 3 == 0, "big", "small"),
+        "text": [" ".join(["tok"] * int(k))
+                 for k in rng.randint(1, 30, size=n)],
+    })
+    out = source_token_waterfill(
+        rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)),
+        budget_den=2, bucket_size=16, num_partitions=4).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == n
+    for _, g in out.groupby("source"):
+        g = g.sort_values("doc_id")
+        assert (g["cum_tokens"].to_numpy()
+                == g["n_tokens"].cumsum().to_numpy()).all()
+        kept = g["kept"].to_numpy()
+        # prefix property: once dropped, never kept again
+        assert not (~kept[:-1] & kept[1:]).any()
