@@ -572,6 +572,12 @@ def bench_queries(sf_dir: str):
         # + driver cap solve)
         "source_token_waterfill": lambda: consume(
             Q.QUERIES["source_token_waterfill"](sf_dir)),
+        # batch 39: corpus-level bigram diversity (one (source,bigram)
+        # exchange) + two-pass CDF quantile normalization
+        "distinct_ngram_ratio": lambda: consume(
+            Q.QUERIES["distinct_ngram_ratio"](sf_dir)),
+        "quantile_normalize_docs": lambda: consume(
+            Q.QUERIES["quantile_normalize_docs"](sf_dir)),
     }
 
 

@@ -3392,6 +3392,184 @@ FROM agg ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# batch 39: corpus diversity + per-source quantile normalization
+# --------------------------------------------------------------------------
+
+def q_distinct_ngram_ratio(sf_dir: str) -> pd.DataFrame:
+    """Per-source bigram diversity (distinct-2 of Li et al. 2016's
+    distinct-n family): distinct vs total bigrams of the [a-z]+ token
+    stream, on the exact ppm grid — low diversity flags template/spam
+    feeds that per-document repetition scores miss (the whole SOURCE
+    repeats even when each document looks fine).
+
+    Shape: per-batch (source, bigram) count partials
+    (dictionary-coded, no Python loop) -> ONE grouped-sum exchange ->
+    per-partition (distinct, total) partials -> driver merge of
+    O(sources x partitions) rows. At 100 TB swap the bigram strings
+    for 64-bit hashes on the exchange (the dup_ngram_spans_hashed
+    lesson) — same plan, smaller wire."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
+    from nacc_form_validator_ray.stages.partition import grouped_agg_sum
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["source", "text"])
+
+    def count_partial(t: "pa.Table") -> "pa.Table":
+        empty = pa.table({"source": pa.array([], type=pa.string()),
+                          "b": pa.array([], type=pa.string()),
+                          "c": pa.array([], type=pa.int64())})
+        codes, dictionary, tok_doc, _ = arrow_token_codes(t["text"])
+        if dictionary is None or len(codes) < 2:
+            return empty
+        toks = dictionary.to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        same_doc = tok_doc[1:] == tok_doc[:-1]
+        if not same_doc.any():
+            return empty
+        a = codes[:-1][same_doc].astype(np.int64)
+        b = codes[1:][same_doc].astype(np.int64)
+        doc = tok_doc[:-1][same_doc]
+        # source is low-cardinality: encode to small ints, pack with
+        # the pair into one int64 key for a single np.unique pass
+        usrc, sidx = np.unique(src[doc], return_inverse=True)
+        key = (sidx.astype(np.int64) << 52) | (a << 26) | b
+        uk, cnt = np.unique(key, return_counts=True)
+        w1 = toks[((uk >> 26) & ((1 << 26) - 1)).astype(np.int64)]
+        w2 = toks[(uk & ((1 << 26) - 1)).astype(np.int64)]
+        bi = np.array([f"{x} {y}" for x, y in zip(w1, w2)],
+                      dtype=object)
+        return pa.table({
+            "source": pa.array(usrc[(uk >> 52).astype(np.int64)]),
+            "b": pa.array(bi), "c": pa.array(cnt.astype(np.int64))})
+
+    merged = grouped_agg_sum(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["source", "b"], ["c"], num_partitions=16)
+
+    def per_part(t: "pa.Table") -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "n_distinct": pd.Series([], dtype=np.int64),
+                "n_total": pd.Series([], dtype=np.int64)})
+        df = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "n_distinct": 1,
+            "n_total": t["c"].to_numpy(zero_copy_only=False)})
+        return df.groupby("source", as_index=False).sum()
+
+    out = _merge_partials(
+        merged.map_batches(per_part, batch_format="pyarrow"),
+        ["source"], {"n_distinct": "sum", "n_total": "sum"})
+    out = out.astype({"n_distinct": np.int64, "n_total": np.int64})
+    out["distinct_ppm"] = (out["n_distinct"].to_numpy(np.int64)
+                           * 1_000_000) \
+        // np.maximum(out["n_total"].to_numpy(np.int64), 1)
+    return out.sort_values("source").reset_index(drop=True)[
+        ["source", "n_total", "n_distinct", "distinct_ppm"]]
+
+
+CUR_QUERIES["distinct_ngram_ratio"] = q_distinct_ngram_ratio
+CUR_ORACLE_SQL["distinct_ngram_ratio"] = """
+WITH t AS (
+  SELECT source,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+  FROM documents),
+bg AS (
+  SELECT source,
+         unnest(CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i+1])
+                ELSE CAST([] AS VARCHAR[]) END) AS b
+  FROM t),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+         CAST(count(DISTINCT b) AS BIGINT) AS n_distinct
+  FROM bg GROUP BY source)
+SELECT source, n_total, n_distinct,
+       CAST(n_distinct * 1000000 // greatest(n_total, 1) AS BIGINT)
+           AS distinct_ppm
+FROM agg ORDER BY source
+"""
+
+
+def q_quantile_normalize_docs(sf_dir: str):
+    """Per-source quantile normalization of the length score: every
+    document gets its WITHIN-SOURCE empirical quantile on the exact
+    ppm grid (``#strictly-smaller * 1e6 // (n_source - 1)``) — the
+    cross-source calibration step before a global quality cut, so a
+    "long document" means the same thing in every feed.
+
+    Shape: pass 1 reduces to (source, n_chars) value counts (bounded
+    by sources x value domain, NOT corpus size) merged on the driver;
+    pass 2 broadcasts the per-source CDF and assigns quantiles with
+    one vectorized searchsorted per batch — two streaming passes, no
+    data-sized exchange."""
+    import pyarrow as pa
+    import ray
+
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source", "n_chars"])
+
+    def vc(t: "pa.Table") -> pd.DataFrame:
+        df = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "v": t["n_chars"].to_numpy(zero_copy_only=False),
+            "c": 1})
+        return df.groupby(["source", "v"], as_index=False).sum()
+
+    hist = _merge_partials(ds.map_batches(vc, batch_format="pyarrow"),
+                           ["source", "v"], {"c": "sum"})
+    cdf = {}
+    for s, g in hist.groupby("source"):
+        g = g.sort_values("v")
+        vals = g["v"].to_numpy(np.int64)
+        cnts = g["c"].to_numpy(np.int64)
+        less = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+        cdf[s] = (vals, less, int(cnts.sum()))
+    cdf_ref = ray.put(cdf)
+
+    def assign(t: "pa.Table") -> "pa.Table":
+        m = ray.get(cdf_ref)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.zeros(len(v), dtype=np.int64)
+        for s in np.unique(src) if len(src) else []:
+            vals, less, n = m[s]
+            sel = src == s
+            cl = less[np.searchsorted(vals, v[sel])]
+            q[sel] = cl * 1_000_000 // max(n - 1, 1)
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks(),
+            "source": t["source"].combine_chunks(),
+            "n_chars": t["n_chars"].combine_chunks(),
+            "quantile_ppm": pa.array(q)})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+CUR_QUERIES["quantile_normalize_docs"] = q_quantile_normalize_docs
+CUR_ORACLE_SQL["quantile_normalize_docs"] = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         CAST(rank() OVER (PARTITION BY source ORDER BY n_chars) - 1
+              AS BIGINT) AS cl,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+  FROM documents)
+SELECT doc_id, source, n_chars,
+       CAST(cl * 1000000 // greatest(ns - 1, 1) AS BIGINT)
+           AS quantile_ppm
+FROM r ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry re-push — import-order independence.
 #
 # Several module-level twin builders above (_sql_minhash_estimate_error,

@@ -225,3 +225,68 @@ def test_pq_codebook_covers_all_subspaces_and_is_grid_exact(tmp_path):
     per_sub_n = cb.groupby(["sub", "dim"])["n"].sum()
     assert (per_sub_n == n).all()
     assert cb["comp"].abs().max() <= 4096 + 1
+
+
+# ------------------------------------------------------------------ batch 39
+
+def test_distinct_ngram_ratio_small_fixture(ray_session, tmp_path):
+    """A source that repeats one bigram forever scores far lower than
+    a source of fresh bigrams, and counts are exact."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_distinct_ngram_ratio
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "source": ["loop", "loop", "fresh", "fresh"],
+        "text": ["spam ham spam ham spam ham",      # bigrams: 5 total
+                 "spam ham spam ham",               # 3 total
+                 "one two three four",              # 3 distinct
+                 "five six seven eight"],           # 3 distinct
+        "lang": ["en"] * 4,
+        "n_chars": np.array([26, 17, 18, 20], dtype=np.int64),
+    })
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    out = q_distinct_ngram_ratio(str(tmp_path)).set_index("source")
+    # loop: bigrams (spam,ham)x5? -> "spam ham" 5, "ham spam" 3 -> 8
+    # total, 2 distinct
+    assert out.loc["loop", "n_total"] == 8
+    assert out.loc["loop", "n_distinct"] == 2
+    assert out.loc["fresh", "n_total"] == 6
+    assert out.loc["fresh", "n_distinct"] == 6
+    assert out.loc["fresh", "distinct_ppm"] == 1_000_000
+    assert out.loc["loop", "distinct_ppm"] == 250_000
+
+
+def test_quantile_normalize_strict_less_and_tie_semantics(ray_session,
+                                                          tmp_path):
+    """Quantile = #strictly-smaller * 1e6 // (n-1): ties share a
+    quantile; min is 0; max is 1e6 when unique."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_quantile_normalize_docs
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "source": ["s"] * 5,
+        "text": ["x"] * 5,
+        "lang": ["en"] * 5,
+        "n_chars": np.array([10, 10, 20, 30, 40], dtype=np.int64),
+    })
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    out = q_quantile_normalize_docs(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id")
+    q = out["quantile_ppm"].tolist()
+    assert q[0] == q[1] == 0              # tied minimum
+    assert q[2] == 2 * 1_000_000 // 4     # 2 strictly smaller of n-1=4
+    assert q[4] == 1_000_000              # unique maximum
