@@ -578,6 +578,9 @@ def bench_queries(sf_dir: str):
             Q.QUERIES["distinct_ngram_ratio"](sf_dir)),
         "quantile_normalize_docs": lambda: consume(
             Q.QUERIES["quantile_normalize_docs"](sf_dir)),
+        # batch 40: lexicon topic router (zero-exchange streaming pass)
+        "topic_mix_by_source": lambda: consume(
+            Q.QUERIES["topic_mix_by_source"](sf_dir)),
     }
 
 

@@ -3570,6 +3570,152 @@ FROM r ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# batch 40: lexicon topic routing
+# --------------------------------------------------------------------------
+
+#: keyword lexicons (topic -> word set), the broadcast model of the
+#: router. Deterministic synthetic lexicons over the fixture
+#: vocabulary; production swaps in curated domain lexicons — the
+#: plumbing (broadcast membership, dictionary-code matching, argmax
+#: with lexicographic tie-break, zero-hit fallback) is the operator.
+TOPIC_LEXICONS = {
+    "relational": ("table", "query", "row", "column", "join", "filter"),
+    "streaming": ("stream", "window", "batch", "spark"),
+    "commerce": ("customer", "market", "order", "price"),
+}
+_TOPIC_FALLBACK = "other"
+
+
+def _topic_route_manifest(sf_dir: str):
+    """Shared router pass: per-document winning topic + hit count.
+
+    Per batch: tokens are dictionary-coded once
+    (``arrow_token_codes``); each topic is ONE ``np.isin`` over the
+    batch DICTIONARY (vocabulary-sized, not token-sized) followed by a
+    bincount over token->doc ids — no Python loop over rows. Winner =
+    max hits, ties to the lexicographically smaller topic, zero hits
+    -> 'other'. One streaming pass, no exchange."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    topics = sorted(TOPIC_LEXICONS)       # tie-break order
+    lex = {t: np.array(sorted(TOPIC_LEXICONS[t]), dtype=object)
+           for t in topics}
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source", "text"])
+
+    def route(t: "pa.Table") -> "pa.Table":
+        n = t.num_rows
+        out_topic = np.full(n, _TOPIC_FALLBACK, dtype=object)
+        hits_mat = np.zeros((n, len(topics)), dtype=np.int64)
+        codes, dictionary, tok_doc, _ = arrow_token_codes(t["text"])
+        if dictionary is not None and len(codes):
+            vocab = dictionary.to_numpy(zero_copy_only=False)
+            for j, tp in enumerate(topics):
+                mask = np.isin(vocab, lex[tp])
+                hit = mask[codes]
+                if hit.any():
+                    hits_mat[:, j] = np.bincount(tok_doc[hit],
+                                                 minlength=n)
+            best = hits_mat.argmax(axis=1)   # first max = smaller topic
+            won = hits_mat[np.arange(n), best] > 0
+            out_topic[won] = np.array(topics, dtype=object)[best[won]]
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks(),
+            "source": t["source"].combine_chunks(),
+            "topic": pa.array(out_topic),
+            "hits": pa.array(hits_mat.max(axis=1))})
+
+    return ds.map_batches(route, batch_format="pyarrow")
+
+
+def q_topic_route_docs(sf_dir: str):
+    """Per-document lexicon topic router (see
+    :func:`_topic_route_manifest`): (doc_id, source, topic, hits)."""
+    return _topic_route_manifest(sf_dir)
+
+
+def q_topic_mix_by_source(sf_dir: str) -> pd.DataFrame:
+    """Topic mix per source off the router manifest: document counts
+    and the exact ppm share within each source — the routing dashboard
+    (a feed suddenly going 90% 'other' means its vocabulary drifted
+    off every lexicon)."""
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
+
+    manifest = _topic_route_manifest(sf_dir)
+
+    def partial(t) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "topic": t["topic"].to_numpy(zero_copy_only=False),
+            "n_docs": 1})
+        return df.groupby(["source", "topic"], as_index=False).sum()
+
+    out = _merge_partials(
+        manifest.map_batches(partial, batch_format="pyarrow"),
+        ["source", "topic"], {"n_docs": "sum"})
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    tot = out.groupby("source")["n_docs"].transform("sum") \
+        .to_numpy(np.int64)
+    out["share_ppm"] = (out["n_docs"].to_numpy(np.int64)
+                        * 1_000_000) // np.maximum(tot, 1)
+    return out.sort_values(["source", "topic"]).reset_index(drop=True)[
+        ["source", "topic", "n_docs", "share_ppm"]]
+
+
+def _sql_topic_route() -> str:
+    vals = ", ".join(
+        f"('{t}', '{w}')"
+        for t in sorted(TOPIC_LEXICONS)
+        for w in sorted(TOPIC_LEXICONS[t]))
+    return f"""
+lex(topic, w) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                   '[a-z]+')) AS w
+  FROM documents),
+h AS (
+  SELECT tok.doc_id, lex.topic, CAST(count(*) AS BIGINT) AS c
+  FROM tok JOIN lex ON lex.w = tok.w
+  GROUP BY 1, 2),
+best AS (
+  SELECT doc_id, topic, c FROM (
+    SELECT doc_id, topic, c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, topic) AS rk
+    FROM h) WHERE rk = 1),
+routed AS (
+  SELECT d.doc_id, d.source,
+         coalesce(b.topic, '{_TOPIC_FALLBACK}') AS topic,
+         CAST(coalesce(b.c, 0) AS BIGINT) AS hits
+  FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id)"""
+
+
+CUR_QUERIES["topic_route_docs"] = q_topic_route_docs
+CUR_ORACLE_SQL["topic_route_docs"] = f"""
+WITH {_sql_topic_route()}
+SELECT doc_id, source, topic, hits FROM routed ORDER BY doc_id
+"""
+
+CUR_QUERIES["topic_mix_by_source"] = q_topic_mix_by_source
+CUR_ORACLE_SQL["topic_mix_by_source"] = f"""
+WITH {_sql_topic_route()},
+agg AS (
+  SELECT source, topic, CAST(count(*) AS BIGINT) AS n_docs
+  FROM routed GROUP BY 1, 2)
+SELECT source, topic, n_docs,
+       CAST(n_docs * 1000000 // greatest(
+            sum(n_docs) OVER (PARTITION BY source), 1) AS BIGINT)
+           AS share_ppm
+FROM agg ORDER BY source, topic
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry re-push — import-order independence.
 #
 # Several module-level twin builders above (_sql_minhash_estimate_error,

@@ -290,3 +290,36 @@ def test_quantile_normalize_strict_less_and_tie_semantics(ray_session,
     assert q[0] == q[1] == 0              # tied minimum
     assert q[2] == 2 * 1_000_000 // 4     # 2 strictly smaller of n-1=4
     assert q[4] == 1_000_000              # unique maximum
+
+
+# ------------------------------------------------------------------ batch 40
+
+def test_topic_router_argmax_tie_and_fallback(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_topic_route_docs
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "source": ["s"] * 4,
+        # doc0: 2 relational vs 1 streaming; doc1: 1-1 tie ->
+        # 'commerce' < 'relational' wins; doc2: no lexicon word;
+        # doc3: streaming only
+        "text": ["table query stream",
+                 "customer join",
+                 "zzz yyy xxx",
+                 "spark window window"],
+        "lang": ["en"] * 4,
+        "n_chars": np.array([18, 13, 11, 19], dtype=np.int64),
+    })
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    out = q_topic_route_docs(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id")
+    assert out["topic"].tolist() == \
+        ["relational", "commerce", "other", "streaming"]
+    assert out["hits"].tolist() == [2, 1, 0, 3]
