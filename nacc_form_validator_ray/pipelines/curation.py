@@ -3716,6 +3716,105 @@ FROM agg ORDER BY source, topic
 
 
 # --------------------------------------------------------------------------
+# batch 41: order-invariant corpus checksums per shard
+# --------------------------------------------------------------------------
+
+_CKSUM_SHARDS = 16
+
+
+def q_corpus_checksum_by_shard(sf_dir: str) -> pd.DataFrame:
+    """Order-invariant content checksum per hash shard: every document
+    contributes ``h = md5("{doc_id}:{text}")[:8 bytes]`` and each
+    shard (doc_id mod 16) reports (n_docs, XOR of h, wrapped mod-2^64
+    sum of h) — the verification artifact a resumable / replicated
+    pipeline compares across reruns, migrations, or replicas without
+    ever ordering or co-locating the corpus (both aggregates commute,
+    so ANY partitioning gives the identical answer).
+
+    Shape: one streaming pass with 16-row per-batch partials, driver
+    fold with explicit Python-int mod-2^64 wrap. int64 outputs are the
+    two's-complement view of the uint64 bit patterns (same convention
+    as fingerprint_docs' md5 fold)."""
+    import hashlib
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def partial(t) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        txt = t["text"].to_pylist()
+        if not len(ids):
+            return pd.DataFrame({
+                "shard": pd.Series([], dtype=np.int64),
+                "n_docs": pd.Series([], dtype=np.int64),
+                "xor_h": pd.Series([], dtype=np.uint64),
+                "sum_h": pd.Series([], dtype=np.uint64)})
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(
+                f"{int(i)}:{s if s is not None else ''}".encode())
+                .digest()[:8], "big")
+             for i, s in zip(ids, txt)),
+            dtype=np.uint64, count=len(ids))
+        df = pd.DataFrame({"shard": ids % _CKSUM_SHARDS, "h": h})
+        out = df.groupby("shard").agg(
+            n_docs=("h", "size"),
+            xor_h=("h", lambda s: np.bitwise_xor.reduce(
+                s.to_numpy(np.uint64))),
+            sum_h=("h", lambda s: np.sum(s.to_numpy(np.uint64)))) \
+            .reset_index()
+        return out.astype({"shard": np.int64, "n_docs": np.int64,
+                           "xor_h": np.uint64, "sum_h": np.uint64})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cols = ["shard", "n_docs", "xor_h", "sum_h"]
+    if parts.empty or "shard" not in parts.columns:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    rows = []
+    for shard, g in parts.groupby("shard", sort=True):
+        x = 0
+        s = 0
+        for v in g["xor_h"]:
+            x ^= int(v)
+        for v in g["sum_h"]:
+            s = (s + int(v)) % (1 << 64)
+        def signed(u: int) -> int:
+            return u - (1 << 64) if u >= (1 << 63) else u
+        rows.append((int(shard), int(g["n_docs"].sum()),
+                     signed(x), signed(s)))
+    return pd.DataFrame(rows, columns=cols).astype(np.int64)
+
+
+CUR_QUERIES["corpus_checksum_by_shard"] = q_corpus_checksum_by_shard
+CUR_ORACLE_SQL["corpus_checksum_by_shard"] = f"""
+WITH k AS (
+  SELECT doc_id % {_CKSUM_SHARDS} AS shard,
+         list_reduce(list_prepend(CAST(0 AS HUGEINT),
+           list_transform(regexp_extract_all(
+               substring(md5(CAST(doc_id AS VARCHAR) || ':'
+                             || coalesce(text, '')), 1, 16), '.'),
+             c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT))),
+           (a, b) -> a * 16 + b) AS v
+  FROM documents),
+per AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         bit_xor(CAST(CASE WHEN v >= 9223372036854775808
+                           THEN v - 18446744073709551616
+                           ELSE v END AS BIGINT)) AS xor_h,
+         sum(v) AS s
+  FROM k GROUP BY shard)
+SELECT CAST(shard AS BIGINT) AS shard, n_docs, xor_h,
+       CAST(CASE WHEN (s % 18446744073709551616)
+                      >= 9223372036854775808
+                 THEN (s % 18446744073709551616)
+                      - 18446744073709551616
+                 ELSE (s % 18446744073709551616) END AS BIGINT)
+           AS sum_h
+FROM per ORDER BY shard
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry re-push — import-order independence.
 #
 # Several module-level twin builders above (_sql_minhash_estimate_error,

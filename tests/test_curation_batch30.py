@@ -323,3 +323,38 @@ def test_topic_router_argmax_tie_and_fallback(ray_session, tmp_path):
     assert out["topic"].tolist() == \
         ["relational", "commerce", "other", "streaming"]
     assert out["hits"].tolist() == [2, 1, 0, 3]
+
+
+# ------------------------------------------------------------------ batch 41
+
+def test_corpus_checksum_is_partition_invariant(ray_session, tmp_path):
+    """XOR and wrapped-sum checksums must be identical under any
+    repartitioning — that is the whole point of the operator."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_corpus_checksum_by_shard
+
+    rng = np.random.RandomState(4)
+    n = 200
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": [f"doc {i} " + "w" * int(rng.randint(1, 50))
+                 for i in range(n)],
+        "source": ["s"] * n, "lang": ["en"] * n,
+        "n_chars": np.full(n, 10, dtype=np.int64),
+    })
+    t = pa.Table.from_pandas(docs, preserve_index=False)
+    d1 = tmp_path / "a"; d1.mkdir()
+    d2 = tmp_path / "b"; d2.mkdir()
+    pq.write_table(t, str(d1 / "documents.parquet"))
+    # reversed row order, different file layout
+    pq.write_table(t.take(list(range(n - 1, -1, -1))),
+                   str(d2 / "documents.parquet"))
+    a = q_corpus_checksum_by_shard(str(d1))
+    b = q_corpus_checksum_by_shard(str(d2))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 16 and (a["n_docs"].sum() == n)
