@@ -3063,6 +3063,12 @@ def _pq_seeds(sf_dir: str) -> "tuple[np.ndarray, np.ndarray]":
     if parts.empty or "x0" not in parts.columns:
         return np.zeros(0, dtype=np.int64), np.zeros((0, 0), np.int64)
     parts = parts.nsmallest(_PQ_K, "vec_id").sort_values("vec_id")
+    if parts["vec_id"].duplicated().any():
+        # the SQL twin seeds on DISTINCT vec_id and would double-count
+        # duplicate rows' dims in its distance sums — refuse loudly
+        # rather than trained-codebook divergence (review finding)
+        raise ValueError("pq: duplicate vec_id among seed candidates; "
+                         "vec_id must be unique")
     xcols = [c for c in parts.columns if c.startswith("x")]
     return (parts["vec_id"].to_numpy(np.int64),
             parts[xcols].to_numpy(np.int64))
@@ -3436,6 +3442,9 @@ def q_distinct_ngram_ratio(sf_dir: str) -> pd.DataFrame:
         # source is low-cardinality: encode to small ints, pack with
         # the pair into one int64 key for a single np.unique pass
         usrc, sidx = np.unique(src[doc], return_inverse=True)
+        # bit budget: 11 source bits + 2x26 token bits in one int64
+        assert len(usrc) < (1 << 11) and len(toks) < (1 << 26), \
+            "distinct_ngram_ratio: batch exceeds the int64 pack budget"
         key = (sidx.astype(np.int64) << 52) | (a << 26) | b
         uk, cnt = np.unique(key, return_counts=True)
         w1 = toks[((uk >> 26) & ((1 << 26) - 1)).astype(np.int64)]
@@ -3755,7 +3764,12 @@ def q_corpus_checksum_by_shard(sf_dir: str) -> pd.DataFrame:
                 .digest()[:8], "big")
              for i, s in zip(ids, txt)),
             dtype=np.uint64, count=len(ids))
-        df = pd.DataFrame({"shard": ids % _CKSUM_SHARDS, "h": h})
+        # DuckDB % is sign-preserving (trunc), numpy % floors:
+        # spell trunc-mod explicitly so negative doc_ids agree
+        ids64 = ids.astype(np.int64)
+        shard = np.where(ids64 >= 0, ids64 % _CKSUM_SHARDS,
+                         -((-ids64) % _CKSUM_SHARDS))
+        df = pd.DataFrame({"shard": shard, "h": h})
         out = df.groupby("shard").agg(
             n_docs=("h", "size"),
             xor_h=("h", lambda s: np.bitwise_xor.reduce(

@@ -720,6 +720,26 @@ MIN_LINKED_SQL["cap_docs_per_host"] = sql_cap_docs_per_host
 # --------------------------------------------------------------------------
 
 
+def _url_host_path(url_col, pc):
+    """Shared (normalized host, query/fragment-free path) extraction —
+    factored so path semantics cannot drift between the URL-profiling
+    queries and their twins (same drift class as _sql_edge_ctes'
+    review finding)."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.stages.graph import _host_of
+
+    url = pc.fill_null(url_col, "")
+    host = _host_of(url, pc).to_numpy(zero_copy_only=False)
+    tail = pc.replace_substring_regex(
+        url, r"^(?i:https?)://[^/?#]+", "")
+    ext = pc.extract_regex(tail, r"^(?P<p>[^?#]*)")
+    if isinstance(ext, pa.ChunkedArray):
+        ext = ext.combine_chunks()
+    path = pc.struct_field(ext, "p").to_numpy(zero_copy_only=False)
+    return host, path
+
+
 def q_url_structure_stats(sf_dir: str) -> pd.DataFrame:
     """Per-host URL structure profile over the linked-page fixture:
     page count, pages with a query string, total and average path
@@ -728,25 +748,19 @@ def q_url_structure_stats(sf_dir: str) -> pd.DataFrame:
     signal). Vectorized Arrow regex/count kernels in the per-batch
     combiner; hosts are the small side, so the driver merge is
     O(hosts x blocks); avg is one exact division."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     from nacc_form_validator_ray.pipelines.queries import (
         _linked_pages_path, _merge_partials)
-    from nacc_form_validator_ray.stages.graph import _host_of
 
     ds = _rd().read_parquet(_linked_pages_path(sf_dir),
                             columns=["url"])
 
     def partial(t) -> pd.DataFrame:
         url = pc.fill_null(t["url"], "")
-        host = _host_of(url, pc).to_numpy(zero_copy_only=False)
-        tail = pc.replace_substring_regex(
-            url, r"^(?i:https?)://[^/?#]+", "")
-        import pyarrow as pa
-        ext = pc.extract_regex(tail, r"^(?P<p>[^?#]*)")
-        if isinstance(ext, pa.ChunkedArray):
-            ext = ext.combine_chunks()
-        path = pc.struct_field(ext, "p")
+        host, path_np = _url_host_path(t["url"], pc)
+        path = pa.array(path_np, pa.string())
         depth = pc.count_substring(path, "/") \
             .to_numpy(zero_copy_only=False).astype(np.int64)
         has_q = (pc.find_substring(url, "?").to_numpy(
@@ -5456,12 +5470,10 @@ def q_robots_filter_pages(sf_dir: str) -> pd.DataFrame:
     match is R vectorized ``startswith`` passes per batch in rule
     precedence order (first hit wins) — one streaming pass, no
     exchange at all."""
-    import pyarrow as pa
     import pyarrow.compute as pc
 
     from nacc_form_validator_ray.pipelines.queries import \
         _linked_pages_path
-    from nacc_form_validator_ray.stages.graph import _host_of
 
     # precedence: longest prefix, deny before allow, lowest rule id
     order = sorted(ROBOTS_RULES,
@@ -5471,14 +5483,7 @@ def q_robots_filter_pages(sf_dir: str) -> pd.DataFrame:
                             columns=["doc_id", "url"])
 
     def match(t) -> pd.DataFrame:
-        url = pc.fill_null(t["url"], "")
-        host = _host_of(url, pc).to_numpy(zero_copy_only=False)
-        tail = pc.replace_substring_regex(
-            url, r"^(?i:https?)://[^/?#]+", "")
-        ext = pc.extract_regex(tail, r"^(?P<p>[^?#]*)")
-        if isinstance(ext, pa.ChunkedArray):
-            ext = ext.combine_chunks()
-        pth = pc.struct_field(ext, "p").to_numpy(zero_copy_only=False)
+        host, pth = _url_host_path(t["url"], pc)
         n = len(pth)
         rule_id = np.full(n, -1, dtype=np.int64)
         allowed = np.ones(n, dtype=bool)

@@ -1080,6 +1080,16 @@ def q2_min_cost_supplier(sf_dir: str):
         filter=(pads.field("p_type") == Q2_TYPE)
         & (pads.field("p_size") <= Q2_MAX_SIZE)).to_arrow_refs()
     part_tbl = pa.concat_tables(ray.get(part))
+    if part_tbl.num_rows == 0 or "p_partkey" not in \
+            part_tbl.column_names:
+        # fully-pruned read can drop the schema with the rows
+        return pd.DataFrame({
+            "s_acctbal_c": pd.Series([], dtype=np.int64),
+            "s_name": pd.Series([], dtype=object),
+            "n_name": pd.Series([], dtype=object),
+            "p_partkey": pd.Series([], dtype=np.int64),
+            "p_name": pd.Series([], dtype=object),
+            "cost_c": pd.Series([], dtype=np.int64)})
     pmask_ref = ray.put(_part_key_mask(part_tbl))
     smask_ref = ray.put(_supplier_region_mask(sf_dir, Q2_REGION))
 
@@ -1109,6 +1119,16 @@ def q2_min_cost_supplier(sf_dir: str):
     pairs = grouped_apply(
         line.map_batches(partial, batch_format="pyarrow"),
         ["p_partkey"], keep_min, num_partitions=16).to_pandas()
+    cols = ["s_acctbal_c", "s_name", "n_name", "p_partkey", "p_name",
+            "cost_c"]
+    if pairs.empty:    # all-empty exchange loses its schema (repo trap)
+        return pd.DataFrame({
+            "s_acctbal_c": pd.Series([], dtype=np.int64),
+            "s_name": pd.Series([], dtype=object),
+            "n_name": pd.Series([], dtype=object),
+            "p_partkey": pd.Series([], dtype=np.int64),
+            "p_name": pd.Series([], dtype=object),
+            "cost_c": pd.Series([], dtype=np.int64)})
 
     import pyarrow.parquet as pq
     supp = pq.read_table(f"{sf_dir}/supplier.parquet").to_pandas()
@@ -1121,8 +1141,7 @@ def q2_min_cost_supplier(sf_dir: str):
     out = out.sort_values(
         ["s_acctbal_c", "n_name", "s_name", "p_partkey"],
         ascending=[False, True, True, True]).head(100)         .reset_index(drop=True)
-    return out[["s_acctbal_c", "s_name", "n_name", "p_partkey",
-                "p_name", "cost_c"]]
+    return out[cols]
 
 
 SQL_Q2 = f"""
@@ -1476,6 +1495,12 @@ def q16_supplier_part_cnt(sf_dir: str):
         line.map_batches(quads, batch_format="pyarrow"),
         ["p_brand", "p_type", "p_size"], count_distinct,
         num_partitions=8).to_pandas()
+    if out.empty:      # all-empty exchange loses its schema (repo trap)
+        return pd.DataFrame({
+            "p_brand": pd.Series([], dtype=object),
+            "p_type": pd.Series([], dtype=object),
+            "p_size": pd.Series([], dtype=np.int64),
+            "supplier_cnt": pd.Series([], dtype=np.int64)})
     return out.sort_values(
         ["supplier_cnt", "p_brand", "p_type", "p_size"],
         ascending=[False, True, True, True]).reset_index(drop=True)[
@@ -1558,6 +1583,10 @@ def q20_dominant_share_suppliers(sf_dir: str):
     supps = grouped_apply(
         line.map_batches(partial, batch_format="pyarrow"),
         ["p_partkey"], majority, num_partitions=16).to_pandas()
+    if supps.empty:    # all-empty exchange loses its schema (repo trap)
+        return pd.DataFrame({
+            "s_suppkey": pd.Series([], dtype=np.int64),
+            "s_name": pd.Series([], dtype=object)})
 
     supp = pq.read_table(
         f"{sf_dir}/supplier.parquet",

@@ -120,3 +120,53 @@ def test_registry_covers_the_full_22_query_family():
     }
     assert adapted <= set(QUERIES)
     assert adapted <= set(ORACLE_SQL)
+
+
+def test_q2_q16_q20_empty_filters_return_empty_frames(ray_session,
+                                                      tmp_path):
+    """All-empty exchanges lose their schema (repo trap): the three
+    adapted queries must return typed empty frames, not KeyError, when
+    their filters match nothing."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.tpch import (
+        q2_min_cost_supplier, q16_supplier_part_cnt,
+        q20_dominant_share_suppliers)
+
+    # a star schema where no part matches any of the three filters
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1], pa.int64()),
+        "p_name": ["weird widget"],
+        "p_brand": ["Brand#5"], "p_type": ["PROMO"],
+        "p_size": pa.array([50], pa.int64()),
+        "p_retailprice": [1.0]}), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1], pa.int64()),
+        "s_name": ["Supplier#1"],
+        "s_nationkey": pa.array([0], pa.int64()),
+        "s_acctbal": [10.0]}), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0], pa.int64()),
+        "n_name": ["NATION_0"],
+        "n_regionkey": pa.array([0], pa.int64())}),
+        str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0], pa.int64()),
+        "r_name": ["EUROPE"]}), str(tmp_path / "region.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1], pa.int64()),
+        "l_partkey": pa.array([1], pa.int64()),
+        "l_suppkey": pa.array([1], pa.int64()),
+        "l_quantity": [1.0], "l_extendedprice": [10.0],
+        "l_discount": [0.0],
+        "l_shipdate": pa.array([pd.Timestamp("1996-06-01")],
+                               pa.timestamp("us"))}),
+        str(tmp_path / "lineitem.parquet"))
+
+    sf = str(tmp_path)
+    assert len(q2_min_cost_supplier(sf)) == 0
+    assert len(q16_supplier_part_cnt(sf)) == 0
+    assert len(q20_dominant_share_suppliers(sf)) == 0
