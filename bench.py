@@ -581,6 +581,10 @@ def bench_queries(sf_dir: str):
         # batch 40: lexicon topic router (zero-exchange streaming pass)
         "topic_mix_by_source": lambda: consume(
             Q.QUERIES["topic_mix_by_source"](sf_dir)),
+        # batch 42: two-stage retrieval (BM25 recall -> cosine
+        # precision with candidate-pushdown embedding read)
+        "bm25_rerank": lambda: consume(
+            Q.QUERIES["bm25_rerank"](sf_dir)),
     }
 
 

@@ -3829,6 +3829,167 @@ FROM per ORDER BY shard
 
 
 # --------------------------------------------------------------------------
+# batch 42: two-stage retrieval + sampling-estimator audit
+# --------------------------------------------------------------------------
+
+_RERANK_K, _RERANK_QUERY_VEC = 20, 0
+
+
+def q_bm25_rerank(sf_dir: str) -> pd.DataFrame:
+    """Two-stage retrieval: BM25 lexical top-20 candidates reranked by
+    exact embedding cosine against the query vector (vec_id 0, the
+    MMR anchor convention) — the standard recall-then-precision shape
+    of a production retrieval stack.
+
+    Stage 1 is the full distributed BM25 (bounded stats pass +
+    broadcast idf + per-batch top-k); stage 2 reads ONLY the k
+    candidate embeddings (vec_id pushdown at the parquet read) and
+    reranks on the driver — k rows, never the corpus. Output ranks
+    only (both engines order by cosine, neither compares float
+    values)."""
+    import pyarrow.dataset as pads
+
+    from nacc_form_validator_ray.pipelines.queries import BM25_QUERY
+    from nacc_form_validator_ray.stages.retrieval import bm25_topk
+    from nacc_form_validator_ray.stages.similarity import (_matrix_from_arrow,
+                                                           _normalize)
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    bm = bm25_topk(docs, BM25_QUERY, k=_RERANK_K)
+    bm = bm if isinstance(bm, pd.DataFrame) else bm.to_pandas()
+    empty = pd.DataFrame({
+        "doc_id": pd.Series([], dtype=np.int64),
+        "bm25_rank": pd.Series([], dtype=np.int64),
+        "cos_rank": pd.Series([], dtype=np.int64)})
+    if bm.empty:
+        return empty
+    cand = bm["doc_id"].astype(np.int64).tolist()
+
+    want = sorted(set(cand) | {_RERANK_QUERY_VEC})
+    emb = _rd().read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id").isin(want)).to_pandas()
+    if emb.empty:
+        return empty
+    import pyarrow as pa
+    vecs = _normalize(_matrix_from_arrow(
+        pa.array(emb["embedding"].tolist(), pa.list_(pa.float32()))))
+    by_id = dict(zip(emb["vec_id"].astype(np.int64), range(len(emb))))
+    qv = vecs[by_id[_RERANK_QUERY_VEC]]
+    rows = pd.DataFrame({
+        "doc_id": np.array(cand, dtype=np.int64),
+        "bm25_rank": bm["rank"].astype(np.int64).to_numpy(),
+        "cos": [float(vecs[by_id[c]] @ qv) for c in cand]})
+    rows = rows.sort_values(["cos", "doc_id"],
+                            ascending=[False, True]) \
+        .reset_index(drop=True)
+    rows["cos_rank"] = np.arange(1, len(rows) + 1, dtype=np.int64)
+    return rows[["doc_id", "bm25_rank", "cos_rank"]]
+
+
+def _sql_bm25_rerank() -> str:
+    from nacc_form_validator_ray.pipelines.queries import \
+        _sql_bm25_search
+    return f"""
+WITH bm AS ({_sql_bm25_search(k=_RERANK_K)}),
+q AS (SELECT embedding AS qe FROM embeddings
+      WHERE vec_id = {_RERANK_QUERY_VEC}),
+c AS (
+  SELECT CAST(bm.doc_id AS BIGINT) AS doc_id,
+         CAST(bm.rank AS BIGINT) AS bm25_rank,
+         list_cosine_similarity(e.embedding, q.qe) AS cos
+  FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id CROSS JOIN q)
+SELECT doc_id, bm25_rank,
+       CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
+           AS cos_rank
+FROM c ORDER BY cos_rank
+"""
+
+
+CUR_QUERIES["bm25_rerank"] = q_bm25_rerank
+CUR_ORACLE_SQL["bm25_rerank"] = _sql_bm25_rerank()
+
+
+#: sampling rate 1/_EST_DEN via the repo's mod-P31 hash family
+_EST_DEN = 8
+
+
+def q_sample_estimate_audit(sf_dir: str) -> pd.DataFrame:
+    """Horvitz-Thompson sampling-estimator audit: per source, the
+    exact token total vs the inverse-probability estimate from the
+    deterministic 1/8 hash sample (``est = 8 * sampled-sum``), with
+    the exact-integer error in ppm — the report read before trusting
+    sample-based corpus dashboards at 100 TB (where the EXACT pass is
+    the expensive one; here both ride one streaming pass so the audit
+    is self-contained)."""
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
+    from nacc_form_validator_ray.stages.dedup import P31
+    from nacc_form_validator_ray.stages.sampling import (SAMPLE_A,
+                                                         SAMPLE_B)
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source", "text"])
+
+    def partial(t) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if not len(ids):
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype=np.int64),
+                "tokens_exact": pd.Series([], dtype=np.int64),
+                "tokens_sampled": pd.Series([], dtype=np.int64)})
+        _, _, _, n_tokens = arrow_token_codes(t["text"])
+        in_sample = ((SAMPLE_A * (ids % P31) + SAMPLE_B) % P31) \
+            % _EST_DEN == 0
+        df = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "n_docs": 1,
+            "tokens_exact": n_tokens.astype(np.int64),
+            "tokens_sampled": np.where(in_sample, n_tokens, 0)
+            .astype(np.int64)})
+        return df.groupby("source", as_index=False).sum()
+
+    out = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"], {"n_docs": "sum", "tokens_exact": "sum",
+                     "tokens_sampled": "sum"})
+    for c in ["n_docs", "tokens_exact", "tokens_sampled"]:
+        out[c] = out[c].astype(np.int64)
+    est = out.pop("tokens_sampled").to_numpy(np.int64) * _EST_DEN
+    out["tokens_est"] = est
+    exact = out["tokens_exact"].to_numpy(np.int64)
+    out["err_ppm"] = np.abs(est - exact) * 1_000_000 \
+        // np.maximum(exact, 1)
+    return out.sort_values("source").reset_index(drop=True)[
+        ["source", "n_docs", "tokens_exact", "tokens_est", "err_ppm"]]
+
+
+CUR_QUERIES["sample_estimate_audit"] = q_sample_estimate_audit
+CUR_ORACLE_SQL["sample_estimate_audit"] = f"""
+WITH d AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                     '[a-z]+')) AS BIGINT) AS n,
+         ((1103515245 * (doc_id % 2147483647)
+           + 12345) % 2147483647) % {_EST_DEN} = 0 AS s
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS tokens_exact,
+       CAST({_EST_DEN} * sum(CASE WHEN s THEN n ELSE 0 END) AS BIGINT)
+           AS tokens_est,
+       CAST(abs({_EST_DEN} * sum(CASE WHEN s THEN n ELSE 0 END)
+                - sum(n)) * 1000000
+            // greatest(sum(n), 1) AS BIGINT) AS err_ppm
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry re-push — import-order independence.
 #
 # Several module-level twin builders above (_sql_minhash_estimate_error,

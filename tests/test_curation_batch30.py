@@ -358,3 +358,58 @@ def test_corpus_checksum_is_partition_invariant(ray_session, tmp_path):
     b = q_corpus_checksum_by_shard(str(d2))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == 16 and (a["n_docs"].sum() == n)
+
+
+# ------------------------------------------------------------------ batch 42
+
+def test_bm25_rerank_is_permutation_of_candidates(ray_session):
+    """The rerank must output exactly the BM25 top-k doc set with both
+    rank columns forming permutations of 1..k."""
+    import numpy as np
+
+    from nacc_form_validator_ray.pipelines.curation import q_bm25_rerank
+    from nacc_form_validator_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rer = q_bm25_rerank(sf)
+    bm = QUERIES["bm25_search"](sf)
+    import pandas as pd
+    bm = bm if isinstance(bm, pd.DataFrame) else bm.to_pandas()
+    assert set(rer["doc_id"].astype(np.int64)) \
+        == set(bm["doc_id"].astype(np.int64))
+    k = len(rer)
+    assert sorted(rer["cos_rank"]) == list(range(1, k + 1))
+    assert sorted(rer["bm25_rank"]) == list(range(1, k + 1))
+
+
+def test_sample_estimate_inverse_probability_exactness(ray_session,
+                                                       tmp_path):
+    """tokens_est must be exactly DEN x the sampled token mass and the
+    sample decision must follow the mod-P31 hash family."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.curation import (
+        _EST_DEN, q_sample_estimate_audit)
+    from nacc_form_validator_ray.stages.dedup import P31
+    from nacc_form_validator_ray.stages.sampling import (SAMPLE_A,
+                                                         SAMPLE_B)
+
+    n = 64
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "source": ["s"] * n,
+        "text": [" ".join(["w"] * (i + 1)) for i in range(n)],
+        "lang": ["en"] * n,
+        "n_chars": np.full(n, 5, dtype=np.int64)})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    out = q_sample_estimate_audit(str(tmp_path))
+    ids = docs["doc_id"].to_numpy()
+    in_s = ((SAMPLE_A * (ids % P31) + SAMPLE_B) % P31) % _EST_DEN == 0
+    want_exact = int((ids + 1).sum())
+    want_est = int(_EST_DEN * (ids + 1)[in_s].sum())
+    assert int(out["tokens_exact"].iloc[0]) == want_exact
+    assert int(out["tokens_est"].iloc[0]) == want_est
