@@ -585,6 +585,12 @@ def bench_queries(sf_dir: str):
         # precision with candidate-pushdown embedding read)
         "bm25_rerank": lambda: consume(
             Q.QUERIES["bm25_rerank"](sf_dir)),
+        # batch 43: windowed top-k (bounded window x type exchange) +
+        # first-touch attribution (one user exchange)
+        "window_topk_event_types": lambda: consume(
+            Q.QUERIES["window_topk_event_types"](sf_dir)),
+        "first_touch_attribution": lambda: consume(
+            Q.QUERIES["first_touch_attribution"](sf_dir)),
     }
 
 

@@ -3990,6 +3990,165 @@ FROM d GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# batch 43: windowed top-k + first-touch attribution over events
+# --------------------------------------------------------------------------
+
+_WTOPK_K = 3
+
+
+def q_window_topk_event_types(sf_dir: str) -> pd.DataFrame:
+    """Top-3 event types per 1-hour tumbling window by count (ties ->
+    lexicographically smaller type) — the streaming-dashboard classic
+    (windowed heavy hitters).
+
+    Per-batch (window, type, count) combiners bound the exchange by
+    windows x types regardless of event volume; ONE window exchange
+    ranks locally. Returns (window_start, event_type, n, rnk)."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type"])
+    hour_us = 3_600_000_000
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({
+            "w": (ts // hour_us) * hour_us,
+            "event_type": t["event_type"].to_numpy(
+                zero_copy_only=False),
+            "n": 1})
+        return df.groupby(["w", "event_type"], as_index=False).sum()
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["w", "event_type"], as_index=False)["n"].sum()
+        g = g.sort_values(["w", "n", "event_type"],
+                          ascending=[True, False, True])
+        g["rnk"] = g.groupby("w").cumcount() + 1
+        return g[g["rnk"] <= _WTOPK_K]
+
+    out = grouped_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["w"], topk, num_partitions=8).to_pandas()
+    if out.empty:
+        return pd.DataFrame({
+            "window_start": pd.Series([], dtype="datetime64[us]"),
+            "event_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64),
+            "rnk": pd.Series([], dtype=np.int64)})
+    out["window_start"] = out.pop("w").astype("datetime64[us]")
+    out = out.astype({"n": np.int64, "rnk": np.int64})
+    return out.sort_values(["window_start", "rnk"]) \
+        .reset_index(drop=True)[
+        ["window_start", "event_type", "n", "rnk"]]
+
+
+CUR_QUERIES["window_topk_event_types"] = q_window_topk_event_types
+CUR_ORACLE_SQL["window_topk_event_types"] = f"""
+WITH c AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+         event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT window_start, event_type, n,
+         CAST(row_number() OVER (PARTITION BY window_start
+                                 ORDER BY n DESC, event_type)
+              AS BIGINT) AS rnk
+  FROM c)
+SELECT window_start, event_type, n, rnk FROM r
+WHERE rnk <= {_WTOPK_K}
+ORDER BY window_start, rnk
+"""
+
+
+_ATTR_WINDOW_US = 24 * 3_600_000_000
+
+
+def q_first_touch_attribution(sf_dir: str) -> pd.DataFrame:
+    """First-touch attribution: every purchase is credited to the
+    FIRST event (any type) of the same user inside the preceding 24 h
+    (strictly before the purchase; ties on ts -> smallest event_id);
+    purchases with no prior touch in the window credit 'direct'.
+    Output: credited type -> purchase count.
+
+    ONE user exchange; per partition a vectorized per-user
+    searchsorted finds each purchase's window start — no per-event
+    Python loop. The merge is O(types)."""
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+
+    def attrib(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "attributed": pd.Series([], dtype=object),
+            "n_purchases": pd.Series([], dtype=np.int64)})
+        if g.empty:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        ts = g["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy(object)
+        eid = g["event_id"].to_numpy(np.int64)
+        out = []
+        # outer loop is O(users-per-partition); all per-purchase work
+        # inside is vectorized (one searchsorted per user)
+        for u in np.unique(uid):
+            sel = uid == u
+            uts, uet = ts[sel], et[sel]
+            is_p = uet == "purchase"
+            if not is_p.any():
+                continue
+            ppos = np.flatnonzero(is_p)
+            pts = uts[is_p]
+            # first event at ts >= purchase_ts - 24h; it counts as a
+            # prior touch iff it sorts strictly before the purchase
+            # row in the (ts, event_id) order (index < purchase index)
+            lo = np.searchsorted(uts, pts - _ATTR_WINDOW_US,
+                                 side="left")
+            valid = lo < ppos
+            att = np.where(valid,
+                           uet[np.minimum(lo, len(uts) - 1)],
+                           "direct")
+            out.extend(att.tolist())
+        if not out:
+            return empty
+        df = pd.DataFrame({"attributed": out, "n_purchases": 1})
+        return df.groupby("attributed", as_index=False).sum()
+
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
+    res = _merge_partials(
+        grouped_apply(ds, ["user_id"], attrib, num_partitions=16),
+        ["attributed"], {"n_purchases": "sum"})
+    res["n_purchases"] = res["n_purchases"].astype(np.int64)
+    return res.sort_values("attributed").reset_index(drop=True)
+
+
+CUR_QUERIES["first_touch_attribution"] = q_first_touch_attribution
+CUR_ORACLE_SQL["first_touch_attribution"] = f"""
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'purchase'),
+ft AS (
+  SELECT p.event_id,
+         coalesce((
+           SELECT e.event_type FROM events e
+           WHERE e.user_id = p.user_id
+             AND e.ts >= p.ts - INTERVAL 24 HOUR
+             AND (e.ts < p.ts
+                  OR (e.ts = p.ts AND e.event_id < p.event_id))
+           ORDER BY e.ts, e.event_id LIMIT 1), 'direct') AS attributed
+  FROM p)
+SELECT attributed, CAST(count(*) AS BIGINT) AS n_purchases
+FROM ft GROUP BY attributed ORDER BY attributed
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry re-push — import-order independence.
 #
 # Several module-level twin builders above (_sql_minhash_estimate_error,

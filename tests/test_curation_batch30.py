@@ -413,3 +413,46 @@ def test_sample_estimate_inverse_probability_exactness(ray_session,
     want_est = int(_EST_DEN * (ids + 1)[in_s].sum())
     assert int(out["tokens_exact"].iloc[0]) == want_exact
     assert int(out["tokens_est"].iloc[0]) == want_est
+
+
+# ------------------------------------------------------------------ batch 43
+
+def test_first_touch_attribution_window_and_tie_rules(ray_session,
+                                                      tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_first_touch_attribution
+
+    base = pd.Timestamp("2025-06-01 12:00:00")
+    h = pd.Timedelta(hours=1)
+    rows = [
+        # user 1: view 2h before purchase -> attributed 'view'
+        (1, 1, base - 2 * h, "view"),
+        (2, 1, base, "purchase"),
+        # user 2: touch 25h before -> outside window -> 'direct'
+        (3, 2, base - 25 * h, "click"),
+        (4, 2, base, "purchase"),
+        # user 3: touch at EXACTLY -24h -> inclusive -> 'signup'
+        (5, 3, base - 24 * h, "signup"),
+        (6, 3, base, "purchase"),
+        # user 4: same-ts tie, smaller event_id counts as prior
+        (7, 4, base, "click"),
+        (8, 4, base, "purchase"),
+        # user 5: purchase then later view: view after -> 'direct'
+        (9, 5, base, "purchase"),
+        (10, 5, base + h, "view"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    df["value"] = 0.0
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = q_first_touch_attribution(str(tmp_path)) \
+        .set_index("attributed")["n_purchases"]
+    assert out.to_dict() == {"click": 1, "direct": 2, "signup": 1,
+                             "view": 1}
