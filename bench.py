@@ -591,6 +591,9 @@ def bench_queries(sf_dir: str):
             Q.QUERIES["window_topk_event_types"](sf_dir)),
         "first_touch_attribution": lambda: consume(
             Q.QUERIES["first_touch_attribution"](sf_dir)),
+        # batch 44: triplet mining (broadcast-anchor kNN + hash negs)
+        "triplet_mining": lambda: consume(
+            Q.QUERIES["triplet_mining"](sf_dir)),
     }
 
 

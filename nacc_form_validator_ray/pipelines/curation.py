@@ -4149,6 +4149,194 @@ FROM ft GROUP BY attributed ORDER BY attributed
 
 
 # --------------------------------------------------------------------------
+# batch 44: k-anonymity audit + contrastive triplet mining
+# --------------------------------------------------------------------------
+
+#: re-identification threshold: quasi-identifier groups smaller than
+#: this are reportable
+_KANON_K = 5
+
+
+def q_k_anonymity_audit(sf_dir: str) -> pd.DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (event_type, hour-of-day, value on the whole-cent grid // 100):
+    how many QI groups and how many EVENTS sit in groups smaller than
+    k=5 — the re-identification risk report run before releasing an
+    event log.
+
+    Per-batch QI-tuple count combiners bound the exchange by the QI
+    domain (types x 24 x value-bands), not event volume; the k-cut and
+    the summary fold run on the driver over that bounded table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type", "value"])
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        hour = pc.hour(t["ts"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(
+                zero_copy_only=False),
+            "hour": hour,
+            "value_band": cents // 10000,   # whole 100-unit bands
+            "n": 1})
+        return df.groupby(["event_type", "hour", "value_band"],
+                          as_index=False).sum()
+
+    groups = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hour", "value_band"], {"n": "sum"})
+    if groups.empty:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "n_groups": pd.Series([], dtype=np.int64),
+            "n_small_groups": pd.Series([], dtype=np.int64),
+            "n_exposed_events": pd.Series([], dtype=np.int64)})
+    groups["n"] = groups["n"].astype(np.int64)
+    small = groups["n"] < _KANON_K
+    out = groups.assign(
+        n_groups=1,
+        n_small_groups=small.astype(np.int64),
+        n_exposed_events=np.where(small, groups["n"], 0)) \
+        .groupby("event_type", as_index=False)[
+        ["n_groups", "n_small_groups", "n_exposed_events"]].sum()
+    for c in ["n_groups", "n_small_groups", "n_exposed_events"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+CUR_QUERIES["k_anonymity_audit"] = q_k_anonymity_audit
+CUR_ORACLE_SQL["k_anonymity_audit"] = f"""
+WITH g AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) // 10000
+             AS value_band,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_small_groups,
+       CAST(sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+           AS n_exposed_events
+FROM g GROUP BY event_type ORDER BY event_type
+"""
+
+
+#: anchors = vec_id < _TRIP_N_ANCHORS; negatives via the mod-P31 hash
+_TRIP_N_ANCHORS = 50
+
+
+def q_triplet_mining(sf_dir: str) -> pd.DataFrame:
+    """Contrastive training-pair mining: for each anchor (vec_id <
+    50), the positive is its exact top-1 cosine neighbor (the
+    distributed brute-force kNN — broadcast anchors, per-batch local
+    top-k, bounded merge) and the negative is a deterministic
+    hash-pick from the corpus (mod-P31 family, re-drawn with a +1 salt
+    while it collides with anchor or positive). Output
+    (anchor_id, positive_id, negative_id) — the (a, p, n) manifest an
+    embedding trainer consumes.
+
+    Ranks/ids only cross the oracle boundary, never float cosines
+    (the knn_embeddings convention)."""
+    import pyarrow.dataset as pads
+
+    from nacc_form_validator_ray.stages.dedup import P31
+    from nacc_form_validator_ray.stages.sampling import (SAMPLE_A,
+                                                         SAMPLE_B)
+    from nacc_form_validator_ray.stages.similarity import (
+        _matrix_from_arrow, knn_bruteforce)
+
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    anchors = _rd().read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < _TRIP_N_ANCHORS).to_pandas()
+    if anchors.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ["anchor_id", "positive_id",
+                                       "negative_id"]})
+    anchors = anchors.sort_values("vec_id")
+    import pyarrow as pa
+    qmat = _matrix_from_arrow(pa.array(anchors["embedding"].tolist(),
+                                       pa.list_(pa.float32())))
+    top1 = knn_bruteforce(emb, qmat,
+                          anchors["vec_id"].to_numpy(np.int64),
+                          k=1).to_pandas()
+    top1 = top1[top1["rank"] == 1][["query_id", "neighbor_id"]]
+
+    # corpus size for the negative draw: bounded metadata aggregate
+    n_vecs = emb.count()
+
+    out = top1.rename(columns={"query_id": "anchor_id",
+                               "neighbor_id": "positive_id"}) \
+        .sort_values("anchor_id").reset_index(drop=True)
+    a = out["anchor_id"].to_numpy(np.int64)
+    p = out["positive_id"].to_numpy(np.int64)
+    neg = np.empty(len(a), dtype=np.int64)
+    for i in range(len(a)):          # anchors are a bounded set
+        salt = 0
+        while True:
+            cand = int((SAMPLE_A * ((int(a[i]) + salt) % P31)
+                        + SAMPLE_B) % P31) % n_vecs
+            if cand != int(a[i]) and cand != int(p[i]):
+                break
+            salt += 1
+        neg[i] = cand
+    out["negative_id"] = neg
+    return out.astype(np.int64)[["anchor_id", "positive_id",
+                                 "negative_id"]]
+
+
+def _sql_triplet_mining() -> str:
+    from nacc_form_validator_ray.stages.dedup import P31
+    from nacc_form_validator_ray.stages.sampling import (SAMPLE_A,
+                                                         SAMPLE_B)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS anchor_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {_TRIP_N_ANCHORS}),
+pairs AS (
+  SELECT q.anchor_id, e.vec_id AS positive_id,
+         list_cosine_similarity(q.qe, e.embedding) AS cos
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.anchor_id),
+pos AS (
+  SELECT anchor_id, positive_id FROM (
+    SELECT anchor_id, positive_id,
+           row_number() OVER (PARTITION BY anchor_id
+                              ORDER BY cos DESC, positive_id) AS rk
+    FROM pairs) WHERE rk = 1),
+nv AS (SELECT count(*) AS n FROM embeddings),
+-- deterministic negative: first non-colliding salt in 0..3 (the
+-- Python side re-draws until clean; two collisions in a row are
+-- impossible with distinct (anchor, positive), so salt <= 2 suffices)
+neg AS (
+  SELECT anchor_id, positive_id,
+         (SELECT cand FROM (
+            SELECT (({SAMPLE_A} * ((anchor_id + s.salt) % {P31})
+                     + {SAMPLE_B}) % {P31}) % nv.n AS cand, s.salt
+            FROM (VALUES (0), (1), (2), (3)) s(salt), nv
+            ) c
+          WHERE c.cand != anchor_id AND c.cand != positive_id
+          ORDER BY c.salt LIMIT 1) AS negative_id
+  FROM pos)
+SELECT anchor_id, positive_id,
+       CAST(negative_id AS BIGINT) AS negative_id
+FROM neg ORDER BY anchor_id
+"""
+
+
+CUR_QUERIES["triplet_mining"] = q_triplet_mining
+CUR_ORACLE_SQL["triplet_mining"] = _sql_triplet_mining()
+
+
+# --------------------------------------------------------------------------
 # Registry re-push — import-order independence.
 #
 # Several module-level twin builders above (_sql_minhash_estimate_error,

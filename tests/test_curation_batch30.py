@@ -456,3 +456,44 @@ def test_first_touch_attribution_window_and_tie_rules(ray_session,
         .set_index("attributed")["n_purchases"]
     assert out.to_dict() == {"click": 1, "direct": 2, "signup": 1,
                              "view": 1}
+
+
+# ------------------------------------------------------------------ batch 44
+
+def test_triplet_negative_never_collides(ray_session):
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_triplet_mining
+
+    out = q_triplet_mining("/root/testdata/sf0.001")
+    assert len(out) == 50
+    assert (out["negative_id"] != out["anchor_id"]).all()
+    assert (out["negative_id"] != out["positive_id"]).all()
+    assert out["negative_id"].between(0, 499).all()
+
+
+def test_k_anonymity_counts_small_groups_exactly(ray_session,
+                                                 tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_k_anonymity_audit
+
+    base = pd.Timestamp("2025-06-01 10:00:00")
+    # 6 events in one QI group (not small), 2 in another (small)
+    rows = []
+    for i in range(6):
+        rows.append((i, 1, base, "view", 50.0))
+    for i in range(2):
+        rows.append((10 + i, 1, base, "view", 250.0))
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                     "event_type", "value"])
+    df["props"] = "{}"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = q_k_anonymity_audit(str(tmp_path)).set_index("event_type")
+    assert out.loc["view", "n_groups"] == 2
+    assert out.loc["view", "n_small_groups"] == 1
+    assert out.loc["view", "n_exposed_events"] == 2
