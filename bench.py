@@ -594,6 +594,9 @@ def bench_queries(sf_dir: str):
         # batch 44: triplet mining (broadcast-anchor kNN + hash negs)
         "triplet_mining": lambda: consume(
             Q.QUERIES["triplet_mining"](sf_dir)),
+        # batch 45: two-layout zone-map pruning audit
+        "rowgroup_prune_audit": lambda: consume(
+            Q.QUERIES["rowgroup_prune_audit"](sf_dir)),
     }
 
 

@@ -3877,11 +3877,19 @@ def q_bm25_rerank(sf_dir: str) -> pd.DataFrame:
     vecs = _normalize(_matrix_from_arrow(
         pa.array(emb["embedding"].tolist(), pa.list_(pa.float32()))))
     by_id = dict(zip(emb["vec_id"].astype(np.int64), range(len(emb))))
+    if _RERANK_QUERY_VEC not in by_id:
+        return empty
     qv = vecs[by_id[_RERANK_QUERY_VEC]]
+    # candidates without an embedding row drop out — same semantics
+    # as the twin's inner join (docs can outnumber vectors)
+    keep = [(c, r) for c, r in zip(cand, bm["rank"].astype(np.int64))
+            if c in by_id]
+    if not keep:
+        return empty
     rows = pd.DataFrame({
-        "doc_id": np.array(cand, dtype=np.int64),
-        "bm25_rank": bm["rank"].astype(np.int64).to_numpy(),
-        "cos": [float(vecs[by_id[c]] @ qv) for c in cand]})
+        "doc_id": np.array([c for c, _ in keep], dtype=np.int64),
+        "bm25_rank": np.array([r for _, r in keep], dtype=np.int64),
+        "cos": [float(vecs[by_id[c]] @ qv) for c, _ in keep]})
     rows = rows.sort_values(["cos", "doc_id"],
                             ascending=[False, True]) \
         .reset_index(drop=True)
@@ -4334,6 +4342,235 @@ FROM neg ORDER BY anchor_id
 
 CUR_QUERIES["triplet_mining"] = q_triplet_mining
 CUR_ORACLE_SQL["triplet_mining"] = _sql_triplet_mining()
+
+
+# --------------------------------------------------------------------------
+# batch 45: scan-pruning audit + inverse-quantile threshold solve
+# --------------------------------------------------------------------------
+
+_PRUNE_SHARD, _PRUNE_MIN_CHARS = 64, 250
+
+
+def q_rowgroup_prune_audit(sf_dir: str) -> pd.DataFrame:
+    """Scan-pruning audit for ``n_chars >= 250`` under TWO physical
+    layouts: 'arrival' row-groups (doc_id // 64, the as-crawled order)
+    vs 'clustered' row-groups (global (n_chars, doc_id) rank // 64,
+    the sort-clustered rewrite). Per (layout, class) the report counts
+    skippable (max < T) / full (min >= T) / mixed shards — the
+    clustered-minus-arrival delta is exactly what a zone-map-aware
+    rewrite buys, measured before paying for the sort.
+
+    Shape: arrival stats are per-batch (shard, min, max, rows, hits)
+    combiners; the clustered rank needs no global sort — the value
+    HISTOGRAM (bounded) gives every value's exclusive base, ONE value
+    exchange adds the within-value doc_id tie rank, and shard stats
+    fold per batch as before. The shard tables are metadata-sized."""
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "n_chars"])
+
+    def shard_stats(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["layout", "shard"], as_index=False).agg(
+            mn=("v", "min"), mx=("v", "max"), rows=("v", "size"),
+            hits=("hit", "sum"))
+
+    def arrival_partial(t) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = t["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if not len(ids):
+            return pd.DataFrame({
+                "layout": pd.Series([], dtype=object),
+                "shard": pd.Series([], dtype=np.int64),
+                "mn": pd.Series([], dtype=np.int64),
+                "mx": pd.Series([], dtype=np.int64),
+                "rows": pd.Series([], dtype=np.int64),
+                "hits": pd.Series([], dtype=np.int64)})
+        return shard_stats(pd.DataFrame({
+            "layout": "arrival", "shard": ids // _PRUNE_SHARD, "v": v,
+            "hit": (v >= _PRUNE_MIN_CHARS).astype(np.int64)}))
+
+    arrival = ds.map_batches(arrival_partial, batch_format="pyarrow")
+
+    # clustered layout: exclusive base per value from the histogram...
+    def vc(t) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "v": t["n_chars"].to_numpy(zero_copy_only=False)
+            .astype(np.int64), "c": 1})
+        return df.groupby("v", as_index=False).sum()
+
+    hist = _merge_partials(ds.map_batches(vc, batch_format="pyarrow"),
+                           ["v"], {"c": "sum"})
+    cols = ["layout", "class", "n_shards", "n_rows", "n_hits"]
+    if hist.empty:
+        return pd.DataFrame({
+            "layout": pd.Series([], dtype=object),
+            "class": pd.Series([], dtype=object),
+            "n_shards": pd.Series([], dtype=np.int64),
+            "n_rows": pd.Series([], dtype=np.int64),
+            "n_hits": pd.Series([], dtype=np.int64)})
+    hist = hist.sort_values("v")
+    base = dict(zip(
+        hist["v"].to_numpy(np.int64),
+        np.concatenate(([0], np.cumsum(
+            hist["c"].to_numpy(np.int64))[:-1]))))
+
+    # ...plus the within-value doc_id tie rank via ONE value exchange
+    def clustered_stats(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({
+                "layout": pd.Series([], dtype=object),
+                "shard": pd.Series([], dtype=np.int64),
+                "mn": pd.Series([], dtype=np.int64),
+                "mx": pd.Series([], dtype=np.int64),
+                "rows": pd.Series([], dtype=np.int64),
+                "hits": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["v", "doc_id"])
+        tie = g.groupby("v").cumcount().to_numpy(np.int64)
+        rank = np.array([base[x] for x in g["v"]],
+                        dtype=np.int64) + tie
+        v = g["v"].to_numpy(np.int64)
+        return shard_stats(pd.DataFrame({
+            "layout": "clustered", "shard": rank // _PRUNE_SHARD,
+            "v": v, "hit": (v >= _PRUNE_MIN_CHARS).astype(np.int64)}))
+
+    proj = ds.map_batches(
+        lambda t: pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "v": t["n_chars"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)}),
+        batch_format="pyarrow")
+    clustered = grouped_apply(proj, ["v"], clustered_stats,
+                              num_partitions=8)
+
+    shards = _merge_partials(
+        arrival.union(clustered), ["layout", "shard"],
+        {"mn": "min", "mx": "max", "rows": "sum", "hits": "sum"})
+    cls = np.where(shards["mx"] < _PRUNE_MIN_CHARS, "skippable",
+                   np.where(shards["mn"] >= _PRUNE_MIN_CHARS,
+                            "full", "mixed"))
+    out = pd.DataFrame({
+        "layout": shards["layout"], "class": cls, "n_shards": 1,
+        "n_rows": shards["rows"].astype(np.int64),
+        "n_hits": shards["hits"].astype(np.int64)}) \
+        .groupby(["layout", "class"], as_index=False).sum()
+    for c in ["n_shards", "n_rows", "n_hits"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["layout", "class"]) \
+        .reset_index(drop=True)[cols]
+
+
+CUR_QUERIES["rowgroup_prune_audit"] = q_rowgroup_prune_audit
+CUR_ORACLE_SQL["rowgroup_prune_audit"] = f"""
+WITH d AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS v,
+         CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1
+              AS BIGINT) AS rnk
+  FROM documents),
+s AS (
+  SELECT 'arrival' AS layout, doc_id // {_PRUNE_SHARD} AS shard, v
+  FROM d
+  UNION ALL
+  SELECT 'clustered' AS layout, rnk // {_PRUNE_SHARD} AS shard, v
+  FROM d),
+g AS (
+  SELECT layout, shard, min(v) AS mn, max(v) AS mx,
+         CAST(count(*) AS BIGINT) AS rows_,
+         CAST(sum(CASE WHEN v >= {_PRUNE_MIN_CHARS}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM s GROUP BY 1, 2)
+SELECT layout,
+       CASE WHEN mx < {_PRUNE_MIN_CHARS} THEN 'skippable'
+            WHEN mn >= {_PRUNE_MIN_CHARS} THEN 'full'
+            ELSE 'mixed' END AS class,
+       CAST(count(*) AS BIGINT) AS n_shards,
+       CAST(sum(rows_) AS BIGINT) AS n_rows,
+       CAST(sum(hits) AS BIGINT) AS n_hits
+FROM g GROUP BY 1, 2 ORDER BY layout, class
+"""
+
+
+#: target keep rate in ppm for the threshold solve
+_THRESH_TARGET_PPM = 600_000
+
+
+def q_threshold_solve_keep_rate(sf_dir: str) -> pd.DataFrame:
+    """Inverse-quantile knob solve: the SMALLEST integer n_chars
+    threshold T whose keep rate (docs with n_chars >= T) drops to or
+    below the 60% target — the derivation step behind every "keep the
+    top X%" config value, exact on the ppm grid (ties included, so the
+    real rate can sit above neighboring thresholds' rates).
+
+    Pass 1 reduces to the bounded value histogram (the
+    quantile_normalize shape); the solve walks the descending CDF on
+    the driver. Output: one row (threshold, n_kept, n_total,
+    keep_ppm)."""
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["n_chars"])
+
+    def vc(t) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "v": t["n_chars"].to_numpy(zero_copy_only=False)
+            .astype(np.int64), "c": 1})
+        return df.groupby("v", as_index=False).sum()
+
+    hist = _merge_partials(ds.map_batches(vc, batch_format="pyarrow"),
+                           ["v"], {"c": "sum"})
+    cols = ["threshold", "n_kept", "n_total", "keep_ppm"]
+    if hist.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    hist = hist.sort_values("v")
+    v = hist["v"].to_numpy(np.int64)
+    c = hist["c"].to_numpy(np.int64)
+    total = int(c.sum())
+    # kept(T=v[i]) = suffix sum from i; find smallest T with
+    # kept * 1e6 <= target * total (exact cross-multiply)
+    suffix = np.cumsum(c[::-1])[::-1]
+    ok = suffix * 1_000_000 <= _THRESH_TARGET_PPM * total
+    if ok.any():
+        i = int(np.flatnonzero(ok)[0])
+        thr, kept = int(v[i]), int(suffix[i])
+    else:
+        thr, kept = int(v[-1]) + 1, 0   # even the max value keeps too many
+    return pd.DataFrame({
+        "threshold": np.array([thr], dtype=np.int64),
+        "n_kept": np.array([kept], dtype=np.int64),
+        "n_total": np.array([total], dtype=np.int64),
+        "keep_ppm": np.array([kept * 1_000_000 // max(total, 1)],
+                             dtype=np.int64)})
+
+
+CUR_QUERIES["threshold_solve_keep_rate"] = q_threshold_solve_keep_rate
+CUR_ORACLE_SQL["threshold_solve_keep_rate"] = f"""
+WITH h AS (
+  SELECT CAST(n_chars AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM h),
+cdf AS (
+  SELECT v, CAST(sum(c) OVER (ORDER BY v DESC
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS kept
+  FROM h),
+sol AS (
+  SELECT v AS threshold, kept FROM cdf, tot
+  WHERE kept * 1000000 <= {_THRESH_TARGET_PPM} * tot.total
+  ORDER BY v LIMIT 1),
+fallback AS (
+  SELECT max(v) + 1 AS threshold, CAST(0 AS BIGINT) AS kept FROM h)
+SELECT s.threshold, s.kept AS n_kept, tot.total AS n_total,
+       CAST(s.kept * 1000000 // greatest(tot.total, 1) AS BIGINT)
+           AS keep_ppm
+FROM (SELECT * FROM sol UNION ALL
+      SELECT * FROM fallback WHERE NOT EXISTS (SELECT 1 FROM sol)) s,
+     tot
+"""
 
 
 # --------------------------------------------------------------------------

@@ -497,3 +497,34 @@ def test_k_anonymity_counts_small_groups_exactly(ray_session,
     assert out.loc["view", "n_groups"] == 2
     assert out.loc["view", "n_small_groups"] == 1
     assert out.loc["view", "n_exposed_events"] == 2
+
+
+# ------------------------------------------------------------------ batch 45
+
+def test_prune_audit_clustered_beats_arrival(ray_session):
+    """Sort-clustering must never reduce the skippable+full shard
+    count vs arrival order, and per-layout totals must agree."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_rowgroup_prune_audit
+
+    out = q_rowgroup_prune_audit("/root/testdata/sf0.001")
+    per = out.groupby("layout")[["n_rows"]].sum()
+    assert per.loc["arrival", "n_rows"] == per.loc["clustered",
+                                                   "n_rows"]
+    def prunable(layout):
+        sel = (out["layout"] == layout) & \
+            out["class"].isin(["skippable", "full"])
+        return int(out.loc[sel, "n_shards"].sum())
+    assert prunable("clustered") >= prunable("arrival")
+    assert prunable("clustered") > 0
+
+
+def test_threshold_solve_hits_target_rate(ray_session):
+    from nacc_form_validator_ray.pipelines.curation import (
+        _THRESH_TARGET_PPM, q_threshold_solve_keep_rate)
+
+    out = q_threshold_solve_keep_rate("/root/testdata/sf0.001")
+    row = out.iloc[0]
+    assert row["keep_ppm"] <= _THRESH_TARGET_PPM
+    # minimality: threshold - 1 would keep too many
+    assert row["n_kept"] >= 0 and row["n_total"] > 0
