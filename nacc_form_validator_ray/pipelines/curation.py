@@ -4574,6 +4574,82 @@ FROM (SELECT * FROM sol UNION ALL
 
 
 # --------------------------------------------------------------------------
+# batch 46: incremental view maintenance merge
+# --------------------------------------------------------------------------
+
+_IVM_CUTOFF = "2025-07-01"
+
+
+def q_ivm_merge_counts(sf_dir: str) -> pd.DataFrame:
+    """Incremental-view-maintenance merge: the per-event-type
+    (count, value-cents sum) view split into BASE (events before
+    2025-07-01) and DELTA (at/after), plus the merged result — the
+    merge-on-read shape of a lakehouse view: the base aggregate is
+    what a snapshot holds, the delta is the unmerged tail, and the
+    audit proves base + delta == full recompute without rescanning
+    the base.
+
+    One streaming pass (each batch splits on the cutoff and emits both
+    partials keyed by type); the merge is O(types) on the driver —
+    commutative integer sums, so compaction order can never change the
+    view."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
+
+    cutoff = np.datetime64(_IVM_CUTOFF, "us").astype(np.int64)
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts", "event_type", "value"])
+
+    def partial(t: "pa.Table") -> pd.DataFrame:
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+        is_d = ts >= cutoff
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_numpy(
+                zero_copy_only=False),
+            "base_n": (~is_d).astype(np.int64),
+            "base_sum_c": np.where(is_d, 0, cents),
+            "delta_n": is_d.astype(np.int64),
+            "delta_sum_c": np.where(is_d, cents, 0)})
+        return df.groupby("event_type", as_index=False).sum()
+
+    out = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], {"base_n": "sum", "base_sum_c": "sum",
+                         "delta_n": "sum", "delta_sum_c": "sum"})
+    for c in ["base_n", "base_sum_c", "delta_n", "delta_sum_c"]:
+        out[c] = out[c].astype(np.int64)
+    out["merged_n"] = out["base_n"] + out["delta_n"]
+    out["merged_sum_c"] = out["base_sum_c"] + out["delta_sum_c"]
+    return out.sort_values("event_type").reset_index(drop=True)[
+        ["event_type", "base_n", "base_sum_c", "delta_n",
+         "delta_sum_c", "merged_n", "merged_sum_c"]]
+
+
+CUR_QUERIES["ivm_merge_counts"] = q_ivm_merge_counts
+CUR_ORACLE_SQL["ivm_merge_counts"] = f"""
+WITH e AS (
+  SELECT event_type,
+         ts >= TIMESTAMP '{_IVM_CUTOFF}' AS d,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events)
+SELECT event_type,
+       CAST(sum(CASE WHEN d THEN 0 ELSE 1 END) AS BIGINT) AS base_n,
+       CAST(sum(CASE WHEN d THEN 0 ELSE c END) AS BIGINT)
+           AS base_sum_c,
+       CAST(sum(CASE WHEN d THEN 1 ELSE 0 END) AS BIGINT) AS delta_n,
+       CAST(sum(CASE WHEN d THEN c ELSE 0 END) AS BIGINT)
+           AS delta_sum_c,
+       CAST(count(*) AS BIGINT) AS merged_n,
+       CAST(sum(c) AS BIGINT) AS merged_sum_c
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry re-push — import-order independence.
 #
 # Several module-level twin builders above (_sql_minhash_estimate_error,
