@@ -597,6 +597,14 @@ def bench_queries(sf_dir: str):
         # batch 45: two-layout zone-map pruning audit
         "rowgroup_prune_audit": lambda: consume(
             Q.QUERIES["rowgroup_prune_audit"](sf_dir)),
+        # batches 46-48: IVM merge, dedup funnel (fingerprint +
+        # banding + label propagation + id intersect), crawl frontier
+        "ivm_merge_counts": lambda: consume(
+            Q.QUERIES["ivm_merge_counts"](sf_dir)),
+        "dedup_funnel_report": lambda: consume(
+            Q.QUERIES["dedup_funnel_report"](sf_dir)),
+        "crawl_frontier": lambda: consume(
+            Q.QUERIES["crawl_frontier"](sf_dir)),
     }
 
 

@@ -4650,6 +4650,124 @@ FROM e GROUP BY event_type ORDER BY event_type
 
 
 # --------------------------------------------------------------------------
+# batch 47: dedup funnel report
+# --------------------------------------------------------------------------
+
+def q_dedup_funnel_report(sf_dir: str) -> pd.DataFrame:
+    """The production dedup stack as ONE survivor funnel: input docs,
+    docs surviving exact dedup (min doc_id per whitespace/case
+    fingerprint, the dedup_exact rule), and docs ALSO surviving
+    MinHash near-dedup (min doc_id of their near-dup cluster, the
+    dedup_clusters rule) — the stage-attrition dashboard read before
+    shipping a dedup config.
+
+    Composition of existing distributed stages: one fingerprint
+    exchange (exact keep set), the banding + label-propagation passes
+    (cluster keep set), one tagged id exchange to intersect — ids
+    only, text never rides a shuffle. The twin composes the same
+    SQL fragments (SQL_DEDUP_EXACT's grouping + the recursive
+    closure over integer-exact minhash pairs)."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.stages.dedup import (
+        minhash_candidate_pairs, propagate_labels)
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+    from nacc_form_validator_ray.stages.text_signals import Fingerprint
+
+    docs = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"])
+    n_input = docs.count()
+
+    fp = docs.map_batches(Fingerprint(), batch_format="pandas") \
+        .select_columns(["doc_id", "fingerprint_md5"])
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("fingerprint_md5", as_index=False)["doc_id"] \
+            .min()
+        return out[["doc_id"]]
+
+    exact_keep = grouped_apply(fp, ["fingerprint_md5"], keep_min,
+                               num_partitions=16)
+
+    pairs = minhash_candidate_pairs(docs, threshold=0.5)
+    ids = docs.select_columns(["doc_id"])
+    labels = propagate_labels(pairs, ids)
+    labels = labels if isinstance(labels, pd.DataFrame) \
+        else labels.to_pandas()
+    near_keep_ids = labels.loc[
+        labels["doc_id"] == labels["cluster"], ["doc_id"]]
+
+    # intersect the two keep sets: tagged union, ONE id exchange
+    import ray.data as rd
+    tagged = exact_keep.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"].combine_chunks(),
+                            "tag": pa.array([0] * t.num_rows,
+                                            pa.int64())}),
+        batch_format="pyarrow") \
+        .union(rd.from_pandas(near_keep_ids.assign(tag=1)))
+
+    def both(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.drop_duplicates(["doc_id", "tag"]) \
+            .groupby("doc_id").size()
+        return pd.DataFrame({"n": [int((cnt == 2).sum())]})
+
+    survived = grouped_apply(tagged, ["doc_id"], both,
+                             num_partitions=8).to_pandas()
+    n_exact = exact_keep.count()
+    n_both = int(survived["n"].sum()) if "n" in survived else 0
+    return pd.DataFrame({
+        "stage": ["1_input", "2_after_exact", "3_after_neardup"],
+        "n_docs": np.array([n_input, n_exact, n_both],
+                           dtype=np.int64)})
+
+
+def _sql_dedup_funnel() -> str:
+    from nacc_form_validator_ray.pipelines.queries import \
+        _sql_minhash_ctes
+    defs, pairs = _sql_minhash_ctes("documents", "doc_id",
+                                    threshold=0.5)
+    return f"""WITH RECURSIVE {defs},
+und AS (
+  SELECT id_a AS src, id_b AS dst FROM {pairs}
+  UNION ALL
+  SELECT id_b, id_a FROM {pairs}
+), reach(src, dst) AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+),
+cl AS (
+  SELECT d.doc_id,
+         CAST(least(d.doc_id, coalesce(min(r.dst), d.doc_id))
+              AS BIGINT) AS cluster
+  FROM documents d LEFT JOIN reach r ON d.doc_id = r.src
+  GROUP BY d.doc_id),
+fp AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+             AS f
+  FROM documents),
+ek AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY f) AS m FROM fp)
+  WHERE doc_id = m),
+nk AS (SELECT doc_id FROM cl WHERE doc_id = cluster)
+SELECT '1_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+UNION ALL
+SELECT '2_after_exact', CAST(count(*) AS BIGINT) FROM ek
+UNION ALL
+SELECT '3_after_neardup', CAST(count(*) AS BIGINT)
+FROM ek JOIN nk ON ek.doc_id = nk.doc_id
+ORDER BY stage
+"""
+
+
+CUR_QUERIES["dedup_funnel_report"] = q_dedup_funnel_report
+CUR_ORACLE_SQL["dedup_funnel_report"] = _sql_dedup_funnel()
+
+
+# --------------------------------------------------------------------------
 # Registry re-push — import-order independence.
 #
 # Several module-level twin builders above (_sql_minhash_estimate_error,

@@ -5538,3 +5538,127 @@ ORDER BY s.doc_id
 
 MIN_QUERIES["robots_filter_pages"] = q_robots_filter_pages
 MIN_LINKED_SQL["robots_filter_pages"] = sql_robots_filter_pages
+
+
+# --------------------------------------------------------------------------
+# batch 48: crawl frontier prioritization
+# --------------------------------------------------------------------------
+
+_FRONTIER_PER_HOST, _FRONTIER_K = 2, 50
+
+
+def q_crawl_frontier(sf_dir: str) -> pd.DataFrame:
+    """Crawl frontier prioritization: outbound link targets NOT yet
+    crawled, ranked by how many distinct hosts link to them, capped at
+    2 URLs per target host (politeness), top-50 overall — the
+    scheduling decision a crawler makes from exactly this corpus.
+
+    Shape: per-batch distinct (target, linking-host) pairs -> ONE
+    target exchange that dedups pairs, counts distinct linking hosts
+    AND drops crawled targets via the broadcast crawled-URL filter
+    riding the same partition pass (pages are the small side HERE
+    because the fixture's crawled set is page-table-sized; at 100 TB
+    flip the filter to a second tagged exchange or a Bloom
+    prefilter — stages/bloom.py); per-host caps + the global top-k are
+    k x hosts driver work. Ties break (n_hosts DESC, url ASC)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from nacc_form_validator_ray.pipelines.queries import \
+        _linked_pages_path
+    from nacc_form_validator_ray.stages.graph import _host_of
+    from nacc_form_validator_ray.stages.partition import grouped_apply
+
+    path = _linked_pages_path(sf_dir)
+    ds = _rd().read_parquet(path, columns=["url", "links"])
+
+    # crawled set: exact raw URL strings (the frontier is URL-level;
+    # host normalization applies to the LINKING host signal only)
+    crawled_parts = ds.map_batches(
+        lambda t: pd.DataFrame({
+            "u": pd.unique(pd.Series(
+                pc.fill_null(t["url"], "").to_numpy(
+                    zero_copy_only=False), dtype=object))}),
+        batch_format="pyarrow").to_pandas()
+    crawled = set(crawled_parts["u"]) if not crawled_parts.empty \
+        and "u" in crawled_parts.columns else set()
+    crawled_ref = ray.put(crawled)
+
+    def pairs(t: "pa.Table") -> pd.DataFrame:
+        src_host = _host_of(pc.fill_null(t["url"], ""), pc) \
+            .to_numpy(zero_copy_only=False)
+        lk = t["links"].combine_chunks() \
+            if isinstance(t["links"], pa.ChunkedArray) else t["links"]
+        flat = pc.list_flatten(lk).to_numpy(zero_copy_only=False)
+        counts = pc.list_value_length(lk) \
+            .fill_null(0).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "target": flat,
+            "src_host": np.repeat(src_host, counts)})
+        return df.drop_duplicates()
+
+    def per_target(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "target": pd.Series([], dtype=object),
+            "n_hosts": pd.Series([], dtype=np.int64)})
+        if g.empty:
+            return empty
+        seen = ray.get(crawled_ref)
+        g = g[~g["target"].isin(seen)]
+        if g.empty:
+            return empty
+        out = g.drop_duplicates() \
+            .groupby("target", as_index=False) \
+            .agg(n_hosts=("src_host", "nunique"))
+        out["n_hosts"] = out["n_hosts"].astype(np.int64)
+        return out
+
+    cand = grouped_apply(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["target"], per_target, num_partitions=16).to_pandas()
+    cols = ["target", "target_host", "n_hosts"]
+    if cand.empty or "target" not in cand.columns:
+        return pd.DataFrame({
+            "target": pd.Series([], dtype=object),
+            "target_host": pd.Series([], dtype=object),
+            "n_hosts": pd.Series([], dtype=np.int64)})
+    import pyarrow as pa2
+    cand["target_host"] = _host_of(
+        pa2.array(cand["target"], pa2.string()), pc) \
+        .to_numpy(zero_copy_only=False)
+    cand = cand.sort_values(["n_hosts", "target"],
+                            ascending=[False, True])
+    cand["hrank"] = cand.groupby("target_host").cumcount()
+    cand = cand[cand["hrank"] < _FRONTIER_PER_HOST]
+    return cand.head(_FRONTIER_K).reset_index(drop=True)[cols]
+
+
+def sql_crawl_frontier(path: str,
+                       sql_url_norm: str | None = None) -> str:
+    host_url = sql_url_norm.format(u="url")
+    host_tg = sql_url_norm.format(u="target")
+    return f"""
+WITH pg AS (SELECT coalesce(url, '') AS url, links
+            FROM read_parquet('{path}')),
+e AS (SELECT DISTINCT unnest(links) AS lk, {host_url} AS src_host
+      FROM pg),
+cand AS (
+  SELECT lk AS target,
+         CAST(count(DISTINCT src_host) AS BIGINT) AS n_hosts
+  FROM e
+  WHERE lk NOT IN (SELECT url FROM pg)
+  GROUP BY lk),
+ranked AS (
+  SELECT target, {host_tg} AS target_host, n_hosts,
+         row_number() OVER (PARTITION BY {host_tg}
+                            ORDER BY n_hosts DESC, target) AS hrank
+  FROM cand)
+SELECT target, target_host, n_hosts FROM ranked
+WHERE hrank <= {_FRONTIER_PER_HOST}
+ORDER BY n_hosts DESC, target LIMIT {_FRONTIER_K}
+"""
+
+
+MIN_QUERIES["crawl_frontier"] = q_crawl_frontier
+MIN_LINKED_SQL["crawl_frontier"] = sql_crawl_frontier
