@@ -4768,6 +4768,118 @@ CUR_ORACLE_SQL["dedup_funnel_report"] = _sql_dedup_funnel()
 
 
 # --------------------------------------------------------------------------
+# batch 49: benchmark decontamination
+# --------------------------------------------------------------------------
+
+#: eval-set surrogate: the 5-gram shingles of doc_id < _DECON_EVAL_DOCS
+#: stand in for a benchmark's n-grams (GPT-3 appendix-C decontamination
+#: uses 13-grams; the fixture's docs are short word soup, so 5)
+_DECON_EVAL_DOCS, _DECON_N = 5, 5
+
+
+def q_benchmark_decontam(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination flags: for every document, how many
+    of its token 5-gram shingles appear in the eval-set shingle bank
+    (the 5-grams of docs 0-4), and the contaminated bit — the
+    train-set scrub run before every pretraining launch so eval
+    numbers stay meaningful.
+
+    The eval bank is model-sized broadcast state (built by one pruned
+    read of the eval docs); the scan is one streaming pass with
+    dictionary-coded shingle hashing per batch (the MinHash tokenizer
+    path) and NO exchange. Eval docs themselves are flagged (they
+    trivially contain their own shingles) — the scrub drops them too."""
+    import pyarrow.dataset as pads
+    import ray
+
+    from nacc_form_validator_ray.stages.text_signals import \
+        arrow_token_codes
+
+    def shingle_keys(t) -> "tuple[np.ndarray, np.ndarray]":
+        """(hash-key per shingle, doc index per shingle) — exact
+        64-bit polynomial fold over the token STRINGS so hashes agree
+        across batches regardless of dictionary order. 64-bit keys,
+        like dup_ngram_spans_hashed: a cross-engine divergence needs
+        a 2^-64 collision (the twin joins exact strings); the hashed
+        wire format is the 100-TB contract."""
+        codes, dictionary, tok_doc, _ = arrow_token_codes(t["text"])
+        if dictionary is None or len(codes) < _DECON_N:
+            return (np.empty(0, dtype=np.uint64),
+                    np.empty(0, dtype=np.int64))
+        toks = dictionary.to_numpy(zero_copy_only=False)
+        # per-token content hash (mod-2^64 poly over bytes, base 131)
+        th = np.empty(len(toks), dtype=np.uint64)
+        for i, w in enumerate(toks):      # vocabulary-sized, not tokens
+            h = np.uint64(0)
+            for b in w.encode():
+                h = h * np.uint64(131) + np.uint64(b)
+            th[i] = h
+        tok_h = th[codes]
+        n = _DECON_N
+        m = len(codes) - n + 1
+        key = np.zeros(m, dtype=np.uint64)
+        for j in range(n):                # n=5 vectorized passes
+            key = key * np.uint64(1000003) + tok_h[j:j + m]
+        same = tok_doc[:m] == tok_doc[n - 1:]
+        return key[same], tok_doc[:m][same]
+
+    eval_tbl = _rd().read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < _DECON_EVAL_DOCS).to_pandas()
+    if eval_tbl.empty:
+        bank = np.empty(0, dtype=np.uint64)
+    else:
+        import pyarrow as pa
+        k, _ = shingle_keys(pa.table({
+            "text": pa.array(eval_tbl["text"].tolist(), pa.string())}))
+        bank = np.unique(k)
+    bank_ref = ray.put(bank)
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def flag(t) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        hits = np.zeros(len(ids), dtype=np.int64)
+        k, doc = shingle_keys(t)
+        if len(k):
+            b = ray.get(bank_ref)
+            hit = np.isin(k, b)
+            if hit.any():
+                hits[:] = np.bincount(doc[hit], minlength=len(ids))
+        return pd.DataFrame({
+            "doc_id": ids, "n_hits": hits,
+            "contaminated": hits > 0})
+
+    out = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+CUR_QUERIES["benchmark_decontam"] = q_benchmark_decontam
+CUR_ORACLE_SQL["benchmark_decontam"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         array_to_string(ws[i : i + {_DECON_N} - 1], ' ') AS s
+  FROM t, unnest(range(1, len(ws) - {_DECON_N} + 2)) AS r(i)
+  WHERE len(ws) >= {_DECON_N}),
+bank AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id < {_DECON_EVAL_DOCS}),
+hits AS (
+  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM sh JOIN bank ON bank.s = sh.s
+  GROUP BY sh.doc_id)
+SELECT t.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM t LEFT JOIN hits h ON h.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry re-push — import-order independence.
 #
 # Several module-level twin builders above (_sql_minhash_estimate_error,

@@ -528,3 +528,38 @@ def test_threshold_solve_hits_target_rate(ray_session):
     assert row["keep_ppm"] <= _THRESH_TARGET_PPM
     # minimality: threshold - 1 would keep too many
     assert row["n_kept"] >= 0 and row["n_total"] > 0
+
+
+# ------------------------------------------------------------------ batch 49
+
+def test_decontam_flags_eval_docs_and_their_duplicates(ray_session,
+                                                       tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_benchmark_decontam
+
+    eval_text = "alpha beta gamma delta epsilon zeta"
+    docs = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": [eval_text, "one two three four five six",
+                 "seven eight nine ten eleven twelve",
+                 "thirteen fourteen fifteen sixteen seventeen eighteen",
+                 "nineteen twenty one two three four",
+                 # doc 5 copies an eval 5-gram -> contaminated
+                 "noise alpha beta gamma delta epsilon noise",
+                 # doc 6 shares only a 4-gram -> clean
+                 "alpha beta gamma delta other words here",
+                 "totally unrelated content goes right here"],
+        "source": ["s"] * 8, "lang": ["en"] * 8,
+        "n_chars": np.full(8, 30, dtype=np.int64)})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    out = q_benchmark_decontam(str(tmp_path)).set_index("doc_id")
+    assert bool(out.loc[0, "contaminated"])     # eval doc self-hits
+    assert bool(out.loc[5, "contaminated"])     # verbatim 5-gram copy
+    assert not bool(out.loc[6, "contaminated"])  # 4-gram only
+    assert not bool(out.loc[7, "contaminated"])
