@@ -605,6 +605,11 @@ def bench_queries(sf_dir: str):
             Q.QUERIES["dedup_funnel_report"](sf_dir)),
         "crawl_frontier": lambda: consume(
             Q.QUERIES["crawl_frontier"](sf_dir)),
+        # batches 49-50: decontam scan + host crawl water-fill
+        "benchmark_decontam": lambda: consume(
+            Q.QUERIES["benchmark_decontam"](sf_dir)),
+        "host_crawl_waterfill": lambda: consume(
+            Q.QUERIES["host_crawl_waterfill"](sf_dir)),
     }
 
 

@@ -5662,3 +5662,86 @@ ORDER BY n_hosts DESC, target LIMIT {_FRONTIER_K}
 
 MIN_QUERIES["crawl_frontier"] = q_crawl_frontier
 MIN_LINKED_SQL["crawl_frontier"] = sql_crawl_frontier
+
+
+# --------------------------------------------------------------------------
+# batch 50: per-host crawl-budget water-fill
+# --------------------------------------------------------------------------
+
+_HOST_WF_DEN = 2
+
+
+def q_host_crawl_waterfill(sf_dir: str) -> pd.DataFrame:
+    """Per-host crawl-budget allocation: water-fill the page budget
+    (total // 2) across hosts so no host exceeds the common level c*
+    — the recrawl-scheduling twin of the per-source token water-fill
+    (same exact segment-max solve, stages/pack.waterfill_cap), here
+    over the linked-page host counts.
+
+    One pruned read -> per-batch host-count combiners -> driver merge
+    (hosts are the documented small side) -> exact cap solve. Output
+    per host: n_pages, n_alloc = min(n_pages, c*)."""
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.queries import (
+        _linked_pages_path, _merge_partials)
+    from nacc_form_validator_ray.stages.graph import _host_of
+    from nacc_form_validator_ray.stages.pack import waterfill_cap
+
+    ds = _rd().read_parquet(_linked_pages_path(sf_dir),
+                            columns=["url"])
+
+    def partial(t) -> pd.DataFrame:
+        host = _host_of(pc.fill_null(t["url"], ""), pc) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"host": host, "n_pages": 1})
+        return df.groupby("host", as_index=False).sum()
+
+    out = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["host"], {"n_pages": "sum"})
+    if out.empty:
+        return pd.DataFrame({
+            "host": pd.Series([], dtype=object),
+            "n_pages": pd.Series([], dtype=np.int64),
+            "n_alloc": pd.Series([], dtype=np.int64)})
+    out["n_pages"] = out["n_pages"].astype(np.int64)
+    budget = int(out["n_pages"].sum()) // _HOST_WF_DEN
+    cap = waterfill_cap(out["n_pages"].to_numpy(np.int64), budget)
+    out["n_alloc"] = np.minimum(out["n_pages"].to_numpy(np.int64),
+                                cap)
+    return out.sort_values("host").reset_index(drop=True)[
+        ["host", "n_pages", "n_alloc"]]
+
+
+def sql_host_crawl_waterfill(path: str,
+                             sql_url_norm: str | None = None) -> str:
+    host_url = sql_url_norm.format(u="url")
+    return f"""
+WITH pg AS (SELECT coalesce(url, '') AS url
+            FROM read_parquet('{path}')),
+tot AS (SELECT {host_url} AS host,
+               CAST(count(*) AS BIGINT) AS n_pages
+        FROM pg GROUP BY 1),
+b AS (SELECT CAST(sum(n_pages) // {_HOST_WF_DEN} AS BIGINT) AS budget
+      FROM tot),
+seg AS (
+  SELECT n_pages AS t,
+         CAST(row_number() OVER (ORDER BY n_pages, host) AS BIGINT)
+             AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS k,
+         CAST(sum(n_pages) OVER (ORDER BY n_pages, host
+                                 ROWS UNBOUNDED PRECEDING) - n_pages
+              AS BIGINT) AS pfx
+  FROM tot),
+cap AS (
+  SELECT CAST(max((b.budget - pfx) // (k - rk + 1)) AS BIGINT) AS c
+  FROM seg, b WHERE pfx <= b.budget)
+SELECT host, n_pages,
+       CAST(least(n_pages, (SELECT c FROM cap)) AS BIGINT) AS n_alloc
+FROM tot ORDER BY host
+"""
+
+
+MIN_QUERIES["host_crawl_waterfill"] = q_host_crawl_waterfill
+MIN_LINKED_SQL["host_crawl_waterfill"] = sql_host_crawl_waterfill

@@ -1604,3 +1604,21 @@ def test_nation_revenue_share_hierarchy(tmp_path):
     assert got["rev_cents"].tolist() == [3000, 1000]
     assert got["region_cents"].tolist() == [4000, 4000]
     assert got["share"].tolist() == [0.75, 0.25]
+
+
+# ------------------------------------------------------------------ batch 50
+
+def test_host_crawl_waterfill_budget_and_cap(ray_session):
+    from nacc_form_validator_ray.pipelines.mining import (
+        _HOST_WF_DEN, q_host_crawl_waterfill)
+
+    out = q_host_crawl_waterfill("/root/testdata/sf0.001")
+    assert (out["n_alloc"] <= out["n_pages"]).all()
+    total = int(out["n_pages"].sum())
+    alloc = int(out["n_alloc"].sum())
+    assert alloc <= total // _HOST_WF_DEN
+    # the cap is maximal: raising every capped host by one would
+    # overshoot (unless nothing was capped)
+    capped = out[out["n_alloc"] < out["n_pages"]]
+    if len(capped):
+        assert alloc + len(capped) > total // _HOST_WF_DEN
