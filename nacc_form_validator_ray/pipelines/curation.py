@@ -3978,13 +3978,17 @@ def q_sample_estimate_audit(sf_dir: str) -> pd.DataFrame:
 
 
 CUR_QUERIES["sample_estimate_audit"] = q_sample_estimate_audit
-CUR_ORACLE_SQL["sample_estimate_audit"] = f"""
+def _sql_sample_estimate_audit() -> str:
+    from nacc_form_validator_ray.stages.dedup import P31
+    from nacc_form_validator_ray.stages.sampling import (SAMPLE_A,
+                                                         SAMPLE_B)
+    return f"""
 WITH d AS (
   SELECT source,
          CAST(len(regexp_extract_all(lower(coalesce(text, '')),
                                      '[a-z]+')) AS BIGINT) AS n,
-         ((1103515245 * (doc_id % 2147483647)
-           + 12345) % 2147483647) % {_EST_DEN} = 0 AS s
+         (({SAMPLE_A} * (doc_id % {P31})
+           + {SAMPLE_B}) % {P31}) % {_EST_DEN} = 0 AS s
   FROM documents)
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n) AS BIGINT) AS tokens_exact,
@@ -3995,6 +3999,9 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
             // greatest(sum(n), 1) AS BIGINT) AS err_ppm
 FROM d GROUP BY source ORDER BY source
 """
+
+
+CUR_ORACLE_SQL["sample_estimate_audit"] = _sql_sample_estimate_audit()
 
 
 # --------------------------------------------------------------------------
@@ -4192,7 +4199,10 @@ def q_k_anonymity_audit(sf_dir: str) -> pd.DataFrame:
             "event_type": t["event_type"].to_numpy(
                 zero_copy_only=False),
             "hour": hour,
-            "value_band": cents // 10000,   # whole 100-unit bands
+            # DuckDB // truncates; spell trunc-div so negative
+            # refund values band identically (review finding)
+            "value_band": np.where(cents >= 0, cents // 10000,
+                                   -((-cents) // 10000)),
             "n": 1})
         return df.groupby(["event_type", "hour", "value_band"],
                           as_index=False).sum()
@@ -4287,16 +4297,18 @@ def q_triplet_mining(sf_dir: str) -> pd.DataFrame:
         .sort_values("anchor_id").reset_index(drop=True)
     a = out["anchor_id"].to_numpy(np.int64)
     p = out["positive_id"].to_numpy(np.int64)
-    neg = np.empty(len(a), dtype=np.int64)
+    # bounded salts 0..3, mirroring the twin exactly: on a pathological
+    # corpus where all four draws collide with {anchor, positive}
+    # (guaranteed possible only when n_vecs <= 2), the sentinel -1 is
+    # emitted on BOTH engines instead of spinning (review finding)
+    neg = np.full(len(a), -1, dtype=np.int64)
     for i in range(len(a)):          # anchors are a bounded set
-        salt = 0
-        while True:
+        for salt in range(4):
             cand = int((SAMPLE_A * ((int(a[i]) + salt) % P31)
                         + SAMPLE_B) % P31) % n_vecs
             if cand != int(a[i]) and cand != int(p[i]):
+                neg[i] = cand
                 break
-            salt += 1
-        neg[i] = cand
     out["negative_id"] = neg
     return out.astype(np.int64)[["anchor_id", "positive_id",
                                  "negative_id"]]
@@ -4321,9 +4333,9 @@ pos AS (
                               ORDER BY cos DESC, positive_id) AS rk
     FROM pairs) WHERE rk = 1),
 nv AS (SELECT count(*) AS n FROM embeddings),
--- deterministic negative: first non-colliding salt in 0..3 (the
--- Python side re-draws until clean; two collisions in a row are
--- impossible with distinct (anchor, positive), so salt <= 2 suffices)
+-- deterministic negative: first non-colliding salt in 0..3; if all
+-- four draws collide with {{anchor, positive}} the sentinel -1 is
+-- emitted (same bounded rule as the Python side — review finding)
 neg AS (
   SELECT anchor_id, positive_id,
          (SELECT cand FROM (
@@ -4335,7 +4347,7 @@ neg AS (
           ORDER BY c.salt LIMIT 1) AS negative_id
   FROM pos)
 SELECT anchor_id, positive_id,
-       CAST(negative_id AS BIGINT) AS negative_id
+       CAST(coalesce(negative_id, -1) AS BIGINT) AS negative_id
 FROM neg ORDER BY anchor_id
 """
 
@@ -4349,6 +4361,22 @@ CUR_ORACLE_SQL["triplet_mining"] = _sql_triplet_mining()
 # --------------------------------------------------------------------------
 
 _PRUNE_SHARD, _PRUNE_MIN_CHARS = 64, 250
+
+
+def _nchars_histogram(ds) -> pd.DataFrame:
+    """Bounded (n_chars value -> count) histogram via per-batch value
+    counts + driver merge — shared by the prune audit and the
+    threshold solve (review finding: keep the two copies one)."""
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
+
+    def vc(t) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "v": t["n_chars"].to_numpy(zero_copy_only=False)
+            .astype(np.int64), "c": 1})
+        return df.groupby("v", as_index=False).sum()
+
+    return _merge_partials(ds.map_batches(vc, batch_format="pyarrow"),
+                           ["v"], {"c": "sum"})
 
 
 def q_rowgroup_prune_audit(sf_dir: str) -> pd.DataFrame:
@@ -4395,15 +4423,8 @@ def q_rowgroup_prune_audit(sf_dir: str) -> pd.DataFrame:
 
     arrival = ds.map_batches(arrival_partial, batch_format="pyarrow")
 
-    # clustered layout: exclusive base per value from the histogram...
-    def vc(t) -> pd.DataFrame:
-        df = pd.DataFrame({
-            "v": t["n_chars"].to_numpy(zero_copy_only=False)
-            .astype(np.int64), "c": 1})
-        return df.groupby("v", as_index=False).sum()
-
-    hist = _merge_partials(ds.map_batches(vc, batch_format="pyarrow"),
-                           ["v"], {"c": "sum"})
+    # clustered layout: exclusive base per value from the histogram
+    hist = _nchars_histogram(ds)
     cols = ["layout", "class", "n_shards", "n_rows", "n_hits"]
     if hist.empty:
         return pd.DataFrame({
@@ -4513,15 +4534,7 @@ def q_threshold_solve_keep_rate(sf_dir: str) -> pd.DataFrame:
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["n_chars"])
-
-    def vc(t) -> pd.DataFrame:
-        df = pd.DataFrame({
-            "v": t["n_chars"].to_numpy(zero_copy_only=False)
-            .astype(np.int64), "c": 1})
-        return df.groupby("v", as_index=False).sum()
-
-    hist = _merge_partials(ds.map_batches(vc, batch_format="pyarrow"),
-                           ["v"], {"c": "sum"})
+    hist = _nchars_histogram(ds)
     cols = ["threshold", "n_kept", "n_total", "keep_ppm"]
     if hist.empty:
         return pd.DataFrame({c: pd.Series([], dtype=np.int64)
@@ -4536,7 +4549,11 @@ def q_threshold_solve_keep_rate(sf_dir: str) -> pd.DataFrame:
     ok = suffix * 1_000_000 <= _THRESH_TARGET_PPM * total
     if ok.any():
         i = int(np.flatnonzero(ok)[0])
-        thr, kept = int(v[i]), int(suffix[i])
+        # keep rate is constant on (v[i-1], v[i]] — the SMALLEST
+        # integer threshold achieving it is prev observed value + 1
+        # (0 when every doc already fits) — review finding
+        thr = int(v[i - 1]) + 1 if i > 0 else 0
+        kept = int(suffix[i])
     else:
         thr, kept = int(v[-1]) + 1, 0   # even the max value keeps too many
     return pd.DataFrame({
@@ -4556,10 +4573,14 @@ tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM h),
 cdf AS (
   SELECT v, CAST(sum(c) OVER (ORDER BY v DESC
                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
-             AS kept
+             AS kept,
+         lag(v) OVER (ORDER BY v) AS prev_v
   FROM h),
 sol AS (
-  SELECT v AS threshold, kept FROM cdf, tot
+  -- smallest INTEGER threshold: keep rate is constant on
+  -- (prev_v, v], so it is prev_v + 1 (0 when everything fits)
+  SELECT CAST(coalesce(prev_v + 1, 0) AS BIGINT) AS threshold, kept
+  FROM cdf, tot
   WHERE kept * 1000000 <= {_THRESH_TARGET_PPM} * tot.total
   ORDER BY v LIMIT 1),
 fallback AS (
@@ -4577,13 +4598,13 @@ FROM (SELECT * FROM sol UNION ALL
 # batch 46: incremental view maintenance merge
 # --------------------------------------------------------------------------
 
-_IVM_CUTOFF = "2025-07-01"
+_IVM_CUTOFF = "2024-01-15"  # mid-fixture: both sides non-trivial
 
 
 def q_ivm_merge_counts(sf_dir: str) -> pd.DataFrame:
     """Incremental-view-maintenance merge: the per-event-type
     (count, value-cents sum) view split into BASE (events before
-    2025-07-01) and DELTA (at/after), plus the merged result — the
+    2024-01-15) and DELTA (at/after), plus the merged result — the
     merge-on-read shape of a lakehouse view: the base aggregate is
     what a snapshot holds, the delta is the unmerged tail, and the
     audit proves base + delta == full recompute without rescanning
@@ -4687,7 +4708,7 @@ def q_dedup_funnel_report(sf_dir: str) -> pd.DataFrame:
         return out[["doc_id"]]
 
     exact_keep = grouped_apply(fp, ["fingerprint_md5"], keep_min,
-                               num_partitions=16)
+                               num_partitions=16).materialize()
 
     pairs = minhash_candidate_pairs(docs, threshold=0.5)
     ids = docs.select_columns(["doc_id"])

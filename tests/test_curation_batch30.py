@@ -563,3 +563,92 @@ def test_decontam_flags_eval_docs_and_their_duplicates(ray_session,
     assert bool(out.loc[5, "contaminated"])     # verbatim 5-gram copy
     assert not bool(out.loc[6, "contaminated"])  # 4-gram only
     assert not bool(out.loc[7, "contaminated"])
+
+
+# -------------------------------------------------- review-round regressions
+
+def test_ivm_cutoff_splits_fixture_non_trivially(ray_session):
+    """The cutoff must fall inside the fixture's time span so both the
+    base and delta legs are exercised (review finding)."""
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_ivm_merge_counts
+
+    out = q_ivm_merge_counts("/root/testdata/sf0.001")
+    assert int(out["base_n"].sum()) > 0
+    assert int(out["delta_n"].sum()) > 0
+    assert (out["merged_n"] == out["base_n"] + out["delta_n"]).all()
+    assert (out["merged_sum_c"]
+            == out["base_sum_c"] + out["delta_sum_c"]).all()
+
+
+def test_k_anonymity_negative_value_band_trunc(ray_session, tmp_path):
+    """Negative event values must band by TRUNCATING division (the
+    DuckDB // rule), not numpy floor (review finding)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_k_anonymity_audit
+
+    base = pd.Timestamp("2025-06-01 10:00:00")
+    df = pd.DataFrame({
+        "event_id": np.arange(2, dtype=np.int64),
+        "user_id": np.array([1, 1], dtype=np.int64),
+        "ts": [base, base],
+        "event_type": ["refund", "refund"],
+        "value": [-50.0, 50.0],   # trunc: both band 0 -> ONE group
+        "props": ["{}"] * 2})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = q_k_anonymity_audit(str(tmp_path))
+    assert int(out["n_groups"].iloc[0]) == 1
+
+
+def test_threshold_solve_returns_minimal_integer(ray_session,
+                                                 tmp_path):
+    """With a value gap, the solve must return prev_value + 1, not the
+    next observed value (review finding)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_threshold_solve_keep_rate
+
+    # 60 docs at 100 chars, 40 at 500: target 60% -> threshold 101
+    n = 100
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": ["x"] * n, "source": ["s"] * n, "lang": ["en"] * n,
+        "n_chars": np.array([100] * 60 + [500] * 40, dtype=np.int64)})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    out = q_threshold_solve_keep_rate(str(tmp_path)).iloc[0]
+    assert int(out["threshold"]) == 101
+    assert int(out["n_kept"]) == 40
+
+
+def test_triplet_negative_sentinel_on_two_vector_corpus(ray_session,
+                                                        tmp_path):
+    """A 2-vector corpus cannot have a non-colliding negative: both
+    engines must emit the -1 sentinel instead of hanging (review
+    finding)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nacc_form_validator_ray.pipelines.curation import \
+        q_triplet_mining
+
+    emb = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.9, 0.1]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0], pa.int32())})
+    pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+    out = q_triplet_mining(str(tmp_path)).sort_values("anchor_id")
+    assert out["negative_id"].tolist() == [-1, -1]
