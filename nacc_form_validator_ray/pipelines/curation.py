@@ -4901,6 +4901,76 @@ ORDER BY t.doc_id
 
 
 # --------------------------------------------------------------------------
+# batch 51: MinHash S-curve planner
+# --------------------------------------------------------------------------
+
+#: (bands, rows-per-band) configs sharing k = b*r = 128 signature slots
+#: (the registered minhash_candidate_pairs geometry and its two
+#: alternatives). Bands are powers of two so u^b is an explicit
+#: squaring chain — identical IEEE op order on both engines.
+_SCURVE_CONFIGS = ((32, 4), (16, 8), (64, 2))
+_SCURVE_S_PCT = tuple(range(50, 100, 5))
+
+
+def q_minhash_scurve(sf_dir: str) -> pd.DataFrame:
+    """MinHash banding S-curve planner: for each (bands, rows) config
+    of the 128-slot signature and each Jaccard similarity s, the
+    candidate probability ``p = 1 - (1 - s^r)^b`` — the table read
+    when choosing a banding config for a target near-dup threshold
+    (Leskovec et al., Mining of Massive Datasets, public).
+
+    Pure model math (no corpus IO): every float op is an explicit
+    left-associated multiply / squaring chain mirrored token-for-token
+    by the twin, so the doubles are bit-identical without any grid
+    flooring. ``sf_dir`` is accepted for registry uniformity."""
+    rows = []
+    for b, r in _SCURVE_CONFIGS:
+        n_sq = b.bit_length() - 1      # b = 2^n_sq
+        for pct in _SCURVE_S_PCT:
+            s = float(pct) / 100.0
+            t = s
+            for _ in range(r - 1):
+                t = t * s
+            u = 1.0 - t
+            for _ in range(n_sq):
+                u = u * u
+            rows.append((b, r, pct, 1.0 - u))
+    out = pd.DataFrame(rows, columns=["bands", "rows_per_band",
+                                      "s_pct", "p_candidate"]) \
+        .astype({"bands": np.int64, "rows_per_band": np.int64,
+                 "s_pct": np.int64, "p_candidate": np.float64})
+    return out.sort_values(["bands", "rows_per_band", "s_pct"]) \
+        .reset_index(drop=True)
+
+
+def _sql_minhash_scurve() -> str:
+    svals = ", ".join(f"({p})" for p in _SCURVE_S_PCT)
+    selects = []
+    for b, r in _SCURVE_CONFIGS:
+        n_sq = b.bit_length() - 1
+        t_expr = " * ".join(["s"] * r)
+        chain = [f"{t_expr} AS t0", "1.0 - t0 AS u0"]
+        for i in range(n_sq):
+            chain.append(f"u{i} * u{i} AS u{i + 1}")
+        cols = ", ".join(chain)
+        selects.append(f"""
+SELECT CAST({b} AS BIGINT) AS bands,
+       CAST({r} AS BIGINT) AS rows_per_band,
+       CAST(s_pct AS BIGINT) AS s_pct, 1.0 - u{n_sq} AS p_candidate
+FROM (SELECT s_pct, CAST(s_pct AS DOUBLE) / 100.0 AS s, {cols}
+      FROM sv)""")
+    return f"""
+WITH sv(s_pct) AS (VALUES {svals})
+{' UNION ALL '.join(selects)}
+ORDER BY bands, rows_per_band, s_pct
+"""
+
+
+CUR_QUERIES["minhash_scurve"] = q_minhash_scurve
+CUR_ORACLE_SQL["minhash_scurve"] = _sql_minhash_scurve()
+
+
+# --------------------------------------------------------------------------
 # Registry re-push — import-order independence.
 #
 # Several module-level twin builders above (_sql_minhash_estimate_error,
