@@ -4971,6 +4971,163 @@ CUR_ORACLE_SQL["minhash_scurve"] = _sql_minhash_scurve()
 
 
 # --------------------------------------------------------------------------
+# batch 52: calendar heatmap + subsample stability audit
+# --------------------------------------------------------------------------
+
+def q_events_heatmap_hour_dow(sf_dir: str) -> pd.DataFrame:
+    """Calendar heatmap: event counts per (ISO day-of-week, hour) —
+    the load-profile dashboard (crawl schedulers read exactly this to
+    place their nice-hours). Per-batch (dow, hour) combiners bound the
+    exchange at 7 x 24 keys regardless of volume; driver merge."""
+    import pyarrow.compute as pc
+
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["ts"])
+
+    def partial(t) -> pd.DataFrame:
+        # ISO day of week (Mon=1..Sun=7), matching DuckDB isodow()
+        dow = pc.day_of_week(t["ts"], count_from_zero=False,
+                             week_start=1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        hour = pc.hour(t["ts"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = pd.DataFrame({"dow": dow, "hour": hour, "n": 1})
+        return df.groupby(["dow", "hour"], as_index=False).sum()
+
+    out = _merge_partials(ds.map_batches(partial,
+                                         batch_format="pyarrow"),
+                          ["dow", "hour"], {"n": "sum"})
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["dow", "hour"]).reset_index(drop=True)
+
+
+CUR_QUERIES["events_heatmap_hour_dow"] = q_events_heatmap_hour_dow
+CUR_ORACLE_SQL["events_heatmap_hour_dow"] = """
+SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2 ORDER BY dow, hour
+"""
+
+
+#: number of deterministic half-sample replicas
+_STAB_REPS = 16
+
+
+def q_subsample_stability_ci(sf_dir: str) -> pd.DataFrame:
+    """Subsample-stability interval for the per-source mean document
+    length: 16 deterministic half-sample replicas (doc kept in replica
+    b iff ``hash(doc_id + b·P31') mod 2 == 0``, the mod-P31 family)
+    each produce a replica mean; the report gives the full-corpus mean
+    plus the min/max replica means and their spread in ppm of the full
+    mean — the "how stable is this dashboard number" audit that
+    separates real per-source differences from sampling noise.
+
+    One streaming pass emits (source, replica) integer (sum, cnt)
+    partials — 16x sources rows per batch regardless of volume; means
+    are one IEEE division each, compared as identically-computed
+    doubles on both engines."""
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
+    from nacc_form_validator_ray.stages.dedup import P31
+    from nacc_form_validator_ray.stages.sampling import (SAMPLE_A,
+                                                         SAMPLE_B)
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source", "n_chars"])
+
+    def partial(t) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = t["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        srcs = t["source"].to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "rep": pd.Series([], dtype=np.int64),
+                "s": pd.Series([], dtype=np.int64),
+                "c": pd.Series([], dtype=np.int64)})
+        frames = []
+        # rep -1 = the full corpus; reps 0..15 = half samples
+        frames.append(pd.DataFrame({
+            "source": srcs, "rep": -1, "s": v, "c": 1}))
+        for b in range(_STAB_REPS):
+            keep = ((SAMPLE_A * ((ids + b) % P31) + SAMPLE_B)
+                    % P31) % 2 == 0
+            if keep.any():
+                frames.append(pd.DataFrame({
+                    "source": srcs[keep], "rep": b, "s": v[keep],
+                    "c": 1}))
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(["source", "rep"], as_index=False).sum()
+
+    merged = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source", "rep"], {"s": "sum", "c": "sum"})
+    cols = ["source", "mean_full", "mean_min", "mean_max",
+            "spread_ppm"]
+    if merged.empty:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "mean_full": pd.Series([], dtype=np.float64),
+            "mean_min": pd.Series([], dtype=np.float64),
+            "mean_max": pd.Series([], dtype=np.float64),
+            "spread_ppm": pd.Series([], dtype=np.int64)})
+    merged["mean"] = merged["s"].astype(np.float64) \
+        / merged["c"].astype(np.float64)
+    rows = []
+    for src_name, g in merged.groupby("source", sort=True):
+        full = g[g["rep"] == -1]
+        reps = g[g["rep"] >= 0]
+        if full.empty or reps.empty:
+            continue
+        mf = float(full["mean"].iloc[0])
+        lo, hi = float(reps["mean"].min()), float(reps["mean"].max())
+        spread = int(np.floor((hi - lo) * 1_000_000 / mf + 0.5)) \
+            if mf > 0 else 0
+        rows.append((src_name, mf, lo, hi, spread))
+    return pd.DataFrame(rows, columns=cols)
+
+
+def _sql_subsample_stability() -> str:
+    from nacc_form_validator_ray.stages.dedup import P31
+    from nacc_form_validator_ray.stages.sampling import (SAMPLE_A,
+                                                         SAMPLE_B)
+    reps = ", ".join(f"({b})" for b in range(_STAB_REPS))
+    return f"""
+WITH reps(b) AS (VALUES {reps}),
+rmeans AS (
+  SELECT d.source, r.b,
+         CAST(sum(d.n_chars) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS m
+  FROM documents d JOIN reps r
+    ON (({SAMPLE_A} * ((d.doc_id + r.b) % {P31})
+         + {SAMPLE_B}) % {P31}) % 2 = 0
+  GROUP BY 1, 2),
+full_m AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS mean_full
+  FROM documents GROUP BY source),
+agg AS (
+  SELECT source, min(m) AS mean_min, max(m) AS mean_max
+  FROM rmeans GROUP BY source)
+SELECT f.source, f.mean_full, a.mean_min, a.mean_max,
+       CAST(CASE WHEN f.mean_full > 0
+                 THEN floor((a.mean_max - a.mean_min) * 1000000
+                            / f.mean_full + 0.5)
+                 ELSE 0 END AS BIGINT) AS spread_ppm
+FROM full_m f JOIN agg a ON a.source = f.source
+ORDER BY f.source
+"""
+
+
+CUR_QUERIES["subsample_stability_ci"] = q_subsample_stability_ci
+CUR_ORACLE_SQL["subsample_stability_ci"] = _sql_subsample_stability()
+
+
+# --------------------------------------------------------------------------
 # Registry re-push — import-order independence.
 #
 # Several module-level twin builders above (_sql_minhash_estimate_error,
