@@ -5128,6 +5128,79 @@ CUR_ORACLE_SQL["subsample_stability_ci"] = _sql_subsample_stability()
 
 
 # --------------------------------------------------------------------------
+# batch 53: exact per-source length percentiles
+# --------------------------------------------------------------------------
+
+_PCTL_QS = (25, 50, 75, 90)
+
+
+def q_source_length_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-source n_chars percentiles (p25/p50/p75/p90) by the
+    order-statistic rule ``smallest v with cum_count >= ceil(q*n/100)``
+    — integer-exact (no interpolation), so the twins agree at any
+    partitioning; the per-feed length profile behind the global
+    hist_quantiles dashboard.
+
+    One pass reduces to the bounded (source, value) histogram (the
+    quantile_normalize shape); the percentile walk runs on the
+    driver-held bounded table."""
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["source", "n_chars"])
+
+    def vc(t) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "source": t["source"].to_numpy(zero_copy_only=False),
+            "v": t["n_chars"].to_numpy(zero_copy_only=False)
+            .astype(np.int64), "c": 1})
+        return df.groupby(["source", "v"], as_index=False).sum()
+
+    hist = _merge_partials(ds.map_batches(vc, batch_format="pyarrow"),
+                           ["source", "v"], {"c": "sum"})
+    cols = ["source", "q_pct", "value"]
+    if hist.empty:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "q_pct": pd.Series([], dtype=np.int64),
+            "value": pd.Series([], dtype=np.int64)})
+    rows = []
+    for src_name, g in hist.groupby("source", sort=True):
+        g = g.sort_values("v")
+        v = g["v"].to_numpy(np.int64)
+        cum = np.cumsum(g["c"].to_numpy(np.int64))
+        n = int(cum[-1])
+        for q in _PCTL_QS:
+            rank = (q * n + 99) // 100     # ceil(q*n/100), exact ints
+            i = int(np.searchsorted(cum, rank))
+            rows.append((src_name, q, int(v[i])))
+    return pd.DataFrame(rows, columns=cols).astype(
+        {"q_pct": np.int64, "value": np.int64})
+
+
+CUR_QUERIES["source_length_percentiles"] = q_source_length_percentiles
+CUR_ORACLE_SQL["source_length_percentiles"] = f"""
+WITH qs(q_pct) AS (VALUES {', '.join(f'({q})' for q in _PCTL_QS)}),
+h AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+cdf AS (
+  SELECT source, v,
+         CAST(sum(c) OVER (PARTITION BY source ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum,
+         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM h)
+SELECT source, CAST(q_pct AS BIGINT) AS q_pct,
+       CAST(min(v) AS BIGINT) AS value
+FROM cdf JOIN qs ON cum >= (q_pct * n + 99) // 100
+GROUP BY source, q_pct
+ORDER BY source, q_pct
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry re-push — import-order independence.
 #
 # Several module-level twin builders above (_sql_minhash_estimate_error,
