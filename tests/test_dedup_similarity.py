@@ -515,6 +515,25 @@ def test_exact_dedup_default_pin_never_materializes(tmp_path, monkeypatch):
     assert 2 not in set(out["doc_id"])
 
 
+def test_auto_pin_dir_reclaimed_after_consumption():
+    """Round-4 VERDICT item 4: an auto-created pin="parquet" spill dir
+    must be reclaimable once the returned dataset is consumed — a
+    long-lived driver must not leak a corpus-sized /tmp dir per
+    invocation until interpreter exit."""
+    import os
+
+    from nacc_form_validator_ray.stages import dedup as dd
+
+    before = list(dd._PIN_DIRS)
+    out = exact_dedup(rd.from_pandas(make_docs())).to_pandas()
+    assert 2 not in set(out["doc_id"])
+    created = [d for d in dd._PIN_DIRS if d not in before]
+    assert created and all(os.path.isdir(d) for d in created)
+    assert dd.reclaim_pin_dirs() >= len(created)
+    assert not any(os.path.exists(d) for d in created)
+    assert not dd._PIN_DIRS
+
+
 def test_exact_dedup_pin_modes_agree(tmp_path):
     df = make_docs()
     out_parquet = exact_dedup(rd.from_pandas(df),
