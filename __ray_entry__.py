@@ -44,8 +44,8 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline (SURVEY.md §2 + dedup /
     similarity / text-analysis / multimodal operators)."""
-    from nacc_form_validator_ray.pipelines.queries import QUERIES
-    return dict(QUERIES)
+    from nacc_form_validator_ray.pipelines.queries import all_queries
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -57,8 +57,8 @@ def oracle_sql() -> dict[str, str]:
     matter the query/oracle execution order; the driver's gate runs at
     sf0.01), and the IVF twin embeds the persisted centroid model as
     literals."""
-    from nacc_form_validator_ray.pipelines.queries import (ORACLE_SQL,
-                                                           flagship_oracles)
-    out = dict(ORACLE_SQL)
+    from nacc_form_validator_ray.pipelines.queries import (
+        all_oracle_sql, flagship_oracles)
+    out = all_oracle_sql()
     out.update(flagship_oracles("/root/testdata/sf0.01"))
     return out

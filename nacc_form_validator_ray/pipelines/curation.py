@@ -4680,7 +4680,8 @@ FROM e GROUP BY event_type ORDER BY event_type
 # batch 47: dedup funnel report
 # --------------------------------------------------------------------------
 
-def q_dedup_funnel_report(sf_dir: str) -> pd.DataFrame:
+def q_dedup_funnel_report(sf_dir: str,
+                          ckpt_dir: str | None = None) -> pd.DataFrame:
     """The production dedup stack as ONE survivor funnel: input docs,
     docs surviving exact dedup (min doc_id per whitespace/case
     fingerprint, the dedup_exact rule), and docs ALSO surviving
@@ -4713,12 +4714,25 @@ def q_dedup_funnel_report(sf_dir: str) -> pd.DataFrame:
             .min()
         return out[["doc_id"]]
 
-    exact_keep = grouped_apply(fp, ["fingerprint_md5"], keep_min,
-                               num_partitions=16).materialize()
+    from nacc_form_validator_ray.state.lineage import stage_checkpoint
 
-    pairs = minhash_candidate_pairs(docs, threshold=0.5)
-    ids = docs.select_columns(["doc_id"])
-    labels = propagate_labels(pairs, ids)
+    # with ckpt_dir set, the two expensive dedup decisions (exact keep
+    # set, near-dup labels) checkpoint to parquet and a rerun resumes
+    # from the last completed stage (round-4 VERDICT item 9); the lean
+    # exact keep set is materialized either way (two consumers below)
+    exact_keep = stage_checkpoint(
+        lambda: grouped_apply(fp, ["fingerprint_md5"], keep_min,
+                              num_partitions=16),
+        ckpt_dir, "exact_keep")
+    if ckpt_dir is None:
+        exact_keep = exact_keep.materialize()
+
+    def build_labels():
+        pairs = minhash_candidate_pairs(docs, threshold=0.5)
+        ids = docs.select_columns(["doc_id"])
+        return propagate_labels(pairs, ids)
+
+    labels = stage_checkpoint(build_labels, ckpt_dir, "labels")
 
     def near_tag(t: "pa.Table") -> "pa.Table":
         import pyarrow.compute as pc

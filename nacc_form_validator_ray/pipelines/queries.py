@@ -5788,27 +5788,36 @@ QUERIES["knn_join_embeddings"] = q_knn_join_embeddings
 ORACLE_SQL["knn_join_embeddings"] = sql_knn_join_embeddings()
 
 
-def q_semdedup_corpus(sf_dir: str):
+def q_semdedup_corpus(sf_dir: str, ckpt_dir: str | None = None):
     """The cross-modality curation composition: SemDeDup verdicts from
     the EMBEDDINGS table applied to the TEXT corpus — per source, how
     many documents and tokens survive semantic dedup. Lean end-to-end:
     the verdict side ships (doc_id, kept), the document side ships
     (doc_id, source, n_toks) computed in one Arrow token pass; one
     hash join on the id, then per-batch partials into a tiny grouped
-    sum. The twin nests the full semdedup query as a CTE."""
+    sum. The twin nests the full semdedup query as a CTE.
+
+    ``ckpt_dir`` checkpoints the expensive SemDeDup verdict stage
+    (k-means + anchor scan) to parquet so a rerun resumes past it
+    (state/lineage.stage_checkpoint)."""
     import pyarrow as pa
 
     from nacc_form_validator_ray.stages.joins import hash_join
     from nacc_form_validator_ray.stages.partition import grouped_agg_sum
     from nacc_form_validator_ray.stages.semdedup import semdedup
+    from nacc_form_validator_ray.state.lineage import stage_checkpoint
     rd_ = _rd()
-    emb = rd_.read_parquet(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"])
-    verdicts = semdedup(emb, k=8, iterations=3,
+
+    def build_verdicts():
+        emb = rd_.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+        return semdedup(emb, k=8, iterations=3,
                         dist2_threshold=20_000_000) \
-        .map_batches(lambda t: pa.table(
-            {"doc_id": t["vec_id"], "kept": t["kept"]}),
-        batch_format="pyarrow")
+            .map_batches(lambda t: pa.table(
+                {"doc_id": t["vec_id"], "kept": t["kept"]}),
+            batch_format="pyarrow")
+
+    verdicts = stage_checkpoint(build_verdicts, ckpt_dir, "verdicts")
 
     def doc_lean(t: "pa.Table") -> "pa.Table":
         from nacc_form_validator_ray.stages.text_signals import \
@@ -7627,3 +7636,52 @@ from nacc_form_validator_ray.pipelines.stataudit import (ST_ORACLE_SQL,
 
 QUERIES.update(ST_QUERIES)
 ORACLE_SQL.update(ST_ORACLE_SQL)
+
+
+def all_queries() -> Dict[str, Callable[[str], Any]]:
+    """The ONE registration API (round-4 VERDICT item 8): re-merge the
+    per-module registries at CALL time, so an entry registered in a
+    submodule after this module's import-time snapshot (the session-5
+    import-order race) can never be lost. Collisions across modules
+    are a registration bug and raise instead of silently shadowing."""
+    from nacc_form_validator_ray.pipelines.advanced import ADV_QUERIES
+    from nacc_form_validator_ray.pipelines.curation import CUR_QUERIES
+    from nacc_form_validator_ray.pipelines.mining import MIN_QUERIES
+    from nacc_form_validator_ray.pipelines.stataudit import ST_QUERIES
+    from nacc_form_validator_ray.pipelines.tpch import TPCH_QUERIES
+
+    merged: Dict[str, Callable[[str], Any]] = dict(QUERIES)
+    for name, sub in (("tpch", TPCH_QUERIES), ("advanced", ADV_QUERIES),
+                      ("mining", MIN_QUERIES), ("curation", CUR_QUERIES),
+                      ("stataudit", ST_QUERIES)):
+        for key, fn in sub.items():
+            if key in merged and merged[key] is not fn:
+                raise RuntimeError(
+                    f"query registry collision: {key!r} re-registered "
+                    f"by pipelines.{name}")
+            merged[key] = fn
+    return merged
+
+
+def all_oracle_sql() -> Dict[str, str]:
+    """Call-time merge of every per-module ORACLE_SQL dict (same
+    contract as :func:`all_queries`)."""
+    from nacc_form_validator_ray.pipelines.advanced import ADV_ORACLE_SQL
+    from nacc_form_validator_ray.pipelines.curation import CUR_ORACLE_SQL
+    from nacc_form_validator_ray.pipelines.mining import MIN_ORACLE_SQL
+    from nacc_form_validator_ray.pipelines.stataudit import ST_ORACLE_SQL
+    from nacc_form_validator_ray.pipelines.tpch import TPCH_ORACLE_SQL
+
+    merged: Dict[str, str] = dict(ORACLE_SQL)
+    for name, sub in (("tpch", TPCH_ORACLE_SQL),
+                      ("advanced", ADV_ORACLE_SQL),
+                      ("mining", MIN_ORACLE_SQL),
+                      ("curation", CUR_ORACLE_SQL),
+                      ("stataudit", ST_ORACLE_SQL)):
+        for key, sql in sub.items():
+            if key in merged and merged[key] != sql:
+                raise RuntimeError(
+                    f"oracle registry collision: {key!r} re-registered "
+                    f"by pipelines.{name}")
+            merged[key] = sql
+    return merged

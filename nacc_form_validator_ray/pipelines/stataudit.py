@@ -967,7 +967,9 @@ GROUP BY w ORDER BY w
 # Keep rate by perplexity decile
 # --------------------------------------------------------------------------
 
-def q_keep_rate_by_ppl_decile(sf_dir: str) -> pd.DataFrame:
+def q_keep_rate_by_ppl_decile(sf_dir: str,
+                              ckpt_dir: str | None = None
+                              ) -> pd.DataFrame:
     """Calibration of the heuristic rule stack against the LM signal:
     documents bucketed into exact NTILE(10) deciles of their
     interpolated-bigram log-perplexity (ties by doc_id), each decile's
@@ -982,17 +984,29 @@ def q_keep_rate_by_ppl_decile(sf_dir: str) -> pd.DataFrame:
     family's ONE range exchange (exact NTILE from the exchange's own
     stats); <= 10-row partials reach the driver. Twin: both full
     statements embed as NESTED-WITH subqueries (scopes are isolated,
-    so their CTE names cannot collide) under one NTILE(10) window."""
+    so their CTE names cannot collide) under one NTILE(10) window.
+
+    ``ckpt_dir`` makes the two expensive upstream operators (the full
+    bigram-LM pipeline, the full rule stack) resumable: each
+    checkpoints to ``ckpt_dir/<stage>/`` parquet with a _DONE marker
+    and a rerun resumes from the last completed stage
+    (state/lineage.stage_checkpoint)."""
     import pyarrow as pa
 
-    from nacc_form_validator_ray.pipelines.queries import (
-        _merge_partials, q_bigram_perplexity_docs, q_quality_filter)
+    from nacc_form_validator_ray.pipelines import queries as _Q
+    from nacc_form_validator_ray.pipelines.queries import _merge_partials
     from nacc_form_validator_ray.stages.joins import hash_join
     from nacc_form_validator_ray.stages.ranking import global_rank
+    from nacc_form_validator_ray.state.lineage import stage_checkpoint
 
-    ppl = q_bigram_perplexity_docs(sf_dir) \
-        .select_columns(["doc_id", "log_ppl"])
-    keep = q_quality_filter(sf_dir).select_columns(["doc_id", "passed"])
+    ppl = stage_checkpoint(
+        lambda: _Q.q_bigram_perplexity_docs(sf_dir)
+        .select_columns(["doc_id", "log_ppl"]),
+        ckpt_dir, "ppl")
+    keep = stage_checkpoint(
+        lambda: _Q.q_quality_filter(sf_dir)
+        .select_columns(["doc_id", "passed"]),
+        ckpt_dir, "keep")
     joined = hash_join(ppl, keep, on="doc_id", num_partitions=16)
     ranked = global_rank(joined, "log_ppl", tie_cols=["doc_id"],
                          num_partitions=16, ntile=10,

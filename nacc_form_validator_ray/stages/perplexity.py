@@ -137,7 +137,24 @@ class PerplexityScorer:
     def __init__(self, model: Optional[Dict[str, Any]] = None,
                  model_path: Optional[str] = None,
                  text_column: str = "text",
-                 arpa_path: Optional[str] = None):
+                 arpa_path: Optional[str] = None,
+                 kenlm_path: Optional[str] = None):
+        self.kenlm = None
+        if kenlm_path is not None:
+            # real-KenLM path: load the binary/ARPA model through the
+            # kenlm library, once per actor. Raises a clear error when
+            # the library is absent (this container does not ship it;
+            # tests/test_model_seams.py skips accordingly).
+            try:
+                import kenlm
+            except ImportError as e:
+                raise RuntimeError(
+                    "kenlm_path requires the 'kenlm' package; use "
+                    "arpa_path for the dependency-free ARPA-unigram "
+                    "seam") from e
+            self.kenlm = kenlm.Model(kenlm_path)
+            self.text_column = text_column
+            return
         if model is None and arpa_path is not None:
             model = load_arpa_unigram(arpa_path)
         if model is None:
@@ -182,8 +199,50 @@ class PerplexityScorer:
         return {"log_ppl": log_ppl, "ppl_tokens": lens,
                 "oov_count": oov}
 
+    def _score_kenlm(self, texts) -> Dict[str, np.ndarray]:
+        """Score through a real kenlm.Model: full_scores per sentence
+        (KenLM's own tokenization = whitespace split), summed log10
+        probs converted to natural-log perplexity on the engine's
+        log_ppl convention; OOV count from full_scores' per-word flag.
+        Per-sentence C++ calls are the real integration shape — the
+        loop is over documents of ONE batch inside an actor."""
+        import math
+        n = len(texts)
+        log_ppl = np.zeros(n, dtype=np.float64)
+        lens = np.zeros(n, dtype=np.int64)
+        oov = np.zeros(n, dtype=np.int64)
+        ln10 = math.log(10.0)
+        for i, t in enumerate(texts):
+            toks = t.split()
+            lens[i] = len(toks)
+            if not toks:
+                continue
+            s, o = 0.0, 0
+            for (lp10, _, is_oov) in self.kenlm.full_scores(
+                    t, bos=False, eos=False):
+                s += lp10
+                o += int(is_oov)
+            log_ppl[i] = -s * ln10 / len(toks)
+            oov[i] = o
+        return {"log_ppl": log_ppl, "ppl_tokens": lens,
+                "oov_count": oov}
+
     def __call__(self, batch):
         import pyarrow as pa
+        if self.kenlm is not None:
+            texts = (batch[self.text_column].to_pylist()
+                     if isinstance(batch, pa.Table)
+                     else batch[self.text_column].fillna("").tolist())
+            texts = [t if t is not None else "" for t in texts]
+            cols = self._score_kenlm(texts)
+            if isinstance(batch, pa.Table):
+                for name, values in cols.items():
+                    batch = batch.append_column(name, pa.array(values))
+                return batch
+            batch = batch.copy()
+            for name, values in cols.items():
+                batch[name] = values
+            return batch
         if isinstance(batch, pa.Table):
             col = batch[self.text_column]
             arr = col.combine_chunks() if isinstance(

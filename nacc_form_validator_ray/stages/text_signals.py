@@ -757,15 +757,39 @@ class LangId:
     """
 
     def __init__(self, text_column: str = "text",
-                 bank_path: str | None = None):
+                 bank_path: str | None = None,
+                 ft_model_path: str | None = None):
         """``bank_path`` is the real-model seam: a fastText-style
         supervised wordlist (lines of ``__label__<lang> <word>
         [word ...]``) loaded ONCE per actor — exactly where a fastText
         ``model.bin`` would load; with it unset the built-in stopword
         banks apply. Label order of first appearance defines the
-        argmax tie-break order (the file owns its own contract)."""
+        argmax tie-break order (the file owns its own contract).
+
+        ``ft_model_path`` loads an ACTUAL fastText supervised model
+        (``.bin``/``.ftz``) through the ``fasttext`` library, once per
+        actor. Prediction then routes through ``model.predict`` on the
+        whole batch (fastText's own batched C++ path) and the output
+        carries ``lang_pred`` (label with ``__label__`` stripped) and
+        ``stop_ratio`` = the model's top-label probability (the
+        confidence analog of the heuristic path's hit ratio); the
+        per-language ``sw_*`` count columns only exist in heuristic
+        mode. Raises a clear RuntimeError when the library is absent
+        (this container does not ship it — see
+        tests/test_model_seams.py, which skips accordingly)."""
         self.text_column = text_column
         self.word_re = re.compile(WORD_RE)
+        self.ft = None
+        if ft_model_path is not None:
+            try:
+                import fasttext
+            except ImportError as e:
+                raise RuntimeError(
+                    "ft_model_path requires the 'fasttext' package "
+                    "(pip install fasttext-wheel); use bank_path for "
+                    "the dependency-free wordlist seam") from e
+            self.ft = fasttext.load_model(ft_model_path)
+            return
         if bank_path is not None:
             self.lang_order, self.banks = load_fasttext_wordlists(
                 bank_path)
@@ -777,6 +801,19 @@ class LangId:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         text = batch[self.text_column].fillna("")
         n = len(batch)
+        if self.ft is not None:
+            # real fastText path: one batched predict call; fastText
+            # rejects newlines in input, so flatten them first
+            clean = [t.replace("\n", " ") for t in text.tolist()]
+            labels, probs = self.ft.predict(clean)
+            batch = batch.copy()
+            batch["lang_pred"] = np.array(
+                [(l[0][len("__label__"):] if l else "und")
+                 for l in labels], dtype=object)
+            batch["stop_ratio"] = np.array(
+                [(p[0] if len(p) else 0.0) for p in probs],
+                dtype=np.float64)
+            return batch
         if "_tokens" in batch.columns:
             token_lists = pd.Series(batch["_tokens"].to_numpy(object))
             batch = batch.drop(columns=["_tokens"])

@@ -101,3 +101,32 @@ def aggregate_metrics(out_dir: str) -> Dict[str, Any]:
             totals["rule_hits"][key] = \
                 totals["rule_hits"].get(key, 0) + cnt
     return totals
+
+
+def stage_checkpoint(build, ckpt_dir: Optional[str], name: str):
+    """Stage-level checkpoint for the report/audit query tier
+    (round-4 VERDICT item 9, extending run_pretrain's _DONE-marker
+    pattern to composed queries).
+
+    ``build`` is a zero-arg callable returning a ray.data Dataset.
+    With ``ckpt_dir=None`` it is called through unchanged (no IO —
+    the default registry/driver path). With a directory, the stage's
+    output is written once to ``ckpt_dir/name/`` parquet with a
+    ``_DONE`` marker and every rerun streams it back from disk instead
+    of recomputing the upstream — so a killed multi-stage report
+    resumes from its last completed stage. Half-written stage dirs
+    (no marker) are wiped before reproducing.
+    """
+    if ckpt_dir is None:
+        return build()
+    import ray.data as rd
+
+    d = os.path.join(ckpt_dir, name)
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(ckpt_dir, exist_ok=True)
+        build().write_parquet(d)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return rd.read_parquet(d)

@@ -94,3 +94,35 @@ def test_flagship_matches_duckdb(name, duck):
     assert len(ray_df) == len(sql_df), name
     assert list(ray_df.columns) == list(sql_df.columns), name
     pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False)
+
+
+def test_registry_merge_is_call_time_and_collision_free():
+    """Round-4 VERDICT item 8: one registration API. The call-time
+    merge must (a) cover every per-module registry, (b) raise on
+    cross-module key collisions instead of silently shadowing, and
+    (c) pair every query with an oracle (full-oracle invariant held
+    since round 4)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+    from nacc_form_validator_ray.pipelines import queries as Q
+
+    qs = entry.queries()
+    osql = entry.oracle_sql()
+    assert set(qs) == set(osql)
+    assert len(qs) >= 290
+
+    # a late registration in a submodule is picked up at call time
+    from nacc_form_validator_ray.pipelines.curation import CUR_QUERIES
+    CUR_QUERIES["__late_probe__"] = lambda sf: None
+    try:
+        assert "__late_probe__" in Q.all_queries()
+        # a collision (same key, different callable) raises
+        Q.QUERIES["__late_probe__"] = lambda sf: 1
+        import pytest
+        with pytest.raises(RuntimeError, match="collision"):
+            Q.all_queries()
+    finally:
+        CUR_QUERIES.pop("__late_probe__", None)
+        Q.QUERIES.pop("__late_probe__", None)

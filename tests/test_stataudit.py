@@ -2,6 +2,7 @@
 k-means silhouette, null cosine histogram — semantic unit tests on
 hand-built fixtures (the bit-exact oracle sweep covers twin parity)."""
 
+import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -340,3 +341,46 @@ def test_keep_rate_ppl_decile_shapes(tmp_path):
     assert sizes.max() - sizes.min() <= 1
     assert ((out["keep_rate"] >= 0) & (out["keep_rate"] <= 1)).all()
     assert list(out["decile"]) == list(range(1, 11))
+
+
+def test_report_tier_checkpoint_resume(tmp_path, monkeypatch):
+    """Round-4 VERDICT item 9: the expensive report queries resume from
+    stage checkpoints. keep_rate_by_ppl_decile with a ckpt_dir writes
+    _DONE-marked stage parquet; a rerun whose upstream operators are
+    POISONED (raise if called) still reproduces the exact result from
+    the checkpoints — proof the recomputation is skipped. A partial
+    checkpoint (one stage done, the other missing) completes the
+    missing stage only."""
+    import pandas as pd
+
+    from nacc_form_validator_ray.pipelines import queries as Q
+    from nacc_form_validator_ray.pipelines import stataudit as SA
+    from nacc_form_validator_ray.state.lineage import stage_checkpoint
+
+    sf = "/root/testdata/sf0.001"
+    ck = str(tmp_path / "ck")
+    base = SA.q_keep_rate_by_ppl_decile(sf)
+    first = SA.q_keep_rate_by_ppl_decile(sf, ckpt_dir=ck)
+    pd.testing.assert_frame_equal(first, base)
+    assert os.path.exists(os.path.join(ck, "ppl", "_DONE"))
+    assert os.path.exists(os.path.join(ck, "keep", "_DONE"))
+
+    def boom(*a, **k):
+        raise AssertionError("upstream recomputed despite checkpoint")
+
+    monkeypatch.setattr(Q, "q_bigram_perplexity_docs", boom)
+    monkeypatch.setattr(Q, "q_quality_filter", boom)
+    resumed = SA.q_keep_rate_by_ppl_decile(sf, ckpt_dir=ck)
+    pd.testing.assert_frame_equal(resumed, base)
+
+    # partial resume: ppl stage done, keep stage must still be built
+    monkeypatch.undo()
+    ck2 = str(tmp_path / "ck2")
+    stage_checkpoint(
+        lambda: Q.q_bigram_perplexity_docs(sf)
+        .select_columns(["doc_id", "log_ppl"]),
+        ck2, "ppl")
+    monkeypatch.setattr(Q, "q_bigram_perplexity_docs", boom)
+    partial = SA.q_keep_rate_by_ppl_decile(sf, ckpt_dir=ck2)
+    pd.testing.assert_frame_equal(partial, base)
+    assert os.path.exists(os.path.join(ck2, "keep", "_DONE"))
