@@ -3752,22 +3752,24 @@ def q_source_priority_dedup(sf_dir: str) -> pd.DataFrame:
     Same decision shape as q_dedup_exact: normalize + md5 per batch,
     ONE hash exchange on the content hash, per-partition vectorized
     argmin over (source, doc_id). Null sources ride the '' contract."""
-    import hashlib
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    from nacc_form_validator_ray.stages.dedup import normalize_ws_arrow
+    from nacc_form_validator_ray.stages.dedup import (md5_hex,
+                                                      normalize_ws_arrow)
     from nacc_form_validator_ray.stages.partition import grouped_apply
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "source", "text"])
 
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        norm = normalize_ws_arrow(batch["text"]) \
-            .to_numpy(zero_copy_only=False)
-        return pd.DataFrame({
-            "content_hash": [hashlib.md5(t.encode()).hexdigest()
-                             for t in norm],
-            "source": batch["source"].fillna(""),
-            "doc_id": batch["doc_id"].astype(np.int64)})
+    def add_hash(t: "pa.Table") -> "pa.Table":
+        # digest straight off the normalized Arrow buffer — the text
+        # column never boxes into pandas objects (VERDICT item 5)
+        return pa.table({
+            "content_hash": pa.array(
+                md5_hex(normalize_ws_arrow(t["text"])), pa.string()),
+            "source": pc.fill_null(t["source"].combine_chunks(), ""),
+            "doc_id": t["doc_id"].combine_chunks().cast(pa.int64())})
 
     def keep_best(part: pd.DataFrame) -> pd.DataFrame:
         if part.empty:
@@ -3776,7 +3778,8 @@ def q_source_priority_dedup(sf_dir: str) -> pd.DataFrame:
                                 kind="stable")
         return part.drop_duplicates("content_hash", keep="first")
 
-    out = grouped_apply(ds.map_batches(add_hash, batch_format="pandas"),
+    out = grouped_apply(ds.map_batches(add_hash,
+                                       batch_format="pyarrow"),
                         ["content_hash"], keep_best).to_pandas()
     if out.empty or "content_hash" not in out.columns:
         return pd.DataFrame({
@@ -4940,22 +4943,24 @@ def q_dedup_survivors_by_source(sf_dir: str) -> pd.DataFrame:
     One content-hash exchange carrying (hash, doc_id, source); the
     per-source totals and survivor counts are tiny combiner partials
     merged on the driver."""
-    import hashlib
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    from nacc_form_validator_ray.stages.dedup import normalize_ws_arrow
+    from nacc_form_validator_ray.stages.dedup import (md5_hex,
+                                                      normalize_ws_arrow)
     from nacc_form_validator_ray.stages.partition import grouped_apply
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text", "source"])
 
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        norm = normalize_ws_arrow(batch["text"]) \
-            .to_numpy(zero_copy_only=False)
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"],
-            "source": batch["source"].fillna(""),
-            "content_hash": [hashlib.md5(t.encode()).hexdigest()
-                             for t in norm]})
+    def add_hash(t: "pa.Table") -> "pa.Table":
+        # Arrow in, Arrow out: text digests straight off the packed
+        # buffer, no pandas object boxing (VERDICT item 5)
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks(),
+            "source": pc.fill_null(t["source"].combine_chunks(), ""),
+            "content_hash": pa.array(
+                md5_hex(normalize_ws_arrow(t["text"])), pa.string())})
 
     def survivors(part: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"source": pd.Series([], dtype=object),
@@ -4968,7 +4973,8 @@ def q_dedup_survivors_by_source(sf_dir: str) -> pd.DataFrame:
         return keep.groupby("source", as_index=False) \
             .size().rename(columns={"size": "n_survivors"})
 
-    kept = grouped_apply(ds.map_batches(add_hash, batch_format="pandas"),
+    kept = grouped_apply(ds.map_batches(add_hash,
+                                        batch_format="pyarrow"),
                          ["content_hash"], survivors,
                          num_partitions=16).to_pandas()
 

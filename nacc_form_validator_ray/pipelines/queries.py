@@ -378,20 +378,18 @@ FROM documents GROUP BY source
 
 
 def q_dedup_exact(sf_dir: str):
-    import hashlib
-    from ray.data.aggregate import Min
     ds = _docs(sf_dir, columns=["doc_id", "text"])
 
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        from nacc_form_validator_ray.stages.dedup import \
-            normalize_ws_arrow
-        norm = normalize_ws_arrow(batch["text"]) \
-            .to_numpy(zero_copy_only=False)
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"],
-            "content_hash": [hashlib.md5(t.encode()).hexdigest()
-                             for t in norm],
-        })
+    def add_hash(t):
+        import pyarrow as pa
+        from nacc_form_validator_ray.stages.dedup import (
+            md5_hex, normalize_ws_arrow)
+        # Arrow in, Arrow out: the text column digests straight off
+        # the packed buffer, no pandas boxing (round-4 VERDICT item 5)
+        return pa.table({
+            "doc_id": t["doc_id"].combine_chunks(),
+            "content_hash": pa.array(
+                md5_hex(normalize_ws_arrow(t["text"])), pa.string())})
 
     from nacc_form_validator_ray.stages.partition import grouped_apply
 
@@ -399,7 +397,8 @@ def q_dedup_exact(sf_dir: str):
         return part.groupby("content_hash", as_index=False)[
             "doc_id"].min()
 
-    return grouped_apply(ds.map_batches(add_hash, batch_format="pandas"),
+    return grouped_apply(ds.map_batches(add_hash,
+                                        batch_format="pyarrow"),
                          ["content_hash"], min_per_hash)
 
 

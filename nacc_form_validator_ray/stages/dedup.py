@@ -157,6 +157,30 @@ def md5_int64_pairs(arr) -> np.ndarray:
         .reshape(-1, 2)
 
 
+def md5_hex(arr) -> np.ndarray:
+    """Per-row md5 HEXDIGEST of an Arrow string array as an object
+    ndarray — one C digest call per row over a memoryview slice of the
+    packed buffer (no Python str round-trip, no re-encode; the only
+    per-row objects are the 32-char hex outputs the caller asked for).
+    Nulls hash as empty strings, matching DuckDB ``md5(coalesce(x,''))``
+    and the ``fill_null`` convention of the int64-pair variant."""
+    import hashlib
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not isinstance(arr, (pa.Array,)):
+        arr = pa.array(arr, type=pa.string())
+    arr = pc.fill_null(arr, "")
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=object)
+    mv, s, e = _utf8_slices(arr)
+    return np.fromiter(
+        (hashlib.md5(mv[s[i]:e[i]]).hexdigest() for i in range(n)),
+        dtype=object, count=n)
+
+
 def md5_prefix60(arr) -> np.ndarray:
     """First 60 bits of the per-row md5 (== ``int(hexdigest()[:15],
     16)``) of an Arrow string array, as int64 — the deterministic

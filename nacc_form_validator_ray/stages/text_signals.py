@@ -860,25 +860,27 @@ class Fingerprint:
         self.norm_re = re.compile(r"\s+")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        import hashlib
         import pyarrow as pa
-        from nacc_form_validator_ray.stages.dedup import \
-            normalize_ws_arrow
+        import pyarrow.compute as pc
+        from nacc_form_validator_ray.stages.dedup import (
+            md5_hex, normalize_ws_arrow)
         norm_arr = normalize_ws_arrow(batch[self.text_column])
-        norm = norm_arr.to_pandas()
         batch = batch.copy()
-        batch["fingerprint_md5"] = [
-            hashlib.md5(t.encode("utf-8")).hexdigest() for t in norm]
+        # digest + winnow both read the normalized Arrow buffer in
+        # place — no pandas str round-trip (round-4 VERDICT item 5)
+        batch["fingerprint_md5"] = md5_hex(norm_arr)
         # winnow: min 64-bit hash over character 5-grams, computed over
         # ONE concatenated utf-8 buffer for the whole batch (the Arrow
         # string array IS that buffer) — windows crossing document
         # boundaries are masked out, per-doc minima are one reduceat.
         n = len(batch)
         winnow = np.zeros(n, dtype=np.uint64)
-        sarr = pa.array(norm, type=pa.string())
+        sarr = norm_arr.combine_chunks() if isinstance(
+            norm_arr, pa.ChunkedArray) else norm_arr
         off = np.frombuffer(sarr.buffers()[1], dtype=np.int32)[
             sarr.offset:sarr.offset + n + 1].astype(np.int64)
-        char_lens = norm.str.len().to_numpy(np.int64)
+        char_lens = pc.utf8_length(sarr).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         long_docs = char_lens >= 5
         total = int(off[-1] - off[0])
         if long_docs.any() and total >= 5:
