@@ -54,10 +54,12 @@ def main():
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
-    from nacc_form_validator_ray.pipelines.queries import (ORACLE_SQL,
-                                                           QUERIES,
-                                                           flagship_oracles)
-    oracle = dict(ORACLE_SQL)
+    # call-time registry merge (round-4 VERDICT item 8): the sweep can
+    # never lag a registration the way an import-time snapshot can
+    from nacc_form_validator_ray.pipelines.queries import (
+        all_oracle_sql, all_queries, flagship_oracles)
+    QUERIES = all_queries()
+    oracle = all_oracle_sql()
     oracle.update(flagship_oracles(sf_dir))
 
     con = duckdb.connect()

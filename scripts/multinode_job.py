@@ -45,6 +45,52 @@ def probe_nodes_used(pages_path: str) -> int:
     return len(ds.unique("node"))
 
 
+def probe_cross_node_transfer(mib: int = 64) -> dict:
+    """Definitive object-store-boundary proof: a task PINNED to one
+    worker node produces a `mib`-MiB block; a task pinned to a
+    DIFFERENT node consumes it. The consume can only succeed via an
+    object-manager transfer between the two plasma stores. Returns the
+    two node ids and the transfer wall time."""
+    import time as _t
+
+    import numpy as np
+    import ray
+    from ray.util.scheduling_strategies import (
+        NodeAffinitySchedulingStrategy)
+
+    cpu_nodes = [n["NodeID"] for n in ray.nodes()
+                 if n["Alive"] and n["Resources"].get("CPU")]
+    if len(cpu_nodes) < 2:
+        return {"skipped": "needs >=2 cpu nodes"}
+
+    @ray.remote(num_cpus=1)
+    def produce(nbytes: int):
+        return np.zeros(nbytes, dtype=np.uint8)
+
+    @ray.remote(num_cpus=1)
+    def consume(arr):
+        import ray as r
+        return (int(arr.sum()),
+                r.get_runtime_context().get_node_id())
+
+    ref = produce.options(scheduling_strategy=
+                          NodeAffinitySchedulingStrategy(
+                              cpu_nodes[0], soft=False)) \
+        .remote(mib * 2**20)
+    ray.wait([ref])  # block is sealed in node 0's plasma store
+    t0 = _t.perf_counter()
+    s, consumer_node = ray.get(
+        consume.options(scheduling_strategy=
+                        NodeAffinitySchedulingStrategy(
+                            cpu_nodes[1], soft=False)).remote(ref))
+    dt = _t.perf_counter() - t0
+    return {"mib": mib, "producer_node": cpu_nodes[0][:12],
+            "consumer_node": consumer_node[:12],
+            "crossed_nodes": consumer_node != cpu_nodes[0],
+            "transfer_plus_consume_sec": round(dt, 3),
+            "checksum_ok": s == 0}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages-dir", required=True)
@@ -134,6 +180,7 @@ def main() -> None:
         "nodes_with_cpu": len([n for n in alive
                                if n["Resources"].get("CPU")]),
         "nodes_used_flagship": probe_nodes_used(args.pages_dir),
+        "cross_node_transfer": probe_cross_node_transfer(),
         "pages": n_pages,
         "docs_per_sec": round(
             n_pages / timings["quality_filter_pages"], 1)
