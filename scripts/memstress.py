@@ -29,22 +29,47 @@ sys.path.insert(0, REPO)
 
 
 def spill_stats() -> dict:
-    """Parse Spilled/Restored MiB + object-store usage out of ray's
-    cluster memory summary."""
-    from ray._private.internal_api import memory_summary
-    txt = memory_summary(stats_only=True)
-    out = {"raw_tail": txt.strip().splitlines()[-6:]}
-    m = re.search(r"Spilled (\d+) MiB, (\d+) objects", txt)
-    if m:
-        out["spilled_mib"] = int(m.group(1))
-        out["spilled_objects"] = int(m.group(2))
-    m = re.search(r"Restored (\d+) MiB, (\d+) objects", txt)
-    if m:
-        out["restored_mib"] = int(m.group(1))
-        out["restored_objects"] = int(m.group(2))
-    m = re.search(r"Plasma memory usage (\d+) MiB", txt)
-    if m:
-        out["plasma_mib"] = int(m.group(1))
+    """Spill/restore counters parsed from the raylet's own session
+    logs (debug_state.txt + raylet.out). ray's memory_summary API
+    needs grpcio, which this container does not ship; the raylet's
+    periodically-dumped state file carries the same cumulative
+    counters."""
+    import glob
+
+    import ray
+    try:
+        session = ray._private.worker._global_node \
+            .get_session_dir_path()
+    except Exception:
+        session = "/tmp/ray/ray/session_latest"
+    out = {"session": os.path.basename(session)}
+    ds = os.path.join(session, "logs", "debug_state.txt")
+    if os.path.exists(ds):
+        txt = open(ds).read()
+        for key, pat in (
+                ("cumulative_spill_requests",
+                 r"cumulative spill requests: (\d+)"),
+                ("bytes_currently_spilled",
+                 r"num bytes currently spilled: (\d+)"),
+                ("bytes_pending_spill",
+                 r"num bytes pending spill: (\d+)"),
+                ("restored_bytes", r"cumulative restored bytes: (\d+)"),
+                ("restore_requests",
+                 r"cumulative restore requests: (\d+)")):
+            m = re.search(pat, txt)
+            if m:
+                out[key] = int(m.group(1))
+    for raylet in glob.glob(os.path.join(session, "logs",
+                                         "raylet*.out")):
+        for line in open(raylet, errors="replace"):
+            m = re.search(r"Spilled (\d+) MiB, (\d+) objects", line)
+            if m:
+                out["spilled_mib"] = int(m.group(1))
+                out["spilled_objects"] = int(m.group(2))
+            m = re.search(r"Restored (\d+) MiB, (\d+) objects", line)
+            if m:
+                out["restored_mib"] = int(m.group(1))
+                out["restored_objects"] = int(m.group(2))
     return out
 
 
