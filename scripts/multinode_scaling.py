@@ -22,6 +22,10 @@ scheduling/transfer path (GCS -> raylets -> per-node plasma).
 
 Usage: python scripts/multinode_scaling.py [--pages 960000] [--reps 2]
 Writes MULTINODE_r05.json at the repo root and prints one JSON line.
+
+WARNING: the cluster teardown between repeats is ``ray stop --force``,
+which kills EVERY Ray process on the box — do not run this while any
+other local Ray session (pytest, bench, a notebook) is alive.
 """
 
 import argparse
