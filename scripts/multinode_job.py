@@ -101,6 +101,10 @@ def main() -> None:
     ap.add_argument("--skip-sf", action="store_true",
                     help="only the page-corpus workloads (flagship, "
                          "pretrain)")
+    ap.add_argument("--big", action="store_true",
+                    help="exchange-heavy operators at corpus scale "
+                         "(exact dedup, line dedup, host pagerank) "
+                         "instead of the default workload set")
     args = ap.parse_args()
 
     import ray
@@ -131,9 +135,51 @@ def main() -> None:
         reclaim_pin_dirs()
         return n
 
-    workloads = {"quality_filter_pages": flagship,
-                 "pretrain_pages": pretrain}
-    if not args.skip_sf:
+    def pages_docs():
+        """(doc_id, text) over the page corpus — the dedup contract's
+        id comes from the url md5-prefix convention."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from nacc_form_validator_ray.stages.dedup import md5_prefix60
+
+        def add_id(t):
+            return pa.table({
+                "doc_id": pa.array(
+                    md5_prefix60(t["url"].combine_chunks())),
+                "text": t["text"].combine_chunks()})
+
+        return rd.read_parquet(args.pages_dir,
+                               columns=["url", "text"]) \
+            .map_batches(add_id, batch_format="pyarrow")
+
+    def exact_dedup_pages() -> int:
+        from nacc_form_validator_ray.stages.dedup import exact_dedup
+        n = exact_dedup(pages_docs(), pin="none").count()
+        reclaim_pin_dirs()
+        return n
+
+    def line_dedup_pages() -> int:
+        from nacc_form_validator_ray.stages.dedup import line_dedup
+        return line_dedup(pages_docs()).count()
+
+    def host_pagerank_links() -> int:
+        import ray.data as rd
+
+        from nacc_form_validator_ray.stages.graph import host_pagerank
+        link_dir = args.pages_dir.replace("pages_", "linkpages_") \
+            + "_v2"
+        ds = rd.read_parquet(link_dir, columns=["url", "links"])
+        return host_pagerank(ds).count()
+
+    if args.big:
+        workloads = {"exact_dedup_pages": exact_dedup_pages,
+                     "line_dedup_pages": line_dedup_pages,
+                     "host_pagerank_links": host_pagerank_links}
+    else:
+        workloads = {"quality_filter_pages": flagship,
+                     "pretrain_pages": pretrain}
+    if not args.skip_sf and not args.big:
         import __ray_entry__ as entrymod
         qs = entrymod.queries()
 
