@@ -1034,57 +1034,70 @@ def line_dedup(ds, id_column: str = "doc_id", text_column: str = "text",
     from nacc_form_validator_ray.stages.partition import (grouped_agg_sum,
                                                           run_boundaries)
 
-    def count_project(batch: pa.Table) -> dict:
-        flat, _, line_doc = _split_lines_arrow(batch[text_column])
+    def line_keys(flat) -> np.ndarray:
+        # ONE int64 62-bit key per line: (h1 << 31) | h2 of the two
+        # 31-bit polynomial folds. Halves-again the exchange payload
+        # vs two key columns, and membership below becomes a plain
+        # int64 searchsorted instead of a complex128 np.isin that
+        # re-sorted the banned set every batch (round-5 measurement:
+        # the drop pass dominated wall time at 960k pages).
         h1 = _fold_hash_strings(flat, TOKEN_FOLD_MULT)
         h2 = _fold_hash_strings(flat, TOKEN_FOLD_MULT2)
+        return (h1 << np.int64(31)) | h2
+
+    def count_project(batch: pa.Table) -> dict:
+        flat, _, line_doc = _split_lines_arrow(batch[text_column])
+        hk = line_keys(flat)
         # distinct (line, doc) within the batch via single-key runs
-        order, starts = run_boundaries([h1, h2, line_doc])
+        order, starts = run_boundaries([hk, line_doc])
         if not len(order):
-            return {"__h1": np.empty(0, dtype=np.int64),
-                    "__h2": np.empty(0, dtype=np.int64),
+            return {"__hk": np.empty(0, dtype=np.int64),
                     "__cnt": np.empty(0, dtype=np.int64)}
-        sh1, sh2 = h1[order][starts], h2[order][starts]
-        # collapse equal (h1, h2) runs: count = number of distinct docs
+        shk = hk[order][starts]
+        # collapse equal-key runs: count = number of distinct docs
         new = np.ones(len(starts), dtype=bool)
-        new[1:] = (sh1[1:] != sh1[:-1]) | (sh2[1:] != sh2[:-1])
+        new[1:] = shk[1:] != shk[:-1]
         grp_starts = np.flatnonzero(new)
         cnt = np.diff(np.append(grp_starts, len(starts)))
-        return {"__h1": sh1[grp_starts], "__h2": sh2[grp_starts],
+        return {"__hk": shk[grp_starts],
                 "__cnt": cnt.astype(np.int64)}
 
     totals = grouped_agg_sum(
         ds.map_batches(count_project, batch_format="pyarrow"),
-        ["__h1", "__h2"], ["__cnt"], num_partitions=num_partitions)
+        ["__hk"], ["__cnt"], num_partitions=num_partitions)
 
     def over_threshold(part: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         return part.filter(
             pc.greater_equal(part["__cnt"], min_docs)) \
-            .select(["__h1", "__h2"])
+            .select(["__hk"])
 
     banned_tbl = totals.map_batches(
         over_threshold, batch_format="pyarrow").to_pandas()
-    if "__h1" in banned_tbl.columns and len(banned_tbl):
-        banned = (banned_tbl["__h1"].to_numpy().astype(np.int64)
-                  + 1j * banned_tbl["__h2"].to_numpy().astype(np.int64)
-                  ).astype(np.complex128)
+    if "__hk" in banned_tbl.columns and len(banned_tbl):
+        banned = np.sort(banned_tbl["__hk"].to_numpy()
+                         .astype(np.int64))
     else:  # an all-unique corpus yields a schema-less empty pull
-        banned = np.empty(0, dtype=np.complex128)
+        banned = np.empty(0, dtype=np.int64)
     banned_ref = ray.put(banned)
 
     class DropLines:
         def __init__(self, ref):
+            # sorted ONCE per actor: per-batch membership is a binary
+            # search, not a re-sort
             self.banned = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             flat, counts, line_doc = _split_lines_arrow(
                 batch[text_column])
             n = batch.num_rows
-            h1 = _fold_hash_strings(flat, TOKEN_FOLD_MULT)
-            h2 = _fold_hash_strings(flat, TOKEN_FOLD_MULT2)
-            key = (h1 + 1j * h2).astype(np.complex128)
-            drop = np.isin(key, self.banned)
+            key = line_keys(flat)
+            if len(self.banned):
+                idx = np.searchsorted(self.banned, key)
+                idx_c = np.minimum(idx, len(self.banned) - 1)
+                drop = self.banned[idx_c] == key
+            else:
+                drop = np.zeros(len(key), dtype=bool)
             kept = ~drop
             # reassemble: packed-buffer gather, '\n' between kept lines
             new_text, kept_per_doc = reassemble_lines(
