@@ -2239,6 +2239,7 @@ def flagship_oracles(sf_dir: str) -> Dict[str, str]:
     lp = _linked_pages_path(sf_dir)
     return {
         "quality_filter_pages": sql_quality_filter_pages(path),
+        "html_extract_pages": sql_html_extract_pages(path),
         "pretrain_prefix_pages": sql_pretrain_prefix_pages(path),
         "pretrain_pages": sql_pretrain_pages(path),
         "host_doc_counts": sql_host_doc_counts(path),
@@ -7684,3 +7685,42 @@ def all_oracle_sql() -> Dict[str, str]:
                     f"by pipelines.{name}")
             merged[key] = sql
     return merged
+
+
+def q_html_extract_pages(sf_dir: str):
+    """Generic HTML -> text extraction over the persisted page table
+    (stages/webclean.strip_html_arrow): script/style/comment removal,
+    tag strip, entity decode, whitespace collapse — entirely Arrow RE2
+    kernels, no fixture knowledge (unlike the envelope-exact
+    ExtractText the flagship uses for byte-identity). The twin runs
+    the IDENTICAL RE2 pattern chain through DuckDB regexp_replace, so
+    this is a hard oracle for a real-markup extractor."""
+    import pyarrow as pa  # noqa: F401
+
+    from nacc_form_validator_ray.stages.webclean import HtmlStrip
+    ds = _rd().read_parquet(_pages_path(sf_dir),
+                            columns=["url", "html"])
+    return ds.map_batches(HtmlStrip, batch_format="pyarrow",
+                          concurrency=(1, 8))
+
+
+def sql_html_extract_pages(path: str) -> str:
+    ents = [("&nbsp;", " "), ("&quot;", '"'), ("&#39;", "''"),
+            ("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")]
+    expr = "regexp_replace(regexp_replace(regexp_replace(" \
+           "regexp_replace(decode(html), " \
+           "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), " \
+           "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), " \
+           "'(?s)<!--.*?-->', ' ', 'g'), " \
+           "'(?s)<[^>]*>', ' ', 'g')"
+    for ent, rep in ents:
+        expr = f"replace({expr}, '{ent}', '{rep}')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    return f"""
+SELECT url, {expr} AS text,
+       CAST(length({expr}) AS BIGINT) AS n_chars
+FROM read_parquet('{path}')
+"""
+
+
+QUERIES["html_extract_pages"] = q_html_extract_pages

@@ -271,3 +271,68 @@ def normalize_text(ds, id_column: str = "doc_id",
         })
 
     return ds.map_batches(run, batch_format="pyarrow")
+
+
+#: html entity decode chain, applied AFTER tag removal; '&amp;' is
+#: decoded last (standard order — else '&amp;lt;' would double-decode)
+_HTML_ENTITIES = (("&nbsp;", " "), ("&quot;", '"'), ("&#39;", "'"),
+                  ("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&"))
+
+
+def strip_html_arrow(arr):
+    """Generic HTML -> text extraction entirely in Arrow RE2 kernels
+    (the engine-agnostic counterpart of the webgen envelope stripper:
+    no fixture knowledge, works on arbitrary markup). Steps, each
+    mirrored verbatim by the DuckDB twin's regexp_replace chain (same
+    RE2 engine, same patterns — RE2 has no backreferences, so script
+    and style blocks are two separate non-greedy (?is) patterns):
+
+    1. drop <script>...</script> and <style>...</style> blocks
+    2. drop <!-- comments -->
+    3. every remaining tag -> ' '
+    4. decode the six common entities (&amp; last)
+    5. collapse whitespace, trim
+
+    Accepts a binary or string array; binary casts through utf-8
+    validation. Nulls extract as ''.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
+        arr = arr.cast(pa.string())
+    t = pc.fill_null(arr, "")
+    t = pc.replace_substring_regex(
+        t, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = pc.replace_substring_regex(
+        t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = pc.replace_substring_regex(t, r"(?s)<!--.*?-->", " ")
+    t = pc.replace_substring_regex(t, r"(?s)<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        t = pc.replace_substring(t, ent, rep)
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    return pc.utf8_trim(t, " ")
+
+
+class HtmlStrip:
+    """map_batches stage: ``html`` (binary/string) -> generic extracted
+    ``text`` + ``n_chars``. Stateless Arrow-kernel work — the actor
+    shape exists so a swapped-in REAL extractor (trafilatura etc.) can
+    hold its model/config per actor, same seam contract as
+    pipelines.quality_filter.ExtractText."""
+
+    def __init__(self, html_column: str = "html",
+                 text_column: str = "text"):
+        self.html_column = html_column
+        self.text_column = text_column
+
+    def __call__(self, batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        text = strip_html_arrow(batch[self.html_column])
+        out = batch.drop_columns([self.html_column])
+        out = out.append_column(self.text_column, text)
+        return out.append_column(
+            "n_chars", pc.utf8_length(text).cast(pa.int64()))

@@ -695,3 +695,46 @@ def test_robots_precedence_longest_prefix_then_deny():
     # /doc/12 ties on length between rules 1 (allow) and 2 (deny):
     # deny (False) sorts first
     assert [r[0] for r in order] == [2, 1, 0]
+
+
+def test_strip_html_arrow_real_markup():
+    """Generic extractor on genuinely messy markup (not the webgen
+    envelope): script/style bodies vanish entirely, comments vanish,
+    tags become separators, the six entities decode (&amp; last so
+    '&amp;lt;' yields literal '&lt;'), whitespace collapses."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.stages.webclean import strip_html_arrow
+
+    html = [
+        "<html><head><title>T</title>"
+        "<script type='x'>var a = '<p>sneaky</p>';</script>"
+        "<style>.c { color: red }</style></head>"
+        "<body><!-- hidden -->\n<div class='x'>Hello\n"
+        "<b>world</b></div> &amp;lt; &quot;q&#39;s&quot; &nbsp; "
+        "a&lt;b&gt;c</body></html>",
+        None,
+        "plain, no markup",
+        "<p>unclosed",
+    ]
+    out = strip_html_arrow(pa.array(html, pa.string())).to_pylist()
+    assert out[0] == "T Hello world &lt; \"q's\" a<b>c"
+    assert out[1] == ""
+    assert out[2] == "plain, no markup"
+    assert out[3] == "unclosed"
+
+
+def test_strip_html_arrow_binary_input_matches_envelope():
+    """On the webgen envelope the generic extractor yields the title
+    plus the body — a strict superset of the envelope stripper's
+    byte-identical body text."""
+    import pyarrow as pa
+
+    from nacc_form_validator_ray.pipelines.webgen import (HTML_PREFIX,
+                                                          HTML_SUFFIX)
+    from nacc_form_validator_ray.stages.webclean import strip_html_arrow
+
+    body = "the quick brown fox"
+    html = HTML_PREFIX + body.encode() + HTML_SUFFIX
+    out = strip_html_arrow(pa.array([html], pa.binary())).to_pylist()
+    assert out == ["page " + body]
