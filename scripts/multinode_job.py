@@ -101,6 +101,10 @@ def main() -> None:
     ap.add_argument("--skip-sf", action="store_true",
                     help="only the page-corpus workloads (flagship, "
                          "pretrain)")
+    ap.add_argument("--flagship-only", action="store_true",
+                    help="drop pretrain from the workload set (big-"
+                         "corpus runs where pretrain would dominate "
+                         "wall time)")
     ap.add_argument("--big", action="store_true",
                     help="exchange-heavy operators at corpus scale "
                          "(exact dedup, line dedup, host pagerank) "
@@ -176,10 +180,12 @@ def main() -> None:
         workloads = {"exact_dedup_pages": exact_dedup_pages,
                      "line_dedup_pages": line_dedup_pages,
                      "host_pagerank_links": host_pagerank_links}
+    elif args.flagship_only:
+        workloads = {"quality_filter_pages": flagship}
     else:
         workloads = {"quality_filter_pages": flagship,
                      "pretrain_pages": pretrain}
-    if not args.skip_sf and not args.big:
+    if not args.skip_sf and not args.big and not args.flagship_only:
         import __ray_entry__ as entrymod
         qs = entrymod.queries()
 

@@ -95,7 +95,8 @@ def ensure_fixture(pages: int) -> str:
 
 
 def run_job(pages_dir: str, sf_dir: str, label: str, reps: int,
-            skip_sf: bool, big: bool = False) -> dict:
+            skip_sf: bool, big: bool = False,
+            flagship_only: bool = False) -> dict:
     out = f"/tmp/multinode_{label}.json"
     env = dict(os.environ, PYTHONPATH=REPO)
     env.pop("RAY_ADDRESS", None)
@@ -106,6 +107,8 @@ def run_job(pages_dir: str, sf_dir: str, label: str, reps: int,
         cmd.append("--skip-sf")
     if big:
         cmd.append("--big")
+    if flagship_only:
+        cmd.append("--flagship-only")
     r = sh(cmd, env=env, timeout=3600)
     if r.returncode != 0:
         raise RuntimeError(
@@ -127,6 +130,7 @@ def main() -> None:
     ap.add_argument("--skip-sf", action="store_true")
     ap.add_argument("--big", action="store_true",
                     help="exchange-heavy corpus-scale workload set")
+    ap.add_argument("--flagship-only", action="store_true")
     ap.add_argument("--out", default=os.path.join(REPO,
                                                   "MULTINODE_r05.json"))
     args = ap.parse_args()
@@ -149,7 +153,8 @@ def main() -> None:
             try:
                 res = run_job(pages_dir, args.sf_dir,
                               f"{label}_rep{rep}", args.job_reps,
-                              args.skip_sf, args.big)
+                              args.skip_sf, args.big,
+                              args.flagship_only)
             finally:
                 stop_cluster()
             if label not in best or \
