@@ -74,6 +74,16 @@ def linked_pages_dir(n_docs: int = BENCH_PAGES, seed: int = PAGES_SEED) \
     return path
 
 
+def run_html_extract() -> int:
+    """Generic RE2 HTML extraction over the 120k-page bench corpus
+    (html column; the registry twin proves bit-exactness at sf0.01)."""
+    import ray.data as rd
+    from nacc_form_validator_ray.stages.webclean import HtmlStrip
+    ds = rd.read_parquet(pages_dir(), columns=["url", "html"])
+    return ds.map_batches(HtmlStrip(),
+                          batch_format="pyarrow").count()
+
+
 def run_c4_filter() -> int:
     import ray.data as rd
     from nacc_form_validator_ray.stages.webclean import c4_line_filter
@@ -358,6 +368,7 @@ def bench_queries(sf_dir: str):
         # linked-page operators run over the 120k-doc bench corpus, not
         # the tiny oracle fixture (sf_dir-independent)
         "c4_filter_pages": run_c4_filter,
+        "html_extract_pages": run_html_extract,
         "url_normalize_pages": run_url_normalize,
         "host_pagerank": run_host_pagerank,
         "inlink_stats": run_inlink_stats,

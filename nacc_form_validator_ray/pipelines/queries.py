@@ -7700,22 +7700,26 @@ def q_html_extract_pages(sf_dir: str):
     from nacc_form_validator_ray.stages.webclean import HtmlStrip
     ds = _rd().read_parquet(_pages_path(sf_dir),
                             columns=["url", "html"])
-    return ds.map_batches(HtmlStrip, batch_format="pyarrow",
-                          concurrency=(1, 8))
+    # instance (task pool): the kernel chain is stateless, and actor
+    # startup measured 4x the whole job here. A swapped-in stateful
+    # extractor passes the CLASS + concurrency instead (actor seam).
+    return ds.map_batches(HtmlStrip(), batch_format="pyarrow")
 
 
 def sql_html_extract_pages(path: str) -> str:
     ents = [("&nbsp;", " "), ("&quot;", '"'), ("&#39;", "''"),
             ("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")]
-    expr = "regexp_replace(regexp_replace(regexp_replace(" \
-           "regexp_replace(decode(html), " \
-           "'(?is)<script[^>]*>.*?</script>', ' ', 'g'), " \
-           "'(?is)<style[^>]*>.*?</style>', ' ', 'g'), " \
-           "'(?s)<!--.*?-->', ' ', 'g'), " \
+    from nacc_form_validator_ray.stages.webclean import _HTML_BLOCK_RE
+    expr = "regexp_replace(regexp_replace(decode(html), " \
+           f"'{_HTML_BLOCK_RE}', ' ', 'g'), " \
            "'(?s)<[^>]*>', ' ', 'g')"
     for ent, rep in ents:
         expr = f"replace({expr}, '{ent}', '{rep}')"
-    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    # explicit class: Arrow's ascii_split_whitespace separates on
+    # [\t\n\v\f\r ] while RE2's \s excludes \v — the twin must match
+    # the kernel, not the perl class
+    expr = (f"trim(regexp_replace({expr}, "
+            "'[\\t\\n\\x0b\\f\\r ]+', ' ', 'g'))")
     return f"""
 SELECT url, {expr} AS text,
        CAST(length({expr}) AS BIGINT) AS n_chars
