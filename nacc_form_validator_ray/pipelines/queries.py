@@ -1412,16 +1412,21 @@ def q_pretrain_prefix_pages(sf_dir: str):
     return out.select_columns(["url", "lang_pred", "n_words"])
 
 
-def _pages_signal_sql(path: str) -> str:
+def _pages_signal_sql(path: str, source_sql: str | None = None) -> str:
     """Shared CTE block: per-page quality signals + langid + scrub over
     the persisted page parquet — the SQL twin of
-    TextStats(langid=True) -> Scrubber -> WEB_QUALITY_RULES."""
+    TextStats(langid=True) -> Scrubber -> WEB_QUALITY_RULES.
+
+    ``source_sql`` overrides the (url, text) source — e.g. the generic
+    HTML-extraction expression — so the whole rule stack composes over
+    any text derivation with the twin staying exact."""
+    src = source_sql or f"SELECT url, text FROM read_parquet('{path}')"
     scrub_defs, scrub_last, scrub_total = _scrub_ctes(
-        f"read_parquet('{path}')", "url", prefix="sc")
+        f"({src})", "url", prefix="sc")
     banks = {lang: ", ".join(f"'{w}'" for w in STOPWORDS[lang])
              for lang in LANG_ORDER}
     return f"""
-WITH pages AS (SELECT url, text FROM read_parquet('{path}')),
+WITH pages AS ({src}),
 t AS (
   SELECT url, text, regexp_extract_all(lower(text), '[a-z]+') AS toks
   FROM pages
@@ -2240,6 +2245,8 @@ def flagship_oracles(sf_dir: str) -> Dict[str, str]:
     return {
         "quality_filter_pages": sql_quality_filter_pages(path),
         "html_extract_pages": sql_html_extract_pages(path),
+        "quality_filter_html_pages":
+            sql_quality_filter_html_pages(path),
         "pretrain_prefix_pages": sql_pretrain_prefix_pages(path),
         "pretrain_pages": sql_pretrain_pages(path),
         "host_doc_counts": sql_host_doc_counts(path),
@@ -7706,7 +7713,10 @@ def q_html_extract_pages(sf_dir: str):
     return ds.map_batches(HtmlStrip(), batch_format="pyarrow")
 
 
-def sql_html_extract_pages(path: str) -> str:
+def _html_text_sql_expr() -> str:
+    """The DuckDB expression mirroring stages/webclean.strip_html_arrow
+    pass for pass (shared by the extraction twin and the composed
+    quality-filter-over-html twin)."""
     ents = [("&nbsp;", " "), ("&quot;", '"'), ("&#39;", "''"),
             ("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")]
     from nacc_form_validator_ray.stages.webclean import _HTML_BLOCK_RE
@@ -7718,8 +7728,12 @@ def sql_html_extract_pages(path: str) -> str:
     # explicit class: Arrow's ascii_split_whitespace separates on
     # [\t\n\v\f\r ] while RE2's \s excludes \v — the twin must match
     # the kernel, not the perl class
-    expr = (f"trim(regexp_replace({expr}, "
+    return (f"trim(regexp_replace({expr}, "
             "'[\\t\\n\\x0b\\f\\r ]+', ' ', 'g'))")
+
+
+def sql_html_extract_pages(path: str) -> str:
+    expr = _html_text_sql_expr()
     return f"""
 SELECT url, {expr} AS text,
        CAST(length({expr}) AS BIGINT) AS n_chars
@@ -7727,4 +7741,39 @@ FROM read_parquet('{path}')
 """
 
 
+def q_quality_filter_html_pages(sf_dir: str):
+    """The flagship rule stack composed over GENERIC html extraction
+    (strip_html_arrow) instead of the envelope-exact ExtractText — the
+    shape a real-markup corpus runs: extract -> signals -> langid ->
+    rules -> scrub, one fused map chain, no shuffle. The twin rebuilds
+    the identical composition by feeding the extraction expression in
+    as the signal block's (url, text) source CTE."""
+    from datetime import datetime
+
+    from nacc_form_validator_ray.pipelines.quality_filter import \
+        build_quality_pipeline
+    from nacc_form_validator_ray.stages.webclean import HtmlStrip
+    from nacc_form_validator_ray.utils import Clock
+    ds = _rd().read_parquet(_pages_path(sf_dir),
+                            columns=["url", "html"])
+    ds = ds.map_batches(HtmlStrip(), batch_format="pyarrow")
+    ds = build_quality_pipeline(ds, clock=Clock(datetime(2026, 1, 1)))
+    return ds.select_columns(["url", "lang_pred", "passed", "n_errors",
+                              "n_redactions"])
+
+
+def sql_quality_filter_html_pages(path: str) -> str:
+    src = (f"SELECT url, {_html_text_sql_expr()} AS text "
+           f"FROM read_parquet('{path}')")
+    _, scrub_last, scrub_total = _scrub_ctes(f"({src})", "url",
+                                             prefix="sc")
+    return _pages_signal_sql(path, source_sql=src) + f"""
+SELECT err.url AS url, lang_pred, n_errors = 0 AS passed,
+       CAST(n_errors AS INT) AS n_errors,
+       CAST({scrub_total} AS BIGINT) AS n_redactions
+FROM err JOIN {scrub_last} ON err.url = {scrub_last}.url
+"""
+
+
 QUERIES["html_extract_pages"] = q_html_extract_pages
+QUERIES["quality_filter_html_pages"] = q_quality_filter_html_pages
