@@ -25,6 +25,7 @@ groupby, which pre-aggregates per batch before shuffling one row per
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Dict, List, Mapping, Optional
 
@@ -148,20 +149,32 @@ def run_quality_filter(input_dir: str,
                        output_columns: Optional[List[str]] = None,
                        input_columns: Optional[List[str]] = None,
                        clock: Optional[Clock] = None) -> Dict[str, Any]:
-    """Resumable partitioned run over a parquet directory of pages.
+    """Resumable partitioned run over a directory of pages — parquet
+    (preferred: column pruning + row-group pushdown) or JSONL
+    (Common-Crawl-dump style; columns are projected right after the
+    read since the row format cannot prune at the source).
 
     Partitions are groups of input FILES (stable across reruns); each
     completed partition gets a ``_lineage/part-<i>.json`` manifest with
     row counts and rule-hit counters. ``resume=True`` skips completed
-    partitions and wipes half-written ones.
+    partitions and wipes half-written ones. Inputs WITHOUT an ``html``
+    column (pre-extracted text dumps) skip the extraction stage and
+    feed ``text`` straight into the signal/rule chain.
     """
     import ray.data as rd
 
     files = sorted(
         os.path.join(input_dir, f) for f in os.listdir(input_dir)
         if f.endswith(".parquet"))
+    fmt = "parquet"
     if not files:
-        raise FileNotFoundError(f"no parquet files under {input_dir}")
+        files = sorted(
+            os.path.join(input_dir, f) for f in os.listdir(input_dir)
+            if f.endswith((".jsonl", ".ndjson", ".json")))
+        fmt = "json"
+    if not files:
+        raise FileNotFoundError(
+            f"no parquet or jsonl files under {input_dir}")
     parts: List[List[str]] = [
         files[i:i + files_per_partition]
         for i in range(0, len(files), files_per_partition)]
@@ -171,18 +184,30 @@ def run_quality_filter(input_dir: str,
 
     clock = clock or Clock.frozen_now()
     if input_columns is None:
-        # prune at the read: the pipeline extracts text FROM html, so the
-        # page table's redundant `text` column (about half the payload)
-        # never needs to leave storage
-        import pyarrow.parquet as pq_mod
-        present = set(pq_mod.read_schema(files[0]).names)
-        input_columns = [c for c in ("url", "warc_ts", "html", "lang")
-                         if c in present]
+        # prune at the read: with an html column the pipeline extracts
+        # text FROM it, so a redundant stored `text` column (about half
+        # the payload) never needs to leave storage
+        if fmt == "parquet":
+            import pyarrow.parquet as pq_mod
+            present = set(pq_mod.read_schema(files[0]).names)
+        else:
+            with open(files[0]) as f:
+                first = f.readline()
+            present = set(json.loads(first)) if first.strip() else set()
+        input_columns = [c for c in ("url", "warc_ts", "html", "lang",
+                                     "text") if c in present]
+        if "html" in input_columns and "text" in input_columns:
+            input_columns.remove("text")
+    extract = "html" in input_columns
     for part in todo:
         frag_files = parts[part]
-        ds = rd.read_parquet(frag_files, columns=input_columns)
+        if fmt == "parquet":
+            ds = rd.read_parquet(frag_files, columns=input_columns)
+        else:
+            ds = rd.read_json(frag_files) \
+                .select_columns(input_columns)
         ds = build_quality_pipeline(ds, rules=rules, clock=clock,
-                                    extract=True)
+                                    extract=extract)
         cols = output_columns or OUTPUT_COLUMNS
         ds = ds.select_columns([c for c in cols
                                 if c in ds.schema().names])

@@ -382,3 +382,43 @@ def test_quality_check_error_tree_shape():
     assert len(tree) == 2 and {e.field for e in tree} == {"score",
                                                           "grade"}
     assert "score" in errors and errors["score"]
+
+
+def test_run_quality_filter_jsonl_input(tmp_path):
+    """JSONL page dumps (pre-extracted text, no html column) run through
+    the same resumable partitioned path: extraction auto-skips, rules +
+    scrub apply, per-file partitions resume on manifests."""
+    import json as _json
+
+    from nacc_form_validator_ray.pipelines.quality_filter import \
+        run_quality_filter
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks through the quiet forest looking for food water "
+            "shelter and friends while the sun sets slowly over the "
+            "green hills beyond the river where many small animals "
+            "gather every evening to drink before night falls and "
+            "the owls begin their patient watch from the old trees "
+            "near the stone bridge that farmers built long ago")
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(2):
+        with open(src / f"pages-{i}.jsonl", "w") as f:
+            f.write(_json.dumps(
+                {"url": f"http://a.example/{i}", "text": good}) + "\n")
+            f.write(_json.dumps(
+                {"url": f"http://b.example/{i}",
+                 "text": "too short"}) + "\n")
+    out = tmp_path / "out"
+    m = run_quality_filter(str(src), str(out))
+    assert m["n_parts"] == 2
+    assert m["n_rows"] == 4
+    assert m["n_kept"] == 2  # one good + one too-short page per file
+
+    # resume: drop one manifest -> only that partition reruns
+    os.remove(lineage.manifest_path(str(out), 1))
+    first_kept = lineage.read_manifests(str(out))[0]["completed_at"]
+    m2 = run_quality_filter(str(src), str(out))
+    assert m2["n_rows"] == 4
+    assert lineage.read_manifests(str(out))[0]["completed_at"] \
+        == first_kept
